@@ -1,0 +1,101 @@
+"""Sources and sinks — the reference's I/O surface, generalized.
+
+Reference parity (SURVEY.md §2A): schema-inferred JSON scan
+(``k8s/submit/etl-on-gcp-vinicius-campos.py:22-25``), parquet sink with
+overwrite (``:31``), parquet glob scan (``:39-41``), avro sink
+(``:57-61``), plus NS extensions: declared-schema reads, csv, partitioned
+writes, and a warehouse-style "serving" sink standing in for the
+reference's BigQuery load (``k8s/dags/etl-gcp-vinicius-campos.py:132-142``).
+
+Scale notes: partitioned parquet writes use dynamic partition overwrite
+so a re-run replaces only touched partitions; writers avoid
+``repartition(1)``-style driver funnels — output file count follows the
+final stage's partitioning, which AQE sizes at ~128 MB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def has_avro(spark: SparkSession) -> bool:
+    """The avro datasource lives in the external spark-avro module
+    (a separate jar, reference pins it at
+    ``k8s/submit/spark-avro_2.12-3.1.2.jar``). Not bundled with stock
+    pyspark — probe once and let callers fall back."""
+    try:
+        spark.read.format("avro").load("/nonexistent___probe")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        return "AVRO" not in msg.upper() or "Path does not exist" in msg
+    return True
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan; schema inferred when not declared (reference
+    behaviour — no ``.schema()`` call at ``etl-on-gcp…py:22-25``)."""
+    r = spark.read.format("json").option("multiLine", multiline)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    r = spark.read.option("header", header)
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — path may be a glob (reference reads
+    ``…/transformation/*.parquet``)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> bool:
+    """Avro sink (reference's curated-zone format, chosen for its row
+    orientation, ``README.md:394``). Returns False when the spark-avro
+    jar is absent (this container) — callers fall back to parquet."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+        return True
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find" in str(e) or "AVRO" in str(e).upper():
+            return False
+        raise
+
+
+def serving_sink(
+    spark: SparkSession, df: DataFrame, path: str, table_name: str
+) -> DataFrame:
+    """Warehouse-style serving sink: overwrite-write + register as a
+    queryable table — the engine-local analog of the reference's
+    GCS→BigQuery ``WRITE_TRUNCATE`` load + autodetect
+    (``k8s/dags/etl-gcp-vinicius-campos.py:132-142``)."""
+    write_parquet(df, path, mode="overwrite")
+    served = spark.read.parquet(path)
+    served.createOrReplaceTempView(table_name)
+    return served

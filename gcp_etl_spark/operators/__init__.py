@@ -1,0 +1,11 @@
+"""Relational operator library.
+
+Everything here composes built-in DataFrame ops (Catalyst-optimizable);
+no RDDs, no driver-side loops. Custom logic exists only where Spark has
+no native operator (as-of join, top-k per group helper).
+"""
+
+from gcp_etl_spark.operators.asof import asof_join
+from gcp_etl_spark.operators.topk import top_k, top_k_per_group
+
+__all__ = ["asof_join", "top_k", "top_k_per_group"]

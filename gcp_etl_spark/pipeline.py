@@ -1,0 +1,87 @@
+"""Medallion pipeline — the reference's end-to-end flow as a library.
+
+Reference shape (SURVEY.md §3, EP1-EP3): landing JSON → processing
+Parquet (``k8s/submit/etl-on-gcp-vinicius-campos.py:19-33``) → SQL
+transform over a temp view (``:35-63``) → curated Avro (``:57-61``) →
+warehouse load + ``count(*)`` quality gate
+(``k8s/dags/etl-gcp-vinicius-campos.py:132-155``). The Airflow DAG
+(R16) collapses to plain function composition; the BigQuery steps
+become the serving sink + an assertion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_etl_spark import io
+
+
+@dataclass
+class PipelineResult:
+    landing_count: int
+    curated_count: int
+    served_count: int
+    curated_format: str
+    stages: list[str] = field(default_factory=list)
+
+
+def run_medallion(
+    spark: SparkSession,
+    landing_json: str,
+    workdir: str,
+    query: str | None = None,
+    view_name: str = "df",
+) -> PipelineResult:
+    """Run landing → processing → curated → serving with the count gate.
+
+    ``query`` defaults to the reference's (determinism-fixed) SQL: the
+    reference runs ``SELECT * FROM df LIMIT 100``
+    (``pyfiles.zip::my_query.py:1-9``) — a bare LIMIT is
+    order-nondeterministic, so the default adds a stable ORDER BY.
+    """
+    stages = []
+
+    # landing → processing (R3-R5): schema-inferred JSON → parquet
+    raw = io.read_json(spark, landing_json)
+    landing_count = raw.count()  # R4 row-count check
+    if landing_count == 0:
+        raise ValueError("quality gate: landing zone is empty")
+    processing_path = f"{workdir}/processing"
+    io.write_parquet(raw, processing_path)
+    stages.append("landing->processing(parquet)")
+
+    # processing → curated (R6-R13): view + SQL + avro (fallback parquet)
+    df = io.read_parquet(spark, processing_path)
+    df.createOrReplaceTempView(view_name)
+    sql = query or f"SELECT * FROM {view_name} ORDER BY 1 LIMIT 100"
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(view_name)  # R11
+    out = out.cache()  # R12 — reused below for write + count
+    curated_path = f"{workdir}/curated"
+    if io.write_avro(out, curated_path):
+        curated_format, curated = "avro", spark.read.format("avro").load(curated_path)
+    else:
+        io.write_parquet(out, curated_path)
+        curated_format, curated = "parquet", io.read_parquet(spark, curated_path)
+    curated_count = curated.count()
+    stages.append(f"processing->curated({curated_format})")
+
+    # curated → serving + count(*) gate (R14-R15)
+    served = io.serving_sink(spark, curated, f"{workdir}/serving", "serving_table")
+    served_count = spark.sql(
+        "SELECT count(*) AS n FROM serving_table"
+    ).collect()[0]["n"]
+    if not served_count:
+        raise ValueError("quality gate: serving table is empty (R15)")
+    stages.append("curated->serving(+count gate)")
+    out.unpersist()
+
+    return PipelineResult(
+        landing_count=landing_count,
+        curated_count=curated_count,
+        served_count=served_count,
+        curated_format=curated_format,
+        stages=stages,
+    )

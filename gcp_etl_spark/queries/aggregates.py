@@ -1,0 +1,282 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+Scale notes: every groupBy here is a partial (map-side) + final
+HashAggregate — one shuffle of the already-reduced per-partition
+states, so cardinality of the shuffle is |groups| × partitions, not
+|rows|. Money sums use the exact-decimal policy (see _exact.py) so
+accumulation order can never flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries._exact import davg, dsum, dsum_expr
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "flagship"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship (TPC-H Q1 shape): filter → grouped 8-agg.
+
+    Plan: parquet scan with pushed l_shipdate filter + pruned columns →
+    partial HashAggregate → small exchange → final HashAggregate.
+    (l_quantity is integer-valued → double sums are already exact;
+    money columns go through the exact-decimal policy.)
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            dsum_expr(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_group_multi",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(o_totalprice) AS avg_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_group_multi(spark, sf_dir):
+    """Grouped hash agg: count/sum/min/max/avg on two keys."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_count_distinct(spark, sf_dir):
+    """Multiple count-distincts in one agg (Spark plans an expand +
+    two-phase aggregate — still one scan)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # approximate — rows-only check; tolerance asserted in tests
+    tags=("aggregate", "approx"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ approximate count-distinct (scale path for count(distinct)
+    at 100 TB: fixed-size sketch, no expand)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           sum(l_quantity)                     AS sum_qty,
+           count(*)                            AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals (rollup) with GROUPING markers."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    """Full cube over two keys."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey HAVING sum(l_quantity) > 800
+    """,
+    tags=("aggregate", "having"),
+)
+def agg_having(spark, sf_dir):
+    """HAVING = post-aggregation filter."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").alias("__raw"),
+        )
+        .filter(F.col("__raw") > 800)
+        .drop("__raw")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(count(o_totalprice) AS DOUBLE) AS n,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           sqrt((s2 - s * s / n) / (n - 1)) AS sd_price,
+           (s2 - s * s / n) / (n - 1)       AS var_price,
+           median_price, p90_price
+    FROM g
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates: stddev/variance via exact decimal
+    moment sums (bitwise-identical across engines — see _exact.py),
+    exact interpolated percentiles (= DuckDB quantile_cont)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderstatus").agg(
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.count("o_totalprice").cast("double").alias("n"),
+        R(F.percentile("o_totalprice", F.lit(0.5))).alias("median_price"),
+        R(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "o_orderstatus",
+        F.sqrt(var).alias("sd_price"),
+        var.alias("var_price"),
+        "median_price",
+        "p90_price",
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (explicit value list → no extra distinct pass)."""
+    p = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_qty").alias("qty_f"),
+        (F.coalesce(F.col("O_n"), F.lit(0)) + F.coalesce(F.col("F_n"), F.lit(0))).alias(
+            "n_rows"
+        ),
+    )

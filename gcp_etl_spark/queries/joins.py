@@ -1,0 +1,326 @@
+"""Join operators (SURVEY.md §2B "Joins") — all join shapes plus the
+as-of join.
+
+Scale notes: dimension tables (region/nation/supplier/part at star
+ratios) are broadcast explicitly so the fact side never shuffles for
+them; fact-fact joins stay sort-merge (reference prefers SMJ,
+``etl-on-gcp-vinicius-campos.py:85``) with AQE skew splitting. The
+as-of join is an equi-key merge with the range predicate inside the
+join condition — never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.operators.asof import asof_join
+from gcp_etl_spark.queries._exact import dsum_expr
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+# oracle-side exact revenue sum (mirrors dsum_expr, _exact.py)
+REV_SQL = (
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+    "AS DECIMAL(18,6))) AS DOUBLE)"
+)
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {REV_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'FURNITURE'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "aggregate", "topk"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filter each side, group, top-10.
+
+    customer is small relative to the facts → broadcast; the
+    orders⋈lineitem join is SMJ on the shuffled key; top-10 is
+    TakeOrderedAndProject (per-partition partial top-k)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {REV_SQL} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "aggregate", "star"),
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join with broadcast dims."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_inner_basic",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 250000
+    """,
+    tags=("join",),
+)
+def join_inner_basic(spark, sf_dir):
+    """Inner equi join, filter pushed below the join."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_nulls",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN (
+        SELECT * FROM orders WHERE o_totalprice > 280000
+    ) big ON c_custkey = big.o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_nulls(spark, sf_dir):
+    """Left outer join — unmatched customers keep nulls."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 280000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_basic",
+    oracle="""
+    SELECT p_partkey, p_name, l_orderkey, l_quantity
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+    RIGHT JOIN part ON li.l_partkey = p_partkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_basic(spark, sf_dir):
+    """Right outer join — every part kept."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    p = t(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey, "right").select(
+        "p_partkey", "p_name", "l_orderkey", "l_quantity"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH f AS (SELECT o_custkey, count(*) AS f_cnt FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         o AS (SELECT o_custkey, count(*) AS o_cnt FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+    SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey, f_cnt, o_cnt
+    FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates with key coalescing."""
+    orders = t(spark, sf_dir, "orders")
+    # rename the keys up front — both sides share lineage (self-join),
+    # so unrenamed o_custkey references would be ambiguous
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_key"))
+        .agg(F.count("*").alias("f_cnt"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("o_key"))
+        .agg(F.count("*").alias("o_cnt"))
+    )
+    return f.join(o, f.f_key == o.o_key, "full").select(
+        F.coalesce("f_key", "o_key").alias("custkey"), "f_cnt", "o_cnt"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 280000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join = EXISTS (no right columns, no duplication)."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 280000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join = NOT EXISTS."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark, sf_dir):
+    """Explicit cross join (both sides tiny — BroadcastNestedLoop)."""
+    return (
+        t(spark, sf_dir, "region")
+        .crossJoin(t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_theta_pairs",
+    oracle="""
+    SELECT a.p_size AS p_size, count(*) AS n_pairs,
+           CAST(sum(CAST(abs(a.p_retailprice - b.p_retailprice)
+                          AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price_gap
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    GROUP BY a.p_size
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_pairs(spark, sf_dir):
+    """Equi + theta self-join: same-size part pairs (the inequality
+    rides the equi join as a post-condition — no nested loop)."""
+    p = t(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(F.col("a.p_size").alias("p_size"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum(
+                    F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")).cast(
+                        "decimal(18,2)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("avg_price_gap"),
+        )
+    )
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+    ) = 1
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_events_orders(spark, sf_dir):
+    """As-of join: each event picks the customer's latest order at or
+    before the event time (DuckDB dual: ASOF JOIN / QUALIFY form)."""
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o,
+        left_on=["user_id"],
+        right_on=["o_custkey"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+        how="left",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    )

@@ -1,0 +1,221 @@
+"""LLM-data-pipeline queries: dedup + similarity search
+(SURVEY.md §2B; fixtures: documents / embeddings tables).
+
+Oracle strategy: exact operators (exact dedup, blocked Jaccard,
+brute-force cosine) get full SQL oracles; LSH-based operators
+(minhash, simhash, bucketed ANN) are approximate-by-design → rows-only
+driver check + recall tests against the exact operator in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.llm.dedup import minhash_near_duplicates, simhash_near_duplicates
+from gcp_etl_spark.llm.similarity import cosine_topk, cosine_topk_lsh
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY text HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact duplicate clusters on raw text (hash groupBy — the
+    O(n) dedup baseline)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_count",
+    oracle="""
+    SELECT (SELECT count(*) FROM documents) AS n_rows,
+           (SELECT count(*) FROM (SELECT DISTINCT * FROM documents)) AS n_distinct_rows,
+           (SELECT count(DISTINCT text) FROM documents) AS n_distinct_texts
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_count(spark, sf_dir):
+    """Dedup cardinality report: total vs distinct rows vs distinct
+    texts (dropDuplicates on all columns vs one column)."""
+    d = t(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        [
+            (
+                d.count(),
+                d.distinct().count(),
+                d.select("text").distinct().count(),
+            )
+        ],
+        "n_rows long, n_distinct_rows long, n_distinct_texts long",
+    )
+
+
+@query(
+    "neardup_jaccard_blocked",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               string_split(trim(lower(text)), ' '), x -> x <> '')) AS tset
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tset, b.tset))) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang
+     AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+    WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.5
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def neardup_jaccard_blocked(spark, sf_dir):
+    """Exact n-gram (token-set) Jaccard near-dup within a blocking
+    window (same lang, bounded id distance) — the SQL-checkable
+    counterpart of the MinHash pipeline. Blocking keeps the pair count
+    linear; at scale the block key would be an LSH band instead of an
+    id window."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.filter(F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit(""))
+        ).alias("tset"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
+    union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 50),
+        )
+        .withColumn("jaccard", jac)
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+@query("dedup_minhash", oracle=None, tags=("llm", "dedup", "lsh"))
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (64 perms, 16 bands, 3-shingles),
+    verified by exact shingle Jaccard ≥ 0.7. Approximate candidate
+    generation → rows-only driver check; recall vs brute force is
+    asserted in tests/test_llm.py."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, id_col="doc_id", text_col="text", threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", oracle=None, tags=("llm", "dedup", "lsh"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash 64-bit near-dup pairs with Hamming ≤ 3 via band
+    pigeonhole join."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, id_col="doc_id", text_col="text").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec
+               FROM embeddings)
+    SELECT q_id, n_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT q_id, n_id,
+             list_cosine_similarity(q_vec, n_vec) AS cos,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY list_cosine_similarity(q_vec, n_vec) DESC, n_id
+             ) AS rn
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors for 10 query vectors — the
+    brute-force ANN baseline (broadcast queries; corpus scanned once,
+    never shuffled)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+@query("ann_cosine_topk_lsh", oracle=None, tags=("llm", "similarity", "ann", "lsh"))
+def ann_cosine_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (signed random
+    projections) — the 100 TB path: each query scores ~|corpus|/2^planes
+    candidates. Rows-only check; recall vs exact asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_topk_lsh(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=dim,
+        k=5,
+        planes=6,
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_inner_product(
+             CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm,
+           round(avg(embedding[1]), 4) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+    tags=("llm", "similarity", "aggregate"),
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Vector-column aggregates: per-label counts, mean L2 norm, mean
+    of dimension 0 (multimodal column handling: vector beside scalar)."""
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        R(F.avg(norm)).alias("avg_norm"),
+        R(F.avg(F.col("embedding").getItem(0).cast("double"))).alias("avg_dim0"),
+    )

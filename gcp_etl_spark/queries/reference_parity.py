@@ -1,0 +1,64 @@
+"""Queries mirroring the reference's literal surface (SURVEY.md §2A).
+
+The reference's one SQL query is ``SELECT * FROM df LIMIT 100``
+(``k8s/submit/pyfiles.zip::my_query.py:1-9``) plus two ``count(*)``
+checks (``etl-on-gcp-vinicius-campos.py:27``, DAG ``:144-155``). A bare
+LIMIT is order-nondeterministic, so the declared query adds the stable
+ORDER BY required by the oracle contract (SURVEY.md §7 traps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "ref_select_limit",
+    oracle="""
+    SELECT * FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    tags=("reference", "projection", "limit"),
+)
+def ref_select_limit(spark, sf_dir):
+    """R8-R10: star projection + LIMIT over a registered view."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    out = spark.sql("SELECT * FROM orders_v ORDER BY o_orderkey LIMIT 100")
+    spark.catalog.dropTempView("orders_v")  # R11
+    return out
+
+
+@query(
+    "ref_count_gate",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    tags=("reference", "aggregate"),
+)
+def ref_count_gate(spark, sf_dir):
+    """R4/R15: the count(*) data-quality gate as a query."""
+    return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "ref_projection_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice * 0.9, 4) AS discounted
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+    tags=("reference", "projection", "filter"),
+)
+def ref_projection_filter(spark, sf_dir):
+    """R9 generalized: projection + withColumn + compound predicate
+    (AND / BETWEEN / comparison)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_totalprice").between(50000, 150000)
+        )
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("discounted", F.round(F.col("o_totalprice") * 0.9, 4))
+    )

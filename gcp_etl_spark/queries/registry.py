@@ -1,0 +1,68 @@
+"""Declared-query registry — the DuckDB-oracle correctness surface.
+
+Every operator claimed in SURVEY.md §2 registers here as a named query:
+a ``(spark, sf_dir) -> DataFrame`` callable plus (when SQL-expressible)
+the equivalent ANSI SQL that DuckDB runs on the same parquet tables.
+
+Contract notes (driver compares row-count + schema + order-insensitive
+value hash, see ``/root/repo/__spark_entry__.py``):
+- every computed column aliased identically on both sides;
+- doubles produced by aggregation are rounded to a fixed number of
+  decimals on BOTH sides, so floating-point summation order (which
+  differs between engines and between partitionings) cannot flip the
+  hash;
+- any LIMIT is preceded by a total ORDER BY (unique tiebreaker);
+- no bare arrays in output whose element ORDER differs between engines
+  (DuckDB's list_intersect is unordered) — emit sizes/scalars instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a declared query. ``oracle=None`` → rows-only check."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side-effect: registration) and return
+    the full registry."""
+    from gcp_etl_spark.queries import (  # noqa: F401
+        aggregates,
+        joins,
+        llm_ops,
+        reference_parity,
+        scalars,
+        sets_sorts,
+        streaming_duals,
+        text_ops,
+        windows,
+    )
+
+    return QUERIES

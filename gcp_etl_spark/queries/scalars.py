@@ -1,0 +1,231 @@
+"""Scalar function corpus (SURVEY.md §2B "Scalar functions"):
+string / date-time / math / conditional / array / map / json.
+
+All expressions are JVM built-ins inside whole-stage codegen. Type
+alignment with the DuckDB oracle is explicit (Spark length→int vs
+DuckDB bigint, Spark ceil(double)→bigint vs DuckDB double, DuckDB
+epoch→double, 1-based list indexing, global regexp_replace flag) —
+each oracle carries the matching CASTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                                   AS seg_upper,
+           lower(c_name)                                         AS name_lower,
+           substring(c_name, 10, 5)                              AS name_sub,
+           CAST(length(c_name) AS INT)                           AS name_len,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_extract(c_name, '([0-9]+)', 1)                 AS digits,
+           regexp_replace(c_name, '0+', '0', 'g')                AS squeezed,
+           string_split(c_name, '#')[2]                          AS name_id,
+           trim(concat(' ', c_mktsegment, ' '))                  AS trimmed
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string(spark, sf_dir):
+    """String functions: case, substring, length, concat_ws, regex
+    extract/replace (Spark replaces globally; DuckDB needs 'g'),
+    split+index (Spark 0-based, DuckDB 1-based)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 5).alias("name_sub"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.split("c_name", "#").getItem(1).alias("name_id"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                         AS yr,
+           CAST(month(o_orderdate) AS INT)                        AS mon,
+           CAST(dayofmonth(o_orderdate) AS INT)                   AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)                AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)    AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)            AS due_date,
+           CAST(date_diff('day', o_orderdate, DATE '1999-01-01') AS INT) AS days_to_99,
+           CAST(epoch(o_orderdate) AS BIGINT)                     AS epoch_s
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime(spark, sf_dir):
+    """Date/time functions. Cross-engine notes: DuckDB year() is
+    bigint (cast), dayofweek is 0-based Sunday (Spark 1-based),
+    epoch() is double seconds (cast); session TZ pinned UTC so
+    unix_timestamp == epoch."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.to_date(F.lit("1999-01-01")), F.col("o_orderdate")).alias(
+            "days_to_99"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "scalar_math_cond",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * l_discount                  AS disc_amt,
+           abs(l_discount - 0.05)                        AS disc_dev,
+           CAST(ceil(l_extendedprice)  AS BIGINT)        AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)        AS price_floor,
+           round(pow(l_quantity, 2), 4)                  AS qty_sq,
+           round(ln(l_extendedprice + 1), 4)             AS log_price,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none')   AS flag_or_none
+    FROM lineitem
+    """,
+    tags=("scalar", "math", "conditional"),
+)
+def scalar_math_cond(spark, sf_dir):
+    """Math + conditional functions (Spark ceil/floor(double)→bigint;
+    F.log is natural log = DuckDB ln)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        R(F.pow("l_quantity", 2)).alias("qty_sq"),
+        R(F.log(F.col("l_extendedprice") + 1)).alias("log_price"),
+        F.when(F.col("l_quantity") > 25, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')             AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END               AS k_bucket
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json(spark, sf_dir):
+    """JSON scalar functions over the events.props JSON-string column
+    (get_json_object + from_json→map access, SURVEY §2B)."""
+    e = t(spark, sf_dir, "events")
+    # try_element_at: ANSI mode (Spark 4 default) makes plain
+    # element_at throw on a missing key; try_ returns NULL like SQL.
+    k_from_map = F.try_element_at(
+        F.from_json("props", "map<string,int>"), F.lit("k")
+    )
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_from_map.alias("k_int"),
+        F.when(k_from_map >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS INT)                 AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS INT)  AS n_unique,
+           list_contains(tokens, 'spark')           AS has_spark,
+           tokens[1]                                AS first_token,
+           list_sort(tokens)[1]                     AS min_token,
+           CAST(len(list_filter(tokens, x -> length(x) > 5)) AS INT) AS n_long,
+           array_to_string(list_sort(tokens)[1:3], '|') AS top3_sorted
+    FROM toks
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_array(spark, sf_dir):
+    """Array functions incl. higher-order filter/transform (DuckDB
+    lists are 1-based; list_distinct is unordered → only sizes are
+    compared, plus explicitly sorted slices)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        toks.getItem(0).alias("first_token"),
+        F.sort_array(toks).getItem(0).alias("min_token"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.concat_ws("|", F.slice(F.sort_array(toks), 1, 3)).alias("top3_sorted"),
+    )
+
+
+@query(
+    "scalar_struct_coords",
+    oracle="""
+    WITH c AS (
+      SELECT event_id,
+             concat(CAST(user_id AS VARCHAR), ', ', CAST(event_id % 90 AS VARCHAR))
+               AS coordinates
+      FROM events
+    )
+    SELECT event_id, coordinates,
+           CAST(string_split(coordinates, ', ')[1] AS DOUBLE) AS lon,
+           CAST(string_split(coordinates, ', ')[2] AS DOUBLE) AS lat
+    FROM c
+    """,
+    tags=("scalar", "struct", "reference"),
+)
+def scalar_struct_coords(spark, sf_dir):
+    """The reference's latent struct-in-string pattern: its airport
+    dataset stores coordinates as a '"lon, lat"' string (SURVEY §1.3);
+    split + cast recovers typed columns. Reconstructed here over
+    events (deterministic synthetic coordinate string)."""
+    e = t(spark, sf_dir, "events")
+    coords = F.concat_ws(
+        ", ",
+        F.col("user_id").cast("string"),
+        (F.col("event_id") % 90).cast("string"),
+    )
+    c = e.select("event_id", coords.alias("coordinates"))
+    parts = F.split("coordinates", ", ")
+    return c.select(
+        "event_id",
+        "coordinates",
+        parts.getItem(0).cast("double").alias("lon"),
+        parts.getItem(1).cast("double").alias("lat"),
+    )

@@ -1,0 +1,122 @@
+"""Batch-checkable duals of the streaming operators
+(SURVEY.md §2B "Streaming surface").
+
+Each query runs the SAME function the streaming tests run over a
+``readStream`` source (gcp_etl_spark.streaming.windows) — here on the
+batch DataFrame, so the DuckDB oracle can check the windowing
+semantics exactly. Streaming execution (watermarks, output modes,
+state) is smoke-tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 10-minute windows per event type (epoch-aligned —
+    identical to DuckDB time_bucket)."""
+    return tumbling_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+      FROM events
+    )
+    SELECT w_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(value) AS avg_value
+    FROM buckets GROUP BY w_start
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding windows (10 min width / 5 min slide): every event lands
+    in exactly two windows — the oracle materializes both buckets."""
+    return sliding_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+           max(ts) AS last_ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session(spark, sf_dir):
+    """Gap-based session windows (30 min) per user — Spark
+    session_window vs the classic gaps-and-islands SQL."""
+    return session_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Stateful-dedup dual: first event per (user, type). Batch uses
+    an explicit earliest-wins rule so the result is deterministic
+    (streaming arrival order == event-time order in the fixture)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query("stream_dedup_exact_ids", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_exact_ids(spark, sf_dir):
+    """dropDuplicates on event_id — the streaming watermarked-dedup
+    operator run in batch mode (rows-only: dropDuplicates pick among
+    exact duplicates is arbitrary; count is what matters)."""
+    return stream_dedup(t(spark, sf_dir, "events"), keys=("event_id",))

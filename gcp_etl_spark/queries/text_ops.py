@@ -1,0 +1,149 @@
+"""Text analysis queries over the documents table
+(SURVEY.md §2B "LLM-data-pipeline operators" — text analysis).
+
+All JVM-side expressions (explode/split/regexp/md5); word-count's
+explode is the only row-expanding op and aggregates map-side before
+its shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.functions.text import STOPWORDS, fingerprint, quality_features
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    )
+    SELECT word, count(*) AS cnt FROM words
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word LIMIT 50
+    """,
+    tags=("text", "aggregate"),
+)
+def text_wordcount(spark, sf_dir):
+    """Classic tokenize → explode → count, top-50."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS INT) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g'))
+                 / len(tokens) AS avg_token_len,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / length(text) AS alpha_ratio,
+           len(list_filter(tokens,
+                     x -> list_contains({list(STOPWORDS)}, lower(x))))
+                 / len(tokens) AS stopword_ratio
+    FROM toks
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, alphabetic
+    ratio, stopword ratio (training-data filter features)."""
+    d = t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT fp, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM fp GROUP BY fp HAVING count(*) > 1
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (md5 of normalized text) → duplicate
+    clusters with a deterministic survivor."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT)  AS n_word_toks,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)         AS n_num_toks,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INT) AS n_punct
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count_regex(spark, sf_dir):
+    """BPE-ish regex token counting (word / number / punctuation
+    classes) — the cheap token-budget estimator."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("[a-z]+")).alias("n_word_toks"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("n_num_toks"),
+        F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]")).alias("n_punct"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           avg(n_chars) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("text", "aggregate"),
+)
+def text_lang_profile(spark, sf_dir):
+    """Corpus profile per (language, source) — the partition-planning
+    query a 100 TB corpus runs before sharding by language."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,189 @@
+"""Window functions (SURVEY.md §2B "Window functions").
+
+Determinism contract: row_number/ntile/lag/lead windows use a TOTAL
+order (unique tiebreaker appended); rank/dense_rank windows may order
+by tie-prone expressions (their outputs are tie-stable).
+Scale: a window shuffles once on its partition keys; frames evaluate
+within-partition. Skewed partition keys (a single hot user) are the
+one hazard — mitigated by AQE and, for associative frame aggs, by a
+two-level pre-aggregation pattern documented in the module tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER w_total AS INT) AS rn,
+           CAST(ntile(4)     OVER w_total AS INT) AS quartile,
+           CAST(rank()       OVER w_tier  AS INT) AS price_rank,
+           CAST(dense_rank() OVER w_tier  AS INT) AS price_dense_rank
+    FROM orders
+    WINDOW
+      w_total AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      w_tier  AS (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 50000) DESC)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank(spark, sf_dir):
+    """Ranking functions: row_number/ntile on a total order;
+    rank/dense_rank on a coarse (tie-rich) order."""
+    o = t(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_tier = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") / 50000).desc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_total).alias("rn"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.rank().over(w_tier).alias("price_rank"),
+        F.dense_rank().over(w_tier).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value_seen,
+           value - coalesce(lag(value) OVER w, value) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead/first_value per user ordered by event time."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value_seen"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value"))).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS running_spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS running_avg,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def window_running(spark, sf_dir):
+    """Cumulative (rows-frame) aggregates per customer (exact-decimal
+    running sum — see _exact.py)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dspend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dspend.alias("running_spend"),
+        (dspend / F.count("*").over(w)).alias("running_avg"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT)    AS n_within_5k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_within_5k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame on a numeric order key (value-based neighborhood —
+    deterministic even with ties)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_5k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("sum_within_5k"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS moving_avg_4,
+           min(value) OVER w AS moving_min_4,
+           max(value) OVER w AS moving_max_4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark, sf_dir):
+    """Moving 4-row stats per user (time-series smoothing shape)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_4"),
+        F.min("value").over(w).alias("moving_min_4"),
+        F.max("value").over(w).alias("moving_max_4"),
+    )

@@ -1,0 +1,77 @@
+"""SparkSession construction.
+
+Reproduces the session-tuning surface of the reference job
+(``k8s/submit/etl-on-gcp-vinicius-campos.py:67-88``): AQE on, partition
+coalescing with a 128 MB advisory size, sort-merge-join preference,
+Kryo, broadcast timeout — re-expressed for Spark 4.x, minus
+cluster-manager-only knobs (dynamicAllocation, external shuffle service)
+which do not apply to local mode and are left to spark-submit conf on a
+real cluster.
+
+Scale notes (100 TB design point):
+- ``spark.sql.shuffle.partitions`` is a *local* default here (≈ cores);
+  on a 1000-executor cluster AQE's ``coalescePartitions`` +
+  ``advisoryPartitionSizeInBytes=128m`` make the initial number mostly
+  irrelevant as long as it is high enough — set
+  ``initialPartitionNum`` large (e.g. 8192) cluster-side and let AQE
+  coalesce down, exactly the reference's strategy
+  (init 10 → min 1 at its toy scale).
+- AQE skew-join splitting is enabled so a hot join key at scale is
+  split instead of stalling one task.
+- Arrow is enabled for every pandas/Python boundary (the slow path the
+  LLM operators use when built-ins can't express the semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gcp_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Mirrors reference session configs at
+    ``k8s/submit/etl-on-gcp-vinicius-campos.py``: AQE ``:73``, coalesce
+    ``:76-79``, advisory 128 MB ``:79``, preferSortMergeJoin ``:85``,
+    broadcastTimeout ``:72``, Kryo ``:80``, speculation off ``:71``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # -- correctness-critical for the DuckDB oracle --
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- reference parity (AQE + coalesce + advisory 128m) --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.join.preferSortMergeJoin", "true")
+        .config("spark.sql.broadcastTimeout", "900")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.speculation", "false")
+        # -- local sizing --
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
+        # -- python/arrow boundary --
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- quiet & headless --
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,118 @@
+"""Batch/stream dual windowed aggregations over the events table.
+
+Each operator is written ONCE against the DataFrame API and accepts
+either a batch DataFrame or a streaming DataFrame (``readStream``) —
+``F.window`` / ``F.session_window`` / ``dropDuplicates`` behave
+identically; only triggers/output-mode differ at the sink. Tests run
+the same function both ways and assert equality
+(SURVEY.md §2B "streaming surface"); the DuckDB oracle checks the
+batch result.
+
+Watermark notes (100 TB stream): callers pass ``watermark`` so state
+for windows older than (max event time - delay) is dropped — without
+it a grouped-window stream's state grows without bound. Late rows
+beyond the watermark are discarded, which is the documented
+append-mode semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum — epoch-aligned windows identical to
+    DuckDB ``time_bucket``."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact-decimal sum: cross-engine deterministic (queries/_exact.py)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("w_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window aggregate: each event contributes to
+    width/slide overlapping windows."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based): a session starts at its first event
+    and extends while successive events arrive within ``gap``.
+
+    Output start/last_ts/count — NOT Spark's session end (= last+gap),
+    so the batch result equals the classic gaps-and-islands SQL.
+    """
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(key, F.col("w.start").alias("s_start"), "n_events", "last_ts", "sum_value")
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Stateful dedup: first row per key wins.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` bounds the key state
+    to the watermark horizon (at 100 TB/day an unbounded exact-dedup
+    state is impossible — the watermark IS the design decision).
+    Batch: plain ``dropDuplicates`` (same first-wins semantics).
+    """
+    if events.isStreaming and watermark:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
