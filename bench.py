@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the declared query corpus at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced through the ``noop`` datasource writer (full plan
+runs on the executors, nothing is collected to the driver), which is
+the honest way to time a distributed plan. Each query is timed after a
+one-query warmup of the JVM/codegen paths.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gcp_etl_spark.queries import load_all
+from gcp_etl_spark.session import get_spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
+    specs = load_all()
+    spark = get_spark("bench")
+
+    # warmup: JVM, codegen, parquet footers
+    force(specs["q1_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        force(spec.fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

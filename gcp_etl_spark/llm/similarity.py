@@ -78,41 +78,57 @@ def random_projection_buckets(
     df: DataFrame,
     vec_col: str,
     dim: int,
-    planes: int = 8,
+    planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Append an LSH bucket id from ``planes`` signed random
-    projections (deterministic: plane weights derived from a seeded
-    xxhash64 of (seed, plane, dim) — identical on every executor
-    without broadcasting state).
+    """Append ``(table, bucket)`` pairs (exploded) from ``n_tables``
+    independent sets of ``planes`` signed random projections.
 
-    Bucket collision prob for angle θ is (1-θ/π)^planes — nearest
-    neighbors concentrate in the query's bucket; multi-probe = also
-    check buckets at Hamming distance 1.
+    Deterministic without broadcast state: plane weights are ±1 derived
+    from xxhash64(seed, table, plane, dim_index) — every executor
+    derives the same hyperplanes (Achlioptas-style sparse projection).
+
+    Multi-table is what makes LSH usable: one k-plane table retains a
+    neighbor at angle θ with prob p^k (p = 1-θ/π) — small; the union
+    of L tables retains it with 1-(1-p^k)^L.
     """
-    sign_bits = []
-    for p in range(planes):
-        # weight_j = ±1 from hash(seed, p, j): a sparse {±1} projection
-        # (Achlioptas-style) — good enough separation, no float weights
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: F.when(
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), 2) == 0, 1.0
-                    ).otherwise(-1.0),
+    vec = F.col(vec_col).cast("array<double>")
+
+    def plane_weight(tbl: int, p: int):
+        # closure factory: pyspark reads the lambda's arity, so extra
+        # default args would be misread as lambda variables
+        return lambda j: F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(tbl), F.lit(p), j), 2) == 0, 1.0
+        ).otherwise(-1.0)
+
+    tables = []
+    for tbl in range(n_tables):
+        sign_bits = []
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)), plane_weight(tbl, p)
+                    ),
+                    lambda x, w: x * w,
                 ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sign_bits.append(
+                F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
+            )
+        bucket = sign_bits[0]
+        for s in sign_bits[1:]:
+            bucket = bucket + s
+        tables.append(
+            F.struct(F.lit(tbl).alias("tbl"), bucket.cast("int").alias("bucket"))
         )
-        sign_bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-    bucket = sign_bits[0]
-    for s in sign_bits[1:]:
-        bucket = bucket + s
-    return df.withColumn("bucket", bucket.cast("int"))
+    return df.withColumn("tb", F.explode(F.array(*tables))).select(
+        "*", "tb.tbl", "tb.bucket"
+    ).drop("tb")
 
 
 def cosine_topk_lsh(
@@ -122,28 +138,35 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 5,
-    planes: int = 6,
+    planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's projection
-    bucket. Recall < 1 by construction (rows-only check; recall is
-    asserted in tests against the exact operator)."""
+    """Approximate top-k: score only candidates sharing a bucket with
+    the query in ≥1 of the LSH tables. Candidate set per query is
+    ~L·|corpus|/2^planes instead of |corpus| — the 100 TB path.
+    Recall < 1 by construction (asserted vs the exact operator in
+    tests); rows-only driver check."""
     cb = random_projection_buckets(
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
         "n_vec",
         dim,
         planes,
+        n_tables,
     )
     qb = random_projection_buckets(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
         "q_vec",
         dim,
         planes,
+        n_tables,
     )
-    pairs = cb.join(F.broadcast(qb), "bucket").filter(F.col("q_id") != F.col("n_id"))
-    scored = pairs.withColumn(
-        "cos",
-        cosine(F.col("q_vec").cast("array<double>"), F.col("n_vec").cast("array<double>")),
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])  # union of tables
     )
+    scored = cand.withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))

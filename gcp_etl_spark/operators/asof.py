@@ -43,7 +43,18 @@ def asof_join(
     ``tiebreak``: right-side columns ordered descending after
     ``right_ts`` to make the pick deterministic when several right rows
     share the as-of timestamp.
+
+    Right-side columns whose names collide with left columns are
+    returned with an ``_r`` suffix (pd.merge_asof-style).
     """
+    collisions = set(left.columns) & set(right.columns)
+    if collisions:
+        for c in collisions:
+            right = right.withColumnRenamed(c, f"{c}_r")
+        ren = {c: f"{c}_r" for c in collisions}
+        right_on = [ren.get(c, c) for c in right_on]
+        right_ts = ren.get(right_ts, right_ts)
+        tiebreak = [ren.get(c, c) for c in tiebreak]
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
     cond = None
@@ -92,8 +103,7 @@ def asof_join_grouped(
     )
     rcols = [c for c in right.columns if c != on]
 
-    def merge(key, pdfs):
-        lpdf, rpdf = pdfs
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
         if rpdf.empty:
             for c in rcols:

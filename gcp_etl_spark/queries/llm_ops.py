@@ -48,18 +48,14 @@ def dedup_exact(spark, sf_dir):
     tags=("llm", "dedup"),
 )
 def dedup_exact_count(spark, sf_dir):
-    """Dedup cardinality report: total vs distinct rows vs distinct
-    texts (dropDuplicates on all columns vs one column)."""
+    """Dedup cardinality report in ONE pass: count + count-distinct of
+    the full row struct + count-distinct of text (single scan, single
+    aggregate — not three driver-side jobs)."""
     d = t(spark, sf_dir, "documents")
-    return spark.createDataFrame(
-        [
-            (
-                d.count(),
-                d.distinct().count(),
-                d.select("text").distinct().count(),
-            )
-        ],
-        "n_rows long, n_distinct_rows long, n_distinct_texts long",
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.struct(*d.columns)).alias("n_distinct_rows"),
+        F.countDistinct("text").alias("n_distinct_texts"),
     )
 
 
@@ -97,8 +93,25 @@ def neardup_jaccard_blocked(spark, sf_dir):
             F.filter(F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit(""))
         ).alias("tset"),
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # Banded range join: a naive (lang, b.id in (a.id, a.id+50]) join
+    # would SMJ on lang alone (few groups → ~|docs|² intermediate
+    # pairs). Bucket doc_id by the window width W: a pair within W can
+    # only land in bucket(a) or bucket(a)+1, so joining a's bucket to
+    # b exploded into {bucket(b), bucket(b)-1} is an exact equi-join
+    # blocking — pairs per bucket stay O(W²) at any corpus size.
+    W = 50
+    a = toks.withColumn("blk", (F.col("doc_id") / W).cast("long")).alias("a")
+    b = (
+        toks.withColumn(
+            "blk",
+            F.explode(
+                F.array(
+                    (F.col("doc_id") / W).cast("long"),
+                    (F.col("doc_id") / W).cast("long") - 1,
+                )
+            ),
+        )
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
     union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
     jac = inter.cast("double") / union
@@ -106,8 +119,9 @@ def neardup_jaccard_blocked(spark, sf_dir):
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 50),
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + W),
         )
         .withColumn("jaccard", jac)
         .filter(jac >= 0.5)

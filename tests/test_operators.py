@@ -1,0 +1,101 @@
+"""Unit tests for the custom operators on tiny handmade inputs
+(SURVEY.md §5.2 unit layer)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.operators.asof import asof_join, asof_join_grouped
+from gcp_etl_spark.operators.topk import top_k, top_k_per_group
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T10:00")),
+            (2, "a", _ts("2024-01-01T12:00")),
+            (3, "b", _ts("2024-01-01T09:00")),
+            (4, "c", _ts("2024-01-01T09:00")),  # key with no right rows
+        ],
+        "lid long, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:30"), 100.0),
+            ("a", _ts("2024-01-01T11:00"), 200.0),
+            ("b", _ts("2024-01-01T09:00"), 300.0),  # exact tie with left ts
+            ("b", _ts("2024-01-01T10:00"), 400.0),  # after left → excluded
+        ],
+        "k string, rts timestamp, v double",
+    )  # note: right `k` collides with left `k` → comes back as k_r
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left,
+        right,
+        left_on=["k"],
+        right_on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        how="left",
+    )
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    # lid 1: latest right ≤ 10:00 is 09:30 → 100
+    # lid 2: latest right ≤ 12:00 is 11:00 → 200
+    # lid 3: exact-tie 09:00 ≤ 09:00 → 300 (inclusive as-of)
+    # lid 4: no right rows → null
+    assert got == {1: 100.0, 2: 200.0, 3: 300.0, 4: None}
+    assert out.count() == 4  # left join keeps every left row exactly once
+
+
+def test_asof_join_inner(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left,
+        right,
+        left_on=["k"],
+        right_on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        how="inner",
+    )
+    assert {r["lid"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_asof_join_grouped_matches_window_impl(spark):
+    left, right = _asof_fixture(spark)
+    a = asof_join(
+        left, right, ["k"], ["k"], "lts", "rts", how="left"
+    ).select("lid", "v")
+    b = asof_join_grouped(
+        left.withColumnRenamed("k", "key"),
+        right.withColumnRenamed("k", "key"),
+        on="key",
+        left_ts="lts",
+        right_ts="rts",
+    ).select("lid", "v")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_top_k_global(spark):
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    out = top_k(df, [F.col("v").desc(), F.col("id").asc()], 3).collect()
+    assert [(r["id"], r["v"]) for r in out] == [(9, 9), (19, 9), (29, 9)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 2)
+    out = top_k_per_group(
+        df, group=["g"], order=[F.col("id").desc()], k=2
+    ).collect()
+    got = sorted((r["g"], r["id"], r["rn"]) for r in out)
+    assert got == [(0, 96, 2), (0, 98, 1), (1, 97, 2), (1, 99, 1)]
