@@ -61,7 +61,10 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         sets_sorts,
         streaming_duals,
+        subqueries,
         text_ops,
+        tpch_more,
+        udfs,
         windows,
     )
 

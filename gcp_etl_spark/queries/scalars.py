@@ -229,3 +229,77 @@ def scalar_struct_coords(spark, sf_dir):
         parts.getItem(0).cast("double").alias("lon"),
         parts.getItem(1).cast("double").alias("lat"),
     )
+
+
+@query(
+    "scalar_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def scalar_map_functions(spark, sf_dir):
+    """Map functions over from_json(props): map_keys/map_values +
+    element access (DuckDB dual: json_keys)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
+        F.try_element_at(m, F.lit("k")).alias("k_val"),
+    )
+
+
+@query(
+    "scalar_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS tokens
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(unnest(range(len(tokens))) AS INT) AS pos,
+           unnest(tokens) AS word
+    FROM toks
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def scalar_posexplode(spark, sf_dir):
+    """posexplode: token position + value (UDTF-shaped lateral view;
+    DuckDB dual via lateral generate_series)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+
+
+@query(
+    "scalar_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) WHERE l_orderkey < 100
+    """,
+    tags=("scalar", "unpivot"),
+)
+def scalar_unpivot(spark, sf_dir):
+    """Unpivot (wide->long) via stack() — the inverse of pivot."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
+            "'tax', l_tax) AS (measure, value)"
+        ),
+    )

@@ -147,3 +147,95 @@ def text_lang_profile(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# Deterministic bilingual stopword sets for the language-ID heuristic
+# (mirrored literally in the oracle SQL).
+_EN_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+_ES_STOPS = ("el", "la", "de", "que", "y", "en", "un", "es")
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tokens
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(tokens, x -> list_contains({list(_EN_STOPS)}, x)))
+                  AS INT) AS en_hits,
+             CAST(len(list_filter(tokens, x -> list_contains({list(_ES_STOPS)}, x)))
+                  AS INT) AS es_hits
+      FROM toks
+    )
+    SELECT doc_id, lang, en_hits, es_hits,
+           CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS predicted
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_heuristic(spark, sf_dir):
+    """N-gram/stopword language-ID heuristic: per-language stopword
+    hit counts -> argmax (ties -> 'en'). The 100 TB shape: pure
+    column expressions, no dictionary shuffle, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    en = F.array(*[F.lit(w) for w in _EN_STOPS])
+    es = F.array(*[F.lit(w) for w in _ES_STOPS])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x))).alias("en_hits"),
+        F.size(F.filter(toks, lambda x: F.array_contains(es, x))).alias("es_hits"),
+    )
+    return scored.withColumn(
+        "predicted",
+        F.when(F.col("en_hits") >= F.col("es_hits"), "en").otherwise("es"),
+    )
+
+
+# (word, weight) sentiment lexicon — the EDBT'16 lexicon-join pattern
+# (PAPERS.md); weights are ints so document scores sum exactly.
+_LEXICON = [
+    ("fast", 2), ("small", 1), ("merge", 1), ("query", 1),
+    ("slow", -2), ("error", -2), ("filter", -1), ("scan", -1),
+]
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(word, weight) AS (
+      VALUES {", ".join(f"('{w}', {x})" for w, x in _LEXICON)}
+    ), words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum(weight) AS BIGINT) AS sentiment,
+           count(*) AS n_hits
+    FROM words JOIN lex USING (word)
+    GROUP BY doc_id
+    """,
+    tags=("text", "sentiment", "join"),
+)
+def text_sentiment_lexicon(spark, sf_dir):
+    """Sentiment scoring via lexicon join: explode tokens, broadcast
+    the lexicon, sum integer weights per document."""
+    d = t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "word string, weight int")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").alias("sentiment"),
+            F.count("*").alias("n_hits"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Additional TPC-H-shaped analytics queries — broader join/agg
+composition coverage on the star schema (SURVEY.md §2B "Joins" /
+"Aggregations"; fixtures FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries._exact import dsum_expr
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("aggregate", "filter", "tpch"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly-selective conjunctive filter + global
+    agg — the pure predicate-pushdown benchmark (no shuffle at all
+    beyond the final 1-row combine)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH best AS (
+      SELECT s_nationkey, min(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s
+    JOIN best b ON s.s_nationkey = b.s_nationkey AND s.s_acctbal = b.min_bal
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "aggregate", "tpch"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-per-group then join back on the extremum
+    (equality on untouched parquet doubles is exact)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    best = s.groupBy(F.col("s_nationkey").alias("bk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(best),
+            (s.s_nationkey == best.bk) & (s.s_acctbal == best.min_bal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_totalprice, big.total_qty
+    FROM orders
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "aggregate", "having", "tpch"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: pre-aggregated fact (HAVING) joined back to
+    its parents — aggregate-before-join keeps the join input small."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "aggregate", "tpch"),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a cross-table predicate → left-semi
+    join with the condition inside the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (10, 20, 30, 40) AND p_brand <> 'Brand#13'
+    GROUP BY p_brand, p_type
+    """,
+    tags=("join", "distinct", "aggregate", "tpch"),
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: IN-list + inequality filters on a broadcast
+    dim, count-distinct over the joined fact."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(10, 20, 30, 40) & (F.col("p_brand") != "Brand#13")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B "UDF / UDAF / UDTF").
+
+Every flavor of the Python boundary, slowest-path-last:
+- scalar ``@pandas_udf`` (Arrow-vectorized, Series→Series)
+- grouped-aggregate ``pandas_udf`` (UDAF)
+- grouped-map ``applyInPandas``
+- ``mapInPandas`` (UDTF-analog: batch iterator in/out)
+- row-at-a-time ``F.udf`` (the anti-pattern, kept for API parity)
+
+Determinism note: Python float reductions would reintroduce
+summation-order drift, so the UDAF/grouped examples reduce in int64
+cents (exact) and divide once in float — bitwise-stable vs the SQL
+oracle (same policy as queries/_exact.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           round(2.0 * ln(1.0 + o_totalprice), 4) AS log_score
+    FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF (numpy log1p ≈ libm ln →
+    round4 bridges the last-ulp libm differences)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def log_score(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 2.0 * np.log1p(v)
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return o.select(
+        "o_orderkey", F.round(log_score("o_totalprice"), 4).alias("log_score")
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / (100.0 * sum(CAST(l_quantity AS BIGINT))) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf", "pandas"),
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted average
+    price, reduced exactly in int64 cents."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        import numpy as np
+
+        cents = np.round(price.to_numpy() * 100).astype("int64")
+        q = qty.to_numpy().astype("int64")
+        return float((cents * q).sum()) / (100.0 * float(q.sum()))
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_spend_cents
+    FROM orders
+    """,
+    tags=("udf", "grouped-map", "pandas"),
+)
+def udf_apply_in_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per-customer cumulative spend in
+    exact integer cents (the custom-stateful-per-group shape)."""
+
+    def cumulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "cum_spend_cents": cents.cumsum(),
+            }
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        cumulate, "o_custkey long, o_orderkey long, cum_spend_cents long"
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS INT) AS n_tokens,
+           lang
+    FROM documents WHERE n_chars > 200
+    """,
+    tags=("udf", "udtf", "pandas"),
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """mapInPandas (UDTF-analog): per-batch tokenize+filter — the shape
+    used for custom scans/decoders. Python str.split() == regex \\s+
+    split with empties removed."""
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf[pdf["n_chars"] > 200]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].map(lambda s: len(s.split())),
+                    "lang": pdf["lang"],
+                }
+            )
+            yield out
+
+    d = t(spark, sf_dir, "documents")
+    return d.mapInPandas(batches, "doc_id long, n_tokens int, lang string")
+
+
+@query(
+    "udf_python_row",
+    oracle="""
+    SELECT c_custkey, reverse(c_mktsegment) AS seg_rev
+    FROM customer WHERE c_custkey < 200
+    """,
+    tags=("udf", "row-at-a-time"),
+)
+def udf_python_row(spark, sf_dir):
+    """Row-at-a-time Python UDF — API parity only; 10-100× slower than
+    the pandas path (per-row pickle), never used in hot paths."""
+
+    @F.udf(T.StringType())
+    def rev(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select("c_custkey", rev("c_mktsegment").alias("seg_rev"))
