@@ -51,15 +51,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash signature per document.
 
-    One explode + one groupBy: min(xxhash64(seed_i, shingle)) per seed
-    simulates ``num_perm`` independent permutations. Map-side partial
+    One explode + one groupBy: the shingle STRING is hashed once
+    (xxhash64 → 8-byte base), then the ``num_perm`` permutations are
+    derived by re-hashing the cheap base long — ~20× less byte-hashing
+    than hashing the string per permutation. Map-side partial
     aggregation keeps the shuffle at |docs| × num_perm longs.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("sh")
+    # testdata tables are single parquet files → a bare scan is one
+    # partition; repartition on the doc id so (a) shingling runs on
+    # all cores and (b) the groupBy below reuses the partitioning
+    # instead of shuffling again.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("sh")
+        )
+        .select(F.col(id_col), F.xxhash64("sh").alias("hb"))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("hb"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
@@ -109,8 +120,11 @@ def minhash_near_duplicates(
     )
 
     # exact verification on the shingle sets (joins back to the docs;
-    # candidate set is small, so the shingle join is cheap)
-    sh = df.select(
+    # candidate set is small, so the shingle join is cheap).
+    # repartition again: the raw scan is a single file → 1 partition.
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("sh")
     )
     verified = (
@@ -148,10 +162,15 @@ def simhash_near_duplicates(
     nbands = max_hamming + 1
     width = 64 // nbands
 
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.repartition(par, id_col)  # single-file input → parallelize
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
     # bit votes: for bit i, +1 if set else -1; sum over tokens; sign → bit
     votes = tok.groupBy("id").agg(
         *[

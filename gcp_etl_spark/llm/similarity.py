@@ -93,27 +93,28 @@ def random_projection_buckets(
     neighbor at angle θ with prob p^k (p = 1-θ/π) — small; the union
     of L tables retains it with 1-(1-p^k)^L.
     """
+    import hashlib
+
     vec = F.col(vec_col).cast("array<double>")
 
-    def plane_weight(tbl: int, p: int):
-        # closure factory: pyspark reads the lambda's arity, so extra
-        # default args would be misread as lambda variables
-        return lambda j: F.when(
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(tbl), F.lit(p), j), 2) == 0, 1.0
-        ).otherwise(-1.0)
+    def plane_weights(tbl: int, p: int) -> list[float]:
+        # deterministic ±1 hyperplane, materialized ONCE as an array
+        # literal — computing weights per row (hash per element) costs
+        # |rows|·tables·planes·dim hash calls; a literal costs zero
+        return [
+            1.0
+            if hashlib.md5(f"{seed}:{tbl}:{p}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
 
     tables = []
     for tbl in range(n_tables):
         sign_bits = []
         for p in range(planes):
+            w = F.array(*[F.lit(x) for x in plane_weights(tbl, p)])
             proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)), plane_weight(tbl, p)
-                    ),
-                    lambda x, w: x * w,
-                ),
+                F.zip_with(vec, w, lambda x, wj: x * wj),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )

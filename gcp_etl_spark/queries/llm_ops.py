@@ -86,7 +86,8 @@ def neardup_jaccard_blocked(spark, sf_dir):
     linear; at scale the block key would be an LSH band instead of an
     id window."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(  # single-file scan → parallelize tokenize
         "doc_id",
         "lang",
         F.array_distinct(

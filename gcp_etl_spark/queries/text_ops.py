@@ -228,7 +228,8 @@ def text_sentiment_lexicon(spark, sf_dir):
     the lexicon, sum integer weights per document."""
     d = t(spark, sf_dir, "documents")
     lex = spark.createDataFrame(_LEXICON, "word string, weight int")
-    words = d.select(
+    par = spark.sparkContext.defaultParallelism
+    words = d.repartition(par).select(  # single-file scan -> parallelize explode
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
     return (
