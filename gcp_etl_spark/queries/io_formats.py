@@ -1,0 +1,77 @@
+"""I/O format queries — the reference's format-conversion surface
+(R3/R5/R13: JSON→Parquet→Avro) exercised INSIDE the oracle gate.
+
+Each query converts a testdata table to another format in a temp
+directory, reads it back through the engine's io layer, and returns
+the re-read rows; the oracle simply reads the original parquet — a
+full write→scan roundtrip is therefore hash-checked.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark import io
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("io", "json", "reference"),
+)
+def io_json_roundtrip(spark, sf_dir):
+    """Parquet → JSON-lines sink → schema-inferred JSON scan (the
+    reference's landing-zone read, ``etl-on-gcp…py:22-25``) → typed
+    projection. Inference types ints as bigint — cast back to the
+    declared widths for the oracle."""
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="io_json_")
+    n.write.mode("overwrite").json(d)
+    back = io.read_json(spark, d)
+    return back.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("io", "csv"),
+)
+def io_csv_roundtrip(spark, sf_dir):
+    """Parquet → CSV sink → header CSV scan with declared schema."""
+    r = t(spark, sf_dir, "region")
+    d = tempfile.mkdtemp(prefix="io_csv_")
+    r.write.mode("overwrite").option("header", True).csv(d)
+    back = io.read_csv(spark, d, schema=r.schema)
+    return back
+
+
+@query(
+    "io_parquet_partitioned",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+    tags=("io", "parquet", "partitioning"),
+)
+def io_parquet_partitioned(spark, sf_dir):
+    """partitionBy write → partition-pruned scan: only the two
+    selected partition directories are read (static pruning — at
+    100 TB this is the difference between scanning 2 dirs and all)."""
+    o = t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="io_part_")
+    io.write_parquet(o, d, partition_by=["o_orderstatus"])
+    back = io.read_parquet(spark, d).filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    return back.groupBy("o_orderstatus").agg(F.count("*").alias("n")).select(
+        F.col("o_orderstatus").cast("string"), "n"
+    )

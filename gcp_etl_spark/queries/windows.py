@@ -187,3 +187,31 @@ def window_moving_avg(spark, sf_dir):
         F.min("value").over(w).alias("moving_min_4"),
         F.max("value").over(w).alias("moving_max_4"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY floor(o_totalprice / 10000))
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark, sf_dir):
+    """Distribution functions percent_rank/cume_dist — tie-stable
+    (value-based), ordered on a coarse tier so ties are exercised.
+    Outputs are exact rationals (rank/count) computed identically by
+    both engines — raw doubles, no rounding."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.floor(F.col("o_totalprice") / 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

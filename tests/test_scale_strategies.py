@@ -1,0 +1,123 @@
+"""Scale-strategy tests: the plan-level properties that matter at
+100 TB — salting correctness, bucketed co-located joins, broadcast
+pushdown, partition pruning (SURVEY.md §2B "100 TB design notes")."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.operators.skew import salted_join
+from gcp_etl_spark.tables import t
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = t(spark, SF_SMALL, "orders")
+    c = t(spark, SF_SMALL, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, ["o_custkey"]).select("o_orderkey", "c_name")
+    salted = salted_join(o, c, ["o_custkey"], salt=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    o = t(spark, SF_SMALL, "orders")
+    # right side missing most keys → left join must keep all left rows
+    c = (
+        t(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    plain = o.join(c, ["o_custkey"], "left").select("o_orderkey", "c_name")
+    salted = salted_join(o, c, ["o_custkey"], salt=4, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect()), key=str) == sorted(
+        map(tuple, salted.collect()), key=str
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join on the bucket key must not add an
+    Exchange on either side (SURVEY §2B: 'co-located joins via
+    bucketing')."""
+    # (warehouse dir is a static conf — bucketed tables land in the
+    # default ./spark-warehouse, gitignored)
+    import shutil
+
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    o = t(spark, SF_SMALL, "orders")
+    li = t(spark, SF_SMALL, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "orders_b"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("lineitem_b")
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+        "o_orderkey", "l_linenumber"
+    )
+    # at test scale the planner would rather broadcast (also shuffle-
+    # free, but it hides the bucketing effect) — force the SMJ path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan}"
+        )
+        expect = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_join_in_star_plan(spark):
+    """q5's star join must broadcast the dims (fact side unshuffled
+    before the aggregate)."""
+    from gcp_etl_spark.queries import load_all
+
+    q5 = load_all()["q5_region_revenue"].fn(spark, SF_SMALL)
+    plan = _plan(q5)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's date filter must appear in PushedFilters with a pruned
+    ReadSchema (no full-width scan)."""
+    from gcp_etl_spark.queries import load_all
+
+    q1 = load_all()["q1_pricing_summary"].fn(spark, SF_SMALL)
+    plan = _plan(q1)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read, "column pruning failed — key column read needlessly"
+
+
+def test_partition_pruning(spark, tmp_path):
+    from gcp_etl_spark import io
+
+    o = t(spark, SF_SMALL, "orders")
+    d = str(tmp_path / "po")
+    io.write_parquet(o, d, partition_by=["o_orderstatus"])
+    pruned = io.read_parquet(spark, d).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(pruned)
+    # static partition pruning shows up as a partition filter, and the
+    # scan must not list all three status dirs
+    assert "o_orderstatus" in plan
+    assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
