@@ -280,3 +280,19 @@ def agg_pivot(spark, sf_dir):
             "n_rows"
         ),
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("aggregate", "rollup"))
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (arbitrary subtotal combinations - the
+    general form of rollup/cube), via the SQL surface."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -303,3 +303,71 @@ def scalar_unpivot(spark, sf_dir):
             "'tax', l_tax) AS (measure, value)"
         ),
     )
+
+
+@query(
+    "scalar_higher_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(tokens, x -> length(x) > 8)) > 0          AS has_long_token,
+           len(list_filter(tokens, x -> length(x) = 0)) = 0          AS all_nonempty,
+           array_to_string(list_transform(list_sort(tokens)[1:3],
+                                          x -> upper(x)), '|')       AS first3_upper,
+           CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT)
+                                                                     AS total_chars
+    FROM toks
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_higher_order(spark, sf_dir):
+    """Higher-order array functions: exists / forall / transform /
+    aggregate - all codegen'd JVM lambdas, the scalable alternative to
+    a Python UDF over arrays."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.length(x) > 8).alias("has_long_token"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.concat_ws(
+            "|", F.transform(F.slice(F.sort_array(toks), 1, 3), lambda x: F.upper(x))
+        ).alias("first3_upper"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "scalar_explode_outer",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN NULL
+                  ELSE list_filter(string_split(trim(text), ' '), x -> x <> '')
+             END AS tokens
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, unnest(tokens) AS word FROM base WHERE tokens IS NOT NULL
+    UNION ALL
+    SELECT doc_id, NULL AS word FROM base WHERE tokens IS NULL
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def scalar_explode_outer(spark, sf_dir):
+    """explode_outer: rows with NULL arrays survive with a NULL
+    element (plain explode would drop them - the classic silent-loss
+    bug in flattening pipelines)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.when(
+        F.col("n_chars") < 300,
+        F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit("")),
+    )
+    return d.select("doc_id", F.explode_outer(toks).alias("word"))
