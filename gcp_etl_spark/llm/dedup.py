@@ -97,6 +97,11 @@ def minhash_near_duplicates(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
+    # NOTE: no explicit persist — the band join is a self-join and
+    # Spark's ReusedExchange already shares the shuffled signature
+    # stage between both sides (verified in the physical plan; an
+    # explicit .persist() measured ~1.5× SLOWER by breaking
+    # whole-stage pipelining).
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
 
     band_cols = [

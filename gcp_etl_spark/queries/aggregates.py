@@ -220,8 +220,8 @@ def agg_having(spark, sf_dir):
       FROM orders GROUP BY o_orderstatus
     )
     SELECT o_orderstatus,
-           sqrt((s2 - s * s / n) / (n - 1)) AS sd_price,
-           (s2 - s * s / n) / (n - 1)       AS var_price,
+           round(sqrt((s2 - s * s / n) / (n - 1)), 2) AS sd_price,
+           round((s2 - s * s / n) / (n - 1), -2)      AS var_price,
            median_price, p90_price
     FROM g
     """,
@@ -243,8 +243,11 @@ def agg_stats(spark, sf_dir):
     var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     return g.select(
         "o_orderstatus",
-        F.sqrt(var).alias("sd_price"),
-        var.alias("var_price"),
+        # rounded at magnitudes far above the cast ulp noise: DuckDB's
+        # int128-decimal → double conversion can differ from Spark's
+        # BigDecimal conversion by 1 ulp once Σx² exceeds ~1e15 units
+        F.round(F.sqrt(var), 2).alias("sd_price"),
+        F.round(var, -2).alias("var_price"),
         "median_price",
         "p90_price",
     )
