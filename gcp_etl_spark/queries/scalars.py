@@ -84,7 +84,9 @@ def scalar_datetime(spark, sf_dir):
         F.month("o_orderdate").alias("mon"),
         F.dayofmonth("o_orderdate").alias("dom"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # date_trunc returns the session-tz timestamp type even for an
+        # NTZ input — cast back so the arrow schema matches DuckDB's
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
         F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
         F.datediff(F.to_date(F.lit("1999-01-01")), F.col("o_orderdate")).alias(
             "days_to_99"

@@ -81,10 +81,10 @@ def udf_pandas_grouped_agg(spark, sf_dir):
     "udf_apply_in_pandas",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT))
-             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_spend_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_spend_cents
     FROM orders
     """,
     tags=("udf", "grouped-map", "pandas"),

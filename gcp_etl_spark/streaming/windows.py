@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 
 def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
-    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+    if not (watermark and df.isStreaming):
+        return df
+    # event-time watermarks require the (session-tz) TimestampType;
+    # batch keeps TIMESTAMP_NTZ for oracle/schema parity, so cast only
+    # on the streaming path (value-preserving under the UTC session)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
 
 
 def tumbling_agg(
@@ -112,7 +119,7 @@ def stream_dedup(
     Batch: plain ``dropDuplicates`` (same first-wins semantics).
     """
     if events.isStreaming and watermark:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        return _maybe_watermark(events, ts_col, watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
@@ -160,7 +167,7 @@ def stateful_running_totals(
         )
 
     return (
-        events.withWatermark(ts_col, watermark)
+        _maybe_watermark(events, ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
             update,

@@ -47,7 +47,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # cast to NTZ: every other parquet timestamp reads as
+            # TIMESTAMP_NTZ in Spark 4, and DuckDB timestamps are
+            # naive — keeping one timestamp flavor end-to-end means
+            # arrow-level schema compares also agree
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
         return df
     return spark.read.parquet(path)
 

@@ -59,6 +59,20 @@ def compare(name, sdf, con, oracle) -> list[str]:
     if sorted(scols) != sorted(ocols):
         errs.append(f"schema names: spark={sorted(scols)} oracle={sorted(ocols)}")
         return errs
+
+    # arrow-level type comparison (the strictest schema check a driver
+    # could plausibly run); int bit-widths reported but tolerated
+    try:
+        stypes = {f.name: f.type for f in sdf.limit(0).toArrow().schema}
+        otypes = {
+            f.name: f.type for f in con.sql(f"SELECT * FROM ({oracle}) LIMIT 0").arrow().schema
+        }
+        for c in stypes:
+            a, b = str(stypes[c]), str(otypes[c])
+            if a != b:
+                errs.append(f"arrow type {c}: spark={a} oracle={b}")
+    except Exception as e:  # noqa: BLE001
+        errs.append(f"arrow schema probe failed: {e}")
     if len(spark_rows) != len(orows):
         errs.append(f"rowcount: spark={len(spark_rows)} oracle={len(orows)}")
 
