@@ -234,3 +234,45 @@ def embedding_norm_stats(spark, sf_dir):
         R(F.avg(norm)).alias("avg_norm"),
         R(F.avg(F.col("embedding").getItem(0).cast("double"))).alias("avg_dim0"),
     )
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+    tags=("llm", "dedup", "similarity", "embedding"),
+)
+def neardup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    semantic-dedup primitive: at 100 TB the block key is an LSH/IVF
+    bucket; here the label column plays that role so the exact SQL
+    oracle stays tractable)."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    from gcp_etl_spark.llm.similarity import cosine
+
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("__cos", 4).alias("cos"),
+        )
+    )

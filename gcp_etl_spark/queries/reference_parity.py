@@ -62,3 +62,34 @@ def ref_projection_filter(spark, sf_dir):
         .select("o_orderkey", "o_totalprice")
         .withColumn("discounted", F.round(F.col("o_totalprice") * 0.9, 4))
     )
+
+
+@query("ref_pipeline_e2e", oracle=None, tags=("reference", "pipeline"))
+def ref_pipeline_e2e(spark, sf_dir):
+    """The reference's whole job as one benchmarked unit: landing JSON
+    (deterministic airports-shaped synthesis) -> parquet processing ->
+    SQL limit -> curated -> serving + count gate (R3-R15). Rows-only:
+    the pipeline's own gate is the check; the e2e latency lands in
+    BENCH."""
+    import json
+    import tempfile
+
+    from gcp_etl_spark.pipeline import run_medallion
+
+    d = tempfile.mkdtemp(prefix="ref_e2e_")
+    with open(f"{d}/airports.json", "w") as f:
+        for i in range(2000):
+            f.write(
+                json.dumps(
+                    {
+                        "ident": f"AP{i:05d}",
+                        "type": ["small_airport", "heliport", "closed"][i % 3],
+                        "elevation_ft": None if i % 7 == 0 else (i * 13) % 9000,
+                        "iso_country": "US",
+                        "coordinates": f"{(i % 359) - 179}.5, {(i % 179) - 89}.25",
+                    }
+                )
+                + "\n"
+            )
+    run_medallion(spark, f"{d}/airports.json", f"{d}/work")
+    return spark.table("serving_table")
