@@ -42,16 +42,25 @@ def main() -> None:
     specs = load_all()
     spark = get_spark("bench")
 
-    # warmup: JVM, codegen, parquet footers
-    force(specs["q1_pricing_summary"].fn(spark, sf_dir))
+    # warmup: JVM, codegen, parquet footers (failure-tolerant — a bad
+    # warmup must not suppress the BENCH line)
+    try:
+        force(specs["q1_pricing_summary"].fn(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench warmup failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
-        force(spec.fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            force(spec.fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
+            failures.append(name)
+            print(f"# bench FAILURE {name}: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -62,6 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"failures": failures} if failures else {}),
             }
         )
     )

@@ -276,3 +276,28 @@ def neardup_embedding_cosine(spark, sf_dir):
             F.round("__cos", 4).alias("cos"),
         )
     )
+
+
+@query("multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def multimodal_features(spark, sf_dir):
+    """Multimodal column pipeline: binary payloads + typed metadata ->
+    Arrow-batched mapInPandas feature extraction -> join back to
+    metadata (SURVEY §2B "multimodal columns"; codecs stubbed with
+    deterministic byte-level features - not in this container).
+    Rows-only: the feature math is Python-side by design."""
+    from gcp_etl_spark.llm.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=256, payload_bytes=4096)
+    feats = extract_features(media)
+    return (
+        feats.join(media.select("media_id", "meta"), "media_id")
+        .select(
+            "media_id",
+            "mime",
+            "n_bytes",
+            F.round("byte_entropy", 4).alias("byte_entropy"),
+            F.size("feature").alias("feature_dim"),
+            F.try_element_at("meta", F.lit("src")).alias("src"),
+        )
+        .orderBy("media_id")
+    )
