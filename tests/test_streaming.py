@@ -79,3 +79,42 @@ def test_watermark_set_on_streams(spark, events_stream_dir):
     with contextlib.redirect_stdout(buf):
         stream.explain(extended=True)
     assert "EventTimeWatermark" in buf.getvalue()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode semantics: once the watermark passes a window, rows
+    older than (max event time - delay) arriving in a later micro-batch
+    are DROPPED — the bounded-state contract at 100 TB/day."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    d = str(tmp_path / "late")
+    # batch 1: events up to t=120min -> watermark advances to 120-30=90min
+    b1 = [(i, base + dt.timedelta(minutes=m), 1, "a", 1.0, "{}")
+          for i, m in enumerate([5, 60, 120])]
+    # batch 2: one on-time event (t=119) and one LATE event (t=10 < 90)
+    b2 = [(100, base + dt.timedelta(minutes=119), 1, "a", 1.0, "{}"),
+          (101, base + dt.timedelta(minutes=10), 1, "a", 1.0, "{}")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = tumbling_agg(
+        spark.readStream.schema(
+            spark.read.parquet(d).schema
+        ).option("maxFilesPerTrigger", 1).parquet(d),
+        watermark="30 minutes",
+    )
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("late_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["w_start"].minute + 60 * r["w_start"].hour): r["n_events"]
+            for r in spark.sql("SELECT * FROM late_out").collect()}
+    # append mode emits only windows the watermark has CLOSED: the
+    # t=5 window (1 event — the late t=10 arrival was dropped) and the
+    # t=60 window. The 110/120 windows stay open (never emitted here).
+    assert rows.get(0) == 1, f"late event leaked into closed window: {rows}"
+    assert rows.get(60) == 1
