@@ -299,3 +299,100 @@ def agg_grouping_sets(spark, sf_dir):
     general form of rollup/cube), via the SQL surface."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "agg_misc",
+    oracle="""
+    SELECT c_mktsegment,
+           max_by(c_name, c_custkey) AS newest_customer,
+           min_by(c_name, c_custkey) AS oldest_customer,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000)   AS any_rich,
+           list_sort(list(DISTINCT c_nationkey)) AS nations_sorted,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("aggregate", "misc"),
+)
+def agg_misc(spark, sf_dir):
+    """min_by/max_by (deterministic: ordering key is unique),
+    bool_and/bool_or, sorted collect_set (explicit sort makes the
+    array value cross-engine stable), listagg-style csv."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations_sorted"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_nationkey"))).alias(
+            "nations_csv"
+        ),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_corr(spark, sf_dir):
+    """Pearson correlation from exact decimal moment sums (same
+    bitwise-stable construction as agg_stats; F.corr itself accumulates
+    in engine-specific order, so the moments are built by hand).
+    Rounded at 6 — corr is O(1) while the moment noise is ~1e-12."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (
+        F.sqrt(m["n"] * m["sxx"] - m["sx"] * m["sx"])
+        * F.sqrt(m["n"] * m["syy"] - m["sy"] * m["sy"])
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("corr_qty_price"),
+        m["n"].cast("long").alias("n_rows"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_quantile(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) — the 100 TB
+    quantile path: fixed-size sketch, single pass, no full sort.
+    Approximate -> rows-only; tolerance vs exact asserted in tests."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx"),
+        F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+    )

@@ -100,3 +100,26 @@ def test_multimodal_feature_plumbing(spark):
     # joinable back to metadata (vector-beside-scalar multimodal shape)
     joined = feats.join(media.select("media_id", "meta"), "media_id")
     assert joined.count() == 32
+
+
+def test_approx_quantile_tolerance(spark, duck):
+    o = t(spark, SF_SMALL, "orders")
+    approx = {
+        r["o_orderstatus"]: (r["median_approx"], r["p95_approx"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx"),
+            F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+        )
+        .collect()
+    }
+    exact = {
+        row[0]: (row[1], row[2])
+        for row in duck.sql(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5),"
+            " quantile_cont(o_totalprice, 0.95) FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.05, f"{k}: approx {a} vs exact {e}"

@@ -67,8 +67,16 @@ def compare(name, sdf, con, oracle) -> list[str]:
         otypes = {
             f.name: f.type for f in con.sql(f"SELECT * FROM ({oracle}) LIMIT 0").arrow().schema
         }
+        def norm(t: str) -> str:
+            # ignore nullability flags and inner field names — value-
+            # level compares cover those; only the value TYPE matters
+            t = t.replace(" not null", "")
+            for fld in ("element: ", "l: ", "item: "):
+                t = t.replace(fld, "")
+            return t
+
         for c in stypes:
-            a, b = str(stypes[c]), str(otypes[c])
+            a, b = norm(str(stypes[c])), norm(str(otypes[c]))
             if a != b:
                 errs.append(f"arrow type {c}: spark={a} oracle={b}")
     except Exception as e:  # noqa: BLE001
