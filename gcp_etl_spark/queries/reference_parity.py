@@ -93,3 +93,42 @@ def ref_pipeline_e2e(spark, sf_dir):
             )
     run_medallion(spark, f"{d}/airports.json", f"{d}/work")
     return spark.table("serving_table")
+
+
+@query(
+    "scd2_merge_history",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), batch AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN c_custkey % 10 = 0
+                THEN TIMESTAMP '2024-02-01 00:00:00'
+                ELSE TIMESTAMP '9999-12-31 23:59:59' END AS valid_to,
+           c_custkey % 10 <> 0 AS is_current
+    FROM snap
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal,
+           TIMESTAMP '2024-02-01 00:00:00',
+           TIMESTAMP '9999-12-31 23:59:59', true
+    FROM batch
+    """,
+    tags=("scd2", "merge", "cdc"),
+)
+def scd2_merge_history(spark, sf_dir):
+    """SCD2 MERGE emulation (no Delta in stock Spark): snapshot ->
+    change batch (every 10th customer gets a new balance) -> close old
+    versions + open new ones. Output is the full version history."""
+    from gcp_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    snap = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    dim = scd2_init(snap, "c_custkey", F.lit("2024-01-01 00:00:00"))
+    batch = (
+        snap.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    return scd2_merge(dim, batch, "c_custkey", F.lit("2024-02-01 00:00:00"))

@@ -99,3 +99,31 @@ def test_top_k_per_group(spark):
     ).collect()
     got = sorted((r["g"], r["id"], r["rn"]) for r in out)
     assert got == [(0, 96, 2), (0, 98, 1), (1, 97, 2), (1, 99, 1)]
+
+
+def test_scd2_two_merge_rounds(spark):
+    from gcp_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    dim = scd2_init(snap, "k", F.lit("2024-01-01"))
+    # round 1: update k=1, insert k=4
+    b1 = spark.createDataFrame([(1, "a2"), (4, "d")], "k long, v string")
+    dim = scd2_merge(dim, b1, "k", F.lit("2024-02-01"))
+    # round 2: update k=1 again
+    b2 = spark.createDataFrame([(1, "a3")], "k long, v string")
+    dim = scd2_merge(dim, b2, "k", F.lit("2024-03-01"))
+
+    rows = dim.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert len(by_key[1]) == 3                     # three versions of k=1
+    current = {r["k"]: r["v"] for r in rows if r["is_current"]}
+    assert current == {1: "a3", 2: "b", 3: "c", 4: "d"}
+    # closed versions chain correctly: valid_to of v1 == valid_from of v2
+    k1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert not k1[0]["is_current"] and not k1[1]["is_current"] and k1[2]["is_current"]
