@@ -75,3 +75,17 @@ def io_parquet_partitioned(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(F.count("*").alias("n")).select(
         F.col("o_orderstatus").cast("string"), "n"
     )
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("io", "orc"),
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """Parquet → ORC sink → ORC scan (Spark's second columnar format;
+    values round-trip exactly, so the parquet oracle checks it)."""
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="io_orc_")
+    n.write.mode("overwrite").orc(d)
+    return spark.read.orc(d)

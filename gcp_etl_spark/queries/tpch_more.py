@@ -337,3 +337,105 @@ def q7_nation_trade(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+    tags=("join", "semi", "anti", "aggregate", "tpch"),
+)
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact
+    (multi-supplier orders where this supplier shipped last) — a
+    semi-join and an anti-join with correlated inequality conditions."""
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = t(spark, sf_dir, "lineitem").alias("l1")
+    l2 = t(spark, sf_dir, "lineitem").alias("l2")
+    l3 = t(spark, sf_dir, "lineitem").alias("l3")
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    not_latest_elsewhere = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return not_latest_elsewhere.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT substring(c_name, 10, 2) AS cntry, c_acctbal FROM customer
+      WHERE substring(c_name, 10, 2) IN ('00', '01', '02', '03')
+        AND c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(c_acctbal)
+          FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+    )
+    SELECT cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM eligible GROUP BY cntry
+    """,
+    tags=("join", "anti", "subquery", "aggregate", "tpch"),
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: substring-derived code + IN-list + scalar
+    subquery threshold (exact-decimal avg) + NOT EXISTS anti join
+    (against big orders so the result is non-empty at every sf)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cntry = F.substring("c_name", 10, 2)
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = (
+        pos.agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("t")
+        )
+    )
+    eligible = (
+        c.filter(cntry.isin("00", "01", "02", "03"))
+        .join(F.broadcast(avg_bal), F.lit(True))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(
+            o.filter(F.col("o_totalprice") > 400000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+    )
+    return eligible.groupBy(cntry.alias("cntry")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias(
+            "totacctbal"
+        ),
+    )
