@@ -48,3 +48,21 @@ def quality_features(text: Column) -> dict[str, Column]:
         "alpha_ratio": n_alpha / F.length(text),
         "stopword_ratio": n_stop / n_tokens,
     }
+
+
+ROLLING_MOD = 2_147_483_647  # 2^31-1: products stay < 2^36 << 2^63 (ANSI-safe)
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the normalized text (base 31, mod
+    2^31-1) — the classic content fingerprint, computed as a codegen'd
+    fold over the character codes. Seeded by the first character so it
+    mirrors DuckDB's seedless list_reduce exactly; empty text → 0."""
+    codes = F.transform(F.split(normalize_text(col), ""), lambda ch: F.ascii(ch))
+    n = F.size(codes)
+    folded = F.aggregate(
+        F.slice(codes, 2, F.greatest(n - 1, F.lit(0))),
+        F.get(codes, 0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % ROLLING_MOD,
+    )
+    return F.when(n > 0, folded).otherwise(F.lit(0)).cast("long")

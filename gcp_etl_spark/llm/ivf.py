@@ -1,0 +1,102 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The second scale path for similarity search beside LSH
+(SURVEY.md §2B "similarity search — an IVF or LSH-bucketed variant"):
+
+  build:  k-means coarse quantizer (Spark MLlib, seeded) → every
+          corpus vector is assigned to its nearest centroid (one
+          "inverted list" per centroid).
+  query:  each query probes its ``nprobe`` nearest centroids and
+          scores ONLY those lists — candidate set ≈
+          |corpus| · nprobe / n_centroids.
+
+At 100 TB the corpus stays partitioned/bucketed by ``centroid_id`` so
+a probe touches only matching partitions; the centroid table (k × dim
+floats) is a broadcast literal. Recall is tested against the exact
+operator (approximate by design → rows-only driver check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.llm.similarity import cosine
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+):
+    """Fit the coarse quantizer and assign every vector to a centroid.
+    Returns (assigned_df, centers ndarray [k, dim])."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.withColumn(
+        "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="centroid_id"
+    ).fit(train)
+    assigned = model.transform(train).drop("__vec")
+    centers = np.vstack(model.clusterCenters())
+    return assigned, centers
+
+
+def _nearest_centroids(vec_col, centers: np.ndarray, nprobe: int):
+    """Column expr: array of the ``nprobe`` nearest centroid ids for a
+    vector — centroids are embedded as array literals (k is small by
+    construction, so this is a tiny broadcast-free constant)."""
+    dists = []
+    for cid, c in enumerate(centers):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec_col, clit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    ranked = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine: score only the inverted lists of each
+    query's ``nprobe`` nearest centroids."""
+    assigned, centers = ivf_assign(corpus, id_col, vec_col, n_centroids, seed)
+    c = assigned.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        "centroid_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids(F.col("q_vec"), centers, nprobe)),
+    )
+    pairs = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = pairs.withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"), "rn")
+    )

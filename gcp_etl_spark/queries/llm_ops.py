@@ -301,3 +301,21 @@ def multimodal_features(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query("ann_cosine_topk_ivf", oracle=None, tags=("llm", "similarity", "ann", "ivf"))
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k: k-means coarse quantizer (seeded), each
+    query probes its nprobe nearest inverted lists - candidate set
+    ~ |corpus| * nprobe / n_centroids. Rows-only (clustering is
+    approximate); recall vs exact asserted in tests."""
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        nprobe=3,
+    )

