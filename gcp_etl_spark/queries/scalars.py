@@ -373,3 +373,70 @@ def scalar_explode_outer(spark, sf_dir):
         F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit("")),
     )
     return d.select("doc_id", F.explode_outer(toks).alias("word"))
+
+
+@query(
+    "scalar_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0')  AS padded_key,
+           rpad(p_brand, 12, '.')                    AS brand_padded,
+           translate(p_type, 'AEIOU', 'aeiou')       AS type_lowered_vowels,
+           array_to_string(list_transform(string_split(lower(p_name), ' '),
+                           w -> concat(upper(w[1:1]), w[2:])), ' ') AS name_title,
+           repeat('*', p_size % 5)                   AS stars,
+           left(p_name, 4)                           AS name_left,
+           right(p_name, 3)                          AS name_right,
+           replace(p_brand, 'Brand#', 'B')           AS brand_short,
+           CAST(strpos(p_name, 'widget') AS INT)     AS widget_pos,
+           reverse(p_brand)                          AS brand_rev
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_extended(spark, sf_dir):
+    """Second string batch: pad/translate/initcap/repeat/left/right/
+    replace/position/reverse (Spark instr == DuckDB strpos, 1-based,
+    0 when absent)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lowered_vowels"),
+        F.initcap(F.lower("p_name")).alias("name_title"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+        F.substring("p_name", 1, 4).alias("name_left"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_right"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@query(
+    "scalar_date_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')        AS iso_day,
+           strftime(o_orderdate, '%Y/%m')           AS year_month,
+           CAST(strftime(o_orderdate, '%j') AS INT) AS day_of_year,
+           CAST(quarter(o_orderdate) AS INT)        AS qtr,
+           last_day(o_orderdate)                    AS month_end
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("scalar", "datetime", "format"),
+)
+def scalar_date_format(spark, sf_dir):
+    """Timestamp formatting: date_format (Java patterns) == strftime
+    (C patterns) for the shared subset; day-of-year, quarter,
+    last_day (both return DATE)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyy/MM").alias("year_month"),
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )

@@ -215,3 +215,48 @@ def window_distribution(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_nth_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lag(o_totalprice, 2, -1.0)  OVER wnf AS lag2_or_default,
+           lead(o_totalprice, 3)       OVER wnf AS lead3,
+           last_value(o_totalprice)    OVER w_full AS final_price
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wnf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def window_nth_offset(spark, sf_dir):
+    """nth_value, lag with offset+default, multi-step lead, and
+    last_value over the full-partition frame (the one that needs an
+    explicit frame to not silently mean 'current row')."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # lag/lead reject explicit frames in Spark -> unframed twin window
+    wnf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lag("o_totalprice", 2, -1.0).over(wnf).alias("lag2_or_default"),
+        F.lead("o_totalprice", 3).over(wnf).alias("lead3"),
+        F.last("o_totalprice").over(w_full).alias("final_price"),
+    )
