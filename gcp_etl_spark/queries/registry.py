@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_duals,
         subqueries,
         text_ops,
+        tpch_full,
         tpch_more,
         udfs,
         windows,
