@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops,
         reference_parity,
         scalars,
+        scalars_ext,
         sets_sorts,
         streaming_duals,
         subqueries,

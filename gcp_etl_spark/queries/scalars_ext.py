@@ -1,0 +1,169 @@
+"""Extended scalar/aggregate coverage: median, cryptographic hashes,
+edit distance, date arithmetic, bitwise ops, null-safe join
+(SURVEY.md §2B "Scalar functions" / "Aggregations" / "Joins").
+
+Cross-engine notes follow the `_exact.py` policy: exact-path values
+are emitted raw; only percentile interpolation (a libm-free but
+formula-dependent path) is rounded to 4dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(median(l_extendedprice), 4) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_median(spark, sf_dir):
+    """Exact grouped median (Spark ``median`` = interpolated
+    percentile(0.5) = DuckDB ``median``/``quantile_cont``). The two
+    engines' interpolation formulas can differ in the last ulp, so the
+    output is rounded to 4dp on both sides (established percentile
+    policy, cf. agg_stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+@query(
+    "scalar_hashing",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           to_base64(encode(c_name)) AS name_b64
+    FROM customer
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hashing(spark, sf_dir):
+    """Deterministic content hashing — the fingerprint primitives a
+    dedup/training-data pipeline keys shards and caches on. md5/sha2
+    emit lowercase hex on both engines; base64 of the UTF-8 bytes."""
+    c = t(spark, sf_dir, "customer")
+    name_bin = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.md5(name_bin).alias("name_md5"),
+        F.sha2(name_bin, 256).alias("name_sha256"),
+        F.base64(name_bin).alias("name_b64"),
+    )
+
+
+@query(
+    "scalar_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'red widget') AS INT) AS edit_dist
+    FROM part
+    WHERE levenshtein(p_name, 'red widget') <= 6
+    """,
+    tags=("scalar", "string", "similarity"),
+)
+def scalar_levenshtein(spark, sf_dir):
+    """Edit-distance similarity filter (fuzzy string match — the
+    cheap, exact cousin of the MinHash near-dup path). Spark returns
+    int, DuckDB BIGINT → oracle casts."""
+    p = t(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return p.filter(dist <= 6).select(
+        "p_partkey", "p_name", dist.alias("edit_dist")
+    )
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + to_months(3) AS DATE) AS plus3m,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           make_date(CAST(year(o_orderdate) AS INT),
+                     CAST(month(o_orderdate) AS INT), 1) AS month_start
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_arith(spark, sf_dir):
+    """Calendar arithmetic: month offset (both engines clamp to
+    month-end), ISO week number, and first-of-month reconstruction via
+    make_date."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.make_date(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)
+        ).alias("month_start"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_mask,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+           CAST(l_linenumber << 2 AS INT) AS line_shl
+    FROM lineitem
+    WHERE l_orderkey & 255 < 8
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise AND/XOR/shift — the building blocks of hash
+    partitioning, bloom probes, and bit-packed flags."""
+    li = t(spark, sf_dir, "lineitem")
+    mask = F.col("l_orderkey").bitwiseAND(F.lit(255))
+    return li.filter(mask < 8).select(
+        "l_orderkey",
+        "l_linenumber",
+        mask.alias("key_mask"),
+        F.col("l_orderkey")
+        .bitwiseXOR(F.col("l_linenumber").cast("long"))
+        .alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber"), 2).alias("line_shl"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust
+    FROM (SELECT nullif(c_nationkey, 3) AS nk FROM customer) c
+    JOIN (SELECT nullif(n_nationkey, 3) AS nk2, n_name FROM nation) n
+      ON c.nk IS NOT DISTINCT FROM n.nk2
+    GROUP BY n_name
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM):
+    NULL keys pair with NULL keys instead of dropping out. Still a
+    hash-joinable key for Spark (EqualNullSafe is a supported
+    broadcast-hash key), so the 100 TB plan is identical to a plain
+    equi join."""
+    c = t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk2"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), F.col("nk").eqNullSafe(F.col("nk2")))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
