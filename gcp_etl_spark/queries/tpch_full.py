@@ -256,8 +256,11 @@ def q15_top_supplier(spark, sf_dir):
         )
     )
     best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    # no broadcast hint on `revenue`: it is fact-derived (one row per
+    # supplier — billions at 100 TB); AQE still auto-broadcasts it when
+    # it is actually small, and falls back to SMJ when it is not.
     return (
-        s.join(F.broadcast(revenue), s.s_suppkey == F.col("supplier_no"))
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
         .join(F.broadcast(best), F.lit(True))
         .filter(F.col("total_revenue") == F.col("best_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -290,9 +293,12 @@ def q17_small_quantity_revenue(spark, sf_dir):
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
+    # `per_part` is fact-derived (one row per part — too big to force-
+    # broadcast at 100 TB); leave the strategy to AQE, which broadcasts
+    # it when small and sort-merge-joins on l_partkey otherwise.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .join(per_part, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             (

@@ -6,11 +6,16 @@ order-insensitive values (floats to 1e-9 relative). Strictly stronger
 than a hash compare for diagnosing WHERE a mismatch is.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+
+Env: SPARK_GRAFT_VANILLA=1 runs against a bare untuned
+``SparkSession.builder.master("local[8]")`` — faithful to the driver's
+own session (which does NOT use gcp_etl_spark.session.get_spark).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -101,7 +106,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     specs = load_all()
-    spark = get_spark("verify_local")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("verify_local")
     con = duck_connection(sf_dir)
     n_pass = n_fail = 0
     for name, spec in sorted(specs.items()):
