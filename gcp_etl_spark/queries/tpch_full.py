@@ -398,6 +398,6 @@ def q20_potential_promotion(spark, sf_dir):
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     )
