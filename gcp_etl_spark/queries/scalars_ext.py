@@ -167,3 +167,85 @@ def join_null_safe(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count("*").alias("n_cust"))
     )
+
+
+@query(
+    "scalar_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100) AS hi,
+           least(l_tax, l_discount) AS lo
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_greatest_least(spark, sf_dir):
+    """greatest/least n-ary comparisons (both engines skip NULL
+    operands; operands here are non-null doubles, raw IEEE compare)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("hi"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("lo"),
+    )
+
+
+@query(
+    "scalar_sequence_fold",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(len(range(1, o_orderkey % 7 + 2)) AS INT) AS seq_len,
+           CAST(list_sum(range(1, o_orderkey % 7 + 2)) AS BIGINT) AS seq_sum
+    FROM orders
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_sequence_fold(spark, sf_dir):
+    """Array generation (sequence) + fold (aggregate lambda) — the
+    generate-then-reduce shape behind windowed feature expansion.
+    Spark sequence(1,n) is inclusive; the DuckDB range() mirror is
+    exclusive, hence n+2 on the oracle's stop bound."""
+    o = t(spark, sf_dir, "orders")
+    n = F.pmod(F.col("o_orderkey"), F.lit(7)) + 1
+    seq = F.sequence(F.lit(1).cast("long"), n)
+    return o.select(
+        "o_orderkey",
+        F.size(seq).alias("seq_len"),
+        F.aggregate(
+            seq, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("seq_sum"),
+    )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_click_value
+    FROM events
+    """,
+    tags=("window", "nulls"),
+)
+def window_ignore_nulls(spark, sf_dir):
+    """last_value(... IGNORE NULLS) — carry-forward of the most recent
+    qualifying observation (gap-fill / LOCF shape). Rows before a
+    user's first click are NULL on both engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.when(F.col("event_type") == "click", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(x, ignorenulls=True).over(w).alias("last_click_value"),
+    )
