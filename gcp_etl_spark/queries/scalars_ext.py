@@ -249,3 +249,71 @@ def window_ignore_nulls(spark, sf_dir):
         "user_id",
         F.last(x, ignorenulls=True).over(w).alias("last_click_value"),
     )
+
+
+@query(
+    "scalar_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]{5,}') AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT)
+             AS n_long
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    tags=("scalar", "string", "regex"),
+)
+def scalar_regexp_extract_all(spark, sf_dir):
+    """regexp_extract_all → array<string> (all matches, positional
+    order — deterministic on both engines; the pattern avoids
+    Java-vs-RE2 dialect divergence)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), 0)
+    return d.select(
+        "doc_id", words.alias("long_words"), F.size(words).alias("n_long")
+    )
+
+
+@query(
+    "scalar_split_part",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 1) AS name_prefix,
+           split_part(c_name, '#', 2) AS name_suffix
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_split_part(spark, sf_dir):
+    """split_part (1-indexed field extraction on both engines) — the
+    delimited-identifier parse that generalizes the reference's
+    'coordinates' lon/lat-string split
+    (k8s/submit/etl-on-gcp-vinicius-campos.py:22-25 inferred schema;
+    cf. scalar_struct_coords)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics: min of per-side multiplicities —
+    completes the set-op family next to intersect/except/except_all)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("k")
+    )
+    return a.intersectAll(b)
