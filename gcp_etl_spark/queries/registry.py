@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         reference_parity,
         scalars,
         scalars_ext,
+        scalars_more,
         sets_sorts,
         streaming_duals,
         subqueries,

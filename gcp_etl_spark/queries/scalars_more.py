@@ -1,0 +1,327 @@
+"""Third scalar/aggregate coverage tranche: trig & extended math,
+linear-regression / covariance aggregates, next_day / months_between,
+ascii-level string ops, and base-conversion (SURVEY.md §2B "Scalar
+functions" / "Aggregations").
+
+Cross-engine notes (established `_exact.py` policy):
+- libm paths (sin/cos/atan2/exp/log2/...) round at 4dp on both sides;
+- regression/covariance are built from exact DECIMAL moment sums (the
+  agg_corr construction) so partition-order float accumulation cannot
+  flip the hash; the final O(1) ratios round at 6dp;
+- months_between inputs are truncated to month starts, where Spark's
+  fractional (day1-day2)/31 term is exactly 0 and the result equals
+  DuckDB's calendar-month difference;
+- DuckDB has no next_day → oracle derives it from dayofweek arithmetic
+  (0=Sunday there); no overlay → substr splice; conv → upper(to_base).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+R = lambda c, n=4: F.round(c, n)  # noqa: E731
+
+
+@query(
+    "scalar_trig_math",
+    oracle="""
+    SELECT p_partkey,
+           round(sin(p_retailprice / 1000), 4)                  AS sin_p,
+           round(cos(p_retailprice / 1000), 4)                  AS cos_p,
+           round(atan2(p_retailprice, CAST(p_size AS DOUBLE)), 4) AS atan2_ps,
+           round(sqrt(p_retailprice * p_retailprice
+                      + p_size * p_size), 4)                    AS hypot_ps,
+           round(cbrt(p_retailprice), 4)                        AS cbrt_p,
+           round(log2(p_retailprice + 1), 4)                    AS log2_p,
+           round(log10(p_retailprice + 1), 4)                   AS log10_p,
+           round(exp(CAST(p_size AS DOUBLE) / 100), 4)          AS exp_s,
+           round(degrees(atan2(p_retailprice, 1000.0)), 4)      AS deg_a,
+           round(radians(CAST(p_size AS DOUBLE)), 4)            AS rad_s,
+           CAST(sign(p_retailprice - 1500) AS DOUBLE)           AS sgn_p
+    FROM part
+    """,
+    tags=("scalar", "math", "trig"),
+)
+def scalar_trig_math(spark, sf_dir):
+    """Trigonometric + extended math built-ins (all JVM codegen'd libm
+    calls — rounded at 4dp per the libm policy; Spark hypot is the
+    fused C hypot, DuckDB side uses sqrt(x²+y²), identical at 4dp).
+    Spark signum→double matches the oracle CAST."""
+    p = t(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        R(F.sin(price / 1000)).alias("sin_p"),
+        R(F.cos(price / 1000)).alias("cos_p"),
+        R(F.atan2(price, size_d)).alias("atan2_ps"),
+        R(F.hypot(price, size_d)).alias("hypot_ps"),
+        R(F.cbrt(price)).alias("cbrt_p"),
+        R(F.log2(price + 1)).alias("log2_p"),
+        R(F.log10(price + 1)).alias("log10_p"),
+        R(F.exp(size_d / 100)).alias("exp_s"),
+        R(F.degrees(F.atan2(price, F.lit(1000.0)))).alias("deg_a"),
+        R(F.radians(size_d)).alias("rad_s"),
+        F.signum(price - 1500).alias("sgn_p"),
+    )
+
+
+@query(
+    "agg_regr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           round((sxy - sx * sy / n) / n, 4)       AS covar_pop,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
+    """,
+    tags=("aggregate", "stats", "regression"),
+)
+def agg_regr_covar(spark, sf_dir):
+    """Least-squares regression (slope/intercept/R²) + population and
+    sample covariance, built from exact DECIMAL moment sums (the
+    agg_corr construction — F.regr_* / F.covar_* accumulate doubles in
+    partition order, which is not cross-engine stable). The O(1) ratio
+    outputs round at 6dp; the covariances (magnitude ~1e3) at 4dp,
+    inside the 1-ulp int128→double noise floor (cf. agg_stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (m[c] for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_samp"),
+        n.cast("long").alias("n_rows"),
+    )
+
+
+@query(
+    "scalar_next_day_months",
+    oracle="""
+    SELECT o_orderkey,
+           d + CAST(((1 - dayofweek(d) + 6) % 7) + 1 AS INT) AS next_monday,
+           d + CAST(((5 - dayofweek(d) + 6) % 7) + 1 AS INT) AS next_friday,
+           CAST(date_diff('month',
+                          date_trunc('month', CAST(d AS TIMESTAMP)),
+                          date_trunc('month',
+                                     CAST(d AS TIMESTAMP)
+                                     + to_months(CAST(o_orderkey % 7 + 3 AS INT))))
+                AS DOUBLE) AS months_fwd
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_next_day_months(spark, sf_dir):
+    """next_day (strictly-after next weekday — DuckDB lacks it, oracle
+    derives from 0=Sunday dayofweek arithmetic) and months_between on
+    month-start-truncated dates, where Spark's (day1-day2)/31 fraction
+    vanishes and the double result is an exact integer equal to the
+    calendar-month diff."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    start = F.trunc(d, "month")
+    return o.select(
+        "o_orderkey",
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.next_day(d, "Fri").alias("next_friday"),
+        F.months_between(
+            F.trunc(F.add_months(d, F.col("o_orderkey") % 7 + 3), "month"), start
+        ).alias("months_fwd"),
+    )
+
+
+@query(
+    "scalar_string_ascii",
+    oracle="""
+    SELECT c_custkey,
+           ascii(c_name)                                   AS first_code,
+           chr(CAST(65 + c_custkey % 26 AS INT))           AS letter,
+           left(c_name, 8)                                 AS name_left,
+           right(c_name, 5)                                AS name_right,
+           contains(c_name, '00')                          AS has_00,
+           starts_with(c_mktsegment, 'A')                  AS seg_a,
+           ends_with(c_mktsegment, 'RY')                   AS seg_ry,
+           left(c_name, 9) || '***' || substr(c_name, 13)  AS name_masked
+    FROM customer
+    """,
+    tags=("scalar", "string", "ascii"),
+)
+def scalar_string_ascii(spark, sf_dir):
+    """ascii/chr/left/right/contains/startswith/endswith + overlay.
+    Spark overlay(s, '***', 10, 3) splices at 1-based position 10 over
+    3 chars — the oracle reproduces it as left||repl||substr since
+    DuckDB has no overlay."""
+    c = t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.ascii(name).alias("first_code"),
+        F.chr(65 + F.col("c_custkey") % 26).alias("letter"),
+        F.left(name, F.lit(8)).alias("name_left"),
+        F.right(name, F.lit(5)).alias("name_right"),
+        F.contains(name, F.lit("00")).alias("has_00"),
+        F.startswith(F.col("c_mktsegment"), F.lit("A")).alias("seg_a"),
+        F.endswith(F.col("c_mktsegment"), F.lit("RY")).alias("seg_ry"),
+        F.overlay(name, F.lit("***"), F.lit(10), F.lit(3)).alias("name_masked"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+                  AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(32,6))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,8))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 6)              AS skew,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6)            AS kurt,
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
+    """,
+    tags=("aggregate", "stats", "moments"),
+)
+def agg_skew_kurt(spark, sf_dir):
+    """Population skewness (m3/m2^1.5) and excess kurtosis (m4/m2²-3)
+    — Spark's built-in skewness/kurtosis definitions — built from
+    exact DECIMAL power sums rather than the built-ins (whose double
+    accumulation is partition-order dependent, and whose DuckDB
+    counterparts use the sample-adjusted formula instead). l_quantity
+    has 2dp, so q², q³, q⁴ are exact at 4/6/8dp and below 2^53, making
+    the double→decimal casts lossless on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(32,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,8)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (m[c] for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * F.pow(mean, 3)) / F.pow(m2, 1.5)
+    kurt = (
+        s4 / n - 4 * mean * (s3 / n) + 6 * F.pow(mean, 2) * (s2 / n)
+        - 3 * F.pow(mean, 4)
+    ) / F.pow(m2, 2) - 3
+    return m.select(
+        "l_returnflag",
+        F.round(skew, 6).alias("skew"),
+        F.round(kurt, 6).alias("kurt"),
+        n.cast("long").alias("n_rows"),
+    )
+
+
+@query(
+    "scalar_parse_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'          AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang                   AS query,
+           lang                              AS lang_param
+    FROM documents
+    """,
+    tags=("scalar", "string", "url"),
+)
+def scalar_parse_url(spark, sf_dir):
+    """parse_url HOST/PATH/QUERY + per-key QUERY param over URLs
+    synthesized from (source, doc_id, lang) — the oracle rebuilds the
+    expected parts from the same components (DuckDB has no URL
+    parser), so this checks Spark's parser against the construction."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "scalar_base_conv",
+    oracle="""
+    SELECT p_partkey,
+           hex(p_partkey)                         AS key_hex,
+           bin(CAST(p_size AS BIGINT))            AS size_bin,
+           upper(to_base(p_partkey, 16))          AS key_conv16,
+           upper(to_base(CAST(p_size AS BIGINT), 8)) AS size_conv8
+    FROM part
+    """,
+    tags=("scalar", "base", "hash"),
+)
+def scalar_base_conv(spark, sf_dir):
+    """Radix conversion: hex / bin / conv(…,10,{16,8}). Spark conv
+    emits uppercase digits; DuckDB to_base is wrapped in upper() to
+    pin the same casing."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.bin(F.col("p_size").cast("long")).alias("size_bin"),
+        F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("key_conv16"),
+        F.conv(F.col("p_size").cast("string"), 10, 8).alias("size_conv8"),
+    )
