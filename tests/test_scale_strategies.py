@@ -121,3 +121,57 @@ def test_partition_pruning(spark, tmp_path):
     # scan must not list all three status dirs
     assert "o_orderstatus" in plan
     assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_global_topk_is_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition partial top-k, O(k) per task) — a full global sort
+    before the limit would shuffle the entire fact table at 100 TB."""
+    li = t(spark, SF_SMALL, "lineitem")
+    df = li.orderBy(F.desc("l_extendedprice"), "l_orderkey").limit(10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must prune the parquet ReadSchema to those
+    columns — reading all 16 lineitem columns for a 2-column query is
+    the difference between 2 TB and 16 TB scanned at full scale."""
+    li = t(spark, SF_SMALL, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_extendedprice" not in scan
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """With a selective dimension-side filter, Spark's runtime bloom
+    filter should be injected on the fact side (row-group pruning
+    before the shuffle — the 100 TB massive-join pruning path).
+    Thresholds are lowered because the toy table is tiny; broadcast is
+    disabled so the join actually plans as a shuffle join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = t(spark, SF_SMALL, "orders")
+        li = t(spark, SF_SMALL, "lineitem")
+        sel = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        assert "bloom_filter" in _plan(joined).lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
