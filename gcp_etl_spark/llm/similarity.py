@@ -147,6 +147,47 @@ def random_projection_buckets(
     )
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All within-block pairs (id_a < id_b) with cosine ≥ threshold —
+    the semantic-dedup primitive. The block key (here a label; at scale
+    an LSH/IVF bucket) bounds candidate generation to O(Σ block²).
+
+    Each block is scored as ONE numpy matmul over its Arrow batch
+    (normalize rows → U·Uᵀ → upper triangle ≥ threshold) instead of
+    pair-count × dim interpreted higher-order lambdas — the same
+    vectorization as ``random_projection_buckets`` (measured ~4× on
+    the 2000×64 fixture, where 200k pairs × 3 aggregate() traversals
+    dominated). BLAS vs sequential accumulation differs only in the
+    last ulps; the 4dp contract absorbs it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def block(pdf):  # no annotations (stringified-signature pitfall)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = U @ U.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = C[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": C[ia[keep], ib[keep]]}
+        )
+
+    src = df.select(id_col, block_col, vec_col)
+    return src.groupBy(block_col).applyInPandas(block, out_schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -253,29 +253,15 @@ def neardup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     semantic-dedup primitive: at 100 TB the block key is an LSH/IVF
     bucket; here the label column plays that role so the exact SQL
-    oracle stays tractable)."""
-    emb = t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    from gcp_etl_spark.llm.similarity import cosine
+    oracle stays tractable). Each block scored as one numpy matmul
+    (``blocked_cosine_pairs``) — not pair×dim interpreted lambdas."""
+    from gcp_etl_spark.llm.similarity import blocked_cosine_pairs
 
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("__cos", 4).alias("cos"),
-        )
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 @query("multimodal_features", oracle=None, tags=("llm", "multimodal"))
