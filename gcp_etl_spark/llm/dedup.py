@@ -42,24 +42,13 @@ def _shingles(text: Column, k: int) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 64,
-    shingle_k: int = 3,
-) -> DataFrame:
-    """(id, sig array<long>) — MinHash signature per document.
-
-    The shingle STRING is hashed once JVM-side (xxhash64 → 8-byte
-    base), then the ``num_perm`` permutations are the classic
-    universal-hash family h_i(x) = a_i·x + b_i over uint64 (wrapping),
-    computed for a whole Arrow batch of documents as ONE numpy outer
-    product + min — no explode of |docs|·|shingles| rows, no
-    num_perm-buffer groupBy shuffle (measured ~1.3× end-to-end on the
-    50k-doc near-dup fixture vs the explode+min-agg formulation; the
-    signature stage itself becomes shuffle-free).
-    """
+def _min_perm_udf(num_perm: int):
+    """Arrow-batch MinHash: the shingle STRING was hashed JVM-side
+    (xxhash64 → 8-byte base); the ``num_perm`` permutations are the
+    classic universal-hash family h_i(x) = a_i·x + b_i over uint64
+    (wrapping), computed for a whole batch as ONE numpy outer product
+    + min — no explode of |docs|·|shingles| rows, no num_perm-buffer
+    groupBy shuffle (measured ~1.3× end-to-end vs explode+min-agg)."""
     import hashlib
 
     import numpy as np
@@ -83,17 +72,78 @@ def minhash_signatures(
             out.append(m.astype(np.int64))
         return pd.Series(out)
 
-    # testdata tables are single parquet files → a bare scan is one
-    # partition; repartition on the doc id so shingling/hashing runs
-    # on all cores.
+    return min_perm
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, shingle_k: int):
+    """(id, hb array<long>) — stable 64-bit hash of each distinct
+    k-shingle, computed per Arrow batch in Python.
+
+    Shingle semantics are identical to the JVM ``_shingles``
+    (lowercase → whitespace tokens → k-gram join with " " → distinct;
+    short docs collapse to one whole-doc shingle), but evaluated as
+    plain Python string ops + blake2b instead of the nested
+    transform/slice/concat_ws higher-order expression — Spark
+    evaluates HOF lambdas per element in the interpreter, and that
+    expression was the dominant cost of the whole near-dup pipeline
+    (2.8s of 6.6s at sf0.1, plus a large Janino compile). The hash
+    values themselves are internal: signatures and the Jaccard
+    verification both consume this column, so any stable injective-ish
+    64-bit hash yields identical final (id_a, id_b, jaccard) rows.
+
+    testdata tables are single parquet files → a bare scan is one
+    partition; repartition on the doc id so shingling runs on all
+    cores."""
+    from hashlib import blake2b
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    k = shingle_k
+
+    @pandas_udf("array<long>")
+    def sh_hash(col):  # (pd.Series of str) -> pd.Series of array<long>
+        out = []
+        for txt in col:
+            toks = (txt or "").lower().split()
+            if len(toks) >= k:
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            else:
+                sh = {" ".join(toks)}
+            out.append(
+                np.fromiter(
+                    (
+                        int.from_bytes(
+                            blake2b(s.encode(), digest_size=8).digest(), "little"
+                        )
+                        - (1 << 63)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+            )
+        return pd.Series(out)
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(par, id_col).select(
-        F.col(id_col),
-        F.transform(
-            _shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("hb"),
+    return df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"), sh_hash(text_col).alias("hb")
     )
-    return base.select(id_col, min_perm("hb").alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash signature per document."""
+    base = _hashed_shingles(df, id_col, text_col, shingle_k)
+    return base.select(
+        F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
+    )
 
 
 def minhash_near_duplicates(
@@ -114,12 +164,18 @@ def minhash_near_duplicates(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    # NOTE: no explicit persist — the band join is a self-join and
-    # Spark's ReusedExchange already shares the shuffled signature
-    # stage between both sides (verified in the physical plan; an
-    # explicit .persist() measured ~1.5× SLOWER by breaking
-    # whole-stage pipelining).
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    # Shingle-hash each doc ONCE and persist the (id, hb) intermediate:
+    # it feeds the signature stage AND both sides of the verification
+    # join, and the interpreted-HOF shingle expression is the dominant
+    # cost (measured 2.8s of the 6.6s pipeline at sf0.1) — without the
+    # persist it is recomputed and its large codegen unit appears three
+    # times in the plan. (The earlier no-persist note applied to the
+    # *signature self-join*, where ReusedExchange already shared the
+    # stage; this persist sits one level lower and removes real work.)
+    base = _hashed_shingles(df, id_col, text_col, shingle_k).persist()
+    sig = base.select(
+        F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
+    )
 
     band_cols = [
         F.struct(
@@ -141,14 +197,11 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # exact verification on the shingle sets (joins back to the docs;
-    # candidate set is small, so the shingle join is cheap).
-    # repartition again: the raw scan is a single file → 1 partition.
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    # exact verification on the hashed shingle sets (same persisted
+    # intermediate — xxhash64 is injective on this corpus up to a
+    # ~1e-8 birthday-collision probability, and recall vs brute-force
+    # string Jaccard is asserted in tests).
+    sh = base.select("id", F.array_distinct("hb").alias("sh"))
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -174,42 +227,60 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with Hamming distance ≤ k.
 
-    Signature: per token hash, each of the 64 bits votes ±1; the sign
-    of the per-bit sum is the signature bit. Candidates: split the 64
-    bits into (k+1) bands — any pair within Hamming k matches exactly
-    on at least one band (pigeonhole) — equi-join per band, then verify
-    the true Hamming distance with bit_count(xor).
-    Entirely JVM-side (explode + groupBy + shifts); no Python.
+    Signature: per token hash, each of the 64 bits votes ±1 (weighted
+    by occurrence count); the sign of the per-bit sum is the signature
+    bit. Candidates: split the 64 bits into (k+1) bands — any pair
+    within Hamming k matches exactly on at least one band (pigeonhole)
+    — equi-join per band, then verify the true Hamming distance with
+    bit_count(xor).
+
+    The signature is computed per Arrow batch in numpy (token hash →
+    64-bit matrix → count-weighted vote matmul → bit pack). The
+    earlier all-JVM formulation (explode + a 64-conditional-sum
+    groupBy + 64 shift/or terms) spent most of its time compiling and
+    evaluating those 128 generated expressions (3.3s → 1.4s at sf0.1).
+    The token hash is internal to the operator — signatures only meet
+    the banding join and each other's xor.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
 
+    from hashlib import blake2b
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simsig(col):  # (pd.Series of str) -> pd.Series of long
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(col), dtype=np.uint64)
+        for idx, txt in enumerate(col):
+            toks = (txt or "").lower().split()
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(s.encode(), digest_size=8).digest(), "little"
+                    )
+                    for s in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = counts.astype(np.int64) @ (2 * bits - 1)
+            out[idx] = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok = (
-        df.repartition(par, id_col)  # single-file input → parallelize
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-        )
-        .withColumn("h", F.xxhash64("tok"))
+    sig = df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"), simsig(text_col).alias("sig")
     )
-    # bit votes: for bit i, +1 if set else -1; sum over tokens; sign → bit
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    sig_expr = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
-    sig = votes.select("id", sig_expr.alias("sig"))
 
     bands = sig.select(
         "id",

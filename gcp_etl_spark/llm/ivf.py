@@ -40,8 +40,18 @@ def ivf_assign(
     train = corpus.withColumn(
         "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    # coarse quantizer, not a clustering deliverable: random init (the
+    # kmeans|| default costs ~2 extra full passes) and a loose tol —
+    # partition quality only shifts which lists a probe touches, and
+    # recall is asserted against the exact operator in tests
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="centroid_id"
+        k=n_centroids,
+        seed=seed,
+        featuresCol="__vec",
+        predictionCol="centroid_id",
+        initMode="random",
+        maxIter=10,
+        tol=1e-3,
     ).fit(train)
     assigned = model.transform(train).drop("__vec")
     centers = np.vstack(model.clusterCenters())
