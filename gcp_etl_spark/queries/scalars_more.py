@@ -325,3 +325,40 @@ def scalar_base_conv(spark, sf_dir):
         F.conv(F.col("p_partkey").cast("string"), 10, 16).alias("key_conv16"),
         F.conv(F.col("p_size").cast("string"), 10, 8).alias("size_conv8"),
     )
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             (string_split(text, ' '))[1:10]  AS a,
+             (string_split(text, ' '))[11:20] AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+           CAST(len(list_intersect(a, b)) AS INT)             AS n_intersect,
+           CAST(len(list_filter(list_distinct(a),
+                                x -> NOT list_contains(b, x))) AS INT) AS n_except,
+           len(list_intersect(a, b)) > 0                      AS overlaps
+    FROM s
+    """,
+    tags=("scalar", "array", "setop"),
+)
+def scalar_array_setops(spark, sf_dir):
+    """array_union / array_intersect / array_except / arrays_overlap
+    over two token windows of each document. Both engines' set ops
+    deduplicate but order results differently (DuckDB list_intersect
+    is unordered) — so the query emits SIZES, per the no-raw-set-array
+    output policy."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    a, b = F.slice(toks, 1, 10), F.slice(toks, 11, 10)
+    return d.select(
+        "doc_id",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+    )
