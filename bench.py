@@ -1,8 +1,11 @@
 """Benchmark harness — runs the declared query corpus at sf0.1.
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (last on stdout) the driver can parse:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "sf": 0.1, "n_queries": N, "queries": {<top-5 slowest>}}
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+file (round 1 lesson: a ~5 KB single line with all 135 timings was
+truncated by the driver's tail capture → "parsed": null).
 
 Execution is forced through the ``noop`` datasource writer (full plan
 runs on the executors, nothing is collected to the driver), which is
@@ -68,15 +71,37 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "failures": failures,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    # keep this line SHORT (driver tail-capture truncates long lines)
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                **({"failures": failures} if failures else {}),
+                "n_queries": len(timings),
+                "queries": slowest,
+                **({"n_failures": len(failures)} if failures else {}),
             }
         )
     )

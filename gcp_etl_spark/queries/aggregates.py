@@ -309,7 +309,6 @@ def agg_grouping_sets(spark, sf_dir):
            min_by(c_name, c_custkey) AS oldest_customer,
            bool_and(c_acctbal > -1000) AS all_above_floor,
            bool_or(c_acctbal > 9000)   AS any_rich,
-           list_sort(list(DISTINCT c_nationkey)) AS nations_sorted,
            array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
     FROM customer GROUP BY c_mktsegment
     """,
@@ -317,15 +316,15 @@ def agg_grouping_sets(spark, sf_dir):
 )
 def agg_misc(spark, sf_dir):
     """min_by/max_by (deterministic: ordering key is unique),
-    bool_and/bool_or, sorted collect_set (explicit sort makes the
-    array value cross-engine stable), listagg-style csv."""
+    bool_and/bool_or, sorted collect_set serialized as a csv string
+    (the registry contract forbids bare array output columns — the
+    driver's pandas canonicalizer cannot sort lists)."""
     c = t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.max_by("c_name", "c_custkey").alias("newest_customer"),
         F.min_by("c_name", "c_custkey").alias("oldest_customer"),
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
         F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
-        F.sort_array(F.collect_set("c_nationkey")).alias("nations_sorted"),
         F.concat_ws(",", F.sort_array(F.collect_set("c_nationkey"))).alias(
             "nations_csv"
         ),

@@ -105,16 +105,16 @@ def ref_pipeline_e2e(spark, sf_dir):
       FROM customer WHERE c_custkey % 10 = 0
     )
     SELECT c_custkey, c_name, c_acctbal,
-           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           '2024-01-01 00:00:00' AS valid_from,
            CASE WHEN c_custkey % 10 = 0
-                THEN TIMESTAMP '2024-02-01 00:00:00'
-                ELSE TIMESTAMP '9999-12-31 23:59:59' END AS valid_to,
+                THEN '2024-02-01 00:00:00'
+                ELSE '9999-12-31 23:59:59' END AS valid_to,
            c_custkey % 10 <> 0 AS is_current
     FROM snap
     UNION ALL
     SELECT c_custkey, c_name, c_acctbal,
-           TIMESTAMP '2024-02-01 00:00:00',
-           TIMESTAMP '9999-12-31 23:59:59', true
+           '2024-02-01 00:00:00',
+           '9999-12-31 23:59:59', true
     FROM batch
     """,
     tags=("scd2", "merge", "cdc"),
@@ -122,7 +122,11 @@ def ref_pipeline_e2e(spark, sf_dir):
 def scd2_merge_history(spark, sf_dir):
     """SCD2 MERGE emulation (no Delta in stock Spark): snapshot ->
     change batch (every 10th customer gets a new balance) -> close old
-    versions + open new ones. Output is the full version history."""
+    versions + open new ones. Output is the full version history.
+
+    valid_from/valid_to are emitted as strings: the operator's
+    9999-12-31 open-row sentinel overflows pandas' ns-resolution
+    timestamps, which the driver canonicalizer uses."""
     from gcp_etl_spark.operators.scd import scd2_init, scd2_merge
 
     snap = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
@@ -131,4 +135,7 @@ def scd2_merge_history(spark, sf_dir):
         snap.filter(F.col("c_custkey") % 10 == 0)
         .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
     )
-    return scd2_merge(dim, batch, "c_custkey", F.lit("2024-02-01 00:00:00"))
+    merged = scd2_merge(dim, batch, "c_custkey", F.lit("2024-02-01 00:00:00"))
+    return merged.withColumn(
+        "valid_from", F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+    ).withColumn("valid_to", F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"))

@@ -255,7 +255,8 @@ def window_ignore_nulls(spark, sf_dir):
     "scalar_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]{5,}') AS long_words,
+           array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ' ')
+             AS long_words,
            CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT)
              AS n_long
     FROM documents WHERE doc_id % 10 = 0
@@ -265,11 +266,15 @@ def window_ignore_nulls(spark, sf_dir):
 def scalar_regexp_extract_all(spark, sf_dir):
     """regexp_extract_all → array<string> (all matches, positional
     order — deterministic on both engines; the pattern avoids
-    Java-vs-RE2 dialect divergence)."""
+    Java-vs-RE2 dialect divergence). The array is serialized to a
+    space-joined string: registry contract forbids bare array output
+    columns (driver pandas canonicalizer)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), 0)
     return d.select(
-        "doc_id", words.alias("long_words"), F.size(words).alias("n_long")
+        "doc_id",
+        F.array_join(words, " ").alias("long_words"),
+        F.size(words).alias("n_long"),
     )
 
 

@@ -53,9 +53,35 @@ def canon(v):
     return v
 
 
+def driver_canon_probe(raw_rows, cols) -> str | None:
+    """Mimic the driver's pandas-based canonicalizer: it builds a
+    DataFrame from the collected rows and sort_values() over every
+    column. Raw array/map columns (unhashable lists) and timestamps
+    outside pandas' ns range (year 9999) hard-error there even when
+    the value-level compare passes — both bit us in round 1."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame([tuple(r) for r in raw_rows], columns=cols)
+        for c in cols:  # driver coerces python datetimes -> datetime64[ns]
+            if pdf[c].dtype == object and any(
+                hasattr(v, "isoformat") and hasattr(v, "hour")
+                for v in pdf[c].dropna().head(5)
+            ):
+                pd.to_datetime(pdf[c])
+        pdf.sort_values(by=sorted(cols))
+    except Exception as e:  # noqa: BLE001
+        return f"driver-canon probe: {type(e).__name__}: {e}"
+    return None
+
+
 def compare(name, sdf, con, oracle) -> list[str]:
     errs = []
-    spark_rows = [tuple(canon(v) for v in row) for row in sdf.collect()]
+    raw_rows = sdf.collect()
+    probe_err = driver_canon_probe(raw_rows, [f.name for f in sdf.schema.fields])
+    if probe_err:
+        errs.append(probe_err)
+    spark_rows = [tuple(canon(v) for v in row) for row in raw_rows]
     scols = [f.name for f in sdf.schema.fields]
     ores = con.sql(oracle)
     ocols = list(ores.columns)
