@@ -15,8 +15,53 @@ final stage's partitioning, which AQE sizes at ~128 MB.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def ingest_zip(source: str, landing_dir: str) -> list[str]:
+    """R1/R2: fetch a zip archive and land its members as files.
+
+    Mirrors the reference's ingest cloud function
+    (``k8s/cloud-function/airport-cloud-function.zip::main.py:5-31``):
+    download the archive (URL at ``:10``) → store the raw blob →
+    extract every member → store each under the landing prefix. The
+    local filesystem stands in for the landing bucket; http(s)
+    sources go through stdlib urllib (no extra deps). Driver-side by
+    design — ingest of ONE archive is not distributed work; at scale
+    you run one ``ingest_zip`` per archive from whatever scheduler
+    drives the pipeline (the reference uses a cloud function + DAG).
+
+    Returns the extracted member paths (raw archive excluded).
+    """
+    from zipfile import ZipFile, is_zipfile
+
+    os.makedirs(landing_dir, exist_ok=True)
+    base = os.path.basename(source.rstrip("/")) or "archive.zip"
+    raw_path = os.path.join(landing_dir, base)
+    if source.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(source) as resp, open(raw_path, "wb") as f:
+            shutil.copyfileobj(resp, f)
+    else:
+        shutil.copyfile(source, raw_path)
+    if not is_zipfile(raw_path):
+        raise ValueError(f"not a zip archive: {source}")
+    extracted: list[str] = []
+    with ZipFile(raw_path) as z:
+        for member in z.namelist():
+            if member.endswith("/"):
+                continue
+            target = os.path.join(landing_dir, member)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with z.open(member) as src, open(target, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            extracted.append(target)
+    return extracted
 
 
 def has_avro(spark: SparkSession) -> bool:

@@ -29,10 +29,11 @@ class PipelineResult:
 
 def run_medallion(
     spark: SparkSession,
-    landing_json: str,
+    landing_json: str | None,
     workdir: str,
     query: str | None = None,
     view_name: str = "df",
+    archive: str | None = None,
 ) -> PipelineResult:
     """Run landing → processing → curated → serving with the count gate.
 
@@ -40,8 +41,24 @@ def run_medallion(
     reference runs ``SELECT * FROM df LIMIT 100``
     (``pyfiles.zip::my_query.py:1-9``) — a bare LIMIT is
     order-nondeterministic, so the default adds a stable ORDER BY.
+
+    ``archive`` (R1/R2) prepends the reference's zip-ingest stage:
+    the archive is fetched + extracted into ``{workdir}/landing`` and,
+    when ``landing_json`` is None, the extracted ``.json`` members
+    become the landing input.
     """
     stages = []
+
+    if archive is not None:
+        members = io.ingest_zip(archive, f"{workdir}/landing")
+        stages.append(f"ingest(zip)->landing({len(members)} members)")
+        if landing_json is None:
+            json_members = [m for m in members if m.endswith(".json")]
+            if not json_members:
+                raise ValueError("quality gate: archive has no .json members")
+            landing_json = json_members
+    if landing_json is None:
+        raise ValueError("landing_json required when no archive is given")
 
     # landing → processing (R3-R5): schema-inferred JSON → parquet
     raw = io.read_json(spark, landing_json)

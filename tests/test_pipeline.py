@@ -122,3 +122,36 @@ def test_avro_fallback_probe(spark, tmp_path):
     soft, returning False, so pipelines fall back to parquet."""
     df = spark.range(3)
     assert io.write_avro(df, str(tmp_path / "avro")) in (True, False)
+
+
+def test_ingest_zip_to_medallion_e2e(spark, tmp_path):
+    """R1/R2 (ref cloud-function main.py:5-31): zip archive -> landing
+    members -> full medallion run off the extracted json."""
+    import zipfile
+
+    src = str(tmp_path / "src.json")
+    write_airports_json(src, n=150)
+    zpath = str(tmp_path / "airport-codes.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(src, "airport-codes.json")
+        z.writestr("readme.txt", "not data")
+    members = io.ingest_zip(zpath, str(tmp_path / "landing"))
+    assert sorted(m.rsplit("/", 1)[-1] for m in members) == [
+        "airport-codes.json", "readme.txt",
+    ]
+
+    res = run_medallion(
+        spark, None, str(tmp_path / "work"), archive=zpath
+    )
+    assert res.landing_count == 150
+    assert res.curated_count == 100
+    assert res.stages[0].startswith("ingest(zip)->landing")
+    assert len(res.stages) == 4
+
+
+def test_ingest_zip_rejects_non_zip(tmp_path):
+    bad = str(tmp_path / "not_a_zip.zip")
+    with open(bad, "w") as f:
+        f.write("plain text")
+    with pytest.raises(ValueError, match="not a zip"):
+        io.ingest_zip(bad, str(tmp_path / "landing2"))
