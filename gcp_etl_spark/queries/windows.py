@@ -137,7 +137,13 @@ def window_running(spark, sf_dir):
 )
 def window_range_frame(spark, sf_dir):
     """RANGE frame on a numeric order key (value-based neighborhood —
-    deterministic even with ties)."""
+    deterministic even with ties).
+
+    DELIBERATE SKEW STRESSOR: PARTITION BY o_orderstatus has 3
+    distinct values, so this shape caps window parallelism at 3
+    tasks — kept as-is to exercise that regime. The 100 TB path is
+    `window_range_frame_bucketed` below (identical semantics,
+    parallelism = 3 x #value-buckets via operators/range_frame.py)."""
     o = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderstatus")
@@ -151,6 +157,49 @@ def window_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_within_5k"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
         .alias("sum_within_5k"),
+    )
+
+
+@query(
+    "window_range_frame_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT)    AS n_within_5k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_within_5k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range", "scale"),
+)
+def window_range_frame_bucketed(spark, sf_dir):
+    """Same RANGE-frame semantics as `window_range_frame` (identical
+    oracle), evaluated through the bucketized operator: value buckets
+    of 20k + one-bucket boundary replication lift parallelism from 3
+    tasks to 3 x #buckets — the plan that survives 100 TB."""
+    from gcp_etl_spark.operators.range_frame import bucketed_range_frame
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    res = bucketed_range_frame(
+        o,
+        value_col="o_totalprice",
+        width=5000,
+        bucket_width=20000,
+        part_cols=("o_orderstatus",),
+        aggs={
+            "n_within_5k": F.count("*"),
+            "__sum_dec": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+        },
+    )
+    return res.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "n_within_5k",
+        F.col("__sum_dec").cast("double").alias("sum_within_5k"),
     )
 
 

@@ -175,3 +175,49 @@ def test_runtime_bloom_filter_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_range_frame_parallelism(spark):
+    """The plain RANGE frame partitioned by o_orderstatus caps window
+    parallelism at 3 tasks; the bucketized operator must (a) match the
+    plain result exactly and (b) partition the window exchange on the
+    bucket column too, so the 100 TB plan fans out."""
+    from pyspark.sql import Window
+
+    from gcp_etl_spark.operators.range_frame import bucketed_range_frame
+
+    o = t(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    res = bucketed_range_frame(
+        o,
+        value_col="o_totalprice",
+        width=5000,
+        bucket_width=20000,
+        part_cols=("o_orderstatus",),
+        aggs={"n_within_5k": F.count("*")},
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    plain = o.select("o_orderkey", F.count("*").over(w).alias("n_within_5k"))
+    assert (
+        sorted(map(tuple, res.select("o_orderkey", "n_within_5k").collect()))
+        == sorted(map(tuple, plain.collect()))
+    )
+    # the window shuffle must key on the sub-bucket, not just the
+    # 3-value status column
+    plan = _plan(res)
+    assert "__rf_tgt" in plan and "hashpartitioning" in plan
+    # and the data really spreads over many (status, bucket) groups
+    n_groups = (
+        o.select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") / 20000).alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups > 20
