@@ -89,3 +89,26 @@ def io_orc_roundtrip(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="io_orc_")
     n.write.mode("overwrite").orc(d)
     return spark.read.orc(d)
+
+
+@query(
+    "io_avro_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("io", "avro", "reference"),
+)
+def io_avro_roundtrip(spark, sf_dir):
+    """Parquet → Avro sink → Avro scan (the reference's curated-zone
+    format, R13: ``etl-on-gcp…py:57-61`` with the spark-avro jar at
+    ``k8s/submit/spark-avro_2.12-3.1.2.jar``). The avro datasource is
+    an external jar wired at session build when a local copy exists
+    (session.find_avro_jar); under a session without it — e.g. the
+    driver's vanilla one — the write degrades to parquet exactly like
+    the pipeline's curated stage, and the roundtrip still checks the
+    same values. The curated-format choice is data-independent, so
+    the oracle holds either way."""
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="io_avro_")
+    if io.write_avro(n, d):
+        return spark.read.format("avro").load(d)
+    io.write_parquet(n, d)
+    return io.read_parquet(spark, d)

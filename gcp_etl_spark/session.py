@@ -30,6 +30,30 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The avro datasource is an external module (reference pins
+# spark-avro_2.12-3.1.2 at ``k8s/submit/spark-avro_2.12-3.1.2.jar``
+# and submits it via --jars). Stock pyspark does not bundle it; probe
+# the usual local caches + the same public artifact if present on
+# disk, and wire it at session build (jars cannot be added after JVM
+# start). io.write_avro still falls back to parquet when absent.
+_AVRO_JAR_CANDIDATES = (
+    os.path.expanduser("~/.ivy2/jars"),
+    os.path.expanduser("~/.ivy2/cache/org.apache.spark"),
+    os.path.expanduser("~/.m2/repository/org/apache/spark"),
+    "/root/reference/k8s/submit",
+)
+
+
+def find_avro_jar() -> str | None:
+    import glob
+
+    for root in _AVRO_JAR_CANDIDATES:
+        hits = sorted(glob.glob(os.path.join(root, "**", "spark-avro*.jar"),
+                                recursive=True))
+        if hits:
+            return hits[-1]
+    return None
+
 
 def get_spark(
     app_name: str = "gcp_etl_spark",
@@ -70,6 +94,9 @@ def get_spark(
         # -- quiet & headless --
         .config("spark.ui.enabled", "false")
     )
+    avro_jar = find_avro_jar()
+    if avro_jar:
+        b = b.config("spark.jars", avro_jar)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
