@@ -154,6 +154,7 @@ def minhash_near_duplicates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    estimate_first: bool = False,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by exact shingle
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -161,6 +162,19 @@ def minhash_near_duplicates(
 
     band rows r = num_perm/bands; candidate prob at similarity s is
     1-(1-s^r)^bands (S-curve centered ~ (1/bands)^(1/r)).
+
+    100 TB shuffle-size note: the exact-verify join ships each
+    candidate's full hashed-shingle set (array<long>, ~8 bytes x
+    #shingles ~= the document size itself) through TWO shuffles.
+    Banding keeps the candidate count ~linear, so this is bounded but
+    heavy: ~2 x corpus-bytes of shuffle in the worst case.
+    ``estimate_first=True`` inserts a signature-level pre-filter —
+    the minhash signature is a fixed ``num_perm x 8`` bytes (512 B at
+    64 perms) regardless of document size, and the component-match
+    fraction is an unbiased Jaccard estimator (se ~= sqrt(t(1-t)/
+    num_perm) ~= 0.057 at t=0.7) — so only pairs estimated above
+    ``threshold - 0.15`` (~2.6 se, <1% miss at the boundary) ride the
+    full-shingle shuffles. At 100 TB run with estimate_first=True.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -196,6 +210,34 @@ def minhash_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+    if estimate_first:
+        # signature-estimate pre-filter: tiny fixed-width payload
+        # (num_perm longs) instead of full shingle arrays
+        sg = sig.select(F.col(id_col).alias("id"), "sig")
+        est = (
+            cand.join(
+                sg.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"),
+                "id_a",
+            )
+            .join(
+                sg.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"),
+                "id_b",
+            )
+            .withColumn(
+                "est_j",
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(num_perm),
+            )
+        )
+        cand = est.filter(F.col("est_j") >= threshold - 0.15).select(
+            "id_a", "id_b"
+        )
 
     # exact verification on the hashed shingle sets (same persisted
     # intermediate — xxhash64 is injective on this corpus up to a

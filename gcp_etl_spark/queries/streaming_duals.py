@@ -66,14 +66,14 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )

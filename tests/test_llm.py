@@ -55,6 +55,28 @@ def test_minhash_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(want)} pairs)"
 
 
+def test_minhash_estimate_first_matches_exact_path(spark):
+    """estimate_first pre-filters candidates on the fixed-width
+    signature (the 100 TB path — shingle arrays stay out of the
+    verify shuffles); precision is still exact and the 0.15 margin
+    keeps boundary recall, so the planted duplicates survive."""
+    docs = t(spark, SF_SMALL, "documents")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.7, estimate_first=True
+        ).collect()
+    }
+    assert est.issubset(plain)
+    assert len(est) >= 0.9 * len(plain), f"{len(est)} vs {len(plain)}"
+
+
 def test_simhash_pairs_are_near_duplicates(spark):
     docs = t(spark, SF_SMALL, "documents")
     pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
@@ -138,4 +160,5 @@ def test_ivf_ann_recall_vs_exact(spark):
     # probing 3/8 lists scores ~40% of the corpus; nearest neighbors
     # concentrate in the query's own cell -> recall well above that
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
-    assert all(q < 10 or True for q, _ in a)
+    # results only for the filtered query set (vec_id < 20)
+    assert all(q < 20 for q, _ in a)
