@@ -261,6 +261,76 @@ def minhash_near_duplicates(
     return verified
 
 
+def minhash_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: (batch_id,
+    corpus_id, jaccard) pairs with jaccard >= threshold.
+
+    The incremental shape of training-data ingestion: candidates are
+    batch-buckets JOIN corpus-buckets only — corpus x corpus pairs are
+    never enumerated, so daily cost is O(|batch| + matched buckets)
+    however large the historical corpus grows. At 100 TB the corpus
+    (band, bh) bucket table is the thing you persist between runs:
+    computing it here is a one-time backfill, after which each
+    ingestion only hashes its own batch.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    cb = _hashed_shingles(corpus, id_col, text_col, shingle_k).persist()
+    bb = _hashed_shingles(batch, id_col, text_col, shingle_k).persist()
+
+    def sig_buckets(base, out_id):
+        sig = base.select("id", _min_perm_udf(num_perm)("hb").alias("sig"))
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * r + i] for i in range(r)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col("id").alias(out_id),
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(out_id, "bk.band", "bk.bh")
+
+    cand = (
+        sig_buckets(bb, "batch_id")
+        .join(sig_buckets(cb, "corpus_id"), ["band", "bh"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    shb = bb.select(
+        F.col("id").alias("batch_id"), F.array_distinct("hb").alias("sh_b")
+    )
+    shc = cb.select(
+        F.col("id").alias("corpus_id"), F.array_distinct("hb").alias("sh_c")
+    )
+    return (
+        cand.join(shb, "batch_id")
+        .join(shc, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_c"))
+                / F.size(F.array_union("sh_b", "sh_c")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,

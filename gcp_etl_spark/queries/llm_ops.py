@@ -146,6 +146,25 @@ def dedup_minhash(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@query("dedup_minhash_incremental", oracle=None, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: batch (doc_id % 5 == 0) vs
+    existing corpus (the rest) through shared LSH buckets — corpus x
+    corpus pairs never enumerated (llm/dedup.py::minhash_incremental).
+    Approximate candidates → rows-only; cross-subset recall asserted
+    in tests/test_llm.py."""
+    from gcp_etl_spark.llm.dedup import minhash_incremental
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_incremental(
+        corpus=d.filter(F.col("doc_id") % 5 != 0),
+        batch=d.filter(F.col("doc_id") % 5 == 0),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.7,
+    ).orderBy("batch_id", "corpus_id")
+
+
 @query("dedup_simhash", oracle=None, tags=("llm", "dedup", "lsh"))
 def dedup_simhash(spark, sf_dir):
     """SimHash 64-bit near-dup pairs with Hamming ≤ 3 via band

@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         reference_parity,
+        scale_ops,
         scalars,
         scalars_ext,
         scalars_more,

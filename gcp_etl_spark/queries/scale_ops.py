@@ -1,0 +1,275 @@
+"""Scale-pattern queries: banded interval join, cascaded time rollups,
+deterministic hash sampling, content-hash dedup, one-pass profiling.
+
+These are the operations a 100 TB training-data/analytics pipeline
+leans on daily; none exist in the reference (its surface is
+scan→limit→count, SURVEY.md §2A) — all are NS extensions with full
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "join_interval_banded",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) AS n_shipped,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS qty_shipped
+    FROM orders JOIN lineitem
+      ON l_shipdate BETWEEN o_orderdate
+                        AND o_orderdate + INTERVAL 30 DAY
+    WHERE o_orderkey % 997 = 0
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "interval", "scale"),
+)
+def join_interval_banded(spark, sf_dir):
+    """Point-in-interval join executed through the banded equi-join
+    rewrite (operators/interval_join.py): lineitems shipped within 30
+    days of each (subsetted) order's date. A naive BETWEEN join is a
+    nested loop at scale; banding makes it a hash join on day-buckets
+    with <=2x interval replication."""
+    from gcp_etl_spark.operators.interval_join import interval_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    iv = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        li, iv, point_ts="l_shipdate", start_ts="w_start", end_ts="w_end",
+        bucket_days=31,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty_shipped"),
+    )
+
+
+@query(
+    "rollup_multires",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket_ts,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1
+    )
+    SELECT 'minute' AS grain, bucket_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sv AS DOUBLE) AS sum_value
+    FROM minute
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', bucket_ts),
+           CAST(sum(n_events) AS BIGINT), CAST(sum(sv) AS DOUBLE)
+    FROM minute GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', bucket_ts) AS TIMESTAMP),
+           CAST(sum(n_events) AS BIGINT), CAST(sum(sv) AS DOUBLE)
+    FROM minute GROUP BY 2
+    """,
+    tags=("aggregate", "timeseries", "scale"),
+)
+def rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: minute partials feed
+    the hour level, hour feeds day — each coarser grain re-aggregates
+    ~60x fewer rows instead of rescanning the events table (the
+    continuous-aggregate pattern; at 100 TB the minute partials are
+    what you persist). Decimal sums keep the cascade exact; doubles
+    only at the output edge."""
+    e = t(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    minute = minute.persist()  # feeds both coarser grains
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    day = minute.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def lvl(df, grain):
+        # date_trunc yields session-tz timestamps; outputs stay ntz
+        # like the source column (arrow schema parity with DuckDB)
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(
+        lvl(day, "day")
+    )
+
+
+# Deterministic multiplicative hash in plain BIGINT arithmetic — the
+# identical expression runs on both engines, so the sample is exactly
+# reproducible, cluster-layout-independent, and pushes down to the
+# scan as a plain filter. (df.sample() draws per-partition, so its
+# row set changes with partitioning — useless as a contract at scale.)
+_MIX = 2654435761  # Knuth multiplicative constant
+_SAMPLE_PRED = f"(o_orderkey * {_MIX}) % 4294967296 < 429496730"  # ~10%
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE {_SAMPLE_PRED}
+    """,
+    tags=("sampling", "scale"),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """~10% Bernoulli sample by multiplicative key hashing —
+    reproducible across engines/cluster layouts (unlike df.sample),
+    evaluated as a pushed-down scan filter."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.expr(_SAMPLE_PRED))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+_STRAT_RATE = (
+    "CASE o_orderstatus WHEN 'F' THEN 214748365 "
+    "WHEN 'O' THEN 429496730 ELSE 2147483648 END"
+)  # F: 5%, O: 10%, P: 50% of 2^32
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n_sampled,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE (o_orderkey * {_MIX}) % 4294967296 < {_STRAT_RATE}
+    GROUP BY o_orderstatus
+    """,
+    tags=("sampling", "scale"),
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum Bernoulli rates
+    (5%/10%/50% by order status) from one hash expression — the
+    downsample-majority-class primitive of training-data pipelines,
+    still a single pushed-down filter."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.expr(f"(o_orderkey * {_MIX}) % 4294967296 < {_STRAT_RATE}"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+    )
+
+
+@query(
+    "dedup_content_hash",
+    oracle="""
+    SELECT sha256(text) AS content_sha256,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup", "multimodal"),
+)
+def dedup_content_hash(spark, sf_dir):
+    """Content-addressed exact dedup: digest the payload, group by
+    digest, keep the smallest id. THE first dedup pass of any
+    multimodal pipeline (digests work the same on image/audio bytes
+    as on text — this fixture's payload is the text column); one
+    shuffle of (digest, id), never the payloads themselves."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("profiling", "aggregate", "scale"),
+)
+def profile_columns(spark, sf_dir):
+    """One-pass data profiling (per-column null/distinct/min/max) in a
+    single wide aggregate, unpivoted to long form driver-side-free.
+    The multi-countDistinct expands the scan 4x (one Expand branch
+    per column) — one job instead of one scan per column; numeric
+    min/max stringified through decimal(18,2) so both engines print
+    identical text."""
+    o = t(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("min_key"),
+        F.max("o_orderkey").cast("string").alias("max_key"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("min_st"),
+        F.max("o_orderstatus").alias("max_st"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("min_tp"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("max_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.min("o_orderdate").cast("string").alias("min_od"),
+        F.max("o_orderdate").cast("string").alias("max_od"),
+    )
+    return a.selectExpr(
+        """stack(4,
+          'o_orderkey',    n, n - nn_key, nd_key, min_key, max_key,
+          'o_orderstatus', n, n - nn_st,  nd_st,  min_st,  max_st,
+          'o_totalprice',  n, n - nn_tp,  nd_tp,  min_tp,  max_tp,
+          'o_orderdate',   n, n - nn_od,  nd_od,  min_od,  max_od
+        ) AS (col_name, n_rows, n_null, n_distinct, min_str, max_str)"""
+    )

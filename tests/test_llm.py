@@ -77,6 +77,36 @@ def test_minhash_estimate_first_matches_exact_path(spark):
     assert len(est) >= 0.9 * len(plain), f"{len(est)} vs {len(plain)}"
 
 
+def test_minhash_incremental_matches_cross_subset_pairs(spark):
+    """Incremental (batch vs corpus) dedup must recover the
+    cross-subset slice of the brute-force pair set — and nothing
+    within either subset."""
+    from gcp_etl_spark.llm.dedup import minhash_incremental
+
+    docs = t(spark, SF_SMALL, "documents")
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in minhash_incremental(
+            corpus=docs.filter(F.col("doc_id") % 5 != 0),
+            batch=docs.filter(F.col("doc_id") % 5 == 0),
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.7,
+        ).collect()
+    }
+    assert all(b % 5 == 0 and c % 5 != 0 for b, c in got)
+    want = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for r in brute_force_jaccard_pairs(spark, docs, 0.7).collect()
+        for a, b in [(r["id_a"], r["id_b"])]
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert want, "fixture should contain cross-subset near-duplicates"
+    assert got.issubset(want)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"incremental recall {recall:.2f} ({len(want)} pairs)"
+
+
 def test_simhash_pairs_are_near_duplicates(spark):
     docs = t(spark, SF_SMALL, "documents")
     pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
