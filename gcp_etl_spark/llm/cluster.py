@@ -1,0 +1,73 @@
+"""Connected components over near-duplicate pair edges.
+
+Pair-level dedup (minhash/simhash) emits EDGES; what a training-data
+pipeline acts on is the CLUSTER: keep one canonical doc per component,
+drop the rest. This is min-label propagation on the undirected pair
+graph, expressed as iterated DataFrame joins.
+
+Scale notes: each round is one join + one groupBy on the edge list
+(both AQE-managed shuffles); rounds converge in O(graph diameter),
+and near-dup clusters are short-diameter stars/cliques in practice
+(2-4 rounds). The driver loop only checks a scalar convergence count
+per round, and lineage is cut with localCheckpoint so the plan does
+not grow O(rounds). For adversarial long-chain graphs swap in
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond") — same join primitives, fewer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(node, comp) — comp is the minimum node id reachable from node.
+
+    ``edges`` is an undirected pair list (each pair once is fine).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbours' labels)
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("__chg"),
+            )
+        ).localCheckpoint()  # eager: truncates lineage, runs the round
+        n_changed = new.filter(F.col("__chg")).count()
+        labels = new.drop("__chg")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Cluster near-dup pairs; one row per multi-doc component:
+    (comp = canonical/minimum doc id, n_docs)."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.groupBy("comp").agg(F.count("*").alias("n_docs"))

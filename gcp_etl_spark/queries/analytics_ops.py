@@ -1,0 +1,189 @@
+"""Product/behavioral analytics over the events stream + TF-IDF text
+ranking — classic warehouse workloads (funnels, cohort retention,
+term relevance) composed from core operators, each with a full DuckDB
+oracle. All NS extensions (the reference has no aggregations beyond
+count, SURVEY.md §2A).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "funnel_3step",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click', count(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def funnel_3step(spark, sf_dir):
+    """Ordered conversion funnel (first view -> first later click ->
+    first later purchase): per-user min-timestamp chain. Each stage
+    joins the (tiny) per-user survivor table back to events — the
+    survivor side shrinks monotonically and broadcasts; events is
+    scanned, never shuffled whole."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firstact AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                        / 7) AS INT) AS week_offset
+      FROM events e JOIN firstact f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+    tags=("analytics", "retention", "events"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: cohort = week of first activity,
+    counted distinct-active per week offset. One agg for cohorts
+    (broadcast back), one distinct + agg for the matrix."""
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_week")
+    )
+    act = (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df_t AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df_t.dfreq + 1.0)), 4)
+               AS tfidf
+      FROM tf JOIN df_t USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3 AND doc_id % 20 = 0
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """TF-IDF term relevance, top-3 terms per doc (subset): token
+    explode -> (doc, term) hash agg -> doc-frequency agg -> smoothed
+    idf join -> per-doc window top-k. The doc-frequency table is
+    vocabulary-sized (zipf-small vs corpus) and broadcasts; the only
+    big shuffle is the (doc, term) agg, which partial-aggregates
+    map-side. ln() is libm-identical on both engines; score rounded
+    4dp, term tiebreak makes the top-k total-ordered."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
+        .select("doc_id", "term", "tfidf")
+    )

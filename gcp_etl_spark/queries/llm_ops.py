@@ -165,6 +165,60 @@ def dedup_minhash_incremental(spark, sf_dir):
     ).orderBy("batch_id", "corpus_id")
 
 
+@query("dedup_clusters", oracle=None, tags=("llm", "dedup", "cluster"))
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS (what dedup acts on, vs raw pairs):
+    connected components by iterative min-label propagation over the
+    minhash pair edges (llm/cluster.py), one row per multi-doc
+    cluster (canonical id, size). Rows-only: edges are LSH-
+    approximate; the component algebra itself is exactly verified in
+    tests/test_llm.py against a union-find oracle."""
+    from gcp_etl_spark.llm.cluster import dedup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, id_col="doc_id", text_col="text", threshold=0.7
+    )
+    return dedup_clusters(pairs).orderBy("comp")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT CAST(pos AS INT) AS pos, label,
+           round(avg(v), 6) AS centroid_v,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    WHERE pos < 8
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "embedding", "aggregate"),
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column (first 8 dims in
+    the declared output): posexplode -> (label, dim) hash agg. The
+    elementwise-mean shape k-means/IVF training reduces to; explode
+    multiplies rows by dim but partial aggregation collapses it
+    map-side, so the shuffle is |labels| x dims however big the
+    corpus. Floats widen to double before averaging; 6dp rounding
+    absorbs summation-order ulps."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
 @query("dedup_simhash", oracle=None, tags=("llm", "dedup", "lsh"))
 def dedup_simhash(spark, sf_dir):
     """SimHash 64-bit near-dup pairs with Hamming ≤ 3 via band

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
     the full registry."""
     from gcp_etl_spark.queries import (  # noqa: F401
         aggregates,
+        analytics_ops,
         io_formats,
         joins,
         llm_ops,

@@ -192,3 +192,46 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
     # results only for the filtered query set (vec_id < 20)
     assert all(q < 20 for q, _ in a)
+
+
+def test_connected_components_matches_union_find(spark):
+    """The CC operator must produce exactly the components a classic
+    union-find computes on the same edge list (plus a synthetic
+    long-chain graph to exercise multi-round convergence)."""
+    from gcp_etl_spark.llm.cluster import connected_components
+
+    docs = t(spark, SF_SMALL, "documents")
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    ]
+    # add a 12-node chain with ids far outside doc range: forces
+    # several propagation rounds (diameter 11)
+    chain = [(10_000 + i, 10_001 + i) for i in range(11)]
+    edges += chain
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got_df = connected_components(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    got = {r["node"]: r["comp"] for r in got_df.collect()}
+    assert got == want
