@@ -28,9 +28,18 @@ def connected_components(
 
     ``edges`` is an undirected pair list (each pair once is fine).
     """
+    # symmetrize in ONE pass over edges (a union of two selects would
+    # recompute the upstream pair pipeline — minhash etc. — twice)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )

@@ -273,3 +273,118 @@ def profile_columns(spark, sf_dir):
           'o_orderdate',   n, n - nn_od,  nd_od,  min_od,  max_od
         ) AS (col_name, n_rows, n_null, n_distinct, min_str, max_str)"""
     )
+
+
+@query(
+    "cdc_apply_batch",
+    oracle="""
+    WITH dels AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0
+    ), ups AS (
+      SELECT c_custkey, c_name, c_acctbal + 500.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey % 17 <> 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM ups
+    """,
+    tags=("cdc", "merge", "scale"),
+)
+def cdc_apply_batch(spark, sf_dir):
+    """CDC apply (current-state semantics, vs scd2's full history):
+    a change batch of upserts + deletes folded into the snapshot with
+    two anti joins + a union — the change-key sets broadcast, the
+    snapshot majority is never shuffled. At 100 TB the snapshot is
+    partitioned by key and the joins prune."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    del_keys = c.filter(F.col("c_custkey") % 17 == 0).select("c_custkey")
+    upserts = (
+        c.filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0)
+    )
+    survivors = c.join(
+        F.broadcast(del_keys), "c_custkey", "left_anti"
+    ).join(
+        F.broadcast(upserts.select("c_custkey")), "c_custkey", "left_anti"
+    )
+    return survivors.unionByName(upserts)
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ), b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 29 <> 0
+    )
+    SELECT change_kind, count(*) AS n_rows FROM (
+      SELECT CASE WHEN b.c_custkey IS NULL THEN 'removed'
+                  WHEN a.c_acctbal <> b.c_acctbal THEN 'changed'
+                  ELSE 'same' END AS change_kind
+      FROM a LEFT JOIN b ON a.c_custkey = b.c_custkey
+    ) GROUP BY 1
+    """,
+    tags=("cdc", "diff", "scale"),
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: classify every key of snapshot A as
+    same/changed/removed vs snapshot B via one key-partitioned join +
+    hash agg — the audit primitive behind incremental-load
+    validation. One shuffle per side on the join key; counts, not
+    rows, leave the executors."""
+    c = t(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_acctbal")
+    b = (
+        c.filter(F.col("c_custkey") % 29 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 50.0
+            ).otherwise(F.col("c_acctbal")).alias("b_acctbal"),
+        )
+    )
+    kinds = a.join(b, "c_custkey", "left").select(
+        F.when(F.col("b_acctbal").isNull(), "removed")
+        .when(F.col("c_acctbal") != F.col("b_acctbal"), "changed")
+        .otherwise("same")
+        .alias("change_kind")
+    )
+    return kinds.groupBy("change_kind").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_min,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+    tags=("profiling", "aggregate"),
+)
+def histogram_fixed_bins(spark, sf_dir):
+    """Equi-width histogram (25k bins over order value): single
+    hash agg keyed on the bin expression — the distribution-profiling
+    counterpart of profile_columns; min/max carried per bin for bar
+    labeling without a second pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_min"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_max"),
+        )
+    )
