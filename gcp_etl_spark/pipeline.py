@@ -60,14 +60,23 @@ def run_medallion(
     if landing_json is None:
         raise ValueError("landing_json required when no archive is given")
 
-    # landing → processing (R3-R5): schema-inferred JSON → parquet
+    # landing → processing (R3-R5): schema-inferred JSON → parquet.
+    # The R4 row-count check rides the write pass as an Observation —
+    # at 100 TB a separate .count() action is a second full scan of
+    # the landing zone; observe() computes the metric on the same
+    # pass for free.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     raw = io.read_json(spark, landing_json)
-    landing_count = raw.count()  # R4 row-count check
-    if landing_count == 0:
-        raise ValueError("quality gate: landing zone is empty")
+    gate = Observation("landing_gate")
+    raw = raw.observe(gate, F.count(F.lit(1)).alias("n"))
     processing_path = f"{workdir}/processing"
     io.write_parquet(raw, processing_path)
-    stages.append("landing->processing(parquet)")
+    landing_count = gate.get["n"]
+    if landing_count == 0:
+        raise ValueError("quality gate: landing zone is empty")
+    stages.append("landing->processing(parquet+observed gate)")
 
     # processing → curated (R6-R13): view + SQL + avro (fallback parquet)
     df = io.read_parquet(spark, processing_path)

@@ -101,3 +101,26 @@ _CTE = """
 def subq_cte(spark, sf_dir):
     """Multi-CTE composition feeding a join + re-aggregation."""
     return _sql(spark, sf_dir, _CTE)
+
+
+_LATERAL_TOPK = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey % 100 = 0
+"""
+
+
+@query("subq_lateral_topk", oracle=_LATERAL_TOPK, tags=("subquery", "lateral", "sql"))
+def subq_lateral_topk(spark, sf_dir):
+    """LATERAL correlated derived table (per-customer top-2 orders
+    through the SQL lateral-join surface). Catalyst decorrelates the
+    ORDER BY ... LIMIT lateral into a window/top-k over one join — no
+    per-row re-execution; same physical shape as topk_per_group but
+    declared via the ANSI LATERAL syntax both engines share."""
+    return _sql(spark, sf_dir, _LATERAL_TOPK)

@@ -170,3 +170,47 @@ def udf_python_row(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     return c.select("c_custkey", rev("c_mktsegment").alias("seg_rev"))
+
+
+@query(
+    "udtf_split_sentences",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS sent_idx,
+           trim(s) AS sentence
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, '.')) AS s,
+             unnest(range(len(string_split(text, '.')))) AS i
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    WHERE trim(s) <> ''
+    """,
+    tags=("udf", "udtf", "lateral"),
+)
+def udtf_split_sentences(spark, sf_dir):
+    """True Python UDTF (Spark 4 ``@udtf``): one input row -> N output
+    rows through a lateral table function — sentence segmentation per
+    doc. Row-at-a-time Python like F.udf (kept to a doc subset); the
+    vectorized production path for this shape is mapInPandas
+    (udf_map_in_pandas above) — this query declares the UDTF API
+    surface itself."""
+    from pyspark.sql.functions import lit, udtf  # noqa: F401
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, s in enumerate((text or "").split(".")):
+                if s.strip():
+                    yield i, s.strip()
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("docs_udtf_v")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf_v d, LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )
+    return out
