@@ -395,3 +395,28 @@ def agg_approx_quantile(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx"),
         F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT user_id % 10 AS g,
+           bit_or(event_id % 256)  AS flags_or,
+           bit_and(event_id % 16)  AS flags_and,
+           bit_xor(event_id % 64)  AS flags_xor,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates (bit_or/bit_and/bit_xor) — flag-set fusion
+    per group in one hash agg (the pattern for merging permission/
+    feature bitmasks without exploding to booleans)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy((F.col("user_id") % 10).alias("g")).agg(
+        F.bit_or(F.col("event_id") % 256).alias("flags_or"),
+        F.bit_and(F.col("event_id") % 16).alias("flags_and"),
+        F.bit_xor(F.col("event_id") % 64).alias("flags_xor"),
+        F.count("*").alias("n"),
+    )

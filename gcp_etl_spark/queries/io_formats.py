@@ -112,3 +112,18 @@ def io_avro_roundtrip(spark, sf_dir):
         return spark.read.format("avro").load(d)
     io.write_parquet(n, d)
     return io.read_parquet(spark, d)
+
+
+@query(
+    "io_text_roundtrip",
+    oracle="SELECT text AS value FROM documents WHERE doc_id % 20 = 0",
+    tags=("io", "text"),
+)
+def io_text_roundtrip(spark, sf_dir):
+    """Plain-text source/sink (one line per row, single ``value``
+    column) — the landing format of raw-crawl text pipelines; the
+    fixture text is newline-free so the line roundtrip is exact."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    out = tempfile.mkdtemp(prefix="io_text_")
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    return spark.read.text(out)

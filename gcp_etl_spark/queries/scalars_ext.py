@@ -322,3 +322,33 @@ def set_intersect_all(spark, sf_dir):
         F.col("l_suppkey").alias("k")
     )
     return a.intersectAll(b)
+
+
+@query(
+    "scalar_try_ansi",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_custkey % 5, 0) AS safe_div,
+           TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT)
+             AS prio_num,
+           TRY_CAST(o_orderstatus AS INT) AS bad_cast
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    tags=("scalar", "ansi", "try"),
+)
+def scalar_try_ansi(spark, sf_dir):
+    """ANSI-mode-safe try_* family (Spark 4 runs ANSI on: plain ops
+    THROW on div-by-zero/bad casts — try_divide/try_cast return NULL
+    instead, the semantics batch pipelines need to survive dirty
+    data). DuckDB mirrors via nullif + TRY_CAST."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias(
+            "safe_div"
+        ),
+        F.expr(
+            "try_cast(split_part(o_orderpriority, '-', 1) AS INT)"
+        ).alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
+    )
