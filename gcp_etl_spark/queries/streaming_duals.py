@@ -120,3 +120,29 @@ def stream_dedup_exact_ids(spark, sf_dir):
     operator run in batch mode (rows-only: dropDuplicates pick among
     exact duplicates is arbitrary; count is what matters)."""
     return stream_dedup(t(spark, sf_dir, "events"), keys=("event_id",))
+
+
+@query(
+    "stream_join_attribution",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS v_user
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_attribution(spark, sf_dir):
+    """Batch dual of the watermarked stream-stream interval join
+    (streaming/windows.py::view_purchase_join — real streaming
+    execution asserted in tests/test_streaming.py): view->purchase
+    attribution within 60 minutes per user."""
+    from gcp_etl_spark.streaming.windows import view_purchase_join
+
+    e = t(spark, sf_dir, "events")
+    return view_purchase_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

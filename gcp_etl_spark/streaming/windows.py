@@ -177,3 +177,35 @@ def stateful_running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    gap: str = "60 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each view with the same user's
+    purchases inside ``(view.ts, view.ts + gap]`` — the attribution
+    join. Both sides carry watermarks so the join state (buffered rows
+    awaiting matches) is bounded by watermark + gap; without them a
+    stream-stream join's state grows forever. The same function runs
+    in batch (watermark is a streaming-only no-op) for the equality
+    test / oracle."""
+    v = _maybe_watermark(views, "ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = _maybe_watermark(purchases, "ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts > v_ts "
+            f"AND p_ts <= v_ts + INTERVAL {gap}"
+        ),
+    ).select("view_id", "purchase_id", "v_user")

@@ -155,3 +155,29 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
     sink(first_epoch, 0)
     again = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
     assert again.count() == ev.count()
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream watermarked interval join (view->purchase
+    attribution) must equal the identical batch join."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.streaming.windows import view_purchase_join
+
+    path, schema = events_stream_dir
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch = view_purchase_join(*split(spark.read.schema(schema).parquet(path)))
+    stream = view_purchase_join(
+        *split(spark.readStream.schema(schema).parquet(path))
+    )
+    assert stream.isStreaming
+    got = run_stream(spark, stream, "append")
+    want = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, got.collect())) == want
+    assert want, "fixture should produce at least one attribution pair"
