@@ -52,9 +52,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# bench warmup failed: {e}", file=sys.stderr)
 
+    # measured: gc every 4th query => suite ~17s SLOWER than every
+    # query (heap/codegen pressure degrades the tail); keep 1
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1"))
     timings: dict[str, float] = {}
     failures: list[str] = []
-    for name, spec in sorted(specs.items()):
+    for i, (name, spec) in enumerate(sorted(specs.items())):
         if only and name not in only:
             continue
         t0 = time.time()
@@ -64,11 +67,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             failures.append(name)
             print(f"# bench FAILURE {name}: {e}", file=sys.stderr)
-        # isolate queries from each other: drop cached relations and
-        # nudge the JVM — 104 plans in one heap otherwise degrade the
-        # tail of the suite by 2-4x (measured)
+        # isolate queries from each other: drop cached relations every
+        # query, nudge the JVM periodically — 150 plans in one heap
+        # otherwise degrade the tail of the suite by 2-4x (measured),
+        # but a synchronous full GC per query costs more than it saves
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        if (i + 1) % gc_every == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(

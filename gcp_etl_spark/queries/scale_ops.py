@@ -388,3 +388,82 @@ def histogram_fixed_bins(spark, sf_dir):
             .alias("bin_max"),
         )
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "incremental", "scale"),
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Materialized-view maintenance algebra: a pre-existing aggregate
+    (first half of the month) is REFRESHED with a delta batch (second
+    half) by merging partial states — sum-of-sums / sum-of-counts —
+    instead of rescanning the base table. The oracle is the full
+    recompute: the merge must be indistinguishable. At 100 TB this is
+    the difference between touching the delta and touching the world.
+    (count/sum/min/max merge losslessly; avg must be carried as
+    sum+count, which is why the partial schema stores those.)"""
+    e = t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    existing = partial(e.filter(F.col("ts") < mid))   # the stored MV
+    delta = partial(e.filter(F.col("ts") >= mid))     # today's batch
+    return (
+        existing.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _zorder_oracle():
+    from gcp_etl_spark.operators.zorder import zvalue_sql
+
+    z = zvalue_sql("o_custkey % 65536", "CAST(floor(o_totalprice / 10) AS BIGINT) % 65536")
+    return f"""
+    SELECT o_orderkey, {z} AS zval
+    FROM orders
+    ORDER BY zval, o_orderkey LIMIT 200
+    """
+
+
+@query(
+    "zorder_curve",
+    oracle=_zorder_oracle(),
+    tags=("layout", "scale"),
+)
+def zorder_curve(spark, sf_dir):
+    """Z-order (Morton) curve value over (customer, price-decile)
+    keys — the multi-dimensional clustering key the layout operator
+    (operators/zorder.py::zorder_by) range-partitions and sorts by so
+    parquet min-max pruning works on both columns. Pure JVM bit
+    arithmetic; the declared output is the curve head (stable
+    tiebreak) so the oracle pins the exact interleave."""
+    from gcp_etl_spark.operators.zorder import zvalue
+
+    o = t(spark, sf_dir, "orders")
+    z = zvalue(
+        F.col("o_custkey") % 65536,
+        F.floor(F.col("o_totalprice") / 10).cast("long") % 65536,
+    )
+    return (
+        o.select("o_orderkey", z.alias("zval"))
+        .orderBy("zval", "o_orderkey")
+        .limit(200)
+    )

@@ -171,3 +171,22 @@ def topk_per_group(spark, sf_dir):
 def distinct_projection(spark, sf_dir):
     """DISTINCT over a projection (hash aggregate, one shuffle)."""
     return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+_GROUP_BY_ALL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL, tags=("sql", "aggregate", "sort"))
+def sql_group_by_all(spark, sf_dir):
+    """Modern SQL sugar both engines share: GROUP BY ALL (group on
+    every non-aggregate select item) + ORDER BY ALL (total order over
+    the output columns) — same plan as the explicit forms."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL)

@@ -214,3 +214,65 @@ def udtf_split_sentences(spark, sf_dir):
         """
     )
     return out
+
+
+@query(
+    "udf_cogrouped_ratio",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey % 50 AS g, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT l_orderkey % 50 AS g, count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.g, l.g) AS g,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_lines, 0) AS n_lines,
+           round(CAST(coalesce(n_lines, 0) AS DOUBLE)
+                 / greatest(coalesce(n_orders, 0), 1), 4) AS lines_per_order
+    FROM o FULL JOIN l ON o.g = l.g
+    """,
+    tags=("udf", "cogroup", "pandas"),
+)
+def udf_cogrouped_ratio(spark, sf_dir):
+    """Cogrouped pandas map (``groupBy().cogroup().applyInPandas``):
+    the two sides of each key arrive as separate pandas frames in one
+    Python call — the API for custom per-key reconciliation/merge
+    logic that needs both inputs at once. Both sides are pre-reduced
+    to per-key counts JVM-side, so only |keys| tiny frames cross the
+    Arrow boundary."""
+    import pandas as pd
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 50).alias("g"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 50).alias("g"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+    def merge(key, odf, ldf):
+        g = int(key[0])
+        n_o = int(odf["n_orders"].sum()) if len(odf) else 0
+        n_l = int(ldf["n_lines"].sum()) if len(ldf) else 0
+        return pd.DataFrame(
+            {
+                "g": [g],
+                "n_orders": [n_o],
+                "n_lines": [n_l],
+                "lines_per_order": [round(n_l / max(n_o, 1), 4)],
+            }
+        )
+
+    return (
+        o.groupBy("g")
+        .cogroup(li.groupBy("g"))
+        .applyInPandas(
+            merge,
+            "g long, n_orders long, n_lines long, lines_per_order double",
+        )
+    )

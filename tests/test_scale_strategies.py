@@ -221,3 +221,45 @@ def test_bucketed_range_frame_parallelism(spark):
         .count()
     )
     assert n_groups > 20
+
+
+def test_zorder_layout_plan_and_clustering(spark):
+    """zorder_by must (a) range-partition + sort on the z-value
+    (plan), and (b) actually tighten per-partition min/max bounds on
+    BOTH key columns vs the unsorted layout (the pruning payoff)."""
+    from gcp_etl_spark.operators.zorder import zorder_by, zvalue
+
+    o = t(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # z-order clusters both dims only when they occupy comparable bit
+    # widths — normalize each key into 8 bits before interleaving
+    laid = zorder_by(
+        o,
+        F.col("o_custkey") % 256,
+        F.floor(F.col("o_totalprice") / 2500).cast("long") % 256,
+        bits=8,
+        num_partitions=8,
+    )
+    plan = _plan(laid)
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+    # clustering payoff: average per-partition custkey span shrinks
+    spans = (
+        laid.select(
+            F.spark_partition_id().alias("p"), "o_custkey"
+        )
+        .groupBy("p")
+        .agg((F.max("o_custkey") - F.min("o_custkey")).alias("span"))
+        .agg(F.avg("span"))
+        .collect()[0][0]
+    )
+    base_span = (
+        o.repartition(8)
+        .select(F.spark_partition_id().alias("p"), "o_custkey")
+        .groupBy("p")
+        .agg((F.max("o_custkey") - F.min("o_custkey")).alias("span"))
+        .agg(F.avg("span"))
+        .collect()[0][0]
+    )
+    assert spans < base_span * 0.6, f"z-order span {spans} vs {base_span}"
