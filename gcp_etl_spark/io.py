@@ -144,3 +144,30 @@ def serving_sink(
     served = spark.read.parquet(path)
     served.createOrReplaceTempView(table_name)
     return served
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target_mb-sized files (streaming sinks and per-partition writers
+    leave thousands of KB-files; at 100 TB scan throughput dies on
+    file-open overhead and footer reads). Sizes the output from the
+    CURRENT on-disk bytes, rewrites via coalesce (no shuffle), then
+    atomically swaps directories. Returns (files_before, files_after).
+    """
+    import glob as _glob
+
+    files = [f for f in _glob.glob(f"{path}/*.parquet") if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    bak = path.rstrip("/") + "__compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    after = [f for f in _glob.glob(f"{path}/*.parquet") if os.path.isfile(f)]
+    return len(files), len(after)

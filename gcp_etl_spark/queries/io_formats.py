@@ -127,3 +127,74 @@ def io_text_roundtrip(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="io_text_")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@query(
+    "io_json_corrupt_records",
+    # the landing file is synthesized deterministically inside the
+    # query (25 good lines + 2 corrupt), so the oracle is the literal
+    # expected tally — what PERMISSIVE mode must deliver
+    oracle="SELECT CAST(25 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt",
+    tags=("io", "json", "quality"),
+)
+def io_json_corrupt_records(spark, sf_dir):
+    """Dirty-landing-zone handling: schema-declared JSON scan in
+    PERMISSIVE mode routes unparseable lines into ``_corrupt_record``
+    instead of failing the job (FAILFAST) or silently dropping them
+    (DROPMALFORMED) — the contract a 100 TB ingest needs to quarantine
+    bad data without losing the batch."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="io_corrupt_")
+    with open(f"{d}/part.json", "w") as f:
+        for i in range(25):
+            f.write('{"id": %d, "v": "ok%d"}\n' % (i, i))
+        f.write("{not json at all\n")
+        f.write('{"id": "stringy", "v": 3}\n')  # type mismatch
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    ).cache()  # corrupt-record column requires a materialized scan
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name) END AS extra
+    FROM nation
+    """,
+    tags=("io", "parquet", "schema"),
+)
+def io_schema_evolution(spark, sf_dir):
+    """Schema evolution on the processing zone: batch 1 lands without
+    the ``extra`` column, batch 2 adds it; a mergeSchema read unifies
+    both (missing values NULL) — additive-column evolution without
+    rewriting old files, the pattern long-lived parquet zones rely
+    on."""
+    import tempfile
+
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="io_evolve_")
+    n.filter(F.col("n_nationkey") % 2 == 1).write.mode("append").parquet(d)
+    n.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+        "extra", F.upper("n_name")
+    ).write.mode("append").parquet(d)
+    return spark.read.option("mergeSchema", True).parquet(d).select(
+        "n_nationkey", "n_name", "n_regionkey", "extra"
+    )
