@@ -111,3 +111,63 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, n_frame_bytes long, frame_crc long"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_k: int = 4
+) -> DataFrame:
+    """Frame sampling (one input row -> N output rows): keep every
+    k-th fixed-size frame of the payload. Real video demux needs a
+    codec lib (absent here — guarded like extract_features); the
+    deterministic fallback treats the payload as a sequence of
+    ``frame_bytes`` blocks, which keeps the real plumbing — row
+    explosion inside bounded Arrow batches, per-frame checksums,
+    downstream joinability — fully exercised. At 100 TB sample BEFORE
+    any decode so only 1/k of the bytes ever leave the scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            if _HAS_CODECS:  # pragma: no cover
+                raise NotImplementedError(
+                    "real demux path not available in this container"
+                )
+            out = {"media_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_crc": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(fr))
+                    out["frame_crc"].append(zlib.crc32(fr))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: records the target geometry in metadata and
+    (with codecs present) would re-encode the payload. Codec path
+    stubbed (``NotImplementedError``); the metadata/schema flow is
+    real so downstream stages can be built and tested against it."""
+    if _HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError(
+            "real resize path not available in this container"
+        )
+    return df.withColumn(
+        "meta",
+        F.map_concat(
+            "meta",
+            F.create_map(
+                F.lit("target_size"), F.lit(f"{width}x{height}"),
+                F.lit("resized"), F.lit("stub"),
+            ),
+        ),
+    )

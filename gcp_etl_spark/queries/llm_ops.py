@@ -378,3 +378,48 @@ def ann_cosine_topk_ivf(spark, sf_dir):
         n_centroids=8,
         nprobe=3,
     )
+
+
+@query("multimodal_frame_sample", oracle=None, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-4th-frame sampling over synthesized media payloads
+    (llm/multimodal.py::sample_frames): 1 row in -> n_frames/4 rows
+    out inside Arrow batches. Rows-only (payloads are synthesized
+    Spark-side); determinism + counts asserted in tests/test_llm.py."""
+    from gcp_etl_spark.llm.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=128, payload_bytes=4096)
+    return sample_frames(media, frame_bytes=256, every_k=4).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@query(
+    "multimodal_dedup_binary",
+    # payloads are synthesized as id % 16 repeating patterns -> exactly
+    # 16 distinct blobs among 128; the oracle is that invariant
+    oracle="SELECT CAST(128 AS BIGINT) AS n_payloads, CAST(16 AS BIGINT) AS n_distinct",
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_dedup_binary(spark, sf_dir):
+    """Content-hash dedup on BINARY payloads (sha2 over the bytes —
+    same plan as dedup_content_hash but on the media column): counts
+    distinct digests among deliberately repeating synthetic blobs.
+    Digests, never payloads, reach the shuffle."""
+    from gcp_etl_spark.llm.multimodal import synthesize_media
+
+    media = synthesize_media(spark, n=128, payload_bytes=1024)
+    dup = media.withColumn(
+        "payload16",
+        F.sha2(
+            F.encode(
+                F.rpad(F.conv((F.col("media_id") % 16).cast("string"), 10, 16), 1024, "ab"),
+                "utf-8",
+            ),
+            256,
+        ),
+    )
+    return dup.agg(
+        F.count("*").alias("n_payloads"),
+        F.countDistinct("payload16").alias("n_distinct"),
+    )

@@ -235,3 +235,32 @@ def test_connected_components_matches_union_find(spark):
     )
     got = {r["node"]: r["comp"] for r in got_df.collect()}
     assert got == want
+
+
+def test_frame_sampling_counts_and_determinism(spark):
+    """16 frames per 4096-byte payload at 256 B/frame; every_k=4 keeps
+    frames 0,4,8,12 — counts and checksums must be stable."""
+    from gcp_etl_spark.llm.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, n=16, payload_bytes=4096)
+    frames = sample_frames(media, frame_bytes=256, every_k=4)
+    rows = frames.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 4, 8, 12] for v in per.values())
+    assert len(per) == 16
+    again = {
+        (r["media_id"], r["frame_idx"]): r["frame_crc"]
+        for r in sample_frames(media, frame_bytes=256, every_k=4).collect()
+    }
+    assert {(r["media_id"], r["frame_idx"]): r["frame_crc"] for r in rows} == again
+
+
+def test_resize_media_metadata_stub(spark):
+    from gcp_etl_spark.llm.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, n=4)
+    out = resize_media(media, 224, 224).collect()
+    assert all(r["meta"]["target_size"] == "224x224" for r in out)
+    assert all(r["meta"]["src"].startswith("synth://") for r in out)
