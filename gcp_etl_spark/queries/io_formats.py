@@ -198,3 +198,25 @@ def io_schema_evolution(spark, sf_dir):
     return spark.read.option("mergeSchema", True).parquet(d).select(
         "n_nationkey", "n_name", "n_regionkey", "extra"
     )
+
+
+@query(
+    "io_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("io", "xml"),
+)
+def io_xml_roundtrip(spark, sf_dir):
+    """Native XML source/sink (new in Spark 4, absorbed from
+    spark-xml): row-tag write → schema-inferred read; inference types
+    ints as bigint, cast back for the oracle."""
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="io_xml_")
+    n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(d)
+    back = spark.read.format("xml").option("rowTag", "nation").load(d)
+    return back.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )

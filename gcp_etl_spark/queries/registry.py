@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         io_formats,
         joins,
         llm_ops,
+        modern_sql,
         reference_parity,
         scale_ops,
         scalars,
