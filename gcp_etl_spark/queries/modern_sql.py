@@ -70,3 +70,32 @@ def scalar_variant_json(spark, sf_dir):
         F.try_variant_get(v, "$.k", "int").alias("k_val"),
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
     )
+
+
+@query(
+    "catalog_insert_overwrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+    """,
+    tags=("catalog", "dml", "sql"),
+)
+def catalog_insert_overwrite(spark, sf_dir):
+    """Catalog DML surface: CREATE TABLE (external parquet) + INSERT
+    OVERWRITE + read back via the session catalog — the warehouse-
+    table counterpart of the path-based sinks (reference's R14
+    BigQuery load used WRITE_TRUNCATE = the same overwrite-load
+    contract)."""
+    import tempfile
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cat_v")
+    loc = tempfile.mkdtemp(prefix="cat_tbl_")
+    spark.sql("DROP TABLE IF EXISTS cat_status_counts")
+    spark.sql(
+        f"""CREATE TABLE cat_status_counts (o_orderstatus STRING, n BIGINT)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        """INSERT OVERWRITE TABLE cat_status_counts
+           SELECT o_orderstatus, count(*) FROM orders_cat_v GROUP BY 1"""
+    )
+    return spark.table("cat_status_counts")
