@@ -72,6 +72,18 @@ def main() -> None:
         # otherwise degrade the tail of the suite by 2-4x (measured),
         # but a synchronous full GC per query costs more than it saves
         spark.catalog.clearCache()
+        # clearCache only covers the SQL cache manager; localCheckpoint
+        # blocks (iterative queries: connected components, PageRank)
+        # live as raw persistent RDDs and would otherwise pile up in
+        # unified memory, squeezing execution memory for every later
+        # query's sorts/aggregations
+        try:
+            for jrdd in (
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 - cleanup must never kill bench
+            pass
         if (i + 1) % gc_every == 0:
             spark.sparkContext._jvm.System.gc()
 

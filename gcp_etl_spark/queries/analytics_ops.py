@@ -187,3 +187,146 @@ def text_tfidf_topk(spark, sf_dir):
         .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS rn
+      FROM d
+    ),
+    isl AS (
+      SELECT user_id, day - rn AS anchor, count(*) AS len
+      FROM r GROUP BY user_id, day - rn
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           max(len) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM isl GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 20
+    """,
+    tags=("analytics", "window", "gaps-islands", "events"),
+)
+def gaps_islands(spark, sf_dir):
+    """Gaps-and-islands (consecutive-day activity streaks) via the
+    classic day-minus-row_number anchor: within a user, consecutive
+    days share ``day - rn``, so one hash agg per (user, anchor) yields
+    island lengths with no self-join. The window partitions by
+    user_id (high cardinality — full parallelism at any scale) and the
+    per-user distinct-day state is bounded by the calendar. Output is
+    the top-20 longest streaks, totally ordered (user_id tiebreak)."""
+    e = t(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(w).cast("int"))
+    isl = r.groupBy(
+        "user_id", F.date_sub("day", F.col("rn")).alias("anchor")
+    ).agg(F.count("*").alias("len"))
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy(F.desc("longest_streak"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sd)), 2) AS max_z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("analytics", "anomaly", "events"),
+)
+def anomaly_zscore(spark, sf_dir):
+    """Per-group z-score outlier detection: one grouped agg for
+    (mu, sd), broadcast the per-group stats back onto the stream, flag
+    |z| > 3. Two scans of the fact, zero fact-side shuffles beyond the
+    final per-type agg — the stats table is group-cardinality-sized and
+    always broadcasts. mu/sd are generic-real accumulations (engine
+    summation order differs by ulps), so the only rounded output is
+    max_z at 2dp; the |z|>3 threshold sits on a continuous distribution
+    where an ulp cannot flip membership."""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 2).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    SELECT x.p_partkey, x.p_retailprice, x.p_size
+    FROM part x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_retailprice <= x.p_retailprice
+        AND y.p_size >= x.p_size
+        AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    ORDER BY x.p_retailprice, x.p_partkey
+    """,
+    tags=("analytics", "skyline", "window"),
+)
+def skyline_pareto(spark, sf_dir):
+    """2-D skyline (Pareto frontier: minimize price, maximize size)
+    WITHOUT the quadratic NOT-EXISTS self-join the oracle runs: a part
+    is on the frontier iff its size equals the max size at its price
+    AND strictly exceeds the max size over all cheaper prices. That is
+    one hash agg to per-price maxima (output bounded by |distinct
+    price|, shuffle is on the price key) followed by a running-max
+    window over the TINY aggregated table, then a broadcast join back.
+    O(n) + O(p log p) vs the oracle's O(n^2). The single-partition
+    window is over per-price maxima only; at 100 TB the agg output is
+    still ~|distinct price| rows — if even that overflowed one task,
+    compute bucket-local skylines first and merge (same algebra,
+    associative)."""
+    p = t(spark, sf_dir, "part")
+    pp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = pp.withColumn("best_cheaper", F.max("msize").over(w)).filter(
+        F.col("best_cheaper").isNull()
+        | (F.col("msize") > F.col("best_cheaper"))
+    )
+    return (
+        p.join(F.broadcast(sky), "p_retailprice")
+        .filter(F.col("p_size") == F.col("msize"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

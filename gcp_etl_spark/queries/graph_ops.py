@@ -1,0 +1,153 @@
+"""Graph analytics on a derived edge table — triangle counting (full
+DuckDB oracle) and PageRank (iterative, rows-only + pytest-vs-numpy).
+
+The reference has no graph surface (SURVEY.md §2A); these are NS
+extensions in the same family as ``llm/cluster.py``'s connected
+components: a training-data pipeline needs link-graph analytics for
+dedup clustering, citation/backlink scoring, and spam detection.
+
+The graph is derived deterministically from ``lineitem`` so both
+engines build the identical edge set: nodes are key residues mod
+``N_NODES``, canonical undirected edges ``u < v``, deduplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+N_NODES = 300
+DAMPING = 0.85
+PR_ITERS = 8
+
+
+def _edges(spark, sf_dir):
+    """Canonical undirected edge list (u < v, distinct) derived from
+    lineitem key residues. One projection + one distinct (single
+    shuffle); output is bounded by C(N_NODES, 2) regardless of input
+    scale, so everything downstream is small no matter the SF."""
+    li = t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % N_NODES).alias("a")
+    b = (F.col("l_partkey") % N_NODES).alias("b")
+    return (
+        li.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ),
+    c AS (SELECT count(*) AS n_edges FROM e),
+    w AS (
+      SELECT count(*) AS n_wedges
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+    ),
+    tr AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT n_edges, n_wedges, n_triangles FROM c, w, tr
+    """,
+    tags=("graph", "join", "triangle"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting via the canonical-orientation join: with every
+    edge oriented low-id -> high-id, each triangle {a<b<c} is produced
+    exactly once as e1=(a,b), e2=(b,c), e3=(a,c) — no /6 correction and
+    no symmetric blow-up. Wedge join output is bounded by sum(deg_out *
+    deg_in) of the oriented graph; at 100 TB you orient by DEGREE
+    instead of id (each edge points low-degree -> high-degree), which
+    provably bounds per-node fan-out at O(sqrt(|E|)) and kills the
+    high-degree-hub skew this id-orientation would hit on power-law
+    graphs. Here node ids are mod-residues with near-uniform degrees,
+    so id-orientation is equivalent and cheaper."""
+    e = _edges(spark, sf_dir).persist()
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y")
+    tris = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
+    )
+    n_e = e.agg(F.count("*").alias("n_edges"))
+    n_w = wedges.agg(F.count("*").alias("n_wedges"))
+    n_t = tris.agg(F.count("*").alias("n_triangles"))
+    return n_e.crossJoin(n_w).crossJoin(n_t)
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,  # iterative — rows-only here; exact parity vs a numpy
+    # power iteration on the identical edge set is asserted in
+    # tests/test_graph.py at sf0.001.
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank by power iteration on the symmetrized edge set.
+
+    Spark-first shape: ranks and out-degrees are DataFrames keyed by
+    node; each iteration is one join + one hash agg (contribs grouped
+    by dst). The node count rides along as a broadcast 1-row cross
+    join, so nothing but Spark actions touch the driver. Lineage is cut
+    with ``localCheckpoint`` every 3 rounds — without it the plan tree
+    doubles per iteration and Catalyst analysis time dominates (the
+    classic iterative-algorithm failure mode on Spark).
+
+    Scale: state is O(|V|), each round shuffles O(|E|) contributions
+    with map-side partial aggregation. The symmetric graph has no
+    dangling nodes (every node has out-degree >= 1 by construction), so
+    the dangling-mass redistribution term is exactly zero and omitted.
+    """
+    und = _edges(spark, sf_dir)
+    # symmetrize: undirected random walk = edges in both directions
+    edges = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = edges.groupBy("u").agg(F.count("*").alias("out_deg"))
+    nodes = deg.select(F.col("u").alias("node"), "out_deg").persist()
+    n1 = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(PR_ITERS):
+        contribs = (
+            edges.join(
+                ranks.join(nodes, "node").select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(n1)).select(
+            "node",
+            (
+                (1.0 - DAMPING) / F.col("n") + DAMPING * F.col("contrib")
+            ).alias("rank"),
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint()
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -423,3 +423,58 @@ def multimodal_dedup_binary(spark, sf_dir):
         F.count("*").alias("n_payloads"),
         F.countDistinct("payload16").alias("n_distinct"),
     )
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, string_split(p_name, ' ')[2] AS noun,
+             count(*) AS n
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           CAST(a.n * b.n AS BIGINT) AS pair_count
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    tags=("llm", "dedup", "fuzzy", "string"),
+)
+def fuzzy_match_blocked(spark, sf_dir):
+    """Fuzzy (edit-distance) matching — the typo-dedup family the
+    other near-dup paths (shingle/minhash/simhash/embedding) don't
+    cover. Scale shape: collapse the corpus to its DISTINCT value
+    vocabulary with counts FIRST (one hash agg — for real-world name/
+    title columns the vocabulary is orders of magnitude smaller than
+    the table and nearly scale-invariant), then edit-distance join the
+    vocabulary blocked on a cheap exact key (here the head noun; in
+    production a phonetic key / length band). Pair work is O(sum
+    block_vocab^2), independent of row count; pair_count recovers the
+    row-level match cardinality without ever joining the fact table to
+    itself."""
+    p = t(spark, sf_dir, "part")
+    names = (
+        p.groupBy(
+            "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+        ).agg(F.count("*").alias("n"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+            (F.col("a.n") * F.col("b.n")).cast("long").alias("pair_count"),
+        )
+        .orderBy("name_a", "name_b")
+    )

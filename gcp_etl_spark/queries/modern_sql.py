@@ -99,3 +99,65 @@ def catalog_insert_overwrite(spark, sf_dir):
            SELECT o_orderstatus, count(*) FROM orders_cat_v GROUP BY 1"""
     )
     return spark.table("cat_status_counts")
+
+
+@query(
+    "join_bucketed_smb",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "bucketing", "catalog", "scale"),
+)
+def join_bucketed_smb(spark, sf_dir):
+    """Shuffle-free sort-merge join via bucketed catalog tables: both
+    sides written ``bucketBy(8, key) + sortBy(key)``, so the join
+    requires NO Exchange on either side — bucket pruning gives each
+    task one pre-sorted bucket pair. This is THE 100 TB pattern for a
+    repeatedly-joined fact/dim pair: pay the clustering once at write
+    time, amortize it over every subsequent join (the per-query shuffle
+    of both sides is the single largest cost a naive plan has at that
+    scale). The absence of shuffles under the SortMergeJoin is plan-
+    asserted in tests/test_scale_strategies.py. Small caveat: at toy
+    scale AQE may still pick a broadcast join — semantics identical;
+    the plan test pins SMJ explicitly via conf."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, src, key in (
+        ("smb_orders", "orders", "o_custkey"),
+        ("smb_customer", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a fresh session's metastore does not know tables a previous
+        # run left in the warehouse dir — DROP is then a no-op and the
+        # managed-table location collides (LOCATION_ALREADY_EXISTS)
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            t(spark, sf_dir, src)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("smb_orders")
+    c = spark.table("smb_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

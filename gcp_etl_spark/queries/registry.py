@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
     from gcp_etl_spark.queries import (  # noqa: F401
         aggregates,
         analytics_ops,
+        graph_ops,
         io_formats,
         joins,
         llm_ops,

@@ -467,3 +467,79 @@ def zorder_curve(spark, sf_dir):
         .orderBy("zval", "o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_custkey,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpositive_price,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+      FROM orders
+    ),
+    ri AS (
+      SELECT count(*) AS orphan_lineitems
+      FROM lineitem l LEFT JOIN orders r ON l.l_orderkey = r.o_orderkey
+      WHERE r.o_orderkey IS NULL
+    )
+    SELECT chk, violations FROM (
+      SELECT 'orders.custkey_not_null' AS chk, null_custkey AS violations
+        FROM o
+      UNION ALL SELECT 'orders.totalprice_positive', nonpositive_price FROM o
+      UNION ALL SELECT 'orders.status_domain', bad_status FROM o
+      UNION ALL SELECT 'orders.orderkey_unique', dup_orderkey FROM o
+      UNION ALL SELECT 'lineitem.orderkey_ref_integrity', orphan_lineitems
+        FROM ri
+    ) ORDER BY chk
+    """,
+    tags=("quality", "expectations", "scale"),
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (the Great-
+    Expectations / dbt-test shape, reference's R15 quality gate
+    generalized): ALL per-table checks (null, domain, range,
+    uniqueness) ride ONE aggregate scan of orders — conditional sums
+    fuse into a single map-side partial agg, so adding a check costs
+    one column, not one pass. The referential-integrity check is a
+    separate left-anti count of lineitem against orders keys (at
+    100 TB that join is the dominant cost; it shuffles on the already-
+    clustered orderkey and AQE can bloom-prune it). Output is the
+    normalized (check, violations) long form that a quality gate
+    consumes."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    wide = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    long = wide.selectExpr(
+        """stack(4,
+             'orders.custkey_not_null', null_custkey,
+             'orders.totalprice_positive', nonpositive_price,
+             'orders.status_domain', bad_status,
+             'orders.orderkey_unique', dup_orderkey) AS (chk, violations)"""
+    ).unionByName(
+        orphans.select(
+            F.lit("lineitem.orderkey_ref_integrity").alias("chk"),
+            F.col("orphan_lineitems").alias("violations"),
+        )
+    )
+    return long.orderBy("chk")
