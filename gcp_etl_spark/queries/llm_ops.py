@@ -478,3 +478,130 @@ def fuzzy_match_blocked(spark, sf_dir):
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "embeddings", "matrix"),
+)
+def embedding_covariance(spark, sf_dir):
+    """Full dim x dim sample covariance of the embedding corpus
+    (whitening / drift-detection input). Spark-first scale shape: ONE
+    numpy ``X.T @ X`` per Arrow batch inside mapInPandas, emitting a
+    CONSTANT d*(d+1)/2 partial rows per batch regardless of batch row
+    count, then a hash agg combines partials — the corpus is read
+    once, never exploded. The oracle pays the honest relational price
+    (|rows| * d^2 pair explosion + covar_samp); at 100 TB only the
+    partial-matrix path survives. Algebra: cov = (S_xy - S_x S_y / N)
+    / (N - 1), batch partials exactly sufficient."""
+    import pandas as pd  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    d = 64
+
+    def partials(batches):
+        import numpy as np  # executor-side
+
+        iu, ju = np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            sx = M.sum(axis=0)
+            xtx = M.T @ M
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": xtx[iu, ju],
+                    "sxi": sx[iu],
+                    "sxj": sx[ju],
+                    "n": np.full(len(iu), len(pdf), dtype="int64"),
+                }
+            )
+
+    parts = emb.repartition(par).mapInPandas(
+        partials, "i int, j int, sxy double, sxi double, sxj double, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("Sxy"),
+        F.sum("sxi").alias("Sxi"),
+        F.sum("sxj").alias("Sxj"),
+        F.sum("n").alias("N"),
+    )
+    cov = (F.col("Sxy") - F.col("Sxi") * F.col("Sxj") / F.col("N")) / (
+        F.col("N") - 1
+    )
+    # + 0.0 collapses IEEE -0.0 (one engine's round can produce it
+    # where the other yields +0.0) — mirrored in the oracle
+    return agg.select(
+        "i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
+    ).orderBy("i", "j")
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_sum(list_transform(xs,
+                 x -> (x - floor(x / scale + 0.5) * scale)
+                    * (x - floor(x / scale + 0.5) * scale)))
+                 / len(xs) AS mse
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("llm", "embeddings", "quantization"),
+)
+def embedding_quantize_error(spark, sf_dir):
+    """Symmetric int8 quantization fidelity: per-vector scale =
+    max|x|/127, reconstruction MSE of round-to-nearest codes. All
+    JVM-side higher-order functions — one pass, no Python, no shuffle
+    (a pure map; at any scale this pipelines inside the scan stage).
+    ``floor(x/s + 0.5)`` spells out round-half-up so both engines (and
+    any int8 kernel that copies the formula) agree bit-for-bit; the
+    64-term error fold runs in identical order on both sides, so
+    outputs match to the last ulp before the 9dp rounding."""
+    emb = t(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xs, F.abs)) / 127.0
+    with_s = emb.select("vec_id", xs.alias("xs"), scale.alias("scale"))
+    err = F.transform(
+        F.col("xs"),
+        lambda x: F.pow(
+            x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), 2
+        ),
+    )
+    mse = F.aggregate(
+        err, F.lit(0.0), lambda acc, e: acc + e
+    ) / F.size("xs")
+    # scale and mse are EXACT-path doubles (same-order 64-term fold on
+    # both engines) — emitted raw per the _exact.py float policy;
+    # rounding exact values is the cross-engine hazard, not the fix
+    return with_s.select(
+        "vec_id",
+        F.col("scale"),
+        mse.alias("mse"),
+    ).orderBy("vec_id")
