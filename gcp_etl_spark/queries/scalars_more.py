@@ -362,3 +362,50 @@ def scalar_array_setops(spark, sf_dir):
         F.size(F.array_except(a, b)).alias("n_except"),
         F.arrays_overlap(a, b).alias("overlaps"),
     )
+
+
+@query(
+    "scalar_map_higher_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2 AS qty_doubled,
+           CAST((CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+               + CASE WHEN l_discount > 25 THEN 1 ELSE 0 END) AS INT)
+             AS n_large_vals,
+           l_extendedprice * (1 + l_tax) AS price_with_tax,
+           CAST(2 AS INT) AS n_merged_keys
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "map", "higher-order"),
+)
+def scalar_map_higher_order(spark, sf_dir):
+    """Map higher-order functions (transform_values / map_filter /
+    map_zip_with / map_concat) — the map-typed side of the HOF surface
+    (arrays covered in scalar_higher_order). Maps cannot appear in the
+    output (driver-canon + DuckDB have no stable map hash), so each
+    result is collapsed to deterministic scalars; the oracle computes
+    the same values straight from the base columns, which is exactly
+    the parity claim: the map pipeline must equal direct column math.
+    Pure map stage — pipelines inside the scan at any scale."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    qmap = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    doubled = F.transform_values(qmap, lambda k, v: v * 2)
+    large = F.map_filter(qmap, lambda k, v: v > 25)
+    pricem = F.create_map(F.lit("p"), F.col("l_extendedprice"))
+    taxm = F.create_map(F.lit("p"), F.col("l_tax"))
+    taxed = F.map_zip_with(pricem, taxm, lambda k, p, x: p * (1 + x))
+    merged = F.map_concat(
+        F.create_map(F.lit("a"), F.lit(1)), F.create_map(F.lit("b"), F.lit(2))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_element_at(doubled, F.lit("qty")).alias("qty_doubled"),
+        F.size(large).alias("n_large_vals"),
+        F.try_element_at(taxed, F.lit("p")).alias("price_with_tax"),
+        F.size(merged).alias("n_merged_keys"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -543,3 +543,112 @@ def dq_expectations(spark, sf_dir):
         )
     )
     return long.orderBy("chk")
+
+
+# Count-min sketch: universal-hash coefficients as LITERALS so the
+# DuckDB oracle reproduces the identical sketch (integer arithmetic is
+# exact on both engines — no engine-private hash involved).
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_CMS_W = 64
+_CMS_COEF = ((1000003, 12345), (999983, 54321), (1000033, 98765), (999979, 13579))
+
+
+def _cms_hash_sql(d: int, key: str) -> str:
+    a, b = _CMS_COEF[d]
+    return f"((({a} * {key} + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+    WITH counters AS (
+      SELECT d,
+             CASE d
+               WHEN 0 THEN {_cms_hash_sql(0, 'l_partkey')}
+               WHEN 1 THEN {_cms_hash_sql(1, 'l_partkey')}
+               WHEN 2 THEN {_cms_hash_sql(2, 'l_partkey')}
+               ELSE {_cms_hash_sql(3, 'l_partkey')}
+             END AS bucket,
+             count(*) AS cnt
+      FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS d)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_partkey, count(*) AS exact_n
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_n DESC, l_partkey LIMIT 10
+    )
+    SELECT e.l_partkey, e.exact_n, min(c.cnt) AS cms_estimate
+    FROM exact e
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) ds
+    JOIN counters c
+      ON c.d = ds.d
+     AND c.bucket = CASE ds.d
+               WHEN 0 THEN {_cms_hash_sql(0, 'e.l_partkey')}
+               WHEN 1 THEN {_cms_hash_sql(1, 'e.l_partkey')}
+               WHEN 2 THEN {_cms_hash_sql(2, 'e.l_partkey')}
+               ELSE {_cms_hash_sql(3, 'e.l_partkey')}
+             END
+    GROUP BY 1, 2
+    ORDER BY exact_n DESC, l_partkey
+    """,
+    tags=("sketch", "approximate", "scale"),
+)
+def sketch_countmin(spark, sf_dir):
+    """Count-min sketch heavy-hitter estimation — the mergeable-sketch
+    family (alongside HLL/approx-quantile) with a FULLY deterministic
+    construction: 4 universal-hash rows x 64 buckets, coefficients as
+    shared literals, so the oracle rebuilds the bit-identical sketch.
+    Build = one scan, explode x4, hash agg with map-side partials: the
+    sketch state is 256 counters TOTAL independent of input size — the
+    whole point at 100 TB (the counter table broadcasts; per-executor
+    partials are the only traffic). Estimate = min over the 4 rows'
+    counters for each probe key; CMS guarantees estimate >= exact,
+    asserted row-wise in tests."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def h(d: int, key):
+        a, b = _CMS_COEF[d]
+        return ((F.lit(a) * key + F.lit(b)) % _CMS_P) % _CMS_W
+
+    hashed = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        h(d, F.col("l_partkey")).alias("bucket"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("e")
+    ).select("e.d", "e.bucket")
+    counters = hashed.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "l_partkey")
+        .limit(10)
+    )
+    probes = exact.select(
+        "l_partkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        h(d, F.col("l_partkey")).alias("bucket"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("l_partkey", "exact_n", "e.d", "e.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .orderBy(F.desc("exact_n"), "l_partkey")
+    )

@@ -127,3 +127,16 @@ def test_scd2_two_merge_rounds(spark):
     assert k1[0]["valid_to"] == k1[1]["valid_from"]
     assert k1[1]["valid_to"] == k1[2]["valid_from"]
     assert not k1[0]["is_current"] and not k1[1]["is_current"] and k1[2]["is_current"]
+
+
+def test_countmin_never_underestimates(spark):
+    from gcp_etl_spark.queries.scale_ops import sketch_countmin
+    from tests.conftest import SF_SMALL
+
+    rows = sketch_countmin(spark, SF_SMALL).collect()
+    assert rows, "sketch produced no probe rows"
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], (
+            f"CMS underestimated key {r['l_partkey']}: "
+            f"{r['cms_estimate']} < {r['exact_n']}"
+        )
