@@ -330,3 +330,75 @@ def skyline_pareto(spark, sf_dir):
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+@query(
+    "locf_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 40
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           o.day_value AS observed,
+           last_value(o.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM spine s LEFT JOIN obs o
+      ON s.user_id = o.user_id AND s.day = o.day
+    ORDER BY s.user_id, s.day
+    """,
+    tags=("analytics", "timeseries", "gap-fill", "window"),
+)
+def locf_gap_fill(spark, sf_dir):
+    """Calendar gap-filling with last-observation-carried-forward:
+    per-user day spine (sequence() between observed bounds — generated
+    executor-side, never a driver loop), left join of observations,
+    then last_value(ignoreNulls) forward fill. The spine explode is
+    bounded by the calendar span, the fill window partitions by
+    user_id (full parallelism). This is the batch dual of what a
+    streaming state store does for sensor/metric feeds; the per-day
+    observed aggregate uses the exact decimal-sum policy so join-key
+    alignment is bit-stable."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    obs = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -146,3 +146,41 @@ def stream_join_attribution(spark, sf_dir):
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "stream_join_unattributed",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id AS v_user
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+      )
+    ORDER BY view_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_join_unattributed(spark, sf_dir):
+    """Batch dual of the watermarked LEFT OUTER stream-stream join:
+    views with NO purchase in the attribution window (the null-
+    emission side — in streaming, these rows emit exactly when the
+    watermark proves no future purchase can match; subset/equality vs
+    batch asserted in tests/test_streaming.py). The oracle states the
+    same set as NOT EXISTS."""
+    from gcp_etl_spark.streaming.windows import view_purchase_join
+
+    e = t(spark, sf_dir, "events")
+    return (
+        view_purchase_join(
+            e.filter(F.col("event_type") == "view"),
+            e.filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        )
+        .filter(F.col("purchase_id").isNull())
+        .select("view_id", "v_user")
+        .orderBy("view_id")
+    )

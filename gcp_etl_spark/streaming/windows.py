@@ -184,6 +184,7 @@ def view_purchase_join(
     purchases: DataFrame,
     gap: str = "60 minutes",
     watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: pair each view with the same user's
     purchases inside ``(view.ts, view.ts + gap]`` — the attribution
@@ -202,10 +203,17 @@ def view_purchase_join(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
-    return v.join(
+    joined = v.join(
         p,
         F.expr(
             f"v_user = p_user AND p_ts > v_ts "
             f"AND p_ts <= v_ts + INTERVAL {gap}"
         ),
-    ).select("view_id", "purchase_id", "v_user")
+        how,
+    )
+    # left_outer adds the null-emission path: an unmatched view emits
+    # (view, NULL) only once the watermark passes v_ts + gap — i.e.
+    # once no future purchase could still match. State stays bounded
+    # exactly as in the inner case; rows buffered past watermark+gap
+    # are evicted with a null emission instead of silently.
+    return joined.select("view_id", "purchase_id", "v_user")

@@ -181,3 +181,52 @@ def test_stream_stream_join_equals_batch(spark, events_stream_dir):
     want = sorted(map(tuple, batch.collect()))
     assert sorted(map(tuple, got.collect())) == want
     assert want, "fixture should produce at least one attribution pair"
+
+
+def test_stream_stream_left_outer_join(spark, events_stream_dir):
+    """Left-outer stream-stream join: every emitted row must appear in
+    the batch dual, and every unmatched view OLD enough that the final
+    watermark proved no purchase can match must have emitted its null
+    row. Tail views (within watermark+gap of stream end) are allowed
+    to stay buffered — that is the semantics, not a bug."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.streaming.windows import view_purchase_join
+
+    path, schema = events_stream_dir
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch = view_purchase_join(
+        *split(spark.read.schema(schema).parquet(path)), how="left_outer"
+    )
+    stream = view_purchase_join(
+        *split(spark.readStream.schema(schema).parquet(path)),
+        how="left_outer",
+    )
+    assert stream.isStreaming
+    got = sorted(map(tuple, run_stream(spark, stream, "append").collect()))
+    want_all = sorted(map(tuple, batch.collect()))
+    assert set(got) <= set(want_all)
+    # rows safely older than (max_ts - watermark - gap) MUST all emit
+    ev = spark.read.schema(schema).parquet(path)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - _dt.timedelta(hours=2, minutes=60)
+    vts = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("event_id", "ts")
+        .collect()
+    }
+    must_emit = {row for row in want_all if vts[row[0]] < cutoff}
+    assert must_emit <= set(got), (
+        f"{len(must_emit - set(got))} pre-watermark rows missing"
+    )
+    # and the null (unattributed) side must be non-trivially exercised
+    assert any(r[1] is None for r in got), "no null emissions seen"
