@@ -116,11 +116,13 @@ def graph_pagerank(spark, sf_dir):
     """
     und = _edges(spark, sf_dir)
     # symmetrize: undirected random walk = edges in both directions
-    edges = und.union(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
-    deg = edges.groupBy("u").agg(F.count("*").alias("out_deg"))
-    nodes = deg.select(F.col("u").alias("node"), "out_deg").persist()
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("out_deg"))
+    # hoist the static (edge, out_deg) join OUT of the loop: each
+    # iteration then costs exactly one join + one agg on this persisted
+    # relation instead of re-joining degrees every round
+    edges = sym.join(deg, "u").persist()
+    nodes = deg.select(F.col("u").alias("node")).persist()
     n1 = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -129,14 +131,10 @@ def graph_pagerank(spark, sf_dir):
     for i in range(PR_ITERS):
         contribs = (
             edges.join(
-                ranks.join(nodes, "node").select(
-                    F.col("node").alias("u"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
-                ),
-                "u",
+                ranks.withColumnRenamed("node", "u"), "u"
             )
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("share").alias("contrib"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
         ranks = contribs.crossJoin(F.broadcast(n1)).select(
             "node",
