@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         sets_sorts,
         streaming_duals,
         subqueries,
+        surface_ext,
         text_ops,
         tpch_full,
         tpch_more,

@@ -652,3 +652,37 @@ def sketch_countmin(spark, sf_dir):
         .agg(F.min("cnt").alias("cms_estimate"))
         .orderBy(F.desc("exact_n"), "l_partkey")
     )
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=None,  # datasketches binary sketch — estimates asserted vs exact in pytest
+    tags=("sketch", "approx", "aggregate"),
+)
+def sketch_hll_merge(spark, sf_dir):
+    """Mergeable HLL sketches (Spark 3.5 Apache DataSketches builtins):
+    build one sketch PER GROUP with hll_sketch_agg, then merge the
+    per-group binary sketches with hll_union_agg for the global count —
+    the 100 TB pattern where each partition/day materializes a fixed-size
+    sketch and any rollup is a cheap sketch merge, never a re-scan
+    (reference's count(*) gate generalized to distinct-count telemetry).
+    Output is BIGINT estimates only (no binary columns → driver-canon
+    safe).
+    """
+    c = t(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_n"),
+    )
+    per_rows = per.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("hll_estimate"),
+        "exact_n",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate"),
+        F.sum("exact_n").alias("exact_n"),  # segments partition customers
+    ).select(
+        F.lit("__ALL__").alias("c_mktsegment"), "hll_estimate", "exact_n"
+    )
+    return per_rows.unionByName(merged).orderBy("c_mktsegment")

@@ -264,3 +264,16 @@ def test_resize_media_metadata_stub(spark):
     out = resize_media(media, 224, 224).collect()
     assert all(r["meta"]["target_size"] == "224x224" for r in out)
     assert all(r["meta"]["src"].startswith("synth://") for r in out)
+
+
+def test_hll_sketch_merge_tolerance(spark):
+    """Per-group DataSketches HLL estimates and the merged-union global
+    estimate both stay within the lgK=14 error envelope of exact."""
+    from gcp_etl_spark.queries.registry import load_all
+
+    q = load_all()["sketch_hll_merge"].fn
+    rows = {r["c_mktsegment"]: r for r in q(spark, SF_SMALL).collect()}
+    assert "__ALL__" in rows and len(rows) >= 2
+    for seg, r in rows.items():
+        exact = r["exact_n"]
+        assert abs(r["hll_estimate"] - exact) / max(exact, 1) < 0.02, seg
