@@ -50,10 +50,12 @@ def bucketed_range_frame(
         raise ValueError(f"bucket_width {bw} must be >= frame width {width}")
     home = F.floor(F.col(value_col).cast("double") / F.lit(bw)).cast("long")
     based = df.withColumn(_HOME, home)
-    # each row serves its own bucket AND (as boundary context) the one above
-    own = based.withColumn(_TGT, F.col(_HOME))
-    ctx = based.withColumn(_TGT, F.col(_HOME) + F.lit(1))
-    doubled = own.unionByName(ctx)
+    # each row serves its own bucket AND (as boundary context) the one
+    # above; explode-of-array emits both copies from a single scan of
+    # the source (a self-union would read the input twice)
+    doubled = based.withColumn(
+        _TGT, F.explode(F.array(F.col(_HOME), F.col(_HOME) + F.lit(1)))
+    )
     w = (
         Window.partitionBy(*part_cols, _TGT)
         .orderBy(value_col)

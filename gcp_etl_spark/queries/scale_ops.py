@@ -9,6 +9,7 @@ DuckDB oracles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
@@ -686,3 +687,52 @@ def sketch_hll_merge(spark, sf_dir):
         F.lit("__ALL__").alias("c_mktsegment"), "hll_estimate", "exact_n"
     )
     return per_rows.unionByName(merged).orderBy("c_mktsegment")
+
+
+@query(
+    "theta_gap_closed_form",
+    oracle="""
+    SELECT a.p_size AS p_size, count(*) AS n_pairs,
+           CAST(sum(CAST(abs(a.p_retailprice - b.p_retailprice)
+                          AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price_gap
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    GROUP BY a.p_size
+    """,
+    tags=("join", "theta", "scale", "rewrite"),
+)
+def theta_gap_closed_form(spark, sf_dir):
+    """100 TB rewrite of `join_theta_pairs` (identical pair-join
+    oracle): per-group sum of pairwise |price gaps| via the sorted
+    closed form  sum_{i<j}|v_i - v_j| = sum_k v_(k) * (2k - n - 1)  —
+    one window rank + one hash agg, O(n log n) per group instead of
+    the O(n^2) self-join blow-up (n rows shuffled, not n^2 pairs).
+    All gap arithmetic stays in DECIMAL(18,2), so the result is
+    bit-identical to summing per-pair decimal differences."""
+    p = t(spark, sf_dir, "part").select(
+        "p_size",
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("v"),
+    )
+    w = Window.partitionBy("p_size").orderBy("v", "p_partkey")
+    ranked = p.select(
+        "p_size",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_size")).alias("n"),
+    )
+    return (
+        ranked.groupBy("p_size")
+        .agg(
+            (F.max("n") * (F.max("n") - 1) / 2).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("v") * (2 * F.col("rn") - F.col("n") - 1)).alias("gap_sum"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "p_size",
+            "n_pairs",
+            (F.col("gap_sum").cast("double") / F.col("n_pairs")).alias(
+                "avg_price_gap"
+            ),
+        )
+    )
