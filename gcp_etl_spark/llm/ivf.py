@@ -31,14 +31,30 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     seed: int = 42,
+    train_sample: int = 4096,
 ):
     """Fit the coarse quantizer and assign every vector to a centroid.
-    Returns (assigned_df, centers ndarray [k, dim])."""
+    Returns (assigned_df, centers ndarray [k, dim]).
+
+    The quantizer is fit on a BOUNDED deterministic sample
+    (``train_sample`` vectors, smallest ids) coalesced to one
+    partition: k-means quality saturates at a few hundred samples per
+    centroid, so full-corpus training passes are pure waste — at
+    100 TB they are a non-starter, and even locally each MLlib
+    iteration over a multi-partition corpus costs a fleet of tiny
+    tasks. Assignment of the FULL corpus stays distributed via
+    ``model.transform``.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.withColumn(
-        "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    train = (
+        corpus.select(F.col(id_col).alias("__id"), vec.alias("__vec"))
+        .orderBy("__id")
+        .limit(train_sample)
+        .coalesce(1)
+        .cache()
     )
     # coarse quantizer, not a clustering deliverable: random init (the
     # kmeans|| default costs ~2 extra full passes) and a loose tol —
@@ -53,7 +69,8 @@ def ivf_assign(
         maxIter=10,
         tol=1e-3,
     ).fit(train)
-    assigned = model.transform(train).drop("__vec")
+    train.unpersist()
+    assigned = model.transform(corpus.withColumn("__vec", vec)).drop("__vec")
     centers = np.vstack(model.clusterCenters())
     return assigned, centers
 
