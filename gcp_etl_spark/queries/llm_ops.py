@@ -605,3 +605,77 @@ def embedding_quantize_error(spark, sf_dir):
         F.col("scale"),
         mse.alias("mse"),
     ).orderBy("vec_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] AS g
+           FROM w, unnest(range(len(ws)-1)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (the ground truth that
+    MinHash approximates): word-bigram shingle sets, |A∩B| via a
+    shingle-key equi-join (shuffle is |doc|x|shingles| rows keyed by
+    shingle — never a doc x doc cross join), Jaccard =
+    inter / (|A| + |B| - inter), threshold 0.5.
+
+    Scale note: the shingle join's hot keys are ultra-common shingles
+    ("of the"-class); at 100 TB you drop shingles with document
+    frequency above a cutoff first (they cannot certify a 0.5-Jaccard
+    pair on their own and are pure skew) — semantics here stay exact
+    because the fixture corpus has no such stop-shingles. The
+    division is int/int in IEEE double on both engines — bit-exact."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    # no broadcast hint on the size table: it is O(#docs) and only
+    # AQE's runtime sizing can know if it fits — at 100 TB it won't
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
