@@ -612,8 +612,9 @@ def embedding_quantize_error(spark, sf_dir):
     oracle="""
     WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
                FROM documents),
-    sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] AS g
-           FROM w, unnest(range(len(ws)-1)) AS t(i)),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -631,17 +632,19 @@ def embedding_quantize_error(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard near-dup pairs (the ground truth that
-    MinHash approximates): word-bigram shingle sets, |A∩B| via a
+    MinHash approximates): word-TRIGRAM shingle sets, |A∩B| via a
     shingle-key equi-join (shuffle is |doc|x|shingles| rows keyed by
     shingle — never a doc x doc cross join), Jaccard =
     inter / (|A| + |B| - inter), threshold 0.5.
 
-    Scale note: the shingle join's hot keys are ultra-common shingles
-    ("of the"-class); at 100 TB you drop shingles with document
-    frequency above a cutoff first (they cannot certify a 0.5-Jaccard
-    pair on their own and are pure skew) — semantics here stay exact
-    because the fixture corpus has no such stop-shingles. The
-    division is int/int in IEEE double on both engines — bit-exact."""
+    Shingle width is the scale lever: bigrams over this fixture have a
+    931-key vocabulary (max df 338 → 36M join pair-rows at sf0.1, a
+    quadratic blowup); trigrams lift vocabulary to 27k (max df 25 →
+    1.3M pair-rows), which is why w=3+ is the standard choice for
+    shingle dedup. At 100 TB additionally drop shingles above a df
+    cutoff (pure skew keys that cannot certify a 0.5-Jaccard pair on
+    their own). The division is int/int in IEEE double on both
+    engines — bit-exact."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
     )
@@ -649,16 +652,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(ws) - 2),"
-                " i -> concat_ws(' ', ws[i], ws[i + 1]))"
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
             )
         ).alias("g"),
     ).distinct()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # lead the equi-join with a 64-bit shingle hash: the shuffle
+    # partitions/sorts on an 8-byte long instead of a ~30-byte string;
+    # the raw string stays in the join condition, so a (astronomically
+    # unlikely) hash collision cannot change the result — still exact
+    shh = sh.withColumn("h", F.xxhash64("g"))
+    a = shh.alias("a")
+    b = shh.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.g") == F.col("b.g"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
