@@ -1,0 +1,236 @@
+"""Training-data preparation operators: document chunking,
+benchmark decontamination, repetition-based quality filtering
+(SURVEY.md §2C — LLM-data-pipeline surface).
+
+These are the three ops a pretraining corpus pipeline runs between
+dedup and tokenization: split documents into model-window chunks,
+drop documents that leak evaluation benchmarks, and kill
+template/boilerplate pages whose n-gram structure is degenerate
+(the Gopher repetition rules). All three are pure JVM column
+expressions or explode + hash-agg — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+# Chunk geometry: 64-token windows advancing 48 tokens (16-token
+# overlap) — the overlap preserves cross-boundary context exactly like
+# a tokenizer's sliding window; constants mirrored in the oracle.
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')
+               AS tokens
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, tokens, len(tokens) AS n,
+             CASE WHEN len(tokens) <= {_CHUNK_W} THEN 1
+                  ELSE (len(tokens) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                       // {_CHUNK_S} + 1 END AS n_chunks
+      FROM toks WHERE len(tokens) > 0
+    ), chunks AS (
+      SELECT doc_id, n, i AS chunk_idx,
+             list_slice(tokens, i * {_CHUNK_S} + 1,
+                        i * {_CHUNK_S} + {_CHUNK_W}) AS ctoks
+      FROM sized, unnest(range(n_chunks)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(ctoks) AS INT) AS n_chunk_toks,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+    tags=("text", "llm", "chunk"),
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping document chunking: 64-token windows, stride 48.
+
+    The whole op is one map stage — ``sequence`` builds the chunk
+    index list, ``explode`` fans out, ``slice`` carves the window —
+    so it pipelines inside the scan with NO shuffle at any scale;
+    output partitioning inherits the input's. Chunk text is emitted
+    as an md5 (the driver canon forbids long free-text columns less
+    than it forbids arrays, but the hash also keeps the comparison
+    payload fixed-width)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    sized = d.select("doc_id", toks.alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    sized = sized.withColumn(
+        "n_chunks",
+        F.when(F.size("tokens") <= _CHUNK_W, F.lit(1)).otherwise(
+            F.expr(
+                f"(size(tokens) - {_CHUNK_W} + {_CHUNK_S} - 1)"
+                f" div {_CHUNK_S} + 1"
+            ).cast("int")
+        ),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(
+            "tokens", F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+        ).alias("ctoks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ctoks").alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(trim(lower(text)), ' '),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+          FROM w, unnest(range(len(ws)-2)) AS u(i)),
+    eval_grams AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+    train AS (SELECT doc_id, gram FROM g WHERE doc_id % 37 <> 0),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM train JOIN eval_grams USING (gram) GROUP BY 1)
+    SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           n_overlap / n_grams AS overlap_ratio
+    FROM hits JOIN sz USING (doc_id)
+    WHERE n_overlap / n_grams >= 0.2
+    """,
+    tags=("text", "llm", "decontaminate", "join"),
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents whose word
+    trigrams overlap an evaluation set (here: doc_id % 37 == 0 plays
+    the benchmark) at >= 20% of their distinct trigrams.
+
+    Scale shape: the eval side is a BENCHMARK — thousands of
+    documents, not billions — so its distinct-gram set is broadcast
+    and the 100 TB train side is never shuffled for the probe; the
+    only shuffles are the per-doc distinct + counts, keyed by
+    (doc_id, gram). This is the standard n-gram decontamination from
+    the GPT-3/PaLM appendices, expressed as a broadcast semi-probe."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    grams = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 37 == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 37 != 0)
+    sz = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_grams",
+            (F.col("n_overlap") / F.col("n_grams")).alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= 0.2)
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(trim(lower(text)), ' '),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+          FROM w, unnest(range(len(ws)-2)) AS u(i)),
+    per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count
+            FROM per GROUP BY 1)
+    SELECT doc_id, n_grams, n_distinct,
+           1.0 - n_distinct / n_grams AS dup_gram_ratio,
+           top_count / n_grams AS top_gram_frac
+    FROM agg
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality rule: per document, the
+    fraction of word trigrams that are duplicates
+    (1 - distinct/total) and the share of the single most frequent
+    trigram. Boilerplate/template pages score high on both.
+
+    Two hash aggs — (doc_id, gram) then doc_id — both map-side
+    combinable; the shuffled payload is counts, never text. The
+    int/int divisions are bit-exact in IEEE double on both engines."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    per = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")).alias(
+            "dup_gram_ratio"
+        ),
+        (F.col("top_count") / F.col("n_grams")).alias("top_gram_frac"),
+    )

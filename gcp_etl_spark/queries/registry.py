@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         io_formats,
         joins,
         llm_ops,
+        llm_prep,
         modern_sql,
         reference_parity,
         scale_ops,
