@@ -175,26 +175,31 @@ def window_range_frame(spark, sf_dir):
 )
 def window_range_frame_bucketed(spark, sf_dir):
     """Same RANGE-frame semantics as `window_range_frame` (identical
-    oracle), evaluated through the bucketized operator: value buckets
-    of 20k + one-bucket boundary replication lift parallelism from 3
-    tasks to 3 x #buckets — the plan that survives 100 TB."""
-    from gcp_etl_spark.operators.range_frame import bucketed_range_frame
+    oracle), evaluated through the prefix-difference operator: frame
+    sums/counts become cum(<=v) - cum(<v-w) out of one two-level
+    parallel prefix scan (cumulative per (status, value-bucket) +
+    broadcast bucket offsets). O(n log n) vs Spark's native
+    O(rows x frame-rows) sliding-frame re-aggregation, parallelism
+    3 x #buckets — the plan that survives 100 TB. The replication
+    variant (`bucketed_range_frame`) remains the path for
+    non-invertible frame aggs (min/max/collect)."""
+    from gcp_etl_spark.operators.range_frame import prefix_range_frame
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    res = bucketed_range_frame(
+    frames = prefix_range_frame(
         o,
         value_col="o_totalprice",
         width=5000,
         bucket_width=20000,
         part_cols=("o_orderstatus",),
-        aggs={
-            "n_within_5k": F.count("*"),
-            "__sum_dec": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+        sum_cols={
+            "n_within_5k": F.lit(1),
+            "__sum_dec": F.col("o_totalprice").cast("decimal(18,2)"),
         },
     )
-    return res.select(
+    return o.join(frames, ["o_orderstatus", "o_totalprice"]).select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",

@@ -177,6 +177,48 @@ def test_runtime_bloom_filter_on_selective_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_prefix_range_frame_matches_plain_window(spark):
+    """The prefix-difference RANGE frame (cum(<=v) - cum(<v-w) via a
+    two-level prefix scan) must match Spark's native sliding frame
+    exactly — for count AND an exact decimal sum, for every bucket
+    width (including widths below the frame width, which the
+    replication operator cannot take)."""
+    from pyspark.sql import Window
+
+    from gcp_etl_spark.operators.range_frame import prefix_range_frame
+
+    o = t(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    plain = o.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("s"),
+    )
+    expected = sorted(map(tuple, plain.collect()))
+    for bw in (20000.0, 1500.0):
+        frames = prefix_range_frame(
+            o,
+            value_col="o_totalprice",
+            width=5000,
+            bucket_width=bw,
+            part_cols=("o_orderstatus",),
+            sum_cols={
+                "n": F.lit(1),
+                "s": F.col("o_totalprice").cast("decimal(18,2)"),
+            },
+        )
+        got = o.join(frames, ["o_orderstatus", "o_totalprice"]).select(
+            "o_orderkey", "n", "s"
+        )
+        assert sorted(map(tuple, got.collect())) == expected, bw
+
+
 def test_bucketed_range_frame_parallelism(spark):
     """The plain RANGE frame partitioned by o_orderstatus caps window
     parallelism at 3 tasks; the bucketized operator must (a) match the
