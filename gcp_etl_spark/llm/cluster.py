@@ -30,7 +30,7 @@ def connected_components(
     """
     # symmetrize in ONE pass over edges (a union of two selects would
     # recompute the upstream pair pipeline — minhash etc. — twice)
-    sym = (
+    sym0 = (
         edges.select(
             F.explode(
                 F.array(
@@ -43,11 +43,22 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # size the LOOP's parallelism to the edge list, not the session
+    # default: the near-dup graph is orders of magnitude smaller than
+    # the corpus that produced it, and every iteration re-scans these
+    # partitions — at 32 session partitions a 512-edge graph pays 32
+    # task launches per job per round. ~50k edges/partition keeps
+    # tasks meaningful; huge graphs keep full parallelism.
+    n_edges = sym0.count()
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(par, n_edges // 50_000 + 1))
+    sym = sym0.coalesce(n_parts).persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    sym0.unpersist()
     for _ in range(max_iter):
         # each node adopts min(own label, neighbours' labels)
         neigh = (
