@@ -61,7 +61,9 @@ def text_chunk_overlap(spark, sf_dir):
     as an md5 (the driver canon forbids long free-text columns less
     than it forbids arrays, but the hash also keeps the comparison
     payload fixed-width)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-file scan
+    )
     toks = F.filter(
         F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
     )
@@ -132,13 +134,15 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     only shuffles are the per-doc distinct + counts, keyed by
     (doc_id, gram). This is the standard n-gram decontamination from
     the GPT-3/PaLM appendices, expressed as a broadcast semi-probe."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-file scan
+    )
     ws = F.filter(
         F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
     )
-    grams = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
+
+    def grams(sub):
+        return sub.select("doc_id", ws.alias("ws")).select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -146,13 +150,16 @@ def decontaminate_ngram_overlap(spark, sf_dir):
                     " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
                 )
             ).alias("gram"),
-        )
-        .distinct()
-    )
+        ).distinct()
+
+    # gram the two sides from their own filtered scans: the eval side
+    # only ever shingles its 1/37 slice (a benchmark is small by
+    # construction), instead of filtering a full-corpus gram pipeline
+    # computed twice (broadcast job + probe job)
     eval_grams = (
-        grams.filter(F.col("doc_id") % 37 == 0).select("gram").distinct()
+        grams(d.filter(F.col("doc_id") % 37 == 0)).select("gram").distinct()
     )
-    train = grams.filter(F.col("doc_id") % 37 != 0)
+    train = grams(d.filter(F.col("doc_id") % 37 != 0))
     sz = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
         train.join(F.broadcast(eval_grams), "gram")
@@ -202,7 +209,9 @@ def text_repetition_ratio(spark, sf_dir):
     Two hash aggs — (doc_id, gram) then doc_id — both map-side
     combinable; the shuffled payload is counts, never text. The
     int/int divisions are bit-exact in IEEE double on both engines."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-file scan
+    )
     ws = F.filter(
         F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
     )
