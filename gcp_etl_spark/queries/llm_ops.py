@@ -691,3 +691,49 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+@query(
+    "dedup_cluster_exact",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    lab AS (SELECT n AS node, min(m) AS comp FROM reach GROUP BY n)
+    SELECT comp, count(*) AS n_docs FROM lab GROUP BY comp
+    """,
+    tags=("llm", "dedup", "cluster", "jaccard"),
+)
+def dedup_cluster_exact(spark, sf_dir):
+    """Near-dup CLUSTERS over the EXACT trigram-Jaccard pair graph —
+    the fully deterministic arm of `dedup_clusters` (whose minhash
+    edges are LSH-approximate and therefore rows-only). Both engines
+    derive the identical edge set; Spark clusters it by distributed
+    min-label propagation (llm/cluster.py), the oracle by a recursive
+    transitive-closure CTE — so the component ALGEBRA itself is
+    hash-verified end-to-end, not just pytest-asserted."""
+    from gcp_etl_spark.llm.cluster import dedup_clusters
+
+    return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
