@@ -93,9 +93,41 @@ def graph_triangle_count(spark, sf_dir):
 
 @query(
     "graph_pagerank",
-    oracle=None,  # iterative — rows-only here; exact parity vs a numpy
-    # power iteration on the identical edge set is asserted in
-    # tests/test_graph.py at sf0.001.
+    # a DuckDB recursive CTE CAN express fixed-round power iteration:
+    # the recursive term sees only the previous iteration's rows
+    # (working-table semantics) and DuckDB permits GROUP BY there, so
+    # each recursion step IS one rank update. 6dp rounding absorbs
+    # summation-order ulps (~1e-14 after 8 rounds). Exact parity vs a
+    # numpy power iteration is additionally asserted in
+    # tests/test_graph.py.
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    nn AS (SELECT count(DISTINCT u) AS n FROM e),
+    pr(it, node, rank) AS (
+      SELECT 0, u, 1.0 / (SELECT n FROM nn)
+      FROM (SELECT DISTINCT u FROM e)
+      UNION ALL
+      SELECT pr.it + 1, e.v,
+             (1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * sum(pr.rank / deg.d)
+      FROM pr
+      JOIN e ON pr.node = e.u
+      JOIN deg ON deg.u = pr.node
+      WHERE pr.it < {PR_ITERS}
+      GROUP BY pr.it, e.v
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM pr WHERE it = {PR_ITERS}
+    ORDER BY rank DESC, node LIMIT 20
+    """,
     tags=("graph", "iterative", "pagerank"),
 )
 def graph_pagerank(spark, sf_dir):

@@ -64,13 +64,35 @@ def ref_projection_filter(spark, sf_dir):
     )
 
 
-@query("ref_pipeline_e2e", oracle=None, tags=("reference", "pipeline"))
+@query(
+    "ref_pipeline_e2e",
+    # the medallion output is fully deterministic (synthesized landing
+    # JSON; the default curated SQL is ORDER BY 1 = coordinates, which
+    # is unique per row), so the oracle regenerates the same 100 rows
+    # closed-form: landing synthesis + the curated ORDER BY/LIMIT, with
+    # the JSON-inferred column types (elevation_ft -> BIGINT).
+    oracle="""
+    WITH src AS (
+      SELECT CAST((i % 359) - 179 AS VARCHAR) || '.5, '
+               || CAST((i % 179) - 89 AS VARCHAR) || '.25' AS coordinates,
+             CASE WHEN i % 7 = 0 THEN NULL
+                  ELSE (i * 13) % 9000 END AS elevation_ft,
+             'AP' || lpad(CAST(i AS VARCHAR), 5, '0') AS ident,
+             'US' AS iso_country,
+             ['small_airport', 'heliport', 'closed'][CAST(i % 3 AS INT) + 1]
+               AS type
+      FROM range(2000) t(i)
+    )
+    SELECT * FROM src ORDER BY coordinates LIMIT 100
+    """,
+    tags=("reference", "pipeline"),
+)
 def ref_pipeline_e2e(spark, sf_dir):
     """The reference's whole job as one benchmarked unit: landing JSON
     (deterministic airports-shaped synthesis) -> parquet processing ->
-    SQL limit -> curated -> serving + count gate (R3-R15). Rows-only:
-    the pipeline's own gate is the check; the e2e latency lands in
-    BENCH."""
+    SQL limit -> curated -> serving + count gate (R3-R15). The serving
+    table is value-checked against a closed-form regeneration of the
+    same 100 rows (see oracle)."""
     import json
     import tempfile
 
