@@ -114,11 +114,21 @@ def stream_dedup_keys(spark, sf_dir):
     )
 
 
-@query("stream_dedup_exact_ids", oracle=None, tags=("streaming", "dedup"))
+@query(
+    "stream_dedup_exact_ids",
+    # event_id is unique in the fixture, so the arbitrary-pick hazard
+    # of dedup-by-id is moot and the operator must be the identity —
+    # which the oracle checks value-for-value (the interesting
+    # duplicate-carrying path is stream_dedup_keys' row_number form).
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value, props FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_exact_ids(spark, sf_dir):
     """dropDuplicates on event_id — the streaming watermarked-dedup
-    operator run in batch mode (rows-only: dropDuplicates pick among
-    exact duplicates is arbitrary; count is what matters)."""
+    operator run in batch mode. Value-checked: ids are unique in the
+    fixture, so dedup must pass every row through untouched."""
     return stream_dedup(t(spark, sf_dir, "events"), keys=("event_id",))
 
 
