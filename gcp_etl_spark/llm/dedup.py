@@ -270,6 +270,8 @@ def minhash_incremental(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    full: DataFrame | None = None,
+    batch_pred=None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus: (batch_id,
     corpus_id, jaccard) pairs with jaccard >= threshold.
@@ -277,15 +279,27 @@ def minhash_incremental(
     The incremental shape of training-data ingestion: candidates are
     batch-buckets JOIN corpus-buckets only — corpus x corpus pairs are
     never enumerated, so daily cost is O(|batch| + matched buckets)
-    however large the historical corpus grows. At 100 TB the corpus
+    however large the historical corpus grows. When both sides are
+    slices of one table, pass ``full`` plus ``batch_pred`` (a
+    Column-predicate over the id) instead of materializing two scans —
+    the shingle-hash pipeline then runs once. At 100 TB the corpus
     (band, bh) bucket table is the thing you persist between runs:
     computing it here is a one-time backfill, after which each
     ingestion only hashes its own batch.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    cb = _hashed_shingles(corpus, id_col, text_col, shingle_k).persist()
-    bb = _hashed_shingles(batch, id_col, text_col, shingle_k).persist()
+    if full is not None and batch_pred is not None:
+        # corpus and batch are slices of ONE table (``full``, split by
+        # ``batch_pred`` over the id): shingle-hash the combined scan
+        # once and split the hashed intermediate, instead of running
+        # the scan + Arrow hashing pipeline twice
+        all_b = _hashed_shingles(full, id_col, text_col, shingle_k).persist()
+        bb = all_b.filter(batch_pred(F.col("id")))
+        cb = all_b.filter(~batch_pred(F.col("id")))
+    else:
+        cb = _hashed_shingles(corpus, id_col, text_col, shingle_k).persist()
+        bb = _hashed_shingles(batch, id_col, text_col, shingle_k).persist()
 
     def sig_buckets(base, out_id):
         sig = base.select("id", _min_perm_udf(num_perm)("hb").alias("sig"))

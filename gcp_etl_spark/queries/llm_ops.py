@@ -157,11 +157,13 @@ def dedup_minhash_incremental(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return minhash_incremental(
-        corpus=d.filter(F.col("doc_id") % 5 != 0),
-        batch=d.filter(F.col("doc_id") % 5 == 0),
+        corpus=None,
+        batch=None,
         id_col="doc_id",
         text_col="text",
         threshold=0.7,
+        full=d,
+        batch_pred=lambda i: i % 5 == 0,
     ).orderBy("batch_id", "corpus_id")
 
 
