@@ -305,3 +305,55 @@ def test_zorder_layout_plan_and_clustering(spark):
         .collect()[0][0]
     )
     assert spans < base_span * 0.6, f"z-order span {spans} vs {base_span}"
+
+
+def test_chunk_overlap_is_shuffle_free(spark):
+    """Document chunking must pipeline inside the scan: sequence +
+    explode + slice is a pure map stage, so the plan may contain the
+    one explicit repartition of the single-file scan and NOTHING else
+    that exchanges data."""
+    from gcp_etl_spark.queries.llm_prep import text_chunk_overlap
+
+    plan = _plan(text_chunk_overlap(spark, SF_SMALL))
+    # formatted mode prints each node once in the tree and once as a
+    # "(n) Exchange" detail header — count the headers
+    assert plan.count(") Exchange") <= 1  # only the declared repartition
+    assert "Generate" in plan  # the explode runs inside the map stage
+
+
+def test_decontaminate_probes_via_broadcast(spark):
+    """The eval-set gram table must reach the train side as a
+    broadcast (a benchmark is small by construction); the 100 TB train
+    side must never be shuffled for the membership probe."""
+    from gcp_etl_spark.queries.llm_prep import decontaminate_ngram_overlap
+
+    plan = _plan(decontaminate_ngram_overlap(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_range_frame_fans_out_on_buckets(spark):
+    """The prefix-difference RANGE frame must partition its window
+    exchange on (partition cols, value bucket) — that is the whole
+    point vs the 3-task native frame."""
+    from gcp_etl_spark.operators.range_frame import prefix_range_frame
+
+    o = t(spark, SF_SMALL, "orders")
+    frames = prefix_range_frame(
+        o,
+        value_col="o_totalprice",
+        width=5000,
+        bucket_width=20000,
+        part_cols=("o_orderstatus",),
+        sum_cols={"n": F.lit(1)},
+    )
+    plan = _plan(frames)
+    assert "__bkt" in plan and "hashpartitioning" in plan
+    n_groups = (
+        o.select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") / 20000).alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups > 20
