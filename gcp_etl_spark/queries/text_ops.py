@@ -282,3 +282,62 @@ def text_rolling_hash(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_source_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), w AS (SELECT source, word FROM words WHERE word <> ''),
+    sw AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+    st AS (SELECT source, sum(c) AS n_s FROM sw GROUP BY 1),
+    ct AS (SELECT word, sum(c) AS c_t FROM sw GROUP BY 1),
+    g  AS (SELECT sum(c) AS n FROM sw)
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+           round(sum((c / n_s) * ln((c / n_s) / (c_t / n))), 6)
+             AS kl_divergence
+    FROM sw JOIN st USING (source) JOIN ct USING (word), g
+    GROUP BY source, n_s
+    """,
+    tags=("text", "quality", "divergence"),
+)
+def text_source_divergence(spark, sf_dir):
+    """Corpus drift: KL(P_source || P_corpus) over word distributions
+    per source — the distribution-shift check a multi-source corpus
+    runs before deciding mixing weights. Every source token exists in
+    the corpus distribution by construction, so no zero-probability
+    guard is needed.
+
+    Scale shape: one explode -> (source, word) hash agg (map-side
+    combinable; shuffles counts, never text), then a word-keyed join
+    to corpus totals (vocabulary-sized, NOT corpus-sized) and a
+    broadcastable per-source total. int/int probabilities are exact
+    doubles on both engines; 6dp rounding absorbs ln/summation-order
+    ulps."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(par)  # single-file scan
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = sw.groupBy("word").agg(F.sum("c").alias("c_t"))
+    g = sw.agg(F.sum("c").alias("n"))
+    p_s = F.col("c") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n")
+    return (
+        sw.join(F.broadcast(st), "source")
+        .join(ct, "word")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "kl_divergence",
+        )
+    )
