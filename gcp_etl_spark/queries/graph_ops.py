@@ -152,9 +152,12 @@ def graph_pagerank(spark, sf_dir):
     deg = sym.groupBy("u").agg(F.count("*").alias("out_deg"))
     # hoist the static (edge, out_deg) join OUT of the loop: each
     # iteration then costs exactly one join + one agg on this persisted
-    # relation instead of re-joining degrees every round
-    edges = sym.join(deg, "u").persist()
-    nodes = deg.select(F.col("u").alias("node")).persist()
+    # relation instead of re-joining degrees every round. The relation
+    # is bounded by 2*C(N_NODES, 2) rows (~90k) regardless of input
+    # scale, so coalesce it — every round re-scans these partitions and
+    # 32 task launches per job per round would be pure overhead
+    edges = sym.join(deg, "u").coalesce(4).persist()
+    nodes = deg.select(F.col("u").alias("node")).coalesce(1).persist()
     n1 = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

@@ -647,6 +647,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     cutoff (pure skew keys that cannot certify a 0.5-Jaccard pair on
     their own). The division is int/int in IEEE double on both
     engines — bit-exact."""
+    return _ngram_jaccard_pairs(spark, sf_dir, df_cap=None)
+
+
+def _ngram_jaccard_pairs(spark, sf_dir, df_cap=None):
+    """Shared body of the exact trigram-Jaccard pair queries;
+    ``df_cap`` drops shingles with document frequency above the cap
+    before the pair join (the 100 TB skew mitigation)."""
     par = spark.sparkContext.defaultParallelism
     d = (
         t(spark, sf_dir, "documents")
@@ -663,6 +670,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         ).alias("g"),
     ).distinct()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("g")
+        )
+        sh = sh.join(keep, "g")
     # lead the equi-join with a 64-bit shingle hash: the shuffle
     # partitions/sorts on an 8-byte long instead of a ~30-byte string;
     # the raw string stays in the join condition, so a (astronomically
@@ -693,6 +708,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+@query(
+    "dedup_ngram_jaccard_dfcap",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+    shk AS (SELECT doc_id, g FROM sh JOIN keep USING (g)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard", "ngram", "scale"),
+)
+def dedup_ngram_jaccard_dfcap(spark, sf_dir):
+    """`dedup_ngram_jaccard` with the 100 TB skew mitigation as REAL,
+    oracle-checked code: shingles whose document frequency exceeds a
+    cap (50) are dropped before the pair join. Ultra-common shingles
+    are pure shuffle skew — a shingle shared by d documents emits
+    C(d, 2) join rows, quadratic in d, while every retained pair's
+    intersection count only loses grams that could not on their own
+    certify a 0.5-Jaccard pair. The denominator still uses the FULL
+    set sizes, so scores are conservative (never inflated) and the
+    cutoff is mirrored exactly in the oracle — the two engines agree
+    at any scale, including when the cap bites (on this fixture max
+    df is 25, so results equal the uncapped query's)."""
+    return _ngram_jaccard_pairs(spark, sf_dir, df_cap=50)
 
 
 @query(
