@@ -736,3 +736,107 @@ def theta_gap_closed_form(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    hashed AS (SELECT source, md5(word) AS h FROM words),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 256
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    p AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+    u AS (
+      SELECT p.src_a, p.src_b, s.h FROM p JOIN sk s ON s.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, s.h FROM p JOIN sk s ON s.source = p.src_b
+    ),
+    g AS (SELECT src_a, src_b, h, count(*) AS sides FROM u GROUP BY 1, 2, 3),
+    m AS (
+      SELECT * FROM (
+        SELECT g.*, row_number() OVER (PARTITION BY src_a, src_b
+                                       ORDER BY h) AS rn
+        FROM g
+      ) WHERE rn <= 256
+    )
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS m_rows,
+           CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS matches,
+           CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS est_jaccard
+    FROM m GROUP BY 1, 2
+    """,
+    tags=("sketch", "kmv", "similarity", "scale"),
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    """KMV (bottom-k / k-minimum-values) distinct sketches with a
+    mergeable set-operation estimate: per-source vocabulary sketches
+    (the 256 lexicographically smallest md5(word) values), pairwise
+    Jaccard estimated as the two-sided fraction of the MERGED bottom-k
+    (Beyer et al., SIGMOD'07). Complements the DataSketches HLL row
+    (`sketch_hll_merge`): HLL's binary state is
+    implementation-specific so only tolerances can be asserted, while
+    a KMV sketch is just sorted hashes — both engines materialize the
+    IDENTICAL sketch, so the sketch algebra itself is hash-verified.
+
+    Scale shape: sketches are fixed 256 rows per source regardless of
+    corpus size and merge by union + re-rank (how a 100 TB corpus
+    maintains them incrementally per shard); the pairwise comparison
+    is sketch-sized, never corpus-sized. When the true union is
+    smaller than k the sketch degrades to the exact set and the
+    estimate to exact Jaccard (denominator = merged size)."""
+    k = 256
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    words = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    hashed = words.select("source", F.md5("word").alias("h"))
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    srcs = sk.select("source").distinct()
+    a = srcs.select(F.col("source").alias("src_a"))
+    b = srcs.select(F.col("source").alias("src_b"))
+    p = a.crossJoin(b).filter(F.col("src_a") < F.col("src_b"))
+    ea = p.join(
+        sk.select(F.col("source").alias("src_a"), "h"), "src_a"
+    ).select("src_a", "src_b", "h")
+    eb = p.join(
+        sk.select(F.col("source").alias("src_b"), "h"), "src_b"
+    ).select("src_a", "src_b", "h")
+    g = (
+        ea.unionByName(eb)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count("*").alias("sides"))
+    )
+    wm = Window.partitionBy("src_a", "src_b").orderBy("h")
+    m = g.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") <= k)
+    return m.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("m_rows"),
+        F.sum((F.col("sides") == 2).cast("long")).alias("matches"),
+        (
+            F.sum((F.col("sides") == 2).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("est_jaccard"),
+    )

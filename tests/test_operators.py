@@ -140,3 +140,36 @@ def test_countmin_never_underestimates(spark):
             f"CMS underestimated key {r['l_partkey']}: "
             f"{r['cms_estimate']} < {r['exact_n']}"
         )
+
+
+def test_kmv_sketch_estimates_vocab_jaccard(spark):
+    """KMV bottom-k estimate must track the exact vocabulary Jaccard
+    within the sketch's error envelope (~1/sqrt(k) + slack; exact when
+    the merged vocabulary fits inside k)."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.queries.scale_ops import sketch_kmv_jaccard
+    from gcp_etl_spark.tables import t
+    from tests.conftest import SF_SMALL
+
+    est = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in sketch_kmv_jaccard(spark, SF_SMALL).collect()
+    }
+    words = (
+        t(spark, SF_SMALL, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    vocab = {
+        r["source"]: set(r["ws"])
+        for r in words.groupBy("source")
+        .agg(F.collect_set("w").alias("ws"))
+        .collect()
+    }
+    assert est, "no source pairs produced"
+    for (sa, sb), e in est.items():
+        a, b = vocab[sa], vocab[sb]
+        exact = len(a & b) / len(a | b)
+        assert abs(e - exact) < 0.15, (sa, sb, e, exact)
