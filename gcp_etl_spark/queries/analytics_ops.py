@@ -402,3 +402,55 @@ def locf_gap_fill(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "ewma_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           vals[len(vals)] AS last_value,
+           list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc)
+             AS ewma_value
+    FROM seq
+    """,
+    tags=("analytics", "timeseries", "fold"),
+)
+def ewma_per_user(spark, sf_dir):
+    """EWMA (alpha = 0.25) over each user's event-value series — a
+    linear recurrence no Spark window frame expresses (sliding frames
+    re-aggregate; EWMA needs ordered foldLeft). Realized as a
+    higher-order ``aggregate`` fold over the per-key ordered series;
+    both engines fold in the identical (ts, event_id) order with the
+    identical IEEE expression, so the doubles match bit-exactly and no
+    rounding policy is needed.
+
+    Scale shape: one hash agg keyed by user (map-side combinable
+    collect), fold runs inside the map stage after it. The per-KEY
+    series must fit an executor (fine for per-user event streams);
+    unbounded keys move to the applyInPandasWithState operator in
+    streaming/windows.py, which carries the same recurrence as
+    incremental state."""
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vals"),
+        F.count("*").alias("n_events"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.element_at("vals", -1).alias("last_value"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            " element_at(vals, 1),"
+            " (acc, x) -> 0.25d * x + 0.75d * acc)"
+        ).alias("ewma_value"),
+    )
