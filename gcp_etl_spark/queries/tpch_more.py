@@ -439,3 +439,130 @@ def q22_global_sales_opportunity(spark, sf_dir):
             "totacctbal"
         ),
     )
+
+
+@query(
+    "q2_full_derived_partsupp",
+    oracle="""
+    WITH ns AS (SELECT count(*) AS n FROM supplier),
+    ps AS (
+      SELECT p_partkey AS ps_partkey,
+             ((p_partkey + j * 7) % (SELECT n FROM ns)) + 1 AS ps_suppkey,
+             CAST((p_partkey * 31
+                   + (((p_partkey + j * 7) % (SELECT n FROM ns)) + 1) * 17)
+                  % 10000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost
+      FROM part, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    eur AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost
+             FROM eur GROUP BY 1)
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_type, e.ps_supplycost
+    FROM eur e
+    JOIN best b ON b.ps_partkey = e.ps_partkey
+                AND e.ps_supplycost = b.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size BETWEEN 10 AND 15
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey,
+             e.ps_supplycost
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q2_full_derived_partsupp(spark, sf_dir):
+    """CANONICAL TPC-H Q2 shape (min-cost supplier per part within a
+    region, the decorrelated form of Q2's correlated subquery) over a
+    DERIVED partsupp: the fixture ships no partsupp table, so both
+    engines synthesize the identical one — 4 suppliers per part by a
+    modular formula, supply cost a pure integer-arithmetic function of
+    the keys cast to double (identical IEEE values, so the min-cost
+    equality join is exact). Upgrades the adapted `q2_min_cost_supplier`
+    to the full five-table Q2 plan: derived fact -> broadcast dims ->
+    min-per-group -> extremum join-back -> total-order LIMIT.
+
+    Scale notes: supplier count rides in as a broadcast scalar; the
+    region filter prunes before the min-agg; the join back on
+    (partkey, min cost) is the standard argmin-without-window shape
+    whose both sides are the SAME derived relation (exchange reuse)."""
+    par_n = spark.sparkContext.defaultParallelism  # noqa: F841
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    ns = s.agg(F.count("*").alias("n"))
+    ps = (
+        p.select("p_partkey")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "n",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("j") * 7) % F.col("n") + 1).alias(
+                "ps_suppkey"
+            ),
+        )
+        .withColumn(
+            "ps_supplycost",
+            (
+                (
+                    F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17
+                ) % 10000
+            ).cast("double")
+            / 100.0
+            + 1.0,
+        )
+    )
+    eur = (
+        ps.alias("ps")
+        .join(
+            F.broadcast(s.alias("sup")),
+            F.col("ps.ps_suppkey") == F.col("sup.s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.alias("nat")),
+            F.col("sup.s_nationkey") == F.col("nat.n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE").alias("reg")),
+            F.col("nat.n_regionkey") == F.col("reg.r_regionkey"),
+        )
+        .select(
+            "ps.ps_partkey", "ps.ps_suppkey", "ps.ps_supplycost",
+            "sup.s_name", "sup.s_acctbal", "nat.n_name",
+        )
+    )
+    best = eur.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eur.join(
+            best,
+            (eur.ps_partkey == best.ps_partkey)
+            & (eur.ps_supplycost == best.min_cost),
+        )
+        .drop(best.ps_partkey)
+        .join(
+            F.broadcast(p.filter(F.col("p_size").between(10, 15))),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_type", "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+            "ps_supplycost",
+        )
+        .limit(100)
+    )
