@@ -566,3 +566,179 @@ def q2_full_derived_partsupp(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+# shared derived-partsupp surface (no partsupp fixture): 4 suppliers
+# per part via a modular formula; cost/availqty pure integer functions
+# of the keys so every derived value is identical on both engines
+_PS_SQL = """
+    ns AS (SELECT count(*) AS n FROM supplier),
+    ps AS (
+      SELECT p_partkey AS ps_partkey,
+             ((p_partkey + j * 7) % (SELECT n FROM ns)) + 1 AS ps_suppkey,
+             ((p_partkey * 31
+               + (((p_partkey + j * 7) % (SELECT n FROM ns)) + 1) * 17)
+              % 10000) + 100 AS ps_cost_cents,
+             ((p_partkey * 37
+               + (((p_partkey + j * 7) % (SELECT n FROM ns)) + 1) * 11)
+              % 9999) + 1 AS ps_availqty
+      FROM part, unnest([0, 1, 2, 3]) AS t(j)
+    )
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    """(ps_partkey, ps_suppkey, ps_cost_cents, ps_availqty) — the
+    Spark side of ``_PS_SQL``."""
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    ns = s.groupBy().agg(F.count("*").alias("n"))
+    return (
+        p.select("p_partkey")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "n",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("j") * 7) % F.col("n") + 1).alias(
+                "ps_suppkey"
+            ),
+        )
+        .withColumn(
+            "ps_cost_cents",
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000
+            + 100,
+        )
+        .withColumn(
+            "ps_availqty",
+            (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11) % 9999 + 1,
+        )
+    )
+
+
+@query(
+    "q11_full_derived_partsupp",
+    oracle=f"""
+    WITH {_PS_SQL},
+    natps AS (
+      SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    agg AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+            FROM natps GROUP BY 1),
+    tot AS (SELECT sum(v) AS g FROM natps)
+    SELECT ps_partkey, value_cents
+    FROM agg, tot
+    WHERE value_cents > g * 0.001
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+    tags=("join", "subquery", "having", "tpch"),
+)
+def q11_full_derived_partsupp(spark, sf_dir):
+    """CANONICAL TPC-H Q11 shape (supplier-nation stock value per
+    part, kept only above a fraction of the GLOBAL value — the
+    scalar-subquery HAVING) over the derived partsupp. Stock values
+    are integer cents x integer quantity summed as BIGINT, so the
+    aggregate is exact on both engines; only the threshold itself
+    (global_sum x 0.001) goes through double, identically."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    ps = _derived_partsupp(spark, sf_dir)
+    natps = (
+        ps.alias("ps")
+        .join(
+            F.broadcast(s.alias("sup")),
+            F.col("ps.ps_suppkey") == F.col("sup.s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                n.filter(F.col("n_name") == "NATION_3").alias("nat")
+            ),
+            F.col("sup.s_nationkey") == F.col("nat.n_nationkey"),
+        )
+        .select(
+            "ps.ps_partkey",
+            (F.col("ps.ps_cost_cents") * F.col("ps.ps_availqty")).alias("v"),
+        )
+    )
+    agg = natps.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    tot = natps.agg(F.sum("v").alias("g"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") > F.col("g") * 0.001)
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+@query(
+    "q20_full_derived_partsupp",
+    oracle=f"""
+    WITH {_PS_SQL},
+    qty AS (
+      SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate <  DATE '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN qty ON qty.l_partkey = ps.ps_partkey
+              AND qty.l_suppkey = ps.ps_suppkey
+      WHERE ps_partkey % 10 = 3 AND ps_availqty > half_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
+      AND n_name = 'NATION_7'
+    ORDER BY s_name, s_suppkey
+    """,
+    tags=("join", "subquery", "semi", "tpch"),
+)
+def q20_full_derived_partsupp(spark, sf_dir):
+    """CANONICAL TPC-H Q20 shape (suppliers with excess stock of
+    selected parts, the nested-IN / correlated-sum query) over the
+    derived partsupp: the correlated half-of-shipped-quantity
+    threshold is pre-aggregated per (part, supplier) and joined —
+    the standard decorrelation — then the outer IN becomes a
+    left-semi join against the distinct candidate suppliers."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    cand = (
+        ps.filter(F.col("ps_partkey") % 10 == 3)
+        .join(
+            qty,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
