@@ -742,3 +742,73 @@ def q20_full_derived_partsupp(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+@query(
+    "q9_full_derived_partsupp",
+    oracle=f"""
+    WITH {_PS_SQL},
+    joined AS (
+      SELECT n_name AS nation,
+             CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               AS rev,
+             CAST(ps_cost_cents * l_quantity AS DECIMAL(18,6)) AS cost_c
+      FROM lineitem
+      JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey % 5 = 0
+    )
+    SELECT nation, o_year,
+           CAST(sum(rev) - sum(cost_c) / 100 AS DOUBLE) AS sum_profit
+    FROM joined
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "aggregate", "tpch"),
+)
+def q9_full_derived_partsupp(spark, sf_dir):
+    """CANONICAL TPC-H Q9 shape (product profit per nation per year:
+    revenue minus supply cost, which REQUIRES partsupp) over the
+    derived partsupp. Profit is summed per the decimal policy
+    (_exact.py): revenue in DECIMAL(18,6), supply cost as integer
+    cents x quantity in DECIMAL(18,6) scaled at the end — both sums
+    exact, the one double cast identical on both engines. Plan: fact
+    joins the 4-rows-per-part derived table on the composite key,
+    dims broadcast, orders joined for the year only."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    ps = _derived_partsupp(spark, sf_dir)
+    joined = (
+        li.join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("rev"),
+            (F.col("ps_cost_cents") * F.col("l_quantity"))
+            .cast("decimal(18,6)")
+            .alias("cost_c"),
+        )
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(
+            (F.sum("rev") - F.sum("cost_c") / 100)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
