@@ -1,0 +1,63 @@
+"""Corpus-wide physical-plan hygiene: every declared query's plan is
+built and screened for the anti-patterns that kill 100 TB runs.
+
+- ``CartesianProduct`` (non-broadcast cross product): allowed only for
+  queries that DECLARE a cross join.
+- ``BatchEvalPython`` (row-at-a-time Python UDF): allowed only for the
+  documented API-parity demo / Python UDTF queries — everything else
+  must stay JVM-side or Arrow-batched (``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas`` are fine).
+
+Building a plan is cheap (no execution) except for the iterative
+queries, which run their loops eagerly — they are exempted here and
+covered by their own tests/oracles.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+from gcp_etl_spark.queries import load_all
+from tests.conftest import SF_SMALL
+
+# queries whose BUILD executes jobs (iterative localCheckpoint loops,
+# pipeline side effects) — plan hygiene for these is asserted by their
+# dedicated tests; skipping keeps this sweep cheap
+_EAGER_BUILD = {
+    "dedup_clusters",
+    "dedup_cluster_exact",
+    "graph_pagerank",
+    "ref_pipeline_e2e",
+    "catalog_insert_overwrite",
+    "join_bucketed_smb",
+    "ann_cosine_topk_ivf",  # KMeans fit on a bounded sample at build
+}
+
+# declared cross joins — CartesianProduct is the point
+_CROSS_OK = {"join_cross"}
+
+# the deliberate row-at-a-time anti-pattern demo and Python UDTFs
+_PY_ROW_OK = {"udf_python_row", "udtf_split_sentences"}
+
+
+def test_no_cartesian_or_python_row_in_declared_plans(spark):
+    specs = load_all()
+    offenders: list[str] = []
+    for name, spec in sorted(specs.items()):
+        if name in _EAGER_BUILD:
+            continue
+        try:
+            df = spec.fn(spark, SF_SMALL)
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan and name not in _CROSS_OK:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan and name not in _PY_ROW_OK:
+            offenders.append(f"{name}: row-at-a-time BatchEvalPython")
+    assert not offenders, "\n".join(offenders)
