@@ -341,3 +341,75 @@ def text_source_divergence(spark, sf_dir):
             "kl_divergence",
         )
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS word
+      FROM toks, unnest(range(len(ws))) AS t(i)
+    ),
+    adj AS (
+      SELECT a.doc_id, a.pos, a.word || ' ' || b.word AS bigram
+      FROM idx a JOIN idx b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    top AS (
+      SELECT bigram FROM adj GROUP BY bigram
+      ORDER BY count(*) DESC, bigram LIMIT 1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(pos) AS INT) AS first_pos
+    FROM adj JOIN top USING (bigram)
+    GROUP BY doc_id
+    """,
+    tags=("text", "search", "join"),
+)
+def text_phrase_search(spark, sf_dir):
+    """Positional inverted index + phrase query — the search-engine
+    primitive: (word, doc, pos) postings, phrase matching as an
+    adjacency SELF-JOIN on (doc, pos+1), probing for the corpus's most
+    frequent bigram (deterministic count-then-lexicographic pick).
+
+    Scale shape: the postings index shuffles once keyed by doc (the
+    adjacency join co-locates on (doc_id, pos) with no extra
+    exchange on the second side — same relation, reused scan); the
+    phrase itself reaches the postings as a 1-row broadcast. A real
+    search deployment persists the postings bucketed by word; the
+    adjacency algebra is identical."""
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    idx = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    adj = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pos"),
+        F.concat_ws(" ", F.col("a.word"), F.col("b.word")).alias("bigram"),
+    )
+    top = (
+        adj.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bigram")
+        .limit(1)
+        .select("bigram")
+    )
+    return (
+        adj.join(F.broadcast(top), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )
