@@ -161,3 +161,50 @@ def scd2_merge_history(spark, sf_dir):
     return merged.withColumn(
         "valid_from", F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
     ).withColumn("valid_to", F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"))
+
+
+@query(
+    "ref_sql_star_hinted",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("reference", "sql", "join", "hint"),
+)
+def ref_sql_star_hinted(spark, sf_dir):
+    """The reference's R8 SQL entry path exercised at full depth: a
+    star join + aggregate + total ORDER BY executed as ONE SQL string
+    over registered temp views (not the DataFrame API), including
+    optimizer BROADCAST hints in SQL-comment syntax — proving hint
+    parity between the two entry paths. Views are dropped after (R11).
+    The oracle is the identical hint-free SQL (hints change the plan,
+    never the result)."""
+    names = ["lineitem", "orders", "customer", "nation"]
+    for nm in names:
+        t(spark, sf_dir, nm).createOrReplaceTempView(f"__sql_{nm}")
+    try:
+        return spark.sql("""
+            SELECT /*+ BROADCAST(c), BROADCAST(n) */ n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM __sql_lineitem l
+            JOIN __sql_orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN __sql_customer c ON o.o_custkey = c.c_custkey
+            JOIN __sql_nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """)
+    finally:
+        for nm in names:
+            spark.catalog.dropTempView(f"__sql_{nm}")
