@@ -243,3 +243,155 @@ def text_repetition_ratio(spark, sf_dir):
         ),
         (F.col("top_count") / F.col("n_grams")).alias("top_gram_frac"),
     )
+
+
+@query(
+    "dedup_survivorship",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    lab AS (SELECT n AS node, min(m) AS comp FROM reach GROUP BY n),
+    ranked AS (
+      SELECT lab.comp, lab.node, d.n_chars,
+             row_number() OVER (PARTITION BY lab.comp
+                                ORDER BY d.n_chars DESC, lab.node) AS rn
+      FROM lab JOIN documents d ON d.doc_id = lab.node
+    )
+    SELECT comp,
+           CAST(max(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY comp
+    """,
+    tags=("llm", "dedup", "cluster", "survivorship"),
+)
+def dedup_survivorship(spark, sf_dir):
+    """The dedup DECISION stage: per near-dup cluster (connected
+    components over the exact trigram-Jaccard edges), keep the
+    highest-quality document (quality = n_chars here, any scoring
+    column works; ties break on doc_id) and count the drops — the
+    mapping a pipeline applies as an anti-join before training.
+
+    Scale shape: clusters come from the distributed CC operator; the
+    keeper pick is one row_number window partitioned by cluster —
+    cluster-sized partitions, never corpus-sized."""
+    from pyspark.sql import Window
+
+    from gcp_etl_spark.llm.cluster import connected_components
+    from gcp_etl_spark.queries.llm_ops import _ngram_jaccard_pairs
+
+    pairs = _ngram_jaccard_pairs(spark, sf_dir, df_cap=None)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = cc.join(d, cc.node == d.doc_id).select(
+        "comp", "node", "n_chars"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("n_chars"), F.col("node")
+    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("comp").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("keep_id"),
+        F.count("*").alias("n_docs"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+# Sequence-packing geometry: greedy document packing into fixed
+# token-budget training bins (mirrored in the oracle).
+_PACK_BUDGET = 512
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS n_toks
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS cum_before
+      FROM toks
+    )
+    SELECT lang, CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM runs
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "packing", "window"),
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Sequence packing: assign documents (per language, in stable
+    doc_id order) to fixed 512-token training bins by the running
+    token count — the pretraining prep step that turns a deduped
+    corpus into fixed-length batches. bin = floor(tokens_before /
+    budget), the deterministic closed form of greedy packing.
+
+    Scale shape: one window running sum per language partition (the
+    natural sharding key of a multilingual corpus) and one hash agg;
+    token counts ride the shuffle, text never does. At 100 TB the
+    per-language partitions sub-shard by the same value-bucket
+    two-level prefix scan as operators/range_frame.py."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn(
+        "cum_before", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return (
+        runs.withColumn(
+            "bin",
+            F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
