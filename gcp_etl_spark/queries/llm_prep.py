@@ -1,13 +1,14 @@
-"""Training-data preparation operators: document chunking,
-benchmark decontamination, repetition-based quality filtering
-(SURVEY.md §2C — LLM-data-pipeline surface).
+"""Training-data preparation operators (SURVEY.md §2C —
+LLM-data-pipeline surface): document chunking, benchmark
+decontamination, repetition-based quality filtering, dedup
+survivorship, and token-budget sequence packing.
 
-These are the three ops a pretraining corpus pipeline runs between
-dedup and tokenization: split documents into model-window chunks,
-drop documents that leak evaluation benchmarks, and kill
-template/boilerplate pages whose n-gram structure is degenerate
-(the Gopher repetition rules). All three are pure JVM column
-expressions or explode + hash-agg — no Python in the hot path.
+Together with the dedup/cluster operators in ``llm_ops.py`` these
+cover a pretraining corpus pipeline end to end: quality scoring →
+near-dup pairs → clusters → keep-best survivorship → benchmark
+decontamination → model-window chunking → fixed-budget packing.
+Everything is JVM column expressions, explode + hash-agg, or window
+running sums — no Python in the hot path.
 """
 
 from __future__ import annotations
