@@ -440,3 +440,86 @@ def scalar_date_format(spark, sf_dir):
         F.quarter("o_orderdate").alias("qtr"),
         F.last_day("o_orderdate").alias("month_end"),
     )
+
+
+# Reference points for the nearest-hub haversine join (lon, lat) —
+# mirrored literally in the oracle.
+_GEO_HUBS = [
+    ("hub_ams", 4.9, 52.4),
+    ("hub_gru", -46.6, -23.5),
+    ("hub_nrt", 140.4, 35.8),
+    ("hub_jfk", -73.8, 40.6),
+]
+
+
+@query(
+    "geo_haversine_nearest_hub",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(user_id % 360 - 180 AS DOUBLE) AS lon,
+             CAST(event_id % 180 - 90 AS DOUBLE) AS lat
+      FROM events
+    ),
+    hubs(hub, h_lon, h_lat) AS (
+      VALUES {", ".join(f"('{h}', {lo}, {la})" for h, lo, la in _GEO_HUBS)}
+    ),
+    dist AS (
+      SELECT event_id, hub,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(h_lat - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(h_lat))
+                 * pow(sin(radians(h_lon - lon) / 2), 2)
+             )) AS km
+      FROM pts CROSS JOIN hubs
+    ),
+    ranked AS (
+      SELECT event_id, hub, km,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY round(km, 6), hub) AS rn
+      FROM dist
+    )
+    SELECT event_id, hub AS nearest_hub, round(km, 4) AS km
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("scalar", "geo", "join"),
+)
+def geo_haversine_nearest_hub(spark, sf_dir):
+    """Geospatial-lite: haversine distance from each event's synthetic
+    (lon, lat) to a tiny broadcast hub table, keeping the nearest —
+    the geo-enrichment join shape (point x small reference set, never
+    point x point). The argmin ranks on ROUND(km, 6) with a hub-name
+    tiebreak so cross-engine trig ulps (sin/cos differ in the last
+    bit) can neither flip the winner nor the emitted 4dp distance."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        (F.col("user_id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("event_id") % 180 - 90).cast("double").alias("lat"),
+    )
+    hubs = spark.createDataFrame(
+        _GEO_HUBS, "hub string, h_lon double, h_lat double"
+    )
+    km = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("h_lat") - F.col("lat")) / 2), 2)
+            + F.cos(F.radians("lat"))
+            * F.cos(F.radians("h_lat"))
+            * F.pow(F.sin(F.radians(F.col("h_lon") - F.col("lon")) / 2), 2)
+        )
+    )
+    dist = pts.crossJoin(F.broadcast(hubs)).select(
+        "event_id", "hub", km.alias("km")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.round("km", 6), "hub")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("hub").alias("nearest_hub"),
+            F.round("km", 4).alias("km"),
+        )
+    )
