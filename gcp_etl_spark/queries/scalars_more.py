@@ -409,3 +409,137 @@ def scalar_map_higher_order(spark, sf_dir):
         F.try_element_at(taxed, F.lit("p")).alias("price_with_tax"),
         F.size(merged).alias("n_merged_keys"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_csv_convert",
+    oracle="""
+    SELECT o_orderkey,
+           concat(CAST(o_orderkey AS VARCHAR), ',', o_orderstatus, ',',
+                  CAST(o_totalprice AS VARCHAR)) AS as_csv,
+           CAST(string_split(concat(CAST(o_orderkey AS VARCHAR), ',',
+                                    o_orderstatus, ',',
+                                    CAST(o_totalprice AS VARCHAR)),
+                             ',')[2] AS VARCHAR) AS status_back,
+           CAST(string_split(concat(CAST(o_orderkey AS VARCHAR), ',',
+                                    o_orderstatus, ',',
+                                    CAST(o_totalprice AS VARCHAR)),
+                             ',')[3] AS DOUBLE) AS price_back
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("scalar", "csv"),
+)
+def scalar_csv_convert(spark, sf_dir):
+    """``to_csv`` / ``from_csv`` scalar conversion (the per-row CSV
+    codec, distinct from the file source): struct -> csv line -> back
+    to typed fields. The oracle mirrors with concat/split since DuckDB
+    has no scalar CSV codec — doubles format identically because
+    Spark's to_csv uses the shortest-repr double formatting on exact
+    2-decimal values, same as DuckDB's VARCHAR cast."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    parsed = F.from_csv(
+        line, "k bigint, st string, price double"
+    )
+    return o.select(
+        "o_orderkey",
+        line.alias("as_csv"),
+        parsed.getField("st").alias("status_back"),
+        parsed.getField("price").alias("price_back"),
+    )
+
+
+@query(
+    "scalar_str_to_map",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             concat('uid:', CAST(user_id AS VARCHAR),
+                    ',ev:', event_type,
+                    ',v:', CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR)) AS kv
+      FROM events WHERE event_id <= 2000
+    )
+    SELECT event_id, kv,
+           string_split(string_split(kv, 'uid:')[2], ',')[1] AS uid,
+           string_split(string_split(kv, ',ev:')[2], ',')[1] AS ev,
+           CAST(string_split(kv, ',v:')[2] AS BIGINT) AS v_cents
+    FROM m
+    """,
+    tags=("scalar", "map", "string"),
+)
+def scalar_str_to_map(spark, sf_dir):
+    """``str_to_map``: parse 'k:v,k:v' config strings (log/UA parsing
+    staple) into a map and pull typed values out. Oracle extracts the
+    same fields with nested splits (DuckDB has no str_to_map)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    kv = F.concat(
+        F.lit("uid:"), F.col("user_id").cast("string"),
+        F.lit(",ev:"), F.col("event_type"),
+        F.lit(",v:"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return e.select(
+        "event_id",
+        kv.alias("kv"),
+        m.getItem("uid").alias("uid"),
+        m.getItem("ev").alias("ev"),
+        m.getItem("v").cast("long").alias("v_cents"),
+    )
+
+
+@query(
+    "scalar_array_mutation",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             [o_orderkey % 7, o_orderkey % 5, NULL,
+              o_orderkey % 3] AS arr
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderkey,
+           array_to_string(list_prepend(-1, list_append(arr, 99)), '|')
+             AS mutated,
+           array_to_string(list_filter(arr, x -> x IS NOT NULL), '|')
+             AS compacted,
+           CAST(len(list_filter(arr, x -> x IS NOT NULL)) AS INT)
+             AS n_compact
+    FROM base
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_mutation(spark, sf_dir):
+    """Spark 3.4+ array mutation builtins — array_append /
+    array_prepend / array_compact — with scalar-collapsed (joined
+    string) outputs per the no-bare-arrays canon rule. DuckDB mirrors
+    with list_append/list_prepend/list_filter."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    arr = F.array(
+        F.col("o_orderkey") % 7,
+        F.col("o_orderkey") % 5,
+        F.lit(None).cast("long"),
+        F.col("o_orderkey") % 3,
+    )
+    base = o.select("o_orderkey", arr.alias("arr"))
+    return base.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_prepend(F.array_append("arr", F.lit(99)), F.lit(-1)),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("mutated"),
+        F.concat_ws(
+            "|",
+            F.transform(F.array_compact("arr"), lambda x: x.cast("string")),
+        ).alias("compacted"),
+        F.size(F.array_compact("arr")).alias("n_compact"),
+    )
