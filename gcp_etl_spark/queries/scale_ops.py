@@ -840,3 +840,74 @@ def sketch_kmv_jaccard(spark, sf_dir):
             / F.count("*")
         ).alias("est_jaccard"),
     )
+
+
+@query(
+    "table_checksum_drift",
+    oracle="""
+    WITH o AS (
+      SELECT ('0x' || substr(md5(concat(
+               CAST(o_orderkey AS VARCHAR), '|',
+               CAST(o_custkey AS VARCHAR), '|', o_orderstatus, '|',
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             )), 1, 15))::BIGINT AS h
+      FROM orders
+    ),
+    c AS (
+      SELECT ('0x' || substr(md5(concat(
+               CAST(c_custkey AS VARCHAR), '|', c_name, '|',
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+             )), 1, 15))::BIGINT AS h
+      FROM customer
+    )
+    SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS VARCHAR) AS checksum
+    FROM o
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT), CAST(sum(h) AS VARCHAR)
+    FROM c
+    """,
+    tags=("scale", "checksum", "quality"),
+)
+def table_checksum_drift(spark, sf_dir):
+    """Order-independent table content checksum — the cross-system
+    drift/migration check: per row, a 60-bit md5-derived hash of the
+    canonical row string (money as integer cents, so no float
+    formatting enters the hash); per table, the EXACT integer sum of
+    row hashes (decimal(38,0) — never wraps), emitted as a string.
+    Commutative sum => partitioning/order independent; one scan, one
+    1-row aggregate per table, trivially incremental (add hashes of
+    inserted rows, subtract deleted)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def row_hash(*cols):
+        s = F.concat_ws("|", *cols)
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    ho = o.select(
+        row_hash(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        ).alias("h")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias(
+            "checksum"
+        ),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
+    hc = c.select(
+        row_hash(
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        ).alias("h")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias(
+            "checksum"
+        ),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "checksum")
+    return ho.unionByName(hc)
