@@ -314,3 +314,37 @@ def window_nth_offset(spark, sf_dir):
         F.lead("o_totalprice", 3).over(wnf).alias("lead3"),
         F.last("o_totalprice").over(w_full).alias("final_price"),
     )
+
+
+@query(
+    "window_frame_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS INT) AS distinct_types_4
+    FROM events
+    """,
+    tags=("window", "frame", "distinct"),
+)
+def window_frame_distinct_count(spark, sf_dir):
+    """DISTINCT aggregate over a sliding frame — an operator Spark
+    REJECTS natively ('Distinct window functions are not supported')
+    but DuckDB runs directly, so the engine must compose it:
+    collect_list over the frame -> array_distinct -> size, all
+    JVM-side. Frame state is bounded by the 4-row frame, so the
+    composition scales exactly like any other sliding frame."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).alias("distinct_types_4"),
+    )
