@@ -200,3 +200,73 @@ def scalar_regexp_count_instr(spark, sf_dir):
         F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"),
         F.regexp_instr("text", F.lit("[0-9]")).alias("first_digit_pos"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS n_open,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+             AS big_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5
+    """,
+    tags=("aggregate", "filter", "sql"),
+)
+def agg_filter_clause(spark, sf_dir):
+    """ANSI ``FILTER (WHERE ...)`` conditional aggregation — one scan,
+    several differently-filtered aggregates (the fused-scan pattern
+    dq_expectations uses, here through the standard SQL syntax, which
+    Spark supports in spark.sql). Exact-decimal policy on the
+    conditional sum."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__fc_orders")
+    try:
+        return spark.sql("""
+            SELECT o_custkey,
+                   count(*) FILTER (WHERE o_orderstatus = 'F')
+                     AS n_finished,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+                     AS big_spend
+            FROM __fc_orders
+            GROUP BY o_custkey
+            HAVING count(*) >= 5
+        """)
+    finally:
+        spark.catalog.dropTempView("__fc_orders")
+
+
+@query(
+    "scalar_regexp_backref",
+    oracle="""
+    SELECT c_custkey, c_name,
+           regexp_replace(c_name, '([A-Za-z]+)#(\\d+)', '\\2-\\1')
+             AS swapped,
+           regexp_replace(c_name, '(\\d)\\d*(\\d)', '\\1**\\2')
+             AS squeezed_digits
+    FROM customer WHERE c_custkey <= 1500
+    """,
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp_backref(spark, sf_dir):
+    """Regexp replacement with capture-group BACKREFERENCES — Spark's
+    Java syntax uses $1, DuckDB's RE2 uses \\1; same semantics,
+    deliberately different dialect strings on the two sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1500)
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.regexp_replace(
+            "c_name", r"([A-Za-z]+)#(\d+)", r"$2-$1"
+        ).alias("swapped"),
+        F.regexp_replace(
+            "c_name", r"(\d)\d*(\d)", r"$1**$2"
+        ).alias("squeezed_digits"),
+    )
