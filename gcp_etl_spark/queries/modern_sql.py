@@ -161,3 +161,43 @@ def join_bucketed_smb(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# parent(n) = n div 2 — an implicit binary hierarchy over part keys;
+# the walk is the same recursive SQL on both engines modulo the
+# integer-division dialect token (Spark `div`, DuckDB `//`).
+def _hier_sql(table: str, intdiv: str) -> str:
+    return f"""
+    WITH RECURSIVE h(node, depth) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT p.p_partkey, h.depth + 1
+      FROM {table} p JOIN h ON (p.p_partkey {intdiv} 2) = h.node
+      WHERE p.p_partkey > 1
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS first_node,
+           CAST(max(node) AS BIGINT) AS last_node
+    FROM h GROUP BY depth ORDER BY depth
+    """
+
+
+@query(
+    "subq_recursive_hierarchy",
+    oracle=_hier_sql("part", "//"),
+    tags=("subquery", "recursive", "hierarchy", "sql"),
+)
+def subq_recursive_hierarchy(spark, sf_dir):
+    """Recursive hierarchy closure (org-chart / category-tree walk):
+    parent(n) = n div 2 makes part keys an implicit binary tree; the
+    recursive CTE walks it breadth-first from the root, emitting per-
+    depth level stats. Spark 4 runs the IDENTICAL recursive SQL as
+    the oracle (only the integer-division token differs by dialect) —
+    recursion depth is log2(#parts), each step one join against the
+    previous frontier."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_hier_v")
+    try:
+        return spark.sql(_hier_sql("part_hier_v", "div"))
+    finally:
+        spark.catalog.dropTempView("part_hier_v")
