@@ -911,3 +911,56 @@ def table_checksum_drift(spark, sf_dir):
         ),
     ).select(F.lit("customer").alias("table_name"), "n_rows", "checksum")
     return ho.unionByName(hc)
+
+
+@query(
+    "skew_diagnostics",
+    oracle="""
+    WITH ok AS (
+      SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+    ),
+    lk AS (
+      SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT 'orders.o_custkey' AS join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 4)
+             AS skew_ratio
+    FROM ok
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(max(c) AS BIGINT),
+           CAST(sum(c) AS BIGINT),
+           round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 4)
+    FROM lk
+    """,
+    tags=("scale", "skew", "diagnostics"),
+)
+def skew_diagnostics(spark, sf_dir):
+    """Join-key skew diagnostics — the pre-flight a planner (or
+    engineer) runs before a big shuffle join: per candidate key, the
+    key count, hottest-key row count, and skew ratio max/avg. Ratio
+    >> 1 routes the join to AQE skew-split or operators/skew.py
+    salting. One hash agg per key column; the second-level stats
+    aggregate over #keys rows, never raw rows."""
+
+    def stats(df, key, label):
+        per = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        return per.agg(
+            F.lit(label).alias("join_key"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            F.sum("c").alias("total_rows"),
+            F.round(
+                F.max("c") * F.count("*") / F.sum("c").cast("double"), 4
+            ).alias("skew_ratio"),
+        ).select("join_key", "n_keys", "max_rows", "total_rows", "skew_ratio")
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return stats(o, "o_custkey", "orders.o_custkey").unionByName(
+        stats(li, "l_orderkey", "lineitem.l_orderkey")
+    )
