@@ -385,15 +385,36 @@ def agg_corr(spark, sf_dir):
     )
 
 
-@query("agg_approx_quantile", oracle=None, tags=("aggregate", "approx"))
+@query(
+    "agg_approx_quantile",
+    # at accuracy >= n the GK sketch retains every value and collapses
+    # to the exact nearest-rank quantile — which is precisely DuckDB's
+    # quantile_disc, so the sketch OPERATOR is hash-verified in its
+    # exact regime; the approximate regime (accuracy < n) is
+    # tolerance-asserted in tests/test_llm.py-style pytest instead.
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.5)  AS median_approx,
+           quantile_disc(o_totalprice, 0.95) AS p95_approx
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx_quantile(spark, sf_dir):
     """percentile_approx (Greenwald-Khanna sketch) — the 100 TB
     quantile path: fixed-size sketch, single pass, no full sort.
-    Approximate -> rows-only; tolerance vs exact asserted in tests."""
+    Run here with accuracy >= row count, where the sketch is provably
+    exact (it retains all values) and must equal nearest-rank
+    quantile_disc; at 100 TB the same call with the default accuracy
+    trades that exactness for O(accuracy) memory."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx"),
-        F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+        F.percentile_approx("o_totalprice", 0.5, 1_000_000).alias(
+            "median_approx"
+        ),
+        F.percentile_approx("o_totalprice", 0.95, 1_000_000).alias(
+            "p95_approx"
+        ),
     )
 
 
