@@ -543,3 +543,42 @@ def scalar_array_mutation(spark, sf_dir):
         ).alias("compacted"),
         F.size(F.array_compact("arr")).alias("n_compact"),
     )
+
+
+@query(
+    "agg_map_from_entries",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'click' THEN c END) AS BIGINT)
+             AS n_click,
+           CAST(max(CASE WHEN event_type = 'view' THEN c END) AS BIGINT)
+             AS n_view,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN c END) AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) AS INT) AS n_types
+    FROM per GROUP BY user_id
+    """,
+    tags=("aggregate", "map"),
+)
+def agg_map_from_entries(spark, sf_dir):
+    """Aggregated MAP construction — ``map_from_entries(collect_list(
+    struct(k, v)))`` builds a per-user event_type -> count map in one
+    pass, then typed lookups come out of the map (emitted as scalars
+    per the canon rule; the oracle pivots the same lookups with
+    conditional aggs). The map-typed intermediate is the natural
+    feature-store row format."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    m = F.map_from_entries(
+        F.collect_list(F.struct("event_type", "c"))
+    )
+    return per.groupBy("user_id").agg(
+        m.getItem("click").alias("n_click"),
+        m.getItem("view").alias("n_view"),
+        m.getItem("purchase").alias("n_purchase"),
+        F.count("*").cast("int").alias("n_types"),
+    )

@@ -348,3 +348,45 @@ def window_frame_distinct_count(spark, sf_dir):
             F.array_distinct(F.collect_list("event_type").over(w))
         ).alias("distinct_types_4"),
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(epoch(ts) AS BIGINT) AS sec, value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_prev_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range", "time"),
+)
+def window_time_range_frame(spark, sf_dir):
+    """TIME-based RANGE frame: per user, events and exact cents in the
+    trailing hour of EVENT TIME (not row count) — the rate-limiter /
+    rolling-exposure shape. Ordering on epoch seconds makes the frame
+    identical on both engines including timestamp ties (RANGE frames
+    are tie-inclusive by value, so no tiebreaker is needed — or
+    allowed). Money rides as integer cents, exact under any
+    accumulation order."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .alias("cents_prev_hour"),
+    )
