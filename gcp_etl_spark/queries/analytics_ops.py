@@ -406,6 +406,9 @@ def locf_gap_fill(spark, sf_dir):
 
 @query(
     "ewma_per_user",
+    # (DuckDB 1.0.0's list_reduce mis-folds STRING accumulators over
+    # full-table scans — see scalar_array_sort_comparator — but numeric
+    # folds verify clean here at sf0.001/0.01/0.1.)
     oracle="""
     WITH seq AS (
       SELECT user_id,

@@ -582,3 +582,53 @@ def agg_map_from_entries(spark, sf_dir):
         m.getItem("purchase").alias("n_purchase"),
         F.count("*").cast("int").alias("n_types"),
     )
+
+
+@query(
+    "scalar_array_sort_comparator",
+    # NOTE: DuckDB 1.0.0's list_reduce returns batch-layout-dependent
+    # (wrong) results for string folds over full-table scans (verified:
+    # same rows fold correctly in a small filtered batch) — so this
+    # oracle computes the identical argmax via unnest + window instead.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(lower(text)), ' '),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY length(word) DESC, word) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_words
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, word AS longest_word
+    FROM a WHERE rn = 1
+    """,
+    tags=("scalar", "array", "higher_order"),
+)
+def scalar_array_sort_comparator(spark, sf_dir):
+    """``array_sort`` with a CUSTOM COMPARATOR lambda (length desc,
+    then lexicographic) — the HOF variant plain ascending sort can't
+    express; the head of the sorted array is each document's longest
+    word. The oracle computes the identical argmax with a
+    list_reduce fold (DuckDB's list_sort takes no comparator), so
+    both engines agree element-for-element."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    cmp_sorted = F.expr(
+        """array_sort(ws, (a, b) -> CASE
+             WHEN length(a) > length(b) THEN -1
+             WHEN length(a) < length(b) THEN 1
+             WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END)"""
+    )
+    return base.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.element_at(cmp_sorted, 1).alias("longest_word"),
+    )
