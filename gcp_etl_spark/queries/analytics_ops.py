@@ -457,3 +457,88 @@ def ewma_per_user(spark, sf_dir):
             " (acc, x) -> 0.25d * x + 0.75d * acc)"
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS nation_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, nation_rev,
+           round(nation_rev / sum(nation_rev) OVER (), 6) AS share
+    FROM rev
+    """,
+    tags=("window", "analytics", "share"),
+)
+def window_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue via an
+    empty-frame window sum — the percent-of-total BI staple. The
+    global denominator is a window over the 25-row AGGREGATE (not the
+    fact table), so the 'global' window costs nothing at any scale;
+    numerators are exact decimal sums, the one share division rounds
+    at 6dp."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "metric_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    tags=("analytics", "window", "distinct"),
+)
+def metric_cumulative_uniques(spark, sf_dir):
+    """Cumulative unique users per day — the growth-accounting metric.
+    A naive running COUNT(DISTINCT) over an expanding window re-scans
+    every prefix; the scalable identity is dedup-then-cumsum: each
+    user contributes on their FIRST day only (one hash agg keyed by
+    user), then a running sum over the tiny daily series. The window
+    runs over #days rows, not #events."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
