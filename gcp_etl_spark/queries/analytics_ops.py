@@ -542,3 +542,172 @@ def metric_cumulative_uniques(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 4
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             sum(converted) / CAST(count(*) AS DOUBLE) AS rate
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+             max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+           round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+           round(
+             (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / nullif(sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 0),
+             4) AS z_score
+    FROM wide
+    """,
+    tags=("analytics", "stats", "experiment"),
+)
+def ab_test_proportions(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment: deterministic
+    variant assignment (user_id parity), per-user conversion
+    (>= 4 purchase events; 'any purchase' is degenerate on this
+    fixture — every user has one), pooled-variance z on the rate
+    difference (nullif-guarded against zero variance) — the
+    experimentation readout computed entirely in aggregates (two hash
+    aggs + a 2-row pivot; the z arithmetic runs on 4 scalars).
+    Rounding at 4dp absorbs sqrt/division ulps."""
+    e = t(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 4,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pool = (F.col("c0") + F.col("c1")) / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (p1 - p0) / F.nullif(
+        F.sqrt(
+            pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+@query(
+    "basket_cooccurrence",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lines),
+    pairs AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b,
+             count(*) AS n_together
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+    ),
+    singles AS (
+      SELECT p_type, count(*) AS n_orders_with
+      FROM lines GROUP BY 1
+    )
+    SELECT type_a, type_b,
+           CAST(n_together AS BIGINT) AS n_together,
+           round(n_together / CAST(n.n AS DOUBLE), 6) AS support,
+           round(n_together / CAST(sa.n_orders_with AS DOUBLE), 6)
+             AS confidence_a_to_b
+    FROM pairs
+    JOIN singles sa ON sa.p_type = type_a, n_orders n
+    ORDER BY n_together DESC, type_a, type_b
+    LIMIT 20
+    """,
+    tags=("analytics", "join", "basket"),
+)
+def basket_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence (association-rules support +
+    confidence): distinct (order, item-type) pairs self-joined per
+    order with canonical type_a < type_b — pair fan-out is C(types-
+    in-order, 2), bounded by basket width, never corpus-quadratic.
+    Support/confidence are int/int divisions rounded at 6dp."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    lines = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = lines.select("l_orderkey").distinct().count()
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_together"))
+    )
+    singles = lines.groupBy(F.col("p_type").alias("type_a")).agg(
+        F.count("*").alias("n_orders_with")
+    )
+    return (
+        pairs.join(F.broadcast(singles), "type_a")
+        .select(
+            "type_a",
+            "type_b",
+            "n_together",
+            F.round(F.col("n_together") / F.lit(float(n_orders)), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_together") / F.col("n_orders_with").cast("double"),
+                6,
+            ).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.desc("n_together"), "type_a", "type_b")
+        .limit(20)
+    )
