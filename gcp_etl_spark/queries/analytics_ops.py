@@ -711,3 +711,101 @@ def basket_cooccurrence(spark, sf_dir):
         .orderBy(F.desc("n_together"), "type_a", "type_b")
         .limit(20)
     )
+
+
+@query(
+    "rfm_scoring",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+                AS INT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS INT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS INT) AS m_quartile,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary
+    FROM base
+    """,
+    tags=("analytics", "window", "scoring"),
+)
+def rfm_scoring(spark, sf_dir):
+    """RFM customer scoring: recency / frequency / monetary quartiles
+    via three ntile windows over the per-customer AGGREGATE (windows
+    run over #customers rows, the fact table is reduced first; each
+    ORDER BY carries the custkey tiebreaker so quartile boundaries
+    are total-ordered and cross-engine stable). Monetary is the exact
+    decimal sum."""
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return base.select(
+        "o_custkey",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+        "frequency",
+        "monetary",
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT prev_type, sum(n) AS total FROM trans GROUP BY 1)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(total AS DOUBLE), 6) AS p_transition
+    FROM trans JOIN outdeg USING (prev_type)
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order event-transition matrix (the Markov/Sankey input):
+    lag(event_type) per user in event-time order -> transition counts
+    -> row-normalized probabilities. One window pass over the events
+    plus two tiny aggs (the matrix is #types^2 whatever the corpus
+    size); probabilities are int/int divisions rounded at 6dp."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    outdeg = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
