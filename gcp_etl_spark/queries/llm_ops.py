@@ -794,3 +794,33 @@ def dedup_cluster_exact(spark, sf_dir):
     from gcp_etl_spark.llm.cluster import dedup_clusters
 
     return dedup_clusters(dedup_ngram_jaccard(spark, sf_dir))
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle=None,  # binary mapInPandas plumbing — rows-only; window
+    # geometry/coverage invariants asserted in tests/test_llm.py
+    tags=("llm", "multimodal", "window"),
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Overlapping sample windows (256 B / stride 128) over synthetic
+    audio payloads via mapInPandas — the binary counterpart of
+    text_chunk_overlap (llm/multimodal.py::window_samples), with
+    per-window mean level + CRC. Aggregated to per-media window
+    counts + level stats so the declared output is compact and
+    deterministic."""
+    from gcp_etl_spark.llm.multimodal import synthesize_media, window_samples
+
+    media = synthesize_media(spark, n=64, payload_bytes=2048).filter(
+        F.col("mime") == "audio/wav"
+    )
+    wins = window_samples(media)
+    return (
+        wins.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("n_win_bytes").alias("total_win_bytes"),
+            F.round(F.avg("mean_level"), 4).alias("avg_level"),
+        )
+        .orderBy("media_id")
+    )

@@ -277,3 +277,25 @@ def test_hll_sketch_merge_tolerance(spark):
     for seg, r in rows.items():
         exact = r["exact_n"]
         assert abs(r["hll_estimate"] - exact) / max(exact, 1) < 0.02, seg
+
+
+def test_audio_window_geometry_and_coverage(spark):
+    """Overlapping binary windows must tile each payload: dense
+    indexes, full-width windows except possibly the last, and
+    stride * (n-1) + last_width == payload length."""
+    from gcp_etl_spark.llm.multimodal import window_samples
+
+    media = synthesize_media(spark, n=8, payload_bytes=1000)
+    wins = window_samples(media, win_bytes=256, stride=128).collect()
+    by_media = {}
+    for r in wins:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 8
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["win_idx"])
+        assert [r["win_idx"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_win_bytes"] == 256
+        last = rows[-1]
+        assert 128 * last["win_idx"] + last["n_win_bytes"] == 1000
+        assert all(0.0 <= r["mean_level"] <= 255.0 for r in rows)
