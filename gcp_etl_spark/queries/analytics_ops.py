@@ -406,21 +406,31 @@ def locf_gap_fill(spark, sf_dir):
 
 @query(
     "ewma_per_user",
-    # (DuckDB 1.0.0's list_reduce mis-folds STRING accumulators over
-    # full-table scans — see scalar_array_sort_comparator — but numeric
-    # folds verify clean here at sf0.001/0.01/0.1.)
+    # DuckDB 1.0.0's list_reduce returns batch-layout-dependent
+    # results over full-table scans (caught red-handed on integer folds
+    # in running_balance_clamped's first draft and on string folds in
+    # scalar_array_sort_comparator), so the oracle folds through a
+    # recursive CTE instead — same element order, same IEEE expression,
+    # one recursion step per sequence position.
     oracle="""
-    WITH seq AS (
-      SELECT user_id,
-             list(value ORDER BY ts, event_id) AS vals,
-             count(*) AS n_events
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-           vals[len(vals)] AS last_value,
-           list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc)
-             AS ewma_value
-    FROM seq
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    rec(user_id, i, n, acc) AS (
+      SELECT user_id, i, n, value FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.user_id, s.i, s.n, 0.25 * s.value + 0.75 * r.acc
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+    ),
+    lastv AS (SELECT user_id, value AS last_value FROM seq WHERE i = n)
+    SELECT r.user_id, CAST(r.n AS BIGINT) AS n_events,
+           l.last_value, r.acc AS ewma_value
+    FROM rec r JOIN lastv l ON l.user_id = r.user_id
+    WHERE r.i = r.n
     """,
     tags=("analytics", "timeseries", "fold"),
 )
@@ -808,4 +818,93 @@ def event_transition_matrix(spark, sf_dir):
         F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
             "p_transition"
         ),
+    )
+
+
+@query(
+    "running_balance_clamped",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) * CASE
+               WHEN event_type = 'purchase' THEN -1 ELSE 1 END AS delta
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, delta,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM d
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(delta) - least(CAST(0 AS BIGINT), min(prefix))
+                AS BIGINT) AS final_balance_cents
+    FROM runs GROUP BY user_id
+    """,
+    tags=("analytics", "window", "recurrence"),
+)
+def running_balance_clamped(spark, sf_dir):
+    """Floor-clamped running balance — balance(t) = max(0, balance +
+    delta) — looks like a non-associative fold, but the clamp has a
+    prefix-sum CLOSED FORM (the reflection identity):
+    final = S_n - min(0, min_k S_k). That turns the sequential
+    recurrence into one running-sum window + one hash agg — fully
+    parallel, integer-exact, no per-key fold at all (and no DuckDB
+    list_reduce, whose fold is batch-layout-buggy in 1.0.0 — see
+    scalar_array_sort_comparator). Recurrences WITHOUT a closed form
+    take the applyInPandasWithState operator instead."""
+    e = t(spark, sf_dir, "events")
+    delta = (
+        F.round(F.col("value") * 100).cast("long")
+        * F.when(F.col("event_type") == "purchase", -1).otherwise(1)
+    )
+    d = e.select("user_id", "ts", "event_id", delta.alias("delta"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = d.withColumn("prefix", F.sum("delta").over(w))
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum("delta")
+            - F.least(F.lit(0).cast("long"), F.min("prefix"))
+        ).alias("final_balance_cents"),
+    )
+
+
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+    tags=("analytics", "histogram", "window"),
+)
+def histogram_equi_depth(spark, sf_dir):
+    """Equi-DEPTH histogram (quantile buckets: equal row counts,
+    data-driven boundaries) via a total-ordered ntile — the
+    complement of `histogram_fixed_bins`' equi-width bins and the
+    statistic a cost optimizer keeps per column. The orderkey
+    tiebreaker makes bucket assignment of duplicate prices
+    deterministic cross-engine."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
     )
