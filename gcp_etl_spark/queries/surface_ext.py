@@ -270,3 +270,68 @@ def scalar_regexp_backref(spark, sf_dir):
             "c_name", r"(\d)\d*(\d)", r"$1**$2"
         ).alias("squeezed_digits"),
     )
+
+
+@query(
+    "null_semantics_battery",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderstatus END AS s
+      FROM orders
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                         AS n_rows,
+      CAST(count(p) AS BIGINT)                         AS n_p_nonnull,
+      CAST(count(DISTINCT s) AS BIGINT)                AS n_s_distinct,
+      CAST(sum(CASE WHEN p = p THEN 1 ELSE 0 END)
+           AS BIGINT)                                  AS n_self_eq,
+      CAST(sum(CASE WHEN p IS NOT DISTINCT FROM p
+                    THEN 1 ELSE 0 END) AS BIGINT)      AS n_self_nullsafe,
+      CAST(sum(CASE WHEN s IN ('F', 'O') THEN 1
+                    ELSE 0 END) AS BIGINT)             AS n_in_list,
+      CAST(sum(CASE WHEN s NOT IN ('F', 'O') THEN 1
+                    ELSE 0 END) AS BIGINT)             AS n_not_in_list,
+      CAST(sum(CASE WHEN coalesce(s, 'X') = 'X' THEN 1
+                    ELSE 0 END) AS BIGINT)             AS n_coalesced,
+      CAST(min(p) AS DOUBLE)                           AS min_skips_null,
+      CAST(count(*) FILTER (WHERE p IS NULL AND s IS NULL)
+           AS BIGINT)                                  AS n_both_null
+    FROM src
+    """,
+    tags=("scalar", "null", "conformance"),
+)
+def null_semantics_battery(spark, sf_dir):
+    """SQL NULL-semantics conformance in one scan: NULL = NULL is
+    UNKNOWN (self-equality counts only non-null rows) while IS NOT
+    DISTINCT FROM is true; NOT IN over a list never matches a NULL
+    operand; count(col) vs count(*); aggregates skip NULLs. These are
+    the corners engines disagree on — asserting them differentially
+    pins the engine to ANSI behavior."""
+    o = t(spark, sf_dir, "orders")
+    src = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s"),
+    )
+    b = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return src.agg(
+        F.count("*").alias("n_rows"),
+        F.count("p").alias("n_p_nonnull"),
+        F.countDistinct("s").alias("n_s_distinct"),
+        b(F.col("p") == F.col("p")).alias("n_self_eq"),
+        b(F.col("p").eqNullSafe(F.col("p"))).alias("n_self_nullsafe"),
+        b(F.col("s").isin("F", "O")).alias("n_in_list"),
+        b(~F.col("s").isin("F", "O")).alias("n_not_in_list"),
+        b(F.coalesce(F.col("s"), F.lit("X")) == "X").alias("n_coalesced"),
+        F.min("p").alias("min_skips_null"),
+        F.sum(
+            F.when(F.col("p").isNull() & F.col("s").isNull(), 1).otherwise(0)
+        ).alias("n_both_null"),
+    )
