@@ -352,3 +352,52 @@ def scalar_try_ansi(spark, sf_dir):
         ).alias("prio_num"),
         F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
     )
+
+
+@query(
+    "scalar_try_overflow",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             9223372036854775807 - (o_orderkey % 100) AS near_max,
+             o_orderkey % 7 AS small
+      FROM orders WHERE o_orderkey % 200 = 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN small <= o_orderkey % 100
+                THEN near_max + small ELSE NULL END AS add_or_null,
+           CASE WHEN small = 0 THEN CAST(0 AS BIGINT)
+                WHEN near_max <= 9223372036854775807 / small
+                THEN near_max * small
+                ELSE NULL END AS mul_or_null,
+           CAST(near_max AS DOUBLE) + small AS widened_add
+    FROM src
+    """,
+    tags=("scalar", "ansi", "try", "overflow"),
+)
+def scalar_try_overflow(spark, sf_dir):
+    """BIGINT overflow safety under ANSI mode: plain `+`/`*` THROW on
+    overflow; try_add / try_multiply return NULL, and widening to
+    double is the lossy-but-total alternative. Inputs are constructed
+    at the int64 edge so half the additions overflow; the oracle
+    reproduces try-semantics with explicit bound checks (DuckDB has
+    no try_add — its native + would raise — so the CASE guards are
+    the mirror)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    src = o.select(
+        "o_orderkey",
+        (F.lit(9223372036854775807) - (F.col("o_orderkey") % 100)).alias(
+            "near_max"
+        ),
+        (F.col("o_orderkey") % 7).alias("small"),
+    )
+    return src.select(
+        "o_orderkey",
+        F.try_add(F.col("near_max"), F.col("small")).alias("add_or_null"),
+        F.try_multiply(F.col("near_max"), F.col("small")).alias(
+            "mul_or_null"
+        ),
+        (F.col("near_max").cast("double") + F.col("small")).alias(
+            "widened_add"
+        ),
+    )
