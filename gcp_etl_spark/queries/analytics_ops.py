@@ -678,7 +678,9 @@ def basket_cooccurrence(spark, sf_dir):
     confidence): distinct (order, item-type) pairs self-joined per
     order with canonical type_a < type_b — pair fan-out is C(types-
     in-order, 2), bounded by basket width, never corpus-quadratic.
-    Support/confidence are int/int divisions rounded at 6dp."""
+    Support/confidence are int/int divisions rounded at 6dp; the
+    global order count rides as a broadcast 1-row aggregate, not a
+    driver-side count."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     lines = (
@@ -686,7 +688,9 @@ def basket_cooccurrence(spark, sf_dir):
         .select("l_orderkey", "p_type")
         .distinct()
     )
-    n_orders = lines.select("l_orderkey").distinct().count()
+    n_orders = lines.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
     a = lines.alias("a")
     b = lines.alias("b")
     pairs = (
@@ -706,13 +710,14 @@ def basket_cooccurrence(spark, sf_dir):
     )
     return (
         pairs.join(F.broadcast(singles), "type_a")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "type_a",
             "type_b",
             "n_together",
-            F.round(F.col("n_together") / F.lit(float(n_orders)), 6).alias(
-                "support"
-            ),
+            F.round(
+                F.col("n_together") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
             F.round(
                 F.col("n_together") / F.col("n_orders_with").cast("double"),
                 6,
