@@ -632,3 +632,37 @@ def scalar_array_sort_comparator(spark, sf_dir):
         F.size("ws").alias("n_words"),
         F.element_at(cmp_sorted, 1).alias("longest_word"),
     )
+
+
+@query(
+    "scalar_string_transform",
+    oracle="""
+    SELECT o_orderkey,
+           translate(o_orderpriority, 'RGE', 'rge') AS translated,
+           reverse(o_orderstatus) AS reversed,
+           repeat(o_orderstatus, 3) AS repeated,
+           substr(o_orderpriority, 1, 2) || 'XX'
+             || substr(o_orderpriority, 5) AS overlaid,
+           array_to_string(list_transform(
+             string_split(o_orderpriority, ' '),
+             w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')
+             AS initcapped
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_transform(spark, sf_dir):
+    """Character-level string transforms: translate (char map),
+    reverse, repeat, overlay (splice at position), initcap — the
+    remaining ANSI string surface. DuckDB has no overlay/initcap, so
+    the oracle mirrors them with substr arithmetic and a per-word
+    capitalize-first transform (initcap is per whitespace word)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.translate("o_orderpriority", "RGE", "rge").alias("translated"),
+        F.reverse("o_orderstatus").alias("reversed"),
+        F.repeat("o_orderstatus", 3).alias("repeated"),
+        F.overlay("o_orderpriority", F.lit("XX"), 3, 2).alias("overlaid"),
+        F.initcap("o_orderpriority").alias("initcapped"),
+    )
