@@ -262,8 +262,8 @@ def minhash_near_duplicates(
 
 
 def minhash_incremental(
-    corpus: DataFrame,
-    batch: DataFrame,
+    corpus: DataFrame | None,
+    batch: DataFrame | None,
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
@@ -288,6 +288,16 @@ def minhash_incremental(
     ingestion only hashes its own batch.
     """
     assert num_perm % bands == 0
+    if (full is None) != (batch_pred is None):
+        raise ValueError(
+            "minhash_incremental: pass BOTH full and batch_pred for the "
+            "single-table split, or NEITHER (with corpus + batch)"
+        )
+    if full is None and (corpus is None or batch is None):
+        raise ValueError(
+            "minhash_incremental: corpus and batch are required when "
+            "full/batch_pred are not given"
+        )
     r = num_perm // bands
     if full is not None and batch_pred is not None:
         # corpus and batch are slices of ONE table (``full``, split by

@@ -613,9 +613,11 @@ def scalar_array_sort_comparator(spark, sf_dir):
     """``array_sort`` with a CUSTOM COMPARATOR lambda (length desc,
     then lexicographic) — the HOF variant plain ascending sort can't
     express; the head of the sorted array is each document's longest
-    word. The oracle computes the identical argmax with a
-    list_reduce fold (DuckDB's list_sort takes no comparator), so
-    both engines agree element-for-element."""
+    word. The oracle computes the identical argmax via unnest + a
+    (length desc, word) row_number window (DuckDB's list_sort takes
+    no comparator, and DuckDB 1.0's list_reduce is batch-layout-buggy
+    — documented in SURVEY §2C), so both engines agree
+    element-for-element."""
     d = t(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")

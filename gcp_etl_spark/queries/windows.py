@@ -374,12 +374,19 @@ def window_time_range_frame(spark, sf_dir):
     rolling-exposure shape. Ordering on epoch seconds makes the frame
     identical on both engines including timestamp ties (RANGE frames
     are tie-inclusive by value, so no tiebreaker is needed — or
-    allowed). Money rides as integer cents, exact under any
+    allowed). The epoch conversion is pure wall-clock arithmetic —
+    ``timestampdiff(SECOND, epoch, ts)`` over the TIMESTAMP_NTZ
+    column — independent of the session timezone (``unix_timestamp``
+    re-interprets NTZ under the session TZ and could diverge from
+    DuckDB's TZ-free ``epoch()`` near DST transitions on a non-UTC
+    session). Money rides as integer cents, exact under any
     accumulation order."""
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
         .rangeBetween(-3600, Window.currentRow)
     )
     return e.select(

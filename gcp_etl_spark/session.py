@@ -32,22 +32,28 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # The avro datasource is an external module (reference pins
 # spark-avro_2.12-3.1.2 at ``k8s/submit/spark-avro_2.12-3.1.2.jar``
-# and submits it via --jars). Stock pyspark does not bundle it; probe
-# the usual local caches + the same public artifact if present on
-# disk, and wire it at session build (jars cannot be added after JVM
-# start). io.write_avro still falls back to parquet when absent.
+# and submits it via --jars). Stock pyspark does not bundle it; honor
+# an explicit ``SPARK_GRAFT_AVRO_JAR`` (a jar path or a directory to
+# search), then probe the standard local artifact caches, and wire it
+# at session build (jars cannot be added after JVM start).
+# io.write_avro still falls back to parquet when absent.
 _AVRO_JAR_CANDIDATES = (
     os.path.expanduser("~/.ivy2/jars"),
     os.path.expanduser("~/.ivy2/cache/org.apache.spark"),
     os.path.expanduser("~/.m2/repository/org/apache/spark"),
-    "/root/reference/k8s/submit",
 )
 
 
 def find_avro_jar() -> str | None:
     import glob
 
-    for root in _AVRO_JAR_CANDIDATES:
+    override = os.environ.get("SPARK_GRAFT_AVRO_JAR")
+    roots = list(_AVRO_JAR_CANDIDATES)
+    if override:
+        if os.path.isfile(override):
+            return override
+        roots.insert(0, override)
+    for root in roots:
         hits = sorted(glob.glob(os.path.join(root, "**", "spark-avro*.jar"),
                                 recursive=True))
         if hits:

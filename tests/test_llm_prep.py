@@ -26,16 +26,17 @@ def test_chunk_geometry_covers_every_token(spark):
         F.max("chunk_idx").alias("max_idx"),
         F.min("chunk_idx").alias("min_idx"),
         F.max("n_chunk_toks").alias("max_w"),
+        # every chunk narrower than full width must be the LAST chunk:
+        # min index among short chunks (if any) must equal max_idx
         F.min(
-            F.when(F.col("chunk_idx") < F.col("n_chunk_toks"), None).otherwise(
-                None
-            )
-        ).alias("_"),
+            F.when(F.col("n_chunk_toks") < _CHUNK_W, F.col("chunk_idx"))
+        ).alias("short_idx"),
     )
     bad = per_doc.filter(
         (F.col("min_idx") != 0)
         | (F.col("max_idx") != F.col("n_chunks") - 1)
         | (F.col("max_w") > _CHUNK_W)
+        | (F.col("short_idx").isNotNull() & (F.col("short_idx") != F.col("max_idx")))
     )
     assert bad.count() == 0
 

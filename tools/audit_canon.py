@@ -22,8 +22,9 @@ from __future__ import annotations
 import datetime
 import os
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
@@ -36,7 +37,11 @@ PD_MAX = datetime.datetime(2262, 4, 10)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
+    )
     only = set(sys.argv[2:])
     spark = get_spark()
     bad = 0
