@@ -1,19 +1,25 @@
-"""Multimodal column handling: opaque binary payloads + typed metadata.
+"""Multimodal column handling: binary payloads + typed metadata,
+with REAL stdlib-only codecs for PNG and WAV.
 
 Design (SURVEY.md §2B "multimodal columns"): media lives in a
 ``binary`` column beside typed metadata (mime, width, …); decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes a bounded batch of blobs without ever collecting to the
-driver. The actual codecs (PIL/librosa/av) are NOT in this container
-(environment constraint) — the decode step is stubbed behind
-``_HAS_CODECS``; everything Spark-side (schema, batching, partition
-sizing) is real and tested.
+driver. The container has no media libraries, but two real formats
+are decodable with the standard library alone — PNG (zlib + struct)
+and 16-bit PCM WAV (``wave``) — implemented in ``llm.codecs``; every
+operator here first tries the real decode and falls back to
+byte-level features only for payloads in formats it cannot parse
+(the honest behavior for arbitrary crawl data, where a JPEG/MP3
+would need an external codec).
 
 Scale notes: blobs make rows wide — cap
-``spark.sql.files.maxPartitionBytes`` / use ``maxRecordsPerBatch`` so
-an Arrow batch of blobs fits executor memory; store media in its own
-column family (parquet column) so metadata-only queries never read the
-bytes (column pruning).
+``spark.sql.files.maxPartitionBytes`` / ``maxRecordsPerBatch`` so an
+Arrow batch of blobs fits executor memory; store media in its own
+parquet column so metadata-only queries never read the bytes (column
+pruning); decode runs INSIDE the scan (mapInPandas pipelines with
+it), so pixels/samples never shuffle — only the extracted features
+do.
 """
 
 from __future__ import annotations
@@ -25,12 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # pragma: no cover - codecs absent in this container by design
-    import PIL.Image  # noqa: F401
-
-    _HAS_CODECS = True
-except Exception:
-    _HAS_CODECS = False
+from gcp_etl_spark.llm import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -41,6 +42,34 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# deterministic generator constants — mirrored literally in the DuckDB
+# oracles of the multimodal_* queries (queries/llm_ops.py), so the
+# decoded content is cross-engine hash-verifiable
+IMG_W, IMG_H = 24, 24
+WAV_N, WAV_RATE = 2048, 8000
+
+
+def _gen_image(media_id: int) -> bytes:
+    """pixel[y, x, c] = (13*id + 7*x + 11*y + 17*c) % 256 — integer
+    arithmetic only, so an oracle can recompute every pixel."""
+    import numpy as np
+
+    y = np.arange(IMG_H).reshape(-1, 1, 1)
+    x = np.arange(IMG_W).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    arr = ((13 * media_id + 7 * x + 11 * y + 17 * c) % 256).astype(np.uint8)
+    return codecs.png_encode(arr)
+
+
+def _gen_audio(media_id: int) -> bytes:
+    """sample[i] = ((37*id + 13*i) % 4096) - 2048 — int16-safe and
+    exactly recomputable in SQL."""
+    import numpy as np
+
+    i = np.arange(WAV_N)
+    samples = ((37 * media_id + 13 * i) % 4096 - 2048).astype("<i2")
+    return codecs.wav_encode(samples, rate=WAV_RATE)
+
 
 def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
     """Ingest a directory of media files as (path, modificationTime,
@@ -49,8 +78,10 @@ def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, payload_bytes: int = 1024) -> DataFrame:
-    """Deterministic fake media table for plumbing tests (no codecs in
-    the container): payload = repeating byte pattern keyed by id."""
+    """Deterministic OPAQUE media table (repeating byte pattern keyed
+    by id) — payloads that parse as neither PNG nor WAV, exercising
+    the operators' fallback path and the binary-dedup plan, where
+    only digests may reach the shuffle."""
     rows = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
@@ -63,54 +94,117 @@ def synthesize_media(spark: SparkSession, n: int = 64, payload_bytes: int = 1024
     return rows
 
 
+def synthesize_codec_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic REAL media table: even ids carry an actual PNG
+    (24×24 RGB, integer-formula pixels), odd ids an actual 16-bit PCM
+    WAV (2048-sample integer-formula signal). Generated inside
+    mapInPandas so encoding distributes with the id range — no
+    driver-side blob loop."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": [
+                        "image/png" if i % 2 == 0 else "audio/wav" for i in ids
+                    ],
+                    "payload": [
+                        _gen_image(i) if i % 2 == 0 else _gen_audio(i)
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"src": f"synth-codec://{i}"} for i in ids
+                    ],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 FEATURE_SCHEMA = (
-    "media_id long, mime string, n_bytes long, byte_entropy double, feature array<float>"
+    "media_id long, mime string, n_bytes long, decoded boolean,"
+    " sample_count long, sample_sum long, sample_min long,"
+    " sample_max long, byte_entropy double, feature array<float>"
 )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    Real decode (image resize / audio frames) requires codec libs →
-    stubbed: with codecs absent we emit deterministic byte-level
-    features (size, entropy, 8-dim byte histogram) so the full
-    mapInPandas pipeline — schema, batching, downstream joins — is
-    exercised for real.
+    Tries the REAL decode first (PNG pixels / WAV samples via
+    ``llm.codecs``); features are then computed over decoded content:
+    ``sample_count``/``sample_sum`` are exact integer aggregates of
+    the pixel/sample values (oracle-mirrorable), ``byte_entropy`` and
+    the 8-bin histogram ``feature`` are computed over the decoded
+    value distribution. Payloads that parse as neither format get
+    byte-level features with ``decoded = false`` — the fallback for
+    formats that would need external codec libs (JPEG/MP3/MP4).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            if _HAS_CODECS:  # pragma: no cover
-                raise NotImplementedError(
-                    "real codec path not available in this container"
-                )
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: 0 if b is None else len(b))
-            ent, feats = [], []
-            for b in payloads:
-                if not b:
-                    ent.append(0.0)
-                    feats.append(np.zeros(8, dtype="float32"))
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                "decoded": [],
+                "sample_count": [],
+                "sample_sum": [],
+                "sample_min": [],
+                "sample_max": [],
+                "byte_entropy": [],
+                "feature": [],
+            }
+            for b in pdf["payload"]:
+                vals, decoded = _decode_values(b)
+                if vals is None or vals.size == 0:
+                    out["decoded"].append(bool(decoded))
+                    out["sample_count"].append(0)
+                    out["sample_sum"].append(0)
+                    out["sample_min"].append(0)
+                    out["sample_max"].append(0)
+                    out["byte_entropy"].append(0.0)
+                    out["feature"].append(np.zeros(8, dtype="float32"))
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr >> 5, minlength=8).astype("float64")
+                # 8-bin histogram over the decoded value range
+                lo, hi = (-2048, 2048) if vals.dtype == np.int16 else (0, 256)
+                bins = ((vals.astype(np.int64) - lo) * 8) // (hi - lo)
+                hist = np.bincount(bins.clip(0, 7), minlength=8).astype("float64")
                 p = hist / hist.sum()
                 nz = p[p > 0]
-                ent.append(float(-(nz * np.log2(nz)).sum()))
-                feats.append((hist / hist.sum()).astype("float32"))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": n_bytes,
-                    "byte_entropy": ent,
-                    "feature": feats,
-                }
-            )
+                out["decoded"].append(bool(decoded))
+                out["sample_count"].append(int(vals.size))
+                out["sample_sum"].append(int(vals.astype(np.int64).sum()))
+                out["sample_min"].append(int(vals.min()))
+                out["sample_max"].append(int(vals.max()))
+                out["byte_entropy"].append(float(-(nz * np.log2(nz)).sum()))
+                out["feature"].append(p.astype("float32"))
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _decode_values(b):
+    """payload → (flat value array, decoded?) — PNG pixels as uint8,
+    WAV samples as int16, else raw bytes as uint8 with decoded=False."""
+    import numpy as np
+
+    if not b:
+        return None, False
+    try:
+        return codecs.png_decode(bytes(b)).ravel(), True
+    except ValueError:
+        pass
+    try:
+        samples, _rate = codecs.wav_decode(bytes(b))
+        return samples.ravel(), True
+    except ValueError:
+        pass
+    return np.frombuffer(bytes(b), dtype=np.uint8), False
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, n_frame_bytes long, frame_crc long"
@@ -120,29 +214,29 @@ def sample_frames(
     df: DataFrame, frame_bytes: int = 256, every_k: int = 4
 ) -> DataFrame:
     """Frame sampling (one input row -> N output rows): keep every
-    k-th fixed-size frame of the payload. Real video demux needs a
-    codec lib (absent here — guarded like extract_features); the
-    deterministic fallback treats the payload as a sequence of
-    ``frame_bytes`` blocks, which keeps the real plumbing — row
-    explosion inside bounded Arrow batches, per-frame checksums,
-    downstream joinability — fully exercised. At 100 TB sample BEFORE
-    any decode so only 1/k of the bytes ever leave the scan."""
+    k-th fixed-size frame. For decodable payloads the frames are cut
+    from the DECODED buffer (PNG pixel rows / WAV PCM stream); opaque
+    payloads fall back to raw byte blocks (a real video demux would
+    need an external container parser). The plumbing — row explosion
+    inside bounded Arrow batches, per-frame checksums, downstream
+    joinability — is identical either way. At 100 TB sample BEFORE
+    any transcode so only 1/k of the frames ever leave the scan."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
         for pdf in it:
-            if _HAS_CODECS:  # pragma: no cover
-                raise NotImplementedError(
-                    "real demux path not available in this container"
-                )
             out = {"media_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_crc": []}
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                if not b:
+                vals, decoded = _decode_values(b)
+                buf = vals.tobytes() if decoded and vals is not None else (
+                    bytes(b) if b else b""
+                )
+                if not buf:
                     continue
-                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, every_k):
-                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    fr = buf[i * frame_bytes : (i + 1) * frame_bytes]
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["n_frame_bytes"].append(len(fr))
@@ -153,44 +247,63 @@ def sample_frames(
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: records the target geometry in metadata and
-    (with codecs present) would re-encode the payload. Codec path
-    stubbed (``NotImplementedError``); the metadata/schema flow is
-    real so downstream stages can be built and tested against it."""
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError(
-            "real resize path not available in this container"
-        )
-    return df.withColumn(
-        "meta",
-        F.map_concat(
-            "meta",
-            F.create_map(
-                F.lit("target_size"), F.lit(f"{width}x{height}"),
-                F.lit("resized"), F.lit("stub"),
-            ),
-        ),
-    )
+    """REAL image resize: decode PNG payloads, nearest-neighbor
+    resample to (width, height), re-encode as PNG, and stamp the new
+    geometry into ``meta`` (``resized = real``). Non-PNG payloads pass
+    through unchanged with ``resized = skipped`` — resizing audio
+    makes no sense and opaque formats would need external codecs.
+    Runs as mapInPandas so pixels never leave the task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for b, m in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(m) if m is not None else {}
+                try:
+                    arr = codecs.png_decode(bytes(b)) if b else None
+                except ValueError:
+                    arr = None
+                if arr is not None and arr.shape[2] == 3:
+                    small = codecs.resize_nearest(arr, width, height)
+                    payloads.append(codecs.png_encode(small))
+                    meta["target_size"] = f"{width}x{height}"
+                    meta["resized"] = "real"
+                else:
+                    payloads.append(b)
+                    meta["target_size"] = f"{width}x{height}"
+                    meta["resized"] = "skipped"
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
 
 
 WINDOW_SCHEMA = (
     "media_id long, win_idx int, n_win_bytes long, mean_level double,"
-    " win_crc long"
+    " sum_level long, win_crc long"
 )
 
 
 def window_samples(
     df: DataFrame, win_bytes: int = 256, stride: int = 128
 ) -> DataFrame:
-    """Overlapping sample windows over an audio-style payload (the
-    binary counterpart of text chunking): windows of ``win_bytes``
-    advancing ``stride`` (50% overlap by default), per-window mean
-    level + CRC. Real PCM decode needs codec libs (absent — guarded
-    like extract_features); treating the payload as raw 8-bit samples
-    keeps the actual plumbing — 1->N row fan-out inside bounded Arrow
-    batches, per-window features, downstream joins — fully real.
-    At 100 TB the windowing runs inside the scan (mapInPandas
-    pipelines with it), so bytes never shuffle pre-aggregation."""
+    """Overlapping sample windows over an audio payload (the binary
+    counterpart of text chunking): windows of ``win_bytes`` advancing
+    ``stride`` (50% overlap by default) over the DECODED buffer — for
+    WAV payloads that is the int16 PCM stream (2 bytes/sample), so
+    ``mean_level``/``sum_level`` are statistics of real audio
+    amplitudes; opaque payloads fall back to raw uint8 bytes.
+    ``sum_level`` is an exact integer so window algebra is
+    oracle-mirrorable. At 100 TB the windowing runs inside the scan
+    (mapInPandas pipelines with it), so samples never shuffle
+    pre-aggregation."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -198,28 +311,27 @@ def window_samples(
         import numpy as np
 
         for pdf in it:
-            if _HAS_CODECS:  # pragma: no cover
-                raise NotImplementedError(
-                    "real audio decode not available in this container"
-                )
             out = {
                 "media_id": [], "win_idx": [], "n_win_bytes": [],
-                "mean_level": [], "win_crc": [],
+                "mean_level": [], "sum_level": [], "win_crc": [],
             }
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                if not b:
+                vals, decoded = _decode_values(b)
+                if vals is None or vals.size == 0:
                     continue
-                n = len(b)
+                buf = vals.tobytes()
+                n = len(buf)
                 n_wins = 1 if n <= win_bytes else (
                     (n - win_bytes + stride - 1) // stride + 1
                 )
                 for i in range(n_wins):
-                    w = b[i * stride : i * stride + win_bytes]
-                    arr = np.frombuffer(w, dtype=np.uint8)
+                    w = buf[i * stride : i * stride + win_bytes]
+                    arr = np.frombuffer(w, dtype=vals.dtype)
                     out["media_id"].append(mid)
                     out["win_idx"].append(i)
                     out["n_win_bytes"].append(len(w))
                     out["mean_level"].append(float(arr.mean()))
+                    out["sum_level"].append(int(arr.astype(np.int64).sum()))
                     out["win_crc"].append(zlib.crc32(w))
             yield pd.DataFrame(out)
 

@@ -341,11 +341,15 @@ def neardup_embedding_cosine(spark, sf_dir):
 
 @query("multimodal_features", oracle=None, tags=("llm", "multimodal"))
 def multimodal_features(spark, sf_dir):
-    """Multimodal column pipeline: binary payloads + typed metadata ->
-    Arrow-batched mapInPandas feature extraction -> join back to
-    metadata (SURVEY §2B "multimodal columns"; codecs stubbed with
-    deterministic byte-level features - not in this container).
-    Rows-only: the feature math is Python-side by design."""
+    """Multimodal column pipeline over OPAQUE payloads: binary blobs +
+    typed metadata -> Arrow-batched mapInPandas feature extraction ->
+    join back to metadata (SURVEY §2B "multimodal columns"). The
+    payloads here deliberately parse as neither PNG nor WAV, so this
+    exercises the byte-level fallback (``decoded = false``) a crawl
+    pipeline hits on formats without an available codec; the REAL
+    decode paths are gated with exact oracles in
+    ``multimodal_image_decode`` / ``multimodal_audio_decode``.
+    Rows-only: the entropy/histogram math is Python-side by design."""
     from gcp_etl_spark.llm.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=256, payload_bytes=4096)
@@ -356,11 +360,144 @@ def multimodal_features(spark, sf_dir):
             "media_id",
             "mime",
             "n_bytes",
+            "decoded",
             F.round("byte_entropy", 4).alias("byte_entropy"),
             F.size("feature").alias("feature_dim"),
             F.try_element_at("meta", F.lit("src")).alias("src"),
         )
         .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_image_decode",
+    # the PNG payloads are REAL (llm/codecs.py png_encode) with
+    # integer-formula pixels: pixel[y,x,c] = (13*id + 7x + 11y + 17c)
+    # % 256 on a 24x24x3 grid — the oracle recomputes every pixel and
+    # must agree with Spark's decode-path aggregates exactly
+    oracle="""
+    WITH ids AS (SELECT 2 * i AS media_id FROM generate_series(0, 31) t(i)),
+    px AS (
+      SELECT ids.media_id,
+             (13 * ids.media_id + 7 * x.x + 11 * y.y + 17 * c.c) % 256 AS v
+      FROM ids,
+           generate_series(0, 23) x(x),
+           generate_series(0, 23) y(y),
+           generate_series(0, 2) c(c)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(min(v) AS BIGINT) AS value_min,
+           CAST(max(v) AS BIGINT) AS value_max
+    FROM px GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_image_decode(spark, sf_dir):
+    """REAL image decode, cross-engine verified: synthesize actual PNG
+    files (zlib-compressed, filtered scanlines — ``llm/codecs.py``),
+    decode them back inside Arrow-batched mapInPandas, and aggregate
+    the decoded pixels. The DuckDB oracle recomputes the pixel formula
+    directly — a hash match proves the whole encode → compress →
+    parse → unfilter → decode path is bit-exact. Decode runs inside
+    the scan; only per-image aggregates leave the task (100 TB shape:
+    pixels never shuffle)."""
+    from gcp_etl_spark.llm.multimodal import extract_features, synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(F.col("mime") == "image/png")
+    return extract_features(media).select(
+        "media_id",
+        "decoded",
+        F.col("sample_count").alias("n_values"),
+        F.col("sample_sum").alias("value_sum"),
+        F.col("sample_min").alias("value_min"),
+        F.col("sample_max").alias("value_max"),
+    )
+
+
+@query(
+    "multimodal_audio_decode",
+    # REAL 16-bit PCM WAV payloads (llm/codecs.py wav_encode):
+    # sample[i] = ((37*id + 13i) % 4096) - 2048 over 2048 samples —
+    # the oracle recomputes the signal and must agree exactly
+    oracle="""
+    WITH ids AS (SELECT 2 * i + 1 AS media_id FROM generate_series(0, 31) t(i)),
+    s AS (
+      SELECT ids.media_id,
+             ((37 * ids.media_id + 13 * g.i) % 4096) - 2048 AS amp
+      FROM ids, generate_series(0, 2047) g(i)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS amp_sum,
+           CAST(min(amp) AS BIGINT) AS amp_min,
+           CAST(max(amp) AS BIGINT) AS amp_max
+    FROM s GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode, cross-engine verified: synthesize actual
+    RIFF/WAV PCM files, parse them back (stdlib ``wave``) inside
+    mapInPandas, and aggregate the decoded int16 amplitudes; the
+    oracle recomputes the signal formula. A hash match proves the
+    PCM byte layout, endianness, and framing all round-trip."""
+    from gcp_etl_spark.llm.multimodal import extract_features, synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(F.col("mime") == "audio/wav")
+    return extract_features(media).select(
+        "media_id",
+        "decoded",
+        F.col("sample_count").alias("n_samples"),
+        F.col("sample_sum").alias("amp_sum"),
+        F.col("sample_min").alias("amp_min"),
+        F.col("sample_max").alias("amp_max"),
+    )
+
+
+@query(
+    "multimodal_image_resize",
+    # nearest-neighbor 24x24 -> 12x12: dst (x,y) samples src (2x, 2y)
+    # — the oracle recomputes the resized grid from the pixel formula;
+    # the Spark side goes decode -> resize -> RE-ENCODE -> decode, so
+    # a hash match proves the full transcode round-trip
+    oracle="""
+    WITH ids AS (SELECT 2 * i AS media_id FROM generate_series(0, 31) t(i)),
+    px AS (
+      SELECT ids.media_id,
+             (13 * ids.media_id + 7 * (2 * x.x) + 11 * (2 * y.y)
+              + 17 * c.c) % 256 AS v
+      FROM ids,
+           generate_series(0, 11) x(x),
+           generate_series(0, 11) y(y),
+           generate_series(0, 2) c(c)
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum
+    FROM px GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_image_resize(spark, sf_dir):
+    """REAL image resize pipeline: PNG decode → nearest-neighbor
+    12×12 resample → PNG re-encode (``resize_media``) → decode again
+    and aggregate the resized pixels. The oracle applies the same
+    index map (dst pixel (x,y) ← src (2x, 2y)) to the generator
+    formula, pinning the full decode→resize→encode→decode chain."""
+    from gcp_etl_spark.llm.multimodal import (
+        extract_features,
+        resize_media,
+        synthesize_codec_media,
+    )
+
+    media = synthesize_codec_media(spark, n=64).filter(F.col("mime") == "image/png")
+    small = resize_media(media, 12, 12)
+    return extract_features(small).select(
+        "media_id",
+        F.col("sample_count").alias("n_values"),
+        F.col("sample_sum").alias("value_sum"),
     )
 
 
@@ -798,29 +935,47 @@ def dedup_cluster_exact(spark, sf_dir):
 
 @query(
     "multimodal_audio_windows",
-    oracle=None,  # binary mapInPandas plumbing — rows-only; window
-    # geometry/coverage invariants asserted in tests/test_llm.py
-    tags=("llm", "multimodal", "window"),
+    # REAL decoded-PCM windows: the 2048-sample int16 stream is 4096
+    # bytes; 256 B windows (128 samples) at stride 128 B (64 samples)
+    # -> 31 full windows. The oracle recomputes every window sum from
+    # the signal formula — exact integers, cross-engine hash-verified
+    oracle="""
+    WITH ids AS (SELECT 2 * i + 1 AS media_id FROM generate_series(0, 31) t(i)),
+    wi AS (
+      SELECT ids.media_id, w.w,
+             ((37 * ids.media_id + 13 * (64 * w.w + j.j)) % 4096) - 2048 AS amp
+      FROM ids, generate_series(0, 30) w(w), generate_series(0, 127) j(j)
+    ),
+    per_win AS (
+      SELECT media_id, w, sum(amp) AS win_sum FROM wi GROUP BY media_id, w
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(256 * count(*) AS BIGINT) AS total_win_bytes,
+           CAST(sum(win_sum) AS BIGINT) AS level_sum
+    FROM per_win GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "window", "codec"),
 )
 def multimodal_audio_windows(spark, sf_dir):
-    """Overlapping sample windows (256 B / stride 128) over synthetic
-    audio payloads via mapInPandas — the binary counterpart of
-    text_chunk_overlap (llm/multimodal.py::window_samples), with
-    per-window mean level + CRC. Aggregated to per-media window
-    counts + level stats so the declared output is compact and
-    deterministic."""
-    from gcp_etl_spark.llm.multimodal import synthesize_media, window_samples
+    """Overlapping sample windows (256 B / stride 128 B, 50% overlap)
+    over REAL decoded WAV PCM via mapInPandas — the binary counterpart
+    of text_chunk_overlap (llm/multimodal.py::window_samples). Windows
+    are cut from the decoded int16 stream, so the per-window exact
+    integer ``sum_level`` aggregates are statistics of actual audio
+    amplitudes; the oracle recomputes each window from the signal
+    formula. Window geometry/coverage invariants additionally
+    asserted in tests/test_llm.py."""
+    from gcp_etl_spark.llm.multimodal import synthesize_codec_media, window_samples
 
-    media = synthesize_media(spark, n=64, payload_bytes=2048).filter(
-        F.col("mime") == "audio/wav"
-    )
-    wins = window_samples(media)
+    media = synthesize_codec_media(spark, n=64).filter(F.col("mime") == "audio/wav")
+    wins = window_samples(media, win_bytes=256, stride=128)
     return (
         wins.groupBy("media_id")
         .agg(
             F.count("*").alias("n_windows"),
             F.sum("n_win_bytes").alias("total_win_bytes"),
-            F.round(F.avg("mean_level"), 4).alias("avg_level"),
+            F.sum("sum_level").alias("level_sum"),
         )
         .orderBy("media_id")
     )
