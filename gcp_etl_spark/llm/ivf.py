@@ -77,19 +77,32 @@ def ivf_assign(
 
 def _nearest_centroids(vec_col, centers: np.ndarray, nprobe: int):
     """Column expr: array of the ``nprobe`` nearest centroid ids for a
-    vector — centroids are embedded as array literals (k is small by
-    construction, so this is a tiny broadcast-free constant)."""
-    dists = []
-    for cid, c in enumerate(centers):
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec_col, clit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    ranked = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
-    return F.transform(ranked, lambda s: s["cid"])
+    vector, computed as ONE numpy matmul per Arrow batch.
+
+    The k × dim center matrix ships once inside the udf closure
+    (broadcast-shaped, like ``random_projection_buckets``), so the
+    query plan stays O(1) in k — embedding centroids as k × dim
+    ``F.lit`` terms costs quadratic plan bloat and analyzer time at
+    k=4096 even though it works at k=8. Squared-L2 rank uses
+    ``-2·v·Cᵀ + ||C||²`` (the per-row ``||v||²`` term is
+    rank-invariant and omitted); ties broken by centroid id via
+    stable argsort, matching the struct-sort tiebreak it replaces."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = centers.astype(np.float64)  # k × dim
+    c2 = (C * C).sum(axis=1)  # k
+
+    @pandas_udf("array<int>")
+    def nearest(col):  # (pd.Series) -> pd.Series; no annotations —
+        # `from __future__ import annotations` stringifies them and
+        # pandas_udf's signature inspection cannot resolve the strings
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        d = -2.0 * (m @ C.T) + c2  # B × k
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return nearest(vec_col)
 
 
 def cosine_topk_ivf(

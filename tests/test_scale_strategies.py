@@ -357,3 +357,29 @@ def test_prefix_range_frame_fans_out_on_buckets(spark):
         .count()
     )
     assert n_groups > 20
+
+
+def test_ivf_probe_plan_constant_in_k(spark):
+    """The IVF centroid probe must NOT embed k x dim literals in the
+    plan (quadratic analyzer/codegen bloat at k=4096): the center
+    matrix rides in the pandas_udf closure, so the optimized plan size
+    stays flat as k grows 8 -> 512."""
+    import numpy as np
+
+    from gcp_etl_spark.llm.ivf import _nearest_centroids
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rng = np.random.default_rng(0)
+    dim = len(emb.first()["v"])
+
+    def plan_len(k):
+        centers = rng.normal(size=(k, dim))
+        probed = emb.withColumn(
+            "cid", F.explode(_nearest_centroids(F.col("v"), centers, 3))
+        )
+        return len(_plan(probed))
+
+    small, big = plan_len(8), plan_len(512)
+    assert big < small * 1.5, (small, big)
