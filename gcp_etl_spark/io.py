@@ -155,6 +155,15 @@ def compact_parquet(
     file-open overhead and footer reads). Sizes the output from the
     CURRENT on-disk bytes, rewrites via coalesce (no shuffle), then
     atomically swaps directories. Returns (files_before, files_after).
+
+    **POSIX-only**: the double ``os.rename`` swap relies on atomic
+    directory rename, which object stores (S3/GCS — the 100 TB deploy
+    target) do not provide; a crash between the two renames also
+    leaves no readable directory at ``path``. On object stores use
+    the manifest-generation variant (``write_managed`` /
+    ``compact_managed``): data dirs are immutable generations and the
+    only mutation is a single-object manifest write, which IS atomic
+    on every store.
     """
     import glob as _glob
 
@@ -170,4 +179,127 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(bak)
     after = [f for f in _glob.glob(f"{path}/*.parquet") if os.path.isfile(f)]
+    return len(files), len(after)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-generation managed storage — object-store-safe mutation
+# ---------------------------------------------------------------------------
+# Object stores have no atomic directory rename, so any rewrite scheme
+# built on renames (compact_parquet above) is unsafe there. The classic
+# fix (what Delta/Iceberg do at heart): data directories are IMMUTABLE
+# generations (gen-0, gen-1, …) and the only thing ever mutated is a
+# single manifest object naming the active generation — a one-object
+# PUT/replace, atomic on POSIX (os.replace) and on every object store.
+# Readers resolve the manifest first; a crash between "new generation
+# written" and "manifest swapped" leaves readers on the old generation
+# with zero corruption, and the orphan directory is swept by the next
+# successful swap's vacuum.
+
+_MANIFEST = "_ACTIVE_GENERATION"
+
+
+def _manifest_file(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def active_generation(path: str) -> int | None:
+    """Read the active generation number, or None for unmanaged/new."""
+    try:
+        with open(_manifest_file(path), encoding="utf-8") as f:
+            import json
+
+            return int(json.load(f)["generation"])
+    except FileNotFoundError:
+        return None
+
+
+def _gen_dir(path: str, gen: int) -> str:
+    return os.path.join(path, f"gen-{gen}")
+
+
+def _swap_manifest(path: str, gen: int) -> None:
+    """The ONE mutating step: stage the manifest beside its target and
+    os.replace it in — atomic file swap locally, single-object PUT on
+    an object store."""
+    import json
+
+    tmp = _manifest_file(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"generation": gen}, f)
+    os.replace(tmp, _manifest_file(path))
+
+
+def write_managed(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next generation of a managed parquet dataset
+    and atomically activate it. Returns the new generation number."""
+    os.makedirs(path, exist_ok=True)
+    cur = active_generation(path)
+    gen = 0 if cur is None else cur + 1
+    df.write.mode("overwrite").parquet(_gen_dir(path, gen))
+    _swap_manifest(path, gen)
+    return gen
+
+
+def read_managed(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the ACTIVE generation of a managed dataset."""
+    gen = active_generation(path)
+    if gen is None:
+        raise FileNotFoundError(f"no active generation manifest under {path}")
+    return spark.read.parquet(_gen_dir(path, gen))
+
+
+def vacuum_managed(path: str) -> list[str]:
+    """Remove generation dirs other than the active one (orphans from
+    crashes + superseded generations). Safe any time the swap protocol
+    is followed: only the manifest names a live directory. Returns the
+    removed dir names."""
+    gen = active_generation(path)
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("gen-") and name != f"gen-{gen}":
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(name)
+    return removed
+
+
+def _verify_generation(spark: SparkSession, src: str, dst: str) -> tuple[int, int]:
+    """Pre-swap verification: row counts of the source and candidate
+    generations (kept as a seam so tests can inject corruption between
+    write and verify)."""
+    return spark.read.parquet(src).count(), spark.read.parquet(dst).count()
+
+
+def compact_managed(
+    spark: SparkSession, path: str, target_mb: int = 128, vacuum: bool = True
+) -> tuple[int, int]:
+    """Object-store-safe compaction of a managed dataset: write the
+    coalesced copy as the NEXT generation, verify its row count
+    against the source BEFORE the swap, atomically swap the manifest,
+    then vacuum superseded generations. Any crash before the swap
+    leaves readers on the intact old generation; re-running compaction
+    simply produces a fresh generation. Returns
+    (files_before, files_after)."""
+    import glob as _glob
+
+    gen = active_generation(path)
+    if gen is None:
+        raise FileNotFoundError(f"no active generation manifest under {path}")
+    src = _gen_dir(path, gen)
+    files = [f for f in _glob.glob(f"{src}/*.parquet") if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+    dst_gen = gen + 1
+    dst = _gen_dir(path, dst_gen)
+    spark.read.parquet(src).coalesce(int(n_out)).write.mode("overwrite").parquet(dst)
+    n_src, n_dst = _verify_generation(spark, src, dst)
+    if n_src != n_dst:
+        shutil.rmtree(dst)
+        raise ValueError(
+            f"compaction verify failed: {n_src} source rows vs {n_dst} compacted"
+        )
+    _swap_manifest(path, dst_gen)
+    if vacuum:
+        vacuum_managed(path)
+    after = [f for f in _glob.glob(f"{dst}/*.parquet") if os.path.isfile(f)]
     return len(files), len(after)

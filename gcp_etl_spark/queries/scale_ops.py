@@ -657,7 +657,10 @@ def sketch_countmin(spark, sf_dir):
 
 @query(
     "sketch_hll_merge",
-    oracle=None,  # datasketches binary sketch — estimates asserted vs exact in pytest
+    oracle=None,  # datasketches binary sketch — the merge ALGEBRA is
+    # pinned in-engine (hll_direct column must equal hll_estimate on
+    # every row, asserted in pytest and visible in the output);
+    # cross-engine only a tolerance vs exact applies (pytest)
     tags=("sketch", "approx", "aggregate"),
 )
 def sketch_hll_merge(spark, sf_dir):
@@ -667,8 +670,13 @@ def sketch_hll_merge(spark, sf_dir):
     the 100 TB pattern where each partition/day materializes a fixed-size
     sketch and any rollup is a cheap sketch merge, never a re-scan
     (reference's count(*) gate generalized to distinct-count telemetry).
-    Output is BIGINT estimates only (no binary columns → driver-canon
-    safe).
+
+    The merge algebra is EXACT even though the estimate is not:
+    union-of-per-group-sketches and one whole-table sketch are the
+    same deterministic state, so ``hll_estimate`` (via merge) must
+    equal ``hll_direct`` (one-pass whole-table sketch) on the __ALL__
+    row — an equality, not a tolerance (VERDICT r2 #8). Output is
+    BIGINT estimates only (no binary columns → driver-canon safe).
     """
     c = t(spark, sf_dir, "customer")
     per = c.groupBy("c_mktsegment").agg(
@@ -678,13 +686,25 @@ def sketch_hll_merge(spark, sf_dir):
     per_rows = per.select(
         "c_mktsegment",
         F.hll_sketch_estimate("sk").alias("hll_estimate"),
+        # per-segment rows: merge of one sketch is that sketch
+        F.hll_sketch_estimate("sk").alias("hll_direct"),
         "exact_n",
     )
-    merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate"),
-        F.sum("exact_n").alias("exact_n"),  # segments partition customers
-    ).select(
-        F.lit("__ALL__").alias("c_mktsegment"), "hll_estimate", "exact_n"
+    direct_all = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", 14)).alias("hll_direct")
+    )
+    merged = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate"),
+            F.sum("exact_n").alias("exact_n"),  # segments partition customers
+        )
+        .crossJoin(direct_all)
+        .select(
+            F.lit("__ALL__").alias("c_mktsegment"),
+            "hll_estimate",
+            "hll_direct",
+            "exact_n",
+        )
     )
     return per_rows.unionByName(merged).orderBy("c_mktsegment")
 

@@ -267,8 +267,12 @@ def test_resize_media_metadata_stub(spark):
 
 
 def test_hll_sketch_merge_tolerance(spark):
-    """Per-group DataSketches HLL estimates and the merged-union global
-    estimate both stay within the lgK=14 error envelope of exact."""
+    """Cross-engine/approximation bound: per-group DataSketches HLL
+    estimates and the merged-union global estimate stay within the
+    lgK=14 error envelope of exact. The merge ALGEBRA itself is
+    asserted as an exact equality below — merging per-group sketches
+    is deterministic, so it must reproduce the one-pass whole-table
+    sketch estimate bit-for-bit (VERDICT r2 #8)."""
     from gcp_etl_spark.queries.registry import load_all
 
     q = load_all()["sketch_hll_merge"].fn
@@ -277,6 +281,8 @@ def test_hll_sketch_merge_tolerance(spark):
     for seg, r in rows.items():
         exact = r["exact_n"]
         assert abs(r["hll_estimate"] - exact) / max(exact, 1) < 0.02, seg
+        # merge algebra: union-of-group-sketches == direct sketch, EXACTLY
+        assert r["hll_estimate"] == r["hll_direct"], seg
 
 
 def test_audio_window_geometry_and_coverage(spark):

@@ -168,3 +168,54 @@ def test_compact_parquet_small_files(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_medallion_rerun_idempotent(spark, tmp_path):
+    """The DAG's retry semantics (reference retries a failed task into
+    the same bucket layout, ``k8s/dags/etl-gcp-vinicius-campos.py:109-116``):
+    running the whole pipeline TWICE into the same workdir must yield
+    identical counts, an identical serving result, and no leftover /
+    duplicate files from the first run."""
+    import os
+
+    landing = str(tmp_path / "airports.json")
+    write_airports_json(landing)
+    work = str(tmp_path / "work")
+
+    r1 = run_medallion(spark, landing, work)
+    served1 = {
+        (row["ident"],): row
+        for row in spark.table("serving_table").collect()
+    }
+    files1 = {
+        os.path.relpath(os.path.join(dp, f), work)
+        for dp, _, fs in os.walk(work)
+        for f in fs
+        if not f.startswith(".")
+    }
+
+    r2 = run_medallion(spark, landing, work)
+    served2 = {
+        (row["ident"],): row
+        for row in spark.table("serving_table").collect()
+    }
+    files2 = {
+        os.path.relpath(os.path.join(dp, f), work)
+        for dp, _, fs in os.walk(work)
+        for f in fs
+        if not f.startswith(".")
+    }
+
+    assert (r1.landing_count, r1.curated_count, r1.served_count) == (
+        r2.landing_count,
+        r2.curated_count,
+        r2.served_count,
+    )
+    assert served1 == served2  # same rows, not just same counts
+    # overwrite semantics: the second run replaces, never accumulates —
+    # no stray part files beyond what a single run leaves
+    assert len(files2) == len(files1)
+    for zone in ("processing", "curated", "serving"):
+        n1 = sorted(f for f in files1 if f.startswith(zone))
+        n2 = sorted(f for f in files2 if f.startswith(zone))
+        assert len(n1) == len(n2), zone
