@@ -146,6 +146,50 @@ def minhash_signatures(
     )
 
 
+def _band_candidates(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """LSH band-bucket self-join over a (id, sig) signature relation:
+    hash each ``r``-row band of the signature, bucket-join on
+    (band, bucket-hash), and emit distinct ordered candidate pairs
+    (id_a < id_b). This is the step that keeps near-dup detection
+    ~linear — only same-bucket pairs are ever enumerated."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bh")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pre-verification LSH candidate pairs (id_a, id_b) — the exact
+    relation `minhash_near_duplicates` verifies. Exposed so scale
+    harnesses can measure candidate growth directly (the 100 TB
+    design claim is that this count stays ~linear in corpus size)."""
+    assert num_perm % bands == 0
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    return _band_candidates(sig, id_col, bands, num_perm // bands)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -191,25 +235,7 @@ def minhash_near_duplicates(
         F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
     )
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "bk.band", "bk.bh")
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(sig, id_col, bands, r)
 
     if estimate_first:
         # signature-estimate pre-filter: tiny fixed-width payload

@@ -1,0 +1,116 @@
+"""Empirical scale assertions at the 10x (sf1.0) replica.
+
+These tests pin the 100 TB design claims with measurements rather
+than docstrings (round-2 verdict ask #1):
+
+- the prefix-difference bucketed RANGE frame must actually BEAT the
+  naive 3-partition window at sf1, not just argue it would;
+- LSH banding's candidate-pair count must grow ~linearly with the
+  corpus (quadratic growth = broken banding).
+
+Fixtures: ``python tools/gen_scale.py`` builds ``.scale/sf1.0`` (a
+deterministic 10x key-offset replica of the driver's sf0.1 tables —
+see tools/gen_scale.py for the exact construction). Tests skip when
+the fixtures are absent so a fresh checkout stays green.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale", "sf1.0")
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SCALE_DIR),
+    reason="sf1.0 fixtures absent — run tools/gen_scale.py",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    _force(fn(spark, sf_dir))
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return dt
+
+
+def test_bucketed_range_frame_wins_at_sf1(spark):
+    """The O(n log n) prefix-difference frame must overtake Spark's
+    native O(rows x frame-rows) 3-partition sliding frame at 10x
+    data. Warmup at sf0.1 removes codegen/JIT noise from the sf1
+    measurement; the margin requirement (naive > 1.5x bucketed)
+    keeps the assertion robust to scheduler jitter."""
+    from gcp_etl_spark.queries import load_all
+
+    specs = load_all()
+    naive = specs["window_range_frame"].fn
+    bucketed = specs["window_range_frame_bucketed"].fn
+    _timed(spark, naive, BASE_DIR)
+    _timed(spark, bucketed, BASE_DIR)
+    t_naive = _timed(spark, naive, SCALE_DIR)
+    t_bucketed = _timed(spark, bucketed, SCALE_DIR)
+    assert t_bucketed * 1.5 < t_naive, (
+        f"bucketed frame must win at sf1: naive={t_naive:.1f}s "
+        f"bucketed={t_bucketed:.1f}s"
+    )
+
+
+def test_lsh_candidates_grow_linearly(spark):
+    """Banding keeps candidate pairs ~linear in corpus size. The 10x
+    replica plants a 10-way near-dup clique per base doc, so even
+    PERFECT banding yields ~(45 intra-clique pairs x 5k cliques) on
+    top of 10x the base count — allow that structural floor plus
+    headroom, and require the total stays far under quadratic
+    growth (100x)."""
+    from gcp_etl_spark.llm.dedup import minhash_candidate_pairs
+
+    def cands(sf_dir: str) -> int:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return minhash_candidate_pairs(docs, "doc_id", "text").count()
+
+    n_base = cands(BASE_DIR)
+    n_scale = cands(SCALE_DIR)
+    n_docs = 5000
+    clique_floor = 45 * n_docs  # C(10,2) pairs per planted clique
+    linear_budget = 10 * n_base + clique_floor
+    assert n_scale < 3 * linear_budget, (
+        f"candidate growth superlinear: sf0.1={n_base} sf1.0={n_scale} "
+        f"budget={3 * linear_budget}"
+    )
+
+
+def test_scaled_fixtures_referentially_intact(spark):
+    """The replica keeps FK integrity: every sf1 lineitem order key
+    resolves, and dims are unchanged."""
+    li = spark.read.parquet(os.path.join(SCALE_DIR, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(SCALE_DIR, "orders.parquet"))
+    dangling = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    assert dangling == 0
+    assert (
+        spark.read.parquet(os.path.join(SCALE_DIR, "nation.parquet")).count()
+        == 25
+    )
+    assert li.count() == 6_000_000
+    # near-dup planting: the per-replica suffix keeps replicas DISTINCT
+    # from their base doc, so sf1 has exactly 10x the base's distinct
+    # texts (the base itself plants a few exact dups for dedup queries)
+    docs = spark.read.parquet(os.path.join(SCALE_DIR, "documents.parquet"))
+    base = spark.read.parquet(os.path.join(BASE_DIR, "documents.parquet"))
+    assert (
+        docs.select("text").distinct().count()
+        == 10 * base.select("text").distinct().count()
+    )

@@ -1,0 +1,269 @@
+"""Empirical scale validation — the 100 TB design claims, measured.
+
+Runs the heaviest declared queries at the driver's sf0.1 fixtures AND
+at a 10x replica (``.scale/sf1.0``, built by ``tools/gen_scale.py``),
+recording wall time at each scale and the empirical scaling exponent
+``log10(t_sf1 / t_sf0.1)`` (1.0 = linear, 2.0 = quadratic). On top of
+raw timings it measures the structural counters the scale arguments
+rest on:
+
+- **bucketed range frame wins**: `window_range_frame` (naive, window
+  parallelism capped at 3 by the 3-value PARTITION BY) vs
+  `window_range_frame_bucketed` (O(n log n) prefix-difference) — the
+  bucketed plan must be faster at sf1 and scale with a lower exponent.
+- **LSH candidate growth ~linear**: `minhash_candidate_pairs` count
+  at both scales (banding's whole point: never O(n^2)).
+- **IVF probe pruning**: scored (query x corpus) pair count vs the
+  brute-force q*n pair count at both scales.
+- **df-cap bite**: the analytic pair-join size sum_g C(df_g, 2) with
+  and without the df<=50 cap — the cap must remove a larger share at
+  sf1 (document frequency grows with corpus size; the 10x replica
+  plants exactly that hot-shingle growth).
+
+Writes BENCH_SCALE.json at the repo root. Run:
+    python tools/gen_scale.py && python tools/bench_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gcp_etl_spark.queries import load_all  # noqa: E402
+from gcp_etl_spark.session import get_spark  # noqa: E402
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO, ".scale", "sf1.0")
+)
+
+# heaviest / scale-claim-bearing declared queries (r2 bench top-N plus
+# every family whose 100 TB story needs an empirical exponent)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_orders",
+    "window_range_frame",
+    "window_range_frame_bucketed",
+    "window_time_range_frame",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_cluster_exact",
+    "dedup_ngram_jaccard_dfcap",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "text_tfidf_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _cleanup(spark) -> None:
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+    spark.sparkContext._jvm.System.gc()
+
+
+def _timed(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    _force(fn(spark, sf_dir))
+    dt = time.time() - t0
+    _cleanup(spark)
+    return round(dt, 3)
+
+
+def _lsh_candidates(spark, sf_dir: str) -> dict:
+    from gcp_etl_spark.llm.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    n = minhash_candidate_pairs(docs, "doc_id", "text").count()
+    _cleanup(spark)
+    all_pairs = n_docs * (n_docs - 1) // 2
+    return {
+        "docs": n_docs,
+        "candidates": n,
+        "all_pairs": all_pairs,
+        "candidate_fraction": round(n / all_pairs, 6),
+    }
+
+
+def _ivf_pairs(spark, sf_dir: str) -> dict:
+    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.limit(32)
+    assigned, centers = ivf_assign(emb, "vec_id", "embedding", 8, 42)
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id", F.explode(_nearest_centroids(F.col("q_vec"), centers, 3))
+    )
+    scored = assigned.join(F.broadcast(q), "centroid_id").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    n_corpus = emb.count()
+    n_scored = scored.count()
+    _cleanup(spark)
+    return {
+        "scored_pairs": n_scored,
+        "brute_force_pairs": 32 * (n_corpus - 1),
+        "scan_fraction": round(n_scored / (32 * (n_corpus - 1)), 4),
+    }
+
+
+def _dfcap_bite(spark, sf_dir: str, cap: int = 50) -> dict:
+    """Analytic pair-join size sum_g C(df_g,2) with/without the cap —
+    the exact number of rows the shingle equi-join would emit."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfs = sh.groupBy("g").agg(F.count("*").alias("df"))
+    row = dfs.agg(
+        F.count("*").alias("shingles"),
+        F.sum(F.expr("df * (df - 1) / 2")).alias("pairs_uncapped"),
+        F.sum(F.expr(f"CASE WHEN df <= {cap} THEN df * (df - 1) / 2 END"))
+        .alias("pairs_capped"),
+        F.sum(F.expr(f"CASE WHEN df > {cap} THEN 1 END")).alias("dropped"),
+    ).collect()[0]
+    _cleanup(spark)
+    pairs_un = int(row["pairs_uncapped"])
+    pairs_cap = int(row["pairs_capped"] or 0)
+    return {
+        "distinct_shingles": int(row["shingles"]),
+        "shingles_dropped_by_cap": int(row["dropped"] or 0),
+        "join_pairs_uncapped": pairs_un,
+        "join_pairs_capped": pairs_cap,
+        "pairs_removed_frac": round(1 - pairs_cap / max(pairs_un, 1), 4),
+    }
+
+
+def main() -> None:
+    if not os.path.isdir(SCALE_DIR):
+        sys.exit(f"missing {SCALE_DIR} — run tools/gen_scale.py first")
+    # --claims-only: refresh the structural counters without re-timing
+    # the query grid (reuses the queries section of an existing
+    # BENCH_SCALE.json)
+    claims_only = "--claims-only" in sys.argv[1:]
+    out_path = os.path.join(REPO, "BENCH_SCALE.json")
+    prior = {}
+    if claims_only:
+        with open(out_path) as f:
+            prior = json.load(f)
+    specs = load_all()
+    spark = get_spark("bench_scale")
+    mult = (
+        spark.read.parquet(os.path.join(SCALE_DIR, "lineitem.parquet")).count()
+        / spark.read.parquet(os.path.join(BASE_DIR, "lineitem.parquet")).count()
+    )
+
+    # warm up JVM/codegen/parquet-footer paths at both scales
+    for d in (BASE_DIR, SCALE_DIR):
+        _force(specs["q1_pricing_summary"].fn(spark, d))
+    _cleanup(spark)
+
+    queries: dict[str, dict] = prior.get("queries", {})
+    for name in [] if claims_only else HEADLINE:
+        fn = specs[name].fn
+        t_base = _timed(spark, fn, BASE_DIR)
+        t_scale = _timed(spark, fn, SCALE_DIR)
+        ratio = round(t_scale / t_base, 2)
+        queries[name] = {
+            "sf0.1_sec": t_base,
+            "sf1.0_sec": t_scale,
+            "ratio": ratio,
+            "exponent": round(math.log10(max(ratio, 1e-9)) / math.log10(mult), 2),
+        }
+        print(f"{name}: {t_base}s -> {t_scale}s  (x{ratio})", file=sys.stderr)
+
+    claims = {
+        "bucketed_range_frame": {
+            "naive_sf1_sec": queries["window_range_frame"]["sf1.0_sec"],
+            "bucketed_sf1_sec": queries["window_range_frame_bucketed"]["sf1.0_sec"],
+            "bucketed_wins_at_sf1": (
+                queries["window_range_frame_bucketed"]["sf1.0_sec"]
+                < queries["window_range_frame"]["sf1.0_sec"]
+            ),
+            "speedup_at_sf1": round(
+                queries["window_range_frame"]["sf1.0_sec"]
+                / queries["window_range_frame_bucketed"]["sf1.0_sec"],
+                2,
+            ),
+        },
+        "lsh_candidate_pairs": {
+            "sf0.1": _lsh_candidates(spark, BASE_DIR),
+            "sf1.0": _lsh_candidates(spark, SCALE_DIR),
+        },
+        "ivf_probe_pruning": {
+            "sf0.1": _ivf_pairs(spark, BASE_DIR),
+            "sf1.0": _ivf_pairs(spark, SCALE_DIR),
+        },
+        "ngram_dfcap_bite": {
+            "sf0.1": _dfcap_bite(spark, BASE_DIR),
+            "sf1.0": _dfcap_bite(spark, SCALE_DIR),
+        },
+    }
+    # Interpret LSH candidate growth against the PLANTED near-dup
+    # structure: the 10x replica makes every base doc a C(mult,2)-pair
+    # near-dup clique (by construction — tools/gen_scale.py), and each
+    # base candidate pair fans out into mult^2 replica pairs that are
+    # GENUINELY as similar as the originals. Perfect banding must emit
+    # all of those; the scale claim is that candidates track the true
+    # near-dup pair count, NOT corpus^2.
+    lsh = claims["lsh_candidate_pairs"]
+    base_docs = lsh["sf0.1"]["docs"]
+    m = int(round(mult))
+    planted_floor = (m * (m - 1) // 2) * base_docs + m * m * lsh["sf0.1"]["candidates"]
+    lsh["planted_true_pair_floor_sf1"] = planted_floor
+    lsh["candidates_vs_floor_sf1"] = round(
+        lsh["sf1.0"]["candidates"] / max(planted_floor, 1), 3
+    )
+
+    out = {
+        "multiplier": round(mult, 2),
+        "base_dir": BASE_DIR,
+        "scale_dir": SCALE_DIR,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": queries,
+        "claims": claims,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(json.dumps({"metric": "scale_validation", "multiplier": out["multiplier"],
+                      "bucketed_wins": claims["bucketed_range_frame"]["bucketed_wins_at_sf1"],
+                      "lsh_candidates_vs_true_pair_floor":
+                          lsh["candidates_vs_floor_sf1"]}))
+
+
+if __name__ == "__main__":
+    main()
