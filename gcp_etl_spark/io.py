@@ -146,6 +146,92 @@ def serving_sink(
     return served
 
 
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """JDBC URL for an embedded Derby database directory (Derby ships
+    inside pyspark's jars for the Hive metastore, so a REAL JDBC
+    round-trip needs no external service or extra jar)."""
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    truncate: bool = True,
+    batchsize: int = 10_000,
+    driver: str = DERBY_DRIVER,
+) -> None:
+    """Warehouse JDBC load — the engine's analog of the reference's
+    BigQuery ``WRITE_TRUNCATE`` + schema-autodetect load
+    (``k8s/dags/etl-gcp-vinicius-campos.py:132-142``): Spark derives
+    the DDL from the DataFrame schema, ``truncate=True`` keeps the
+    warehouse-side table definition (grants, indexes) on overwrite
+    exactly like WRITE_TRUNCATE does.
+
+    Scale notes: each task opens one connection and writes its own
+    partition with ``batchsize``-row batched inserts — the load is as
+    parallel as the final stage; size partitions so the DB accepts
+    #partitions concurrent writers (``df.coalesce(n)`` to throttle)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("truncate", truncate)
+        .option("batchsize", batchsize)
+        .mode(mode)
+        .save()
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+    driver: str = DERBY_DRIVER,
+) -> DataFrame:
+    """JDBC scan. With ``partition_col`` (numeric), the read is split
+    into ``num_partitions`` range-parallel queries (bounds fetched by
+    one min/max probe) instead of a single-connection serial pull —
+    the only JDBC read shape that survives a large table. Filters and
+    projections on the result push down into the remote SQL
+    (PushedFilters on the JDBCRelation scan node)."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_col is not None:
+        lo, hi = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option(
+                "query",
+                # ANSI-quote the identifier: Spark writes columns
+                # case-preserved, the DB upcases unquoted names
+                f'SELECT MIN("{partition_col}") AS lo, '
+                f'MAX("{partition_col}") AS hi FROM {table}',
+            )
+            .load()
+            .collect()[0]
+        )
+        r = (
+            r.option("partitionColumn", partition_col)
+            .option("lowerBound", int(lo))
+            .option("upperBound", int(hi) + 1)
+            .option("numPartitions", num_partitions)
+        )
+    return r.load()
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_mb: int = 128
 ) -> tuple[int, int]:

@@ -11,11 +11,61 @@ become the serving sink + an assertion.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
+from typing import Callable, TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
 
 from gcp_etl_spark import io
+
+_T = TypeVar("_T")
+
+
+def retry(
+    fn: Callable[[], _T],
+    retries: int = 2,
+    retry_delay_s: float = 0.0,
+    retryable: tuple[type[BaseException], ...] = (Exception,),
+) -> _T:
+    """Scheduler-parity retry: the reference DAG gives every task
+    ``retries`` extra attempts with a fixed delay
+    (``k8s/dags/etl-gcp-vinicius-campos.py:109-116``, Airflow
+    ``default_args``). Collapsed here to plain function re-execution —
+    safe because every stage write is idempotent (dynamic partition
+    overwrite / WRITE_TRUNCATE / atomic manifest swap; proved by the
+    rerun tests in tests/test_pipeline.py and tests/test_compaction.py).
+    Deliberately NOT retrying ``BaseException``/``KeyboardInterrupt``,
+    and quality-gate ``ValueError``s propagate after the final attempt
+    exactly like an exhausted Airflow task."""
+    last: BaseException | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except retryable as e:  # noqa: PERF203 - retry loop
+            last = e
+            if attempt < retries and retry_delay_s:
+                time.sleep(retry_delay_s)
+    assert last is not None
+    raise last
+
+
+def run_medallion_with_retries(
+    spark: SparkSession,
+    landing_json: str | None,
+    workdir: str,
+    retries: int = 2,
+    retry_delay_s: float = 0.0,
+    **kwargs,
+) -> "PipelineResult":
+    """`run_medallion` under the DAG's retry policy: a transient
+    failure anywhere in the flow re-runs the whole (idempotent)
+    pipeline, up to ``retries`` extra attempts."""
+    return retry(
+        lambda: run_medallion(spark, landing_json, workdir, **kwargs),
+        retries=retries,
+        retry_delay_s=retry_delay_s,
+    )
 
 
 @dataclass

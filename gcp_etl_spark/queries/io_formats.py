@@ -220,3 +220,28 @@ def io_xml_roundtrip(spark, sf_dir):
         "n_name",
         F.col("n_regionkey").cast("int"),
     )
+
+
+@query(
+    "io_jdbc_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    tags=("io", "jdbc", "warehouse"),
+)
+def io_jdbc_roundtrip(spark, sf_dir):
+    """REAL warehouse JDBC round-trip — the reference's
+    GCS→BigQuery ``WRITE_TRUNCATE`` load
+    (``k8s/dags/etl-gcp-vinicius-campos.py:132-142``) exercised
+    against an embedded Derby database (the JDBC driver pyspark
+    already ships for its metastore): schema-autodetect DDL, batched
+    parallel INSERT load, then a range-partitioned parallel JDBC scan
+    back out. The oracle reads the original rows, so the full
+    DataFrame→DDL→INSERT→typed-JDBC-scan chain is hash-verified."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    db = tempfile.mkdtemp(prefix="io_jdbc_") + "/db"
+    url = io.derby_url(db)
+    io.write_jdbc(c, url, "serving_customer")
+    return io.read_jdbc(
+        spark, url, "serving_customer", partition_col="c_custkey"
+    )

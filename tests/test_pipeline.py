@@ -219,3 +219,47 @@ def test_medallion_rerun_idempotent(spark, tmp_path):
         n1 = sorted(f for f in files1 if f.startswith(zone))
         n2 = sorted(f for f in files2 if f.startswith(zone))
         assert len(n1) == len(n2), zone
+
+
+def test_retry_recovers_transient_failure(spark, tmp_path, monkeypatch):
+    """DAG retry parity: a transient failure in the landing read
+    (the classic eventually-consistent-bucket flake) is absorbed by
+    the retry policy; the successful attempt produces exactly the
+    single-run result with no leftover state from the failed one."""
+    from gcp_etl_spark import io as gio
+    from gcp_etl_spark.pipeline import run_medallion_with_retries
+
+    landing = str(tmp_path / "airports.json")
+    write_airports_json(landing)
+    real = gio.read_json
+    attempts = {"n": 0}
+
+    def flaky(spark_, path, schema=None):
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise IOError("transient: landing object not yet visible")
+        return real(spark_, path, schema)
+
+    monkeypatch.setattr(gio, "read_json", flaky)
+    res = run_medallion_with_retries(
+        spark, landing, str(tmp_path / "work"), retries=2
+    )
+    assert attempts["n"] == 3
+    assert (res.landing_count, res.served_count) == (200, 100)
+
+
+def test_retry_exhaustion_propagates(spark, tmp_path, monkeypatch):
+    from gcp_etl_spark import io as gio
+    from gcp_etl_spark.pipeline import run_medallion_with_retries
+
+    landing = str(tmp_path / "airports.json")
+    write_airports_json(landing)
+
+    def always_down(*a, **k):
+        raise IOError("landing bucket unreachable")
+
+    monkeypatch.setattr(gio, "read_json", always_down)
+    with pytest.raises(IOError, match="unreachable"):
+        run_medallion_with_retries(
+            spark, landing, str(tmp_path / "work"), retries=2
+        )
