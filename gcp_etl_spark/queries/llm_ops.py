@@ -519,6 +519,27 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+@query("ann_cosine_topk_pq", oracle=None, tags=("llm", "similarity", "ann", "pq"))
+def ann_cosine_topk_pq(spark, sf_dir):
+    """PQ/ADC approximate top-k with exact rerank — the MEMORY scale
+    path (llm/pq.py): vectors compressed to m one-byte subspace codes,
+    scored per query via an m x k lookup table, per-partition
+    top-rerank pruning, exact cosine on the shortlist only. Rows-only
+    (quantization is approximate); recall vs exact asserted in
+    tests/test_llm.py."""
+    from gcp_etl_spark.llm.pq import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m=16,
+        k_codes=64,
+        rerank=40,
+    )
+
+
 @query("multimodal_frame_sample", oracle=None, tags=("llm", "multimodal"))
 def multimodal_frame_sample(spark, sf_dir):
     """Every-4th-frame sampling over synthesized media payloads

@@ -305,3 +305,38 @@ def test_audio_window_geometry_and_coverage(spark):
         last = rows[-1]
         assert 128 * last["win_idx"] + last["n_win_bytes"] == 1000
         assert all(0.0 <= r["mean_level"] <= 255.0 for r in rows)
+
+
+def test_pq_ann_recall_vs_exact(spark):
+    """PQ/ADC shortlist + exact rerank: the rerank stage re-scores the
+    top-40 ADC candidates with true cosine, so recall@5 should be
+    near-exact on a 500-vector corpus; also pin the output contract
+    (same shape as cosine_topk, k rows per query, rn dense 1..k)."""
+    from gcp_etl_spark.llm.pq import pq_topk
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = pq_topk(emb, queries, k=5, m=16, k_codes=64, rerank=40)
+    rows = approx.collect()
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} below 0.9"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_encode_compresses_and_is_deterministic(spark):
+    from gcp_etl_spark.llm.pq import pq_encode, pq_train
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    books = pq_train(emb, m=8, k_codes=16)
+    assert books.shape == (8, 16, 8)
+    c1 = pq_encode(emb, "vec_id", "embedding", books).collect()
+    c2 = pq_encode(emb, "vec_id", "embedding", books).collect()
+    assert sorted(map(str, c1)) == sorted(map(str, c2))
+    codes = c1[0]["codes"]
+    assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
