@@ -71,3 +71,53 @@ def test_filter_pushdown_reaches_jdbc_scan(spark, url):
         .toString()
     )
     assert "PushedFilters" in plan and "GreaterThan(c_acctbal" in plan
+
+
+def test_streaming_jdbc_upsert_exactly_once(spark, url, tmp_path):
+    """update-mode aggregation -> keyed JDBC upsert via foreachBatch:
+    the final warehouse table equals the batch aggregation, and an
+    epoch REPLAY (at-least-once delivery) leaves it unchanged."""
+    from gcp_etl_spark.streaming.jdbc_sink import jdbc_upsert_sink
+    from gcp_etl_spark.tables import t as tt
+
+    src = str(tmp_path / "src")
+    ev = tt(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    agg = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    sink = jdbc_upsert_sink(url, "serving_user_totals", ["user_id"])
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # incremental (streaming) float summation differs from the batch
+    # sum only in addition order — compare at 1e-6
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["n_events"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    got = io.read_jdbc(spark, url, "serving_user_totals")
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    assert canon(got) == canon(want)
+
+    # replay: re-upsert the final aggregate state (what a re-run epoch
+    # would emit) — table must be unchanged, not doubled
+    sink(want, 999)
+    assert canon(io.read_jdbc(spark, url, "serving_user_totals")) == canon(want)
