@@ -913,3 +913,109 @@ def histogram_equi_depth(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "resample_linear_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    ctx AS (
+      SELECT s.user_id, s.day, o.day_value AS observed,
+             last_value(o.day_value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN o.day_value IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER wp AS pd,
+             first_value(o.day_value IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN o.day_value IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER wn AS nd
+      FROM spine s LEFT JOIN obs o
+        ON s.user_id = o.user_id AND s.day = o.day
+      WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, observed,
+           round(CASE
+             WHEN observed IS NOT NULL THEN observed
+             ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                       / date_diff('day', pd, nd)
+           END, 6) AS interpolated
+    FROM ctx
+    ORDER BY user_id, day
+    """,
+    tags=("analytics", "timeseries", "resample", "window"),
+)
+def resample_linear_interpolate(spark, sf_dir):
+    """Calendar resampling with LINEAR interpolation between the
+    surrounding observations — the numeric companion of
+    `locf_gap_fill` (sensor/metric feeds where a step function is
+    wrong). Same per-user day spine; gap values are
+    pv + (nv-pv) * (t-tp)/(tn-tp) from the nearest non-null neighbors
+    on each side, found with two ignore-nulls windows (one forward,
+    one backward) over the spine join — O(n) per partition, no
+    self-join of the spine against observations. Identical IEEE
+    expression on both engines -> hash-verified."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    obs = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    ctx = (
+        spine.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").alias("observed"),
+            F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+            F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+        )
+    )
+    interp = F.when(F.col("observed").isNotNull(), F.col("observed")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd")
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        "observed",
+        F.round(interp, 6).alias("interpolated"),
+    ).orderBy("user_id", "day")

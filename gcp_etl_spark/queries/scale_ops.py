@@ -183,6 +183,47 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+# Efraimidis-Spirakis priority for weighted sampling WITHOUT
+# replacement: priority = ln(u)/w with u~Uniform(0,1); the k largest
+# priorities are a weighted k-sample. u comes from the same
+# multiplicative hash as above (+0.5 centers the lattice away from
+# ln(0)), so the sample is exactly reproducible on both engines and
+# the whole operator is top-k — per-partition TakeOrdered partials,
+# never a global sort, at any scale.
+_WPRI = (
+    f"ln(((o_orderkey * {_MIX}) % 4294967296 + 0.5) / 4294967296.0)"
+    " / o_totalprice"
+)
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round({_WPRI}, 9) AS priority
+    FROM orders
+    ORDER BY {_WPRI} DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("sampling", "scale", "weighted"),
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted k-sample without replacement (Efraimidis-Spirakis
+    A-ES): inclusion probability scales with o_totalprice — the
+    quality-weighted corpus subsampling primitive of training-data
+    pipelines (sample high-quality docs preferentially, keep the draw
+    deterministic for reproducible datasets). Hash-derived uniforms
+    make the exact row set engine-independent; the plan is a scan +
+    TakeOrdered(100), no shuffle of the data itself."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("priority", F.round(F.expr(_WPRI), 9))
+        .orderBy(F.expr(_WPRI).desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "priority")
+    )
+
+
 @query(
     "dedup_content_hash",
     oracle="""
