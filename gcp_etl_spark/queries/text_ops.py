@@ -413,3 +413,51 @@ def text_phrase_search(spark, sf_dir):
             F.min("pos").cast("int").alias("first_pos"),
         )
     )
+
+
+@query(
+    "bpe_pair_merge_stats",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM words, unnest(range(1, length(w))) t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+    tags=("text", "llm", "tokenizer", "bpe"),
+)
+def bpe_pair_merge_stats(spark, sf_dir):
+    """The BPE tokenizer-training step, distributed: corpus-wide
+    adjacent symbol-pair frequencies at the character stage (the
+    statistics the first merge rule is picked from). Pair counting
+    runs over DISTINCT words weighted by word frequency — the corpus
+    text collapses to its vocabulary before any per-character explode,
+    so the expensive fan-out is O(|vocab| x word_len), not
+    O(corpus tokens); only (pair, count) partials shuffle. Top-20
+    merges with deterministic tie-break, hash-verified."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )

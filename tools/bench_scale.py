@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "ann_cosine_topk_pq",
     "graph_pagerank",
     "graph_triangle_count",
     "text_tfidf_topk",
