@@ -37,41 +37,33 @@ def ivf_assign(
     Returns (assigned_df, centers ndarray [k, dim]).
 
     The quantizer is fit on a BOUNDED deterministic sample
-    (``train_sample`` vectors, smallest ids) coalesced to one
-    partition: k-means quality saturates at a few hundred samples per
-    centroid, so full-corpus training passes are pure waste — at
-    100 TB they are a non-starter, and even locally each MLlib
-    iteration over a multi-partition corpus costs a fleet of tiny
-    tasks. Assignment of the FULL corpus stays distributed via
-    ``model.transform``.
+    (``train_sample`` vectors, smallest ids): k-means quality
+    saturates at a few hundred samples per centroid, so full-corpus
+    training passes are pure waste — a non-starter at 100 TB. The fit
+    itself is a driver-local seeded numpy Lloyd (`llm/kmeans.py`) —
+    an earlier MLlib draft spent ~5 s per run spinning a dozen tiny
+    Spark jobs to cluster 4096 rows. Assignment of the FULL corpus
+    stays distributed: the same broadcast-shaped matmul probe as the
+    query side, one Arrow batch at a time.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from gcp_etl_spark.llm.kmeans import lloyd
 
-    vec = array_to_vector(F.col(vec_col).cast("array<double>"))
-    train = (
-        corpus.select(F.col(id_col).alias("__id"), vec.alias("__vec"))
+    pdf = (
+        corpus.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).cast("array<double>").alias("__v"))
         .orderBy("__id")
         .limit(train_sample)
-        .coalesce(1)
-        .cache()
+        .toPandas()
     )
-    # coarse quantizer, not a clustering deliverable: random init (the
-    # kmeans|| default costs ~2 extra full passes) and a loose tol —
-    # partition quality only shifts which lists a probe touches, and
-    # recall is asserted against the exact operator in tests
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        featuresCol="__vec",
-        predictionCol="centroid_id",
-        initMode="random",
-        maxIter=10,
-        tol=1e-3,
-    ).fit(train)
-    train.unpersist()
-    assigned = model.transform(corpus.withColumn("__vec", vec)).drop("__vec")
-    centers = np.vstack(model.clusterCenters())
+    centers = lloyd(
+        np.vstack(pdf["__v"].to_numpy()), n_centroids, seed=seed, iters=10
+    )
+    assigned = corpus.withColumn(
+        "centroid_id",
+        _nearest_centroids(
+            F.col(vec_col).cast("array<double>"), centers, 1
+        )[0],
+    )
     return assigned, centers
 
 

@@ -61,8 +61,8 @@ def pq_train(
 
     Vectors are L2-normalized before training so ADC inner products
     approximate cosine directly. Plain seeded Lloyd iterations in
-    numpy — the sample is small by construction, so driver-local
-    k-means beats spinning up MLlib jobs per subspace."""
+    numpy (`llm/kmeans.py`) — the sample is small by construction, so
+    driver-local k-means beats spinning up MLlib jobs per subspace."""
     pdf = (
         corpus.select(F.col(id_col).alias("__id"),
                       F.col(vec_col).cast("array<double>").alias("__v"))
@@ -70,27 +70,18 @@ def pq_train(
         .limit(train_sample)
         .toPandas()
     )
+    from gcp_etl_spark.llm.kmeans import lloyd
+
     X = _normalize(np.vstack(pdf["__v"].to_numpy()))
-    n, d = X.shape
+    d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     ds = d // m
-    rs = np.random.RandomState(seed)
     books = np.empty((m, k_codes, ds))
     for s in range(m):
-        sub = X[:, s * ds:(s + 1) * ds]
-        C = sub[rs.permutation(n)[:k_codes]].copy()
-        for _ in range(iters):
-            # squared-L2 assignment: ||x||^2 is assignment-invariant
-            dist = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)
-            a = dist.argmin(axis=1)
-            for j in range(k_codes):
-                pts = sub[a == j]
-                if len(pts):
-                    C[j] = pts.mean(axis=0)
-                else:  # re-seed empty cluster deterministically
-                    C[j] = sub[rs.randint(n)]
-        books[s] = C
+        books[s] = lloyd(
+            X[:, s * ds:(s + 1) * ds], k_codes, seed=seed + s, iters=iters
+        )
     return books
 
 
