@@ -4,7 +4,10 @@ their batch results (SURVEY.md §2B streaming surface, §7 step 8)."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
+from pyspark.sql import functions as F
 
 from gcp_etl_spark.streaming.windows import (
     session_agg,
@@ -230,3 +233,57 @@ def test_stream_stream_left_outer_join(spark, events_stream_dir):
     )
     # and the null (unattributed) side must be non-trivially exercised
     assert any(r[1] is None for r in got), "no null emissions seen"
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Crash-recovery contract: a file-source -> parquet-sink stream
+    stopped after its first micro-batch and RESTARTED from the same
+    checkpoint must produce every input row exactly once — the
+    checkpoint (source offsets + sink commit log) is what turns
+    at-least-once replay into exactly-once output. This is the
+    recovery half of the exactly-once story; the sink-idempotency
+    half is test_foreachbatch_idempotent_sink and the JDBC upsert
+    sink test."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = t(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    for i in range(4):  # 4 files -> 4 deterministic micro-batches
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        # stop after at least one committed batch, before all four
+        while q.lastProgress is None or (
+            q.lastProgress["numInputRows"] == 0 and q.recentProgress == []
+        ):
+            time.sleep(0.05)
+        time.sleep(0.3)
+    finally:
+        q.stop()
+    partial = spark.read.parquet(out).count()
+    assert partial < ev.count(), "stream finished before the kill point"
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
