@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars_more,
         sets_sorts,
         streaming_duals,
+        temporal_ops,
         subqueries,
         surface_ext,
         text_ops,

@@ -1,0 +1,343 @@
+"""Temporal / interval analytics — SCD2 point-in-time lookup, interval
+concurrency (sweep-line), gap sessionization, time-weighted averages,
+and robust (MAD) outlier detection.
+
+NS extensions (the reference's only temporal logic is Airflow schedule
+metadata, SURVEY.md §1.4); these are the standard warehouse temporal
+workloads a reference user would run next. Every query has a full
+DuckDB oracle.
+
+Scale notes are per-query; the sweep-line concurrency query is the
+flagship here — it demonstrates the two-pass prefix-difference pattern
+(per-bucket local running sum + tiny cross-bucket offset relation)
+that replaces a single-partition global window at 100 TB, the same
+shape as ``operators/range_frame.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+SESSION_GAP_SEC = 1800  # 30 min, strict >
+
+
+def _us(col):
+    """TZ-independent epoch microseconds for a TIMESTAMP_NTZ column:
+    interpret the wall-clock value as UTC (matches DuckDB epoch_us on
+    naive timestamps), regardless of session timezone."""
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version_no
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hits AS (
+      SELECT d.version_no, d.attr
+      FROM events e
+      JOIN dim d ON e.user_id = d.user_id
+                AND e.ts >= d.valid_from
+                AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+      WHERE e.event_type = 'click'
+    )
+    SELECT version_no, count(*) AS n_clicks,
+           CAST(sum(CAST(attr AS DECIMAL(18,2))) AS DOUBLE) AS sum_attr
+    FROM hits GROUP BY version_no
+    """,
+    tags=("temporal", "scd2", "join", "events"),
+)
+def scd2_point_in_time(spark, sf_dir):
+    """SCD2 point-in-time lookup: purchases form per-user dimension
+    versions (valid_from = ts, valid_to = next purchase ts, half-open);
+    each click joins to the version valid at its event time.
+
+    Scale: the join is EQUI on user_id with the validity range as a
+    residual predicate — Catalyst plans a sort-merge join on user_id
+    and per-user version counts are small, so the residual scan is
+    bounded. No cross product, no global sort. Versioning itself is a
+    per-user window (lag/lead), partition-parallel.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("value").alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version_no"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    hits = clicks.join(dim, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return hits.groupBy("version_no").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("attr").cast("decimal(18,2)")).cast("double").alias("sum_attr"),
+    )
+
+
+@query(
+    "interval_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT o_orderdate AS ts, 1 AS delta FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    running AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             sum(delta) OVER (ORDER BY ts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS open_now
+      FROM deltas
+    )
+    SELECT month, CAST(max(open_now) AS BIGINT) AS peak_open
+    FROM running GROUP BY month
+    """,
+    tags=("temporal", "sweepline", "window", "orders"),
+)
+def interval_max_concurrency(spark, sf_dir):
+    """Peak concurrent open orders per month (order open for 30 days):
+    classic interval sweep-line as +1/-1 deltas with a running sum.
+
+    Scale: the naive shape is a GLOBAL ordered window — one partition,
+    one task, dead at 100 TB. This implementation is the two-pass
+    prefix-difference form: (1) in-month running sum, partitioned by
+    month (parallel across months); (2) cross-month offsets from a
+    months×1 aggregate (tiny — bounded by the calendar, not the data)
+    cumulated on a single partition of a few hundred rows. Identical
+    result to the oracle's global window, proven by the hash gate.
+
+    Tie policy: ends sort before starts at the same timestamp
+    (ORDER BY ts, delta) — intervals are half-open [start, end). With
+    equal (ts, delta) rows the running-sum MULTISET per month is
+    order-invariant, so max() is deterministic.
+    """
+    o = t(spark, sf_dir, "orders")
+    starts = o.select(F.col("o_orderdate").alias("ts"), F.lit(1).alias("delta"))
+    ends = o.select(
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionAll(ends).withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    in_month = Window.partitionBy("month").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = deltas.withColumn("local_run", F.sum("delta").over(in_month))
+    month_tot = deltas.groupBy("month").agg(F.sum("delta").alias("month_delta"))
+    prior = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = month_tot.select(
+        "month",
+        F.coalesce(F.sum("month_delta").over(prior), F.lit(0)).alias("offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "month")
+        .groupBy("month")
+        .agg(F.max(F.col("local_run") + F.col("offset")).alias("peak_open"))
+    )
+
+
+@query(
+    "sessionize_gap30",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SEC} * 1000000
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_no
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, session_no, count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+               AS duration_sec
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(n_events) AS max_session_events,
+           CAST(sum(duration_sec) AS BIGINT) AS active_sec
+    FROM per_sess GROUP BY user_id
+    """,
+    tags=("temporal", "sessionize", "window", "events"),
+)
+def sessionize_gap30(spark, sf_dir):
+    """Batch sessionization: a session breaks when the gap to the
+    previous event of the same user exceeds 30 minutes (strict).
+    Output: per-user session count / event totals / longest session /
+    total active seconds.
+
+    Scale: everything is partitioned by user_id — two window passes
+    and two hash aggs over the same partitioning; AQE coalesces the
+    single shuffle. Timestamps compared in TZ-free epoch micros
+    (``unix_micros`` / ``epoch_us``) so session-TZ never shifts a
+    boundary. (Streaming dual: ``stream_session`` via
+    ``session_window``.)
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(run))
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.max(_us(F.col("ts"))) - F.min(_us(F.col("ts"))))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_sec"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("duration_sec").alias("active_sec"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us)
+                        AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE), 6) AS twa_value
+    FROM spans WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+    tags=("temporal", "window", "events", "exact-decimal"),
+)
+def time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of ``value`` under sample-and-
+    hold semantics (a reading holds until the next event): Σ value·Δt
+    / Σ Δt over consecutive-event spans.
+
+    Cross-engine FP determinism: value is a 2-dp quantity — the
+    numerator is summed as DECIMAL (value·Δt_us is exact at scale 2),
+    the denominator as BIGINT, and only the final division runs in
+    double (see ``_exact.py`` policy). Scale: one per-user window +
+    one hash agg on the same key — a single shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _us(F.col("ts"))
+    spans = e.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    num = F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us")).cast(
+        "double"
+    )
+    den = F.sum("dt_us").cast("double")
+    return spans.groupBy("user_id").agg(
+        F.round(num / den, 6).alias("twa_value")
+    )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(m.med), 6) AS med,
+           round(any_value(d.mad), 6) AS mad,
+           count(*) FILTER (
+             WHERE 0.6745 * abs(e.value - m.med) / d.mad > 3.5
+           ) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("temporal", "robust-stats", "agg", "events"),
+)
+def anomaly_mad_robust(spark, sf_dir):
+    """Robust outlier detection with the modified z-score
+    (Iglewicz–Hoaglin): per event_type median, MAD, and the count of
+    points with 0.6745·|x−med|/MAD > 3.5. Unlike ``anomaly_zscore``
+    (mean/stddev), median/MAD survive the outliers they detect.
+
+    Determinism: both engines compute the interpolated median of the
+    same 2-dp doubles — (a+b)/2 of representable values is one IEEE
+    op, identical everywhere; downstream |x−med| and the threshold
+    compare reuse those exact operands.
+
+    Scale: two median aggs (Spark sorts within hash-agg groups) + one
+    counting agg, with the tiny per-type stats broadcast back — events
+    shuffles only on event_type (cardinality ~6; at real scale the
+    per-group exact median is the cost — swap to approx_percentile
+    with a declared tolerance, same shape).
+    """
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(F.median("dev").alias("mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type")
+    is_out = (
+        F.lit(0.6745) * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+        > 3.5
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+    )
