@@ -184,3 +184,67 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+BFS_SOURCE = 0
+BFS_MAX_DEPTH = 4
+
+
+@query(
+    "graph_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    bfs(node, d) AS (
+      SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT und.v, bfs.d + 1
+      FROM bfs JOIN und ON und.u = bfs.node
+      WHERE bfs.d < {BFS_MAX_DEPTH}
+    ),
+    best AS (SELECT node, min(d) AS d FROM bfs GROUP BY node)
+    SELECT d AS dist, count(*) AS n_nodes FROM best GROUP BY d
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_shortest_path(spark, sf_dir):
+    """Unweighted single-source shortest paths (BFS) from node 0,
+    depth-capped: the hop-distance histogram. Oracle is a recursive
+    CTE whose UNION-dedup recursion computes the same reachability;
+    min(d) collapses multi-path discoveries to the true distance.
+
+    Scale: classic frontier BFS — per level one join of the (small)
+    frontier against the edge relation, a distinct, and an anti-join
+    against visited. The frontier and visited sets are node-bounded
+    (they never exceed the vertex count, independent of edge scale);
+    each level is cached and the edge table is reused across levels,
+    so E is scanned once per hop with no lineage growth.
+    """
+    e = _edges(spark, sf_dir)
+    und = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    visited = spark.range(1).select(
+        F.lit(BFS_SOURCE).cast("long").alias("node"),
+        F.lit(0).alias("dist"),
+    )
+    frontier = visited
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        frontier = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(und["v"].alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+    return visited.groupBy("dist").agg(F.count("*").alias("n_nodes"))

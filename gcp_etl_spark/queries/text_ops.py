@@ -461,3 +461,145 @@ def bpe_pair_merge_stats(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH raw AS (
+      SELECT source,
+             text || ' contact user' || doc_id
+                  || '@example.com ref +1-555-'
+                  || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               AS payload
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT source, payload,
+             regexp_replace(
+               regexp_replace(payload,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+             len(regexp_extract_all(payload,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(payload, '\+1-555-[0-9]{4}'))
+               AS n_phones
+      FROM raw
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(sum(length(payload)) AS BIGINT) AS len_raw,
+           CAST(sum(length(clean)) AS BIGINT) AS len_clean
+    FROM scrubbed GROUP BY source
+    """,
+    tags=("text", "pii", "regex", "documents"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction sweep — the compliance pass every training-data
+    pipeline runs before anything ships: regex-scrub emails and phone
+    numbers, report per-source match counts and byte deltas.
+
+    The corpus is synthetic word soup with no organic PII, so each doc
+    gets a deterministic PII suffix derived from its own doc_id (still
+    purely a function of the input tables — both engines build the
+    identical payload) and the scrubber is proven by the byte-exact
+    hash on counts and redacted lengths.
+
+    Scale: pure per-row map (regexp_replace / regexp_count are JVM
+    codegen) + one hash agg on source — no extra shuffle, text never
+    leaves the scan partition un-aggregated.
+    """
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone_re = "\\+1-555-[0-9]{4}"
+    d = t(spark, sf_dir, "documents")
+    raw = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref +1-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("payload"),
+    )
+    scrubbed = raw.select(
+        "source",
+        F.length("payload").alias("len_raw"),
+        F.regexp_count("payload", F.lit(email_re)).alias("n_emails"),
+        F.regexp_count("payload", F.lit(phone_re)).alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("payload", email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            )
+        ).alias("len_clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.sum("len_raw").alias("len_raw"),
+        F.sum("len_clean").alias("len_clean"),
+    )
+
+
+VOCAB_TOP_K = 15
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS c FROM tok GROUP BY word
+        ORDER BY c DESC, word LIMIT {VOCAB_TOP_K}
+      )
+    )
+    SELECT lang,
+           count(*) AS total_tokens,
+           count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+             AS oov_tokens,
+           CAST(count(*) FILTER (
+                  WHERE word NOT IN (SELECT word FROM vocab))
+                AS DOUBLE) / count(*) AS oov_rate
+    FROM tok GROUP BY lang
+    """,
+    tags=("text", "vocab", "oov", "documents"),
+)
+def text_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage / out-of-vocabulary rate: build the corpus
+    top-K vocabulary (count desc, word asc tie-break — deterministic
+    cut), then measure the per-language fraction of tokens outside it.
+    The tokenizer-coverage health check run before committing to a
+    vocab size.
+
+    Scale: token counts shuffle on word (counts, never text); the
+    K-row vocabulary is a TakeOrdered (no global sort) and broadcasts
+    into the marking join; the final agg shuffles on lang only. The
+    quotient is a single IEEE division of exact integer counts —
+    bitwise identical cross-engine, emitted unrounded.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(VOCAB_TOP_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "word", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return marked.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        oov.alias("oov_tokens"),
+        (oov.cast("double") / F.count("*")).alias("oov_rate"),
+    )
