@@ -1019,3 +1019,53 @@ def resample_linear_interpolate(spark, sf_dir):
         "observed",
         F.round(interp, 6).alias("interpolated"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           (revenue - lag(revenue, 1) OVER m) / lag(revenue, 1) OVER m
+             AS mom_pct,
+           (revenue - lag(revenue, 12) OVER m) / lag(revenue, 12) OVER m
+             AS yoy_pct
+    FROM monthly
+    WINDOW m AS (ORDER BY month)
+    """,
+    tags=("analytics", "window", "orders", "exact-decimal"),
+)
+def period_over_period(spark, sf_dir):
+    """Period-over-period BI staple: monthly revenue with
+    month-over-month and year-over-year percent change (lag 1 / lag 12
+    over the month series; NULL where no prior period exists).
+
+    Scale: the global window runs over the MONTH AGGREGATE — bounded
+    by the calendar (≤ a few thousand rows at any data scale), so the
+    single-partition window costs nothing; the fact table sees one
+    hash agg. Revenue is an exact decimal sum; the pct quotients are
+    single IEEE divisions of identical operands — emitted unrounded.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    m = Window.orderBy("month")
+    rev = F.col("revenue")
+    mom = F.lag("revenue", 1).over(m)
+    yoy = F.lag("revenue", 12).over(m)
+    return monthly.select(
+        "month",
+        "revenue",
+        ((rev - mom) / mom).alias("mom_pct"),
+        ((rev - yoy) / yoy).alias("yoy_pct"),
+    )

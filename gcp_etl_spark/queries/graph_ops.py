@@ -236,11 +236,17 @@ def graph_shortest_path(spark, sf_dir):
     )
     frontier = visited
     for d in range(1, BFS_MAX_DEPTH + 1):
+        # frontier and visited are node-bounded (≤ |V| rows however
+        # large E gets) — broadcast them so the edge relation is never
+        # exchanged: one broadcast-hash join + one broadcast anti-join
+        # per level instead of three shuffles.
         frontier = (
-            frontier.join(und, frontier["node"] == und["u"])
-            .select(und["v"].alias("node"))
+            und.join(
+                F.broadcast(frontier), und["u"] == frontier["node"], "left_semi"
+            )
+            .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("dist", F.lit(d))
             .localCheckpoint()
         )

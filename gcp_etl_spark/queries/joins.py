@@ -324,3 +324,86 @@ def asof_join_events_orders(spark, sf_dir):
     return out.select(
         "event_id", "ts", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
     )
+
+
+OVERLAP_BUCKET_DAYS = 16
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+             o_orderdate + INTERVAL 30 DAY AS a_end
+      FROM orders WHERE o_custkey % 25 = 0
+    ),
+    b AS (
+      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS b_id,
+             l_shipdate AS b_start,
+             l_shipdate + INTERVAL 7 DAY AS b_end
+      FROM lineitem WHERE l_suppkey % 50 = 0
+    )
+    SELECT strftime(a_start, '%Y-%m') AS month,
+           count(*) AS n_pairs,
+           count(DISTINCT a_id) AS n_a
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    GROUP BY month
+    """,
+    tags=("join", "interval", "banded", "orders", "lineitem"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join (both sides are ranges, no
+    equi key): 30-day order windows × 7-day shipment windows,
+    overlapping-pair counts per month.
+
+    Scale: the naive plan is a nested-loop cross product. This is the
+    banded form — each interval explodes to the ~`len/bucket + 1`
+    day-buckets it touches, the join runs as an EQUI join on bucket,
+    duplicates from multi-bucket overlaps are collapsed by distinct
+    (a_id, b_id), and the exact overlap predicate filters residually.
+    Replication is bounded (30/16+1 = 2 buckets for A, 7/16+1 for B),
+    the shuffle is hash-on-bucket — time-local, skew-bounded — and
+    output is bounded by true overlap density, never |A|·|B|.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    day = lambda c: F.to_utc_timestamp(c, "UTC").cast("long") / F.lit(86400)  # noqa: E731
+    a = o.filter(F.col("o_custkey") % 25 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_start"),
+        F.date_add("o_orderdate", 30).cast("timestamp").alias("a_end"),
+    )
+    b = (
+        li.filter(F.col("l_suppkey") % 50 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("b_id"),
+            F.col("l_shipdate").alias("b_start"),
+            F.date_add("l_shipdate", 7).cast("timestamp").alias("b_end"),
+        )
+        # synthetic lineitem contains duplicate (orderkey, linenumber)
+        # rows — dedup to DISTINCT shipment windows so pair counts are
+        # well-defined on both engines
+        .distinct()
+    )
+
+    def banded(df, start, end):
+        lo = F.floor(day(F.col(start)) / OVERLAP_BUCKET_DAYS)
+        hi = F.floor(day(F.col(end)) / OVERLAP_BUCKET_DAYS)
+        return df.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+
+    pairs = (
+        banded(a, "a_start", "a_end")
+        .join(banded(b, "b_start", "b_end"), "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_id", "b_id", "b_start", "a_start")
+        .distinct()
+    )
+    return pairs.groupBy(
+        F.date_format("a_start", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("a_id").alias("n_a"),
+    )

@@ -9,6 +9,7 @@ distinct/intersect/except are hash aggregations, one shuffle each.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.operators.topk import top_k, top_k_per_group
@@ -190,3 +191,55 @@ def sql_group_by_all(spark, sf_dir):
     the output columns) — same plan as the explicit forms."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL)
+
+
+@query(
+    "global_row_number_twopass",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT rn, o_orderkey FROM ranked WHERE rn % 100 = 0
+    """,
+    tags=("sort", "window", "scale-pattern", "orders"),
+)
+def global_row_number_twopass(spark, sf_dir):
+    """Globally contiguous row numbers over a total order WITHOUT a
+    single-partition window: range-partition on the sort key, number
+    rows inside each partition in parallel, then add per-partition
+    offsets computed from a #partitions-sized count relation (the
+    zipWithIndex algebra, expressed in DataFrames).
+
+    Correctness does not depend on where the sampled range boundaries
+    fall: the sort key (o_orderdate, o_orderkey) is total and unique,
+    so in-partition row_number + prefix-offset equals the global rank
+    for ANY contiguous range split. Emits every 100th row to keep the
+    gate result bounded.
+
+    Scale: one range-exchange (sampled, balanced), per-partition sort,
+    and a bounded (#partitions rows) offset relation broadcast back —
+    this is how you assign stable ids to 100 TB; the oracle's global
+    ``row_number()`` is the one-task plan it replaces.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    parts = o.repartitionByRange(32, "o_orderdate", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    in_part = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    local = parts.withColumn("local_rn", F.row_number().over(in_part))
+    counts = local.groupBy("pid").agg(F.count("*").alias("n"))
+    prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(prior), F.lit(0)).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("local_rn") + F.col("offset")).alias("rn"), "o_orderkey"
+        )
+        .filter(F.col("rn") % 100 == 0)
+    )

@@ -157,6 +157,53 @@ def interval_max_concurrency(spark, sf_dir):
 
 
 @query(
+    "interval_max_concurrency_global",
+    oracle="""
+    WITH deltas AS (
+      SELECT o_orderdate AS ts, 1 AS delta FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    running AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             sum(delta) OVER (ORDER BY ts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS open_now
+      FROM deltas
+    )
+    SELECT month, CAST(max(open_now) AS BIGINT) AS peak_open
+    FROM running GROUP BY month
+    """,
+    tags=("temporal", "sweepline", "window", "orders", "naive-baseline"),
+)
+def interval_max_concurrency_global(spark, sf_dir):
+    """Naive sweep-line baseline: the textbook single global ordered
+    window (one partition, one task). Registered deliberately as the
+    foil for ``interval_max_concurrency`` — identical oracle, and the
+    scale bench (``tools/bench_scale.py``) records this variant's
+    scaling exponent against the two-pass prefix-difference form the
+    way ``window_range_frame``/``_bucketed`` are paired."""
+    o = t(spark, sf_dir, "orders")
+    starts = o.select(F.col("o_orderdate").alias("ts"), F.lit(1).alias("delta"))
+    ends = o.select(
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionAll(ends)
+    glob = Window.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deltas.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.sum("delta").over(glob).alias("open_now"),
+        )
+        .groupBy("month")
+        .agg(F.max("open_now").alias("peak_open"))
+    )
+
+
+@query(
     "sessionize_gap30",
     oracle=f"""
     WITH flagged AS (

@@ -397,3 +397,114 @@ def window_time_range_frame(spark, sf_dir):
         .over(w)
         .alias("cents_prev_hour"),
     )
+
+
+@query(
+    "window_exclude_current_row",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderkey, o_custkey,
+             count(*) OVER peers AS n_peers,
+             CASE WHEN count(*) OVER peers > 1 THEN
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW) AS DOUBLE)
+               / (count(*) OVER peers - 1)
+             END AS peer_avg
+      FROM orders
+      WINDOW peers AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey, n_peers, round(peer_avg, 6) AS peer_avg
+    FROM scored WHERE o_orderkey % 50 = 0
+    """,
+    tags=("window", "frame-exclude", "orders", "exact-decimal"),
+)
+def window_exclude_current_row(spark, sf_dir):
+    """EXCLUDE CURRENT ROW frame semantics, which Spark's window API
+    has no syntax for: each order vs the average of the customer's
+    OTHER orders (peer-comparison score). Emulated algebraically —
+    (partition decimal sum − own value) / (partition count − 1) — which
+    is the textbook rewrite for any invertible aggregate; the oracle
+    runs DuckDB's NATIVE ``EXCLUDE CURRENT ROW`` frame to prove the
+    rewrite exact (decimal sums keep subtraction order-safe).
+
+    Scale: two unbounded-frame window functions over the same
+    partitioning — one shuffle on o_custkey, no join, no second scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    n = F.count("*").over(w)
+    peer_avg = (
+        (dec_sum - F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        / (n - 1)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            n.alias("n_peers"),
+            F.round(F.when(n > 1, peer_avg), 6).alias("peer_avg"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+    )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH dr AS (
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+             dense_rank() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate) AS grp
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey ORDER BY grp
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS qty_3day_groups
+      FROM dr
+    )
+    SELECT l_orderkey, l_linenumber, l_suppkey, qty_3day_groups
+    FROM g WHERE l_orderkey % 50 = 0
+    """,
+    tags=("window", "groups-frame", "lineitem", "exact-decimal"),
+)
+def window_groups_frame(spark, sf_dir):
+    """GROUPS-mode window frame (peer-group offsets), absent from
+    Spark's API: per supplier, each line item carries the quantity sum
+    of its ship-date peer group plus the two preceding DISTINCT ship
+    dates. Emulated by the standard two-level rewrite — aggregate per
+    (key, order-value) group, run a ROWS frame over the per-group
+    relation (one row per group makes ROWS ≡ GROUPS), and join the
+    frame value back to detail rows on the group key. The oracle uses the
+    independent dense_rank + integer-RANGE identity (RANGE over the
+    dense group index ≡ GROUPS; DuckDB 1.0 has no GROUPS mode).
+
+    Scale: the per-group relation is |distinct (suppkey, date)| — far
+    smaller than the fact table; both the window and the join-back
+    share the suppkey hash partitioning, so it's one detail shuffle +
+    one small-side shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_group = (
+        li.groupBy("l_suppkey", "l_shipdate")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("g_qty"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    framed = per_group.withColumn(
+        "qty_3day_groups", F.sum("g_qty").over(w).cast("double")
+    ).select("l_suppkey", "l_shipdate", "qty_3day_groups")
+    return (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .join(framed, ["l_suppkey", "l_shipdate"])
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "qty_3day_groups")
+    )

@@ -65,7 +65,11 @@ HEADLINE = [
     "ann_cosine_topk_pq",
     "graph_pagerank",
     "graph_triangle_count",
+    "graph_shortest_path",
     "text_tfidf_topk",
+    "interval_max_concurrency_global",
+    "interval_max_concurrency",
+    "sessionize_gap30",
 ]
 
 
