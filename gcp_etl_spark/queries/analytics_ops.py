@@ -1069,3 +1069,51 @@ def period_over_period(spark, sf_dir):
         ((rev - mom) / mom).alias("mom_pct"),
         ((rev - yoy) / yoy).alias("yoy_pct"),
     )
+
+
+@query(
+    "pattern_v_shape",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 1) OVER w AS v1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_points,
+           count(*) FILTER (WHERE v2 > v1 AND value > v1) AS n_vshapes
+    FROM seq GROUP BY user_id
+    HAVING count(*) FILTER (WHERE v2 > v1 AND value > v1) > 0
+    """,
+    tags=("analytics", "pattern", "window", "events"),
+)
+def pattern_v_shape(spark, sf_dir):
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): count strict
+    local minima (down-then-up, a V) in each user's value sequence —
+    the lag-composition form of row-pattern matching that covers most
+    fixed-length patterns without a state machine.
+
+    Scale: one per-user window pass + one hash agg on the same key;
+    fixed-length patterns need exactly pattern_len-1 lag columns, all
+    in a single WindowExec. (Variable-length patterns are the
+    documented escape to ``applyInPandasWithState``.)
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 1).over(w).alias("v1"),
+    )
+    is_v = (F.col("v2") > F.col("v1")) & (F.col("value") > F.col("v1"))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count(F.when(is_v, 1)).alias("n_vshapes"),
+        )
+        .filter(F.col("n_vshapes") > 0)
+    )

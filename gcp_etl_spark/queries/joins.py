@@ -11,6 +11,7 @@ join condition — never a cross join.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.operators.asof import asof_join
@@ -406,4 +407,75 @@ def join_interval_overlap(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("a_id").alias("n_a"),
+    )
+
+
+ASOF_TOL_SEC = 3600
+
+
+@query(
+    "asof_nearest_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.event_id, p.p_id,
+             abs(c.t - p.pt) // 1000000 AS gap_sec,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(c.t - p.pt), p.p_id
+             ) AS rn
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND abs(c.t - p.pt) <= {ASOF_TOL_SEC * 1_000_000}
+    )
+    SELECT event_id, p_id, CAST(gap_sec AS BIGINT) AS gap_sec
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("join", "asof", "nearest", "events"),
+)
+def asof_nearest_tolerance(spark, sf_dir):
+    """As-of join in NEAREST mode with a tolerance (pd.merge_asof
+    ``direction='nearest'``): each click attaches the user's closest
+    purchase within ±1 h, deterministic tie-break on purchase id.
+    Complements ``asof_join_events_orders`` (backward mode, the DuckDB
+    ``ASOF JOIN`` dual — DuckDB has no nearest mode, so the oracle is
+    the explicit rank-over-candidates form).
+
+    Scale: equi-join on user_id with the tolerance band as a residual
+    predicate (sort-merge, never nested-loop); the candidate set per
+    click is bounded by the ±1 h band, and the rank window shuffles on
+    event_id — same cardinality as the click stream.
+    """
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", us.alias("pt")
+    )
+    gap = F.abs(F.col("t") - F.col("pt"))
+    pairs = clicks.join(purchases, "user_id").filter(
+        gap <= ASOF_TOL_SEC * 1_000_000
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(F.col("t") - F.col("pt")), "p_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "p_id",
+            (F.abs(F.col("t") - F.col("pt")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_sec"),
+        )
     )

@@ -508,3 +508,49 @@ def window_groups_frame(spark, sf_dir):
         .join(framed, ["l_suppkey", "l_shipdate"])
         .select("l_orderkey", "l_linenumber", "l_suppkey", "qty_3day_groups")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             median(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS roll_median
+      FROM orders
+    )
+    SELECT o_orderkey, roll_median FROM m WHERE o_orderkey % 50 = 0
+    """,
+    tags=("window", "frame", "median", "orders"),
+)
+def window_rolling_median(spark, sf_dir):
+    """Rolling median over a 5-row trailing frame — a NON-invertible
+    frame aggregate Spark's window API cannot express natively.
+    Composed as collect_list over the frame → array_sort → interpolated
+    middle pick ((arr[⌈n/2⌉] + arr[⌊n/2⌋+1]) / 2, 1-based), matching
+    DuckDB's native windowed ``median`` bit-for-bit: the operands are
+    the same 2-dp doubles and the even-count average is one IEEE op.
+
+    Scale: per-partition frame materialization is O(frame) per row —
+    fine for small frames (5 here); for wide frames the two-heap
+    streaming median via applyInPandas is the documented escape hatch.
+    One shuffle on o_custkey.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    lower = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    upper = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return (
+        o.select(
+            "o_orderkey", ((lower + upper) / 2).alias("roll_median")
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+    )

@@ -114,3 +114,25 @@ def test_scaled_fixtures_referentially_intact(spark):
         docs.select("text").distinct().count()
         == 10 * base.select("text").distinct().count()
     )
+
+
+def test_twopass_sweepline_wins_at_sf1(spark):
+    """The two-pass prefix-difference sweep-line must beat the naive
+    single-partition global window at 10x data (same hash-verified
+    result). Warmup at sf0.1; margin 1.3x keeps the assertion robust
+    to jitter while still requiring a real win."""
+    from gcp_etl_spark.queries import load_all
+
+    specs = load_all()
+    naive = specs["interval_max_concurrency_global"].fn
+    twopass = specs["interval_max_concurrency"].fn
+    _timed(spark, naive, BASE_DIR)
+    _timed(spark, twopass, BASE_DIR)
+    # best-of-two damps scheduler/GC jitter: the naive plan's cost is
+    # a single-partition sort, which a busy machine can only slow down
+    t_naive = min(_timed(spark, naive, SCALE_DIR) for _ in range(2))
+    t_twopass = min(_timed(spark, twopass, SCALE_DIR) for _ in range(2))
+    assert t_twopass * 1.3 < t_naive, (
+        f"two-pass sweep-line must win at sf1: naive={t_naive:.1f}s "
+        f"two-pass={t_twopass:.1f}s"
+    )
