@@ -441,3 +441,126 @@ def agg_bitwise(spark, sf_dir):
         F.bit_xor(F.col("event_id") % 64).alias("flags_xor"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_ols_two_feature",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s12,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s1y,
+             CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s2y
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n, sy, s1y, s2y,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           round(det0 / det, 6) AS intercept,
+           round(det1 / det, 6) AS beta_quantity,
+           round(det2 / det, 6) AS beta_discount
+    FROM d WHERE det <> 0
+    """,
+    tags=("aggregate", "stats", "ml", "lineitem"),
+)
+def agg_ols_two_feature(spark, sf_dir):
+    """Multivariate OLS (price ~ quantity + discount) per return flag,
+    solved in CLOSED FORM: nine exact-decimal moment sums feed the
+    3x3 normal equations, solved by Cramer's rule in double — the
+    distributed-ML pattern where a model fit is ONE map-side-combining
+    aggregation pass, no iteration, no driver-side matrix library.
+    Extends the built-in regr_slope/regr_intercept pair (single
+    feature, agg_stats) to the multi-feature case Spark lacks.
+
+    FP determinism: every sum is an exact decimal (2-dp operands,
+    4-dp single-IEEE-op products — the ``_exact.py`` policy); the
+    Cramer expansion is then identical IEEE arithmetic on identical
+    operands in both engines, so round(.., 6) is bit-stable.
+
+    Scale: one hash aggregation (9 decimal sums + count) at any data
+    size; k features need (k+1)(k+2)/2 moments — the same single pass
+    until Cramer gives way to a driver-side solve on the k x k matrix,
+    which is O(1)-sized regardless of row count.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(dc).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("s12"),
+        F.sum(dc * dc).cast("double").alias("s22"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("s1y"),
+        F.sum(
+            (F.col("l_discount") * F.col("l_extendedprice")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("s2y"),
+    )
+    n, s1, s2, sy = m["n"], m["s1"], m["s2"], m["sy"]
+    s11, s12, s22, s1y, s2y = m["s11"], m["s12"], m["s22"], m["s1y"], m["s2y"]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    d = m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        det.alias("det"),
+        (det0 / det).alias("intercept"),
+        (det1 / det).alias("beta_quantity"),
+        (det2 / det).alias("beta_discount"),
+    )
+    return d.filter(F.col("det") != 0).select(
+        "l_returnflag",
+        "n_rows",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("beta_quantity", 6).alias("beta_quantity"),
+        F.round("beta_discount", 6).alias("beta_discount"),
+    )

@@ -1117,3 +1117,375 @@ def pattern_v_shape(spark, sf_dir):
         )
         .filter(F.col("n_vshapes") > 0)
     )
+
+
+@query(
+    "analytics_acf1",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value AS x,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy
+      FROM seq WHERE y IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS acf1
+    FROM m
+    WHERE n >= 20 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    tags=("analytics", "timeseries", "stats", "events"),
+)
+def analytics_acf1(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of the event value series — the
+    first ACF coefficient, the building block of seasonality / trend
+    diagnostics. Pairs (x_t, x_{t-1}) via one lag window, then the
+    exact-decimal Pearson moment construction of ``agg_corr``
+    (aggregates.py): per-row products are single IEEE ops on 2-dp
+    operands, sums are exact decimals, so the final round(…, 6) is
+    bit-stable across engines.
+
+    Scale: one shuffle on user_id serves both the lag window and the
+    moment aggregation (same key); higher lags are additional lag
+    columns in the SAME WindowExec, not extra passes.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lag("value").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    dx = F.col("x").cast("decimal(18,2)")
+    dy = F.col("y").cast("decimal(18,2)")
+    m = seq.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    var_x = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    var_y = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    acf = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (
+        F.sqrt(var_x) * F.sqrt(var_y)
+    )
+    return (
+        m.filter((m["n"] >= 20) & (var_x > 0) & (var_y > 0))
+        .select(
+            "user_id",
+            m["n"].cast("long").alias("n_pairs"),
+            F.round(acf, 6).alias("acf1"),
+        )
+    )
+
+
+@query(
+    "analytics_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), g AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+             AS pct,
+           round(log10(1 + 1.0 / CAST(digit AS INTEGER)), 6)
+             AS benford_expected
+    FROM g
+    """,
+    tags=("analytics", "profiling", "orders"),
+)
+def analytics_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals: observed
+    first-significant-digit frequency vs the expected log10(1 + 1/d)
+    distribution — a standard fraud / synthetic-data screen. The digit
+    is extracted through an exact decimal(18,2) → string cast (both
+    engines render plain notation), never via float log10 whose floor
+    could flip at power-of-ten boundaries.
+
+    Scale: full scan → 9-group hash agg (map-side partial), then a
+    window over the 9-row aggregate — constant-size state regardless
+    of input scale.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = (
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .substr(1, 1)
+        .alias("digit")
+    )
+    g = o.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    return g.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / tot.cast("double"), 6).alias("pct"),
+        F.round(
+            F.log10(F.lit(1) + F.lit(1.0) / F.col("digit").cast("int")), 6
+        ).alias("benford_expected"),
+    )
+
+
+@query(
+    "analytics_cusum_changepoint",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS prefix,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS k,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS mu
+      FROM events
+    ), c AS (
+      SELECT user_id, event_id, abs(prefix - k * mu) AS a
+      FROM s
+    ), r AS (
+      SELECT user_id, event_id, a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY a DESC, event_id) AS rn
+      FROM c
+    )
+    SELECT user_id, event_id AS cp_event_id, round(a, 6) AS max_abs_cusum
+    FROM r WHERE rn = 1
+    """,
+    tags=("analytics", "timeseries", "changepoint", "events"),
+)
+def analytics_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection: for each user, the event where the
+    cumulative deviation from the user's mean value peaks — the argmax
+    of |Σ(x_i − μ)|, the classic single-changepoint statistic.
+
+    FP determinism without casting noisy doubles: the running deviation
+    sum is algebraically rewritten as prefix_k − k·μ, where prefix_k is
+    an EXACT decimal running sum of the 2-dp values and k·μ is one IEEE
+    multiply of bit-identical operands — no intermediate double→decimal
+    rounding anywhere.
+
+    Scale: every window (prefix sum, row count, partition total) shares
+    the user_id shuffle — one exchange, one sort, three window frames
+    in the same WindowExec chain; the argmax is a fourth frame on the
+    same key.
+    """
+    e = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.sum(dec)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("prefix"),
+        F.row_number().over(wo).cast("double").alias("k"),
+        (F.sum(dec).over(wp).cast("double") / F.count("*").over(wp).cast("double")).alias(
+            "mu"
+        ),
+    )
+    c = s.select(
+        "user_id",
+        "event_id",
+        F.abs(F.col("prefix") - F.col("k") * F.col("mu")).alias("a"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("a"), "event_id")
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event_id"),
+            F.round("a", 6).alias("max_abs_cusum"),
+        )
+    )
+
+
+@query(
+    "analytics_auc",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'purchase') AS np,
+             count(*) FILTER (WHERE event_type <> 'purchase') AS nn
+      FROM events GROUP BY value
+    ), c AS (
+      SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) AS cum_nn
+      FROM g
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(np * (cum_nn + 0.5 * nn))
+                 / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6)
+             AS auc
+    FROM c
+    """,
+    tags=("analytics", "ml-eval", "events"),
+)
+def analytics_auc(spark, sf_dir):
+    """ROC AUC of ``value`` as a score for the 'purchase' label, via
+    the Mann-Whitney U identity with PROPER tie handling: AUC =
+    Σ_v np(v)·(#neg below v + ½·#neg at v) / (N⁺·N⁻) — equivalent to
+    average-rank ties, no arbitrary tie-break needed.
+
+    Scale: the global-order window runs over the DISTINCT-score
+    relation (2-dp scores → bounded cardinality), not the event rows —
+    the row-level work is one hash aggregation. Every addend is an
+    exact multiple of 0.5 below 2^53, so the double sum is
+    order-independent and cross-engine exact.
+    """
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.count(F.when(F.col("event_type") != "purchase", 1)).alias("nn"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("double").alias("cum_nn"),
+    )
+    num = F.sum(F.col("np") * (F.col("cum_nn") + 0.5 * F.col("nn")))
+    return c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            num
+            / (F.sum("np").cast("double") * F.sum("nn").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "analytics_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    ), f AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn
+      FROM w WHERE 2 * cum_w >= tot_w
+    )
+    SELECT l_returnflag, l_extendedprice AS weighted_median_price
+    FROM f WHERE rn = 1
+    """,
+    tags=("analytics", "stats", "lineitem"),
+)
+def analytics_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group total — the
+    lower weighted median, picked by exact decimal comparison
+    (2·cum ≥ total), so no float boundary can flip the selected row.
+
+    Scale: one shuffle on l_returnflag serves the running-weight
+    window, the partition-total frame, and the final pick; the
+    selected-row filter is a residual predicate, not a second pass.
+    At extreme group widths the escape is the two-pass
+    ``global_row_number_twopass`` algebra per group.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    order_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec).over(wo).alias("cum_w"),
+        F.sum(dec).over(wp).alias("tot_w"),
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy(*order_cols)
+    return (
+        w.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+        )
+    )
+
+
+@query(
+    "analytics_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS mon,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT mon, n, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) * 12 / CAST(sum(rev) OVER () AS DOUBLE),
+                 6) AS seasonal_index
+    FROM m
+    """,
+    tags=("analytics", "timeseries", "orders"),
+)
+def analytics_seasonality_index(spark, sf_dir):
+    """Month-of-year seasonality index: each calendar month's revenue
+    relative to the uniform monthly share (index 1.0 = no seasonality).
+    Revenue stays an exact decimal through BOTH the per-month sum and
+    the 12-row window total, so the final double ratio is bit-stable.
+
+    Scale: full scan → 12-group hash agg; the window runs over 12
+    rows. Constant-size state at any input scale.
+    """
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("mon")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n"),
+    )
+    tot = F.sum("rev").over(Window.partitionBy())
+    return m.select(
+        "mon",
+        "n",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") * 12 / tot.cast("double"), 6
+        ).alias("seasonal_index"),
+    )

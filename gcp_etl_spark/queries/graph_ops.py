@@ -254,3 +254,68 @@ def graph_shortest_path(spark, sf_dir):
             break
         visited = visited.unionByName(frontier)
     return visited.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), d AS (
+      SELECT p, count(*) AS deg FROM e GROUP BY p
+    ), pr AS (
+      SELECT a.s AS s1, b.s AS s2, d.deg
+      FROM e a
+      JOIN e b ON a.p = b.p AND a.s < b.s
+      JOIN d ON d.p = a.p
+    )
+    SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE))
+                               AS DECIMAL(18,12))) AS DOUBLE), 6)
+             AS adamic_adar
+    FROM pr GROUP BY s1, s2
+    ORDER BY adamic_adar DESC, s1, s2 LIMIT 50
+    """,
+    tags=("graph", "link-prediction", "lineitem"),
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the bipartite supplier-part
+    graph: candidate supplier pairs share a part, scored by
+    Σ 1/ln(deg(part)) over their common parts — rarer shared parts
+    contribute more. Top-50 predicted links, deterministic tie-break.
+
+    FP determinism: each 1/ln(deg) term is per-row IEEE on a small
+    integer (both engines' libm are correctly rounded there) and is
+    cast to decimal(18,12) so the SUM is order-independent.
+
+    Scale: the pair blow-up is bounded by (suppliers-per-part choose
+    2); the edge self-join, degree lookup, and pair aggregation all
+    key on the same columns (one shuffle on p, one on the pair); the
+    top-50 is TakeOrderedAndProject, never a global sort.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    d = e.groupBy(F.col("p").alias("dp")).agg(F.count("*").alias("deg"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pr = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(d, F.col("a.p") == F.col("dp"))
+        .select(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), "deg"
+        )
+    )
+    term = (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(
+        "decimal(18,12)"
+    )
+    return (
+        pr.groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(term).cast("double"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "s1", "s2")
+        .limit(50)
+    )

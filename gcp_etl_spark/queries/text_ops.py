@@ -8,6 +8,7 @@ its shuffle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.functions.text import (
@@ -602,4 +603,87 @@ def text_oov_rate(spark, sf_dir):
         F.count("*").alias("total_tokens"),
         oov.alias("oov_tokens"),
         (oov.cast("double") / F.count("*")).alias("oov_rate"),
+    )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), idx AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS word
+      FROM toks, unnest(range(len(ws))) AS t(i)
+    ), bg AS (
+      SELECT doc_id,
+             lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             word AS w2
+      FROM idx
+    ), bgn AS (
+      SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL
+    ), cb AS (
+      SELECT w1, w2, count(*) AS c12 FROM bgn GROUP BY w1, w2
+    ), cu AS (
+      SELECT w1, count(*) AS c1 FROM bgn GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT word) AS vsz FROM idx
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + vsz))
+                               AS DECIMAL(18,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+    FROM bgn JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm", "llm-prep", "documents"),
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram language-model self-scoring: train add-one-smoothed
+    bigram statistics on the corpus, then score every document by its
+    average log P(w_t | w_{t-1}) — the per-doc corpus-perplexity
+    signal used to filter training data (low avg_logprob = atypical /
+    noisy text).
+
+    FP determinism: each log term is a single libm op on the same
+    rational (c12+1)/(c1+V), cast to decimal(18,12) so per-doc sums
+    are order-independent; the final divide and round are IEEE on
+    identical operands.
+
+    Scale: bigram extraction is a lag window keyed by doc (one
+    shuffle); the count tables shuffle on bigram/unigram keys — when
+    the vocabulary is bounded they become broadcasts; V is a 1-row
+    cross join. No driver-side state anywhere.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = t(spark, sf_dir, "documents").repartition(par)
+    idx = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = (
+        idx.select(
+            "doc_id",
+            F.lag("word").over(w).alias("w1"),
+            F.col("word").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    cb = bgn.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cu = bgn.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = idx.agg(F.countDistinct("word").alias("vsz"))
+    term = F.log(
+        (F.col("c12") + 1.0) / (F.col("c1") + F.col("vsz"))
+    ).cast("decimal(18,12)")
+    return (
+        bgn.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
     )
