@@ -1489,3 +1489,360 @@ def analytics_seasonality_index(spark, sf_dir):
             F.col("rev").cast("double") * 12 / tot.cast("double"), 6
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "analytics_ks_test",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click') AS na,
+             count(*) FILTER (WHERE event_type = 'purchase') AS nb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), c AS (
+      SELECT value,
+             CAST(sum(na) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST((SELECT sum(na) FROM g) AS DOUBLE) AS fa,
+             CAST(sum(nb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST((SELECT sum(nb) FROM g) AS DOUBLE) AS fb
+      FROM g
+    ), r AS (
+      SELECT value, abs(fa - fb) AS d,
+             row_number() OVER (ORDER BY abs(fa - fb) DESC, value) AS rn
+      FROM c
+    )
+    SELECT CAST((SELECT sum(na) FROM g) AS BIGINT) AS n_a,
+           CAST((SELECT sum(nb) FROM g) AS BIGINT) AS n_b,
+           value AS ks_at_value, round(d, 6) AS ks_stat
+    FROM r WHERE rn = 1
+    """,
+    tags=("analytics", "stats", "drift", "events"),
+)
+def analytics_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions: max |F_a(x) − F_b(x)| plus the value
+    where the gap peaks — the standard nonparametric drift detector,
+    complementing the KL (``text_source_divergence``) and PSI-style
+    checks.
+
+    FP determinism: cumulative counts are exact integers; each CDF
+    ratio, difference, and abs is one IEEE op on identical operands,
+    and the argmax tie-breaks on value.
+
+    Scale: the CDF window runs over the DISTINCT-value relation (2-dp
+    values → bounded), not events; the row-level work is one hash agg.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("nb"),
+    )
+    wc = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = g.select(
+        "value",
+        (
+            F.sum("na").over(wc).cast("double")
+            / F.sum("na").over(wt).cast("double")
+        ).alias("fa"),
+        (
+            F.sum("nb").over(wc).cast("double")
+            / F.sum("nb").over(wt).cast("double")
+        ).alias("fb"),
+        F.sum("na").over(wt).alias("tot_a"),
+        F.sum("nb").over(wt).alias("tot_b"),
+    )
+    d = F.abs(F.col("fa") - F.col("fb"))
+    wr = Window.orderBy(F.desc("d"), "value")
+    return (
+        c.withColumn("d", d)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("tot_a").cast("long").alias("n_a"),
+            F.col("tot_b").cast("long").alias("n_b"),
+            F.col("value").alias("ks_at_value"),
+            F.round("d", 6).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "analytics_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS et, CAST(dayofweek(ts) AS INT) AS dow,
+             count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT et, dow, obs,
+             sum(obs) OVER (PARTITION BY et) AS row_tot,
+             sum(obs) OVER (PARTITION BY dow) AS col_tot,
+             sum(obs) OVER () AS n
+      FROM o
+    ), term AS (
+      SELECT n,
+             CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS e,
+             CAST(obs AS DOUBLE) AS od
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST((od - e) * (od - e) / e AS DECIMAL(18,10)))
+                      AS DOUBLE), 6) AS chi2
+    FROM term
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def analytics_chi_square(spark, sf_dir):
+    """Chi-square independence statistic for event_type × day-of-week:
+    Σ (observed − expected)² / expected over the contingency table —
+    the classic categorical-association screen (compare to the
+    critical value for (r−1)(c−1) dof offline).
+
+    FP determinism: the contingency table is exact integers; expected
+    counts and each cell term are fixed IEEE op chains, and terms are
+    cast to decimal(18,10) so the final sum is order-independent.
+
+    Scale: one hash agg to the (types × 7)-cell table, then windows
+    over that constant-size relation.
+    """
+    e = t(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+    ).agg(F.count("*").alias("obs"))
+    m = o.select(
+        "obs",
+        F.sum("obs").over(Window.partitionBy("et")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("obs").cast("double")
+    term = ((od - exp) * (od - exp) / exp).cast("decimal(18,10)")
+    return m.select("n", term.alias("term")).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+    )
+
+
+@query(
+    "analytics_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), k AS (
+      SELECT rev,
+             CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue,
+           round(CAST(2 * sum(i * rev) - (count(*) + 1) * sum(rev) AS DOUBLE)
+                 / CAST(count(*) * sum(rev) AS DOUBLE), 6) AS gini
+    FROM k
+    """,
+    tags=("analytics", "stats", "orders"),
+)
+def analytics_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary behind "top x% of customers drive y% of
+    revenue" (Lorenz) dashboards: G = (2·Σ i·x_(i) − (n+1)·Σx) /
+    (n·Σx) with revenues ranked ascending, custkey tie-break.
+
+    FP determinism: rank·revenue products and all sums stay exact
+    decimal/integer until two final double casts and one division.
+
+    Scale: the ranked relation is per-customer (aggregated, not raw
+    orders); at extreme customer counts the global rank swaps to the
+    two-pass ``global_row_number_twopass`` algebra — the Gini sums
+    themselves are plain map-side-combining aggregates either way.
+    """
+    o = t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    k = r.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy("rev", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    n = F.count("*")
+    srev = F.sum("rev")
+    sirev = F.sum(F.col("i") * F.col("rev"))
+    return k.agg(
+        n.cast("long").alias("n_customers"),
+        srev.cast("double").alias("total_revenue"),
+        F.round(
+            (2 * sirev - (n + 1) * srev).cast("double")
+            / (n * srev).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "profile_entropy",
+    oracle="""
+    WITH u AS (
+      SELECT 'events.event_type' AS col_name, event_type AS v FROM events
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+      UNION ALL
+      SELECT 'documents.source', source FROM documents
+    ), c AS (
+      SELECT col_name, v, count(*) AS cnt FROM u GROUP BY 1, 2
+    ), p AS (
+      SELECT col_name, cnt,
+             CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY col_name)
+                                        AS DOUBLE) AS pr,
+             count(*) OVER (PARTITION BY col_name) AS k
+      FROM c
+    )
+    SELECT col_name, CAST(max(k) AS BIGINT) AS n_categories,
+           round(CAST(sum(CAST(-pr * ln(pr) AS DECIMAL(18,12))) AS DOUBLE),
+                 6) AS entropy,
+           round(CAST(sum(CAST(-pr * ln(pr) AS DECIMAL(18,12))) AS DOUBLE)
+                 / ln(CAST(max(k) AS DOUBLE)), 6) AS norm_entropy
+    FROM p GROUP BY col_name
+    """,
+    tags=("analytics", "profiling", "events", "documents"),
+)
+def profile_entropy(spark, sf_dir):
+    """Shannon entropy profile of categorical columns (event_type,
+    document lang/source): H = −Σ p·ln p plus the 0-1 normalized
+    H/ln(k) — the data-profiling signal for skewed / near-constant
+    columns that should become partition keys or be dropped.
+
+    FP determinism: probabilities are exact-count ratios; each −p·ln p
+    term is cast to decimal(18,12) so per-column sums are
+    order-independent.
+
+    Scale: one union of column scans → hash agg to (column, category)
+    cardinality, then constant-size windows per column.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.lit("events.event_type").alias("col_name"),
+        F.col("event_type").alias("v"),
+    )
+    docs = t(spark, sf_dir, "documents")
+    u = e.unionByName(
+        docs.select(
+            F.lit("documents.lang").alias("col_name"), F.col("lang").alias("v")
+        )
+    ).unionByName(
+        docs.select(
+            F.lit("documents.source").alias("col_name"),
+            F.col("source").alias("v"),
+        )
+    )
+    c = u.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("col_name")
+    p = c.select(
+        "col_name",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")).alias(
+            "pr"
+        ),
+        F.count("*").over(w).alias("k"),
+    )
+    term = (-F.col("pr") * F.log("pr")).cast("decimal(18,12)")
+    h = F.sum(term).cast("double")
+    return p.select("col_name", "k", term.alias("term")).groupBy("col_name").agg(
+        F.max("k").cast("long").alias("n_categories"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        F.round(
+            F.sum("term").cast("double") / F.log(F.max("k").cast("double")), 6
+        ).alias("norm_entropy"),
+    )
+
+
+@query(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT))
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_m,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS INT)
+               - f.cohort_m AS offset_m,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ), size_ AS (
+      SELECT cohort_m, count(*) AS n_cust FROM first GROUP BY 1
+    )
+    SELECT r.cohort_m, r.offset_m, s.n_cust,
+           CAST(r.rev AS DOUBLE) AS revenue,
+           round(CAST(sum(r.rev) OVER (PARTITION BY r.cohort_m
+                   ORDER BY r.offset_m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(s.n_cust AS DOUBLE), 6)
+             AS cum_ltv_per_customer
+    FROM rev r JOIN size_ s ON r.cohort_m = s.cohort_m
+    """,
+    tags=("analytics", "cohort", "orders"),
+)
+def analytics_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue tracked by month offset since acquisition, and the
+    running cumulative LTV per cohort customer — the standard
+    retention-economics readout (complements ``cohort_retention``,
+    which tracks activity, not value).
+
+    FP determinism: month indices are integer arithmetic; revenue
+    stays exact decimal through the per-cell sums AND the cumulative
+    window; the single division per row is IEEE on identical operands.
+
+    Scale: first-order months via one agg on custkey; the join back is
+    on the same key (no extra shuffle under AQE reuse); the cumulative
+    window partitions by cohort over the bounded (cohort × offset)
+    grid.
+    """
+    o = t(spark, sf_dir, "orders")
+    mcol = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    first = o.groupBy("o_custkey").agg(F.min(mcol).alias("cohort_m"))
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_m", (mcol - F.col("cohort_m")).alias("offset_m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    size = first.groupBy("cohort_m").agg(F.count("*").alias("n_cust"))
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(size, "cohort_m")
+        .select(
+            "cohort_m",
+            "offset_m",
+            "n_cust",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev").over(wc).cast("double")
+                / F.col("n_cust").cast("double"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
