@@ -194,3 +194,36 @@ def stream_join_unattributed(spark, sf_dir):
         .select("view_id", "v_user")
         .orderBy("view_id")
     )
+
+
+@query(
+    "stream_topk_types",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n_events, sum_value, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY w_start ORDER BY n_events DESC, event_type) AS rk
+      FROM b
+    ) WHERE rk <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_topk_types(spark, sf_dir):
+    """Trending-now: top-3 event types per tumbling 10-minute window —
+    the streaming leaderboard shape. The windowed count is the
+    stream-safe aggregation (``tumbling_agg``); the rank runs over the
+    aggregated relation (per micro-batch via foreachBatch in a live
+    stream — see ``rank_topk``); the DuckDB oracle is the identical
+    time_bucket + QUALIFY-style rank.
+    """
+    from gcp_etl_spark.streaming.windows import rank_topk, tumbling_agg
+
+    return rank_topk(tumbling_agg(t(spark, sf_dir, "events")), k=3).select(
+        "w_start", "event_type", "n_events", "sum_value", "rk"
+    )

@@ -217,3 +217,26 @@ def view_purchase_join(
     # exactly as in the inner case; rows buffered past watermark+gap
     # are evicted with a null emission instead of silently.
     return joined.select("view_id", "purchase_id", "v_user")
+
+
+def rank_topk(win_counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k keys per window over a windowed-count relation
+    (``tumbling_agg`` output): rank by count desc, key tie-break.
+
+    Streaming deployment note: ranking cannot ride an unfinished
+    streaming aggregation in append mode — the documented pattern is
+    aggregate IN the stream (update/complete to a sink), then apply
+    this rank per micro-batch via ``foreachBatch`` or over the
+    materialized sink table. Batch pipelines just compose directly.
+    The rank window partitions by window start, so its shuffle is on
+    the already-aggregated (bounded) relation, never the raw stream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        win_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

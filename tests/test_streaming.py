@@ -287,3 +287,19 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_topk_per_window(spark, events_stream_dir):
+    """Top-k ranking applied over the materialized streaming sink must
+    equal the batch composition — the documented foreachBatch /
+    post-sink pattern for rank-after-aggregate in streams."""
+    from gcp_etl_spark.streaming.windows import rank_topk
+
+    path, schema = events_stream_dir
+    batch = rank_topk(tumbling_agg(spark.read.schema(schema).parquet(path)))
+    stream = tumbling_agg(spark.readStream.schema(schema).parquet(path))
+    sink = run_stream(spark, stream, "complete")
+    got = rank_topk(sink)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
