@@ -564,3 +564,61 @@ def agg_ols_two_feature(spark, sf_dir):
         F.round("beta_quantity", 6).alias("beta_quantity"),
         F.round("beta_discount", 6).alias("beta_discount"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct", "bitmap", "lineitem"),
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via Spark's native bitmap aggregates —
+    the scale-correct alternative to ``count(DISTINCT x)``'s expand +
+    re-shuffle: keys map to (bucket, bit) positions, per-(group,
+    bucket) roaring-style bitmaps OR together map-side, and the final
+    count is a sum of per-bucket popcounts. Two ordinary hash
+    aggregations; state per group is #buckets x 4 KB, independent of
+    row count — this is how exact distinct survives 100 TB where the
+    expand-based plan's shuffle explodes with the distinct-column
+    count.
+
+    The oracle is plain ``count(DISTINCT ...)`` — bitmap counting is
+    exact, so this is hash-verified, unlike the HLL/KMV sketch family.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    # one bitmap tree per distinct-counted dimension (bucket spaces
+    # differ), each a two-level hash agg joined on the group key
+    parts = (
+        li.groupBy(
+            "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("b")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias(
+                "m"
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("m")).alias("n_parts"))
+    )
+    supps = (
+        li.groupBy(
+            "l_returnflag", F.bitmap_bucket_number("l_suppkey").alias("b")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("l_suppkey")).alias(
+                "m"
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("m")).alias("n_supps"))
+    )
+    return parts.join(supps, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("n_supps").cast("long").alias("n_supps"),
+    )

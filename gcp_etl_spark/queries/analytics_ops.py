@@ -1846,3 +1846,81 @@ def analytics_cohort_ltv(spark, sf_dir):
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@query(
+    "analytics_calibration",
+    oracle="""
+    WITH g AS (
+      SELECT value, count(*) AS c,
+             count(*) FILTER (WHERE event_type = 'purchase') AS cp
+      FROM events GROUP BY value
+    ), cum AS (
+      SELECT value, c, cp,
+             coalesce(sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl,
+             sum(c) OVER () AS n
+      FROM g
+    ), b AS (
+      SELECT least(9, CAST(floor(10.0 * cum_excl / n) AS INT)) + 1 AS bin,
+             value, c, cp
+      FROM cum
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, CAST(sum(c) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)) * c) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE), 6) AS avg_score,
+           round(CAST(sum(cp) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS purchase_rate
+    FROM b GROUP BY bin
+    """,
+    tags=("analytics", "ml-eval", "events"),
+)
+def analytics_calibration(spark, sf_dir):
+    """Calibration / reliability curve for ``value`` as a purchase
+    score: equal-frequency decile bins, each reporting mean score vs
+    observed purchase rate — read alongside ``analytics_auc`` (AUC
+    ranks, calibration checks the probabilities themselves).
+
+    Scale: bins derive from the DISTINCT-score relation's cumulative
+    counts (bounded, 2-dp scores) — never an ntile over raw rows — so
+    the row-level work is one hash agg; ties share a bin by
+    construction. All ratios are exact-count/exact-decimal quotients.
+    """
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("value").agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cp"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy()
+    cum = g.select(
+        "value",
+        "c",
+        "cp",
+        F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("cum_excl"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    bin_ = (
+        F.least(
+            F.lit(9),
+            F.floor(10.0 * F.col("cum_excl") / F.col("n")).cast("int"),
+        )
+        + 1
+    ).alias("bin")
+    return (
+        cum.select(bin_, "value", "c", "cp")
+        .groupBy("bin")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("c"))
+                .cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("avg_score"),
+            F.round(
+                F.sum("cp").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("purchase_rate"),
+        )
+    )
