@@ -640,38 +640,14 @@ def fuzzy_match_blocked(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_covariance",
-    oracle="""
-    WITH u AS (
-      SELECT vec_id,
-             CAST(unnest(range(len(embedding))) AS INTEGER) AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    )
-    SELECT a.i AS i, b.i AS j,
-           round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
-    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    tags=("llm", "embeddings", "matrix"),
-)
-def embedding_covariance(spark, sf_dir):
-    """Full dim x dim sample covariance of the embedding corpus
-    (whitening / drift-detection input). Spark-first scale shape: ONE
-    numpy ``X.T @ X`` per Arrow batch inside mapInPandas, emitting a
-    CONSTANT d*(d+1)/2 partial rows per batch regardless of batch row
-    count, then a hash agg combines partials — the corpus is read
-    once, never exploded. The oracle pays the honest relational price
-    (|rows| * d^2 pair explosion + covar_samp); at 100 TB only the
-    partial-matrix path survives. Algebra: cov = (S_xy - S_x S_y / N)
-    / (N - 1), batch partials exactly sufficient."""
+def _cov_moments(emb, par: int, d: int = 64):
+    """(i, j, Sxy, Sxi, Sxj, N) upper-triangle covariance moments of
+    the embedding corpus: one numpy ``X.T @ X`` per Arrow batch inside
+    mapInPandas emits a CONSTANT d*(d+1)/2 partial rows per batch, and
+    a hash agg combines partials — the corpus is read once, never
+    exploded. Shared by ``embedding_covariance`` (relational output)
+    and ``embedding_pca_project`` (driver-side eigensolve input)."""
     import pandas as pd  # noqa: PLC0415
-
-    emb = t(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    d = 64
 
     def partials(batches):
         import numpy as np  # executor-side
@@ -699,12 +675,43 @@ def embedding_covariance(spark, sf_dir):
     parts = emb.repartition(par).mapInPandas(
         partials, "i int, j int, sxy double, sxi double, sxj double, n long"
     )
-    agg = parts.groupBy("i", "j").agg(
+    return parts.groupBy("i", "j").agg(
         F.sum("sxy").alias("Sxy"),
         F.sum("sxi").alias("Sxi"),
         F.sum("sxj").alias("Sxj"),
         F.sum("n").alias("N"),
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "embeddings", "matrix"),
+)
+def embedding_covariance(spark, sf_dir):
+    """Full dim x dim sample covariance of the embedding corpus
+    (whitening / drift-detection input). Spark-first scale shape: ONE
+    numpy ``X.T @ X`` per Arrow batch inside mapInPandas, emitting a
+    CONSTANT d*(d+1)/2 partial rows per batch regardless of batch row
+    count, then a hash agg combines partials — the corpus is read
+    once, never exploded. The oracle pays the honest relational price
+    (|rows| * d^2 pair explosion + covar_samp); at 100 TB only the
+    partial-matrix path survives. Algebra: cov = (S_xy - S_x S_y / N)
+    / (N - 1), batch partials exactly sufficient."""
+    emb = t(spark, sf_dir, "embeddings")
+    agg = _cov_moments(emb, spark.sparkContext.defaultParallelism, d=64)
     cov = (F.col("Sxy") - F.col("Sxi") * F.col("Sxj") / F.col("N")) / (
         F.col("N") - 1
     )
@@ -999,4 +1006,69 @@ def multimodal_audio_windows(spark, sf_dir):
             F.sum("sum_level").alias("level_sum"),
         )
         .orderBy("media_id")
+    )
+
+
+@query("embedding_pca_project", oracle=None, tags=("llm", "embeddings", "pca"))
+def embedding_pca_project(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-8 principal
+    components — the dimensionality-reduction / whitening step of a
+    training-data pipeline (decorrelate before clustering, compress
+    before ANN). Distributed shape: the d x d covariance comes from the
+    bounded ``_cov_moments`` partial relation (one numpy pass per Arrow
+    batch); the eigensolve runs DRIVER-SIDE on the 64x64 matrix (O(1)
+    state, the same pattern as the PQ/IVF codebook training —
+    ``llm/pq.py``); the projection is then one broadcast matmul per
+    batch via mapInPandas. No oracle (DuckDB has no eigensolver) —
+    geometry is pinned by pytest: orthonormal components, per-component
+    projection variance == eigenvalue, top-k explained-variance >=
+    uniform share.
+
+    Sign determinism: each eigenvector is flipped so its
+    largest-magnitude coordinate is positive (eigh sign is otherwise
+    arbitrary), making reruns and engines agree.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    d, k = 64, 8
+    rows = _cov_moments(emb, par, d=d).collect()
+    cov = np.zeros((d, d))
+    for r in rows:
+        c = (r["Sxy"] - r["Sxi"] * r["Sxj"] / r["N"]) / (r["N"] - 1)
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
+    w = w * flip
+    wb = spark.sparkContext.broadcast(w)
+
+    def project(batches):
+        W = wb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            P = M @ W
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "pc1": np.round(P[:, 0], 6),
+                    "pc2": np.round(P[:, 1], 6),
+                    "pc3": np.round(P[:, 2], 6),
+                    "pc4": np.round(P[:, 3], 6),
+                    "proj_norm": np.round(np.sqrt((P * P).sum(axis=1)), 6),
+                }
+            )
+
+    return emb.repartition(par).mapInPandas(
+        project,
+        "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double,"
+        " proj_norm double",
     )

@@ -340,3 +340,37 @@ def test_pq_encode_compresses_and_is_deterministic(spark):
     assert sorted(map(str, c1)) == sorted(map(str, c2))
     codes = c1[0]["codes"]
     assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+
+
+def test_pca_projection_geometry(spark):
+    """The PCA projection must be a genuine orthonormal eigenbasis
+    projection: per-component variance equals the eigenvalue order
+    (monotone non-increasing), components decorrelate, and the top-8
+    explained variance is at least the uniform 8/64 share."""
+    import numpy as np
+
+    from gcp_etl_spark.queries import load_all
+
+    rows = (
+        load_all()["embedding_pca_project"]
+        .fn(spark, SF_SMALL)
+        .select("pc1", "pc2", "pc3", "pc4")
+        .collect()
+    )
+    P = np.asarray([[r[0], r[1], r[2], r[3]] for r in rows])
+    cov = np.cov(P.T)
+    var = np.diag(cov)
+    # variances sorted descending (principal order)
+    assert all(var[i] >= var[i + 1] - 1e-6 for i in range(3))
+    # off-diagonal correlation ~ 0 (decorrelated components)
+    off = cov - np.diag(var)
+    denom = np.sqrt(np.outer(var, var))
+    assert np.abs(off / denom).max() < 1e-6
+    # top components carry at least the uniform variance share of the
+    # original space
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    M = np.asarray(
+        [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+    total_var = np.var(M, axis=0, ddof=1).sum()
+    assert var.sum() >= 4 / 64 * total_var

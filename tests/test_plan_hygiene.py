@@ -32,6 +32,7 @@ _EAGER_BUILD = {
     "catalog_insert_overwrite",
     "join_bucketed_smb",
     "ann_cosine_topk_ivf",  # KMeans fit on a bounded sample at build
+    "embedding_pca_project",  # driver-side eigensolve on bounded cov at build
 }
 
 # declared cross joins — CartesianProduct is the point
