@@ -1924,3 +1924,219 @@ def analytics_calibration(spark, sf_dir):
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "analytics_abc_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev) OVER () AS tot
+      FROM r
+    ), k AS (
+      SELECT CASE
+               WHEN CAST(cum AS DOUBLE) <= 0.80 * CAST(tot AS DOUBLE)
+                 THEN 'A'
+               WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(tot AS DOUBLE)
+                 THEN 'B'
+               ELSE 'C' END AS abc_class,
+             rev, tot
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS class_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM k GROUP BY abc_class
+    """,
+    tags=("analytics", "pareto", "lineitem"),
+)
+def analytics_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue contribution
+    (A = first 80% of cumulative revenue, B = next 15%, C = tail) —
+    the inventory-management standard for "which SKUs matter".
+
+    FP determinism: revenue and its cumulative stay exact decimal; the
+    class boundaries compare two IEEE products of identical operands
+    (a tie at exactly 0.80 of total revenue is a measure-zero event on
+    money data).
+
+    Scale: ranking runs over the per-part AGGREGATE (bounded by part
+    count, not lineitem rows); at extreme part counts the cumulative
+    switches to the two-pass prefix-offset algebra
+    (``global_row_number_twopass``).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev")
+    )
+    wc = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = r.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+    )
+    cls = (
+        F.when(
+            F.col("cum").cast("double") <= 0.80 * F.col("tot").cast("double"),
+            "A",
+        )
+        .when(
+            F.col("cum").cast("double") <= 0.95 * F.col("tot").cast("double"),
+            "B",
+        )
+        .otherwise("C")
+    )
+    return (
+        c.select(cls.alias("abc_class"), "rev", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT))
+               AS first_m
+      FROM orders GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+             o_custkey
+      FROM orders
+    )
+    SELECT act.m, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE f.first_m = act.m) AS BIGINT)
+             AS n_new,
+           CAST(count(*) FILTER (WHERE f.first_m < act.m) AS BIGINT)
+             AS n_returning
+    FROM act JOIN f ON act.o_custkey = f.o_custkey
+    GROUP BY act.m
+    """,
+    tags=("analytics", "cohort", "orders"),
+)
+def analytics_new_vs_returning(spark, sf_dir):
+    """Monthly active customers decomposed into new vs returning —
+    the growth-accounting counterpart of ``analytics_cohort_ltv``
+    (same first-order anchor, activity instead of value).
+
+    Scale: both the first-month anchor and the distinct activity grid
+    aggregate on o_custkey — the join is same-key (no extra exchange
+    under AQE reuse); everything else is exact integer counting.
+    """
+    o = t(spark, sf_dir, "orders")
+    mcol = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    f = o.groupBy("o_custkey").agg(F.min(mcol).alias("first_m"))
+    act = o.select(mcol.alias("m"), "o_custkey").distinct()
+    return (
+        act.join(f, "o_custkey")
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.count(F.when(F.col("first_m") == F.col("m"), 1))
+            .cast("long")
+            .alias("n_new"),
+            F.count(F.when(F.col("first_m") < F.col("m"), 1))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
+@query(
+    "funnel_time_bound",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL '1 hour'
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL '24 hours'
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click(1h)', count(*) FROM c
+    UNION ALL SELECT 'view>click(1h)>purchase(24h)', count(*) FROM p
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def funnel_time_bound(spark, sf_dir):
+    """Conversion funnel with per-step time budgets (click within 1 h
+    of first view, purchase within 24 h of that click) — the
+    attribution-window variant of ``funnel_3step``; the unbounded
+    funnel overcounts conversions that took weeks.
+
+    Scale: same shape as the unbounded funnel — each stage is one
+    min-aggregate on user_id joined back on the same key with the
+    window bound as a residual predicate; no new shuffle keys.
+    """
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(
+                F.lit("view>click(1h)").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        .unionByName(
+            p.agg(
+                F.lit("view>click(1h)>purchase(24h)").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    )
