@@ -2140,3 +2140,66 @@ def funnel_time_bound(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "pattern_rising_runs",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s
+    ), lens AS (
+      SELECT user_id, run_id, count(*) AS len
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS longest_run
+    FROM lens WHERE len >= 3 GROUP BY user_id
+    """,
+    tags=("analytics", "pattern", "gaps-islands", "events"),
+)
+def pattern_rising_runs(spark, sf_dir):
+    """Variable-length pattern matching via the islands algebra:
+    maximal strictly-increasing runs of ``value`` per user, reporting
+    users with runs of length >= 3 — the unbounded-repetition
+    (``A B+ C``-style) case ``pattern_v_shape``'s fixed-lag
+    composition cannot express; run boundaries become a running sum of
+    break flags, turning the state machine into two window passes.
+
+    Scale: both windows and the run aggregation share the user_id
+    shuffle — one exchange end to end.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") <= F.lag("value").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    runs = e.select("user_id", "ts", "event_id", brk).select(
+        "user_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    lens = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("len"))
+    return (
+        lens.filter(F.col("len") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("len").cast("long").alias("longest_run"),
+        )
+    )

@@ -276,3 +276,47 @@ def udf_cogrouped_ratio(spark, sf_dir):
             "g long, n_orders long, n_lines long, lines_per_order double",
         )
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints
+    FROM documents
+    """,
+    tags=("udf", "arrow", "documents"),
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy rung below the pandas UDF family:
+    the function receives raw ``pyarrow.RecordBatch``es and computes
+    with Arrow compute kernels (C++-vectorized), skipping the
+    Arrow→pandas→Arrow conversion that ``mapInPandas`` pays. Here:
+    UTF-8 byte length vs codepoint length per document, hash-verified
+    against DuckDB's strlen/length pair.
+
+    Scale: narrow transform, no shuffle; per-batch cost is two
+    vectorized kernels — the right API when the logic is expressible
+    in Arrow compute but not in Spark SQL functions.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def lengths(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_codepoints"],
+            )
+
+    return docs.mapInArrow(
+        lengths, "doc_id long, n_bytes long, n_codepoints long"
+    )

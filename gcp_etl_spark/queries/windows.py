@@ -554,3 +554,53 @@ def window_rolling_median(spark, sf_dir):
         )
         .filter(F.col("o_orderkey") % 50 == 0)
     )
+
+
+@query(
+    "window_rolling_median_wide",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             median(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 100 PRECEDING AND CURRENT ROW
+             ) AS roll_median
+      FROM orders
+    )
+    SELECT o_orderkey, roll_median FROM m WHERE o_orderkey % 50 = 0
+    """,
+    tags=("window", "frame", "median", "pandas-udf", "orders"),
+)
+def window_rolling_median_wide(spark, sf_dir):
+    """WIDE-frame rolling median (101 rows) — the documented escape
+    hatch from ``window_rolling_median``: at this frame width the
+    collect_list-per-row plan materializes O(rows x frame) state, so
+    the operator drops to ONE applyInPandas per partition key running
+    pandas' O(n log frame) skip-list rolling median. Hash-verified
+    against DuckDB's native windowed median: both interpolate the even
+    middle as one IEEE average of the same 2-dp doubles.
+
+    Scale: one shuffle on o_custkey; per-group state is the group
+    itself (bounded by orders-per-customer); Arrow transfers batch
+    the groups.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def roll(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        med = (
+            pdf["o_totalprice"].rolling(window=101, min_periods=1).median()
+        )
+        return pd.DataFrame(
+            {"o_orderkey": pdf["o_orderkey"], "roll_median": med}
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(roll, "o_orderkey long, roll_median double")
+        .filter(F.col("o_orderkey") % 50 == 0)
+    )
