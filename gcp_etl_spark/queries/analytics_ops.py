@@ -2203,3 +2203,76 @@ def pattern_rising_runs(spark, sf_dir):
             F.max("len").cast("long").alias("longest_run"),
         )
     )
+
+
+@query(
+    "analytics_holt_trend",
+    # recursive-CTE fold (list_reduce is batch-layout-buggy in DuckDB
+    # 1.0.0 — see ewma_per_user); identical expression trees keep the
+    # doubles bit-exact with Spark's aggregate() fold
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    rec(user_id, i, n, l, b) AS (
+      SELECT s2.user_id, 2, s2.n, s2.value, s2.value - s1.value
+      FROM seq s1 JOIN seq s2
+        ON s1.user_id = s2.user_id AND s1.i = 1 AND s2.i = 2
+      UNION ALL
+      SELECT s.user_id, s.i, s.n,
+             0.5 * s.value + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM rec WHERE i = n
+    """,
+    tags=("analytics", "timeseries", "fold", "events"),
+)
+def analytics_holt_trend(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, α=0.5 β=0.25)
+    per user with a one-step-ahead forecast — the trend-aware upgrade
+    of ``ewma_per_user``; a TWO-state linear recurrence no window
+    frame expresses. Realized as a higher-order ``aggregate`` fold
+    with a struct accumulator over the per-key ordered series; both
+    engines fold in the identical order with identical IEEE
+    expression trees, so the doubles match bit-exactly (no rounding).
+
+    Scale shape: identical to the EWMA fold — one hash agg keyed by
+    user, fold inside the map stage; unbounded keys escape to the
+    ``applyInPandasWithState`` recurrence operator.
+    """
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vals"),
+        F.count("*").alias("n_events"),
+    )
+    acc = F.expr(
+        "aggregate(slice(vals, 3, size(vals) - 2),"
+        " named_struct('l', element_at(vals, 2),"
+        "              'b', element_at(vals, 2) - element_at(vals, 1)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5d * x + 0.5d * (acc.l + acc.b),"
+        "   'b', 0.25d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l)"
+        "        + 0.75d * acc.b))"
+    )
+    return (
+        seq.filter(F.col("n_events") >= 2)
+        .select("user_id", "n_events", acc.alias("acc"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("acc.l").alias("level"),
+            F.col("acc.b").alias("trend"),
+            (F.col("acc.l") + F.col("acc.b")).alias("forecast_next"),
+        )
+    )

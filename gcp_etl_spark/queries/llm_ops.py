@@ -9,6 +9,7 @@ driver check + recall tests against the exact operator in pytest.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.llm.dedup import minhash_near_duplicates, simhash_near_duplicates
@@ -1071,4 +1072,86 @@ def embedding_pca_project(spark, sf_dir):
         project,
         "vec_id long, pc1 double, pc2 double, pc3 double, pc4 double,"
         " proj_norm double",
+    )
+
+
+PREFIX_JACCARD_T = 0.7
+
+
+@query("dedup_prefix_filter", oracle=None, tags=("llm", "dedup", "similarity"))
+def dedup_prefix_filter(spark, sf_dir):
+    """EXACT token-set Jaccard >= 0.7 similarity self-join via PREFIX
+    FILTERING (SSJoin/PPJoin family) — the third point in the dedup
+    design space: exact like ``neardup_jaccard_blocked`` but needing
+    NO blocking key, scalable like MinHash but with zero false
+    negatives. Tokens are globally ordered rarest-first (document
+    frequency asc); a doc's PREFIX is its first |T| − ceil(t·|T|) + 1
+    tokens — any pair with J ≥ t must collide on a prefix token of
+    each side (the suffix is too small to hold the required overlap),
+    so joining prefix postings against full postings enumerates a
+    complete, near-linear candidate set, then exact Jaccard verifies.
+
+    No oracle: the O(n²) relational dual is exactly what this operator
+    exists to avoid; completeness (candidates ⊇ brute-force pairs) is
+    asserted by pytest equality against brute force at sf0.001.
+
+    Scale: postings shuffle on token; the rare-first order makes
+    prefix postings lists short (hot tokens land in suffixes);
+    candidate count ~ linear on near-dup corpora. The global
+    token-rank window runs over the VOCABULARY relation, not the
+    corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.trim(F.lower("text")), " "),
+                        lambda x: x != F.lit(""),
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rank = vocab.select(
+        "tok",
+        F.row_number().over(Window.orderBy("df", "tok")).alias("rk"),
+    )
+    ranked = toks.join(rank, "tok").select("doc_id", "rk")
+    sets = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("rk")).alias("rks"),
+        F.count("*").alias("sz"),
+    )
+    plen = (F.col("sz") - F.ceil(PREFIX_JACCARD_T * F.col("sz")) + 1).cast(
+        "int"
+    )
+    prefix = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.slice("rks", 1, plen)).alias("rk"),
+    )
+    full = ranked.select(F.col("doc_id").alias("id_b"), "rk")
+    cand = (
+        prefix.join(full, "rk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("rks").alias("ra"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("rks").alias("rb"))
+    inter = F.size(F.array_intersect("ra", "rb")).cast("double")
+    jac = inter / (
+        F.size("ra").cast("double") + F.size("rb").cast("double") - inter
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )

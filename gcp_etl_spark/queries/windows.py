@@ -586,21 +586,47 @@ def window_rolling_median_wide(spark, sf_dir):
     """
     import pandas as pd  # noqa: PLC0415
 
-    o = t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
     )
 
-    def roll(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
-        med = (
-            pdf["o_totalprice"].rolling(window=101, min_periods=1).median()
-        )
-        return pd.DataFrame(
-            {"o_orderkey": pdf["o_orderkey"], "roll_median": med}
-        )
+    # mapInPandas (one vectorized groupby-rolling per Arrow batch)
+    # instead of applyInPandas: per-GROUP Python calls cost more than
+    # the median math when groups are small and numerous. Groups can
+    # straddle Arrow batch boundaries inside a partition, so the last
+    # (possibly incomplete) group of each batch is carried forward.
+    def roll(batches):
+        def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            med = (
+                pdf.groupby("o_custkey", sort=False)["o_totalprice"]
+                .rolling(window=101, min_periods=1)
+                .median()
+            )
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"].to_numpy(),
+                    "roll_median": med.to_numpy(),
+                }
+            )
 
-    return (
-        o.groupBy("o_custkey")
-        .applyInPandas(roll, "o_orderkey long, roll_median double")
-        .filter(F.col("o_orderkey") % 50 == 0)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = pdf["o_custkey"].iloc[-1]
+            mask = pdf["o_custkey"] == last_key
+            carry = pdf[mask]
+            cur = pdf[~mask]
+            if len(cur):
+                yield compute(cur)
+        if carry is not None and len(carry):
+            yield compute(carry)
+
+    return o.mapInPandas(roll, "o_orderkey long, roll_median double").filter(
+        F.col("o_orderkey") % 50 == 0
     )

@@ -374,3 +374,41 @@ def test_pca_projection_geometry(spark):
     )
     total_var = np.var(M, axis=0, ddof=1).sum()
     assert var.sum() >= 4 / 64 * total_var
+
+
+def test_prefix_filter_join_is_exact(spark):
+    """Prefix filtering must be EXACT (zero false negatives AND zero
+    false positives after verification): its pair set equals the
+    brute-force all-pairs exact-Jaccard join at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.tables import t
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in load_all()["dedup_prefix_filter"].fn(spark, SF_SMALL).collect()
+    }
+    d = t(spark, SF_SMALL, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+            )
+        ).alias("ts"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = inter / (
+        F.size("ta").cast("double") + F.size("tb").cast("double") - inter
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.7)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got == brute

@@ -70,6 +70,12 @@ HEADLINE = [
     "interval_max_concurrency_global",
     "interval_max_concurrency",
     "sessionize_gap30",
+    "text_bigram_lm",
+    "graph_adamic_adar",
+    "analytics_auc",
+    "analytics_gini",
+    "window_rolling_median_wide",
+    "embedding_pca_project",
 ]
 
 
