@@ -1155,3 +1155,80 @@ def dedup_prefix_filter(spark, sf_dir):
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "multimodal_image_patches",
+    # same real-PNG fixtures as multimodal_image_decode; the oracle
+    # recomputes the pixel formula with patch-grid group-bys
+    oracle="""
+    WITH ids AS (SELECT 2 * i AS media_id FROM generate_series(0, 31) t(i)),
+    px AS (
+      SELECT ids.media_id, y.y // 8 AS pr, x.x // 8 AS pc,
+             (13 * ids.media_id + 7 * x.x + 11 * y.y + 17 * c.c) % 256 AS v
+      FROM ids,
+           generate_series(0, 23) x(x),
+           generate_series(0, 23) y(y),
+           generate_series(0, 2) c(c)
+    )
+    SELECT media_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value
+    FROM px GROUP BY 1, 2, 3
+    """,
+    tags=("llm", "multimodal", "codec", "patches"),
+)
+def multimodal_image_patches(spark, sf_dir):
+    """ViT-style patch extraction over the REAL PNG decode path: each
+    24x24 RGB image splits into a 3x3 grid of 8x8 patches; per-patch
+    pixel sums/means are the patch-embedding precursor a vision
+    training pipeline computes before projection. The DuckDB oracle
+    recomputes the generator formula with patch-grid group-bys, so a
+    hash match proves decode + patch geometry end to end.
+
+    Scale: decode and patching run inside mapInPandas per Arrow batch
+    (numpy reshape-sum, no Python pixel loops); only 9 aggregate rows
+    per image leave the task — pixels never shuffle.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from gcp_etl_spark.llm.multimodal import synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "image/png"
+    )
+
+    def patches(batches):
+        from gcp_etl_spark.llm import codecs  # executor-side
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "patch_row": [],
+                "patch_col": [],
+                "n_values": [],
+                "value_sum": [],
+                "mean_value": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = codecs.png_decode(bytes(payload)).astype(np.int64)
+                s = arr.reshape(3, 8, 3, 8, 3).sum(axis=(1, 3, 4))
+                for pr in range(3):
+                    for pc in range(3):
+                        out["media_id"].append(int(mid))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_values"].append(8 * 8 * 3)
+                        out["value_sum"].append(int(s[pr, pc]))
+                        out["mean_value"].append(
+                            round(float(s[pr, pc]) / 192.0, 6)
+                        )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        patches,
+        "media_id long, patch_row int, patch_col int, n_values long,"
+        " value_sum long, mean_value double",
+    )
