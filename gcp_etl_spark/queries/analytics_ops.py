@@ -2276,3 +2276,89 @@ def analytics_holt_trend(spark, sf_dir):
             (F.col("acc.l") + F.col("acc.b")).alias("forecast_next"),
         )
     )
+
+
+@query(
+    "analytics_seasonal_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(month(o_orderdate) AS INT) AS mon
+      FROM orders
+    ), mm AS (
+      SELECT mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu_m
+      FROM m GROUP BY mon
+    ), r AS (
+      SELECT m.o_orderkey, m.o_totalprice - mm.mu_m AS resid
+      FROM m JOIN mm ON m.mon = mm.mon
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(resid AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(resid * resid AS DECIMAL(24,6))) AS DOUBLE) AS sxx
+      FROM r
+    ), z AS (
+      SELECT o_orderkey,
+             resid / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS zval
+      FROM r, s
+    )
+    SELECT o_orderkey, round(zval, 6) AS seasonal_z
+    FROM z ORDER BY abs(zval) DESC, o_orderkey LIMIT 100
+    """,
+    tags=("analytics", "anomaly", "orders"),
+)
+def analytics_seasonal_zscore(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection: z-score of each order
+    total against its calendar-month mean — deseasonalizing first
+    stops December-sized orders from flagging as anomalies the way a
+    raw z-score (``zscore_outliers``) would. Top-100 by |z|,
+    deterministic tie-break.
+
+    FP determinism: month means are exact-decimal/count quotients;
+    residuals are single IEEE subtractions; the residual variance uses
+    the exact-decimal moment policy (resid rounds to decimal(18,6) —
+    1e-12 from a 6-dp boundary never flips on money data); the final
+    divide and round are IEEE on identical operands.
+
+    Scale: the 12-row month means broadcast back; the variance is one
+    more scalar aggregate broadcast into the scoring pass; top-100 is
+    TakeOrderedAndProject.
+    """
+    o = t(spark, sf_dir, "orders")
+    m = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.month("o_orderdate").cast("int").alias("mon"),
+    )
+    mm = m.groupBy("mon").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mu_m")
+    )
+    r = m.join(F.broadcast(mm), "mon").select(
+        "o_orderkey", (F.col("o_totalprice") - F.col("mu_m")).alias("resid")
+    )
+    s = r.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("resid").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("resid") * F.col("resid")).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    z = r.crossJoin(F.broadcast(s)).select(
+        "o_orderkey",
+        (
+            F.col("resid")
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("zval"),
+    )
+    return (
+        z.orderBy(F.abs(F.col("zval")).desc(), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.round("zval", 6).alias("seasonal_z"))
+    )

@@ -1101,20 +1101,22 @@ def dedup_prefix_filter(spark, sf_dir):
     token-rank window runs over the VOCABULARY relation, not the
     corpus.
     """
+    from gcp_etl_spark.llm.dedup import _shingles
+
     d = t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # 3-word SHINGLE sets, same construction as the MinHash pipeline —
+    # the raw token vocabulary of this corpus is tiny (~31 words), so
+    # token-set Jaccard would be degenerate (millions of true pairs);
+    # shingles make similarity mean "same phrasing", where prefix
+    # filtering's rare-first pruning actually bites
     toks = (
         d.repartition(par)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.split(F.trim(F.lower("text")), " "),
-                        lambda x: x != F.lit(""),
-                    )
-                )
-            ).alias("tok"),
+            F.explode(F.array_distinct(_shingles(F.col("text"), 3))).alias(
+                "tok"
+            ),
         )
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -1130,14 +1132,29 @@ def dedup_prefix_filter(spark, sf_dir):
     plen = (F.col("sz") - F.ceil(PREFIX_JACCARD_T * F.col("sz")) + 1).cast(
         "int"
     )
+    # PREFIX × PREFIX join (not prefix × full): the smallest common
+    # token of a qualifying pair lies in BOTH prefixes (if A∩B avoided
+    # A's prefix it would fit in A's suffix of size ceil(t·|A|)−1 <
+    # t·|A| ≤ |A∩B| — contradiction; symmetric for B), so candidates
+    # shrink by the hot-token postings without losing a single pair.
+    # The size filter t·|A| ≤ |B| ≤ |A|/t (necessary for J ≥ t) prunes
+    # length-mismatched collisions before the distinct.
     prefix = sets.select(
-        F.col("doc_id").alias("id_a"),
-        F.explode(F.slice("rks", 1, plen)).alias("rk"),
+        "doc_id", "sz", F.explode(F.slice("rks", 1, plen)).alias("rk")
     )
-    full = ranked.select(F.col("doc_id").alias("id_b"), "rk")
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"), "rk"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"), "rk"
+    )
     cand = (
-        prefix.join(full, "rk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa.join(pb, "rk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("szb") * F.lit(1.0) >= PREFIX_JACCARD_T * F.col("sza"))
+            & (F.col("sza") * F.lit(1.0) >= PREFIX_JACCARD_T * F.col("szb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -1153,7 +1170,6 @@ def dedup_prefix_filter(spark, sf_dir):
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 

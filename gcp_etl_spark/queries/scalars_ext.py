@@ -401,3 +401,35 @@ def scalar_try_overflow(spark, sf_dir):
             "widened_add"
         ),
     )
+
+@query(
+    "scalar_bitops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+           CAST(o_orderkey & o_custkey AS BIGINT) AS k_and,
+           CAST(o_orderkey | o_custkey AS BIGINT) AS k_or,
+           CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS k_pop
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("scalar", "bitwise", "orders"),
+)
+def scalar_bitops(spark, sf_dir):
+    """Row-level bitwise battery (xor/and/or/shifts/popcount) — the
+    scalar complement of the bitwise AGGREGATES (``agg_bitwise``);
+    the building blocks of hash mixing, bloom probes, and bitmap
+    addressing. Pure codegen expressions, no shuffle.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseXOR(c).cast("long").alias("k_xor"),
+        k.bitwiseAND(c).cast("long").alias("k_and"),
+        k.bitwiseOR(c).cast("long").alias("k_or"),
+        F.shiftleft(k, 3).cast("long").alias("k_shl"),
+        F.shiftright(k, 2).cast("long").alias("k_shr"),
+        F.bit_count(k).cast("int").alias("k_pop"),
+    )

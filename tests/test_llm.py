@@ -389,14 +389,11 @@ def test_prefix_filter_join_is_exact(spark):
         (r["id_a"], r["id_b"])
         for r in load_all()["dedup_prefix_filter"].fn(spark, SF_SMALL).collect()
     }
+    from gcp_etl_spark.llm.dedup import _shingles
+
     d = t(spark, SF_SMALL, "documents")
     toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(
-                F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
-            )
-        ).alias("ts"),
+        "doc_id", F.array_distinct(_shingles(F.col("text"), 3)).alias("ts")
     )
     a = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
     b = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
