@@ -227,3 +227,29 @@ def stream_topk_types(spark, sf_dir):
     return rank_topk(tumbling_agg(t(spark, sf_dir, "events")), k=3).select(
         "w_start", "event_type", "n_events", "sum_value", "rk"
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS w_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "window"),
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins the bounded
+    customer dimension (broadcast, re-resolved per micro-batch — no
+    join state, no dim watermark), then windowed counts/sums per
+    market segment. The batch dual is the identical plan; real
+    readStream equality is asserted in tests/test_streaming.py.
+    """
+    from gcp_etl_spark.streaming.windows import static_enriched_agg
+
+    return static_enriched_agg(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    )

@@ -240,3 +240,42 @@ def rank_topk(win_counts: DataFrame, k: int = 3) -> DataFrame:
         win_counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def static_enriched_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """STREAM-STATIC join + windowed aggregate: the streaming side
+    joins a bounded dimension (here customer segment keyed by user
+    id), then aggregates per (window, segment).
+
+    Streaming semantics: the static side is (re)resolved per
+    micro-batch and broadcast when small — no state is kept for it, no
+    watermark needed on the dim; only the windowed aggregation holds
+    state. This is the canonical enrich-then-aggregate stream
+    topology; the batch dual runs the identical plan minus triggers.
+    """
+    df = _maybe_watermark(events, ts_col, watermark)
+    enriched = df.join(
+        F.broadcast(
+            dim.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        ),
+        "user_id",
+    )
+    return (
+        enriched.groupBy(F.window(ts_col, width).alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("w_start"), "segment", "n_events", "sum_value")
+    )

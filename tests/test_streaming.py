@@ -303,3 +303,22 @@ def test_stream_topk_per_window(spark, events_stream_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_static_join_equals_batch(spark, events_stream_dir):
+    """Stream-static join + windowed agg as a REAL streaming query
+    must equal the batch dual — the static dim is resolved per
+    micro-batch, only the aggregation carries state."""
+    from gcp_etl_spark.streaming.windows import static_enriched_agg
+
+    path, schema = events_stream_dir
+    dim = t(spark, SF_SMALL, "customer")
+    batch = static_enriched_agg(spark.read.schema(schema).parquet(path), dim)
+    stream = static_enriched_agg(
+        spark.readStream.schema(schema).parquet(path), dim
+    )
+    assert stream.isStreaming
+    got = run_stream(spark, stream, "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
