@@ -2362,3 +2362,63 @@ def analytics_seasonal_zscore(spark, sf_dir):
         .limit(100)
         .select("o_orderkey", F.round("zval", 6).alias("seasonal_z"))
     )
+
+
+@query(
+    "analytics_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS c_xy
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT c_xy,
+             sum(c_xy) OVER (PARTITION BY lang)   AS c_x,
+             sum(c_xy) OVER (PARTITION BY source) AS c_y,
+             sum(c_xy) OVER ()                    AS n
+      FROM c
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST(
+             (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS mi_nats
+    FROM m
+    """,
+    tags=("analytics", "stats", "documents"),
+)
+def analytics_mutual_information(spark, sf_dir):
+    """Mutual information I(lang; source) over the documents corpus —
+    the feature-association screen a data-mixture designer runs to see
+    whether two partitioning dimensions are redundant (high MI) or
+    independent (MI ~ 0) before choosing stratification keys:
+    I = Σ p(x,y)·ln(p(x,y) / (p(x)p(y))) over the contingency table.
+
+    FP determinism: cell counts are exact integers (< 2^53, exact in
+    double); each cell term is a fixed IEEE op chain mirrored
+    operand-for-operand in the oracle, then cast to decimal(18,12) so
+    the final sum is order-independent; 6dp rounding absorbs ln ulps.
+
+    Scale: one hash agg to the |langs|×|sources| contingency table
+    (map-side combinable — raw rows never shuffle), then windows over
+    that constant-size relation. Identical shape at 100 TB.
+    """
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("c_xy"))
+    m = c.select(
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("lang")).alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("source")).alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy()).alias("n"),
+    )
+    cd = F.col("c_xy").cast("double")
+    nd = F.col("n").cast("double")
+    term = (cd / nd) * F.log(
+        cd * nd / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return m.select("n", term.cast("decimal(18,12)").alias("term")).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum("term").cast("double"), 6).alias("mi_nats"),
+    )

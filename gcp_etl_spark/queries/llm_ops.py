@@ -1248,3 +1248,205 @@ def multimodal_image_patches(spark, sf_dir):
         "media_id long, patch_row int, patch_col int, n_values long,"
         " value_sum long, mean_value double",
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, n_inter, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_sub,
+           CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_super,
+           n_inter,
+           least(na, nb) AS n_sub,
+           CAST(n_inter AS DOUBLE) / least(na, nb) AS containment
+    FROM sized
+    WHERE CAST(n_inter AS DOUBLE) / least(na, nb) >= 0.85
+    """,
+    tags=("llm", "dedup", "containment", "ngram"),
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment detection — the near-dup relation
+    Jaccard misses: a short document embedded in a long one (quote,
+    excerpt, boilerplate wrapper) has tiny Jaccard but containment
+    C(A,B) = |A∩B| / |A| ~ 1 for the smaller side A. This is the
+    Broder containment coefficient, the standard screen for
+    "document X is a subset of document Y" in corpus curation.
+
+    Same scale shape as ``dedup_ngram_jaccard``: trigram shingle
+    postings equi-join keyed by a 64-bit shingle hash (string kept in
+    the condition — exact), |doc × shingle| shuffle, never doc × doc;
+    the directional labeling (sub = smaller set, doc_id tie-break via
+    the id_a < id_b join order) is a post-agg projection. At 100 TB
+    the same df-cap mitigation as ``dedup_ngram_jaccard_dfcap``
+    applies. int/int division — bit-exact both engines.
+    """
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shh = sh.withColumn("h", F.xxhash64("g"))
+    a = shh.alias("a")
+    b = shh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    sized = inter.join(sa, "id_a").join(sb, "id_b")
+    cont = F.col("n_inter").cast("double") / F.least("na", "nb")
+    return (
+        sized.filter(cont >= 0.85)
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_sub"),
+            F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_super"),
+            "n_inter",
+            F.least("na", "nb").alias("n_sub"),
+            cont.alias("containment"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, i + 1 AS pos,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ), runs AS (
+      SELECT id_a, id_b, diag, grp, count(*) AS run_len
+      FROM r GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(max(run_len) + 2 AS BIGINT) AS longest_span_words,
+           CAST(count(*) FILTER (WHERE run_len >= 6) AS BIGINT) AS n_spans
+    FROM runs GROUP BY 1, 2
+    HAVING max(run_len) >= 6
+    """,
+    tags=("llm", "dedup", "substring", "ngram"),
+)
+def dedup_substring_spans(spark, sf_dir):
+    """EXACT shared-substring span detection between document pairs —
+    the "deduplicating training data" primitive (exact-substring
+    dedup a la Lee et al. 2022) that Jaccard/MinHash cannot express:
+    find pairs sharing a VERBATIM run of >= 8 consecutive words, and
+    how long/how many such runs are.
+
+    Algorithm (suffix-array-free, join-native): trigram postings keep
+    their POSITION; matching positions between two docs land on a
+    DIAGONAL (pos_a − pos_b constant inside a shared run), so maximal
+    verbatim runs are the islands of consecutive pos_a per (pair,
+    diagonal) — the gaps-and-islands algebra (pos − row_number) this
+    suite already uses for sessionization, applied to the match
+    matrix. A run of r consecutive trigram matches certifies a shared
+    span of r + 2 words.
+
+    Scale: the postings self-join shuffles |doc × shingle| rows keyed
+    by the trigram (never doc × doc); the islands window partitions
+    by (pair, diagonal) — match-matrix-sized, which near-dup corpora
+    keep ~linear in the duplicated volume. At 100 TB the df-cap
+    mitigation (drop trigrams with document frequency above a cutoff)
+    bounds hot-key fanout exactly as in ``dedup_ngram_jaccard_dfcap``
+    — a capped trigram can only split a run, never invent one, so the
+    screen stays conservative. Pure integer algebra — hash-verified.
+    """
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> struct(i + 1 AS pos,"
+                " concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    shh = sh.withColumn("h", F.xxhash64("g"))
+    a = shh.alias("a")
+    b = shh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    r = m.withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+        ),
+    )
+    runs = r.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + 2).cast("long").alias("longest_span_words"),
+            F.count(F.when(F.col("run_len") >= 6, 1))
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .filter(F.col("longest_span_words") >= 8)
+    )

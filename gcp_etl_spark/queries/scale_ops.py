@@ -1025,3 +1025,76 @@ def skew_diagnostics(spark, sf_dir):
     return stats(o, "o_custkey", "orders.o_custkey").unionByName(
         stats(li, "l_orderkey", "lineitem.l_orderkey")
     )
+
+
+MG_CAPACITY = 256  # >> corpus vocabulary (~31) => exact regime, hash-verifiable
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word LIMIT 20
+    """,
+    tags=("sketch", "scale", "text"),
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a distributed MISRA-GRIES summary: each
+    partition folds its word stream into a capacity-k counter map
+    (batch-merge formulation: add a batch's exact counts, then if the
+    map exceeds k keys subtract the (k+1)-th largest count from every
+    key and drop the non-positive ones — the canonical MG summary
+    merge), partial summaries merge by key-sum, and the top-20 is
+    read off the merged summary.
+
+    Correctness regime: capacity (256) exceeds the corpus vocabulary
+    (~31), so no decrement ever fires and MG counts are EXACT —
+    hash-verified against the plain GROUP BY oracle. With vocabulary
+    >> capacity the same plan degrades gracefully to the classic
+    guarantee (count underestimates by at most n/k, every item with
+    freq > n/k survives).
+
+    Scale: the whole point — at 100 TB with a hot-key vocabulary in
+    the billions, a plain groupBy shuffles one row per distinct key;
+    MG shuffles AT MOST k rows per partition regardless of input
+    size, and the merged state is k·partitions bounded. The Arrow
+    batch loop is vectorized (pandas value_counts per batch, dict
+    merge per partition).
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    words = (
+        d.repartition(par)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+    cap = MG_CAPACITY
+
+    def mg_partial(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > cap:
+                thresh = sorted(counts.values(), reverse=True)[cap]
+                counts = {w: c - thresh for w, c in counts.items() if c > thresh}
+        if counts:
+            yield pd.DataFrame(
+                {"word": list(counts), "cnt": list(counts.values())}
+            )
+
+    partials = words.mapInPandas(mg_partial, "word string, cnt long")
+    return (
+        partials.groupBy("word")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )

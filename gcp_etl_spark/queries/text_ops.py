@@ -687,3 +687,132 @@ def text_bigram_lm(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+WINNOW_K = 5  # char-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), posn AS (
+      SELECT doc_id, s,
+             unnest(range(1, greatest(length(s) - 4, 0) + 1)) AS pos
+      FROM norm
+    ), hashed AS (
+      SELECT doc_id, pos,
+             CAST(CAST(('0x' || substr(md5(substr(s, pos, 5)), 1, 8))
+                       AS UBIGINT) AS BIGINT) AS h
+      FROM posn
+    ), keyed AS (
+      SELECT doc_id, pos, h * 2048 + (2047 - pos) AS key,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM hashed
+    ), wins AS (
+      SELECT doc_id, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS selkey
+      FROM keyed
+      QUALIFY pos <= n_grams - 3
+    ), sel AS (
+      SELECT DISTINCT doc_id, n_grams, selkey FROM wins
+    ), rec AS (
+      SELECT doc_id, n_grams,
+             selkey >> 11 AS h, 2047 - (selkey & 2047) AS posr
+      FROM sel
+    )
+    SELECT doc_id,
+           CAST(max(n_grams) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY posr)) AS fp
+    FROM rec GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_winnowing_fingerprint(spark, sf_dir):
+    """WINNOWING document fingerprinting (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k=5 char-gram of the normalized
+    text, slide a w=4-gram window, and select each window's minimum
+    hash (rightmost on ties) — guaranteeing any shared substring of
+    length >= w + k - 1 between two documents yields a shared selected
+    fingerprint, at ~2/(w+1) storage density.
+
+    Rightmost-min tie-break is encoded arithmetically so one windowed
+    ``min`` does the whole selection: key = h·2048 + (2047 − pos)
+    minimizes h first, then maximizes pos — exact integer algebra,
+    identical on both engines (gram hash = first 8 md5 hex digits,
+    engine-portable). Output: per-doc selected-fingerprint count and
+    an order-canonical md5 digest of the selected hash sequence.
+
+    Scale: grams live inside a per-doc codegen pipeline (explode →
+    window keyed on doc_id — one shuffle on the doc key); selected
+    fingerprints are the ~2/(w+1)-density artifact you'd persist and
+    equi-join on fingerprint hash for cross-corpus plagiarism/overlap
+    detection, never O(n²). Cited pattern: SNIPPETS.md winnowing
+    discussion; reference has no text ops (NS extension).
+    """
+    k, w = WINNOW_K, WINNOW_W
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    n_g = F.greatest(F.length("s") - (k - 1), F.lit(0))
+    posn = (
+        d.repartition(par)
+        .select("doc_id", norm.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.when(n_g >= 1, F.sequence(F.lit(1), n_g)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+        )
+    )
+    gram = F.col("s").substr(F.col("pos"), F.lit(k))
+    h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    keyed = posn.select(
+        "doc_id",
+        "pos",
+        (h * 2048 + (F.lit(2047) - F.col("pos"))).alias("key"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    wins = keyed.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.min("key")
+        .over(Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1))
+        .alias("selkey"),
+    ).filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+    sel = wins.select("doc_id", "n_grams", "selkey").distinct()
+    rec = sel.select(
+        "doc_id",
+        "n_grams",
+        F.shiftright("selkey", 11).alias("h"),
+        (F.lit(2047) - F.col("selkey").bitwiseAND(F.lit(2047))).alias("posr"),
+    )
+    return rec.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_selected"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("posr").alias("p"), F.col("h").alias("h")
+                            )
+                        )
+                    ),
+                    lambda s: s["h"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("fp"),
+    )
