@@ -34,6 +34,29 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _dump_detail(sf: float, timings: dict, failures: list) -> None:
+    """Write the full per-query timing map. Called incrementally (every
+    20 queries) as well as at the end, so an externally-imposed wall
+    timeout still leaves a usable partial detail file."""
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "failures": failures,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -86,25 +109,11 @@ def main() -> None:
             pass
         if (i + 1) % gc_every == 0:
             spark.sparkContext._jvm.System.gc()
+        if (i + 1) % 20 == 0:
+            _dump_detail(sf, timings, failures)
 
     total = round(sum(timings.values()), 3)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "queries": timings,
-                "failures": failures,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    _dump_detail(sf, timings, failures)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -2422,3 +2422,241 @@ def analytics_mutual_information(spark, sf_dir):
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum("term").cast("double"), 6).alias("mi_nats"),
     )
+
+
+@query(
+    "analytics_attribution_utouch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, min(ts) AS tp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pv AS (
+      SELECT p.user_id, p.tp, e.value AS conv_value
+      FROM p JOIN events e
+        ON e.user_id = p.user_id AND e.ts = p.tp
+       AND e.event_type = 'purchase'
+    ), touch AS (
+      SELECT e.user_id, e.event_type, pv.conv_value,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS r,
+             count(*)  OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN pv ON e.user_id = pv.user_id AND e.ts < pv.tp
+      WHERE e.event_type IN ('view', 'click')
+    ), credit AS (
+      SELECT event_type,
+             CAST(conv_value * (CASE
+               WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+               WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+               WHEN r = 1 OR r = n THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) AS DECIMAL(18,10)) AS c
+      FROM touch
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(c) AS DOUBLE), 4) AS credited_value
+    FROM credit GROUP BY event_type
+    """,
+    tags=("analytics", "attribution", "events"),
+)
+def analytics_attribution_utouch(spark, sf_dir):
+    """U-SHAPED (position-based) multi-touch attribution: each user's
+    first purchase value is credited across their pre-purchase
+    view/click touchpoints — 40% to the first touch, 40% to the last,
+    the remaining 20% split evenly over the middle touches (degenerate
+    cases: 1 touch → 100%, 2 touches → 50/50) — the standard
+    position-based model marketing warehouses run nightly.
+
+    FP determinism: the weight is a CASE over exact integers (0.2 /
+    (n−2) is one IEEE division), credit = value·weight is one
+    multiply, and each credit is cast to decimal(18,10) so the
+    per-channel sums are order-independent; 4dp rounding absorbs the
+    final-cast ulp.
+
+    Scale: conversions are one min-agg on user_id; touches join on
+    the same user key with the time bound as a residual predicate (no
+    new shuffle key); ranking windows partition per user. Every stage
+    is user-keyed — co-partitioned end-to-end, skew bounded by events
+    per user.
+    """
+    e = t(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    pv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(p, "user_id")
+        .filter(F.col("ts") == F.col("tp"))
+        .select("user_id", "tp", F.col("value").alias("conv_value"))
+    )
+    wu = Window.partitionBy("user_id")
+    touch = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .join(pv, "user_id")
+        .filter(F.col("ts") < F.col("tp"))
+        .select(
+            "user_id",
+            "event_type",
+            "conv_value",
+            F.row_number().over(wu.orderBy("ts", "event_id")).alias("r"),
+            F.count("*").over(wu).alias("n"),
+        )
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("r") == 1) | (F.col("r") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credit = (F.col("conv_value") * weight).cast("decimal(18,10)")
+    return (
+        touch.select("event_type", credit.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 4).alias("credited_value"),
+        )
+    )
+
+
+@query(
+    "analytics_lttb_downsample",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS r
+      FROM events
+    ), bk AS (
+      SELECT user_id, event_id, value, x, r,
+             CAST((r - 1) // 10 AS BIGINT) AS b
+      FROM pts
+    ), bs AS (
+      SELECT user_id, b,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS my
+      FROM bk GROUP BY 1, 2
+    ), nb AS (
+      SELECT user_id, b,
+             lag(mx)  OVER w AS px, lag(my)  OVER w AS py,
+             lead(mx) OVER w AS nx, lead(my) OVER w AS ny
+      FROM bs
+      WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    ), scored AS (
+      SELECT k.user_id, k.b, k.event_id, k.value, k.r,
+             CASE WHEN n.px IS NOT NULL AND n.nx IS NOT NULL
+                  THEN abs((n.px - n.nx) * (CAST(k.value AS DOUBLE) - n.py)
+                           - (n.px - CAST(k.x AS DOUBLE)) * (n.ny - n.py))
+                  ELSE CAST(0.0 AS DOUBLE) END AS score,
+             (n.px IS NOT NULL AND n.nx IS NOT NULL) AS interior,
+             n.nx IS NULL AS is_last
+      FROM bk k JOIN nb n ON k.user_id = n.user_id AND k.b = n.b
+    ), ranked AS (
+      SELECT user_id, b, event_id, value, score,
+             row_number() OVER (
+               PARTITION BY user_id, b
+               ORDER BY CASE WHEN interior THEN -score
+                             ELSE CAST(0.0 AS DOUBLE) END,
+                        CASE WHEN is_last AND NOT interior THEN -r
+                             ELSE r END) AS pick
+      FROM scored
+    )
+    SELECT user_id, CAST(b AS BIGINT) AS bucket, event_id, value
+    FROM ranked WHERE pick = 1
+    """,
+    tags=("analytics", "timeseries", "events"),
+)
+def analytics_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle time-series downsampling (the LTTB family,
+    bucketed-anchor variant): split each user's event series into
+    10-point buckets and keep, per bucket, the point forming the
+    LARGEST TRIANGLE with the neighboring buckets' mean points — the
+    standard lossy downsample that preserves visual extrema far
+    better than striding or averaging. Boundary buckets keep their
+    first (leading) / last (trailing) point, as canonical LTTB pins
+    the series endpoints.
+
+    Unlike sequential LTTB (each choice depends on the previous one),
+    the bucket-MEAN anchor variant is embarrassingly parallel — a
+    groupBy + lag/lead + one ranking window, all partitioned by the
+    series key.
+
+    FP determinism: bucket means are exact-integer / exact-decimal
+    sums cast once to double and the area is one fixed IEEE chain,
+    but engines may still differ in the final ulp (~1e-16 relative) —
+    far below any real ranking gap, so the SELECTION is stable and
+    only the chosen points (exact ints + raw parquet doubles) are
+    emitted; the raw score stays internal.
+
+    Scale: series-key partitioning end-to-end (one shuffle on
+    user_id serves ranking, bucket stats and selection); bucket stats
+    are a 10×-reduced relation. At 100 TB × billions of series this
+    is the shape you want — no global state, skew bounded by points
+    per series.
+    """
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("x"),
+        F.row_number().over(wu).alias("r"),
+    )
+    bk = pts.withColumn(
+        "b", F.floor((F.col("r") - 1) / 10).cast("long")
+    )
+    bs = bk.groupBy("user_id", "b").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("mx"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("my"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("b")
+    nb = bs.select(
+        "user_id",
+        "b",
+        F.lag("mx").over(wb).alias("px"),
+        F.lag("my").over(wb).alias("py"),
+        F.lead("mx").over(wb).alias("nx"),
+        F.lead("my").over(wb).alias("ny"),
+    )
+    k = bk.join(nb, ["user_id", "b"])
+    interior = F.col("px").isNotNull() & F.col("nx").isNotNull()
+    area = F.abs(
+        (F.col("px") - F.col("nx"))
+        * (F.col("value").cast("double") - F.col("py"))
+        - (F.col("px") - F.col("x").cast("double"))
+        * (F.col("ny") - F.col("py"))
+    )
+    scored = k.select(
+        "user_id",
+        "b",
+        "event_id",
+        "value",
+        "r",
+        F.when(interior, area).otherwise(F.lit(0.0)).alias("score"),
+        interior.alias("interior"),
+        F.col("nx").isNull().alias("is_last"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("user_id", "b").orderBy(
+            F.when(F.col("interior"), -F.col("score")).otherwise(F.lit(0.0)),
+            F.when(
+                F.col("is_last") & ~F.col("interior"), -F.col("r")
+            ).otherwise(F.col("r")),
+        )
+    )
+    return (
+        scored.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("b").cast("long").alias("bucket"),
+            "event_id",
+            "value",
+        )
+    )
