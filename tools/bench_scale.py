@@ -76,6 +76,12 @@ HEADLINE = [
     "analytics_gini",
     "window_rolling_median_wide",
     "embedding_pca_project",
+    "dedup_prefix_filter",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "text_winnowing_fingerprint",
+    "sketch_heavy_hitters",
+    "analytics_lttb_downsample",
 ]
 
 
