@@ -2660,3 +2660,122 @@ def analytics_lttb_downsample(spark, sf_dir):
             "value",
         )
     )
+
+
+@query(
+    "analytics_survival_km",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS tmax FROM events),
+    u AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS te
+      FROM events GROUP BY 1
+    ), durs AS (
+      SELECT user_id,
+             CAST(date_diff('day', t0, coalesce(te, g.tmax)) AS BIGINT)
+               AS dur,
+             (te IS NOT NULL) AS ev
+      FROM u, g
+    ), agg AS (
+      SELECT dur,
+             count(*) FILTER (WHERE ev) AS d,
+             count(*) AS leaving
+      FROM durs GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             sum(leaving) OVER () -
+               coalesce(sum(leaving) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM agg
+    ), terms AS (
+      SELECT dur, d, n_at_risk,
+             CAST(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                  AS DECIMAL(18,12)) AS lnterm
+      FROM risk WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT dur AS day, CAST(d AS BIGINT) AS d_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(exp(CAST(sum(lnterm) OVER (ORDER BY dur) AS DOUBLE)), 6)
+             AS survival
+    FROM terms
+    """,
+    tags=("analytics", "survival", "events"),
+)
+def analytics_survival_km(spark, sf_dir):
+    """KAPLAN-MEIER survival curve for time-to-first-purchase with
+    right-censoring — the survival-analysis estimator behind churn
+    and conversion-latency dashboards: users who never purchase are
+    censored at the corpus end; at each event day t,
+    S(t) = Π_{t_i <= t} (1 − d_i / n_i) with d_i purchases and n_i
+    users still at risk. Days with d = n (everyone at risk converts)
+    would zero the curve and are the curve's terminal point; the
+    standard product skips them, as here (d < n_at_risk guard).
+
+    FP determinism: d/n is int/int (exact doubles), each ln term is
+    cast to decimal(18,12) so the PREFIX sums are exact regardless of
+    how either engine's windowed sum associates, and the single
+    exp + 6dp round at the end absorbs the last-ulp.
+
+    Scale: one user-level min-agg (user-keyed shuffle), then ALL
+    remaining relations are per-distinct-duration — bounded by the
+    observation window in days, not the corpus; the global-order
+    windows run over that tiny relation.
+    """
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("tmax"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "te"
+        ),
+    )
+    durs = u.crossJoin(F.broadcast(g)).select(
+        F.datediff(
+            F.coalesce(F.col("te"), F.col("tmax")).cast("date"),
+            F.col("t0").cast("date"),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("te").isNotNull().alias("ev"),
+    )
+    agg = durs.groupBy("dur").agg(
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    wprev = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = agg.select(
+        "dur",
+        "d",
+        (
+            F.sum("leaving").over(wall)
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    terms = risk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    ).select(
+        "dur",
+        "d",
+        "n_at_risk",
+        F.log(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        )
+        .cast("decimal(18,12)")
+        .alias("lnterm"),
+    )
+    return terms.select(
+        F.col("dur").alias("day"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(
+            F.exp(F.sum("lnterm").over(Window.orderBy("dur")).cast("double")),
+            6,
+        ).alias("survival"),
+    )

@@ -1030,6 +1030,25 @@ def skew_diagnostics(spark, sf_dir):
 MG_CAPACITY = 256  # >> corpus vocabulary (~31) => exact regime, hash-verifiable
 
 
+def _mg_fold(batches, cap: int):
+    """Misra-Gries partition fold: merge each Arrow batch's exact
+    counts into a capacity-``cap`` summary (subtract the (cap+1)-th
+    largest count and drop non-positives when the map overflows).
+    Module-scope so the decrement path is unit-testable without Spark
+    (``tests/test_operators.py``). Yields one (word, cnt) frame."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for w, c in pdf["word"].value_counts().items():
+            counts[w] = counts.get(w, 0) + int(c)
+        if len(counts) > cap:
+            thresh = sorted(counts.values(), reverse=True)[cap]
+            counts = {w: c - thresh for w, c in counts.items() if c > thresh}
+    if counts:
+        yield pd.DataFrame({"word": list(counts), "cnt": list(counts.values())})
+
+
 @query(
     "sketch_heavy_hitters",
     oracle="""
@@ -1066,8 +1085,6 @@ def sketch_heavy_hitters(spark, sf_dir):
     batch loop is vectorized (pandas value_counts per batch, dict
     merge per partition).
     """
-    import pandas as pd
-
     d = t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     words = (
@@ -1076,20 +1093,8 @@ def sketch_heavy_hitters(spark, sf_dir):
         .filter(F.col("word") != "")
     )
 
-    cap = MG_CAPACITY
-
     def mg_partial(batches):
-        counts: dict[str, int] = {}
-        for pdf in batches:
-            for w, c in pdf["word"].value_counts().items():
-                counts[w] = counts.get(w, 0) + int(c)
-            if len(counts) > cap:
-                thresh = sorted(counts.values(), reverse=True)[cap]
-                counts = {w: c - thresh for w, c in counts.items() if c > thresh}
-        if counts:
-            yield pd.DataFrame(
-                {"word": list(counts), "cnt": list(counts.values())}
-            )
+        yield from _mg_fold(batches, MG_CAPACITY)
 
     partials = words.mapInPandas(mg_partial, "word string, cnt long")
     return (
@@ -1098,3 +1103,103 @@ def sketch_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "word")
         .limit(20)
     )
+
+
+_BOOT_B = 100  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!):
+# P(X<=k) for k = 0..5; u above the last threshold -> w = 6
+_POIS_CDF = (0.36788, 0.73576, 0.9197, 0.98101, 0.99634, 0.99941)
+
+
+def _poisson_case(u: str) -> str:
+    """SQL CASE mapping a uniform [0,1) double to a Poisson(1) draw by
+    inverse CDF — identical text on both engines."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "analytics_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT o_totalprice, o_orderkey, unnest(range(0, {_BOOT_B})) AS r
+      FROM orders
+    ), wtd AS (
+      SELECT r, o_totalprice,
+             {_poisson_case(f"(((o_orderkey + r * 1000003) * {_MIX})"
+                            " % 4294967296) / 4294967296.0")} AS w
+      FROM rep
+    ), means AS (
+      SELECT r,
+             CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / sum(w) AS m
+      FROM wtd GROUP BY r
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) FROM orders) AS mean_full,
+           min(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+           min(CASE WHEN rk = 96 THEN m END) AS ci_hi
+    FROM ranked
+    """,
+    tags=("analytics", "stats", "scale", "sampling"),
+)
+def analytics_bootstrap_ci(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence interval for mean(o_totalprice) —
+    the resampling scheme that works on data too big to materialize
+    B resamples: each row contributes w ~ Poisson(1) copies to each
+    replica (independent per (row, replica), expectation-preserving),
+    so B replica means come from ONE pass over B row-weightings
+    instead of B shuffled copies of the data. The ~90% CI is the
+    5th/96th order statistic of the 100 replica means.
+
+    Determinism: the Poisson draw is an inverse-CDF CASE over a
+    multiplicative-hash uniform — exact integer hash arithmetic, one
+    double division, identical thresholds both engines; replica sums
+    are integer-weight × decimal(18,2) (exact), so every replica mean
+    is a bit-identical double and the order statistics agree.
+
+    Scale: explode ×B then ONE hash agg to B rows (map-side partials
+    — the shuffle carries B·partitions rows, not B·N); the B-row
+    relation is driver-trivial. At 100 TB, B explode rows per input
+    row is the honest cost — the standard mitigation (two-level:
+    per-partition partial sums per replica, here implicit in the
+    map-side combine) is exactly what the hash agg already does.
+    """
+    b = _BOOT_B
+    o = t(spark, sf_dir, "orders")
+    rep = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+    )
+    u = (
+        f"(((o_orderkey + r * 1000003) * {_MIX}) % 4294967296)"
+        " / 4294967296.0"
+    )
+    wtd = rep.withColumn("w", F.expr(_poisson_case(u)))
+    means = wtd.groupBy("r").agg(
+        (
+            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.sum("w")
+        ).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "r")).alias("rk")
+    )
+    full = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("mean_full")
+    )
+    return ranked.agg(
+        F.lit(b).cast("long").alias("n_replicas"),
+        F.min(F.when(F.col("rk") == 5, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 96, F.col("m"))).alias("ci_hi"),
+    ).crossJoin(full).select("n_replicas", "mean_full", "ci_lo", "ci_hi")

@@ -388,3 +388,96 @@ def anomaly_mad_robust(spark, sf_dir):
         F.round(F.any_value("mad"), 6).alias("mad"),
         F.count(F.when(is_out, 1)).alias("n_outliers"),
     )
+
+
+@query(
+    "analytics_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                    - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SEC} * 1000000
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+      FROM flagged
+    ), rn AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS r
+      FROM sess
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY r) AS path
+      FROM rn WHERE r <= 5 GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("analytics", "session", "events"),
+)
+def analytics_top_paths(spark, sf_dir):
+    """User-journey path mining: the top-20 most common session
+    OPENINGS (first 5 event types, in order, '>'-joined) across
+    30-min-gap sessions — the "what do users actually do" query
+    behind navigation-flow sankeys and journey dashboards.
+
+    Composition: gap-sessionization (same algebra as
+    ``sessionize_gap30``: epoch-micros lag flag → running-sum session
+    ids) → per-session ordered prefix (row_number ≤ 5) → ordered
+    string fold → path frequency. The fold is order-pinned on both
+    engines (Spark: array_sort of (r, type) structs then join;
+    DuckDB: string_agg ORDER BY r), so paths are deterministic.
+
+    Scale: ONE user-keyed shuffle serves the lag flag, session ids
+    and the per-session prefix windows (co-partitioned cascade);
+    per-path counts map-side combine; TakeOrdered top-20. Session
+    state never materializes beyond 5-element prefixes.
+    """
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(wu))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    rn = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(ws).alias("r"),
+    ).filter(F.col("r") <= 5)
+    paths = rn.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("r").alias("r"), F.col("event_type").alias("et"))
+                    )
+                ),
+                lambda s: s["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

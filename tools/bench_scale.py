@@ -193,10 +193,16 @@ def main() -> None:
     # BENCH_SCALE.json)
     claims_only = "--claims-only" in sys.argv[1:]
     out_path = os.path.join(REPO, "BENCH_SCALE.json")
+    # merge into an existing BENCH_SCALE.json when present, so the
+    # grid can be (re-)timed in chunks under an external wall timeout;
+    # SPARK_GRAFT_SCALE_ONLY=a,b,c restricts this run's query subset
     prior = {}
-    if claims_only:
+    if os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if s
+    }
     specs = load_all()
     spark = get_spark("bench_scale")
     mult = (
@@ -211,6 +217,8 @@ def main() -> None:
 
     queries: dict[str, dict] = prior.get("queries", {})
     for name in [] if claims_only else HEADLINE:
+        if only and name not in only:
+            continue
         fn = specs[name].fn
         t_base = _timed(spark, fn, BASE_DIR)
         t_scale = _timed(spark, fn, SCALE_DIR)
@@ -222,6 +230,37 @@ def main() -> None:
             "exponent": round(math.log10(max(ratio, 1e-9)) / math.log10(mult), 2),
         }
         print(f"{name}: {t_base}s -> {t_scale}s  (x{ratio})", file=sys.stderr)
+        # survive an external wall timeout: persist the grid-so-far
+        # (merged over any prior file) after every query
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "multiplier": round(mult, 2),
+                    "base_dir": BASE_DIR,
+                    "scale_dir": SCALE_DIR,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    "queries": queries,
+                    "claims": prior.get("claims", {}),
+                },
+                f,
+                indent=1,
+                sort_keys=False,
+            )
+
+    if "--skip-claims" in sys.argv[1:] and prior.get("claims"):
+        out = {
+            "multiplier": round(mult, 2),
+            "base_dir": BASE_DIR,
+            "scale_dir": SCALE_DIR,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "queries": queries,
+            "claims": prior["claims"],
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+        print(json.dumps({"metric": "scale_validation_partial",
+                          "n_queries": len(queries)}))
+        return
 
     claims = {
         "bucketed_range_frame": {
@@ -265,6 +304,27 @@ def main() -> None:
     lsh["candidates_vs_floor_sf1"] = round(
         lsh["sf1.0"]["candidates"] / max(planted_floor, 1), 3
     )
+    # EXACT similarity joins (prefix-filter / containment / substring
+    # spans): their OUTPUT is the true near-dup pair set, which the
+    # 10x replica grows ~quadratically in clique size (>= C(m,2) new
+    # pairs per base doc). A time ratio below that floor means the
+    # algorithm is sublinear per output pair — the right scaling lens
+    # for an exact pair-producing operator.
+    exact = {}
+    pair_floor = m * (m - 1) / 2  # per-base-doc clique growth, >= 45x
+    for qname in (
+        "dedup_prefix_filter",
+        "dedup_containment",
+        "dedup_substring_spans",
+    ):
+        if qname in queries:
+            r = queries[qname]["ratio"]
+            exact[qname] = {
+                "time_ratio": r,
+                "planted_pair_growth_floor": pair_floor,
+                "sublinear_per_output_pair": r < pair_floor,
+            }
+    claims["exact_similarity_join_output_growth"] = exact
 
     out = {
         "multiplier": round(mult, 2),
