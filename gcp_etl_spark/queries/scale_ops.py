@@ -1203,3 +1203,198 @@ def analytics_bootstrap_ci(spark, sf_dir):
         F.min(F.when(F.col("rk") == 5, F.col("m"))).alias("ci_lo"),
         F.min(F.when(F.col("rk") == 96, F.col("m"))).alias("ci_hi"),
     ).crossJoin(full).select("n_replicas", "mean_full", "ci_lo", "ci_hi")
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation
+            WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    ORDER BY fk_edge
+    """,
+    tags=("dq", "scale", "join"),
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the whole star-schema
+    foreign-key graph: orphan counts for every FK edge in one result —
+    the nightly DQ sweep a warehouse runs before trusting joins
+    (an orphan silently drops rows from every inner join downstream).
+
+    Plan shape per edge: LEFT ANTI join child→parent (Spark's
+    orphan-detection primitive — no payload columns shuffle, just the
+    key), counted; parent key-sets are dimension-sized and broadcast
+    (customer/nation/region), or a key-only shuffle for the
+    orders-sized edge. All five audits are independent branches
+    unioned — at 100 TB each edge is one key-projected anti join, the
+    cheapest join Spark has. No NULL FKs exist in these tables, so
+    NOT IN (untrusted with NULLs) and ANTI agree; ``subq_not_in``
+    covers the NULL-semantics variant explicitly.
+    """
+    def edge(child, ckey, parent, pkey, label):
+        c = t(spark, sf_dir, child).select(F.col(ckey))
+        p = t(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
+        orphans = c.join(p, ckey, "left_anti")
+        return (
+            c.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+            )
+            .select(
+                F.lit(label).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+
+    edges = [
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "lineitem.l_orderkey->orders"),
+        edge("orders", "o_custkey", "customer", "c_custkey",
+             "orders.o_custkey->customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey",
+             "customer.c_nationkey->nation"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey",
+             "supplier.s_nationkey->nation"),
+        edge("nation", "n_regionkey", "region", "r_regionkey",
+             "nation.n_regionkey->region"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+@query(
+    "dq_reconcile_order_totals",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS computed
+      FROM lineitem GROUP BY 1
+    ), gaps AS (
+      SELECT o_orderkey,
+             abs(CAST(o_totalprice AS DECIMAL(18,2)) - computed) AS gap
+      FROM orders JOIN per_order ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_joined,
+           CAST(count(*) FILTER (WHERE gap <= 0.01) AS BIGINT)
+             AS n_reconciled,
+           CAST(count(*) FILTER (WHERE gap > 0.01) AS BIGINT)
+             AS n_mismatched,
+           CAST(max(gap) AS DOUBLE) AS max_abs_gap
+    FROM gaps
+    """,
+    tags=("dq", "scale", "join", "aggregate"),
+)
+def dq_reconcile_order_totals(spark, sf_dir):
+    """Header-vs-detail financial reconciliation: recompute each
+    order's total from its line items (extendedprice x (1+tax) x
+    (1-discount), the TPC-H pricing identity) and count how many
+    headers agree within a cent — the controls query every finance
+    warehouse runs to catch partial loads, double-applied discounts
+    and currency drift. On this synthetic star the header totals are
+    NOT derived from the lines, so the query reports the mismatch
+    honestly rather than asserting zero.
+
+    FP determinism: the whole reconciliation is exact decimal —
+    2dp x (1+2dp) x (1-2dp) products have <= 6 decimals, their sums
+    and the header subtraction stay decimal, and only the final max
+    becomes a double. No rounding anywhere.
+
+    Scale: one map-side-combining agg on the join key, then an
+    orderkey equi-join (both sides key-partitioned; at 100 TB this
+    co-partitions if the tables are bucketed by orderkey, the layout
+    ``join_bucketed_smb`` demonstrates) and a constant-size summary.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("computed")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    gaps = o.join(
+        per_order, o.o_orderkey == per_order.l_orderkey
+    ).select(
+        F.abs(
+            F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed")
+        ).alias("gap")
+    )
+    cent = F.col("gap") <= 0.01
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_orders_joined"),
+        F.count(F.when(cent, 1)).cast("long").alias("n_reconciled"),
+        F.count(F.when(~cent, 1)).cast("long").alias("n_mismatched"),
+        F.max("gap").cast("double").alias("max_abs_gap"),
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew", "scale"),
+)
+def join_skew_salted(spark, sf_dir):
+    """The SALTED equi-join (operators/skew.py) run as a declared,
+    oracle-gated query: lineitem x orders through an 8-way salt —
+    fact rows get a deterministic xxhash64-derived salt, the build
+    side replicates 8x, the join key becomes (key, salt) — proving
+    end-to-end that salting changes ONLY the physical row spread,
+    never the join semantics (bit-identical aggregate vs the plain
+    join oracle).
+
+    This is the explicit mitigation for the one skew case AQE's
+    runtime split can't fix (a single key hotter than one task's
+    build side); AQE skew-split coverage is asserted separately in
+    ``tests/test_scale_strategies.py``. Cost model: build side
+    shuffles 8x — salt selectively (detect hot keys first,
+    ``skew_diagnostics``) at 100 TB.
+    """
+    from gcp_etl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
