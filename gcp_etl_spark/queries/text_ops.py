@@ -816,3 +816,91 @@ def text_winnowing_fingerprint(spark, sf_dir):
             )
         ).alias("fp"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT word, count(*) AS f FROM words WHERE word <> '' GROUP BY word
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM freq
+    ), pts AS (
+      SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+             CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12)) AS y,
+             CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                  AS DECIMAL(18,12)) AS xx,
+             CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                  AS DECIMAL(18,12)) AS xy
+      FROM ranked WHERE r <= 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(-(
+             (count(*) * CAST(sum(xy) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+             / (count(*) * CAST(sum(xx) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+           ), 6) AS zipf_exponent,
+           round(
+             (CAST(sum(y) AS DOUBLE)
+              + ((count(*) * CAST(sum(xy) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (count(*) * CAST(sum(xx) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)))
+                * -CAST(sum(x) AS DOUBLE)) / count(*), 6) AS ln_c
+    FROM pts
+    """,
+    tags=("text", "stats", "aggregate"),
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus word-frequency distribution:
+    OLS of ln(frequency) on ln(rank) for the top-200 words gives the
+    power-law exponent (natural corpora ~ 1.0) and intercept — the
+    standard sanity diagnostic that a text corpus is natural-language-
+    shaped rather than template spam (whose exponent collapses).
+
+    FP determinism: ranks and frequencies are exact ints, each ln and
+    product is one fixed IEEE chain mirrored operand-for-operand,
+    terms go to decimal(18,12) so the regression sums are
+    order-independent, and the closed-form slope/intercept arithmetic
+    runs on bit-identical doubles; 6dp rounding absorbs the ulp.
+
+    Scale: word counts hash-agg (counts shuffle, text doesn't); the
+    ranked relation is vocabulary-sized and the top-200 window is a
+    TakeOrdered-style cap, so the regression runs over <= 200 rows
+    regardless of corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "word"))
+        .alias("r"),
+    ).filter(F.col("r") <= 200)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    pts = ranked.select(
+        x.cast("decimal(18,12)").alias("x"),
+        y.cast("decimal(18,12)").alias("y"),
+        (x * x).cast("decimal(18,12)").alias("xx"),
+        (x * y).cast("decimal(18,12)").alias("xy"),
+    )
+    n = F.count("*")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum("xx").cast("double")
+    sxy = F.sum("xy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round((sy + slope * -sx) / n, 6).alias("ln_c"),
+    )
