@@ -1126,11 +1126,14 @@ def _poisson_case(u: str) -> str:
     WITH rep AS (
       SELECT o_totalprice, o_orderkey, unnest(range(0, {_BOOT_B})) AS r
       FROM orders
-    ), wtd AS (
+    ), uni AS (
       SELECT r, o_totalprice,
-             {_poisson_case(f"(((o_orderkey + r * 1000003) * {_MIX})"
-                            " % 4294967296) / 4294967296.0")} AS w
+             (((o_orderkey + r * 1000003) * {_MIX})
+              % 4294967296) / 4294967296.0 AS u
       FROM rep
+    ), wtd AS (
+      SELECT r, o_totalprice, {_poisson_case("u")} AS w
+      FROM uni
     ), means AS (
       SELECT r,
              CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -1171,17 +1174,25 @@ def analytics_bootstrap_ci(spark, sf_dir):
     map-side combine) is exactly what the hash agg already does.
     """
     b = _BOOT_B
-    o = t(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    # the small single-file scan would otherwise run the xB explode in
+    # ONE task; at real scale the scan itself is already parallel
+    o = t(spark, sf_dir, "orders").repartition(par)
     rep = o.select(
         "o_orderkey",
         "o_totalprice",
         F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
     )
-    u = (
-        f"(((o_orderkey + r * 1000003) * {_MIX}) % 4294967296)"
-        " / 4294967296.0"
+    uni = rep.withColumn(
+        "u",
+        F.expr(
+            f"(((o_orderkey + r * 1000003) * {_MIX}) % 4294967296)"
+            " / 4294967296.0"
+        ),
     )
-    wtd = rep.withColumn("w", F.expr(_poisson_case(u)))
+    # the uniform draw is materialized ONCE per (row, replica): the
+    # CASE would otherwise re-evaluate the hash chain per branch (7x)
+    wtd = uni.withColumn("w", F.expr(_poisson_case("u")))
     means = wtd.groupBy("r").agg(
         (
             F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,2)"))
