@@ -830,8 +830,10 @@ def _ngram_jaccard_pairs(spark, sf_dir, df_cap=None):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(ws) - 3),"
-                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                "if(size(ws) >= 3,"
+                " transform(sequence(0, size(ws) - 3),"
+                "  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])),"
+                " array())"
             )
         ).alias("g"),
     ).distinct()
@@ -1305,8 +1307,10 @@ def dedup_containment(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(ws) - 3),"
-                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                "if(size(ws) >= 3,"
+                " transform(sequence(0, size(ws) - 3),"
+                "  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])),"
+                " array())"
             )
         ).alias("g"),
     ).distinct()
@@ -1410,9 +1414,11 @@ def dedup_substring_spans(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(ws) - 3),"
-                " i -> struct(i + 1 AS pos,"
-                " concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS g))"
+                "if(size(ws) >= 3,"
+                " transform(sequence(0, size(ws) - 3),"
+                "  i -> struct(i + 1 AS pos,"
+                "  concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS g)),"
+                " cast(array() as array<struct<pos:int,g:string>>))"
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))

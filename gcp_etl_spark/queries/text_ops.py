@@ -691,6 +691,15 @@ def text_bigram_lm(spark, sf_dir):
 
 WINNOW_K = 5  # char-gram width
 WINNOW_W = 4  # winnowing window (grams per window)
+# Position field width for the packed (hash, position) tie-break key.
+# 21 bits = 2,097,152 gram positions (~2 MiB of normalized text per doc);
+# h is 32 bits (8 md5 hex digits), so h*2^21 + pos <= 2^53 < 2^63 (BIGINT).
+# Positions beyond the cap clamp to the cap: the decoded hash h — which is
+# what carries the shared-substring => shared-fingerprint guarantee — stays
+# exact for every position; only the rightmost-min tie-break degrades past
+# 2 MiB, identically on both engines.
+WINNOW_POS_BITS = 21
+WINNOW_POS_CAP = 1 << WINNOW_POS_BITS
 
 
 @query(
@@ -709,7 +718,8 @@ WINNOW_W = 4  # winnowing window (grams per window)
                        AS UBIGINT) AS BIGINT) AS h
       FROM posn
     ), keyed AS (
-      SELECT doc_id, pos, h * 2048 + (2047 - pos) AS key,
+      SELECT doc_id, pos,
+             h * 2097152 + (2097151 - least(pos, 2097151)) AS key,
              count(*) OVER (PARTITION BY doc_id) AS n_grams
       FROM hashed
     ), wins AS (
@@ -723,7 +733,7 @@ WINNOW_W = 4  # winnowing window (grams per window)
       SELECT DISTINCT doc_id, n_grams, selkey FROM wins
     ), rec AS (
       SELECT doc_id, n_grams,
-             selkey >> 11 AS h, 2047 - (selkey & 2047) AS posr
+             selkey >> 21 AS h, 2097151 - (selkey & 2097151) AS posr
       FROM sel
     )
     SELECT doc_id,
@@ -743,10 +753,12 @@ def text_winnowing_fingerprint(spark, sf_dir):
     fingerprint, at ~2/(w+1) storage density.
 
     Rightmost-min tie-break is encoded arithmetically so one windowed
-    ``min`` does the whole selection: key = h·2048 + (2047 − pos)
-    minimizes h first, then maximizes pos — exact integer algebra,
-    identical on both engines (gram hash = first 8 md5 hex digits,
-    engine-portable). Output: per-doc selected-fingerprint count and
+    ``min`` does the whole selection: key = h·2^21 + (2^21−1 −
+    min(pos, 2^21−1)) minimizes h first, then maximizes pos — exact
+    integer algebra, identical on both engines (gram hash = first 8
+    md5 hex digits, engine-portable; 21 position bits cover ~2 MiB of
+    text per doc, and positions beyond clamp so the decoded hash is
+    never corrupted). Output: per-doc selected-fingerprint count and
     an order-canonical md5 digest of the selected hash sequence.
 
     Scale: grams live inside a per-doc codegen pipeline (explode →
@@ -776,10 +788,13 @@ def text_winnowing_fingerprint(spark, sf_dir):
     )
     gram = F.col("s").substr(F.col("pos"), F.lit(k))
     h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    pcap = F.lit(WINNOW_POS_CAP - 1)
     keyed = posn.select(
         "doc_id",
         "pos",
-        (h * 2048 + (F.lit(2047) - F.col("pos"))).alias("key"),
+        (
+            h * WINNOW_POS_CAP + (pcap - F.least(F.col("pos"), pcap))
+        ).alias("key"),
         F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
     )
     wins = keyed.select(
@@ -794,8 +809,11 @@ def text_winnowing_fingerprint(spark, sf_dir):
     rec = sel.select(
         "doc_id",
         "n_grams",
-        F.shiftright("selkey", 11).alias("h"),
-        (F.lit(2047) - F.col("selkey").bitwiseAND(F.lit(2047))).alias("posr"),
+        F.shiftright("selkey", WINNOW_POS_BITS).alias("h"),
+        (
+            F.lit(WINNOW_POS_CAP - 1)
+            - F.col("selkey").bitwiseAND(F.lit(WINNOW_POS_CAP - 1))
+        ).alias("posr"),
     )
     return rec.groupBy("doc_id").agg(
         F.max("n_grams").cast("long").alias("n_grams"),

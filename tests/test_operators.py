@@ -223,6 +223,8 @@ def test_winnowing_shared_substring_guarantee(spark):
 
     from gcp_etl_spark.queries.text_ops import (
         WINNOW_K,
+        WINNOW_POS_BITS,
+        WINNOW_POS_CAP,
         WINNOW_W,
         text_winnowing_fingerprint,
     )
@@ -232,10 +234,18 @@ def test_winnowing_shared_substring_guarantee(spark):
     import gcp_etl_spark.tables as tables
 
     shared = "zqxjkvwpbyfgm"  # 13 chars >> w+k-1, unusual grams
+    # docs 3/4 place the shared substring AFTER gram position 2047 —
+    # the regime where the old 11-bit position packing corrupted the
+    # decoded hash (h-1) and silently broke the guarantee for >2 KB
+    # docs (round-3 ADVICE medium finding)
+    filler1 = " ".join(f"w{i:04d}" for i in range(400))  # ~2.4k chars
+    filler2 = " ".join(f"v{i:04d}" for i in range(400))
     docs = spark.createDataFrame(
         [
             (1, f"aaa {shared} bbb ccc ddd eee fff"),
             (2, f"ttt uuu vvv {shared} www yyy xxx"),
+            (3, f"{filler1} {shared} qqq"),
+            (4, f"{filler2} {shared} rrr"),
         ],
         "doc_id long, text string",
     )
@@ -267,10 +277,13 @@ def test_winnowing_shared_substring_guarantee(spark):
         16,
         10,
     ).cast("long")
+    pcap = F.lit(WINNOW_POS_CAP - 1)
     keyed = posn.select(
         "doc_id",
         "pos",
-        (h * 2048 + (F.lit(2047) - F.col("pos"))).alias("key"),
+        (h * WINNOW_POS_CAP + (pcap - F.least(F.col("pos"), pcap))).alias(
+            "key"
+        ),
         F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
     )
     sel = (
@@ -284,12 +297,19 @@ def test_winnowing_shared_substring_guarantee(spark):
             .alias("sk"),
         )
         .filter(F.col("pos") <= F.col("n") - (w - 1))
-        .select("doc_id", F.shiftright("sk", 11).alias("h"))
+        .select("doc_id", F.shiftright("sk", WINNOW_POS_BITS).alias("h"))
         .distinct()
         .collect()
     )
-    hs = {1: set(), 2: set()}
+    hs = {1: set(), 2: set(), 3: set(), 4: set()}
     for r in sel:
         hs[r["doc_id"]].add(r["h"])
     assert hs[1] & hs[2], "shared 13-char substring yielded no shared fingerprint"
-    assert len(out) == 2 and all(r["n_selected"] > 0 for r in out)
+    assert hs[3] & hs[4], (
+        "shared substring past gram position 2047 yielded no shared "
+        "fingerprint (position-field overflow regression)"
+    )
+    # the shared grams must decode to the SAME hash in the short docs
+    # and the long docs: the overflow bug shifted long-doc hashes by -1
+    assert hs[1] & hs[3], "long-doc decoded hashes diverge from short-doc"
+    assert len(out) == 4 and all(r["n_selected"] > 0 for r in out)

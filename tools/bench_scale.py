@@ -247,14 +247,17 @@ def main() -> None:
                 sort_keys=False,
             )
 
-    if "--skip-claims" in sys.argv[1:] and prior.get("claims"):
+    if "--skip-claims" in sys.argv[1:]:
+        # Honored unconditionally: with a fresh file prior claims are {},
+        # and falling through to the full claims computation would KeyError
+        # when SPARK_GRAFT_SCALE_ONLY restricted this chunk's queries.
         out = {
             "multiplier": round(mult, 2),
             "base_dir": BASE_DIR,
             "scale_dir": SCALE_DIR,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "queries": queries,
-            "claims": prior["claims"],
+            "claims": prior.get("claims", {}),
         }
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=False)
