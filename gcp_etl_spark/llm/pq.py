@@ -127,19 +127,36 @@ def pq_topk(
     k_codes: int = 16,
     rerank: int | None = None,
     seed: int = 42,
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Approximate top-k cosine via PQ/ADC with exact rerank.
-    Returns (q_id, n_id, cos, rn) — same shape as `cosine_topk`."""
+    Returns (q_id, n_id, cos, rn) — same shape as `cosine_topk`.
+
+    ADC ships the whole query-side LUT (nq x m x k_codes floats) in
+    the task closure, so the query set MUST be driver-bounded — this
+    is a many-corpus-few-queries operator by construction. The
+    ``max_queries`` guard turns an accidental corpus-sized ``queries``
+    input into an immediate error instead of a driver OOM; raise it
+    deliberately if you really want a larger probe batch."""
     rerank = rerank if rerank is not None else 4 * k
     books = pq_train(corpus, id_col, vec_col, m, k_codes, seed=seed)
     codes = pq_encode(corpus, id_col, vec_col, books)
 
+    # limit(max_queries + 1) bounds the collect itself (one TakeOrdered,
+    # no extra count job) while still detecting an oversized input
     qpdf = (
         queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).cast("array<double>").alias("q_vec"))
         .orderBy("q_id")
+        .limit(max_queries + 1)
         .toPandas()
     )
+    if len(qpdf) > max_queries:
+        raise ValueError(
+            f"pq_topk queries side has > max_queries={max_queries} rows; "
+            "ADC broadcasts a per-query LUT, so the query set must be "
+            "small (pass a higher max_queries only if that is intended)"
+        )
     q_ids = qpdf["q_id"].to_numpy()
     Q = _normalize(np.vstack(qpdf["q_vec"].to_numpy()))
     ds = books.shape[2]

@@ -1080,7 +1080,44 @@ def embedding_pca_project(spark, sf_dir):
 PREFIX_JACCARD_T = 0.7
 
 
-@query("dedup_prefix_filter", oracle=None, tags=("llm", "dedup", "similarity"))
+@query(
+    "dedup_prefix_filter",
+    # brute-force dual: enumerate EVERY pair sharing a 3-word shingle
+    # and compute exact Jaccard — O(n²)-shaped but fine at oracle scale
+    # (sf0.01 ≈ 1k docs; the shingle equi-join only touches pairs with
+    # nonzero intersection). Shingle semantics mirror llm/dedup.py
+    # _shingles: lower → collapse whitespace → 3-gram join with ' ' →
+    # distinct; docs under 3 words collapse to one whole-doc shingle.
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(s, ' ') AS ws FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS g
+      FROM toks, unnest(range(0, greatest(len(ws) - 2, 0))) t(i)
+      WHERE len(ws) >= 3
+      UNION
+      SELECT doc_id, array_to_string(ws, ' ') AS g
+      FROM toks WHERE len(ws) < 3
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.id_a, inter.id_b,
+           round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.id_a
+    JOIN sz sb ON sb.doc_id = inter.id_b
+    WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.7
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
 def dedup_prefix_filter(spark, sf_dir):
     """EXACT token-set Jaccard >= 0.7 similarity self-join via PREFIX
     FILTERING (SSJoin/PPJoin family) — the third point in the dedup
@@ -1093,9 +1130,11 @@ def dedup_prefix_filter(spark, sf_dir):
     so joining prefix postings against full postings enumerates a
     complete, near-linear candidate set, then exact Jaccard verifies.
 
-    No oracle: the O(n²) relational dual is exactly what this operator
-    exists to avoid; completeness (candidates ⊇ brute-force pairs) is
-    asserted by pytest equality against brute force at sf0.001.
+    The operator is EXACT, so it carries a full brute-force DuckDB
+    oracle (every shingle-sharing pair, exact Jaccard — feasible at
+    oracle scale, and exactly what this operator avoids at 100 TB);
+    completeness is additionally pinned by pytest equality against
+    brute force at sf0.001.
 
     Scale: postings shuffle on token; the rare-first order makes
     prefix postings lists short (hot tokens land in suffixes);

@@ -107,4 +107,29 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_benign_warnings(spark)
     return spark
+
+
+def _quiet_benign_warnings(spark: SparkSession) -> None:
+    """Raise the log4j2 level for loggers whose WARNs are known-benign
+    in this corpus, so REAL executor warnings stay visible in the
+    driver's tail capture (round-3 VERDICT ask #6).
+
+    The only such logger today is WindowExec's "No Partition Defined"
+    warning: every global window in the declared corpus runs over a
+    constant-size aggregate relation (documented per query), and the
+    repeated warning drowned the bench tail. Done via the log4j2 core
+    Configurator through py4j; failure-tolerant in case a deployment
+    swaps the logging backend."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for name in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            configurator.setLevel(name, level)
+    except Exception:  # noqa: BLE001 - logging tuning must never break a session
+        pass

@@ -329,6 +329,24 @@ def test_pq_ann_recall_vs_exact(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+def test_pq_topk_rejects_corpus_sized_query_set(spark):
+    """pq_topk ships a per-query ADC LUT in the task closure, so the
+    queries side must be driver-bounded: a corpus-sized queries input
+    must raise instead of silently collecting everything (round-3
+    VERDICT ask). The guard's limit(max+1) also bounds the collect
+    that performs the check itself."""
+    import pytest
+
+    from gcp_etl_spark.llm.pq import pq_topk
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(emb, emb, k=5, max_queries=16)
+    # the declared probe size still works under the default guard
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    assert out.count() > 0
+
+
 def test_pq_encode_compresses_and_is_deterministic(spark):
     from gcp_etl_spark.llm.pq import pq_encode, pq_train
 
