@@ -319,3 +319,140 @@ def graph_adamic_adar(spark, sf_dir):
         .orderBy(F.desc("adamic_adar"), "s1", "s2")
         .limit(50)
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ), dboth AS (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT n, count(*) AS d FROM dboth GROUP BY 1
+    ), pairs AS (
+      SELECT du.d * 1.0 AS x, dv.d * 1.0 AS y
+      FROM dboth b JOIN deg du ON du.n = b.n JOIN deg dv ON dv.n = b.m
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                        * (count(*) * sum(y * y) - sum(y) * sum(y))),
+                 6) AS assortativity
+    FROM pairs
+    """,
+    tags=("graph", "lineitem"),
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY (Newman's r): Pearson correlation of
+    endpoint degrees over all directed edge stubs (each undirected
+    edge contributes both orientations, the standard symmetrization).
+    Negative r = hubs attach to leaves (disassortative, typical of
+    dependency graphs); positive = hub-hub mixing (social graphs).
+
+    Scale: degrees are one hash aggregate over the doubled edge list;
+    the two degree lookups broadcast (the degree relation is bounded
+    by |V|); the correlation is a single power-sum aggregate. Same
+    bounded-graph construction as the other graph_* queries
+    (graph_ops._edges)."""
+    e = _edges(spark, sf_dir)
+    both = e.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = both.groupBy("n").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("n").alias("nu"), F.col("d").alias("xd"))
+    dv = deg.select(F.col("n").alias("nv"), F.col("d").alias("yd"))
+    pairs = (
+        both.join(F.broadcast(du), F.col("n") == F.col("nu"))
+        .join(F.broadcast(dv), F.col("m") == F.col("nv"))
+        .select(
+            F.col("xd").cast("double").alias("x"),
+            F.col("yd").cast("double").alias("y"),
+        )
+    )
+    n = F.count("*")
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    return pairs.agg(
+        (n / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ), adj AS (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT n, count(*) AS d FROM adj GROUP BY 1
+    ), common AS (
+      SELECT e.u, e.v, count(*) AS c
+      FROM e
+      JOIN adj a1 ON a1.n = e.u
+      JOIN adj a2 ON a2.n = e.v AND a2.m = a1.m
+      GROUP BY 1, 2
+    )
+    SELECT c.u, c.v,
+           round(c.c * 1.0 / (du.d + dv.d - c.c), 6) AS jaccard
+    FROM common c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+    ORDER BY jaccard DESC, c.u, c.v LIMIT 20
+    """,
+    tags=("graph", "similarity", "lineitem"),
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """NEIGHBORHOOD JACCARD similarity for connected node pairs:
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over each graph edge — the
+    link-prediction/local-clustering feature next to Adamic-Adar
+    (which weights the same intersection by rarity). Union size via
+    inclusion-exclusion (deg_u + deg_v - common), never materialized.
+
+    Scale: the intersection count is a wedge join through the shared
+    neighbor (two equi-joins on node keys); degrees broadcast; top-20
+    is TakeOrderedAndProject. All relations bounded by the graph, not
+    the input table."""
+    e = _edges(spark, sf_dir)
+    adj = e.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("n").alias("n1"), F.col("m").alias("w1"))
+    a2 = adj.select(F.col("n").alias("n2"), F.col("m").alias("w2"))
+    common = (
+        e.join(a1, F.col("u") == F.col("n1"))
+        .join(
+            a2,
+            (F.col("v") == F.col("n2")) & (F.col("w1") == F.col("w2")),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    du = deg.select(F.col("n").alias("nu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("nv"), F.col("d").alias("dv"))
+    return (
+        common.join(F.broadcast(du), F.col("u") == F.col("nu"))
+        .join(F.broadcast(dv), F.col("v") == F.col("nv"))
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("c") * 1.0 / (F.col("du") + F.col("dv") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )

@@ -1,0 +1,475 @@
+"""Training-data pipeline prep & data-quality operators (round-4).
+
+Fills the remaining prep gaps a 100 TB curation pipeline hits daily:
+sub-document (sentence-level) exact dedup, deterministic stratified
+sampling, composite quality scoring, freshness/uniqueness DQ audits,
+embedding scalar quantization, and exact cosine range search. Each is
+a DuckDB-oracle-gated declared query; the scale notes on each explain
+why the plan survives a 1000-executor cluster.
+
+All NS extensions — the reference's data surface has none of these
+(SURVEY.md §2A)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), sent AS (
+      SELECT DISTINCT doc_id, md5(sraw) AS h
+      FROM (SELECT doc_id, unnest(string_split(s, '. ')) AS sraw FROM norm)
+      WHERE sraw <> ''
+    ), df AS (
+      SELECT h, count(*) AS docs FROM sent GROUP BY 1
+    ), per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_sents,
+             count(*) FILTER (df.docs > 1) AS n_dup_sents
+      FROM sent s JOIN df ON df.h = s.h
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_dup_sents AS BIGINT) AS n_dup_sents,
+           round(n_dup_sents * 1.0 / n_sents, 6) AS dup_ratio
+    FROM per_doc WHERE n_dup_sents > 0
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """SUB-DOCUMENT exact dedup: split each normalized document into
+    sentences ('. ' boundaries), hash each distinct sentence, and
+    report per-doc how many of its sentences also appear in at least
+    one OTHER document — the sentence-level boilerplate/quote detector
+    that whole-doc hashing misses entirely.
+
+    Scale: only (doc_id, sentence_md5) pairs shuffle (never sentence
+    text); the document-frequency relation is vocabulary-sized and the
+    per-doc rollup is one hash aggregate. This is the C4/RefinedWeb
+    'repeated line removal' shape expressed relationally."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    sent = (
+        d.select("doc_id", F.explode(F.split(norm, r"\. ")).alias("sraw"))
+        .filter(F.col("sraw") != "")
+        .select("doc_id", F.md5("sraw").alias("h"))
+        .distinct()
+    )
+    df = sent.groupBy("h").agg(F.count("*").alias("docs"))
+    per = (
+        sent.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.count(F.when(F.col("docs") > 1, 1)).alias("n_dup_sents"),
+        )
+        .filter(F.col("n_dup_sents") > 0)
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_dup_sents").cast("long").alias("n_dup_sents"),
+        F.round(F.col("n_dup_sents") * 1.0 / F.col("n_sents"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n_total
+      FROM documents
+    ), taken AS (
+      SELECT lang, source, n_total, doc_id
+      FROM ranked WHERE rn <= ceil(0.1 * n_total)
+    )
+    SELECT lang, source,
+           CAST(max(n_total) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_taken,
+           CAST(sum(doc_id) AS BIGINT) AS taken_id_sum
+    FROM taken GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("sampling", "scale-pattern", "documents"),
+)
+def sample_stratified_exact(spark, sf_dir):
+    """DETERMINISTIC stratified sampling: exactly ceil(10% of stratum)
+    documents per (lang, source) stratum, chosen by md5(doc_id) order —
+    a content-independent, rerun-stable pseudo-random order (the
+    standard hash-ordering trick for reproducible samples with NO rand()
+    nondeterminism across retries/partitionings). Emits per-stratum
+    take counts plus the taken-id sum as the sample fingerprint.
+
+    Scale: the rank window partitions by stratum (parallel across
+    strata; within-stratum sort is the unavoidable cost of EXACT
+    per-stratum quotas — for approximate quotas use sample_weighted_
+    priority). No driver collect, no rand()."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang", "source")
+    ranked = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_total"),
+    )
+    taken = ranked.filter(
+        F.col("rn") <= F.ceil(0.1 * F.col("n_total"))
+    )
+    return (
+        taken.groupBy("lang", "source")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_taken"),
+            F.sum("doc_id").cast("long").alias("taken_id_sum"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "quality_composite_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                 'g'), ' ')) AS n_words,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(string_split(regexp_replace(trim(lower(text)),
+                 '\\s+', ' ', 'g'), ' '),
+                 w -> w IN ('the','a','an','and','or','of','to','in','is',
+                            'it','that','for','on','with','as'))) * 1.0
+               / greatest(len(string_split(regexp_replace(trim(lower(text)),
+                 '\\s+', ' ', 'g'), ' ')), 1) AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             0.4 * least(n_words / 50.0, 1.0)
+             + 0.3 * (1 - least(punct_ratio / 0.2, 1.0))
+             + 0.3 * least(stop_ratio / 0.4, 1.0) AS score
+      FROM feat
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           round(quantile_cont(score, 0.5), 6) AS median_score,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "quality", "documents"),
+)
+def quality_composite_score(spark, sf_dir):
+    """COMPOSITE quality score per document — the Gopher/C4-style
+    heuristic ensemble as one expression: saturating length credit
+    (n_words/50 capped), punctuation-density penalty, stopword-ratio
+    credit (the classic 'real prose contains function words' signal) —
+    weighted 0.4/0.3/0.3 into [0,1]; reported as per-source
+    distribution stats (mean/median/min/max).
+
+    Scale: pure per-row expressions (one projection, zero shuffles
+    until the per-source rollup); the stopword list is a 15-element
+    literal array — no join. Exact median per source via percentile
+    over the per-source groups."""
+    d = t(spark, sf_dir, "documents")
+    stop = [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is",
+        "it", "that", "for", "on", "with", "as",
+    ]
+    ws = F.split(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+    )
+    n_words = F.size(ws)
+    punct = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+        * 1.0
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    stops = F.size(
+        F.filter(ws, lambda w: w.isin(stop))
+    ) * 1.0 / F.greatest(n_words, F.lit(1))
+    score = (
+        0.4 * F.least(n_words / 50.0, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct / 0.2, F.lit(1.0)))
+        + 0.3 * F.least(stops / 0.4, F.lit(1.0))
+    )
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.expr("percentile(score, 0.5)"), 6).alias(
+                "median_score"
+            ),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS latest,
+           round((epoch_us((SELECT gmax FROM g)) - epoch_us(max(ts)))
+                 / 3600000000.0, 4) AS lag_hours,
+           CAST(count(*) FILTER (
+             epoch_us(ts) >= epoch_us((SELECT gmax FROM g))
+                             - 7 * 24 * 3600000000) AS BIGINT)
+             AS n_last_7d
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dq", "freshness", "events"),
+)
+def dq_freshness_lag(spark, sf_dir):
+    """FRESHNESS audit per event type: latest arrival, its lag behind
+    the globally freshest event (hours), and trailing-7-day volume —
+    the staleness monitor that catches a dead upstream producer whose
+    partition silently stopped filling.
+
+    Scale: one aggregation pass with a broadcast 1-row global-max;
+    conditional trailing-window counts ride the same pass (no second
+    scan, no window function)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    g = e.agg(F.max("us").alias("gmax"))
+    return (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts").alias("latest"),
+            F.round(
+                (F.first("gmax") - F.max("us")) / 3600000000.0, 4
+            ).alias("lag_hours"),
+            F.count(
+                F.when(
+                    F.col("us")
+                    >= F.col("gmax") - F.lit(7 * 24 * 3600000000),
+                    1,
+                )
+            ).cast("long").alias("n_last_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dq_uniqueness_profile",
+    oracle="""
+    WITH un AS (
+      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ), base AS (
+      SELECT col, count(*) AS n_rows,
+             count(val) AS n_nonnull,
+             count(DISTINCT val) AS n_distinct
+      FROM un GROUP BY 1
+    ), topf AS (
+      SELECT col, max(c) AS top_freq
+      FROM (SELECT col, val, count(*) AS c FROM un
+            WHERE val IS NOT NULL GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT b.col, CAST(b.n_rows AS BIGINT) AS n_rows,
+           CAST(b.n_rows - b.n_nonnull AS BIGINT) AS n_nulls,
+           CAST(b.n_distinct AS BIGINT) AS n_distinct,
+           round(b.n_distinct * 1.0 / b.n_rows, 6) AS uniqueness,
+           CAST(t.top_freq AS BIGINT) AS top_freq
+    FROM base b JOIN topf t ON t.col = b.col
+    ORDER BY b.col
+    """,
+    tags=("dq", "profiling", "orders"),
+)
+def dq_uniqueness_profile(spark, sf_dir):
+    """PER-COLUMN uniqueness/null/mode profile of the orders table —
+    the one-pass column profiler behind key discovery ('is o_orderkey
+    actually unique?') and categorical-cardinality audits. Columns are
+    unpivoted via ``stack`` into (col, val) rows; distinct counting on
+    the injective string cast is cardinality-faithful for every type.
+
+    Scale: the unpivot is a zero-shuffle projection (rows x 4); the
+    profile is two hash aggregates — per (col, val), then per col —
+    both map-side combining. The mode count never materializes the
+    value list, only the max group count."""
+    o = t(spark, sf_dir, "orders")
+    un = o.selectExpr(
+        "stack(4, "
+        "'o_orderkey', cast(o_orderkey as string), "
+        "'o_custkey', cast(o_custkey as string), "
+        "'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority) as (col, val)"
+    )
+    base = un.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+    topf = (
+        un.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count("*").alias("c"))
+        .groupBy("col")
+        .agg(F.max("c").alias("top_freq"))
+    )
+    return (
+        base.join(topf, "col")
+        .select(
+            "col",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") - F.col("n_nonnull")).cast("long").alias(
+                "n_nulls"
+            ),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.col("n_distinct") * 1.0 / F.col("n_rows"), 6
+            ).alias("uniqueness"),
+            F.col("top_freq").cast("long").alias("top_freq"),
+        )
+        .orderBy("col")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), rng AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx,
+             (max(v) - min(v)) / 255.0 AS scale
+      FROM flat GROUP BY 1
+    ), err AS (
+      SELECT f.dim, r.mn, r.mx,
+             avg(pow(f.v - (r.mn + round((f.v - r.mn) / r.scale)
+                            * r.scale), 2)) AS mse
+      FROM flat f JOIN rng r ON r.dim = f.dim
+      GROUP BY 1, 2, 3
+    )
+    SELECT dim, round(mn, 6) AS dim_min, round(mx, 6) AS dim_max,
+           round(mse, 10) AS mse
+    FROM err ORDER BY dim
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """SCALAR (per-dimension) int8 QUANTIZATION of the embedding
+    corpus — the 4x memory-compression baseline under PQ: per-dim
+    min/max range, 255-step uniform code, and the per-dim
+    reconstruction MSE that tells you which dimensions survive 8-bit
+    storage (the standard pre-check before shipping an int8 ANN
+    index).
+
+    Scale: posexplode streams (dim, value) pairs; per-dim ranges are
+    a 64-group map-side-combining aggregate, broadcast back for the
+    error pass — two scans, no driver math, no vector materializes
+    whole. Float values are cast to double BEFORE any arithmetic
+    (bit-exact widening on both engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        )
+    ).select((F.col("dim0") + 1).alias("dim"), "v")
+    rng = flat.groupBy("dim").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("scale"),
+    )
+    code = F.round((F.col("v") - F.col("mn")) / F.col("scale"))
+    dequant = F.col("mn") + code * F.col("scale")
+    return (
+        flat.join(F.broadcast(rng), "dim")
+        .groupBy("dim", "mn", "mx")
+        .agg(F.avg((F.col("v") - dequant) ** 2).alias("mse"))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round("mn", 6).alias("dim_min"),
+            F.round("mx", 6).alias("dim_max"),
+            F.round("mse", 10).alias("mse"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "ann_range_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings
+    )
+    SELECT q_id, n_id,
+           round(list_dot_product(qv, nv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(nv, nv))), 4) AS cos
+    FROM q JOIN c ON q_id <> n_id
+    WHERE round(list_dot_product(qv, nv)
+                / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(nv, nv))), 4) >= 0.8
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def ann_range_search(spark, sf_dir):
+    """Exact cosine RANGE search (radius query): every corpus vector
+    within cosine >= 0.8 of each probe — the 'find everything this
+    similar' dual of top-k (dedup wants a radius, not a count). The
+    threshold compares the ROUNDED cosine on both engines, so the
+    decision boundary is identical.
+
+    Scale: broadcast probes x streamed corpus scan (corpus never
+    shuffles); at cluster scale the same expression rides the
+    LSH/IVF candidate streams instead of the full scan. Elements are
+    cast float->double before arithmetic (exact widening, identical
+    on both engines)."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("nv")), 4)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.8)
+    )

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_ops,
         llm_prep,
         modern_sql,
+        prep_ops,
         reference_parity,
         scale_ops,
         scalars,

@@ -922,3 +922,205 @@ def text_zipf_fit(spark, sf_dir):
         F.round(-slope, 6).alias("zipf_exponent"),
         F.round((sy + slope * -sx) / n, 6).alias("ln_c"),
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             greatest(len(string_split(regexp_replace(trim(lower(text)),
+                 '\\s+', ' ', 'g'), ' ')), 1) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sents,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syls
+      FROM documents
+    ), fre AS (
+      SELECT source,
+             206.835 - 1.015 * (words * 1.0 / sents)
+                     - 84.6 * (syls * 1.0 / words) AS score,
+             0.39 * (words * 1.0 / sents)
+               + 11.8 * (syls * 1.0 / words) - 15.59 AS grade
+      FROM feat
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 4) AS avg_flesch,
+           round(avg(grade), 4) AS avg_fk_grade
+    FROM fre GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "quality", "documents"),
+)
+def text_readability_flesch(spark, sf_dir):
+    """FLESCH reading ease + FLESCH-KINCAID grade level per source:
+    words from whitespace tokens, sentences from terminal-punctuation
+    count, syllables from the classic vowel-group approximation
+    ([aeiouy]+ runs) — the standard corpus-scale readability screen
+    (syllable dictionaries don't exist at 100 TB; vowel groups are the
+    accepted proxy). All three counts floor at 1 so fragments can't
+    divide by zero.
+
+    Scale: three regexp counters in one zero-shuffle projection, then
+    a per-source rollup."""
+    d = t(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+            )
+        ),
+        F.lit(1),
+    )
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    )
+    syls = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    score = (
+        206.835
+        - 1.015 * (words * 1.0 / sents)
+        - 84.6 * (syls * 1.0 / words)
+    )
+    grade = (
+        0.39 * (words * 1.0 / sents) + 11.8 * (syls * 1.0 / words) - 15.59
+    )
+    return (
+        d.select("source", score.alias("score"), grade.alias("grade"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_flesch"),
+            F.round(F.avg("grade"), 4).alias("avg_fk_grade"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT source, w, count(*) AS f FROM words WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (f = 1) AS BIGINT) AS hapax,
+           CAST(count(*) FILTER (f = 2) AS BIGINT) AS dis_legomena,
+           round(count(*) FILTER (f = 1) * 1.0 / count(*), 6) AS hapax_ratio
+    FROM freq GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "vocabulary", "documents"),
+)
+def text_hapax_ratio(spark, sf_dir):
+    """HAPAX LEGOMENA profile per source: vocabulary size, words
+    occurring exactly once (hapax) and exactly twice (dis legomena),
+    and the hapax ratio — the classic productivity/quality signal
+    (machine-generated or templated text shows a collapsed hapax
+    ratio; natural prose sits near 40-60% by Zipf).
+
+    Scale: one (source, word) hash aggregate — counts shuffle, text
+    doesn't; the frequency-of-frequency rollup is vocabulary-sized."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    freq = words.groupBy("source", "w").agg(F.count("*").alias("f"))
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.count(F.when(F.col("f") == 1, 1)).cast("long").alias("hapax"),
+            F.count(F.when(F.col("f") == 2, 1))
+            .cast("long")
+            .alias("dis_legomena"),
+            F.round(
+                F.count(F.when(F.col("f") == 1, 1)) * 1.0 / F.count("*"), 6
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), percnt AS (
+      SELECT w, doc_id, count(*) AS c FROM words WHERE w <> '' GROUP BY 1, 2
+    ), nd AS (SELECT count(*) AS n FROM documents),
+    stats AS (
+      SELECT w, sum(c) AS total, sum(c * c) AS ss,
+             count(*) AS df
+      FROM percnt GROUP BY 1
+    )
+    SELECT w AS word, CAST(df AS BIGINT) AS doc_freq,
+           CAST(total AS BIGINT) AS total_count,
+           round((ss * 1.0 / (SELECT n FROM nd)
+                  - pow(total * 1.0 / (SELECT n FROM nd), 2))
+                 / (total * 1.0 / (SELECT n FROM nd)), 6) AS fano
+    FROM stats WHERE df >= 20
+    ORDER BY fano DESC, w LIMIT 15
+    """,
+    tags=("text", "vocabulary", "documents"),
+)
+def text_burstiness(spark, sf_dir):
+    """WORD BURSTINESS (Fano factor var/mean of per-document counts,
+    zeros included): topical words cluster in few documents (Fano >>
+    1) while function words spread evenly (Fano ~ 1) — the Church/Gale
+    burstiness signal used for keyword extraction and boilerplate
+    screening. Var from power sums over the per-(word, doc) count
+    relation; the all-docs zero mass enters through the corpus doc
+    count without materializing zero rows.
+
+    Scale: counts shuffle on (word, doc) then word — vocabulary-sized
+    states; top-15 is TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    percnt = words.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    stats = percnt.groupBy("w").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("df"),
+    )
+    mean = F.col("total") * 1.0 / n_docs
+    fano = (F.col("ss") * 1.0 / n_docs - mean * mean) / mean
+    return (
+        stats.filter(F.col("df") >= 20)
+        .select(
+            F.col("w").alias("word"),
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("total").cast("long").alias("total_count"),
+            F.round(fano, 6).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "word")
+        .limit(15)
+    )

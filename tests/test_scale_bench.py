@@ -116,6 +116,45 @@ def test_scaled_fixtures_referentially_intact(spark):
     )
 
 
+def test_exact_similarity_grid_claims():
+    """Pin the committed exact-similarity scale-grid record
+    (tools/bench_scale_docs.py, round-3 VERDICT ask #4): on the
+    dissimilar-docs fixture (true pairs grow LINEARLY with the
+    multiplier by construction) the three exact similarity joins must
+    (a) emit exactly m x base pairs at every grid point — zero false
+    positives/negatives at 100x — and (b) fit a time exponent well
+    below quadratic. The grid itself is measured offline (x100 = 500k
+    docs); this test pins the committed record so a regression that
+    silently drops the claims also fails CI."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("exact_similarity_grid")
+    if not grid:
+        pytest.skip("exact_similarity_grid not yet measured")
+    for q in (
+        "dedup_prefix_filter",
+        "dedup_containment",
+        "dedup_substring_spans",
+    ):
+        rec = grid["queries"][q]
+        assert rec["pairs_linear"], f"{q}: output pairs not linear in mult"
+        assert rec["pairs_exponent"] == 1.0, f"{q}: pair growth not linear"
+        assert rec["time_exponent"] < 1.5, (
+            f"{q}: time exponent {rec['time_exponent']} — superlinear "
+            "scaling beyond the jitter budget"
+        )
+        scales = rec["scales"]
+        ms = sorted(int(k[1:]) for k in scales)
+        base = scales["x1"]["out_pairs"]
+        for m in ms:
+            assert scales[f"x{m}"]["out_pairs"] == m * base
+
+
 def test_twopass_sweepline_wins_at_sf1(spark):
     """The two-pass prefix-difference sweep-line must beat the naive
     single-partition global window at 10x data (same hash-verified
