@@ -338,12 +338,18 @@ def graph_adamic_adar(spark, sf_dir):
       SELECT du.d * 1.0 AS x, dv.d * 1.0 AS y
       FROM dboth b JOIN deg du ON du.n = b.n JOIN deg dv ON dv.n = b.m
     )
-    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-           round((count(*) * sum(x * y) - sum(x) * sum(y))
-                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
-                        * (count(*) * sum(y * y) - sum(y) * sum(y))),
-                 6) AS assortativity
-    FROM pairs
+    , s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+                END AS assortativity
+    FROM s
     """,
     tags=("graph", "lineitem"),
 )
@@ -374,15 +380,26 @@ def graph_degree_assortativity(spark, sf_dir):
             F.col("yd").cast("double").alias("y"),
         )
     )
-    n = F.count("*")
-    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
-    den = F.sqrt(
-        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
-        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    s = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    return pairs.agg(
-        (n / 2).cast("long").alias("n_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+    # a regular graph (all degrees equal — the dense-residue regime at
+    # larger SF) has zero degree variance: assortativity is undefined,
+    # emitted as NULL on both engines instead of dividing by zero
+    var2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(var2 > 0, F.round(num / F.sqrt(var2), 6)).alias(
+            "assortativity"
+        ),
     )
 
 
