@@ -473,3 +473,86 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ), adj AS (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT n, count(*) AS d FROM adj GROUP BY 1
+    ), tri AS (
+      SELECT a1.n, count(*) AS t
+      FROM adj a1
+      JOIN adj a2 ON a2.n = a1.n AND a1.m < a2.m
+      JOIN e ON e.u = a1.m AND e.v = a2.m
+      GROUP BY 1
+    )
+    SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
+           round(coalesce(tri.t, 0) * 2.0 / (deg.d * (deg.d - 1)), 6)
+             AS clustering
+    FROM deg LEFT JOIN tri ON tri.n = deg.n
+    WHERE deg.d >= 2
+    ORDER BY clustering DESC, node LIMIT 25
+    """,
+    tags=("graph", "lineitem"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per node: closed wedges over
+    possible wedges — triangles_at_v * 2 / (deg * (deg-1)) — the
+    Watts-Strogatz small-world statistic; top-25 most-clustered nodes
+    with degree >= 2.
+
+    Per-node triangles count each triangle once per member via the
+    ordered wedge (m1 < m2 among v's neighbors) closed by an edge
+    lookup — the node-attributed refinement of graph_triangle_count's
+    global sum.
+
+    Scale: wedge enumeration joins adjacency to itself on the center
+    node then probes the canonical edge list (two equi-joins, all
+    relations graph-bounded); top-25 is TakeOrderedAndProject."""
+    e = _edges(spark, sf_dir)
+    adj = e.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("n").alias("c"), F.col("m").alias("m1"))
+    a2 = adj.select(F.col("n").alias("c2"), F.col("m").alias("m2"))
+    tri = (
+        a1.join(
+            a2,
+            (F.col("c") == F.col("c2")) & (F.col("m1") < F.col("m2")),
+        )
+        .join(
+            e, (F.col("u") == F.col("m1")) & (F.col("v") == F.col("m2"))
+        )
+        .groupBy(F.col("c").alias("n"))
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        deg.join(tri, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.round(
+                F.coalesce(F.col("tri"), F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("clustering"), "node")
+        .limit(25)
+    )

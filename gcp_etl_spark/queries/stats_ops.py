@@ -856,3 +856,317 @@ def agg_central_moments(spark, sf_dir):
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_g1"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
     ).orderBy("flag")
+
+
+@query(
+    "agg_ols_loglog_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             ln(l_extendedprice / l_quantity) AS x,
+             ln(l_quantity) AS y
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ), s AS (
+      SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY flag
+    """,
+    tags=("stats", "regression", "lineitem"),
+)
+def agg_ols_loglog_elasticity(spark, sf_dir):
+    """PRICE ELASTICITY per return flag: OLS slope of ln(quantity) on
+    ln(unit price) — the log-log specification whose slope IS the
+    elasticity — plus R² from the same power sums. Pure closed-form
+    sums; no ML library, no iteration.
+
+    Scale: one map-side-combining aggregate producing six sums per
+    group; the regression algebra is per-group scalar math (the
+    2-feature generalization lives in agg_ols_two_feature)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity"))
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / vx, 6).alias("elasticity"),
+        F.round(num ** 2 / (vx * vy), 6).alias("r2"),
+    ).orderBy("flag")
+
+
+@query(
+    "analytics_robust_means",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), q AS (
+      SELECT seg, quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
+      FROM j GROUP BY 1
+    )
+    SELECT j.seg, CAST(count(*) AS BIGINT) AS n,
+           round(avg(j.v), 4) AS mean,
+           round(avg(CASE WHEN j.v < q.p05 THEN q.p05
+                          WHEN j.v > q.p95 THEN q.p95 ELSE j.v END), 4)
+             AS winsorized_mean,
+           round(avg(j.v) FILTER (j.v >= q.p05 AND j.v <= q.p95), 4)
+             AS trimmed_mean
+    FROM j JOIN q ON q.seg = j.seg
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "robust", "orders"),
+)
+def analytics_robust_means(spark, sf_dir):
+    """WINSORIZED and TRIMMED means (5%/95%) of order totals per
+    market segment beside the raw mean — the standard
+    outlier-robust location estimates (winsorize clamps the tails to
+    the fences; trim drops them).
+
+    Scale: pass 1 computes per-group exact 5th/95th percentiles; the
+    bounded per-group fence relation broadcasts into pass 2's
+    conditional aggregate. Two scans, no sort of the full data, no
+    per-row rank."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
+    )
+    q = j.groupBy("seg").agg(
+        F.expr("percentile(v, 0.05)").alias("p05"),
+        F.expr("percentile(v, 0.95)").alias("p95"),
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("p05"), F.col("p05"))
+        .when(F.col("v") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        j.join(F.broadcast(q), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("v"), 4).alias("mean"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("v") >= F.col("p05"))
+                        & (F.col("v") <= F.col("p95")),
+                        F.col("v"),
+                    )
+                ),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "analytics_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(max(q.q3 - q.q1), 4) AS iqr,
+           CAST(count(*) FILTER (
+             e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_outliers,
+           round(count(*) FILTER (
+             e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) * 1.0 / count(*), 6)
+             AS outlier_rate
+    FROM events e JOIN q USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "outliers", "dq", "events"),
+)
+def analytics_iqr_outliers(spark, sf_dir):
+    """TUKEY IQR fence outlier rate per event type: values beyond
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the boxplot rule, the third point
+    in the outlier-detector design space next to anomaly_zscore
+    (parametric) and anomaly_mad_robust (median-based).
+
+    Scale: per-group exact quartiles in pass 1 (bounded relation,
+    broadcast), conditional count in pass 2 — same two-scan shape as
+    analytics_robust_means."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.max(iqr), 4).alias("iqr"),
+            F.count(F.when(is_out, 1)).cast("long").alias("n_outliers"),
+            F.round(
+                F.count(F.when(is_out, 1)) * 1.0 / F.count("*"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "analytics_decile_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS v FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT v, ntile(10) OVER (ORDER BY v DESC, user_id) AS decile
+      FROM per_user
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(v), 4) AS total_value,
+           round(sum(v) / (SELECT sum(v) FROM per_user), 6) AS share,
+           round((sum(v) / count(*))
+                 / ((SELECT sum(v) FROM per_user)
+                    / (SELECT count(*) FROM per_user)), 4) AS lift
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "analytics", "events"),
+)
+def analytics_decile_lift(spark, sf_dir):
+    """DECILE LIFT table: users ranked by total event value into
+    deciles (ntile over the per-user aggregate, deterministic
+    (v, user_id) order); per-decile share of total value and lift vs
+    the global per-user average — the model-free targeting baseline
+    every campaign/churn model is judged against ('top decile carries
+    4x average').
+
+    Scale: the window runs over the PER-USER aggregate (entity-
+    bounded, far smaller than events); at extreme user counts swap
+    ntile for the two-pass percentile-threshold bucketing
+    (analytics_robust_means shape) at the cost of exact equal-size
+    deciles."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.sum("value").alias("v"))
+    tot = per_user.agg(
+        F.sum("v").alias("tv"), F.count("*").alias("tn")
+    )
+    ranked = per_user.select(
+        "v",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("v"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("v"), 4).alias("total_value"),
+            F.round(F.sum("v") / F.first("tv"), 6).alias("share"),
+            F.round(
+                (F.sum("v") / F.count("*"))
+                / (F.first("tv") / F.first("tn")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "analytics_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), trans AS (
+      SELECT prev AS s, event_type AS tgt, count(*) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), row_tot AS (
+      SELECT s, sum(c) AS cs FROM trans GROUP BY 1
+    ), tot AS (SELECT sum(c) AS n FROM trans)
+    SELECT t.s AS state,
+           CAST(r.cs AS BIGINT) AS n_transitions,
+           round(r.cs * 1.0 / (SELECT n FROM tot), 6) AS pi,
+           round(-sum((t.c * 1.0 / r.cs) * ln(t.c * 1.0 / r.cs)), 6)
+             AS h_conditional,
+           round(-sum((t.c * 1.0 / (SELECT n FROM tot))
+                      * ln(t.c * 1.0 / r.cs)), 6) AS h_contribution
+    FROM trans t JOIN row_tot r ON r.s = t.s
+    GROUP BY t.s, r.cs ORDER BY 1
+    """,
+    tags=("stats", "entropy", "events"),
+)
+def analytics_markov_entropy(spark, sf_dir):
+    """ENTROPY RATE of the empirical event-type Markov chain: per
+    state, the stationary weight pi (empirical), the conditional
+    next-state entropy H(next | state), and its contribution
+    pi_i * H_i to the chain's entropy rate — the predictability
+    decomposition of user behavior (which states make the journey
+    deterministic vs chaotic). Companion to event_transition_matrix,
+    which emits the raw probabilities this query summarizes.
+
+    Scale: the lag window partitions per user (parallel); transition
+    counts are a |types|^2-bounded aggregate and all entropy algebra
+    runs there."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev").alias("s"), F.col("event_type").alias("tgt")
+    ).agg(F.count("*").alias("c"))
+    row_tot = trans.groupBy("s").agg(F.sum("c").alias("cs"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    j = trans.join(F.broadcast(row_tot), "s").crossJoin(F.broadcast(tot))
+    p_cond = F.col("c") * 1.0 / F.col("cs")
+    return (
+        j.groupBy("s", "cs")
+        .agg(
+            F.round(F.first("cs") * 1.0 / F.first("n"), 6).alias("pi"),
+            F.round(-F.sum(p_cond * F.log(p_cond)), 6).alias(
+                "h_conditional"
+            ),
+            F.round(
+                -F.sum(
+                    (F.col("c") * 1.0 / F.col("n")) * F.log(p_cond)
+                ),
+                6,
+            ).alias("h_contribution"),
+        )
+        .select(
+            F.col("s").alias("state"),
+            F.col("cs").cast("long").alias("n_transitions"),
+            "pi",
+            "h_conditional",
+            "h_contribution",
+        )
+        .orderBy("state")
+    )

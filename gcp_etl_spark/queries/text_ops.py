@@ -1124,3 +1124,182 @@ def text_burstiness(spark, sf_dir):
         .orderBy(F.desc("fano"), "word")
         .limit(15)
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+              '\\s+', ' ', 'g'), ' ') AS ws FROM documents)
+    ), marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN list_contains({list(STOPWORDS)}, w) OR w = ''
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks
+    ), islands AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM marked WHERE is_stop = 0
+    ), phrase_words AS (
+      SELECT doc_id, isl, w, pos,
+             count(*) OVER (PARTITION BY doc_id, isl) AS plen
+      FROM islands
+    ), word_scores AS (
+      SELECT w, sum(plen) * 1.0 / count(*) AS score
+      FROM phrase_words GROUP BY 1
+    ), phrases AS (
+      SELECT p.doc_id, p.isl,
+             string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+             sum(s.score) AS pscore,
+             max(p.plen) AS plen
+      FROM phrase_words p JOIN word_scores s ON s.w = p.w
+      GROUP BY 1, 2
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(max(pscore), 6) AS rake_score
+    FROM phrases WHERE plen >= 2
+    GROUP BY 1
+    ORDER BY rake_score DESC, phrase LIMIT 20
+    """,
+    tags=("text", "keywords", "documents"),
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al.): phrases are maximal runs
+    of non-stopword tokens (stopwords and empty tokens delimit);
+    word score = degree/frequency where degree sums the containing
+    phrase's length over occurrences; phrase score sums its word
+    scores. Top-20 multi-word phrases corpus-wide.
+
+    The phrase segmentation is the gaps-and-islands trick: among
+    non-stop tokens, pos - row_number() is constant exactly within a
+    consecutive run — one window partitioned by doc, no iteration.
+
+    Scale: windows partition by doc_id (parallel across docs); the
+    word-score relation is vocabulary-sized and broadcasts into the
+    phrase-score join; top-20 is TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+            )
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    nonstop = toks.filter(
+        (~F.array_contains(stop_arr, F.col("w"))) & (F.col("w") != "")
+    )
+    isl = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        )
+    ).alias("isl")
+    islands = nonstop.select("doc_id", "pos", "w", isl)
+    pw = islands.withColumn(
+        "plen", F.count("*").over(Window.partitionBy("doc_id", "isl"))
+    )
+    ws = pw.groupBy("w").agg(
+        (F.sum("plen") * 1.0 / F.count("*")).alias("score")
+    )
+    phrases = (
+        pw.join(F.broadcast(ws), "w")
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("p"), F.col("w").alias("w"))
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score").alias("pscore"),
+            F.max("plen").alias("plen"),
+        )
+    )
+    return (
+        phrases.filter(F.col("plen") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.round(F.max("pscore"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )
+
+
+@query(
+    "text_char_bigram_entropy",
+    oracle="""
+    WITH norm AS (
+      SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), bg AS (
+      SELECT substr(s, i, 2) AS xy, substr(s, i, 1) AS x
+      FROM norm, unnest(range(1, greatest(length(s) - 1, 0) + 1)) t(i)
+    ), cxy AS (
+      SELECT xy, x, count(*) AS c FROM bg GROUP BY 1, 2
+    ), cx AS (
+      SELECT x, sum(c) AS cx FROM cxy GROUP BY 1
+    ), tot AS (SELECT sum(c) AS n FROM cxy)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           round(-sum((c * 1.0 / (SELECT n FROM tot))
+                      * ln(c * 1.0 / cx.cx)), 6) AS cond_entropy_nats
+    FROM cxy JOIN cx USING (x)
+    """,
+    tags=("text", "entropy", "documents"),
+)
+def text_char_bigram_entropy(spark, sf_dir):
+    """CHARACTER-LEVEL conditional entropy H(next char | char) over
+    the corpus — the order-1 entropy rate (Shannon's printed-English
+    measurement): H = -sum p(xy) ln p(y|x) from bigram counts. Low
+    values flag templated/repetitive corpora long before a dedup pass;
+    natural English sits ~2.3-2.8 nats.
+
+    Scale: bigram EXPANSION stays inside the per-doc projection
+    (substr over an index sequence — zero joins); only (bigram, count)
+    pairs shuffle, bounded by alphabet^2, and the entropy algebra runs
+    over that tiny relation."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    n_b = F.greatest(F.length("s") - 1, F.lit(0))
+    bg = (
+        d.select(norm.alias("s"))
+        .select(
+            F.explode(
+                F.when(n_b >= 1, F.sequence(F.lit(1), n_b)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("i"),
+            "s",
+        )
+        .select(
+            F.col("s").substr(F.col("i"), F.lit(2)).alias("xy"),
+            F.col("s").substr(F.col("i"), F.lit(1)).alias("x"),
+        )
+    )
+    cxy = bg.groupBy("xy", "x").agg(F.count("*").alias("c"))
+    cx = cxy.groupBy("x").agg(F.sum("c").alias("cx"))
+    tot = cxy.agg(F.sum("c").alias("n"))
+    j = cxy.join(F.broadcast(cx), "x").crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.first("n").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            -F.sum(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log(F.col("c") * 1.0 / F.col("cx"))
+            ),
+            6,
+        ).alias("cond_entropy_nats"),
+    )
