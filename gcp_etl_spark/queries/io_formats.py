@@ -245,3 +245,58 @@ def io_jdbc_roundtrip(spark, sf_dir):
     return io.read_jdbc(
         spark, url, "serving_customer", partition_col="c_custkey"
     )
+
+
+@query(
+    "io_python_datasource",
+    # DuckDB reproduces the generator formula exactly (int64 algebra)
+    oracle="""
+    WITH g AS (
+      SELECT i, (i * 2654435761) % 4294967296 AS h
+      FROM (SELECT unnest(range(0, 2000)) AS i)
+    ), rows_ AS (
+      SELECT i AS id, h % 997 AS metric, (h // 256) % 10 AS sensor FROM g
+    )
+    SELECT sensor, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(metric) AS BIGINT) AS total_metric,
+           round(avg(metric), 4) AS avg_metric,
+           CAST(min(id) AS BIGINT) AS first_id
+    FROM rows_ GROUP BY 1 ORDER BY 1
+    """,
+    tags=("io", "datasource", "spark4"),
+)
+def io_python_datasource(spark, sf_dir):
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API,
+    ``gcp_etl_spark/sources/synthgen.py``): reads from a registered
+    pure-Python partitioned source — each InputPartition generates a
+    disjoint id range ON THE EXECUTORS (Arrow-batched), exactly the
+    extension point a user reaches for when an upstream system has no
+    Spark connector (the reference's Kaggle-HTTP ingest,
+    ``app/src/get_data_kaggle.py``, is this shape).
+
+    The rows come from a seeded integer formula, so the whole scan →
+    aggregate path is hash-verified against DuckDB replaying the same
+    algebra — a correctness gate on the DataSource plumbing itself
+    (partition boundaries, type mapping, Arrow transfer).
+
+    Scale: numPartitions input partitions scan independently like a
+    parquet scan; the aggregate is map-side combining."""
+    from gcp_etl_spark.sources.synthgen import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("rows", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("sensor")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("metric").cast("long").alias("total_metric"),
+            F.round(F.avg("metric"), 4).alias("avg_metric"),
+            F.min("id").cast("long").alias("first_id"),
+        )
+        .orderBy("sensor")
+    )

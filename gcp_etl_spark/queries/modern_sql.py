@@ -201,3 +201,158 @@ def subq_recursive_hierarchy(spark, sf_dir):
         return spark.sql(_hier_sql("part_hier_v", "div"))
     finally:
         spark.catalog.dropTempView("part_hier_v")
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "spark4", "orders"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL PIPE SYNTAX (Spark 4, the |> operator-chain form from
+    Google's 'Pipe Syntax in SQL' paper): the same filter → aggregate
+    → having → order pipeline expressed as sequential |> stages —
+    Catalyst resolves it to the identical plan as the nested-SELECT
+    form the oracle runs, which is exactly what this query pins
+    (the new parser front-end changes nothing semantically)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, cast(n_orders as bigint) AS n_orders,
+                  revenue
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS charged
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sql", "udf", "spark4", "lineitem"),
+)
+def sql_udf_scalar(spark, sf_dir):
+    """SQL-language scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``): the charged-amount business rule defined ONCE as a
+    catalog function and reused in the query — unlike a Python UDF it
+    inlines into the plan at analysis time, so whole-stage codegen and
+    pushdown still apply (the oracle runs the expanded expression; a
+    hash match proves the inlining is semantics-preserving)."""
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS charged_amount")
+    spark.sql(
+        """CREATE TEMPORARY FUNCTION charged_amount(
+             price DOUBLE, disc DOUBLE, tax DOUBLE)
+           RETURNS DOUBLE
+           RETURN price * (1 - disc) * (1 + tax)"""
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               cast(count(*) as bigint) AS n,
+               round(sum(charged_amount(l_extendedprice, l_discount, l_tax)),
+                     2) AS charged
+        FROM lineitem_udf_v
+        WHERE l_quantity >= 25
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+    FROM (
+      SELECT DISTINCT c.c_mktsegment, n.n_name
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ) GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "sql", "spark4"),
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4): deterministic ordered
+    string aggregation of the distinct nations per market segment —
+    the standard-SQL spelling of what previously required
+    array_sort(collect_set(...)) gymnastics. The ordered form is the
+    only hash-stable one (unordered listagg is nondeterministic under
+    partitioning by design).
+
+    Scale: the aggregation input is the DISTINCT (segment, nation)
+    relation — dimension-bounded, never the raw fact rows."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    c.join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    ).select("c_mktsegment", "n_name").distinct().createOrReplaceTempView(
+        "seg_nation_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               cast(count(DISTINCT n_name) as bigint) AS n_nations
+        FROM seg_nation_v GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "scalar_collation_lcase",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderpriority = upper(o_orderpriority)
+       OR o_orderpriority = lower(o_orderpriority)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sql", "collation", "spark4", "orders"),
+)
+def scalar_collation_lcase(spark, sf_dir):
+    """STRING COLLATION (Spark 4 COLLATE UTF8_LCASE): group and
+    compare case-insensitively WITHOUT rewriting every expression in
+    lower() — the collation rides the type. Comparisons and GROUP BY
+    on the collated column are case-insensitive by declaration; the
+    oracle expresses the same semantics with explicit lower()/upper(),
+    and the hash match pins the equivalence. Output keys are projected
+    through lower() so both engines emit identical key strings."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_coll_v")
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT o_orderpriority COLLATE UTF8_LCASE AS p
+          FROM orders_coll_v
+        )
+        SELECT cast(lower(p) as string) AS priority_ci,
+               cast(count(*) as bigint) AS n
+        FROM c
+        WHERE p = upper(p)  -- case-insensitive: always true under LCASE
+        GROUP BY lower(p) ORDER BY priority_ci
+        """
+    )

@@ -322,3 +322,64 @@ def test_stream_static_join_equals_batch(spark, events_stream_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API):
+    final per-user running totals from the stream must equal the batch
+    aggregation — the same equality streaming/stateful.py's
+    applyInPandasWithState operator pins, through the successor API.
+    Skips when the runtime can't run the protobuf-backed state server
+    (this container's google.protobuf is broken; see streaming/tws.py)."""
+    import pytest as _pytest
+
+    from gcp_etl_spark.streaming import tws
+
+    if not tws.available():
+        _pytest.skip("google.protobuf unavailable — transformWithState "
+                     "cannot start its state server in this container")
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.tables import t as tt
+
+    src = str(tmp_path / "src")
+    ev = tt(spark, SF_SMALL, "events").select("user_id", "value")
+    ev.filter("user_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("user_id")
+    )
+    out = tws.running_totals_tws(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_totals")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.sql(
+        "SELECT user_id, n_events, total_value, max_value FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY user_id"
+        "  ORDER BY n_events DESC) rn FROM tws_totals) WHERE rn = 1"
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in res.collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in want.collect()
+    }
+    assert got == exp
