@@ -327,12 +327,38 @@ def write_managed(df: DataFrame, path: str) -> int:
     return gen
 
 
-def read_managed(spark: SparkSession, path: str) -> DataFrame:
-    """Scan the ACTIVE generation of a managed dataset."""
-    gen = active_generation(path)
-    if gen is None:
-        raise FileNotFoundError(f"no active generation manifest under {path}")
-    return spark.read.parquet(_gen_dir(path, gen))
+def read_managed(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> DataFrame:
+    """Scan a managed dataset. By default the ACTIVE generation; pass
+    ``generation`` for TIME TRAVEL to any generation that has not been
+    vacuumed yet (the Delta/Iceberg ``VERSION AS OF`` shape — possible
+    precisely because generations are immutable and only the manifest
+    mutates)."""
+    if generation is None:
+        generation = active_generation(path)
+        if generation is None:
+            raise FileNotFoundError(
+                f"no active generation manifest under {path}"
+            )
+    gdir = _gen_dir(path, generation)
+    if not os.path.isdir(gdir):
+        raise FileNotFoundError(
+            f"generation {generation} not present under {path} "
+            "(vacuumed or never written)"
+        )
+    return spark.read.parquet(gdir)
+
+
+def list_generations(path: str) -> list[int]:
+    """Generations currently on disk (time-travel horizon), sorted."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[4:]) for n in names if n.startswith("gen-") and n[4:].isdigit()
+    )
 
 
 def vacuum_managed(path: str) -> list[str]:

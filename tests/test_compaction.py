@@ -114,3 +114,24 @@ def test_compact_managed_verify_guard(spark, tmp_path, monkeypatch):
     assert io.active_generation(path) == 0
     assert io.read_managed(spark, path).count() == 600
     assert not os.path.isdir(os.path.join(path, "gen-1"))
+
+
+def test_time_travel_reads_prior_generation(spark, tmp_path):
+    """VERSION-AS-OF time travel: immutable generations stay readable
+    until vacuumed; the manifest only moves the ACTIVE pointer."""
+    path = str(tmp_path / "managed_tt")
+    g0 = io.write_managed(_dataset(spark, n=100, parts=4), path)
+    g1 = io.write_managed(_dataset(spark, n=250, parts=4), path)
+    assert (g0, g1) == (0, 1)
+    assert io.list_generations(path) == [0, 1]
+    # default read = active (gen 1); explicit generation = time travel
+    assert io.read_managed(spark, path).count() == 250
+    assert io.read_managed(spark, path, generation=0).count() == 100
+    # vacuum collapses the horizon to the active generation only
+    removed = io.vacuum_managed(path)
+    assert removed == ["gen-0"]
+    assert io.list_generations(path) == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="generation 0"):
+        io.read_managed(spark, path, generation=0)
