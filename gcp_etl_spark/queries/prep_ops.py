@@ -473,3 +473,300 @@ def ann_range_search(spark, sf_dir):
         .select("q_id", "n_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.8)
     )
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ), tot AS (SELECT sum(n) AS tn, count(*) AS k FROM cnt)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(n * 1.0 / (SELECT tn FROM tot), 6) AS actual_share,
+           round(1.0 / (SELECT k FROM tot), 6) AS target_share,
+           round((1.0 / (SELECT k FROM tot)) / (n * 1.0 / (SELECT tn FROM tot)), 6)
+             AS sampling_weight,
+           CAST(round(n * least((1.0 / (SELECT k FROM tot))
+                      / (n * 1.0 / (SELECT tn FROM tot)), 1.0), 0) AS BIGINT)
+             AS docs_after_downsample
+    FROM cnt ORDER BY source
+    """,
+    tags=("llm", "sampling", "documents"),
+)
+def corpus_mix_rebalance(spark, sf_dir):
+    """CORPUS MIXTURE REBALANCING plan: per-source sampling weights
+    that move the corpus to a target mixture (uniform across sources
+    here) — weight = target_share / actual_share, with the
+    down-sample-only projection (weights capped at 1; up-weighting is
+    a repeat factor for the loader). This is the planning query behind
+    every 'we want 30% code, 20% web...' training-mix spec.
+
+    Scale: one count aggregate to a |sources|-row relation; all the
+    mixture algebra happens there."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("tn"), F.count("*").alias("k"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    actual = F.col("n") * 1.0 / F.col("tn")
+    target = 1.0 / F.col("k")
+    w = target / actual
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(w, 6).alias("sampling_weight"),
+        F.round(F.col("n") * F.least(w, F.lit(1.0)), 0)
+        .cast("long")
+        .alias("docs_after_downsample"),
+    ).orderBy("source")
+
+
+@query(
+    "events_inactivity_churn",
+    oracle="""
+    WITH last_seen AS (
+      SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+      FROM events GROUP BY 1
+    ), g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+    SELECT CASE
+             WHEN (SELECT gmax FROM g) - last_us <= 3 * 86400000000 THEN 'active_3d'
+             WHEN (SELECT gmax FROM g) - last_us <= 7 * 86400000000 THEN 'lapsing_7d'
+             WHEN (SELECT gmax FROM g) - last_us <= 14 * 86400000000 THEN 'dormant_14d'
+             ELSE 'churned'
+           END AS cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg((((SELECT gmax FROM g) - last_us) / 86400000000.0)), 4)
+             AS avg_days_inactive
+    FROM last_seen GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "churn", "events"),
+)
+def events_inactivity_churn(spark, sf_dir):
+    """INACTIVITY-BASED churn cohorts: users bucketed by days since
+    their last event relative to the corpus watermark (active ≤3d /
+    lapsing ≤7d / dormant ≤14d / churned) with per-cohort volume and
+    mean inactivity — the retention-ops counterpart of
+    retention_cohorts (which tracks acquisition-cohort survival).
+
+    Scale: one per-user max/count aggregate, broadcast watermark,
+    4-row rollup."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    last = e.groupBy("user_id").agg(
+        F.max("us").alias("last_us"), F.count("*").alias("n_events")
+    )
+    g = e.agg(F.max("us").alias("gmax"))
+    day_us = 86400000000
+    j = last.crossJoin(F.broadcast(g))
+    gap = F.col("gmax") - F.col("last_us")
+    cohort = (
+        F.when(gap <= 3 * day_us, "active_3d")
+        .when(gap <= 7 * day_us, "lapsing_7d")
+        .when(gap <= 14 * day_us, "dormant_14d")
+        .otherwise("churned")
+    )
+    return (
+        j.groupBy(cohort.alias("cohort"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.avg(gap / (day_us * 1.0)), 4).alias(
+                "avg_days_inactive"
+            ),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders
+                WHERE o_orderstatus = 'O')
+    SELECT CASE
+             WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                            (SELECT d FROM mx)) <= 30 THEN 'a_0_30d'
+             WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                            (SELECT d FROM mx)) <= 90 THEN 'b_31_90d'
+             WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                            (SELECT d FROM mx)) <= 365 THEN 'c_91_365d'
+             ELSE 'd_over_1y'
+           END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_open,
+           round(sum(o_totalprice), 2) AS open_value,
+           round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                               (SELECT d FROM mx))), 2) AS avg_age_days
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "dq", "orders"),
+)
+def orders_backlog_aging(spark, sf_dir):
+    """OPEN-ORDER BACKLOG AGING: orders still open ('O') bucketed by
+    age against the corpus max date (0-30 / 31-90 / 91-365 / >1y) with
+    count, tied-up value, and mean age — the operations
+    aging-report shape (receivables/backlog) on the order fact.
+
+    Scale: status filter pushes to the scan; one broadcast max-date
+    and a 4-row rollup."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("d"))
+    j = o.crossJoin(F.broadcast(mx))
+    age = F.datediff(F.col("d"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "a_0_30d")
+        .when(age <= 90, "b_31_90d")
+        .when(age <= 365, "c_91_365d")
+        .otherwise("d_over_1y")
+    )
+    return (
+        j.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+            F.round(F.avg(age), 2).alias("avg_age_days"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+      FROM flat GROUP BY 1
+    ), var_ AS (
+      SELECT dim, s2 / n - (s1 / n) * (s1 / n) AS var FROM s
+    ), ranked AS (
+      SELECT dim, var,
+             sum(var) OVER (ORDER BY var DESC, dim
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(var) OVER () AS tot,
+             row_number() OVER (ORDER BY var DESC, dim) AS rk
+      FROM var_
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, CAST(dim AS BIGINT) AS dim,
+           round(var, 10) AS variance,
+           round(cum / tot, 6) AS cum_variance_share
+    FROM ranked WHERE rk <= 16 ORDER BY rank
+    """,
+    tags=("llm", "embedding", "documents"),
+)
+def embedding_dim_variance(spark, sf_dir):
+    """PER-DIMENSION VARIANCE spectrum of the embedding corpus: the
+    top-16 highest-variance dimensions with their cumulative share of
+    total variance — the axis-aligned (no-rotation) screening that
+    tells you whether cheap dimension PRUNING suffices before paying
+    for PCA (embedding_pca_project) or PQ.
+
+    Scale: posexplode → 64-group power-sum aggregate; the ranking
+    windows run over the 64-row variance relation."""
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        )
+    ).select((F.col("dim0") + 1).alias("dim"), "v")
+    s = flat.groupBy("dim").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    var = (
+        F.col("s2") / F.col("n")
+        - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    ).alias("var")
+    v = s.select("dim", var)
+    wseq = Window.orderBy(F.desc("var"), "dim")
+    ranked = v.select(
+        "dim",
+        "var",
+        F.sum("var").over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("var").over(
+            Window.partitionBy()
+        ).alias("tot"),
+        F.row_number().over(wseq).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 16)
+        .select(
+            F.col("rk").cast("long").alias("rank"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round("var", 10).alias("variance"),
+            F.round(F.col("cum") / F.col("tot"), 6).alias(
+                "cum_variance_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "analytics_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+      GROUP BY 1
+    ), lat AS (
+      SELECT (p.t_buy - v.t_view) / 3600000000.0 AS hours
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           round(quantile_cont(hours, 0.99), 4) AS p99_hours,
+           round(avg(hours), 4) AS mean_hours
+    FROM lat
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def analytics_conversion_latency(spark, sf_dir):
+    """TIME-TO-CONVERT distribution: latency from a user's first view
+    to their first subsequent purchase, summarized as exact
+    p50/p90/p99/mean hours — the funnel-velocity metric
+    funnel_3step's step counts don't expose (how LONG the funnel
+    takes, not just who falls through).
+
+    Scale: two min-aggregates with a broadcast survivor join
+    (funnel_3step's shape); the percentile runs over the
+    converter-bounded latency relation."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    lat = p.join(F.broadcast(v), "user_id").select(
+        ((F.col("t_buy") - F.col("t_view")) / 3600000000.0).alias("hours")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converters"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+        F.round(F.expr("percentile(hours, 0.99)"), 4).alias("p99_hours"),
+        F.round(F.avg("hours"), 4).alias("mean_hours"),
+    )

@@ -1303,3 +1303,89 @@ def text_char_bigram_entropy(spark, sf_dir):
             6,
         ).alias("cond_entropy_nats"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS g
+      FROM toks, unnest(range(0, greatest(len(ws) - 2, 0))) t(i)
+      WHERE len(ws) >= 3
+    ), half AS (SELECT max(doc_id) / 2 AS mid FROM documents),
+    old_g AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id <= (SELECT mid FROM half)
+    ), new_sh AS (
+      SELECT doc_id, g FROM sh WHERE doc_id > (SELECT mid FROM half)
+    ), per_doc AS (
+      SELECT n.doc_id, count(*) AS n_grams,
+             count(*) FILTER (o.g IS NULL) AS n_novel
+      FROM new_sh n LEFT JOIN old_g o ON o.g = n.g
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_new_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+           round(sum(n_novel) * 1.0 / sum(n_grams), 6) AS novelty_rate,
+           round(avg(n_novel * 1.0 / n_grams), 6) AS avg_doc_novelty
+    FROM per_doc
+    """,
+    tags=("text", "dedup", "documents"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-GRAM NOVELTY of the newer corpus half against the older half:
+    the fraction of a new document's distinct trigrams never seen in
+    any old document — the staleness/regurgitation monitor for
+    incremental corpus refreshes (a crawl batch whose novelty rate
+    collapses is re-crawling what you already have).
+
+    Scale: old-half trigrams reduce to a DISTINCT shingle relation
+    (vocabulary-sized); the novelty check is a hash-led LEFT join of
+    new-half postings against it — counts shuffle, text doesn't. The
+    incremental-crawl dual of decontaminate_ngram_overlap (which
+    probes a broadcast eval set instead)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ").alias("ws")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(ws) >= 3,"
+                " transform(sequence(0, size(ws) - 3),"
+                "  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])),"
+                " array())"
+            )
+        ).alias("g"),
+    ).distinct()
+    mid = d.agg((F.max("doc_id") / 2).alias("mid"))
+    shm = sh.crossJoin(F.broadcast(mid))
+    old_g = shm.filter(F.col("doc_id") <= F.col("mid")).select("g").distinct()
+    new_sh = shm.filter(F.col("doc_id") > F.col("mid")).select("doc_id", "g")
+    per_doc = (
+        new_sh.join(
+            old_g.withColumn("seen", F.lit(1)), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("seen").isNull(), 1)).alias("n_novel"),
+        )
+    )
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_new_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_novel").cast("long").alias("novel_grams"),
+        F.round(F.sum("n_novel") * 1.0 / F.sum("n_grams"), 6).alias(
+            "novelty_rate"
+        ),
+        F.round(
+            F.avg(F.col("n_novel") * 1.0 / F.col("n_grams")), 6
+        ).alias("avg_doc_novelty"),
+    )
