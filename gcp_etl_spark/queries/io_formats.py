@@ -300,3 +300,54 @@ def io_python_datasource(spark, sf_dir):
         )
         .orderBy("sensor")
     )
+
+
+@query(
+    "io_csv_multiline_quoted",
+    # the oracle recomputes the derived gnarly column from the source
+    # table — a hash match proves the CSV writer+parser preserved
+    # embedded newlines, quotes, and delimiters byte-for-byte
+    oracle="""
+    SELECT n_nationkey,
+           n_name || chr(10) || 'line2,"quoted"' || chr(10)
+             || CAST(n_regionkey AS VARCHAR) AS gnarly,
+           length(n_name || chr(10) || 'line2,"quoted"' || chr(10)
+             || CAST(n_regionkey AS VARCHAR)) AS n_chars
+    FROM nation
+    """,
+    tags=("io", "csv", "dirty-data"),
+)
+def io_csv_multiline_quoted(spark, sf_dir):
+    """CSV DIRTY-DATA roundtrip: values containing embedded NEWLINES,
+    the delimiter, and double quotes — the cases that break naive
+    line-oriented CSV consumers. Written with Spark's quoting/escaping
+    defaults and read back with ``multiLine=true`` (without it the
+    parser would split records at the embedded newlines). The oracle
+    recomputes the same derived values from the source table, so the
+    writer→parser loop is hash-verified byte-for-byte.
+
+    Scale note: multiLine CSV is NOT splittable (a file must be parsed
+    whole since record boundaries are quote-context-dependent) —
+    parallelism comes from many files, which the write side already
+    produces one-per-partition; for splittable ingest at 100 TB,
+    convert to parquet at the edge (the reference's own zone-0→zone-1
+    move, SURVEY.md EP1)."""
+    n = t(spark, sf_dir, "nation")
+    gnarly = F.concat(
+        F.col("n_name"),
+        F.lit('\nline2,"quoted"\n'),
+        F.col("n_regionkey").cast("string"),
+    )
+    df = n.select(
+        "n_nationkey",
+        gnarly.alias("gnarly"),
+        F.length(gnarly).cast("long").alias("n_chars"),
+    )
+    d = tempfile.mkdtemp(prefix="io_csv_ml_")
+    df.write.mode("overwrite").option("header", True).csv(d)
+    return (
+        spark.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(d)
+    )

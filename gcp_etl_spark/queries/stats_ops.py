@@ -1195,3 +1195,175 @@ def analytics_markov_entropy(spark, sf_dir):
         )
         .orderBy("state")
     )
+
+
+@query(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH mid AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS m FROM events
+    ), treated AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(e.ts) >= (SELECT m FROM mid)
+                  THEN 1 ELSE 0 END AS post,
+             e.value
+      FROM events e LEFT JOIN treated t ON t.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+    ), m2 AS (
+      SELECT treated, post, avg(value) AS mu, count(*) AS n
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT
+      CAST(sum(n) AS BIGINT) AS n_obs,
+      round(max(CASE WHEN treated = 1 AND post = 1 THEN mu END), 6) AS t_post,
+      round(max(CASE WHEN treated = 1 AND post = 0 THEN mu END), 6) AS t_pre,
+      round(max(CASE WHEN treated = 0 AND post = 1 THEN mu END), 6) AS c_post,
+      round(max(CASE WHEN treated = 0 AND post = 0 THEN mu END), 6) AS c_pre,
+      round((max(CASE WHEN treated = 1 AND post = 1 THEN mu END)
+             - max(CASE WHEN treated = 1 AND post = 0 THEN mu END))
+            - (max(CASE WHEN treated = 0 AND post = 1 THEN mu END)
+               - max(CASE WHEN treated = 0 AND post = 0 THEN mu END)), 6)
+        AS did_estimate
+    FROM m2
+    """,
+    tags=("stats", "experimentation", "events"),
+)
+def analytics_diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES: purchasers (ever) as the treated
+    group, the window midpoint as the intervention, non-purchase
+    event values as the outcome — DiD = (T_post - T_pre) -
+    (C_post - C_pre), the parallel-trends causal estimate that a
+    naive post-only comparison gets wrong whenever groups differ at
+    baseline.
+
+    Scale: treated flags come from a distinct-user relation joined
+    hash-led (broadcast at dimension scale); the whole 2x2 design
+    collapses in ONE aggregation pass."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mid = e.agg(((F.min("us") + F.max("us")) / 2).alias("m"))
+    treated = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_t", F.lit(1))
+    )
+    cells = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(treated), "user_id", "left")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.coalesce(F.col("is_t"), F.lit(0)).alias("treated"),
+            F.when(F.col("us") >= F.col("m"), 1).otherwise(0).alias("post"),
+            "value",
+        )
+    )
+    m2 = cells.groupBy("treated", "post").agg(
+        F.avg("value").alias("mu"), F.count("*").alias("n")
+    )
+
+    def cell(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po), F.col("mu")
+            )
+        )
+
+    return m2.agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.round(cell(1, 1), 6).alias("t_post"),
+        F.round(cell(1, 0), 6).alias("t_pre"),
+        F.round(cell(0, 1), 6).alias("c_post"),
+        F.round(cell(0, 0), 6).alias("c_pre"),
+        F.round(
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "analytics_cuped",
+    oracle="""
+    WITH mid AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS m FROM events
+    ), per_user AS (
+      SELECT user_id,
+             avg(value) FILTER (epoch_us(ts) <  (SELECT m FROM mid)) AS pre,
+             avg(value) FILTER (epoch_us(ts) >= (SELECT m FROM mid)) AS post
+      FROM events GROUP BY 1
+    ), both_ AS (
+      SELECT pre, post FROM per_user
+      WHERE pre IS NOT NULL AND post IS NOT NULL
+    ), s AS (
+      SELECT count(*) AS n, avg(pre) AS mp, avg(post) AS mq,
+             sum(pre * post) AS spq, sum(pre * pre) AS spp,
+             sum(post * post) AS sqq
+      FROM both_
+    ), fit AS (
+      SELECT n, mp, mq,
+             (spq - n * mp * mq) / (spp - n * mp * mp) AS theta,
+             (sqq - n * mq * mq) / n AS var_post,
+             (spq - n * mp * mq) * (spq - n * mp * mq)
+               / ((spp - n * mp * mp) * (sqq - n * mq * mq)) AS rho2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(theta, 6) AS theta,
+           round(var_post, 6) AS var_raw,
+           round(var_post * (1 - rho2), 6) AS var_cuped,
+           round(rho2, 6) AS variance_reduction
+    FROM fit
+    """,
+    tags=("stats", "experimentation", "events"),
+)
+def analytics_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al., controlled experiments
+    Using Pre-Experiment Data): theta = cov(pre, post) / var(pre) from
+    per-user pre/post-midpoint means; the adjusted metric
+    post - theta*(pre - mean_pre) has variance var_post * (1 - rho^2) —
+    reported as the achievable variance-reduction fraction (how much
+    smaller an A/B test this telemetry affords). All from one pass of
+    power sums — the experimentation-platform companion to
+    ab_test_proportions.
+
+    Scale: single per-user conditional aggregate + one moment pass."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mid = e.agg(((F.min("us") + F.max("us")) / 2).alias("m"))
+    per_user = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("us") < F.col("m"), F.col("value"))).alias(
+                "pre"
+            ),
+            F.avg(F.when(F.col("us") >= F.col("m"), F.col("value"))).alias(
+                "post"
+            ),
+        )
+        .filter(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    )
+    s = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("pre").alias("mp"),
+        F.avg("post").alias("mq"),
+        F.sum(F.col("pre") * F.col("post")).alias("spq"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("post") * F.col("post")).alias("sqq"),
+    )
+    cov = F.col("spq") - F.col("n") * F.col("mp") * F.col("mq")
+    vp = F.col("spp") - F.col("n") * F.col("mp") * F.col("mp")
+    vq = F.col("sqq") - F.col("n") * F.col("mq") * F.col("mq")
+    theta = cov / vp
+    rho2 = cov * cov / (vp * vq)
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vq / F.col("n"), 6).alias("var_raw"),
+        F.round((vq / F.col("n")) * (1 - rho2), 6).alias("var_cuped"),
+        F.round(rho2, 6).alias("variance_reduction"),
+    )

@@ -84,3 +84,83 @@ def test_minhash_identical_docs_have_identical_signatures(spark, words):
     sigs = {r["doc_id"]: r["sig"] for r in
             minhash_signatures(df, "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef .", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnowing_guarantee_random_texts(spark, texts):
+    """Winnowing's shared-substring => shared-fingerprint guarantee on
+    hypothesis-generated texts: append one common 13-char rare string
+    to every doc long enough to fingerprint; all such docs must share
+    a decoded hash (exercises the 21-bit position packing on arbitrary
+    lengths/whitespace shapes)."""
+    import gcp_etl_spark.queries.text_ops as to
+
+    shared = " zqxjvwpbyfgmk"
+    docs = spark.createDataFrame(
+        [(i, txt + shared) for i, txt in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    orig = to.t
+    to.t = lambda _s, _d, _n: docs
+    try:
+        out = to.text_winnowing_fingerprint(spark, "ignored").collect()
+    finally:
+        to.t = orig
+    by_id = {r["doc_id"]: r for r in out}
+    # every doc ends with the 14-char shared suffix >= w+k-1=8, so all
+    # fingerprint digests must be nonempty and any two docs whose
+    # normalized text is identical must have identical digests
+    assert all(r["n_selected"] >= 1 for r in out)
+    norm = {}
+    for i, txt in enumerate(texts):
+        key = " ".join((txt + shared).lower().split())
+        norm.setdefault(key, []).append(i)
+    for ids in norm.values():
+        fps = {by_id[i]["fp"] for i in ids if i in by_id}
+        assert len(fps) <= 1, "identical normalized docs got different fps"
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["en", "es"]), st.sampled_from(["web", "book", "code"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stratified_sample_exact_quotas(spark, rows):
+    """sample_stratified_exact's quota law on random strata shapes:
+    every stratum takes exactly ceil(0.1 * n) docs — never 0, never
+    more — and re-running yields the identical taken-id fingerprint
+    (determinism without rand())."""
+    import math
+
+    import gcp_etl_spark.queries.prep_ops as po
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", lang, src, 10) for i, (lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = po.t
+    po.t = lambda _s, _d, _n: docs
+    try:
+        r1 = po.sample_stratified_exact(spark, "ignored").collect()
+        r2 = po.sample_stratified_exact(spark, "ignored").collect()
+    finally:
+        po.t = orig
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    from collections import Counter
+
+    strata = Counter(rows)
+    got = {(r["lang"], r["source"]): r for r in r1}
+    assert set(got) == set(strata)
+    for k, n in strata.items():
+        assert got[k]["n_total"] == n
+        assert got[k]["n_taken"] == math.ceil(0.1 * n)
