@@ -336,3 +336,42 @@ def window_samples(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, WINDOW_SCHEMA)
+
+
+HIST_SCHEMA = "media_id long, bin int, n long"
+
+
+def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-image pixel-value HISTOGRAM (uniform bins over [0, 256)):
+    decode each PNG inside mapInPandas and emit only ``n_bins`` count
+    rows per image — the brightness/exposure profile used for
+    corpus-level quality screens (all-black/all-white/low-dynamic-range
+    detection) without any pixel ever leaving the task.
+
+    numpy ``bincount`` over ``value >> shift`` per batch; undecodable
+    payloads yield no rows (callers LEFT JOIN if they need presence)."""
+    import numpy as np
+    import pandas as pd
+
+    shift = 8 - (n_bins - 1).bit_length()  # 256 / n_bins, power of two
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gcp_etl_spark.llm import codecs
+
+        for pdf in it:
+            ids: list[int] = []
+            bins: list[int] = []
+            cnts: list[int] = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    vals = codecs.png_decode(bytes(b)).ravel()
+                except Exception:  # noqa: BLE001 - skip undecodable payloads
+                    continue
+                counts = np.bincount(vals >> shift, minlength=n_bins)
+                for bi in range(n_bins):
+                    ids.append(int(mid))
+                    bins.append(bi)
+                    cnts.append(int(counts[bi]))
+            yield pd.DataFrame({"media_id": ids, "bin": bins, "n": cnts})
+
+    return df.mapInPandas(batches, HIST_SCHEMA)

@@ -1495,3 +1495,46 @@ def dedup_substring_spans(spark, sf_dir):
         )
         .filter(F.col("longest_span_words") >= 8)
     )
+
+
+@query(
+    "multimodal_image_histogram",
+    # same real-PNG fixtures as multimodal_image_decode; the oracle
+    # recomputes the 16-bin histogram from the pixel formula
+    oracle="""
+    WITH ids AS (SELECT 2 * i AS media_id FROM generate_series(0, 31) t(i)),
+    px AS (
+      SELECT ids.media_id,
+             ((13 * ids.media_id + 7 * x.x + 11 * y.y + 17 * c.c) % 256)
+               // 16 AS bin
+      FROM ids,
+           generate_series(0, 23) x(x),
+           generate_series(0, 23) y(y),
+           generate_series(0, 2) c(c)
+    )
+    SELECT media_id, CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM px GROUP BY 1, 2
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_image_histogram(spark, sf_dir):
+    """PER-IMAGE PIXEL HISTOGRAM over the REAL PNG decode path: 16
+    uniform brightness bins per image, computed with numpy bincount
+    inside mapInPandas — the exposure/dynamic-range screen a
+    multimodal curation pipeline runs before training (all-black
+    frames, clipped scans). The oracle rebuilds every pixel from the
+    generator formula and histograms it relationally, so the decode +
+    binning path is hash-verified bin-for-bin.
+
+    Scale: 16 rows per image leave the task; pixels never shuffle
+    (same contract as multimodal_image_decode)."""
+    from gcp_etl_spark.llm.multimodal import (
+        pixel_histogram,
+        synthesize_codec_media,
+    )
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "image/png"
+    )
+    return pixel_histogram(media, n_bins=16)
