@@ -770,3 +770,62 @@ def analytics_conversion_latency(spark, sf_dir):
         F.round(F.expr("percentile(hours, 0.99)"), 4).alias("p99_hours"),
         F.round(F.avg("hours"), 4).alias("mean_hours"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             count(*) AS grp_n,
+             count(DISTINCT CAST(round(c_acctbal, -3) AS BIGINT))
+               AS sensitive_diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (grp_n < 5) AS BIGINT) AS groups_below_k5,
+           CAST(coalesce(sum(grp_n) FILTER (grp_n < 5), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           CAST(count(*) FILTER (sensitive_diversity < 2) AS BIGINT)
+             AS groups_below_l2
+    FROM qi
+    """,
+    tags=("dq", "privacy", "customer"),
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY / L-DIVERSITY audit over the (nation, segment)
+    quasi-identifier: group sizes below k=5 re-identify individuals by
+    attribute combination; groups whose bucketed account balance (the
+    sensitive attribute, coarsened to $1000 bands) shows fewer than
+    l=2 distinct values leak it even when k holds — the release
+    pre-check a training-data pipeline runs before shipping any
+    user-derived table.
+
+    Scale: one hash aggregate to the QI-bounded group relation; all
+    audit algebra runs there."""
+    c = t(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(
+        F.count("*").alias("grp_n"),
+        F.countDistinct(
+            F.round(F.col("c_acctbal"), -3).cast("long")
+        ).alias("sensitive_diversity"),
+    )
+    return qi.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.count(F.when(F.col("grp_n") < 5, 1))
+        .cast("long")
+        .alias("groups_below_k5"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        F.count(F.when(F.col("sensitive_diversity") < 2, 1))
+        .cast("long")
+        .alias("groups_below_l2"),
+    )

@@ -1367,3 +1367,101 @@ def analytics_cuped(spark, sf_dir):
         F.round((vq / F.col("n")) * (1 - rho2), 6).alias("var_cuped"),
         F.round(rho2, 6).alias("variance_reduction"),
     )
+
+
+@query(
+    "stat_crosstab_exact",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS BIGINT)
+             AS automobile,
+           CAST(count(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT)
+             AS building,
+           CAST(count(*) FILTER (c_mktsegment = 'FURNITURE') AS BIGINT)
+             AS furniture,
+           CAST(count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS BIGINT)
+             AS household,
+           CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT)
+             AS machinery
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "crosstab", "customer"),
+)
+def stat_crosstab_exact(spark, sf_dir):
+    """EXACT contingency crosstab via ``df.stat.crosstab`` — the
+    DataFrameStatFunctions entry point (SURVEY §2B scalar/stat
+    surface), normalized to typed columns: nation x segment counts,
+    zero-filled. crosstab returns string keys and value-derived column
+    names; the projection pins both to a stable lowercase schema so
+    the oracle's FILTER pivot matches column-for-column.
+
+    Scale: crosstab is one groupBy(a, b) count + a driver-side pivot
+    of the (|a| x |b|)-bounded result — dimension-sized, fine
+    whenever the category product is (nations x segments here)."""
+    c = t(spark, sf_dir, "customer")
+    ct = c.stat.crosstab("c_nationkey", "c_mktsegment")
+    return (
+        ct.select(
+            F.col("c_nationkey_c_mktsegment").cast("long").alias("nation"),
+            F.col("AUTOMOBILE").alias("automobile"),
+            F.col("BUILDING").alias("building"),
+            F.col("FURNITURE").alias("furniture"),
+            F.col("HOUSEHOLD").alias("household"),
+            F.col("MACHINERY").alias("machinery"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "analytics_stl_lite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ), trend AS (
+      SELECT d, y, avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS tr
+      FROM daily
+    ), seas AS (
+      SELECT d, y, tr,
+             avg(y - tr) OVER (PARTITION BY dayofweek(d)) AS s
+      FROM trend
+    )
+    SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(s), 4) AS seasonal,
+           round(avg(abs(y - tr - s)), 4) AS mean_abs_residual
+    FROM seas GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "timeseries", "orders"),
+)
+def analytics_stl_lite(spark, sf_dir):
+    """STL-LITE seasonal decomposition of daily revenue: centered
+    7-day moving-average TREND, day-of-week mean-of-detrended
+    SEASONAL, and the residual magnitude per weekday — the one-pass
+    relational approximation of STL (no loess, no iteration) that
+    answers 'is the weekly cycle real and how big is what's left'.
+
+    Scale: both windows run over the calendar-bounded daily relation;
+    the weekday partition has 7 groups of ~n_days/7 rows each."""
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    wtr = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select("d", "y", F.avg("y").over(wtr).alias("tr"))
+    dow = F.dayofweek("d")
+    seas = trend.withColumn(
+        "s", F.avg(F.col("y") - F.col("tr")).over(Window.partitionBy(dow))
+    )
+    return (
+        seas.groupBy(dow.cast("long").alias("dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.max("s"), 4).alias("seasonal"),
+            F.round(
+                F.avg(F.abs(F.col("y") - F.col("tr") - F.col("s"))), 4
+            ).alias("mean_abs_residual"),
+        )
+        .orderBy("dow")
+    )
