@@ -56,7 +56,9 @@ def dedup_paragraph_exact(spark, sf_dir):
     text); the document-frequency relation is vocabulary-sized and the
     per-doc rollup is one hash aggregate. This is the C4/RefinedWeb
     'repeated line removal' shape expressed relationally."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
     sent = (
         d.select("doc_id", F.explode(F.split(norm, r"\. ")).alias("sraw"))
@@ -188,7 +190,9 @@ def quality_composite_score(spark, sf_dir):
     until the per-source rollup); the stopword list is a 15-element
     literal array — no join. Exact median per source via percentile
     over the per-source groups."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     stop = [
         "the", "a", "an", "and", "or", "of", "to", "in", "is",
         "it", "that", "for", "on", "with", "as",

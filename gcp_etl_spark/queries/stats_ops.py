@@ -770,7 +770,9 @@ def analytics_heaps_law(spark, sf_dir):
     aggregations; the cumulative windows run over the per-DOC count
     relation (bounded by #docs, tiny vs token volume). The companion
     of text_zipf_fit (frequency law) on the growth axis."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     words = d.select(
         "doc_id",
         F.explode(

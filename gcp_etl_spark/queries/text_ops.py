@@ -961,7 +961,9 @@ def text_readability_flesch(spark, sf_dir):
 
     Scale: three regexp counters in one zero-shuffle projection, then
     a per-source rollup."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     words = F.greatest(
         F.size(
             F.split(
@@ -1025,7 +1027,9 @@ def text_hapax_ratio(spark, sf_dir):
 
     Scale: one (source, word) hash aggregate — counts shuffle, text
     doesn't; the frequency-of-frequency rollup is vocabulary-sized."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     words = d.select(
         "source",
         F.explode(
@@ -1091,7 +1095,9 @@ def text_burstiness(spark, sf_dir):
 
     Scale: counts shuffle on (word, doc) then word — vocabulary-sized
     states; top-15 is TakeOrderedAndProject."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     n_docs = d.count()
     words = d.select(
         "doc_id",
@@ -1180,7 +1186,9 @@ def text_rake_keywords(spark, sf_dir):
     Scale: windows partition by doc_id (parallel across docs); the
     word-score relation is vocabulary-sized and broadcasts into the
     phrase-score join; top-20 is TakeOrderedAndProject."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     toks = d.select(
         "doc_id",
         F.posexplode(
@@ -1272,21 +1280,25 @@ def text_char_bigram_entropy(spark, sf_dir):
     over that tiny relation."""
     d = t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
-    n_b = F.greatest(F.length("s") - 1, F.lit(0))
+    # build the 2-char grams INSIDE the per-doc transform and explode
+    # only those: exploding the position index instead would duplicate
+    # the full document string into every bigram row (measured 9x
+    # slower at sf1.0 — the intermediate carried |doc| bytes per gram)
+    par = spark.sparkContext.defaultParallelism
     bg = (
-        d.select(norm.alias("s"))
+        d.repartition(par)  # single-file doc scan -> use every core
+        .select(norm.alias("s"))
         .select(
             F.explode(
-                F.when(n_b >= 1, F.sequence(F.lit(1), n_b)).otherwise(
-                    F.array().cast("array<int>")
+                F.expr(
+                    "if(length(s) >= 2,"
+                    " transform(sequence(1, length(s) - 1),"
+                    "  i -> substr(s, i, 2)),"
+                    " array())"
                 )
-            ).alias("i"),
-            "s",
+            ).alias("xy")
         )
-        .select(
-            F.col("s").substr(F.col("i"), F.lit(2)).alias("xy"),
-            F.col("s").substr(F.col("i"), F.lit(1)).alias("x"),
-        )
+        .select("xy", F.substring("xy", 1, 1).alias("x"))
     )
     cxy = bg.groupBy("xy", "x").agg(F.count("*").alias("c"))
     cx = cxy.groupBy("x").agg(F.sum("c").alias("cx"))
@@ -1349,7 +1361,9 @@ def text_ngram_novelty(spark, sf_dir):
     new-half postings against it — counts shuffle, text doesn't. The
     incremental-crawl dual of decontaminate_ngram_overlap (which
     probes a broadcast eval set instead)."""
-    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    # single-file doc scan -> 2 input splits; fan out to every core
     toks = d.select(
         "doc_id", F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ").alias("ws")
     )

@@ -82,6 +82,19 @@ HEADLINE = [
     "text_winnowing_fingerprint",
     "sketch_heavy_hitters",
     "analytics_lttb_downsample",
+    # round-4 additions with a scale story worth an empirical exponent
+    "analytics_theil_sen",
+    "analytics_mann_whitney",
+    "analytics_spearman",
+    "dedup_paragraph_exact",
+    "text_rake_keywords",
+    "text_char_bigram_entropy",
+    "text_burstiness",
+    "graph_clustering_coefficient",
+    "sample_stratified_exact",
+    "analytics_decile_lift",
+    "embedding_quantize_int8",
+    "analytics_heaps_law",
 ]
 
 
