@@ -364,3 +364,64 @@ def udf_arrow_scalar(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "udtf_polymorphic_analyze",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           split_part(o_orderpriority, '-', 1) AS part_1,
+           split_part(o_orderpriority, '-', 2) AS part_2
+    FROM orders GROUP BY 1, 3, 4 ORDER BY 1
+    """,
+    tags=("udf", "udtf", "spark4", "orders"),
+)
+def udtf_polymorphic_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` static method):
+    the output SCHEMA is computed at plan time from the call's literal
+    argument — here a splitter whose number of output columns
+    (part_1..part_N) depends on the requested part count, which a
+    fixed ``returnType`` cannot express. Catalyst calls ``analyze``
+    during resolution, so downstream operators see real typed columns
+    (prunable, codegen-compatible), not a map.
+
+    The oracle replays the split with split_part; a hash match pins
+    the dynamic schema path end-to-end. Row-Python declared-API demo,
+    same policy as udtf_split_sentences (production shape: split_part
+    expressions)."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitParts:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"part_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._n = None if analyze_result is None else len(
+                analyze_result.schema
+            )
+
+        def eval(self, s, n):
+            parts = (s or "").split("-")
+            width = self._n or n
+            yield tuple(
+                parts[i] if i < len(parts) else "" for i in range(width)
+            )
+
+    spark.udtf.register("split_parts", SplitParts)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               cast(count(*) as bigint) AS n, s.part_1, s.part_2
+        FROM orders_udtf_v o,
+             LATERAL split_parts(o.o_orderpriority, 2) s
+        GROUP BY 1, 3, 4 ORDER BY 1
+        """
+    )
