@@ -833,3 +833,64 @@ def privacy_k_anonymity(spark, sf_dir):
         .cast("long")
         .alias("groups_below_l2"),
     )
+
+
+@query(
+    "dq_near_duplicate_rows",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           round(a.o_totalprice, 2) AS totalprice,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.d, b.d)) <= 1
+    ORDER BY custkey, orderkey_a, orderkey_b
+    """,
+    tags=("dq", "dedup", "orders"),
+)
+def dq_near_duplicate_rows(spark, sf_dir):
+    """NEAR-DUPLICATE ROW detector: same customer, identical total,
+    order dates within one day — the double-submission / retry-ghost
+    pattern exact row-dedup misses because the surrogate key and
+    timestamp differ. The equi-join runs on (custkey, totalprice) —
+    both sides hash-colocate, the day-gap residual filters after — so
+    NO banded replication is needed (the equality columns already
+    bound the candidates).
+
+    Scale: one self-equi-join on high-cardinality keys; candidate
+    groups are per-(customer, amount) and tiny. The per-key variant of
+    snapshot_diff's table-level reconciliation."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    gap = F.datediff(F.col("b.d"), F.col("a.d"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(gap) <= 1),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.round("a.o_totalprice", 2).alias("totalprice"),
+            gap.cast("long").alias("day_gap"),
+        )
+        .orderBy("custkey", "orderkey_a", "orderkey_b")
+    )

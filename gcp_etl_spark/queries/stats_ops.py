@@ -1467,3 +1467,52 @@ def analytics_stl_lite(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "analytics_weighted_metric_trap",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag, l_quantity AS q,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           round(avg(unit_price), 4) AS avg_of_ratios,
+           round(sum(unit_price * q) / sum(q), 4)
+             AS qty_weighted_ratio,
+           round(sum(unit_price * q) / sum(q) - avg(unit_price), 4)
+             AS weighting_gap
+    FROM li GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "dq", "lineitem"),
+)
+def analytics_weighted_metric_trap(spark, sf_dir):
+    """The WEIGHTED-METRIC TRAP made visible: per flag, the naive
+    average of per-line unit prices vs the quantity-weighted average
+    (ratio of sums), plus their gap — the aggregation-design bug class
+    (avg-of-ratios treats a 1-unit line and a 50-unit line as equal
+    evidence) that silently skews every dashboard it touches. A
+    nonzero gap quantifies how much the metric definition matters on
+    THIS data.
+
+    Scale: one map-side-combining aggregate; both definitions ride the
+    same pass."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(up), 4).alias("avg_of_ratios"),
+            F.round(
+                F.sum(up * F.col("l_quantity")) / F.sum("l_quantity"), 4
+            ).alias("qty_weighted_ratio"),
+            F.round(
+                F.sum(up * F.col("l_quantity")) / F.sum("l_quantity")
+                - F.avg(up),
+                4,
+            ).alias("weighting_gap"),
+        )
+        .orderBy("flag")
+    )

@@ -481,3 +481,79 @@ def analytics_top_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "scd2_build_from_changelog",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts FROM seq
+      WHERE prev IS NULL OR prev <> event_type
+    ), versioned AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+      FROM changes
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(max(version) AS BIGINT) AS last_version,
+           CAST(count(*) FILTER (valid_to IS NULL) AS BIGINT) AS n_current,
+           round(avg(epoch_us(valid_to) - epoch_us(valid_from))
+                 / 3600000000.0, 4) AS avg_version_hours
+    FROM versioned GROUP BY 1
+    HAVING count(*) >= 5 ORDER BY user_id
+    """,
+    tags=("temporal", "scd2", "cdc", "events"),
+)
+def scd2_build_from_changelog(spark, sf_dir):
+    """BUILD an SCD2 history FROM a raw change stream — the inverse of
+    scd2_point_in_time (which queries an existing history): collapse
+    consecutive repeats of each user's state (lag-compare), then
+    derive [valid_from, valid_to) intervals with lead and version
+    numbers — the standard CDC-to-dimension materialization. Emits
+    per-user history stats for users with >= 5 versions (exactly one
+    open current row each, by construction).
+
+    Scale: both windows partition by user key (parallel across users,
+    one shuffle); no self-join — the lead window IS the interval
+    closure."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = seq.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    versioned = changes.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+        F.row_number().over(wv).alias("version"),
+    )
+    span_h = (
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    ) / 3600000000.0
+    return (
+        versioned.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_versions"),
+            F.max("version").cast("long").alias("last_version"),
+            F.count(F.when(F.col("valid_to").isNull(), 1))
+            .cast("long")
+            .alias("n_current"),
+            F.round(F.avg(span_h), 4).alias("avg_version_hours"),
+        )
+        .filter(F.col("n_versions") >= 5)
+        .orderBy("user_id")
+    )
