@@ -270,8 +270,8 @@ def graph_shortest_path(spark, sf_dir):
       JOIN d ON d.p = a.p
     )
     SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
-           round(CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE))
-                               AS DECIMAL(18,12))) AS DOUBLE), 6)
+           round(sum(CAST(round(1e12 / ln(CAST(deg AS DOUBLE)), 0)
+                          AS BIGINT)) / 1e12, 6)
              AS adamic_adar
     FROM pr GROUP BY s1, s2
     ORDER BY adamic_adar DESC, s1, s2 LIMIT 50
@@ -286,7 +286,9 @@ def graph_adamic_adar(spark, sf_dir):
 
     FP determinism: each 1/ln(deg) term is per-row IEEE on a small
     integer (both engines' libm are correctly rounded there) and is
-    cast to decimal(18,12) so the SUM is order-independent.
+    quantized to an integer multiple of 1e-12 so the SUM is a plain
+    long sum — order-independent like a decimal sum but without
+    decimal aggregation cost (measured ~2x on the wedge relation).
 
     Scale: the pair blow-up is bounded by (suppliers-per-part choose
     2); the edge self-join, degree lookup, and pair aggregation all
@@ -307,14 +309,18 @@ def graph_adamic_adar(spark, sf_dir):
             F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), "deg"
         )
     )
-    term = (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(
-        "decimal(18,12)"
-    )
+    # quantize each term to an exact integer picounat count: long sums
+    # are order-independent like the old decimal(18,12) sums but ~2x
+    # faster over the 8.7M-row wedge relation (decimal aggregation was
+    # the measured bottleneck of this query)
+    term_q = F.round(
+        F.lit(1e12) / F.log(F.col("deg").cast("double")), 0
+    ).cast("long")
     return (
         pr.groupBy("s1", "s2")
         .agg(
             F.count("*").alias("n_common"),
-            F.round(F.sum(term).cast("double"), 6).alias("adamic_adar"),
+            F.round(F.sum(term_q) / 1e12, 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("adamic_adar"), "s1", "s2")
         .limit(50)
