@@ -39,7 +39,13 @@ _EAGER_BUILD = {
 _CROSS_OK = {"join_cross"}
 
 # the deliberate row-at-a-time anti-pattern demo and Python UDTFs
-_PY_ROW_OK = {"udf_python_row", "udtf_split_sentences"}
+_PY_ROW_OK = {
+    "udf_python_row",
+    "udtf_split_sentences",
+    # declared-API demo of the Spark 4 polymorphic (analyze()) UDTF —
+    # row-Python by the API's nature, same policy as its siblings
+    "udtf_polymorphic_analyze",
+}
 
 
 def test_no_cartesian_or_python_row_in_declared_plans(spark):
