@@ -245,9 +245,12 @@ def main() -> None:
         print(f"{name}: {t_base}s -> {t_scale}s  (x{ratio})", file=sys.stderr)
         # survive an external wall timeout: persist the grid-so-far
         # (merged over any prior file) after every query
+        # start from `prior` so foreign top-level keys written by other
+        # tools (e.g. bench_scale_docs' exact_similarity_grid) survive
         with open(out_path, "w") as f:
             json.dump(
                 {
+                    **prior,
                     "multiplier": round(mult, 2),
                     "base_dir": BASE_DIR,
                     "scale_dir": SCALE_DIR,
@@ -265,6 +268,7 @@ def main() -> None:
         # and falling through to the full claims computation would KeyError
         # when SPARK_GRAFT_SCALE_ONLY restricted this chunk's queries.
         out = {
+            **prior,
             "multiplier": round(mult, 2),
             "base_dir": BASE_DIR,
             "scale_dir": SCALE_DIR,
@@ -343,6 +347,7 @@ def main() -> None:
     claims["exact_similarity_join_output_growth"] = exact
 
     out = {
+        **prior,
         "multiplier": round(mult, 2),
         "base_dir": BASE_DIR,
         "scale_dir": SCALE_DIR,
