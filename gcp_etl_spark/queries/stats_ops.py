@@ -1516,3 +1516,263 @@ def analytics_weighted_metric_trap(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "dq_value_drift_psi",
+    oracle="""
+    WITH mid AS (
+      SELECT quantile_cont(epoch_us(o_orderdate), 0.5) AS m FROM orders
+    ), lab AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN epoch_us(o_orderdate) <= (SELECT m FROM mid)
+                  THEN 'ref' ELSE 'tgt' END AS half
+      FROM orders
+    ), q AS (
+      SELECT unnest(quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9])) AS thr
+      FROM lab WHERE half = 'ref'
+    ), binned AS (
+      SELECT half,
+             1 + (SELECT count(*) FROM q WHERE q.thr < lab.v) AS bin
+      FROM lab
+    ), cnt AS (
+      SELECT bin,
+             count(*) FILTER (half = 'ref') AS nr,
+             count(*) FILTER (half = 'tgt') AS nt
+      FROM binned GROUP BY 1
+    ), tot AS (
+      SELECT sum(nr) AS tr, sum(nt) AS tt FROM cnt
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           round(nr * 1.0 / (SELECT tr FROM tot), 6) AS p_ref,
+           round(nt * 1.0 / (SELECT tt FROM tot), 6) AS p_tgt,
+           round((nt * 1.0 / (SELECT tt FROM tot)
+                  - nr * 1.0 / (SELECT tr FROM tot))
+                 * ln((nt * 1.0 / (SELECT tt FROM tot))
+                      / (nr * 1.0 / (SELECT tr FROM tot))), 6)
+             AS psi_contribution
+    FROM cnt ORDER BY bin
+    """,
+    tags=("dq", "drift", "orders"),
+)
+def dq_value_drift_psi(spark, sf_dir):
+    """POPULATION STABILITY INDEX: order totals in the later half of
+    history vs reference deciles fit on the earlier half — the ML-ops
+    drift metric (PSI > 0.2 = retrain). Reference-decile bin edges come
+    from exact interpolated quantiles of the reference half; both
+    halves are bucketed against the SAME nine thresholds and each bin
+    contributes (p_t - p_r)·ln(p_t/p_r).
+
+    Scale: the 9-row threshold relation broadcasts into a single
+    bucketing pass (count of thresholds below v == bin index — no
+    CASE ladder to keep in sync); everything after is a 10-row
+    rollup."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    mid = o.agg(F.expr("percentile(us, 0.5)").alias("m"))
+    lab = o.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("us") <= F.col("m"), "ref").otherwise("tgt").alias(
+            "half"
+        ),
+    )
+    q = (
+        lab.filter(F.col("half") == "ref")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {0.1 * i:.1f})").alias(f"t{i}")
+                for i in range(1, 10)
+            ]
+        )
+    )
+    thr = F.array(*[F.col(f"t{i}") for i in range(1, 10)])
+    binned = lab.crossJoin(F.broadcast(q)).select(
+        "half",
+        (
+            1 + F.size(F.filter(thr, lambda x: x < F.col("v")))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "ref", 1)).alias("nr"),
+        F.count(F.when(F.col("half") == "tgt", 1)).alias("nt"),
+    )
+    tot = cnt.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    p_ref = F.col("nr") * 1.0 / F.col("tr")
+    p_tgt = F.col("nt") * 1.0 / F.col("tt")
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_tgt, 6).alias("p_tgt"),
+        F.round((p_tgt - p_ref) * F.log(p_tgt / p_ref), 6).alias(
+            "psi_contribution"
+        ),
+    ).orderBy("bin")
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+      SELECT d, count(*) AS dau FROM ud GROUP BY 1
+    ), wau AS (
+      SELECT days.d, count(DISTINCT ud.user_id) AS wau
+      FROM days JOIN ud
+        ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+    tags=("analytics", "engagement", "events"),
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement headline triple. The trailing-window DISTINCT cannot
+    ride a window function (count distinct over RANGE isn't
+    supported); the standard relational shape: the deduped (user, day)
+    relation joined to the calendar on the 7-day band, then distinct
+    per anchor day.
+
+    Scale: (user, day) is the bounded activity grid (entity x
+    calendar); the band join replicates it at most 7x — the same
+    bounded-replication argument as join_interval_banded."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    a = days.select(F.col("d").alias("anchor"))
+    wau = (
+        ud.join(
+            F.broadcast(a),
+            (F.col("d") <= F.col("anchor"))
+            & (F.col("d") > F.date_sub(F.col("anchor"), 7)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.anchor)
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "analytics_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ), mean_ AS (SELECT avg(y) AS mu FROM daily),
+    cum AS (
+      SELECT d,
+             sum(y - (SELECT mu FROM mean_)) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily
+    ), dd AS (
+      SELECT d, c,
+             max(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(peak - c), 2) AS max_drawdown,
+           CAST(max_by(d, peak - c) AS DATE) AS trough_day,
+           round(max(peak), 2) AS max_peak
+    FROM dd
+    """,
+    tags=("stats", "timeseries", "orders"),
+)
+def analytics_max_drawdown(spark, sf_dir):
+    """MAXIMUM DRAWDOWN of the demeaned cumulative revenue series (the
+    'performance vs expectation' curve: cumsum of daily revenue minus
+    the mean day): largest peak-to-trough fall plus the trough date —
+    the risk metric answering 'how far below the best run-rate did we
+    slip, and when'. One running sum and one running max — both over
+    the calendar-bounded daily relation.
+
+    max_by tie-break: both engines pick the argmax of the SAME exact
+    double expression; ties are measure-zero on real revenue."""
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    mu = daily.agg(F.avg("y").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(mu)).select(
+        "d", F.sum(F.col("y") - F.col("mu")).over(w).alias("c")
+    )
+    dd = cum.select("d", "c", F.max("c").over(w).alias("peak"))
+    gap = F.col("peak") - F.col("c")
+    return dd.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.max(gap), 2).alias("max_drawdown"),
+        F.expr("max_by(d, peak - c)").alias("trough_day"),
+        F.round(F.max("peak"), 2).alias("max_peak"),
+    )
+
+
+@query(
+    "analytics_hhi_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+             c.c_mktsegment AS seg, sum(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT mon, sum(rev) AS tr, count(*) AS k FROM m GROUP BY 1
+    )
+    SELECT CAST(m.mon AS DATE) AS month,
+           CAST(max(tot.k) AS BIGINT) AS n_segments,
+           round(sum((m.rev / tot.tr) * (m.rev / tot.tr)), 6) AS hhi
+    FROM m JOIN tot ON tot.mon = m.mon
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "concentration", "orders"),
+)
+def analytics_hhi_trend(spark, sf_dir):
+    """CONCENTRATION TREND: monthly Herfindahl index of revenue across
+    market segments — the temporal extension of analytics_herfindahl
+    that shows whether revenue is concentrating (HHI rising) or
+    diversifying over the business's history.
+
+    Scale: one broadcast-dim join + (month x segment)-bounded
+    aggregate; per-month share algebra on that tiny relation."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("mon"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = m.groupBy("mon").agg(
+        F.sum("rev").alias("tr"), F.count("*").alias("k")
+    )
+    share = F.col("rev") / F.col("tr")
+    return (
+        m.join(tot, "mon")
+        .groupBy(F.col("mon").alias("month"))
+        .agg(
+            F.max("k").cast("long").alias("n_segments"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+        .orderBy("month")
+    )
