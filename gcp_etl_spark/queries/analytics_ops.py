@@ -2779,3 +2779,214 @@ def analytics_survival_km(spark, sf_dir):
             6,
         ).alias("survival"),
     )
+
+
+@query(
+    "retention_triangle",
+    oracle="""
+    WITH first_m AS (
+      SELECT user_id, min(date_trunc('month', CAST(ts AS DATE))) AS cohort
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             date_diff('month', f.cohort,
+                       date_trunc('month', CAST(e.ts AS DATE))) AS age
+      FROM events e JOIN first_m f ON f.user_id = e.user_id
+    ), size_ AS (
+      SELECT cohort, count(*) AS n0 FROM first_m GROUP BY 1
+    )
+    SELECT CAST(a.cohort AS DATE) AS cohort_month,
+           CAST(max(s.n0) AS BIGINT) AS cohort_size,
+           round(count(DISTINCT a.user_id) FILTER (a.age = 0)
+                 * 1.0 / max(s.n0), 4) AS m0,
+           round(count(DISTINCT a.user_id) FILTER (a.age = 1)
+                 * 1.0 / max(s.n0), 4) AS m1,
+           round(count(DISTINCT a.user_id) FILTER (a.age = 2)
+                 * 1.0 / max(s.n0), 4) AS m2,
+           round(count(DISTINCT a.user_id) FILTER (a.age = 3)
+                 * 1.0 / max(s.n0), 4) AS m3
+    FROM activity a JOIN size_ s ON s.cohort = a.cohort
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "retention", "events"),
+)
+def retention_triangle(spark, sf_dir):
+    """RETENTION TRIANGLE, pivoted: per acquisition cohort (first-
+    activity month), the share of the cohort active at age 0..3
+    months as columns — the BI artifact retention_cohorts' long format
+    feeds; the pivot makes the diagonal readable (each cohort's curve
+    on one row). Conditional distinct counts per age bucket — no
+    pivot() call, so the column set is schema-stable.
+
+    Scale: first-month anchors and the distinct (user, age) activity
+    grid are entity-bounded; everything aggregates on cohort."""
+    e = t(spark, sf_dir, "events")
+    mon = F.date_trunc("month", F.to_date("ts")).cast("date")
+    first_m = e.groupBy("user_id").agg(F.min(mon).alias("cohort"))
+    activity = (
+        e.join(F.broadcast(first_m), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.months_between(mon, F.col("cohort")).cast("int").alias("age"),
+        )
+        .distinct()
+    )
+    size = first_m.groupBy("cohort").agg(F.count("*").alias("n0"))
+
+    def share(age):
+        return F.round(
+            F.countDistinct(
+                F.when(F.col("age") == age, F.col("user_id"))
+            )
+            * 1.0
+            / F.max("n0"),
+            4,
+        )
+
+    return (
+        activity.join(F.broadcast(size), "cohort")
+        .groupBy(F.col("cohort").alias("cohort_month"))
+        .agg(
+            F.max("n0").cast("long").alias("cohort_size"),
+            share(0).alias("m0"),
+            share(1).alias("m1"),
+            share(2).alias("m2"),
+            share(3).alias("m3"),
+        )
+        .orderBy("cohort_month")
+    )
+
+
+@query(
+    "events_decay_engagement",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    scored AS (
+      SELECT user_id,
+             value * exp(-0.1 * ((SELECT m FROM mx) - epoch_us(ts))
+                         / 86400000000.0) AS w
+      FROM events
+    ), per_user AS (
+      SELECT user_id, sum(w) AS score, count(*) AS n FROM scored GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(score, 4) AS decay_score
+    FROM per_user
+    ORDER BY decay_score DESC, user_id LIMIT 100
+    """,
+    tags=("analytics", "engagement", "events"),
+)
+def events_decay_engagement(spark, sf_dir):
+    """EXPONENTIAL TIME-DECAY engagement score: each event contributes
+    value·e^(−0.1·age_days) against the corpus watermark (half-life ≈
+    7 days) — the recency-weighted activity ranking behind churn-risk
+    and re-engagement lists, where a purchase yesterday outweighs ten
+    from last month. Top-100 users, deterministic tie-break.
+
+    Scale: one broadcast watermark + one per-user aggregate; exp() is
+    per-row IEEE on identical doubles in both engines, summed per user
+    then rounded — no cross-partition order sensitivity at 4 dp on
+    bounded per-user event counts."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mx = e.agg(F.max("us").alias("m"))
+    w = F.col("value") * F.exp(
+        -0.1 * (F.col("m") - F.col("us")) / 86400000000.0
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(w), 4).alias("decay_score"),
+        )
+        .orderBy(F.desc("decay_score"), "user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "lineitem_abc_xyz",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS p, sum(l_extendedprice) AS rev,
+             avg(l_quantity) AS mq,
+             sqrt(greatest(sum(l_quantity * l_quantity) / count(*)
+                  - avg(l_quantity) * avg(l_quantity), 0)) AS sq
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT p, rev, sq / mq AS cv,
+             sum(rev) OVER (ORDER BY rev DESC, p
+                            ROWS UNBOUNDED PRECEDING)
+               / sum(rev) OVER () AS cum_share
+      FROM per_part
+    ), classed AS (
+      SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN cv <= 0.5 THEN 'X'
+                  WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+             rev
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS revenue
+    FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "inventory", "lineitem"),
+)
+def lineitem_abc_xyz(spark, sf_dir):
+    """ABC×XYZ inventory classification matrix: parts classed by
+    cumulative revenue share (A ≤80%, B ≤95%, C rest — the Pareto
+    axis) and by demand variability (coefficient of variation of
+    quantity: X steady ≤0.5, Y ≤1.0, Z erratic) — the 9-cell planning
+    matrix ('AX: automate, CZ: make-to-order'). Population CV from
+    power sums (engine-portable).
+
+    Scale: per-part aggregate first (fact rows collapse to |parts|);
+    the cumulative-share window runs over that bounded relation —
+    same altitude as analytics_abc_pareto, which classifies the one
+    axis this query crosses with variability."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    per_part = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum("l_extendedprice").alias("rev"),
+        F.avg(q).alias("mq"),
+        F.sqrt(
+            F.greatest(
+                F.sum(q * q) / F.count("*") - F.avg(q) * F.avg(q),
+                F.lit(0.0),
+            )
+        ).alias("sq"),
+    )
+    wcum = Window.orderBy(F.desc("rev"), "p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "p",
+        "rev",
+        (F.col("sq") / F.col("mq")).alias("cv"),
+        (
+            F.sum("rev").over(wcum)
+            / F.sum("rev").over(Window.partitionBy())
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc"), xyz.alias("xyz"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -1403,3 +1403,85 @@ def text_ngram_novelty(spark, sf_dir):
             F.avg(F.col("n_novel") * 1.0 / F.col("n_grams")), 6
         ).alias("avg_doc_novelty"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         x -> x <> '') AS tokens
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(tokens,
+                      x -> list_contains({list(_EN_STOPS)}, x)))
+                  >= len(list_filter(tokens,
+                      x -> list_contains({list(_ES_STOPS)}, x)))
+                  THEN 'en' ELSE 'es' END AS predicted
+      FROM toks
+    ), cells AS (
+      SELECT lang AS actual, predicted, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(n) AS t,
+             sum(n) FILTER (actual = predicted) AS correct
+      FROM cells
+    )
+    SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY actual), 6)
+             AS row_rate,
+           round((SELECT correct * 1.0 / t FROM tot), 6) AS accuracy
+    FROM cells ORDER BY actual, predicted
+    """,
+    tags=("text", "langid", "evaluation", "documents"),
+)
+def text_langid_confusion(spark, sf_dir):
+    """CONFUSION MATRIX for the stopword language-ID heuristic against
+    the labeled lang column: per (actual, predicted) cell counts,
+    row-normalized rates (recall per language), and overall accuracy —
+    the evaluation query that turns text_langid_heuristic from a
+    classifier into a MEASURED classifier (every curation filter needs
+    its error rate known before it gates a corpus).
+
+    Scale: per-row scoring expressions, one |langs|²-bounded
+    aggregate, windows over that tiny relation."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), " "), lambda x: x != F.lit("")
+    )
+    en = F.array(*[F.lit(w) for w in _EN_STOPS])
+    es = F.array(*[F.lit(w) for w in _ES_STOPS])
+    pred = F.when(
+        F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+        >= F.size(F.filter(toks, lambda x: F.array_contains(es, x))),
+        "en",
+    ).otherwise("es")
+    cells = d.select(
+        F.col("lang").alias("actual"), pred.alias("predicted")
+    ).groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), F.col("n"))
+        ).alias("correct"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n")
+                * 1.0
+                / F.sum("n").over(Window.partitionBy("actual")),
+                6,
+            ).alias("row_rate"),
+            F.round(F.col("correct") * 1.0 / F.col("t"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("actual", "predicted")
+    )
