@@ -2990,3 +2990,68 @@ def lineitem_abc_xyz(spark, sf_dir):
         )
         .orderBy("abc", "xyz")
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), ent AS (
+      SELECT cnt.user_id,
+             max(tot.n) AS n_events,
+             -sum((c * 1.0 / tot.n) * ln(c * 1.0 / tot.n)) AS h
+      FROM cnt JOIN tot ON tot.user_id = cnt.user_id
+      GROUP BY 1
+    )
+    SELECT CASE WHEN h < 0.5 THEN 'a_low'
+                WHEN h < 1.0 THEN 'b_mid'
+                WHEN h < 1.5 THEN 'c_high' ELSE 'd_very_high' END
+             AS entropy_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(h), 6) AS avg_entropy,
+           round(avg(n_events), 4) AS avg_events
+    FROM ent GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "engagement", "events"),
+)
+def events_user_entropy(spark, sf_dir):
+    """BEHAVIORAL DIVERSITY per user: Shannon entropy of each user's
+    event-type distribution, banded into a population histogram — the
+    single-metric split between one-track users (H~0: only views) and
+    explorers (H near ln|types|), the feature every engagement model
+    reinvents. Companion to analytics_markov_entropy (which measures
+    ORDER predictability; this measures MIX diversity).
+
+    Scale: one (user, type) aggregate, per-user entropy over its
+    bounded type set, 4-row band rollup."""
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            (-F.sum(p * F.log(p))).alias("h"),
+        )
+    )
+    band = (
+        F.when(F.col("h") < 0.5, "a_low")
+        .when(F.col("h") < 1.0, "b_mid")
+        .when(F.col("h") < 1.5, "c_high")
+        .otherwise("d_very_high")
+    )
+    return (
+        ent.groupBy(band.alias("entropy_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+        )
+        .orderBy("entropy_band")
+    )

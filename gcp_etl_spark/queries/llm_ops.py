@@ -1538,3 +1538,192 @@ def multimodal_image_histogram(spark, sf_dir):
         F.col("mime") == "image/png"
     )
     return pixel_histogram(media, n_bins=16)
+
+
+@query(
+    "multimodal_audio_zero_crossings",
+    # same real-WAV fixtures as multimodal_audio_decode; the oracle
+    # recomputes the signal formula and lag-compares signs
+    oracle="""
+    WITH ids AS (SELECT 2 * i + 1 AS media_id FROM generate_series(0, 31) t(i)),
+    s AS (
+      SELECT ids.media_id, g.i,
+             ((37 * ids.media_id + 13 * g.i) % 4096) - 2048 AS amp
+      FROM ids, generate_series(0, 2047) g(i)
+    ), lagged AS (
+      SELECT media_id, amp,
+             lag(amp) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM s
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(*) FILTER (
+             prev IS NOT NULL AND ((prev >= 0) <> (amp >= 0)))
+             AS BIGINT) AS zero_crossings,
+           round(count(*) FILTER (
+             prev IS NOT NULL AND ((prev >= 0) <> (amp >= 0)))
+             * 1.0 / (count(*) - 1), 6) AS zcr
+    FROM lagged GROUP BY 1
+    """,
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_audio_zero_crossings(spark, sf_dir):
+    """ZERO-CROSSING RATE over the REAL WAV decode path: parse each
+    PCM payload (stdlib wave) inside mapInPandas and count sign
+    transitions between consecutive samples — the classic O(n)
+    voiced/unvoiced / noisiness feature (the spectral-centroid proxy
+    that needs no FFT). The oracle regenerates the int16 signal
+    relationally and lag-compares signs, so the byte framing AND the
+    sample ORDER through the decode path are hash-verified (the
+    decode-aggregate queries check order-insensitive sums; ZCR breaks
+    if any sample is permuted).
+
+    Scale: decode + numpy sign-diff inside the scan; 1 row per clip
+    leaves the task."""
+    import numpy as np
+    import pandas as pd
+
+    from gcp_etl_spark.llm.multimodal import synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "audio/wav"
+    )
+
+    def batches(it):
+        from gcp_etl_spark.llm import codecs
+
+        for pdf in it:
+            ids, ns, zc = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, _rate = codecs.wav_decode(bytes(b))
+                except Exception:  # noqa: BLE001 - skip undecodable
+                    continue
+                s = np.asarray(samples).ravel()
+                nonneg = s >= 0
+                ids.append(int(mid))
+                ns.append(len(s))
+                zc.append(int((nonneg[1:] != nonneg[:-1]).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "zero_crossings": zc}
+            )
+
+    out = media.mapInPandas(
+        batches, "media_id long, n_samples long, zero_crossings long"
+    )
+    return out.select(
+        "media_id",
+        "n_samples",
+        "zero_crossings",
+        F.round(
+            F.col("zero_crossings") * 1.0 / (F.col("n_samples") - 1), 6
+        ).alias("zcr"),
+    )
+
+
+@query(
+    "dedup_weighted_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS g,
+             count(*) AS tf
+      FROM toks, unnest(range(0, greatest(len(ws) - 2, 0))) t(i)
+      WHERE len(ws) >= 3
+      GROUP BY 1, 2
+    ), keep AS (
+      SELECT g FROM sh GROUP BY g HAVING count(*) <= 64
+    ), shk AS (
+      SELECT sh.* FROM sh JOIN keep USING (g)
+    ), tot AS (
+      SELECT doc_id, sum(tf) AS total FROM shk GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(least(a.tf, b.tf)) AS sum_min
+      FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(sum_min * 1.0
+                 / (ta.total + tb.total - sum_min), 6) AS wjaccard
+    FROM inter
+    JOIN tot ta ON ta.doc_id = id_a
+    JOIN tot tb ON tb.doc_id = id_b
+    WHERE sum_min * 1.0 / (ta.total + tb.total - sum_min) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "similarity", "documents"),
+)
+def dedup_weighted_jaccard(spark, sf_dir):
+    """WEIGHTED (multiset) Jaccard >= 0.5 pair join on trigram term
+    frequencies: sum min(tf_a, tf_b) / sum max(tf_a, tf_b) — the
+    repetition-aware refinement of binary shingle Jaccard (a doc that
+    repeats one paragraph five times no longer looks identical to one
+    containing it once). The max-sum never materializes: by the
+    multiset identity sum_max = total_a + total_b - sum_min, only the
+    SHARED-shingle join aggregates; per-doc totals broadcast back.
+
+    The df <= 64 cap (identical on both engines, the
+    dedup_ngram_jaccard_dfcap mitigation) drops boilerplate shingles
+    shared by half the corpus BEFORE the pair join — similarity is
+    then defined over the discriminative-shingle profile, which is
+    both the scalable and the semantically sharper choice (hot
+    shingles carry no dedup signal)."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "if(size(ws) >= 3,"
+                    " transform(sequence(0, size(ws) - 3),"
+                    "  i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])),"
+                    " array())"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    keep = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("g")
+    )
+    sh = sh.join(keep, "g")
+    tot = sh.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "g", F.col("tf").alias("tfa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("g").alias("gb"),
+        F.col("tf").alias("tfb"),
+    )
+    inter = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("sum_min"))
+    )
+    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("total").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("total").alias("tb"))
+    wj = F.col("sum_min") * 1.0 / (
+        F.col("ta") + F.col("tb") - F.col("sum_min")
+    )
+    return (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(wj >= 0.5)
+        .select("id_a", "id_b", F.round(wj, 6).alias("wjaccard"))
+        .orderBy("id_a", "id_b")
+    )
