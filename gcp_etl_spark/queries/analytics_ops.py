@@ -3055,3 +3055,119 @@ def events_user_entropy(spark, sf_dir):
         )
         .orderBy("entropy_band")
     )
+
+
+@query(
+    "orders_sla_ship_lag",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_d
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               f.ship_d)), 4) AS avg_lag_days,
+           round(count(*) FILTER (
+             date_diff('day', CAST(o.o_orderdate AS DATE), f.ship_d) <= 30)
+             * 1.0 / count(*), 6) AS pct_within_30d,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              f.ship_d)) AS BIGINT) AS worst_lag_days
+    FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "sla", "orders", "lineitem"),
+)
+def orders_sla_ship_lag(spark, sf_dir):
+    """ORDER-TO-FIRST-SHIP SLA by priority: lag from order date to the
+    earliest line shipment, with the 30-day attainment rate and the
+    worst case — the operational query that shows whether '1-URGENT'
+    actually ships faster than '5-LOW' (the priority system's
+    integrity check).
+
+    Scale: lineitem reduces to a per-order min BEFORE the join (the
+    pre-aggregate-then-join shape — never join raw lines to orders
+    for a per-order metric); then one equi-join on the order key and
+    a |priorities|-row rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship_d")
+    )
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+    lag = F.datediff(F.col("ship_d"), F.to_date("o_orderdate"))
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg(lag), 4).alias("avg_lag_days"),
+            F.round(
+                F.count(F.when(lag <= 30, 1)) * 1.0 / F.count("*"), 6
+            ).alias("pct_within_30d"),
+            F.max(lag).cast("long").alias("worst_lag_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "dq_calendar_gaps",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    ), span AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM days
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT lo FROM span),
+                                    (SELECT hi FROM span),
+                                    INTERVAL 1 DAY))::DATE AS d
+    ), missing AS (
+      SELECT s.d FROM spine s LEFT JOIN days ON days.d = s.d
+      WHERE days.d IS NULL
+    ), runs AS (
+      SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INT) AS isl
+      FROM missing
+    )
+    SELECT CAST((SELECT count(*) FROM spine) AS BIGINT) AS span_days,
+           CAST((SELECT count(*) FROM days) AS BIGINT) AS present_days,
+           CAST((SELECT count(*) FROM missing) AS BIGINT) AS missing_days,
+           CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_gap
+    FROM (SELECT isl, count(*) AS run_len FROM runs GROUP BY 1)
+    """,
+    tags=("dq", "temporal", "orders"),
+)
+def dq_calendar_gaps(spark, sf_dir):
+    """CALENDAR COMPLETENESS audit: generate the full day spine over
+    the observed span, anti-join the days that actually have orders,
+    and report missing-day count plus the LONGEST consecutive gap
+    (gaps-and-islands over the missing set) — the silent-pipeline-
+    outage detector (one missing Tuesday is noise; nine consecutive
+    missing days is an incident).
+
+    Scale: the spine is calendar-bounded (sequence + explode — never
+    a row per fact); present-days is one distinct; islands algebra on
+    the missing relation."""
+    o = t(spark, sf_dir, "orders")
+    days = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    span = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    missing = spine.join(days, "d", "left_anti")
+    isl = (
+        F.datediff(F.col("d"), F.lit("1970-01-01"))
+        - F.row_number().over(Window.orderBy("d"))
+    ).alias("isl")
+    runs = missing.select("d", isl)
+    run_lens = runs.groupBy("isl").agg(F.count("*").alias("run_len"))
+    span_days = spine.count()
+    present_days = days.count()
+    missing_days = span_days - present_days
+    return run_lens.agg(
+        F.lit(span_days).cast("long").alias("span_days"),
+        F.lit(present_days).cast("long").alias("present_days"),
+        F.lit(missing_days).cast("long").alias("missing_days"),
+        F.coalesce(F.max("run_len"), F.lit(0))
+        .cast("long")
+        .alias("longest_gap"),
+    )

@@ -1727,3 +1727,71 @@ def dedup_weighted_jaccard(spark, sf_dir):
         .select("id_a", "id_b", F.round(wj, 6).alias("wjaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "embedding_distance_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 32 = 0
+    ), c AS (
+      SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings
+    ), cos_ AS (
+      SELECT list_dot_product(qv, nv)
+             / (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(nv, nv))) AS cos
+      FROM q JOIN c ON q_id <> n_id
+    ), binned AS (
+      SELECT least(greatest(CAST(floor((cos + 1.0) * 10) AS INT), 0), 19)
+               AS bin
+      FROM cos_
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(round(-1.0 + bin * 0.1, 1) AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin ORDER BY 1
+    """,
+    tags=("llm", "similarity", "embeddings"),
+)
+def embedding_distance_histogram(spark, sf_dir):
+    """PAIRWISE COSINE HISTOGRAM (probe sample x corpus, 20 bins over
+    [-1, 1]): the corpus-geometry diagnostic run before choosing ANN
+    parameters — a mass near 1.0 predicts dedup pressure, a narrow
+    band around 0 signals hubness/anisotropy (LSH planes and IVF
+    probes both degrade there). Every 32nd vector probes the corpus;
+    bin = floor((cos+1)*10), clamped for the exact 1.0 edge.
+
+    Scale: broadcast probes x streamed corpus (the ann_range_search
+    shape); only 20 count rows aggregate out. Elements cast
+    float->double before arithmetic on both engines."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 32 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    cos = cosine(F.col("qv"), F.col("nv"))
+    bin_ = F.least(
+        F.greatest(F.floor((cos + 1.0) * 10).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(-1.0 + F.col("bin") * 0.1, 1).alias("bin_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )
