@@ -3171,3 +3171,86 @@ def dq_calendar_gaps(spark, sf_dir):
         .cast("long")
         .alias("longest_gap"),
     )
+
+
+@query(
+    "part_brand_share_shift",
+    oracle="""
+    WITH mid AS (
+      SELECT quantile_cont(epoch_us(l_shipdate), 0.5) AS m FROM lineitem
+    ), rev AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN epoch_us(l.l_shipdate) <= (SELECT m FROM mid)
+                  THEN 'h1' ELSE 'h2' END AS half,
+             sum(l.l_extendedprice) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT half, sum(rev) AS tr FROM rev GROUP BY 1
+    ), shares AS (
+      SELECT r.brand,
+             sum(CASE WHEN r.half = 'h1' THEN r.rev / t.tr END) AS s1,
+             sum(CASE WHEN r.half = 'h2' THEN r.rev / t.tr END) AS s2
+      FROM rev r JOIN tot t ON t.half = r.half
+      GROUP BY 1
+    )
+    SELECT brand,
+           round(coalesce(s1, 0), 6) AS share_h1,
+           round(coalesce(s2, 0), 6) AS share_h2,
+           round(coalesce(s2, 0) - coalesce(s1, 0), 6) AS share_shift
+    FROM shares
+    ORDER BY abs(round(coalesce(s2, 0) - coalesce(s1, 0), 6)) DESC, brand
+    LIMIT 15
+    """,
+    tags=("analytics", "market-share", "lineitem"),
+)
+def part_brand_share_shift(spark, sf_dir):
+    """BRAND MARKET-SHARE SHIFT: revenue share per brand in the first
+    vs second half of shipping history (median split), top-15 movers
+    by absolute shift — the competitive-dynamics report ('who is
+    winning share, not just growing with the market' — a brand can
+    grow revenue while losing share in a faster-growing market).
+
+    Scale: broadcast part dim; (brand x 2)-bounded aggregate; share
+    algebra and the top-15 on that tiny relation."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "us", F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mid = li.agg(F.expr("percentile(us, 0.5)").alias("m"))
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("us") <= F.col("m"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    tot = rev.groupBy("half").agg(F.sum("rev").alias("tr"))
+    shares = (
+        rev.join(F.broadcast(tot), "half")
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.when(F.col("half") == "h1", F.col("rev") / F.col("tr"))
+            ).alias("s1"),
+            F.sum(
+                F.when(F.col("half") == "h2", F.col("rev") / F.col("tr"))
+            ).alias("s2"),
+        )
+    )
+    s1 = F.coalesce(F.col("s1"), F.lit(0.0))
+    s2 = F.coalesce(F.col("s2"), F.lit(0.0))
+    return (
+        shares.select(
+            "brand",
+            F.round(s1, 6).alias("share_h1"),
+            F.round(s2, 6).alias("share_h2"),
+            F.round(s2 - s1, 6).alias("share_shift"),
+        )
+        .orderBy(F.abs(F.col("share_shift")).desc(), "brand")
+        .limit(15)
+    )

@@ -479,3 +479,61 @@ def asof_nearest_tolerance(spark, sf_dir):
             .alias("gap_sec"),
         )
     )
+
+
+@query(
+    "join_range_lookup_broadcast",
+    oracle="""
+    WITH brackets(bracket, lo, hi, rate) AS (
+      VALUES ('a_small',  0.0,     1000.0,   0.02),
+             ('b_medium', 1000.0,  10000.0,  0.05),
+             ('c_large',  10000.0, 50000.0,  0.08),
+             ('d_jumbo',  50000.0, 1e18,     0.12)
+    )
+    SELECT b.bracket, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS base,
+           round(sum(l.l_extendedprice * b.rate), 2) AS fee
+    FROM lineitem l
+    JOIN brackets b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "range", "lineitem"),
+)
+def join_range_lookup_broadcast(spark, sf_dir):
+    """RANGE-LOOKUP join against a tiny literal bracket dimension
+    (fee schedule): each fact row lands in the [lo, hi) band via a
+    non-equi predicate — the tax-bracket/rate-card/tiering shape.
+    Because the build side is a handful of rows, the planner runs a
+    BROADCAST nested-loop with the range predicate evaluated streamside
+    — the fact table is scanned once and never shuffled (the correct
+    plan for ANY small range dimension; banding is only needed when
+    BOTH sides are large, cf. join_interval_banded).
+
+    Scale: fee math rides the scan; one |brackets|-row rollup."""
+    brackets = spark.createDataFrame(
+        [
+            ("a_small", 0.0, 1000.0, 0.02),
+            ("b_medium", 1000.0, 10000.0, 0.05),
+            ("c_large", 10000.0, 50000.0, 0.08),
+            ("d_jumbo", 50000.0, 1e18, 0.12),
+        ],
+        "bracket string, lo double, hi double, rate double",
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(brackets),
+            (li.l_extendedprice >= brackets.lo)
+            & (li.l_extendedprice < brackets.hi),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("base"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 2).alias(
+                "fee"
+            ),
+        )
+        .orderBy("bracket")
+    )
