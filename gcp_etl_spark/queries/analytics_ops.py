@@ -3254,3 +3254,133 @@ def part_brand_share_shift(spark, sf_dir):
         .orderBy(F.abs(F.col("share_shift")).desc(), "brand")
         .limit(15)
     )
+
+
+@query(
+    "orders_reorder_interval",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey, count(*) AS n_gaps,
+             quantile_cont(gap, 0.5) AS med_gap
+      FROM seq WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(quantile_cont(med_gap, 0.25), 4) AS p25_median_gap,
+           round(quantile_cont(med_gap, 0.5), 4) AS p50_median_gap,
+           round(quantile_cont(med_gap, 0.75), 4) AS p75_median_gap,
+           round(avg(med_gap), 4) AS mean_median_gap
+    FROM per_cust WHERE n_gaps >= 3
+    """,
+    tags=("analytics", "cadence", "orders"),
+)
+def orders_reorder_interval(spark, sf_dir):
+    """REORDER CADENCE: per-customer median days between consecutive
+    orders (lag gaps), summarized as quartiles over customers with at
+    least 3 gaps — the replenishment-cycle metric behind 'when is this
+    customer overdue' alerts (a customer at 2x their own median gap is
+    the churn trigger, not a global threshold).
+
+    Scale: the lag window partitions per customer; per-customer
+    medians are over each customer's own bounded order history; the
+    corpus rollup sees one row per customer."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per_cust = seq.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").alias("med_gap"),
+    ).filter(F.col("n_gaps") >= 3)
+    return per_cust.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.expr("percentile(med_gap, 0.25)"), 4).alias(
+            "p25_median_gap"
+        ),
+        F.round(F.expr("percentile(med_gap, 0.5)"), 4).alias(
+            "p50_median_gap"
+        ),
+        F.round(F.expr("percentile(med_gap, 0.75)"), 4).alias(
+            "p75_median_gap"
+        ),
+        F.round(F.avg("med_gap"), 4).alias("mean_median_gap"),
+    )
+
+
+@query(
+    "events_hourly_circular",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, hour(ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), vec AS (
+      SELECT event_type,
+             sum(n) AS total,
+             sum(n * cos(2 * pi() * hr / 24)) AS cx,
+             sum(n * sin(2 * pi() * hr / 24)) AS cy,
+             max_by(hr, n * 100 + (24 - hr)) AS peak_hour
+      FROM h GROUP BY 1
+    )
+    SELECT event_type, CAST(total AS BIGINT) AS n_events,
+           CAST(peak_hour AS BIGINT) AS peak_hour,
+           round((atan2(cy, cx) * 24 / (2 * pi()) + 24) % 24, 4)
+             AS circular_mean_hour,
+           round(sqrt(cx * cx + cy * cy) / total, 6) AS concentration
+    FROM vec ORDER BY event_type
+    """,
+    tags=("analytics", "circular-stats", "events"),
+)
+def events_hourly_circular(spark, sf_dir):
+    """CIRCULAR hour-of-day statistics per event type: the circular
+    MEAN hour (atan2 of the summed unit vectors — a linear average
+    would put midnight-centered activity at noon) and the resultant
+    length R in [0,1] (1 = all events at one hour, 0 = uniform over
+    the day), plus the modal peak hour — the time-of-day profile
+    behind send-time optimization and anomaly windows, done with the
+    correct (circular) algebra.
+
+    Ties on peak hour break deterministically (max_by key
+    n*100 + (24 - hr): higher count, then EARLIER hour — identical
+    integer algebra on both engines).
+
+    Scale: one (type x 24)-bounded aggregate; all trigonometry on
+    that tiny relation."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    two_pi = 2 * 3.141592653589793
+    vec = h.groupBy("event_type").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.cos(F.lit(two_pi) * F.col("hr") / 24)).alias(
+            "cx"
+        ),
+        F.sum(F.col("n") * F.sin(F.lit(two_pi) * F.col("hr") / 24)).alias(
+            "cy"
+        ),
+        F.expr("max_by(hr, n * 100 + (24 - hr))").alias("peak_hour"),
+    )
+    mean_hr = (
+        F.atan2(F.col("cy"), F.col("cx")) * 24 / F.lit(two_pi) + 24
+    ) % 24
+    return vec.select(
+        "event_type",
+        F.col("total").cast("long").alias("n_events"),
+        F.col("peak_hour").cast("long").alias("peak_hour"),
+        F.round(mean_hr, 4).alias("circular_mean_hour"),
+        F.round(
+            F.sqrt(F.col("cx") ** 2 + F.col("cy") ** 2) / F.col("total"), 6
+        ).alias("concentration"),
+    ).orderBy("event_type")
