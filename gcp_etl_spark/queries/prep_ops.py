@@ -894,3 +894,112 @@ def dq_near_duplicate_rows(spark, sf_dir):
         )
         .orderBy("custkey", "orderkey_a", "orderkey_b")
     )
+
+
+@query(
+    "dedup_cross_source_clones",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ), clones AS (
+      SELECT h, count(*) AS n_copies,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS keep_id
+      FROM fp GROUP BY 1 HAVING count(DISTINCT source) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clone_groups,
+           CAST(coalesce(sum(n_copies), 0) AS BIGINT) AS n_docs_involved,
+           CAST(coalesce(max(n_sources), 0) AS BIGINT) AS max_sources,
+           CAST(coalesce(min(keep_id), -1) AS BIGINT) AS first_keep_id
+    FROM clones
+    """,
+    tags=("llm", "dedup", "documents"),
+)
+def dedup_cross_source_clones(spark, sf_dir):
+    """CROSS-SOURCE clone detection: normalized-content fingerprints
+    that appear under MORE THAN ONE source — the syndication/mirror
+    detector (within-source dups are usually re-crawls; cross-source
+    dups are wire copy and scraped mirrors, the class that silently
+    over-weights one document in a training mix). Summary row keeps
+    the gate output bounded; the clone-group relation itself is the
+    drop-list artifact.
+
+    Scale: fingerprints shuffle, text doesn't (text_fingerprint's
+    contract) with a two-level distinct-source aggregate on top."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+        ).alias("h"),
+    )
+    clones = (
+        fp.groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+    return clones.agg(
+        F.count("*").cast("long").alias("n_clone_groups"),
+        F.coalesce(F.sum("n_copies"), F.lit(0))
+        .cast("long")
+        .alias("n_docs_involved"),
+        F.coalesce(F.max("n_sources"), F.lit(0))
+        .cast("long")
+        .alias("max_sources"),
+        F.coalesce(F.min("keep_id"), F.lit(-1))
+        .cast("long")
+        .alias("first_keep_id"),
+    )
+
+
+@query(
+    "customer_negative_exposure",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT) AS n_negative,
+           round(count(*) FILTER (c_acctbal < 0) * 1.0 / count(*), 6)
+             AS negative_rate,
+           round(coalesce(sum(c_acctbal) FILTER (c_acctbal < 0), 0), 2)
+             AS exposure,
+           round(coalesce(min(c_acctbal), 0), 2) AS worst_balance
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dq", "finance", "customer"),
+)
+def customer_negative_exposure(spark, sf_dir):
+    """NEGATIVE-BALANCE EXPOSURE per segment: count, rate, summed
+    exposure, and the worst single balance — the receivables-risk
+    audit (which segment carries the credit risk, and is it
+    concentrated in a few accounts or endemic).
+
+    Scale: one conditional aggregate pass, |segments| output rows."""
+    c = t(spark, sf_dir, "customer")
+    neg = F.col("c_acctbal") < 0
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.count(F.when(neg, 1)).cast("long").alias("n_negative"),
+            F.round(
+                F.count(F.when(neg, 1)) * 1.0 / F.count("*"), 6
+            ).alias("negative_rate"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(neg, F.col("c_acctbal"))), F.lit(0.0)
+                ),
+                2,
+            ).alias("exposure"),
+            F.round(F.coalesce(F.min("c_acctbal"), F.lit(0.0)), 2).alias(
+                "worst_balance"
+            ),
+        )
+        .orderBy("segment")
+    )
