@@ -3384,3 +3384,123 @@ def events_hourly_circular(spark, sf_dir):
             F.sqrt(F.col("cx") ** 2 + F.col("cy") ** 2) / F.col("total"), 6
         ).alias("concentration"),
     ).orderBy("event_type")
+
+
+@query(
+    "supplier_balance_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey AS nation, count(*) AS n, avg(s_acctbal) AS mu,
+             sum(s_acctbal * s_acctbal) AS ss
+      FROM supplier GROUP BY 1
+    ), z AS (
+      SELECT sp.s_suppkey, sp.s_nationkey AS nation, sp.s_acctbal,
+             (sp.s_acctbal - s.mu)
+               / sqrt(greatest(s.ss / s.n - s.mu * s.mu, 1e-12)) AS z
+      FROM supplier sp JOIN s ON s.nation = sp.s_nationkey
+      WHERE s.n >= 5
+    )
+    SELECT s_suppkey, CAST(nation AS BIGINT) AS nation,
+           round(s_acctbal, 2) AS acctbal, round(z, 4) AS z
+    FROM z WHERE abs(z) >= 2
+    ORDER BY abs(round(z, 4)) DESC, s_suppkey LIMIT 20
+    """,
+    tags=("analytics", "outliers", "supplier"),
+)
+def supplier_balance_outliers(spark, sf_dir):
+    """PEER-GROUP z-score outliers: suppliers whose balance deviates
+    >= 2 sigma from their OWN nation's distribution (population sigma
+    from power sums; nations with < 5 suppliers excluded — no stable
+    baseline). The peer-relative framing is the point: a balance
+    that's ordinary globally can be wildly anomalous for its market.
+
+    Scale: per-nation moments in one pass, broadcast back; top-20 is
+    TakeOrderedAndProject on the rounded key (order aligned
+    cross-engine)."""
+    sp = t(spark, sf_dir, "supplier")
+    s = sp.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"),
+        F.avg("s_acctbal").alias("mu"),
+        F.sum(F.col("s_acctbal") * F.col("s_acctbal")).alias("ss"),
+    ).filter(F.col("n") >= 5)
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("ss") / F.col("n") - F.col("mu") * F.col("mu"),
+            F.lit(1e-12),
+        )
+    )
+    z = (F.col("s_acctbal") - F.col("mu")) / sigma
+    return (
+        sp.join(F.broadcast(s), sp.s_nationkey == s.nation)
+        .select(
+            "s_suppkey",
+            F.col("nation").cast("long").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2)
+        .orderBy(F.abs(F.col("z")).desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "event_transition_lift",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), trans AS (
+      SELECT prev AS src, event_type AS dst, count(*) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), row_tot AS (SELECT src, sum(c) AS cs FROM trans GROUP BY 1),
+    dst_tot AS (SELECT dst, sum(c) AS cd FROM trans GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM trans)
+    SELECT t.src, t.dst, CAST(t.c AS BIGINT) AS n_transitions,
+           round((t.c * 1.0 / r.cs)
+                 / (d.cd * 1.0 / (SELECT n FROM tot)), 4) AS lift
+    FROM trans t
+    JOIN row_tot r ON r.src = t.src
+    JOIN dst_tot d ON d.dst = t.dst
+    ORDER BY t.src, t.dst
+    """,
+    tags=("analytics", "markov", "events"),
+)
+def event_transition_lift(spark, sf_dir):
+    """TRANSITION LIFT: P(next=j | current=i) / P(j) — the transition
+    matrix normalized by the destination's base rate, so a cell > 1
+    means the step is genuinely sequential structure rather than just
+    'j is common everywhere' (the independence-baseline correction
+    event_transition_matrix's raw probabilities don't make).
+
+    Scale: user-keyed lag window, |types|^2-bounded count relation,
+    broadcast marginals."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count("*").alias("c"))
+    row_tot = trans.groupBy("src").agg(F.sum("c").alias("cs"))
+    dst_tot = trans.groupBy("dst").agg(F.sum("c").alias("cd"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    return (
+        trans.join(F.broadcast(row_tot), "src")
+        .join(F.broadcast(dst_tot), "dst")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            F.col("c").cast("long").alias("n_transitions"),
+            F.round(
+                (F.col("c") * 1.0 / F.col("cs"))
+                / (F.col("cd") * 1.0 / F.col("n")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("src", "dst")
+    )
