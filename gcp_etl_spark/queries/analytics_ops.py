@@ -3504,3 +3504,53 @@ def event_transition_lift(spark, sf_dir):
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "records_broken_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ), runmax AS (
+      SELECT d, y,
+             max(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_record
+      FROM daily
+    )
+    SELECT d AS day, round(y, 2) AS revenue,
+           round(prev_record, 2) AS prev_record,
+           round(y - prev_record, 2) AS margin
+    FROM runmax WHERE y > prev_record
+    ORDER BY day
+    """,
+    tags=("analytics", "timeseries", "orders"),
+)
+def records_broken_days(spark, sf_dir):
+    """RECORD-BREAKING DAYS: days whose revenue exceeded every prior
+    day — the all-time-high tracker (its frequency decays like 1/n on
+    a stationary series, so a late cluster of records IS the growth
+    signal; the margin column says by how much). Exclusive running
+    max via a 1-PRECEDING frame; the first day never counts (no prior
+    record to beat).
+
+    Scale: one window over the calendar-bounded daily relation."""
+    daily = t(spark, sf_dir, "orders").groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    runmax = daily.select(
+        "d", "y", F.max("y").over(w).alias("prev_record")
+    )
+    return (
+        runmax.filter(F.col("y") > F.col("prev_record"))
+        .select(
+            F.col("d").alias("day"),
+            F.round("y", 2).alias("revenue"),
+            F.round("prev_record", 2).alias("prev_record"),
+            F.round(F.col("y") - F.col("prev_record"), 2).alias("margin"),
+        )
+        .orderBy("day")
+    )

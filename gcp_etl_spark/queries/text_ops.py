@@ -1485,3 +1485,91 @@ def text_langid_confusion(spark, sf_dir):
         )
         .orderBy("actual", "predicted")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+              '\\s+', ' ', 'g'), ' ') AS ws FROM documents)
+    ), pairs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w <> '' AND b.w <> ''
+    ), cxy AS (
+      SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), cx AS (SELECT w1, sum(c) AS cw1 FROM cxy GROUP BY 1),
+    cy AS (SELECT w2, sum(c) AS cw2 FROM cxy GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM cxy)
+    SELECT t.w1, t.w2, CAST(t.c AS BIGINT) AS n_pairs,
+           round(ln(t.c * 1.0 * (SELECT n FROM tot)
+                    / (x.cw1 * 1.0 * y.cw2)), 4) AS pmi
+    FROM cxy t JOIN cx x ON x.w1 = t.w1 JOIN cy y ON y.w2 = t.w2
+    WHERE t.c >= 20
+    ORDER BY pmi DESC, t.w1, t.w2 LIMIT 25
+    """,
+    tags=("text", "collocation", "documents"),
+)
+def text_collocations_pmi(spark, sf_dir):
+    """COLLOCATION extraction by pointwise mutual information over
+    ADJACENT word pairs: PMI = ln(c_xy * N / (c_x * c_y)) with a
+    count >= 20 support floor (unsupported pairs have degenerate,
+    sample-noise PMI — the standard Church & Hanks caveat). Top-25
+    strongest collocations — the phrases that behave as single
+    lexical units ('new york', not 'of the').
+
+    Scale: adjacency via the lag window (one user-free, doc-keyed
+    shuffle); pair counts and both marginals are vocabulary-sized;
+    top-25 is TakeOrderedAndProject."""
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+            )
+        ).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w2"),
+            F.lag("w").over(w).alias("w1"),
+        )
+        .filter(
+            F.col("w1").isNotNull()
+            & (F.col("w1") != "")
+            & (F.col("w2") != "")
+        )
+    )
+    cxy = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cx = cxy.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    cy = cxy.groupBy("w2").agg(F.sum("c").alias("cw2"))
+    tot = cxy.agg(F.sum("c").alias("n"))
+    return (
+        cxy.filter(F.col("c") >= 20)
+        .join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_pairs"),
+            F.round(
+                F.log(
+                    F.col("c")
+                    * 1.0
+                    * F.col("n")
+                    / (F.col("cw1") * 1.0 * F.col("cw2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )
