@@ -3554,3 +3554,70 @@ def records_broken_days(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "analytics_pareto_8020_customers",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev) OVER () AS tot,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             count(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum >= 0.8 * tot THEN rk END) AS BIGINT)
+             AS customers_for_80pct,
+           round(min(CASE WHEN cum >= 0.8 * tot THEN rk END)
+                 * 1.0 / max(n), 6) AS share_of_customers,
+           round(max(CASE WHEN rk <= ceil(0.2 * n) THEN cum / tot END), 6)
+             AS rev_share_of_top20pct
+    FROM ranked
+    """,
+    tags=("analytics", "pareto", "orders"),
+)
+def analytics_pareto_8020_customers(spark, sf_dir):
+    """THE 80/20 CHECK on customers: how many customers (count and
+    share) produce 80% of revenue, and what revenue share the top 20%
+    of customers actually hold — the two numbers behind every 'key
+    account' program, measured instead of assumed. Both picks are
+    conditional aggregates over the ranked relation (cum is monotone
+    in rank, so max-where-rk<=ceil(0.2n) IS the boundary value).
+
+    Scale: cumulative windows over the per-CUSTOMER aggregate
+    (entity-bounded — the same altitude as analytics_gini; the
+    two-pass rank swap applies at extreme cardinality)."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wseq = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = per.select(
+        "rev",
+        F.sum("rev")
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+        F.row_number().over(wseq).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    k80 = F.min(
+        F.when(F.col("cum") >= 0.8 * F.col("tot"), F.col("rk"))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        k80.cast("long").alias("customers_for_80pct"),
+        F.round(k80 * 1.0 / F.max("n"), 6).alias("share_of_customers"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rk") <= F.ceil(0.2 * F.col("n")),
+                    F.col("cum") / F.col("tot"),
+                )
+            ),
+            6,
+        ).alias("rev_share_of_top20pct"),
+    )

@@ -1003,3 +1003,50 @@ def customer_negative_exposure(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "dq_id_sequence_completeness",
+    oracle="""
+    WITH ids AS (
+      SELECT o_orderkey AS id FROM orders
+    ), s AS (
+      SELECT count(*) AS n, min(id) AS lo, max(id) AS hi,
+             count(DISTINCT id) AS n_distinct
+      FROM ids
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(lo AS BIGINT) AS min_id, CAST(hi AS BIGINT) AS max_id,
+           CAST(hi - lo + 1 - n_distinct AS BIGINT) AS missing_ids,
+           CAST(n - n_distinct AS BIGINT) AS duplicate_ids,
+           round(n_distinct * 1.0 / (hi - lo + 1), 6) AS density
+    FROM s
+    """,
+    tags=("dq", "sequence", "orders"),
+)
+def dq_id_sequence_completeness(spark, sf_dir):
+    """SURROGATE-KEY SEQUENCE audit: span vs distinct count of the
+    order key — missing ids (holes mean upstream rows were dropped or
+    a writer died mid-batch), duplicate ids (key collisions), and the
+    fill density of the id space. The counting identity needs no
+    islands pass: holes = span − distinct, dups = rows − distinct —
+    one aggregation answers both.
+
+    Scale: a single map-side-combining aggregate (distinct-count is
+    the only shuffle); the id-space arithmetic is scalar."""
+    o = t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.countDistinct("o_orderkey").alias("nd"),
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("lo").cast("long").alias("min_id"),
+        F.col("hi").cast("long").alias("max_id"),
+        (span - F.col("nd")).cast("long").alias("missing_ids"),
+        (F.col("n") - F.col("nd")).cast("long").alias("duplicate_ids"),
+        F.round(F.col("nd") * 1.0 / span, 6).alias("density"),
+    )
