@@ -3621,3 +3621,123 @@ def analytics_pareto_8020_customers(spark, sf_dir):
             6,
         ).alias("rev_share_of_top20pct"),
     )
+
+
+@query(
+    "part_price_realization",
+    oracle="""
+    WITH traded AS (
+      SELECT l_partkey, sum(l_extendedprice) AS ext, sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_type AS part_type,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p.p_retailprice), 4) AS avg_list_price,
+           round(sum(t.ext) / sum(t.q), 4) AS realized_unit_price,
+           round((sum(t.ext) / sum(t.q)) / avg(p.p_retailprice), 6)
+             AS realization_ratio
+    FROM part p JOIN traded t ON t.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "pricing", "part", "lineitem"),
+)
+def part_price_realization(spark, sf_dir):
+    """PRICE REALIZATION by part type: list (retail) price vs the
+    street price actually realized in trades (quantity-weighted
+    extended price) — the pricing-power report; a realization ratio
+    drifting below 1 is margin leaking through discounts faster than
+    the list book admits.
+
+    Scale: lineitem pre-aggregates to per-part sums BEFORE joining the
+    part dim (never join raw lines for a per-part metric); the type
+    rollup runs on the |parts|-bounded join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    traded = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("ext"),
+        F.sum("l_quantity").alias("q"),
+    )
+    j = p.join(traded, p.p_partkey == traded.l_partkey)
+    realized = F.sum("ext") / F.sum("q")
+    return (
+        j.groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_list_price"),
+            F.round(realized, 4).alias("realized_unit_price"),
+            F.round(realized / F.avg("p_retailprice"), 6).alias(
+                "realization_ratio"
+            ),
+        )
+        .orderBy("part_type")
+    )
+
+
+@query(
+    "customer_value_trajectory",
+    oracle="""
+    WITH seq AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey)
+               * 1.0 AS x,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), fit AS (
+      SELECT seg, o_custkey, count(*) AS n,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope
+      FROM seq GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(slope), 4) AS avg_slope,
+           round(count(*) FILTER (slope > 0) * 1.0 / count(*), 6)
+             AS pct_growing
+    FROM fit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("analytics", "regression", "orders"),
+)
+def customer_value_trajectory(spark, sf_dir):
+    """CUSTOMER VALUE TRAJECTORY: per-customer OLS slope of order
+    value over order SEQUENCE (1st, 2nd, ... order), rolled up per
+    segment as mean slope and the share of growing customers — the
+    expansion-vs-contraction read ('are accounts deepening?') that
+    aggregate revenue growth hides (new logos can mask shrinking
+    cohorts). Customers with < 5 orders excluded (no stable fit).
+
+    Scale: the sequence index is a per-customer window (parallel by
+    key); each customer's regression is closed-form power sums inside
+    ONE hash aggregate — a million tiny regressions without a single
+    ML-library call."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_custkey",
+        (F.row_number().over(w) * 1.0).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    n = F.count("*")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    fit = (
+        seq.groupBy("seg", "o_custkey")
+        .agg(n.alias("n"), slope.alias("slope"))
+        .filter(F.col("n") >= 5)
+    )
+    return (
+        fit.groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("slope"), 4).alias("avg_slope"),
+            F.round(
+                F.count(F.when(F.col("slope") > 0, 1)) * 1.0 / F.count("*"),
+                6,
+            ).alias("pct_growing"),
+        )
+        .orderBy("seg")
+    )
