@@ -3741,3 +3741,89 @@ def customer_value_trajectory(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "lineitem_return_drivers",
+    oracle="""
+    SELECT CASE WHEN l_discount < 0.03 THEN 'a_low'
+                WHEN l_discount < 0.07 THEN 'b_mid' ELSE 'c_high' END
+             AS discount_band,
+           CASE WHEN l_quantity < 17 THEN 'a_small'
+                WHEN l_quantity < 34 THEN 'b_medium' ELSE 'c_large' END
+             AS qty_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(count(*) FILTER (l_returnflag = 'R') * 1.0 / count(*), 6)
+             AS return_rate,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice END), 2) AS returned_value
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "returns", "lineitem"),
+)
+def lineitem_return_drivers(spark, sf_dir):
+    """RETURN-RATE DRIVER table: return incidence by discount band x
+    quantity band — the 2-factor screen that separates 'deep discounts
+    attract returns' from 'bulk orders return more' before anyone
+    fits a model. 9 cells with rates and returned value.
+
+    Scale: pure per-row banding expressions, one 9-group aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = (
+        F.when(F.col("l_discount") < 0.03, "a_low")
+        .when(F.col("l_discount") < 0.07, "b_mid")
+        .otherwise("c_high")
+    )
+    qty = (
+        F.when(F.col("l_quantity") < 17, "a_small")
+        .when(F.col("l_quantity") < 34, "b_medium")
+        .otherwise("c_large")
+    )
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.groupBy(disc.alias("discount_band"), qty.alias("qty_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.count(F.when(ret, 1)) * 1.0 / F.count("*"), 6
+            ).alias("return_rate"),
+            F.round(
+                F.sum(F.when(ret, F.col("l_extendedprice"))), 2
+            ).alias("returned_value"),
+        )
+        .orderBy("discount_band", "qty_band")
+    )
+
+
+@query(
+    "events_weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("analytics", "heatmap", "events"),
+)
+def events_weekday_hour_heatmap(spark, sf_dir):
+    """WEEKDAY x HOUR activity heatmap feed: event count and value in
+    each of the 168 weekly cells — the load-shape artifact behind
+    capacity planning, send windows, and on-call staffing (and the
+    denominator surface for any 'activity at 3am Tuesday is weird'
+    rule). DuckDB's 0-based dayofweek is shifted to Spark's 1-based
+    convention in the oracle.
+
+    Scale: one 168-group map-side-combining aggregate."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek(F.to_date("ts")).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("dow", "hr")
+    )
