@@ -3827,3 +3827,45 @@ def events_weekday_hour_heatmap(spark, sf_dir):
         )
         .orderBy("dow", "hr")
     )
+
+
+@query(
+    "orders_priority_mix_by_year",
+    oracle="""
+    WITH y AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_orderpriority AS pri,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (SELECT yr, sum(n) AS tn FROM y GROUP BY 1)
+    SELECT y.yr AS year, y.pri AS priority,
+           CAST(y.n AS BIGINT) AS n_orders,
+           round(y.n * 1.0 / t.tn, 6) AS share
+    FROM y JOIN tot t ON t.yr = y.yr
+    ORDER BY 1, 2
+    """,
+    tags=("analytics", "mix-drift", "orders"),
+)
+def orders_priority_mix_by_year(spark, sf_dir):
+    """PRIORITY MIX drift: the share of each order priority per year —
+    the categorical composition monitor (a creeping '1-URGENT' share
+    is either a customer-behavior shift or a form-default change, and
+    either way every SLA downstream moves). The categorical sibling of
+    dq_value_drift_psi's numeric drift.
+
+    Scale: one (year x priority)-bounded aggregate + share join."""
+    o = t(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))
+    tot = y.groupBy("year").agg(F.sum("n").alias("tn"))
+    return (
+        y.join(F.broadcast(tot), "year")
+        .select(
+            "year",
+            "priority",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(F.col("n") * 1.0 / F.col("tn"), 6).alias("share"),
+        )
+        .orderBy("year", "priority")
+    )

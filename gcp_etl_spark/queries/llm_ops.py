@@ -1795,3 +1795,82 @@ def embedding_distance_histogram(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "embedding_class_separation",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cls AS (
+      SELECT label, dim, avg(v) AS cm, count(*) AS nv FROM flat
+      GROUP BY 1, 2
+    ), grand AS (
+      SELECT dim, avg(v) AS gm FROM flat GROUP BY 1
+    ), within_ AS (
+      SELECT f.label, f.vec_id,
+             sum(pow(f.v - c.cm, 2)) AS d2
+      FROM flat f JOIN cls c ON c.label = f.label AND c.dim = f.dim
+      GROUP BY 1, 2
+    ), offs AS (
+      SELECT c.label, sum(pow(c.cm - g.gm, 2)) AS off2
+      FROM cls c JOIN grand g ON g.dim = c.dim
+      GROUP BY 1
+    )
+    SELECT w.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(w.d2), 6) AS within_ms,
+           round(max(o.off2), 6) AS centroid_offset_sq,
+           round(max(o.off2) / avg(w.d2), 6) AS separation_ratio
+    FROM within_ w JOIN offs o ON o.label = w.label
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "embedding", "evaluation"),
+)
+def embedding_class_separation(spark, sf_dir):
+    """FISHER-STYLE class separation of the labeled embedding corpus:
+    per label, the mean squared distance of members to their own
+    centroid (within-class scatter), the squared offset of the class
+    centroid from the grand centroid (between-class), and their ratio
+    — the embedding-quality read ('do these labels live in separable
+    regions?') that decides whether a linear probe is even worth
+    training. Low ratio = the label is not encoded in this space.
+
+    Scale: class/grand centroids are (|labels| x dim)-bounded
+    aggregates broadcast back into one distance pass; per-vector
+    distances aggregate immediately — no pairwise joins anywhere."""
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cls = flat.groupBy("label", "dim").agg(F.avg("v").alias("cm"))
+    grand = flat.groupBy("dim").agg(F.avg("v").alias("gm"))
+    within = (
+        flat.join(F.broadcast(cls), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("cm")) ** 2).alias("d2"))
+    )
+    offs = (
+        cls.join(F.broadcast(grand), "dim")
+        .groupBy("label")
+        .agg(F.sum((F.col("cm") - F.col("gm")) ** 2).alias("off2"))
+    )
+    return (
+        within.join(F.broadcast(offs), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("d2"), 6).alias("within_ms"),
+            F.round(F.max("off2"), 6).alias("centroid_offset_sq"),
+            F.round(F.max("off2") / F.avg("d2"), 6).alias(
+                "separation_ratio"
+            ),
+        )
+        .orderBy("label")
+    )
