@@ -3869,3 +3869,76 @@ def orders_priority_mix_by_year(spark, sf_dir):
         )
         .orderBy("year", "priority")
     )
+
+
+@query(
+    "customers_overdue_alert",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey, max(d) AS last_d,
+             count(gap) AS n_gaps, quantile_cont(gap, 0.5) AS med_gap
+      FROM seq GROUP BY 1 HAVING count(gap) >= 5
+    )
+    SELECT o_custkey,
+           CAST(date_diff('day', last_d, (SELECT today FROM mx)) AS BIGINT)
+             AS days_since_last,
+           round(med_gap, 1) AS median_gap,
+           round(date_diff('day', last_d, (SELECT today FROM mx))
+                 / med_gap, 4) AS overdue_factor
+    FROM per_cust
+    WHERE date_diff('day', last_d, (SELECT today FROM mx)) > 2 * med_gap
+    ORDER BY overdue_factor DESC, o_custkey LIMIT 25
+    """,
+    tags=("analytics", "cadence", "alerting", "orders"),
+)
+def customers_overdue_alert(spark, sf_dir):
+    """OVERDUE-CUSTOMER alert feed: customers silent for more than 2x
+    their OWN median reorder gap (orders_reorder_interval
+    operationalized) — each account judged against its personal
+    baseline rather than a global threshold, ranked by how many of
+    their own cycles they've missed. The churn-intervention list, as
+    one query.
+
+    Scale: the lag window and per-customer medians partition by key;
+    the watermark broadcasts; top-25 is TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    )
+    per = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("gap").alias("n_gaps"),
+            F.expr("percentile(gap, 0.5)").alias("med_gap"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    j = per.crossJoin(F.broadcast(mx))
+    since = F.datediff(F.col("today"), F.col("last_d"))
+    return (
+        j.filter(since > 2 * F.col("med_gap"))
+        .select(
+            "o_custkey",
+            since.cast("long").alias("days_since_last"),
+            F.round("med_gap", 1).alias("median_gap"),
+            F.round(since / F.col("med_gap"), 4).alias("overdue_factor"),
+        )
+        .orderBy(F.desc("overdue_factor"), "o_custkey")
+        .limit(25)
+    )
