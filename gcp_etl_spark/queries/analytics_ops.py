@@ -3942,3 +3942,68 @@ def customers_overdue_alert(spark, sf_dir):
         .orderBy(F.desc("overdue_factor"), "o_custkey")
         .limit(25)
     )
+
+
+@query(
+    "nation_trade_matrix",
+    oracle="""
+    WITH flows AS (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS volume,
+             count(*) AS n_lines
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_nation, cust_nation,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(volume, 2) AS volume
+    FROM flows
+    ORDER BY round(volume, 2) DESC, supp_nation, cust_nation LIMIT 20
+    """,
+    tags=("analytics", "join", "star", "lineitem"),
+)
+def nation_trade_matrix(spark, sf_dir):
+    """CROSS-NATION TRADE FLOW matrix: discounted revenue by
+    (supplier nation → customer nation), top-20 corridors — the full
+    generalization of TPC-H Q7's two-nation slice (Sankey-diagram
+    feed for 'who supplies whom'). Five-table star join with both
+    nation lookups broadcast.
+
+    Scale: the fact table joins supplier/nation dims broadcast;
+    orders→customer resolves the demand side on the order key; the
+    (25 x 25)-bounded flow matrix aggregates map-side. Ordering on
+    the ROUNDED volume keeps the top-20 cut identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("volume"),
+        )
+    )
+    return flows.orderBy(
+        F.desc("volume"), "supp_nation", "cust_nation"
+    ).limit(20).select("supp_nation", "cust_nation", "n_lines", "volume")
