@@ -6,6 +6,13 @@ no native operator (as-of join, top-k per group helper).
 """
 
 from gcp_etl_spark.operators.asof import asof_join
+from gcp_etl_spark.operators.quantiles import exact_quantiles, global_row_number
 from gcp_etl_spark.operators.topk import top_k, top_k_per_group
 
-__all__ = ["asof_join", "top_k", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "exact_quantiles",
+    "global_row_number",
+    "top_k",
+    "top_k_per_group",
+]

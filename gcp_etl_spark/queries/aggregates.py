@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries._exact import davg, dsum, dsum_expr
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
@@ -230,15 +231,29 @@ def agg_having(spark, sf_dir):
 def agg_stats(spark, sf_dir):
     """Statistical aggregates: stddev/variance via exact decimal
     moment sums (bitwise-identical across engines — see _exact.py),
-    exact interpolated percentiles (= DuckDB quantile_cont)."""
+    exact interpolated percentiles (= DuckDB quantile_cont).
+
+    Scale: the percentiles come from ``operators.exact_quantiles``
+    (two-pass range-partitioned rank) — NOT the ``percentile``
+    aggregate, whose final merge holds a value->count map of every
+    distinct o_totalprice on one reducer; the 3-row quantile relation
+    joins back onto the moment aggregate."""
     o = t(spark, sf_dir, "orders")
     d = F.col("o_totalprice").cast("decimal(18,2)")
+    q = exact_quantiles(
+        o,
+        "o_totalprice",
+        {"__med": 0.5, "__p90": 0.9},
+        group_cols=["o_orderstatus"],
+    )
     g = o.groupBy("o_orderstatus").agg(
         F.sum(d).cast("double").alias("s"),
         F.sum(d * d).cast("double").alias("s2"),
         F.count("o_totalprice").cast("double").alias("n"),
-        R(F.percentile("o_totalprice", F.lit(0.5))).alias("median_price"),
-        R(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
+    ).join(F.broadcast(q), "o_orderstatus").select(
+        "*",
+        R(F.col("__med")).alias("median_price"),
+        R(F.col("__p90")).alias("p90_price"),
     )
     var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     return g.select(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -3289,8 +3290,12 @@ def orders_reorder_interval(spark, sf_dir):
     the churn trigger, not a global threshold).
 
     Scale: the lag window partitions per customer; per-customer
-    medians are over each customer's own bounded order history; the
-    corpus rollup sees one row per customer."""
+    medians are over each customer's own bounded order history (the
+    ``percentile`` aggregate is the right tool THERE — unbounded
+    groups, bounded values per group). The corpus rollup sees one row
+    per customer — unbounded-distinct medians — so its quartiles come
+    from ``operators.exact_quantiles`` (two-pass rank), never a
+    single-reducer value map."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = o.select(
@@ -3304,18 +3309,22 @@ def orders_reorder_interval(spark, sf_dir):
         F.count("*").alias("n_gaps"),
         F.expr("percentile(gap, 0.5)").alias("med_gap"),
     ).filter(F.col("n_gaps") >= 3)
-    return per_cust.agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.round(F.expr("percentile(med_gap, 0.25)"), 4).alias(
-            "p25_median_gap"
-        ),
-        F.round(F.expr("percentile(med_gap, 0.5)"), 4).alias(
-            "p50_median_gap"
-        ),
-        F.round(F.expr("percentile(med_gap, 0.75)"), 4).alias(
-            "p75_median_gap"
-        ),
-        F.round(F.avg("med_gap"), 4).alias("mean_median_gap"),
+    q = exact_quantiles(
+        per_cust, "med_gap", {"__p25": 0.25, "__p50": 0.5, "__p75": 0.75}
+    )
+    return (
+        per_cust.agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("med_gap"), 4).alias("mean_median_gap"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_customers",
+            F.round(F.col("__p25"), 4).alias("p25_median_gap"),
+            F.round(F.col("__p50"), 4).alias("p50_median_gap"),
+            F.round(F.col("__p75"), 4).alias("p75_median_gap"),
+            "mean_median_gap",
+        )
     )
 
 

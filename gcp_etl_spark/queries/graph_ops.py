@@ -367,10 +367,12 @@ def graph_degree_assortativity(spark, sf_dir):
     dependency graphs); positive = hub-hub mixing (social graphs).
 
     Scale: degrees are one hash aggregate over the doubled edge list;
-    the two degree lookups broadcast (the degree relation is bounded
-    by |V|); the correlation is a single power-sum aggregate. Same
-    bounded-graph construction as the other graph_* queries
-    (graph_ops._edges)."""
+    the two degree lookups are PLAIN equi-joins — the degree relation
+    has |V| rows, which fits a broadcast on this fixture but would OOM
+    the driver at 10^9 nodes; leaving the join unhinted lets AQE
+    demote to broadcast exactly when the runtime size allows. The
+    correlation is a single power-sum aggregate. Same bounded-graph
+    construction as the other graph_* queries (graph_ops._edges)."""
     e = _edges(spark, sf_dir)
     both = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
@@ -379,8 +381,8 @@ def graph_degree_assortativity(spark, sf_dir):
     du = deg.select(F.col("n").alias("nu"), F.col("d").alias("xd"))
     dv = deg.select(F.col("n").alias("nv"), F.col("d").alias("yd"))
     pairs = (
-        both.join(F.broadcast(du), F.col("n") == F.col("nu"))
-        .join(F.broadcast(dv), F.col("m") == F.col("nv"))
+        both.join(du, F.col("n") == F.col("nu"))
+        .join(dv, F.col("m") == F.col("nv"))
         .select(
             F.col("xd").cast("double").alias("x"),
             F.col("yd").cast("double").alias("y"),
@@ -444,9 +446,11 @@ def graph_jaccard_neighbors(spark, sf_dir):
     inclusion-exclusion (deg_u + deg_v - common), never materialized.
 
     Scale: the intersection count is a wedge join through the shared
-    neighbor (two equi-joins on node keys); degrees broadcast; top-20
-    is TakeOrderedAndProject. All relations bounded by the graph, not
-    the input table."""
+    neighbor (two equi-joins on node keys); the |V|-row degree lookups
+    are plain equi-joins (unhinted — AQE broadcasts when the runtime
+    size fits, shuffles when a 10^9-node degree table would OOM the
+    driver); top-20 is TakeOrderedAndProject. All relations bounded by
+    the graph, not the input table."""
     e = _edges(spark, sf_dir)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
@@ -466,8 +470,8 @@ def graph_jaccard_neighbors(spark, sf_dir):
     du = deg.select(F.col("n").alias("nu"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("nv"), F.col("d").alias("dv"))
     return (
-        common.join(F.broadcast(du), F.col("u") == F.col("nu"))
-        .join(F.broadcast(dv), F.col("v") == F.col("nv"))
+        common.join(du, F.col("u") == F.col("nu"))
+        .join(dv, F.col("v") == F.col("nv"))
         .select(
             "u",
             "v",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -188,8 +189,11 @@ def quality_composite_score(spark, sf_dir):
 
     Scale: pure per-row expressions (one projection, zero shuffles
     until the per-source rollup); the stopword list is a 15-element
-    literal array — no join. Exact median per source via percentile
-    over the per-source groups."""
+    literal array — no join. The exact per-source median comes from
+    ``operators.exact_quantiles`` (two-pass range-partitioned rank)
+    because per-doc scores are unbounded-distinct — the ``percentile``
+    aggregate would concentrate a value map of every distinct score on
+    one reducer."""
     par = spark.sparkContext.defaultParallelism
     d = t(spark, sf_dir, "documents").repartition(par)
     # single-file doc scan -> 2 input splits; fan out to every core
@@ -214,17 +218,24 @@ def quality_composite_score(spark, sf_dir):
         + 0.3 * (1 - F.least(punct / 0.2, F.lit(1.0)))
         + 0.3 * F.least(stops / 0.4, F.lit(1.0))
     )
+    scored = d.select("source", score.alias("score"))
+    med = exact_quantiles(scored, "score", {"__med": 0.5}, group_cols=["source"])
     return (
-        d.select("source", score.alias("score"))
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.round(F.avg("score"), 6).alias("mean_score"),
-            F.round(F.expr("percentile(score, 0.5)"), 6).alias(
-                "median_score"
-            ),
             F.round(F.min("score"), 6).alias("min_score"),
             F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .join(F.broadcast(med), "source")
+        .select(
+            "source",
+            "n_docs",
+            "mean_score",
+            F.round(F.col("__med"), 6).alias("median_score"),
+            "min_score",
+            "max_score",
         )
         .orderBy("source")
     )
@@ -747,8 +758,10 @@ def analytics_conversion_latency(spark, sf_dir):
     takes, not just who falls through).
 
     Scale: two min-aggregates with a broadcast survivor join
-    (funnel_3step's shape); the percentile runs over the
-    converter-bounded latency relation."""
+    (funnel_3step's shape); the latency relation has one row per
+    converter — unbounded-distinct doubles — so the tail percentiles
+    come from ``operators.exact_quantiles`` (two-pass rank), never the
+    single-reducer ``percentile`` value map."""
     e = t(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
@@ -767,12 +780,22 @@ def analytics_conversion_latency(spark, sf_dir):
     lat = p.join(F.broadcast(v), "user_id").select(
         ((F.col("t_buy") - F.col("t_view")) / 3600000000.0).alias("hours")
     )
-    return lat.agg(
-        F.count("*").cast("long").alias("n_converters"),
-        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
-        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
-        F.round(F.expr("percentile(hours, 0.99)"), 4).alias("p99_hours"),
-        F.round(F.avg("hours"), 4).alias("mean_hours"),
+    q = exact_quantiles(
+        lat, "hours", {"__p50": 0.5, "__p90": 0.9, "__p99": 0.99}
+    )
+    return (
+        lat.agg(
+            F.count("*").cast("long").alias("n_converters"),
+            F.round(F.avg("hours"), 4).alias("mean_hours"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_converters",
+            F.round(F.col("__p50"), 4).alias("p50_hours"),
+            F.round(F.col("__p90"), 4).alias("p90_hours"),
+            F.round(F.col("__p99"), 4).alias("p99_hours"),
+            "mean_hours",
+        )
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -30,11 +31,26 @@ def agg_median(spark, sf_dir):
     percentile(0.5) = DuckDB ``median``/``quantile_cont``). The two
     engines' interpolation formulas can differ in the last ulp, so the
     output is rounded to 4dp on both sides (established percentile
-    policy, cf. agg_stats)."""
+    policy, cf. agg_stats).
+
+    Scale: the ``median`` AGGREGATE is kept only for l_quantity, whose
+    domain is BOUNDED (integers 1..50 — the final-merge value map has
+    at most 50 entries per group, safe at any scale); the
+    unbounded-distinct l_extendedprice median routes through
+    ``operators.exact_quantiles`` (two-pass range-partitioned rank)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    med_price = exact_quantiles(
+        li, "l_extendedprice", {"__mp": 0.5}, group_cols=["l_returnflag"]
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.median("l_quantity"), 4).alias("med_qty"))
+        .join(F.broadcast(med_price), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med_qty",
+            F.round(F.col("__mp"), 4).alias("med_price"),
+        )
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -968,18 +969,18 @@ def analytics_robust_means(spark, sf_dir):
     outlier-robust location estimates (winsorize clamps the tails to
     the fences; trim drops them).
 
-    Scale: pass 1 computes per-group exact 5th/95th percentiles; the
-    bounded per-group fence relation broadcasts into pass 2's
-    conditional aggregate. Two scans, no sort of the full data, no
-    per-row rank."""
+    Scale: pass 1 computes per-group exact 5th/95th percentiles via
+    ``operators.exact_quantiles`` (two-pass range-partitioned rank —
+    never the ``percentile`` aggregate's single-reducer value map over
+    the unbounded order totals); the bounded per-group fence relation
+    broadcasts into pass 2's conditional aggregate."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
     )
-    q = j.groupBy("seg").agg(
-        F.expr("percentile(v, 0.05)").alias("p05"),
-        F.expr("percentile(v, 0.95)").alias("p95"),
+    q = exact_quantiles(
+        j, "v", {"p05": 0.05, "p95": 0.95}, group_cols=["seg"]
     )
     clamped = (
         F.when(F.col("v") < F.col("p05"), F.col("p05"))
@@ -1037,13 +1038,13 @@ def analytics_iqr_outliers(spark, sf_dir):
     in the outlier-detector design space next to anomaly_zscore
     (parametric) and anomaly_mad_robust (median-based).
 
-    Scale: per-group exact quartiles in pass 1 (bounded relation,
-    broadcast), conditional count in pass 2 — same two-scan shape as
-    analytics_robust_means."""
+    Scale: per-group exact quartiles in pass 1 via
+    ``operators.exact_quantiles`` (two-pass rank, no single-reducer
+    value map), bounded fence relation broadcast, conditional count in
+    pass 2 — same two-scan shape as analytics_robust_means."""
     e = t(spark, sf_dir, "events")
-    q = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.25)").alias("q1"),
-        F.expr("percentile(value, 0.75)").alias("q3"),
+    q = exact_quantiles(
+        e, "value", {"q1": 0.25, "q3": 0.75}, group_cols=["event_type"]
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
@@ -1564,9 +1565,13 @@ def dq_value_drift_psi(spark, sf_dir):
     halves are bucketed against the SAME nine thresholds and each bin
     contributes (p_t - p_r)·ln(p_t/p_r).
 
-    Scale: the 9-row threshold relation broadcasts into a single
-    bucketing pass (count of thresholds below v == bin index — no
-    CASE ladder to keep in sync); everything after is a 10-row
+    Scale: the nine reference deciles come from
+    ``operators.exact_quantiles`` (two-pass rank over the unbounded
+    order totals — not the single-reducer ``percentile`` map); the
+    median-date split stays a plain ``percentile`` because its input
+    is calendar-bounded. The 9-row threshold relation broadcasts into
+    a single bucketing pass (count of thresholds below v == bin index
+    — no CASE ladder to keep in sync); everything after is a 10-row
     rollup."""
     o = t(spark, sf_dir, "orders").withColumn(
         "us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
@@ -1578,14 +1583,10 @@ def dq_value_drift_psi(spark, sf_dir):
             "half"
         ),
     )
-    q = (
-        lab.filter(F.col("half") == "ref")
-        .agg(
-            *[
-                F.expr(f"percentile(v, {0.1 * i:.1f})").alias(f"t{i}")
-                for i in range(1, 10)
-            ]
-        )
+    q = exact_quantiles(
+        lab.filter(F.col("half") == "ref"),
+        "v",
+        {f"t{i}": i / 10 for i in range(1, 10)},
     )
     thr = F.array(*[F.col(f"t{i}") for i in range(1, 10)])
     binned = lab.crossJoin(F.broadcast(q)).select(

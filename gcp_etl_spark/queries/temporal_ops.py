@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -361,21 +362,25 @@ def anomaly_mad_robust(spark, sf_dir):
     op, identical everywhere; downstream |x−med| and the threshold
     compare reuse those exact operands.
 
-    Scale: two median aggs (Spark sorts within hash-agg groups) + one
-    counting agg, with the tiny per-type stats broadcast back — events
-    shuffles only on event_type (cardinality ~6; at real scale the
-    per-group exact median is the cost — swap to approx_percentile
-    with a declared tolerance, same shape).
+    Scale: both exact medians come from ``operators.exact_quantiles``
+    (two-pass range-partitioned rank) — the values are
+    unbounded-distinct doubles per type, exactly the regime where the
+    ``median``/``percentile`` aggregate's single-reducer value map
+    fails; the tiny per-type stats broadcast back and events shuffles
+    only on the range exchange.
     """
     e = t(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    med = exact_quantiles(
+        e, "value", {"med": 0.5}, group_cols=["event_type"]
+    )
     with_med = e.join(F.broadcast(med), "event_type")
-    mad = (
+    mad = exact_quantiles(
         with_med.select(
             "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
-        )
-        .groupBy("event_type")
-        .agg(F.median("dev").alias("mad"))
+        ),
+        "dev",
+        {"mad": 0.5},
+        group_cols=["event_type"],
     )
     scored = with_med.join(F.broadcast(mad), "event_type")
     is_out = (

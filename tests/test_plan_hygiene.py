@@ -7,6 +7,13 @@ built and screened for the anti-patterns that kill 100 TB runs.
   documented API-parity demo / Python UDTF queries — everything else
   must stay JVM-side or Arrow-batched (``ArrowEvalPython`` /
   ``MapInPandas`` / ``FlatMapGroupsInPandas`` are fine).
+- exact ``percentile``/``median`` AGGREGATES: their final merge builds
+  a value->count map of every distinct input value on ONE reducer
+  (measured: 9.2 s over 2.9M distinct doubles) — allowed only where
+  the input's distinct-value count is structurally bounded (calendar
+  days, a bounded integer domain, per-entity groups); everything else
+  must use ``operators.exact_quantiles`` (two-pass range-partitioned
+  rank) or ``approx_percentile`` with a declared tolerance.
 
 Building a plan is cheap (no execution) except for the iterative
 queries, which run their loops eagerly — they are exempted here and
@@ -17,6 +24,7 @@ from __future__ import annotations
 
 import contextlib
 import io as _io
+import re
 
 from gcp_etl_spark.queries import load_all
 from tests.conftest import SF_SMALL
@@ -38,6 +46,10 @@ _EAGER_BUILD = {
 # declared cross joins — CartesianProduct is the point
 _CROSS_OK = {"join_cross"}
 
+# matches the exact percentile/median aggregates in formatted plans but
+# NOT percentile_approx/approx_percentile/percentile_disc
+_EXACT_PCT = re.compile(r"(?<![\w.])(?:percentile|median)\(")
+
 # the deliberate row-at-a-time anti-pattern demo and Python UDTFs
 _PY_ROW_OK = {
     "udf_python_row",
@@ -45,6 +57,24 @@ _PY_ROW_OK = {
     # declared-API demo of the Spark 4 polymorphic (analyze()) UDTF —
     # row-Python by the API's nature, same policy as its siblings
     "udtf_polymorphic_analyze",
+}
+
+# exact percentile/median aggregates whose input distinct-value count
+# is STRUCTURALLY bounded — the single-reducer value map stays small at
+# any corpus size. Every other query must use operators.exact_quantiles
+# (r4 verdict ask #1).
+_EXACT_PCT_OK = {
+    # calendar-bounded inputs (distinct values = days of history)
+    "analytics_theil_sen",    # intercept median over the daily relation
+    "analytics_runs_test",    # median of daily sums
+    "dq_value_drift_psi",     # median-DATE split (decile edges use exact_quantiles)
+    "part_brand_share_shift", # median-shipdate split
+    # bounded integer domain (l_quantity ∈ 1..50 — ≤50 map entries/group)
+    "agg_median",
+    # per-entity groups: unbounded GROUP count, bounded values PER group
+    # (each customer's own order gaps) — percentile is the right tool here
+    "orders_reorder_interval",
+    "customers_overdue_alert",
 }
 
 
@@ -67,4 +97,13 @@ def test_no_cartesian_or_python_row_in_declared_plans(spark):
             offenders.append(f"{name}: CartesianProduct")
         if "BatchEvalPython" in plan and name not in _PY_ROW_OK:
             offenders.append(f"{name}: row-at-a-time BatchEvalPython")
+        if (
+            _EXACT_PCT.search(plan)
+            and name not in _EXACT_PCT_OK
+        ):
+            offenders.append(
+                f"{name}: exact percentile/median aggregate over a "
+                "relation not declared cardinality-bounded — use "
+                "operators.exact_quantiles"
+            )
     assert not offenders, "\n".join(offenders)
