@@ -20,9 +20,18 @@ unreproducible on idle hardware). Two defenses here:
   * every query records the 1-minute loadavg + process count at its
     start, so a contended record is self-diagnosing;
   * any query whose first pass takes >= MIN2_THRESHOLD_SEC is re-run
-    once and the MINIMUM of the two passes is recorded (both raw
-    passes are kept in the detail file) — one contended pass can no
-    longer define the round's official number.
+    once from a clean cache and the SECOND pass is recorded — it is
+    consistently warm (OS page cache + JIT hot), where min-of-2 (the
+    r4 policy) systematically biased records downward (r4 ADVICE).
+    Both raw passes stay in the detail file; the headline carries
+    ``timing: pass2_warm`` so cross-round comparisons see the change.
+
+On the r4-verdict nit "mirror the full per-query map into
+BENCH_r{n}.json": deliberately NOT done — the round-1 driver capture
+truncated a ~5 KB single line to ``parsed: null`` (commit dccd743),
+and the full 391-query map is ~14 KB. The headline instead carries the
+per-query distribution (median/p90/max) plus an explicit ``detail``
+pointer to BENCH_DETAIL_r{n}.json, which holds the full map.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list),
@@ -46,6 +55,10 @@ from gcp_etl_spark.session import get_spark
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 MIN2_THRESHOLD_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2", "2"))
+
+# silence the known-benign WindowExec warnings in the bench tail ONLY —
+# library sessions keep them (see session._quiet_benign_warnings)
+os.environ.setdefault("SPARK_GRAFT_QUIET_BENIGN", "1")
 
 
 def force(df) -> None:
@@ -94,6 +107,7 @@ def _dump_detail(sf: float, timings: dict, detail: dict, failures: list) -> None
         "unit": "sec",
         "sf": sf,
         "min2_threshold_sec": MIN2_THRESHOLD_SEC,
+        "timing": "pass2_warm",
         "queries": timings,
         "detail": detail,
         "failures": failures,
@@ -162,12 +176,15 @@ def main() -> None:
             passes.append(round(time.time() - t0, 3))
             if MIN2_THRESHOLD_SEC and passes[0] >= MIN2_THRESHOLD_SEC:
                 # one contended pass must not define the record: re-run
-                # once from a clean cache and keep the minimum
+                # once from a clean cache and record the SECOND pass —
+                # consistently warm (OS page cache + JIT), unlike
+                # min-of-2 which biased records downward (r4 ADVICE);
+                # both raw passes stay in the detail file
                 _cleanup()
                 t0 = time.time()
                 force(spec.fn(spark, sf_dir))
                 passes.append(round(time.time() - t0, 3))
-            timings[name] = min(passes)
+            timings[name] = passes[-1]
             rec["passes"] = passes
             detail[name] = rec
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
@@ -215,7 +232,18 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    # keep this line SHORT (driver tail-capture truncates long lines)
+    ts = sorted(timings.values())
+    dist = (
+        {
+            "q_median": round(ts[len(ts) // 2], 3),
+            "q_p90": round(ts[int(len(ts) * 0.9)], 3),
+        }
+        if ts
+        else {}
+    )
+    # keep this line SHORT (driver tail-capture truncates long lines —
+    # a ~5 KB line came back as parsed:null in round 1); the full
+    # per-query map lives in the detail file named below
     print(
         json.dumps(
             {
@@ -224,6 +252,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "timing": "pass2_warm",
+                **dist,
+                "detail": f"BENCH_DETAIL_r{_round_stamp():02d}.json",
                 **_host_load(),
                 "queries": slowest,
                 **({"n_failures": len(failures)} if failures else {}),

@@ -353,7 +353,11 @@ def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    shift = 8 - (n_bins - 1).bit_length()  # 256 / n_bins, power of two
+    # shift maps 0..255 into n_bins uniform buckets ONLY when n_bins is
+    # a power of two; for other widths the top indices overflow, so
+    # they are clamped into the last bin below (r5 ADVICE — previously
+    # those pixels were silently dropped)
+    shift = 8 - (n_bins - 1).bit_length()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gcp_etl_spark.llm import codecs
@@ -367,7 +371,9 @@ def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
                     vals = codecs.png_decode(bytes(b)).ravel()
                 except Exception:  # noqa: BLE001 - skip undecodable payloads
                     continue
-                counts = np.bincount(vals >> shift, minlength=n_bins)
+                counts = np.bincount(
+                    np.minimum(vals >> shift, n_bins - 1), minlength=n_bins
+                )
                 for bi in range(n_bins):
                     ids.append(int(mid))
                     bins.append(bi)

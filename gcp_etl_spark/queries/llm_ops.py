@@ -1672,12 +1672,22 @@ def dedup_weighted_jaccard(spark, sf_dir):
     shared by half the corpus BEFORE the pair join — similarity is
     then defined over the discriminative-shingle profile, which is
     both the scalable and the semantically sharper choice (hot
-    shingles carry no dedup signal)."""
+    shingles carry no dedup signal).
+
+    Tokenization matches the oracle exactly: trim + whitespace
+    collapse BEFORE splitting (r5 ADVICE — a doc with doubled spaces
+    or tabs/newlines would otherwise shingle differently on the two
+    engines)."""
     par = spark.sparkContext.defaultParallelism
     d = (
         t(spark, sf_dir, "documents")
         .repartition(par)
-        .select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+            ).alias("ws"),
+        )
     )
     sh = (
         d.select(

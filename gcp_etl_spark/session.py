@@ -107,7 +107,8 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _quiet_benign_warnings(spark)
+    if os.environ.get("SPARK_GRAFT_QUIET_BENIGN") == "1":
+        _quiet_benign_warnings(spark)
     return spark
 
 
@@ -121,7 +122,12 @@ def _quiet_benign_warnings(spark: SparkSession) -> None:
     constant-size aggregate relation (documented per query), and the
     repeated warning drowned the bench tail. Done via the log4j2 core
     Configurator through py4j; failure-tolerant in case a deployment
-    swaps the logging backend."""
+    swaps the logging backend.
+
+    Gated behind SPARK_GRAFT_QUIET_BENIGN=1 (set by bench.py only) so
+    LIBRARY users keep the warning — a future non-calendar-bounded
+    global window should be loud everywhere except the bench tail,
+    where the plan-hygiene tests police it instead (r4 ADVICE)."""
     try:
         jvm = spark.sparkContext._jvm
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
