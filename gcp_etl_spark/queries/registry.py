@@ -50,9 +50,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Newest-round modules first: the round driver samples the HEAD of the
+# queries() dict for its ~50-query correctness snapshot, and through
+# round 4 it never reached a single round-4 query (r4 verdict ask #4).
+# The stable sort in load_all keeps registration order within each
+# priority tier, so the established early-registry names keep their
+# relative order after the fresh modules.
+_MODULE_PRIORITY = [
+    "gcp_etl_spark.queries.r5_ops",
+    "gcp_etl_spark.queries.stats_ops",
+    "gcp_etl_spark.queries.prep_ops",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: registration) and return
-    the full registry."""
+    the full registry, newest-round modules first."""
     from gcp_etl_spark.queries import (  # noqa: F401
         aggregates,
         analytics_ops,
@@ -80,5 +93,13 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
         windows,
     )
+    from gcp_etl_spark.queries import r5_ops  # noqa: F401
 
-    return QUERIES
+    prio = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
+    default = len(prio)
+    return dict(
+        sorted(
+            QUERIES.items(),
+            key=lambda kv: prio.get(kv[1].fn.__module__, default),
+        )
+    )

@@ -279,3 +279,75 @@ def static_enriched_agg(
         )
         .select(F.col("w.start").alias("w_start"), "segment", "n_events", "sum_value")
     )
+
+
+# Fixed PSI bin edges for events.value — in deployment these ship with
+# the job (fitted offline on the reference corpus), exactly like a
+# pretrained tokenizer's merge table. 6 bins over the observed range.
+PSI_EDGES: tuple[float, ...] = (5.0, 15.0, 35.0, 70.0, 115.0)
+
+
+def value_bin(col, edges: tuple[float, ...] = PSI_EDGES):
+    """1-based bin index against fixed edges: count of edges below the
+    value + 1 (no CASE ladder to keep in sync with the oracle)."""
+    thr = F.array(*[F.lit(float(e)) for e in edges])
+    return 1 + F.size(F.filter(thr, lambda x: x < col))
+
+
+def psi_binned_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    edges: tuple[float, ...] = PSI_EDGES,
+    watermark: str | None = "2 days",
+) -> DataFrame:
+    """(w_start, bin, n) tumbling-window bin counts — the stream-safe
+    half of PSI drift monitoring: one windowed grouped count, state
+    bounded by (windows inside watermark) x |bins|."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, width).alias("w"),
+            value_bin(F.col("value"), edges).alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "bin", "n")
+    )
+
+
+def psi_drift(win_counts: DataFrame, ref_profile: DataFrame) -> DataFrame:
+    """Per-(window, bin) PSI contributions of windowed bin counts vs a
+    STATIC reference profile ``(bin, p_ref)``.
+
+    The share-of-window normalization needs the window total — a second
+    aggregation over the already-aggregated stream, so in a live stream
+    this stage runs per micro-batch via foreachBatch (the ``rank_topk``
+    pattern); the windowed count (``psi_binned_counts``) is the only
+    stateful stage. Batch runs the identical plan directly.
+
+    Bins absent from a window emit no row (no zero-smoothing): the
+    reference profile covers every bin the corpus produces, so p_ref >
+    0 wherever a target row exists and the log is always defined.
+
+    The window total is a partitioned window sum over the (already
+    aggregated, |windows| x |bins|-sized) relation — not a self-join,
+    which Spark cannot resolve against a memory-sink view and which
+    would cost an extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    wn = F.sum("n").over(Window.partitionBy("w_start"))
+    p_tgt = F.col("n") / wn
+    return (
+        win_counts
+        .join(F.broadcast(ref_profile), "bin")
+        .select(
+            "w_start",
+            F.col("bin").cast("long").alias("bin"),
+            F.round(p_tgt, 6).alias("p_tgt"),
+            F.round(F.col("p_ref"), 6).alias("p_ref"),
+            F.round(
+                (p_tgt - F.col("p_ref")) * F.log(p_tgt / F.col("p_ref")), 6
+            ).alias("psi_contribution"),
+        )
+    )

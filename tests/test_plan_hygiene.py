@@ -35,6 +35,7 @@ from tests.conftest import SF_SMALL
 _EAGER_BUILD = {
     "dedup_clusters",
     "dedup_cluster_exact",
+    "dedup_semantic",  # connected-components loop (localCheckpoint)
     "graph_pagerank",
     "ref_pipeline_e2e",
     "catalog_insert_overwrite",

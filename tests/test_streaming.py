@@ -324,6 +324,41 @@ def test_stream_static_join_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_stream_psi_drift_equals_batch(spark, events_stream_dir):
+    """PSI drift as a REAL streaming query: the windowed bin count is
+    the only stateful stage; share normalization + the static
+    reference-profile join run post-sink (the foreachBatch pattern,
+    like rank_topk). Streamed result must equal the batch dual."""
+    from gcp_etl_spark.streaming.windows import (
+        PSI_EDGES,
+        psi_binned_counts,
+        psi_drift,
+        value_bin,
+    )
+
+    path, schema = events_stream_dir
+    ev = spark.read.schema(schema).parquet(path)
+    counts = (
+        ev.select(value_bin(F.col("value"), PSI_EDGES).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("__rn"))
+    )
+    tot = counts.agg(F.sum("__rn").alias("__tot"))
+    ref = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("__rn") / F.col("__tot")).alias("p_ref")
+    )
+    batch = psi_drift(psi_binned_counts(ev), ref)
+    stream = psi_binned_counts(
+        spark.readStream.schema(schema).parquet(path)
+    )
+    assert stream.isStreaming
+    sink = run_stream(spark, stream, "complete")
+    got = psi_drift(sink, ref)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 StatefulProcessor API):
     final per-user running totals from the stream must equal the batch
