@@ -155,6 +155,39 @@ def test_exact_similarity_grid_claims():
             assert scales[f"x{m}"]["out_pairs"] == m * base
 
 
+def test_r4_text_grid_claims():
+    """Pin the committed round-4 text/dedup scale-grid record
+    (tools/bench_scale_docs.py, r4 VERDICT ask #6): on the
+    dissimilar-docs fixture, dedup_weighted_jaccard's output pairs stay
+    exactly linear in the multiplier (the per-replica word tags keep
+    shingle df bounded, so the df<=64 cap never collides across
+    replicas), and all three queries fit a sub-quadratic time exponent.
+    Measured offline at x100 (500k docs); this pins the record."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("r4_text_grid")
+    if not grid:
+        pytest.skip("r4_text_grid not yet measured")
+    for q in (
+        "dedup_weighted_jaccard",
+        "text_rake_keywords",
+        "text_char_bigram_entropy",
+    ):
+        rec = grid["queries"][q]
+        assert rec["time_exponent"] < 1.5, (
+            f"{q}: time exponent {rec['time_exponent']} — superlinear "
+            "scaling beyond the jitter budget"
+        )
+    wj = grid["queries"]["dedup_weighted_jaccard"]
+    assert wj["pairs_linear"], "weighted-jaccard pairs not linear in mult"
+    assert wj["pairs_exponent"] == 1.0
+
+
 def test_twopass_sweepline_wins_at_sf1(spark):
     """The two-pass prefix-difference sweep-line must beat the naive
     single-partition global window at 10x data (same hash-verified

@@ -39,6 +39,17 @@ SCALE_ROOT = os.path.join(REPO, ".scale")
 
 QUERIES = ("dedup_prefix_filter", "dedup_containment", "dedup_substring_spans")
 
+# round-4 text/dedup additions (r4 VERDICT ask #6): dedup_weighted_jaccard
+# emits PAIRS (linear on the dissimilar fixture, same contract as the
+# exact-similarity trio); the two text aggregates emit bounded top-k /
+# per-bigram relations, so only the TIME exponent is the claim there.
+TEXT_QUERIES = (
+    "dedup_weighted_jaccard",
+    "text_rake_keywords",
+    "text_char_bigram_entropy",
+)
+TEXT_PAIR_QUERIES = {"dedup_weighted_jaccard"}
+
 
 def _fixture_dir(mult: int) -> str:
     return os.path.join(SCALE_ROOT, f"docs_x{mult}")
@@ -71,6 +82,58 @@ def _fit_exponent(points: list[tuple[int, float]]) -> float:
     return round(num / den, 2) if den else 0.0
 
 
+def run_grid(
+    spark,
+    specs,
+    queries: tuple[str, ...],
+    mults: list[int],
+    pair_queries: set[str] | frozenset[str],
+) -> dict[str, dict]:
+    """Time each query across the multiplier grid; record the fitted
+    time exponent, and — for pair-emitting queries — the linear
+    true-pair contract of the dissimilar fixture."""
+    import time as _time
+
+    grid: dict[str, dict] = {}
+    for name in queries:
+        fn = specs[name].fn
+        fn(spark, BASE_DIR).count()  # warmup (codegen/JIT/footers)
+        _cleanup(spark)
+        rows: dict[str, dict] = {}
+        points: list[tuple[int, float]] = []
+        pair_points: list[tuple[int, int]] = []
+        for m in [1] + mults:
+            d = BASE_DIR if m == 1 else _fixture_dir(m)
+            t0 = _time.time()
+            n_out = fn(spark, d).count()
+            dt = round(_time.time() - t0, 2)
+            _cleanup(spark)
+            rows[f"x{m}"] = {"sec": dt, "out_rows": n_out}
+            points.append((m, dt))
+            pair_points.append((m, n_out))
+            print(f"{name} x{m}: {dt}s, {n_out} rows", file=sys.stderr)
+        rec: dict = {
+            "scales": rows,
+            "time_exponent": _fit_exponent(points),
+        }
+        if name in pair_queries:
+            base_pairs = pair_points[0][1]
+            top_m, top_pairs = pair_points[-1]
+            rec["pairs_exponent"] = _fit_exponent(
+                [(m, float(p)) for m, p in pair_points]
+            )
+            # dissimilar fixture => true pairs = m x base pairs exactly
+            rec["pairs_linear"] = top_pairs == top_m * base_pairs
+            rec["sec_per_1k_pairs_x1"] = round(
+                1000 * points[0][1] / max(base_pairs, 1), 3
+            )
+            rec[f"sec_per_1k_pairs_x{top_m}"] = round(
+                1000 * points[-1][1] / max(top_pairs, 1), 3
+            )
+        grid[name] = rec
+    return grid
+
+
 def main() -> None:
     mults = [
         int(s)
@@ -83,66 +146,48 @@ def main() -> None:
 
     specs = load_all()
     spark = get_spark("bench_scale_docs")
-    grid: dict[str, dict] = {}
-    for name in QUERIES:
-        fn = specs[name].fn
-        fn(spark, BASE_DIR).count()  # warmup (codegen/JIT/footers)
-        _cleanup(spark)
-        rows: dict[str, dict] = {}
-        points: list[tuple[int, float]] = []
-        pair_points: list[tuple[int, int]] = []
-        for m in [1] + mults:
-            d = BASE_DIR if m == 1 else _fixture_dir(m)
-            t0 = time.time()
-            n_pairs = fn(spark, d).count()
-            dt = round(time.time() - t0, 2)
-            _cleanup(spark)
-            rows[f"x{m}"] = {"sec": dt, "out_pairs": n_pairs}
-            points.append((m, dt))
-            pair_points.append((m, n_pairs))
-            print(f"{name} x{m}: {dt}s, {n_pairs} pairs", file=sys.stderr)
-        base_pairs = pair_points[0][1]
-        top_m, top_pairs = pair_points[-1]
-        grid[name] = {
-            "scales": rows,
-            "time_exponent": _fit_exponent(points),
-            "pairs_exponent": _fit_exponent(
-                [(m, float(p)) for m, p in pair_points]
-            ),
-            # dissimilar fixture => true pairs = m x base pairs exactly
-            "pairs_linear": top_pairs == top_m * base_pairs,
-            "sec_per_1k_pairs_x1": round(
-                1000 * points[0][1] / max(base_pairs, 1), 3
-            ),
-            f"sec_per_1k_pairs_x{top_m}": round(
-                1000 * points[-1][1] / max(top_pairs, 1), 3
-            ),
-        }
+    only = os.environ.get("SPARK_GRAFT_DOCS_GRID", "both")
 
     out_path = os.path.join(REPO, "BENCH_SCALE.json")
     prior = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
-    prior["exact_similarity_grid"] = {
-        "fixture": "dissimilar-docs (linear true-pair growth), docs only",
-        "base_docs": 5000,
-        "mults": [1] + mults,
-        "queries": grid,
-    }
+
+    headline: dict = {"metric": "docs_scale_grids", "max_mult": mults[-1]}
+    if only in ("both", "exact"):
+        grid = run_grid(spark, specs, QUERIES, mults, frozenset(QUERIES))
+        # exact-similarity trio: all three emit pairs; keep the legacy
+        # key name so round-over-round diffs stay aligned
+        for rec in grid.values():
+            for srow in rec["scales"].values():
+                srow["out_pairs"] = srow.pop("out_rows")
+        prior["exact_similarity_grid"] = {
+            "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+            "base_docs": 5000,
+            "mults": [1] + mults,
+            "queries": grid,
+        }
+        headline["exact_time_exponents"] = {
+            q: grid[q]["time_exponent"] for q in QUERIES
+        }
+    if only in ("both", "text"):
+        tgrid = run_grid(
+            spark, specs, TEXT_QUERIES, mults, TEXT_PAIR_QUERIES
+        )
+        prior["r4_text_grid"] = {
+            "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+            "base_docs": 5000,
+            "mults": [1] + mults,
+            "queries": tgrid,
+        }
+        headline["text_time_exponents"] = {
+            q: tgrid[q]["time_exponent"] for q in TEXT_QUERIES
+        }
+
     with open(out_path, "w") as f:
         json.dump(prior, f, indent=1, sort_keys=False)
-    print(
-        json.dumps(
-            {
-                "metric": "exact_similarity_grid",
-                "max_mult": mults[-1],
-                "time_exponents": {
-                    q: grid[q]["time_exponent"] for q in QUERIES
-                },
-            }
-        )
-    )
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
