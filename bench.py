@@ -23,8 +23,12 @@ unreproducible on idle hardware). Two defenses here:
     once from a clean cache and the SECOND pass is recorded — it is
     consistently warm (OS page cache + JIT hot), where min-of-2 (the
     r4 policy) systematically biased records downward (r4 ADVICE).
-    Both raw passes stay in the detail file; the headline carries
-    ``timing: pass2_warm`` so cross-round comparisons see the change.
+    If pass-2 blows up past 2x pass-1 (r5 lesson: a 55 s GC-noise
+    pass-2 became analytics_bootstrap_ci's official record), a THIRD
+    pass runs and the MEDIAN of the three is recorded. All raw passes
+    stay in the detail file with per-query ``timing`` provenance
+    (pass1 / pass2_warm / median3 — r5 ADVICE); the headline carries
+    ``timing: pass2_warm_if_slow`` naming the policy.
 
 On the r4-verdict nit "mirror the full per-query map into
 BENCH_r{n}.json": deliberately NOT done — the round-1 driver capture
@@ -107,7 +111,7 @@ def _dump_detail(sf: float, timings: dict, detail: dict, failures: list) -> None
         "unit": "sec",
         "sf": sf,
         "min2_threshold_sec": MIN2_THRESHOLD_SEC,
-        "timing": "pass2_warm",
+        "timing": "pass2_warm_if_slow",
         "queries": timings,
         "detail": detail,
         "failures": failures,
@@ -179,12 +183,29 @@ def main() -> None:
                 # once from a clean cache and record the SECOND pass —
                 # consistently warm (OS page cache + JIT), unlike
                 # min-of-2 which biased records downward (r4 ADVICE);
-                # both raw passes stay in the detail file
+                # all raw passes stay in the detail file
                 _cleanup()
                 t0 = time.time()
                 force(spec.fn(spark, sf_dir))
                 passes.append(round(time.time() - t0, 3))
-            timings[name] = passes[-1]
+                if passes[1] > 2 * passes[0]:
+                    # r5 lesson (analytics_bootstrap_ci: 2.66 s pass-1,
+                    # 55.1 s pass-2 became the official number): a
+                    # pass-to-pass blowup means GC/contention noise, not
+                    # warmth — run a THIRD pass and record the median
+                    _cleanup()
+                    t0 = time.time()
+                    force(spec.fn(spark, sf_dir))
+                    passes.append(round(time.time() - t0, 3))
+            if len(passes) == 3:
+                timings[name] = sorted(passes)[1]
+                rec["timing"] = "median3"
+            else:
+                timings[name] = passes[-1]
+                # per-query provenance (r5 ADVICE: the old single
+                # 'pass2_warm' label mixed cold one-pass and warm
+                # two-pass records)
+                rec["timing"] = "pass2_warm" if len(passes) == 2 else "pass1"
             rec["passes"] = passes
             detail[name] = rec
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
@@ -252,7 +273,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "timing": "pass2_warm",
+                "timing": "pass2_warm_if_slow",
                 **dist,
                 "detail": f"BENCH_DETAIL_r{_round_stamp():02d}.json",
                 **_host_load(),

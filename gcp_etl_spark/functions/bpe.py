@@ -104,3 +104,97 @@ def encode_vocab(
         .groupBy("token")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def train_merges(
+    words: DataFrame,
+    n_merges: int = 10,
+    word_col: str = "w",
+    freq_col: str = "freq",
+) -> list[tuple[str, str, int]]:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016 learn_bpe,
+    public): learn ``n_merges`` merge rules from a (word, freq) vocab
+    relation. Returns [(left, right, pair_count)] in rank order.
+
+    Each iteration is fully distributed over the vocabulary:
+    1. adjacent-pair counts weighted by word frequency (explode →
+       map-side-combinable hash agg; pair space is alphabet²-bounded
+       early, vocabulary-bounded later);
+    2. argmax pair via orderBy(count desc, left, right).limit(1) — a
+       TakeOrdered, driver receives ONE row (the bounded-state
+       iterative pattern, same as k-means centroids);
+    3. merge application as a per-word left-to-right fold
+       (``F.aggregate``: replace [.., l] + r with [.., l||r]) — a pure
+       map, no shuffle; lineage cut per iteration with a lazy
+       localCheckpoint so the plan stays flat across iterations.
+
+    The corpus itself is never rescanned after the initial vocab
+    collapse (Heaps' law: vocab ~ corpus^0.5), which is what makes N
+    training iterations affordable at 100 TB. Deterministic: the
+    (count desc, left asc, right asc) tiebreak is pinned on both the
+    Spark side and the pure-Python reference in tests/test_r6.py."""
+    from pyspark.sql import functions as F
+
+    syms = words.select(
+        F.col(freq_col).alias("freq"),
+        F.expr(f"filter(split({word_col}, ''), x -> x <> '')").alias(
+            "syms"
+        ),
+    ).localCheckpoint(eager=False)
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2),"
+                            " i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<l: string, r: string>>"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        out.append((left, right, cnt))
+        merged = left + right
+
+        def make_step(_l: str, _r: str, _m: str):
+            # closure factory: F.aggregate introspects the lambda's
+            # arity, so captured values must not ride default args
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (x == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(_m)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        step = make_step(left, right, merged)
+
+        syms = syms.withColumn(
+            "syms",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), step
+            ),
+        ).localCheckpoint(eager=False)
+    return out

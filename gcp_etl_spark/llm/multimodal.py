@@ -353,11 +353,10 @@ def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # shift maps 0..255 into n_bins uniform buckets ONLY when n_bins is
-    # a power of two; for other widths the top indices overflow, so
-    # they are clamped into the last bin below (r5 ADVICE — previously
-    # those pixels were silently dropped)
-    shift = 8 - (n_bins - 1).bit_length()
+    # (value * n_bins) >> 8 gives UNIFORM bucket widths for ANY n_bins
+    # (r5 ADVICE — the previous shift+clamp made the last bin a
+    # catch-all for non-power-of-two widths); for power-of-two n_bins
+    # it is bit-identical to the old value >> (8 - log2(n_bins))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gcp_etl_spark.llm import codecs
@@ -372,7 +371,7 @@ def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
                 except Exception:  # noqa: BLE001 - skip undecodable payloads
                     continue
                 counts = np.bincount(
-                    np.minimum(vals >> shift, n_bins - 1), minlength=n_bins
+                    (vals.astype(np.int32) * n_bins) >> 8, minlength=n_bins
                 )
                 for bi in range(n_bins):
                     ids.append(int(mid))

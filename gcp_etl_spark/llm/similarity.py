@@ -158,18 +158,23 @@ def blocked_cosine_pairs(
     the semantic-dedup primitive. The block key (here a label; at scale
     an LSH/IVF bucket) bounds candidate generation to O(Σ block²).
 
-    Each block is scored as ONE numpy matmul over its Arrow batch
-    (normalize rows → U·Uᵀ → upper triangle ≥ threshold) instead of
-    pair-count × dim interpreted higher-order lambdas — the same
-    vectorization as ``random_projection_buckets`` (measured ~4× on
-    the 2000×64 fixture, where 200k pairs × 3 aggregate() traversals
-    dominated). BLAS vs sequential accumulation differs only in the
-    last ulps; the 4dp contract absorbs it.
+    Each block is scored by vectorized numpy matmul over its Arrow
+    batch (normalize rows → row-chunk · Uᵀ strips → upper triangle ≥
+    threshold) instead of pair-count × dim interpreted higher-order
+    lambdas — the same vectorization as ``random_projection_buckets``
+    (measured ~4× on the 2000×64 fixture, where 200k pairs × 3
+    aggregate() traversals dominated). The matmul is CHUNKED in row
+    blocks of 1024 (r5 verdict fix): task memory is bounded by
+    1024 × bucket doubles rather than a full bucket² cosine matrix —
+    only the ≥threshold survivors (near-dup cardinality) are ever
+    materialized per chunk. BLAS vs sequential accumulation differs
+    only in the last ulps; the 4dp contract absorbs it.
     """
     import numpy as np
     import pandas as pd
 
     out_schema = "id_a long, id_b long, cos double"
+    chunk = 1024
 
     def block(pdf):  # no annotations (stringified-signature pitfall)
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -177,12 +182,25 @@ def blocked_cosine_pairs(
         order = np.argsort(ids)
         ids, V = ids[order], V[order]
         U = V / np.linalg.norm(V, axis=1, keepdims=True)
-        C = U @ U.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = C[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": C[ia[keep], ib[keep]]}
-        )
+        n = len(ids)
+        outs = []
+        for s in range(0, n, chunk):
+            C = U[s : s + chunk] @ U.T  # (≤chunk) × n strip
+            ra, rb = np.nonzero(C >= threshold)
+            ga = ra + s
+            m = ga < rb  # upper triangle only, no self-pairs
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ga[m]],
+                        "id_b": ids[rb[m]],
+                        "cos": C[ra[m], rb[m]],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        return pd.concat(outs, ignore_index=True)
 
     src = df.select(id_col, block_col, vec_col)
     return src.groupBy(block_col).applyInPandas(block, out_schema)

@@ -53,32 +53,54 @@ def global_row_number(
     so each group's rows appear in global order across ascending
     partition ids; in-partition row_number + per-(group, partition)
     prefix offsets equals the global rank.
+
+    NULL group keys are first-class: the group columns are wrapped in
+    a single struct internally, and struct equality/grouping/range
+    ordering treats a null field as equal to itself — so a null-keyed
+    group gets contiguous row numbers like any other (the r5 ADVICE
+    null-unsafe-equi-join fix; verified empirically).
     """
     pc, oc = list(part_cols), list(order_cols)
-    parts = df.repartitionByRange(n_parts, *pc, *oc).withColumn(
-        "__pid", F.spark_partition_id()
+    work = df
+    gk: list[str] = []
+    if pc:
+        work = work.withColumn("__grngk", F.struct(*pc))
+        gk = ["__grngk"]
+    # localCheckpoint (lazy) FREEZES the partition ids: the ranked
+    # relation feeds two branches (the windowed rows and the offset
+    # counts), and without materialization each branch re-executes the
+    # range exchange with an independently SAMPLED boundary set —
+    # spark_partition_id() then disagrees between branches and the
+    # offset join silently corrupts ranks (observed: duplicate/skipped
+    # ranks whenever Catalyst's column pruning makes the two exchange
+    # subtrees non-identical, defeating ReuseExchange). The checkpoint
+    # also means the input is scanned once, not once per branch.
+    parts = (
+        work.repartitionByRange(n_parts, *gk, *oc)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = parts.withColumn(
         "__lrn",
-        F.row_number().over(Window.partitionBy(*pc, "__pid").orderBy(*oc)),
+        F.row_number().over(Window.partitionBy(*gk, "__pid").orderBy(*oc)),
     )
-    counts = local.groupBy(*pc, "__pid").agg(F.count("*").alias("__n"))
+    counts = local.groupBy(*gk, "__pid").agg(F.count("*").alias("__n"))
     # bounded relation: #groups x #partitions rows — the tiny-window
     # prefix sum here is the documented-benign case
     prior = (
-        Window.partitionBy(*pc)
+        Window.partitionBy(*gk)
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     offs = counts.select(
-        *pc,
+        *gk,
         "__pid",
         F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off"),
     )
     return (
-        local.join(F.broadcast(offs), [*pc, "__pid"])
+        local.join(F.broadcast(offs), [*gk, "__pid"])
         .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
-        .drop("__pid", "__lrn", "__off")
+        .drop(*gk, "__pid", "__lrn", "__off")
     )
 
 
@@ -98,7 +120,11 @@ def exact_quantiles(
     per group (a single row when ``group_cols`` is empty) with columns
     ``(*group_cols, *probs.keys())``, each quantile a double. NULL
     values are excluded (same as the ``percentile`` aggregate); groups
-    with no non-null values produce no row.
+    with no non-null values produce no row. NULL group KEYS are kept
+    (same as the ``percentile`` aggregate): all internal group-key
+    joins go through a struct wrapper whose equality is null-safe
+    (r5 ADVICE fix — a plain equi-join would silently drop the
+    null-keyed group's output row).
     """
     gcols = list(group_cols)
     items = sorted(probs.items(), key=lambda kv: kv[1])
@@ -108,12 +134,17 @@ def exact_quantiles(
         .cast("double")
         .alias("__v"),
     ).filter(F.col("__v").isNotNull())
+    # single struct group key: null-safe under join/groupBy/range sort
+    gk: list[str] = []
+    if gcols:
+        vals = vals.select(F.struct(*gcols).alias("__gk"), "__v")
+        gk = ["__gk"]
 
     ranked = global_row_number(
-        vals, order_cols=["__v"], part_cols=gcols, n_parts=n_parts,
+        vals, order_cols=["__v"], part_cols=gk, n_parts=n_parts,
         rn_col="__rn",
     )
-    ns = ranked.groupBy(*gcols).agg(F.count("*").alias("__N"))
+    ns = ranked.groupBy(*gk).agg(F.count("*").alias("__N"))
 
     spark = df.sparkSession
     probs_df = spark.createDataFrame(
@@ -123,7 +154,7 @@ def exact_quantiles(
     # floor(h)+1 and min(floor(h)+2, N)
     h = (F.col("__N") - 1) * F.col("__p")
     need = ns.crossJoin(F.broadcast(probs_df)).select(
-        *gcols,
+        *gk,
         "__qname",
         (h - F.floor(h)).alias("__frac"),
         F.floor(h).cast("long").alias("__lo0"),
@@ -132,7 +163,7 @@ def exact_quantiles(
     # two lookup rows per (group, prob): the lower and upper order
     # statistics, matched by pure rank EQUALITY (equi-join, broadcast)
     need_long = need.select(
-        *gcols,
+        *gk,
         "__qname",
         "__frac",
         F.explode(
@@ -147,20 +178,26 @@ def exact_quantiles(
                 ),
             )
         ).alias("__e"),
-    ).select(*gcols, "__qname", "__frac", "__e.__role", "__e.__rn")
+    ).select(*gk, "__qname", "__frac", "__e.__role", "__e.__rn")
 
-    j = ranked.join(F.broadcast(need_long), [*gcols, "__rn"])
-    picked = j.groupBy(*gcols, "__qname", "__frac").agg(
+    j = ranked.join(F.broadcast(need_long), [*gk, "__rn"])
+    picked = j.groupBy(*gk, "__qname", "__frac").agg(
         F.min(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__vlo"),
         F.min(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__vhi"),
     )
     q = F.when(F.col("__frac") == 0, F.col("__vlo")).otherwise(
         F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
     )
-    long = picked.select(*gcols, "__qname", q.alias("__q"))
-    return long.groupBy(*gcols).agg(
+    long = picked.select(*gk, "__qname", q.alias("__q"))
+    wide = long.groupBy(*gk).agg(
         *[
             F.min(F.when(F.col("__qname") == name, F.col("__q"))).alias(name)
             for name, _ in items
         ]
     )
+    if gcols:
+        wide = wide.select(
+            *[F.col(f"__gk.{c}").alias(c) for c in gcols],
+            *[name for name, _ in items],
+        )
+    return wide

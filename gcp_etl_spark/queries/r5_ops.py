@@ -28,9 +28,10 @@ from gcp_etl_spark.tables import t
     "dedup_semantic",
     # rows-only by design: candidate recall < 1 is inherent to LSH
     # bucketing (precision is exact — candidates are re-scored with
-    # true cosine). Pinned by tests/test_llm.py::test_semantic_dedup_*:
-    # pair recall vs the brute-force O(n^2) oracle at sf0.001, plus
-    # cluster/survivor determinism.
+    # true cosine). Pinned by tests/test_r5.py::
+    # test_semantic_pairs_recall_and_exact_precision (pair recall vs
+    # the brute-force O(n^2) oracle at sf0.001) plus the
+    # test_semantic_dedup_* cluster/survivor determinism tests there.
     oracle=None,
     tags=("llm", "dedup", "embedding", "ann", "approx"),
 )
@@ -43,10 +44,12 @@ def dedup_semantic(spark, sf_dir):
     per cluster. Completes the dedup family: exact hash / MinHash /
     SimHash / n-gram Jaccard (llm/dedup.py) + embedding-space (here).
 
-    Scale: no O(n^2) stage — candidates are Σ(bucket²) per table (add
-    planes to keep buckets bounded as the corpus grows); the pair graph
-    and the component loop live at near-dup cardinality. See
-    llm/semdedup.py for the full scale notes."""
+    Scale: no O(n^2) stage — candidates are Σ(bucket²) per table, and
+    the plane count is DERIVED from a one-pass corpus count so the
+    expected bucket stays ≤ 4k rows at any corpus size (adaptive
+    planes, r6); the pair graph and the component loop live at
+    near-dup cardinality. See llm/semdedup.py for the full scale
+    notes."""
     emb = t(spark, sf_dir, "embeddings")
     pairs = semantic_pairs(emb, dim=64, threshold=0.35)
     return (

@@ -1,0 +1,703 @@
+"""Round-6 operator additions (SURVEY.md §2B "LLM-data-pipeline
+operators" — data-selection / mixture / classifier / ANN families).
+
+Four operators a large-scale training-data pipeline runs between
+dedup and tokenization, none previously in the surface:
+
+- ``dsir_importance_weights`` — Data Selection via Importance
+  Resampling (Xie et al. 2023, public): per-document importance
+  weights from hashed-bigram bucket log-likelihood ratios between a
+  target slice and the raw corpus. Value-verified (DuckDB replays the
+  identical hashed-feature algebra).
+- ``mix_temperature_sampling`` — temperature-scaled multinomial
+  source sampling (the mT5/XLM-R alpha-sampling scheme, public):
+  p_s ∝ n_s^alpha with deterministic per-source hash-order picks.
+  Value-verified.
+- ``train_quality_logreg`` — distributed full-batch gradient-descent
+  logistic regression (the quality-classifier trainer): each
+  iteration is ONE aggregate pass producing a 3-double weight vector;
+  DuckDB replays the identical unrolled recurrence. Value-verified.
+- ``ann_ivf_pq_rerank`` — the FAISS-style IVF-PQ composition: IVF
+  coarse probe restricts the candidate lists, PQ/ADC scores only
+  those lists, exact cosine reranks the shortlist. Approximate by
+  design → rows-only; recall pinned by
+  tests/test_r6.py::test_ivf_pq_rerank_recall.
+
+Cross-engine determinism policy (registry docstring): every
+order-dependent double sum is either decimal-summed (exact,
+order-free) or rounded at >= 8 dp before feeding the next stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+# ---------------------------------------------------------------- DSIR
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, ws[i+1] || ' ' || ws[i+2] AS g
+      FROM toks, unnest(range(len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 2
+    ), bkt AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM grams
+    ), doc_cnt AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM bkt GROUP BY 1, 2
+    ), src AS (
+      SELECT bucket, count(*) AS cs FROM bkt GROUP BY 1
+    ), tgt AS (
+      SELECT bucket, count(*) AS ct
+      FROM bkt WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT count(*) FROM bkt) AS ns,
+             (SELECT count(*) FROM bkt
+              WHERE lang = '{_DSIR_TARGET_LANG}') AS nt
+    ), terms AS (
+      SELECT s.bucket,
+             CAST(round(ln(
+                 ((COALESCE(tg.ct, 0) + 1.0) / (tots.nt + {_DSIR_BUCKETS}))
+               / ((s.cs + 1.0) / (tots.ns + {_DSIR_BUCKETS}))
+             ), 9) AS DECIMAL(18,9)) AS term
+      FROM src s LEFT JOIN tgt tg USING (bucket) CROSS JOIN tots
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * term) AS DOUBLE), 6)
+             AS weight
+    FROM doc_cnt JOIN terms USING (bucket)
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("llm", "data-selection", "dsir", "text"),
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    raw document by how much its hashed-n-gram profile looks like the
+    TARGET distribution — weight(doc) = Σ_b cnt_b · ln(p_target(b) /
+    p_raw(b)) over 256 hashed-bigram buckets with Laplace
+    smoothing. Target here: the ``lang = 'en'`` slice; raw: the whole
+    corpus. Top-50 docs by weight are the importance-resampling picks.
+
+    Determinism: the bucket log-ratio is rounded to 9 dp and summed as
+    DECIMAL (exact, order-free), so per-doc weights are identical in
+    both engines regardless of partitioning.
+
+    Scale: documents stream once into (doc_id, bucket) counts; the two
+    bucket distributions are 256-row relations (broadcast);
+    the per-doc weight is a map-side-combinable hash agg. Nothing
+    driver-side, no shuffle carries text."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    grams = d.select(
+        "doc_id", "lang", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bkt = grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    doc_cnt = bkt.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    src = bkt.groupBy("bucket").agg(F.count("*").alias("cs"))
+    tgt = (
+        bkt.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = bkt.agg(
+        F.count("*").alias("ns"),
+        F.count(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        ).alias("nt"),
+    )
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        / (F.col("nt") + _DSIR_BUCKETS)
+    ) / ((F.col("cs") + 1.0) / (F.col("ns") + _DSIR_BUCKETS))
+    terms = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            # (18,9) x (9,0) multiply stays within precision 38 so the
+            # product keeps scale 9 EXACTLY on both engines — at
+            # (28,9) x bigint Spark's precision-loss rule truncated the
+            # product scale to 6dp and the weights drifted ~1e-6
+            F.round(F.log(ratio), 9).cast("decimal(18,9)").alias("term"),
+        )
+    )
+    return (
+        doc_cnt.join(F.broadcast(terms), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("cnt").cast("decimal(9,0)") * F.col("term")
+                ).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# -------------------------------------------- temperature mix sampling
+
+_TEMP_ALPHA_INV_POW = 0.5  # alpha = 0.5 → sqrt(n) (mT5 / XLM-R value)
+_TEMP_SAMPLE_N = 300
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    c2 AS (
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS sq
+      FROM cnt
+    ), tot AS (SELECT sum(sq) AS den FROM c2),
+    q AS (
+      SELECT source,
+             CAST(floor({_TEMP_SAMPLE_N}
+               * (CAST(sq AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT)
+               AS quota,
+             round(CAST(sq AS DOUBLE) / CAST(den AS DOUBLE), 6) AS share
+      FROM c2 CROSS JOIN tot
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.pick_rank, q.quota, q.share
+    FROM ranked r JOIN q USING (source)
+    WHERE r.pick_rank <= q.quota
+    """,
+    tags=("llm", "mixture", "sampling"),
+)
+def mix_temperature_sampling(spark, sf_dir):
+    """TEMPERATURE-SCALED source sampling (the mT5/XLM-R alpha-
+    sampling scheme, public): draw a 300-doc mixture with
+    per-source probability p_s ∝ n_s^0.5 — upweights small sources
+    relative to proportional sampling without letting any source
+    dominate. The actual picks are DETERMINISTIC: per-source
+    md5(doc_id) hash order (a reproducible uniform permutation), first
+    ``quota = floor(N·p_s)`` docs win.
+
+    Determinism: per-source sqrt(n) is rounded to 9 dp and
+    decimal-summed, so the denominator (and hence every quota) is
+    exact and order-free in both engines; sqrt itself is IEEE
+    correctly-rounded everywhere.
+
+    Scale: the mixture algebra is a |sources|-row relation; the picks
+    are one window over (source) in hash order — a single shuffle of
+    (source, doc_id, hash), never text. The complement of
+    ``corpus_mix_rebalance`` (which plans weights; this one executes a
+    draw)."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    c2 = cnt.select(
+        "source",
+        F.round(F.sqrt(F.col("n").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("sq"),
+    )
+    tot = c2.agg(F.sum("sq").alias("den"))
+    share = F.col("sq").cast("double") / F.col("den").cast("double")
+    q = c2.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.lit(_TEMP_SAMPLE_N) * share).cast("long").alias("quota"),
+        F.round(share, 6).alias("share"),
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .cast("long")
+        .alias("pick_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(q), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("source", "doc_id", "pick_rank", "quota", "share")
+    )
+
+
+# ------------------------------------- distributed logistic regression
+
+_GD_LR = 0.5
+_GD_ITERS = 3
+
+
+def _gd_oracle_sql() -> str:
+    """Unrolled GD recurrence as chained CTEs — generated from the
+    SAME constants the Spark side iterates with, so the two engines
+    can never drift."""
+    p = "1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))"
+    ctes = [
+        """f AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             value / 100.0 AS x1,
+             hour(ts) / 24.0 AS x2
+      FROM events
+    )""",
+        "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(1, _GD_ITERS + 1):
+        ctes.append(
+            f"""it{i} AS (
+      SELECT round(max(w0) - {_GD_LR} * avg(({p} - y)), 8) AS w0,
+             round(max(w1) - {_GD_LR} * avg(x1 * ({p} - y)), 8) AS w1,
+             round(max(w2) - {_GD_LR} * avg(x2 * ({p} - y)), 8) AS w2
+      FROM f CROSS JOIN it{i - 1}
+    )"""
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT max(w0) AS w0, max(w1) AS w1, max(w2) AS w2,
+           round(avg(CASE WHEN ({p} >= 0.5 AND y = 1.0)
+                            OR ({p} < 0.5 AND y = 0.0)
+                     THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy,
+           count(*) AS n_rows
+    FROM f CROSS JOIN it{_GD_ITERS}
+    """
+
+
+def _logreg_feats(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+
+
+def _sigmoid(w):
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+@query(
+    "train_quality_logreg",
+    oracle=_gd_oracle_sql(),
+    tags=("llm", "classifier", "ml", "iterative"),
+)
+def train_quality_logreg(spark, sf_dir):
+    """Distributed QUALITY-CLASSIFIER training: full-batch gradient
+    descent for logistic regression (predict ``event_type =
+    'purchase'`` from value and hour-of-day), 3 full-batch iterations
+    at lr 0.5 — the fastText/logreg quality-filter trainer every
+    LLM data pipeline runs, expressed as pure aggregates: one pass per
+    iteration computing the exact batch gradient Σ x·(σ(w·x) − y)/N
+    via map-side-combinable avg()s; the only driver state is the
+    3-double weight vector (the legitimate bounded-state iterative
+    pattern, same as k-means).
+
+    Determinism: each iteration's weights are rounded to 8 dp INSIDE
+    the SQL aggregate on both engines, so engine-order double
+    summation (abs diff ~1e-13 per gradient) can never propagate; the
+    DuckDB oracle replays the identical recurrence as unrolled CTEs
+    generated from the same constants.
+
+    Scale: 3 scans × one hash agg each, no shuffle wider
+    than the 3-double partials; at 100 TB you'd cache the projected
+    features once and each iteration is a single map-reduce."""
+    feats = _logreg_feats(spark, sf_dir)
+    w = (0.0, 0.0, 0.0)
+    for _ in range(_GD_ITERS):
+        p = _sigmoid(w)
+        row = feats.agg(
+            F.round(
+                F.lit(w[0]) - _GD_LR * F.avg(p - F.col("y")), 8
+            ).alias("w0"),
+            F.round(
+                F.lit(w[1]) - _GD_LR * F.avg(F.col("x1") * (p - F.col("y"))),
+                8,
+            ).alias("w1"),
+            F.round(
+                F.lit(w[2]) - _GD_LR * F.avg(F.col("x2") * (p - F.col("y"))),
+                8,
+            ).alias("w2"),
+        ).first()
+        w = (row["w0"], row["w1"], row["w2"])
+    p = _sigmoid(w)
+    correct = F.when(
+        ((p >= 0.5) & (F.col("y") == 1.0))
+        | ((p < 0.5) & (F.col("y") == 0.0)),
+        1.0,
+    ).otherwise(0.0)
+    return feats.agg(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.round(F.avg(correct), 6).alias("train_accuracy"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------- IVF-PQ + rerank
+
+_IVFPQ_K = 5
+_IVFPQ_SHORTLIST = 20
+_IVFPQ_NPROBE = 2
+_IVFPQ_CENTROIDS = 8
+_IVFPQ_M = 8
+_IVFPQ_CODES = 16
+_IVFPQ_QUERY_MOD = 50
+
+
+@query(
+    "ann_ivf_pq_rerank",
+    # rows-only by design (two stacked approximations: IVF probe
+    # recall + PQ quantization); recall vs the exact operator is
+    # pinned by tests/test_r6.py::test_ivf_pq_rerank_recall, top-k
+    # determinism by test_ivf_pq_rerank_deterministic.
+    oracle=None,
+    tags=("llm", "ann", "ivf", "pq", "approx"),
+)
+def ann_ivf_pq_rerank(spark, sf_dir):
+    """The full FAISS-style IVF-PQ pipeline (Jégou et al. 2011,
+    public), composed from the engine's own primitives: IVF coarse
+    quantizer restricts each query to its ``nprobe`` inverted lists
+    (llm/ivf.py), PQ/ADC scores ONLY those lists from 8-byte codes
+    (llm/pq.py codebooks), the ADC top-20 shortlist is
+    reranked with EXACT cosine, and the top-5 survive.
+
+    vs the standalone paths: ``ann_topk_ivf`` scores probed lists with
+    full vectors; ``ann_topk_pq`` ADC-scans the whole corpus. This
+    composition is the one that holds at 10^9+ vectors: candidates ≈
+    |corpus|·nprobe/n_centroids, each scored from codes (16× smaller
+    than vectors), full vectors touched only for shortlist·|queries|
+    rows.
+
+    Scale: the ADC scoring is a per-pair vectorized Pandas UDF whose
+    closure carries only the codebooks (m·k·d/m floats) — no per-query
+    LUT broadcast, so the query side is NOT driver-bounded (unlike
+    ``pq_topk``'s documented max_queries guard)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
+    from gcp_etl_spark.llm.pq import _normalize, pq_encode, pq_train
+    from gcp_etl_spark.llm.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _IVFPQ_QUERY_MOD == 0)
+
+    assigned, centers = ivf_assign(
+        emb, "vec_id", "embedding", n_centroids=_IVFPQ_CENTROIDS
+    )
+    books = pq_train(
+        emb, "vec_id", "embedding", m=_IVFPQ_M, k_codes=_IVFPQ_CODES
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    inv = assigned.select(
+        F.col("vec_id").alias("n_id"), "centroid_id"
+    ).join(codes, "n_id")
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(
+            _nearest_centroids(F.col("q_vec"), centers, _IVFPQ_NPROBE)
+        ),
+    )
+
+    B = books.astype(np.float64)  # m x k x ds
+    m, _, ds = B.shape
+
+    @pandas_udf("double")
+    def adc(qv, cs):  # (pd.Series, pd.Series) -> pd.Series
+        Q = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in qv])
+        )
+        C = np.vstack(cs.to_numpy()).astype(np.int64)  # batch x m
+        s = np.zeros(len(C))
+        for sub in range(m):
+            s += np.einsum(
+                "ij,ij->i",
+                Q[:, sub * ds : (sub + 1) * ds],
+                B[sub][C[:, sub]],
+            )
+        return pd.Series(s)
+
+    cand = inv.join(F.broadcast(q), "centroid_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.withColumn("adc", adc(F.col("q_vec"), F.col("codes")))
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("n_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rr", F.row_number().over(ws))
+        .filter(F.col("rr") <= _IVFPQ_SHORTLIST)
+        .select("q_id", "n_id", "q_vec")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    exact = shortlist.join(nvec, "n_id").withColumn(
+        "cos", cosine(F.col("q_vec"), F.col("n_vec"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _IVFPQ_K)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"), "rn")
+    )
+
+
+# --------------------------------------------- hard-negative mining
+
+_HN_K = 5
+_HN_QUERY_MOD = 25
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % {_HN_QUERY_MOD} = 0
+    ), c AS (
+      SELECT vec_id AS n_id, label AS n_label,
+             CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings
+    ), scored AS (
+      SELECT q_id, n_id, n_label,
+             round(list_dot_product(qv, nv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(nv, nv))), 4) AS cos
+      FROM q JOIN c ON q_id <> n_id AND q_label <> n_label
+    ), ranked AS (
+      SELECT q_id, n_id, n_label, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, n_label, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_HN_K}
+    """,
+    tags=("llm", "ann", "contrastive", "embeddings"),
+)
+def ann_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive training (the DPR/
+    Contriever recipe, public): for each query vector, the top-k most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make an embedding model actually learn
+    the decision boundary. Ranking compares the ROUNDED cosine on both
+    engines so the k-th-place boundary is identical.
+
+    Scale: broadcast probes × streamed corpus (corpus never shuffles);
+    the per-query top-k window runs on |queries|·|corpus| scored pairs
+    — at 10^9 vectors the same expression rides the IVF candidate
+    stream (``ann_ivf_pq_rerank``) instead of the full scan; the
+    different-label filter pushes into the scan join."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % _HN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("q_id") != F.col("n_id"))
+            & (F.col("q_label") != F.col("n_label"))
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "n_label",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _HN_K)
+        .select("q_id", "n_id", "n_label", "cos", "rn")
+    )
+
+
+# --------------------------------------- quality-score calibration
+
+
+@query(
+    "quality_calibration_bins",
+    oracle=_gd_oracle_sql().replace(
+        """
+    SELECT max(w0) AS w0, max(w1) AS w1, max(w2) AS w2,
+           round(avg(CASE WHEN (1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) >= 0.5 AND y = 1.0)
+                            OR (1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) < 0.5 AND y = 0.0)
+                     THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy,
+           count(*) AS n_rows
+    FROM f CROSS JOIN it3
+    """,
+        """
+    SELECT CAST(least(floor(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) * 10), 9)
+                AS BIGINT) AS bin,
+           count(*) AS n,
+           round(avg(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2)))), 6)
+             AS mean_predicted,
+           round(avg(y), 6) AS actual_rate
+    FROM f CROSS JOIN it3
+    GROUP BY 1 ORDER BY 1
+    """,
+    ),
+    tags=("llm", "classifier", "calibration", "ml"),
+)
+def quality_calibration_bins(spark, sf_dir):
+    """CALIBRATION (reliability diagram) of the trained quality
+    classifier: score every row with the GD-trained weights
+    (``train_quality_logreg``'s exact recurrence), decile-bin the
+    predicted probability, and compare mean predicted vs actual
+    positive rate per bin — the check that turns a classifier score
+    into a usable sampling weight (a mis-calibrated filter silently
+    skews the training mixture).
+
+    Scale: the training passes are ``train_quality_logreg``'s; the
+    scoring pass is a pure map + one 10-group hash agg."""
+    feats = _logreg_feats(spark, sf_dir)
+    w = (0.0, 0.0, 0.0)
+    for _ in range(_GD_ITERS):
+        p = _sigmoid(w)
+        row = feats.agg(
+            F.round(
+                F.lit(w[0]) - _GD_LR * F.avg(p - F.col("y")), 8
+            ).alias("w0"),
+            F.round(
+                F.lit(w[1]) - _GD_LR * F.avg(F.col("x1") * (p - F.col("y"))),
+                8,
+            ).alias("w1"),
+            F.round(
+                F.lit(w[2]) - _GD_LR * F.avg(F.col("x2") * (p - F.col("y"))),
+                8,
+            ).alias("w2"),
+        ).first()
+        w = (row["w0"], row["w1"], row["w2"])
+    p = _sigmoid(w)
+    return (
+        feats.select(
+            F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bin"),
+            p.alias("p"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("actual_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ------------------------------------------------ BPE tokenizer train
+
+_BPE_TRAIN_N = 10
+
+
+@query(
+    "bpe_train_merges",
+    # rows-only by design: the merge list is the fixpoint of an
+    # iterative argmax recurrence no single SQL statement expresses
+    # (each rank's pair counts depend on the previous rank's merge
+    # application). Pinned EXACTLY (merge-for-merge, count-for-count)
+    # against a pure-Python reference trainer on the same corpus by
+    # tests/test_r6.py::test_bpe_train_matches_reference.
+    oracle=None,
+    tags=("llm", "tokenizer", "bpe", "iterative"),
+)
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING over the documents corpus:
+    collapse to the distinct-word vocabulary (freq-weighted), then
+    learn 10 merge rules by iterated highest-count adjacent-pair
+    selection (count desc, left, right tiebreak) — completing the
+    tokenizer story next to ``text_bpe_merge_stats`` (one round of
+    pair counts) and ``bpe_encode_tokens`` (apply a shipped merge
+    table). Output: (rank, left, right, pair_count).
+
+    Scale: see functions/bpe.py::train_merges — the corpus is scanned
+    ONCE into the vocab; every training iteration runs over the
+    vocabulary relation (corpus^0.5 by Heaps' law) with one hash agg
+    + one TakeOrdered(1) + one map."""
+    from gcp_etl_spark.functions.bpe import train_merges
+
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges = train_merges(vocab, n_merges=_BPE_TRAIN_N)
+    return spark.createDataFrame(
+        [
+            (i, left, right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "rank long, left string, right string, pair_count long",
+    )

@@ -1123,28 +1123,32 @@ def _poisson_case(u: str) -> str:
 @query(
     "analytics_bootstrap_ci",
     oracle=f"""
-    WITH rep AS (
-      SELECT o_totalprice, o_orderkey, unnest(range(0, {_BOOT_B})) AS r
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
       FROM orders
+    ), rep AS (
+      SELECT cents, o_orderkey, unnest(range(0, {_BOOT_B})) AS r
+      FROM base
     ), uni AS (
-      SELECT r, o_totalprice,
+      SELECT r, cents,
              (((o_orderkey + r * 1000003) * {_MIX})
               % 4294967296) / 4294967296.0 AS u
       FROM rep
     ), wtd AS (
-      SELECT r, o_totalprice, {_poisson_case("u")} AS w
+      SELECT r, cents, {_poisson_case("u")} AS w
       FROM uni
     ), means AS (
       SELECT r,
-             CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               / sum(w) AS m
+             CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0 AS m
       FROM wtd GROUP BY r
     ), ranked AS (
       SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
     )
     SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
-           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*) FROM orders) AS mean_full,
+           (SELECT CAST(sum(cents) AS DOUBLE) / count(*) / 100.0
+            FROM base) AS mean_full,
            min(CASE WHEN rk = 5 THEN m END) AS ci_lo,
            min(CASE WHEN rk = 96 THEN m END) AS ci_hi
     FROM ranked
@@ -1162,27 +1166,37 @@ def analytics_bootstrap_ci(spark, sf_dir):
 
     Determinism: the Poisson draw is an inverse-CDF CASE over a
     multiplicative-hash uniform — exact integer hash arithmetic, one
-    double division, identical thresholds both engines; replica sums
-    are integer-weight × decimal(18,2) (exact), so every replica mean
-    is a bit-identical double and the order statistics agree.
+    double division, identical thresholds both engines; prices are
+    converted ONCE to integer cents (decimal(18,2)·100 → bigint,
+    exact), so every replica sum is pure 64-bit integer arithmetic,
+    every replica mean a bit-identical double, and the order
+    statistics agree.
 
-    Scale: explode ×B then ONE hash agg to B rows (map-side partials
-    — the shuffle carries B·partitions rows, not B·N); the B-row
-    relation is driver-trivial. At 100 TB, B explode rows per input
-    row is the honest cost — the standard mitigation (two-level:
-    per-partition partial sums per replica, here implicit in the
-    map-side combine) is exactly what the hash agg already does.
+    Scale: ×B row multiplication via a broadcast-nested-loop cross
+    join against a B-row replica relation (r6 — replaces
+    explode(sequence(0,B-1)), whose per-row 100-element array
+    allocation made the query GC-unstable: 2.6–55 s spread on
+    identical input, r5 verdict #1), then ONE hash agg to B rows
+    (map-side partials — the shuffle carries B·partitions rows, not
+    B·N; the agg buffers are two longs per replica, no per-row
+    BigDecimal churn). The B-row relation is driver-trivial. At
+    100 TB, B joined rows per input row is the honest cost — the
+    standard mitigation (per-partition partial sums per replica) is
+    exactly what the map-side combine already does.
     """
     b = _BOOT_B
     par = spark.sparkContext.defaultParallelism
-    # the small single-file scan would otherwise run the xB explode in
+    # the small single-file scan would otherwise run the xB fan-out in
     # ONE task; at real scale the scan itself is already parallel
     o = t(spark, sf_dir, "orders").repartition(par)
-    rep = o.select(
+    base = o.select(
         "o_orderkey",
-        "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
     )
+    replicas = spark.range(b).select(F.col("id").alias("r"))
+    rep = base.crossJoin(F.broadcast(replicas))
     uni = rep.withColumn(
         "u",
         F.expr(
@@ -1195,18 +1209,17 @@ def analytics_bootstrap_ci(spark, sf_dir):
     wtd = uni.withColumn("w", F.expr(_poisson_case("u")))
     means = wtd.groupBy("r").agg(
         (
-            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
+            F.sum(F.col("w") * F.col("cents")).cast("double")
             / F.sum("w")
+            / F.lit(100.0)
         ).alias("m")
     )
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m", "r")).alias("rk")
     )
-    full = o.agg(
+    full = base.agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            / F.count("*")
+            F.sum("cents").cast("double") / F.count("*") / F.lit(100.0)
         ).alias("mean_full")
     )
     return ranked.agg(
