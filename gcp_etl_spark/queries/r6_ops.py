@@ -701,3 +701,110 @@ def bpe_train_merges(spark, sf_dir):
         ],
         "rank long, left string, right string, pair_count long",
     )
+
+
+# ------------------------------------ streaming calibration monitor
+
+
+def _score_w():
+    from gcp_etl_spark.streaming.windows import SCORE_W
+
+    return SCORE_W
+
+
+@query(
+    "stream_score_calibration",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+           count(*) AS n,
+           round(avg(1.0/(1.0 + exp(-({_score_w()[0]}
+                 + {_score_w()[1]} * (value / 100.0)
+                 + {_score_w()[2]} * (hour(ts) / 24.0))))), 6)
+             AS mean_predicted,
+           round(avg(CASE WHEN event_type = 'purchase'
+                     THEN 1.0 ELSE 0.0 END), 6) AS actual_rate
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "window", "classifier", "calibration"),
+)
+def stream_score_calibration(spark, sf_dir):
+    """Batch dual of the streaming LIVE-CALIBRATION monitor
+    (``streaming/windows.py::score_calibration_windows``): per
+    tumbling day-window, mean predicted probability of a SHIPPED
+    logistic quality model vs the actual positive rate. Streaming
+    execution (watermark, state bounded by windows × nothing) is
+    pinned by tests/test_streaming.py::
+    test_stream_score_calibration_equals_batch; this dual lets DuckDB
+    value-verify the windowing + scoring algebra exactly
+    (epoch-aligned F.window ≡ time_bucket)."""
+    from gcp_etl_spark.streaming.windows import score_calibration_windows
+
+    return score_calibration_windows(t(spark, sf_dir, "events"))
+
+
+# --------------------------------- partition-pruned IVF index probe
+
+
+@query(
+    "ann_ivf_partitioned_probe",
+    # rows-only by design (kmeans centroid assignment is not
+    # SQL-expressible); pinned by tests/test_r6.py::
+    # test_ivf_partitioned_probe_prunes_and_matches — partition
+    # pruning asserted IN THE PLAN and results proven equal to the
+    # unpartitioned IVF path.
+    oracle=None,
+    tags=("llm", "ann", "ivf", "io", "partition-pruning"),
+)
+def ann_ivf_partitioned_probe(spark, sf_dir):
+    """IVF index PERSISTENCE + partition-pruned probing — the 100 TB
+    serving layout executed for real, not just claimed: the assigned
+    corpus is WRITTEN ``partitionBy(centroid_id)``, and a probe reads
+    back ONLY the inverted-list directories its queries hash to
+    (static partition pruning at the parquet scan: nprobe/n_centroids
+    of the index bytes are touched, the rest never leave disk).
+
+    Scale: the index write is one shuffle-free partitioned sink; the
+    probe list is |centroids|-bounded (collected from an 8-row
+    distinct); scoring is broadcast queries × pruned scan, top-k per
+    query via window."""
+    import tempfile
+
+    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
+    from gcp_etl_spark.llm.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_assign(emb, "vec_id", "embedding",
+                                   n_centroids=8)
+    d = tempfile.mkdtemp(prefix="ivf_idx_")
+    assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        "centroid_id",
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(d)
+    idx = spark.read.parquet(d)
+
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids(F.col("q_vec"), centers, nprobe=2)),
+    )
+    # |centroids|-bounded collect → a LITERAL IN-list the scan can
+    # statically prune partition directories with
+    probes = sorted(
+        r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
+    )
+    pruned = idx.filter(F.col("centroid_id").isin(probes))
+    cand = pruned.join(F.broadcast(q), "centroid_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"), "rn")
+    )

@@ -351,3 +351,48 @@ def psi_drift(win_counts: DataFrame, ref_profile: DataFrame) -> DataFrame:
             ).alias("psi_contribution"),
         )
     )
+
+
+# Deployment-shipped quality-classifier weights (the shape
+# train_quality_logreg's recurrence produces): a live stream SCORES
+# with fixed weights — it never trains — so they ship as literals,
+# exactly like PSI_EDGES above and the BPE merge table.
+SCORE_W: tuple[float, float, float] = (-1.25, 0.2, 0.5)
+
+
+def score_calibration_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    weights: tuple[float, float, float] = SCORE_W,
+    watermark: str | None = "2 days",
+) -> DataFrame:
+    """(w_start, n, mean_predicted, actual_rate) — tumbling-window LIVE
+    CALIBRATION monitor of a shipped logistic model: per window, the
+    mean predicted probability vs the actual positive rate. A widening
+    gap is model drift — the always-on sibling of the batch
+    ``quality_calibration_bins`` reliability diagram.
+
+    Stream-safe by construction: ONE windowed aggregation (state =
+    windows inside the watermark), the scoring expression is a pure
+    map fused into the same stage. Works identically on a batch frame
+    (the oracle dual) and a ``readStream`` source."""
+    w0, w1, w2 = weights
+    df = _maybe_watermark(events, ts_col, watermark)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * (F.col("value") / 100.0)
+        + F.lit(w2) * (F.hour(ts_col) / 24.0)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(p), 6).alias("mean_predicted"),
+            F.round(F.avg(y), 6).alias("actual_rate"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n",
+                "mean_predicted", "actual_rate")
+    )

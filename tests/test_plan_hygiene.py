@@ -42,6 +42,13 @@ _EAGER_BUILD = {
     "join_bucketed_smb",
     "ann_cosine_topk_ivf",  # KMeans fit on a bounded sample at build
     "embedding_pca_project",  # driver-side eigensolve on bounded cov at build
+    # r6 iterative trainers: GD / merge-learning loops run eagerly at
+    # build (bounded driver state); pinned by tests/test_r6.py
+    "train_quality_logreg",
+    "quality_calibration_bins",
+    "bpe_train_merges",
+    "ann_ivf_pq_rerank",  # IVF/PQ quantizer fits on bounded samples
+    "ann_ivf_partitioned_probe",  # index write + quantizer fit at build
 }
 
 # declared cross joins — CartesianProduct is the point

@@ -301,3 +301,36 @@ def test_bpe_train_matches_reference(spark):
     )
     got = train_merges(vdf, n_merges=10)
     assert got == expect
+
+
+# -------------------------------------- IVF partitioned-index probe
+
+
+def test_ivf_partitioned_probe_prunes_and_matches(spark):
+    """The persisted-index probe must (a) show static partition
+    pruning on centroid_id in its scan and (b) return exactly what the
+    unpartitioned IVF path returns (same quantizer seed)."""
+    import contextlib
+    import io as _io
+
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+    from gcp_etl_spark.queries.r6_ops import ann_ivf_partitioned_probe
+    from gcp_etl_spark.tables import t
+
+    df = ann_ivf_partitioned_probe(spark, SF_SMALL)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*centroid_id[^\]]*)\]", plan)
+    assert m, "no partition filter on centroid_id in the scan"
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    ref = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=2)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, ref.collect())
+    )

@@ -418,3 +418,21 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         for r in want.collect()
     }
     assert got == exp
+
+
+def test_stream_score_calibration_equals_batch(spark, events_stream_dir):
+    """The live-calibration monitor as a REAL streaming query (one
+    watermarked windowed agg; scoring fused as a map) must equal its
+    batch dual."""
+    from gcp_etl_spark.streaming.windows import score_calibration_windows
+
+    path, schema = events_stream_dir
+    batch = score_calibration_windows(spark.read.schema(schema).parquet(path))
+    stream = score_calibration_windows(
+        spark.readStream.schema(schema).parquet(path)
+    )
+    assert stream.isStreaming
+    got = run_stream(spark, stream, "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
