@@ -178,7 +178,7 @@ def dsir_importance_weights(spark, sf_dir):
 
 # -------------------------------------------- temperature mix sampling
 
-_TEMP_ALPHA_INV_POW = 0.5  # alpha = 0.5 → sqrt(n) (mT5 / XLM-R value)
+# alpha = 0.5 → p_s ∝ sqrt(n_s) (the mT5 / XLM-R temperature value)
 _TEMP_SAMPLE_N = 300
 
 
@@ -807,4 +807,148 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", F.round("cos", 4).alias("cos"), "rn")
+    )
+
+
+# ------------------------------------------- corpus snapshot diff
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), v2 AS (
+      -- simulated next snapshot: every 10th doc dropped, every 7th
+      -- (surviving) doc re-crawled with changed content, the rest
+      -- byte-identical — both engines derive v2 from the same rule
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5('recrawled:' || text)
+                  ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT CASE
+             WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN v1.fp <> v2.fp THEN 'modified'
+             ELSE 'unchanged'
+           END AS change,
+           count(*) AS n_docs,
+           CAST(min(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT)
+             AS min_doc_id,
+           CAST(max(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT)
+             AS max_doc_id
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "versioning", "dedup", "incremental"),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """CORPUS SNAPSHOT DIFF — the incremental-ingestion audit every
+    versioned training corpus runs between crawls: full-outer join of
+    two snapshots on doc_id, classify each doc added / removed /
+    modified (content fingerprint changed) / unchanged, and report
+    per-class counts. The second snapshot is simulated from the same
+    deterministic rule on both engines (every 10th doc dropped, every
+    7th survivor re-crawled).
+
+    Scale: only (doc_id, 32-byte fingerprint) ever shuffles — text is
+    fingerprinted in the scan stage and dropped; the full-outer join
+    is one co-partitioned shuffle on doc_id; the classification is a
+    4-group hash agg. At 100 TB both snapshots would be bucketed by
+    doc_id and the join becomes shuffle-free."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("fp"))
+    v2 = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.md5(F.concat(F.lit("recrawled:"), F.col("text"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    j = v1.withColumnRenamed("fp", "fp1").join(
+        v2.withColumnRenamed("fp", "fp2"), "doc_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select("doc_id", change.alias("change"))
+        .groupBy("change")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("change")
+    )
+
+
+# --------------------------------------------- output shard planner
+
+_SHARDS = 64
+
+
+@query(
+    "corpus_shard_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS BIGINT) % {_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM documents)
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(count(*) * 1.0 * {_SHARDS} / (SELECT n FROM tot), 4)
+             AS balance_ratio
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "sharding", "io-planning"),
+)
+def corpus_shard_plan(spark, sf_dir):
+    """OUTPUT SHARD PLAN for tokenizer/training-data export: assign
+    every doc to one of 64 shards by content-independent id hash
+    (md5 — stable across re-crawls, unlike hash(text)) and report
+    per-shard doc count, byte mass, largest doc, and balance ratio
+    (shard share × shards; 1.0 = perfectly even). The skew audit run
+    BEFORE a 100 TB export burns cluster-days writing hot shards.
+
+    Scale: one map (hash) + one 64-group hash agg; the payload
+    column never moves — only (shard, n_chars) pairs shuffle as
+    map-side partials."""
+    d = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _SHARDS
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            "max_chars",
+            F.round(
+                F.col("n_docs") * 1.0 * _SHARDS / F.col("n"), 4
+            ).alias("balance_ratio"),
+        )
+        .orderBy("shard")
     )

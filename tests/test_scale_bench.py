@@ -208,3 +208,31 @@ def test_twopass_sweepline_wins_at_sf1(spark):
         f"two-pass sweep-line must win at sf1: naive={t_naive:.1f}s "
         f"two-pass={t_twopass:.1f}s"
     )
+
+
+def test_r6_grid_claims():
+    """Pin the round-6 docs-only scale-grid record: DSIR importance
+    weights, temperature mixture sampling, and the iterative BPE merge
+    trainer all fit a sub-linear-ish time exponent across the 100x
+    dissimilar-docs grid (measured 0.66 / 0.09 / 0.16 at record time —
+    the bound below leaves jitter room while still failing on any
+    accidental quadratic stage)."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("r6_grid")
+    if not grid:
+        pytest.skip("r6_grid not yet measured")
+    for q in (
+        "dsir_importance_weights",
+        "mix_temperature_sampling",
+        "bpe_train_merges",
+    ):
+        rec = grid["queries"][q]
+        assert rec["time_exponent"] < 1.3, (
+            f"{q}: time exponent {rec['time_exponent']}"
+        )

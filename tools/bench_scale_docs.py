@@ -50,6 +50,16 @@ TEXT_QUERIES = (
 )
 TEXT_PAIR_QUERIES = {"dedup_weighted_jaccard"}
 
+# round-6 additions that read ONLY the documents table: DSIR importance
+# weights (hashed-bigram LLR), temperature mixture sampling, and the
+# iterative BPE merge trainer. All emit bounded relations (top-50 /
+# quota picks / 10 merges), so the TIME exponent is the claim.
+R6_QUERIES = (
+    "dsir_importance_weights",
+    "mix_temperature_sampling",
+    "bpe_train_merges",
+)
+
 
 def _fixture_dir(mult: int) -> str:
     return os.path.join(SCALE_ROOT, f"docs_x{mult}")
@@ -170,6 +180,19 @@ def main() -> None:
         }
         headline["exact_time_exponents"] = {
             q: grid[q]["time_exponent"] for q in QUERIES
+        }
+    if only in ("both", "text", "r6"):
+        pass
+    if only in ("both", "r6"):
+        rgrid = run_grid(spark, specs, R6_QUERIES, mults, frozenset())
+        prior["r6_grid"] = {
+            "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+            "base_docs": 5000,
+            "mults": [1] + mults,
+            "queries": rgrid,
+        }
+        headline["r6_time_exponents"] = {
+            q: rgrid[q]["time_exponent"] for q in R6_QUERIES
         }
     if only in ("both", "text"):
         tgrid = run_grid(
