@@ -334,3 +334,29 @@ def test_ivf_partitioned_probe_prunes_and_matches(spark):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+# --------------------------------- CC adaptive fast path equivalence
+
+
+def test_cc_local_equals_distributed(spark):
+    """The size-gated driver union-find must return EXACTLY the same
+    (node, comp) labeling as the distributed min-label loop."""
+    from gcp_etl_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 4), (11, 12), (3, 5)],
+        "src long, dst long",
+    )
+    local = sorted(
+        map(tuple, connected_components(edges).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(edges, small_graph_edges=0).collect(),
+        )
+    )
+    assert local == dist
+    # min-label contract: chain 1-2-3-5-4 labels to 1
+    assert (4, 1) in local and (12, 10) in local and (20, 20) in local
