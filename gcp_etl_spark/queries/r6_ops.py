@@ -952,3 +952,224 @@ def corpus_shard_plan(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------ fill-in-middle transform
+
+
+@query(
+    "prep_fim_transform",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id,
+             length(text) AS n,
+             CAST(floor(length(text) / 3) AS BIGINT) AS cut1,
+             CAST(floor(length(text) * 2 / 3) AS BIGINT) AS cut2
+      FROM documents
+    ), parts AS (
+      SELECT s.doc_id, s.n, s.cut1, s.cut2,
+             substr(d.text, 1, CAST(s.cut1 AS INT)) AS prefix,
+             substr(d.text, CAST(s.cut1 AS INT) + 1,
+                    CAST(s.cut2 - s.cut1 AS INT)) AS middle,
+             substr(d.text, CAST(s.cut2 AS INT) + 1) AS suffix
+      FROM spans s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(length(prefix) AS BIGINT) AS n_prefix,
+           CAST(length(middle) AS BIGINT) AS n_middle,
+           CAST(length(suffix) AS BIGINT) AS n_suffix,
+           md5('<PRE>' || prefix || '<SUF>' || suffix
+               || '<MID>' || middle) AS fim_fp,
+           (prefix || middle || suffix = (SELECT text FROM documents x
+                                          WHERE x.doc_id = parts.doc_id))
+             AS roundtrip_ok
+    FROM parts
+    """,
+    tags=("llm", "prep", "fim", "text"),
+)
+def prep_fim_transform(spark, sf_dir):
+    """FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, public) —
+    the code-LLM prep step that teaches infilling: split each document
+    into prefix / middle / suffix at the 1/3 and 2/3 CHARACTER
+    boundaries and re-serialize in PSM order with sentinel markers.
+    Output carries the span lengths, the md5 of the PSM serialization
+    (both engines build the identical string), and a lossless
+    round-trip check (prefix||middle||suffix == original).
+
+    Character (not byte) offsets on both engines, so multibyte text
+    (the zh slice) splits identically. Scale: a pure map — three
+    substrings + one hash per row, fused into the scan stage; no
+    shuffle at all."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    cut1 = F.floor(n / 3).cast("long")
+    cut2 = F.floor(n * 2 / 3).cast("long")
+    parts = d.select(
+        "doc_id",
+        "text",
+        F.expr("substr(text, 1, CAST(floor(length(text) / 3) AS INT))")
+        .alias("prefix"),
+        F.expr(
+            "substr(text, CAST(floor(length(text) / 3) AS INT) + 1,"
+            " CAST(floor(length(text) * 2 / 3)"
+            " - floor(length(text) / 3) AS INT))"
+        ).alias("middle"),
+        F.expr(
+            "substr(text, CAST(floor(length(text) * 2 / 3) AS INT) + 1)"
+        ).alias("suffix"),
+    )
+    return parts.select(
+        "doc_id",
+        F.length("prefix").cast("long").alias("n_prefix"),
+        F.length("middle").cast("long").alias("n_middle"),
+        F.length("suffix").cast("long").alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("<PRE>"), F.col("prefix"),
+                F.lit("<SUF>"), F.col("suffix"),
+                F.lit("<MID>"), F.col("middle"),
+            )
+        ).alias("fim_fp"),
+        (
+            F.concat("prefix", "middle", "suffix") == F.col("text")
+        ).alias("roundtrip_ok"),
+    )
+
+
+# ------------------------------------------- audio resample (codec)
+
+
+@query(
+    "multimodal_audio_resample",
+    # decimate-by-2 resample of the REAL PCM WAV payloads: kept
+    # samples are the even indices of the generator formula
+    # sample[i] = ((37*id + 13i) % 4096) - 2048, so the oracle
+    # recomputes the decimated signal exactly; the Spark side goes
+    # decode -> decimate -> RE-ENCODE (rate/2 WAV) -> decode, so a
+    # hash match proves the full resample transcode round-trip
+    oracle="""
+    WITH ids AS (SELECT 2 * i + 1 AS media_id FROM generate_series(0, 31) t(i)),
+    s AS (
+      SELECT ids.media_id,
+             ((37 * ids.media_id + 13 * (2 * g.i)) % 4096) - 2048 AS amp
+      FROM ids, generate_series(0, 1023) g(i)
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(4000 AS BIGINT) AS rate_out,
+           CAST(sum(amp) AS BIGINT) AS amp_sum,
+           CAST(min(amp) AS BIGINT) AS amp_min,
+           CAST(max(amp) AS BIGINT) AS amp_max
+    FROM s GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def multimodal_audio_resample(spark, sf_dir):
+    """REAL audio RESAMPLE (decimate-by-2, 8 kHz → 4 kHz), verified
+    through a full transcode round-trip: decode each RIFF/WAV payload
+    (stdlib ``wave``) inside mapInPandas, keep every 2nd sample,
+    re-encode a valid 4 kHz WAV, decode THAT, and aggregate the int16
+    amplitudes — the oracle recomputes the decimated generator signal.
+    The audio-prep primitive for sample-rate normalization before
+    feature extraction (speech corpora ship at mixed rates).
+
+    Scale: decode/transcode stays inside the task (mapInPandas);
+    only 6 aggregate numbers per clip leave it."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from gcp_etl_spark.llm import codecs
+    from gcp_etl_spark.llm.multimodal import synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "audio/wav"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "n_samples": [], "rate_out": [],
+                "amp_sum": [], "amp_min": [], "amp_max": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, rate = codecs.wav_decode(bytes(b))
+                except Exception:  # noqa: BLE001 - undecodable: no row
+                    continue
+                down = samples[::2]
+                re_encoded = codecs.wav_encode(down, rate=rate // 2)
+                back, rate2 = codecs.wav_decode(re_encoded)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(back))
+                out["rate_out"].append(int(rate2))
+                out["amp_sum"].append(int(back.astype("int64").sum()))
+                out["amp_min"].append(int(back.min()))
+                out["amp_max"].append(int(back.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_samples long, rate_out long, "
+        "amp_sum long, amp_min long, amp_max long",
+    )
+
+
+# ------------------------------------------ mixed-language detector
+
+
+@query(
+    "text_mixed_language_flag",
+    oracle="""
+    WITH halves AS (
+      SELECT doc_id, lang,
+             substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS h1,
+             substr(text, CAST(floor(length(text) / 2) AS INT) + 1) AS h2
+      FROM documents WHERE length(text) >= 2
+    ), scored AS (
+      SELECT doc_id, lang,
+             length(regexp_replace(h1, '[ -~]', '', 'g')) * 1.0
+               / length(h1) AS r1,
+             length(regexp_replace(h2, '[ -~]', '', 'g')) * 1.0
+               / length(h2) AS r2
+      FROM halves
+    )
+    SELECT doc_id, lang,
+           round(r1, 4) AS nonascii_head,
+           round(r2, 4) AS nonascii_tail,
+           (abs(r1 - r2) > 0.3) AS is_mixed
+    FROM scored
+    """,
+    tags=("llm", "text", "langid", "quality"),
+)
+def text_mixed_language_flag(spark, sf_dir):
+    """MIXED-LANGUAGE / mid-document script-switch detector: compare
+    the non-ASCII character ratio of each document's head half vs tail
+    half — a large gap means the document switches script mid-way
+    (concatenated crawl pages, bilingual boilerplate), which poisons
+    both language-ID routing and language-balanced sampling. The
+    script-ratio signal is the same one the langid heuristic family
+    uses, applied per-half.
+
+    Scale: pure map (two substrings + two regex strips per row, fused
+    into the scan); no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    h1 = F.expr(
+        "substr(text, 1, CAST(floor(length(text) / 2) AS INT))"
+    )
+    h2 = F.expr(
+        "substr(text, CAST(floor(length(text) / 2) AS INT) + 1)"
+    )
+    r1 = (
+        F.length(F.regexp_replace(h1, "[ -~]", "")) * 1.0 / F.length(h1)
+    )
+    r2 = (
+        F.length(F.regexp_replace(h2, "[ -~]", "")) * 1.0 / F.length(h2)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(r1, 4).alias("nonascii_head"),
+        F.round(r2, 4).alias("nonascii_tail"),
+        (F.abs(r1 - r2) > 0.3).alias("is_mixed"),
+    )
