@@ -106,6 +106,63 @@ def encode_vocab(
     )
 
 
+def encode_tokens_pos(
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]] = DEFAULT_MERGES,
+    word_col: str = "w",
+) -> DataFrame:
+    """(w, pos int, token string) — positional BPE encoding of a
+    distinct-word relation: same per-word mapInPandas fold as
+    ``encode_vocab`` but keeping token ORDER, so decode (and an
+    id-mapping through a vocabulary relation) can reconstruct the
+    word. Runs once per vocab entry; corpus text never encoded
+    row-by-row."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws: list[str] = []
+            ps: list[int] = []
+            toks: list[str] = []
+            for w in pdf[word_col]:
+                for i, tok in enumerate(bpe_encode_word(str(w), ranks)):
+                    ws.append(str(w))
+                    ps.append(i)
+                    toks.append(tok)
+            yield pd.DataFrame({"w": ws, "pos": ps, "token": toks})
+
+    return words.mapInPandas(batches, "w string, pos int, token string")
+
+
+def decode_tokens(ids_df: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(w, n_tokens, decoded) — BPE DECODE: map token ids back to
+    surface tokens through the vocabulary relation and re-concatenate
+    in position order. BPE merges are concatenative, so
+    decode(encode(w)) == w exactly when every emitted token exists in
+    the exported vocabulary — which is what the round-trip query
+    checks end-to-end.
+
+    ``ids_df``: (w, pos, id); ``vocab``: (token, id). The vocab join
+    is broadcast (vocabulary ~ corpus^0.5, tiny in practice); the
+    only shuffle is the per-word regroup of (pos, token) pairs —
+    vocab-bounded, never corpus-text-sized."""
+    from pyspark.sql import functions as F
+
+    dec = ids_df.join(F.broadcast(vocab.select("id", "token")), "id")
+    return dec.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            "",
+        ).alias("decoded"),
+    )
+
+
 def train_merges(
     words: DataFrame,
     n_merges: int = 10,

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from gcp_etl_spark.queries.r5_ops import _merges_sql
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
 
@@ -1173,3 +1174,206 @@ def text_mixed_language_flag(spark, sf_dir):
         F.round(r2, 4).alias("nonascii_tail"),
         (F.abs(r1 - r2) > 0.3).alias("is_mixed"),
     )
+
+
+# ------------------------------------- BPE vocabulary + round-trip
+
+
+def _bpe_vocab(spark, sf_dir):
+    """(token, id, merge_rank, is_base) — the exported tokenizer
+    vocabulary: corpus base characters (ids 0..n_base-1 in character
+    order) followed by the merge-table outputs (id = n_base + rank).
+    The base-id row_number window is unpartitioned but ALPHABET-
+    bounded (distinct characters of the corpus — ≤ Unicode, ~24 here),
+    the one case where a global window is scale-safe by construction."""
+    from pyspark.sql import Window
+
+    from gcp_etl_spark.functions.bpe import DEFAULT_MERGES
+    from gcp_etl_spark.functions.text import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    chars = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(normalize_text(F.col("text")), " ", ""),
+                    "",
+                )
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    base = chars.select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1)
+        .cast("long")
+        .alias("id"),
+        F.lit(-1).cast("long").alias("merge_rank"),
+        F.lit(True).alias("is_base"),
+    )
+    n_base = chars.agg(F.count("*").alias("__nb"))
+    merges = spark.createDataFrame(
+        [(x + y, i) for i, (x, y) in enumerate(DEFAULT_MERGES)],
+        "token string, merge_rank long",
+    )
+    merged = (
+        merges.crossJoin(F.broadcast(n_base))
+        .select(
+            "token",
+            (F.col("__nb") + F.col("merge_rank")).cast("long").alias("id"),
+            "merge_rank",
+            F.lit(False).alias("is_base"),
+        )
+    )
+    return base.unionByName(merged)
+
+
+@query(
+    "bpe_vocab_export",
+    oracle=f"""
+    WITH chars AS (
+      SELECT DISTINCT unnest(string_split(regexp_replace(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               ' ', '', 'g'), '')) AS token
+      FROM documents
+    ), base AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id,
+             CAST(-1 AS BIGINT) AS merge_rank, true AS is_base
+      FROM chars WHERE token <> ''
+    )
+    SELECT token, id, merge_rank, is_base FROM base
+    UNION ALL
+    SELECT m.x || m.y AS token,
+           (SELECT count(*) FROM base) + m.rank AS id,
+           CAST(m.rank AS BIGINT) AS merge_rank, false AS is_base
+    FROM {_merges_sql()}
+    ORDER BY id
+    """,
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_vocab_export(spark, sf_dir):
+    """TOKENIZER VOCABULARY EXPORT — the (token, id, merge_rank,
+    is_base) relation every serving system needs next to the merge
+    table: base characters first (ids in character order), merge
+    outputs after (id = n_base + rank). With this relation BPE
+    encode/decode compose into an exact identity
+    (bpe_roundtrip_identity).
+
+    Scale: the base alphabet is a DISTINCT over corpus characters
+    (map-side-combinable, alphabet-bounded result); the merge table is
+    a shipped literal. Output is vocabulary-sized — nothing
+    corpus-sized shuffles."""
+    return _bpe_vocab(spark, sf_dir).orderBy("id")
+
+
+@query(
+    "bpe_roundtrip_identity",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), enc AS (
+      SELECT w, string_split(w, '') AS syms, 0 AS step FROM words
+      UNION ALL
+      SELECT w,
+             syms[1:mi-1] || [syms[mi] || syms[mi+1]] || syms[mi+2:],
+             step + 1
+      FROM (
+        SELECT e.w AS w, e.syms AS syms, e.step AS step,
+               min_by(CAST(t.i AS INT), m.rank * 1000000 + t.i) AS mi
+        FROM enc e,
+             unnest(range(1, len(e.syms))) t(i)
+             JOIN {_merges_sql()}
+               ON e.syms[t.i] = m.x AND e.syms[t.i + 1] = m.y
+        GROUP BY e.w, e.syms, e.step
+      )
+    ), final AS (
+      SELECT w, syms FROM enc
+      QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+    )
+    SELECT w, CAST(len(syms) AS BIGINT) AS n_tokens,
+           (array_to_string(syms, '') = w) AS roundtrip_ok
+    FROM final ORDER BY w
+    """,
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_roundtrip_identity(spark, sf_dir):
+    """BPE ROUND-TRIP IDENTITY — encode each distinct corpus word,
+    map every token to its id through the exported vocabulary
+    (bpe_vocab_export), decode the id sequence back through the same
+    relation, and assert decode(encode(w)) == w. An inner join does
+    the id mapping, so a single token missing from the export (or an
+    id collision) breaks the reconstruction and flips roundtrip_ok —
+    this is the integrity gate that encode, decode, and the exported
+    vocab all agree.
+
+    The DuckDB oracle independently replays the merge recurrence
+    (recursive CTE, min_by (rank, position) per step) for n_tokens
+    and asserts the concatenation identity on its own side.
+
+    Scale: the fold runs once per DISTINCT word (vocab ~ corpus^0.5);
+    the only shuffle is the per-word (pos, token) regroup — corpus
+    text never shuffles."""
+    from gcp_etl_spark.functions.bpe import decode_tokens, encode_tokens_pos
+    from gcp_etl_spark.functions.text import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    vocab = _bpe_vocab(spark, sf_dir).select("token", "id")
+    tok = encode_tokens_pos(words)
+    ids = tok.join(F.broadcast(vocab), "token").select("w", "pos", "id")
+    dec = decode_tokens(ids, vocab)
+    return dec.select(
+        "w",
+        "n_tokens",
+        (F.col("decoded") == F.col("w")).alias("roundtrip_ok"),
+    ).orderBy("w")
+
+
+# ------------------------------- streaming latency-quantile monitor
+
+
+@query(
+    "stream_latency_quantiles",
+    # percentile_approx run in its EXACT regime (accuracy >= rows per
+    # window) == nearest-rank quantile_disc — the agg_approx_quantile
+    # policy; the approximate regime is tolerance-asserted in
+    # tests/test_streaming.py alongside the equality test
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+           quantile_disc(value, 0.5)  AS p50_latency,
+           quantile_disc(value, 0.95) AS p95_latency,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window", "approx", "events"),
+)
+def stream_latency_quantiles(spark, sf_dir):
+    """STREAMING WINDOWED QUANTILES dual — p50/p95 of events.value per
+    daily tumbling window via percentile_approx, the canonical
+    always-on latency monitor next to stream_psi_drift. The GK sketch
+    is a mergeable aggregation buffer, so the quantile runs INSIDE the
+    watermarked streaming groupBy (state = one fixed-size sketch per
+    in-watermark window); streaming-vs-batch equality is asserted in
+    tests/test_streaming.py::test_stream_latency_quantiles_equals_batch.
+
+    Here the batch dual runs at accuracy >= window row count, where
+    GK provably collapses to exact nearest-rank — value-checked
+    against DuckDB quantile_disc."""
+    from gcp_etl_spark.streaming.windows import latency_quantiles_windowed
+
+    e = t(spark, sf_dir, "events")
+    return latency_quantiles_windowed(e).orderBy("w_start")

@@ -436,3 +436,44 @@ def test_stream_score_calibration_equals_batch(spark, events_stream_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_latency_quantiles_equals_batch(spark, events_stream_dir):
+    """Windowed percentile_approx as a REAL streaming aggregation: the
+    GK sketch is a mergeable aggregation buffer, so p50/p95 run INSIDE
+    the watermarked window groupBy (state = one sketch per window).
+    Streamed result must equal the batch dual exactly (both run in the
+    sketch's exact regime, accuracy >= rows per window)."""
+    from gcp_etl_spark.streaming.windows import latency_quantiles_windowed
+
+    path, schema = events_stream_dir
+    batch = latency_quantiles_windowed(spark.read.schema(schema).parquet(path))
+    stream = latency_quantiles_windowed(
+        spark.readStream.schema(schema).parquet(path)
+    )
+    assert stream.isStreaming
+    got = run_stream(spark, stream, "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_latency_quantiles_approx_regime(spark, events_stream_dir):
+    """Production accuracy (default 10000): the sketch's rank error is
+    bounded by n / accuracy — assert the approximate p95 lands within
+    the declared tolerance of the exact nearest-rank value."""
+    from gcp_etl_spark.streaming.windows import latency_quantiles_windowed
+
+    path, schema = events_stream_dir
+    ev = spark.read.schema(schema).parquet(path)
+    exact = {
+        r["w_start"]: (r["p50_latency"], r["p95_latency"])
+        for r in latency_quantiles_windowed(ev).collect()
+    }
+    approx = latency_quantiles_windowed(ev, accuracy=100).collect()
+    for r in approx:
+        # rank error <= n/accuracy -> value error bounded by the local
+        # value spread; assert within 10% of the exact quantile here
+        e50, e95 = exact[r["w_start"]]
+        assert abs(r["p50_latency"] - e50) <= 0.1 * max(abs(e50), 1.0)
+        assert abs(r["p95_latency"] - e95) <= 0.1 * max(abs(e95), 1.0)
