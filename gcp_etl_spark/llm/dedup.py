@@ -146,12 +146,16 @@ def minhash_signatures(
     )
 
 
-def _band_candidates(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
-    """LSH band-bucket self-join over a (id, sig) signature relation:
-    hash each ``r``-row band of the signature, bucket-join on
-    (band, bucket-hash), and emit distinct ordered candidate pairs
-    (id_a < id_b). This is the step that keeps near-dup detection
-    ~linear — only same-bucket pairs are ever enumerated."""
+def signature_buckets(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) — LSH band buckets of a (id, sig array<long>)
+    signature relation: xxhash64 over each ``r = num_perm/bands`` row
+    band. This relation is what a persistent dedup service stores
+    between ingestion runs (16 rows x 24 B per doc at the defaults) —
+    new batches bucket-join against it without rehashing the corpus."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -159,9 +163,28 @@ def _band_candidates(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFra
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", "bk.band", "bk.bh")
+
+
+def estimate_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Signature-estimated Jaccard: the fraction of agreeing minhash
+    components — an unbiased estimator with se ~= sqrt(t(1-t)/num_perm)
+    (~0.057 at t=0.7, 64 perms). Ships 512 B per doc instead of the
+    full shingle set, which is the only viable rescore at 100 TB."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    ) / F.lit(num_perm)
+
+
+def _band_candidates(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """LSH band-bucket self-join over a (id, sig) signature relation:
+    hash each ``r``-row band of the signature, bucket-join on
+    (band, bucket-hash), and emit distinct ordered candidate pairs
+    (id_a < id_b). This is the step that keeps near-dup detection
+    ~linear — only same-bucket pairs are ever enumerated."""
+    buckets = signature_buckets(sig, id_col, bands * r, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -188,6 +211,50 @@ def minhash_candidate_pairs(
     assert num_perm % bands == 0
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
     return _band_candidates(sig, id_col, bands, num_perm // bands)
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) with id_a < id_b — LSH candidates
+    scored by SIGNATURE-estimated Jaccard only (no exact shingle
+    rescore). The estimate-only variant is the batch dual of the
+    streaming incremental dedup (streaming/dedup_stream.py): both
+    sides score candidates from the same fixed-width signatures, so
+    streamed micro-batches reproduce this relation exactly however the
+    stream is batched (asserted in tests/test_streaming.py).
+
+    100 TB: candidate enumeration is the banded bucket join (~linear);
+    scoring ships 512 B per side per candidate — document size never
+    rides a shuffle. Exact-Jaccard confirmation of survivors, when
+    wanted, is a downstream batch job over this (much smaller) pair
+    relation (minhash_near_duplicates's verify stage)."""
+    assert num_perm % bands == 0
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    sig = sig.select(F.col(id_col).alias("id"), "sig").persist()
+    cand = _band_candidates(sig, "id", bands, num_perm // bands)
+    return (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(estimate_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm), 4),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def minhash_near_duplicates(
@@ -252,13 +319,7 @@ def minhash_near_duplicates(
             )
             .withColumn(
                 "est_j",
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda v: v,
-                    )
-                )
-                / F.lit(num_perm),
+                estimate_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm),
             )
         )
         cand = est.filter(F.col("est_j") >= threshold - 0.15).select(
@@ -339,19 +400,9 @@ def minhash_incremental(
 
     def sig_buckets(base, out_id):
         sig = base.select("id", _min_perm_udf(num_perm)("hb").alias("sig"))
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * r + i] for i in range(r)]
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-        return sig.select(
-            F.col("id").alias(out_id),
-            F.explode(F.array(*band_cols)).alias("bk"),
-        ).select(out_id, "bk.band", "bk.bh")
+        return signature_buckets(sig, "id", num_perm, bands).withColumnRenamed(
+            "id", out_id
+        )
 
     cand = (
         sig_buckets(bb, "batch_id")

@@ -477,3 +477,83 @@ def test_stream_latency_quantiles_approx_regime(spark, events_stream_dir):
         e50, e95 = exact[r["w_start"]]
         assert abs(r["p50_latency"] - e50) <= 0.1 * max(abs(e50), 1.0)
         assert abs(r["p95_latency"] - e95) <= 0.1 * max(abs(e95), 1.0)
+
+
+@pytest.fixture(scope="module")
+def documents_stream_dir(spark, tmp_path_factory):
+    # 4 files = 4 deterministic micro-batches (maxFilesPerTrigger=1)
+    d = tmp_path_factory.mktemp("docs_stream")
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(d / "docs")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    return src, docs.schema
+
+
+def test_stream_dedup_minhash_equals_batch(spark, documents_stream_dir, tmp_path):
+    """The UNION of per-epoch near-dup pairs (each micro-batch deduped
+    against the accumulated store AND itself) must equal the one-shot
+    batch relation minhash_estimate_pairs on the full table — the
+    batching-invariance contract of the streaming dedup."""
+    from gcp_etl_spark.llm.dedup import minhash_estimate_pairs
+    from gcp_etl_spark.streaming.dedup_stream import (
+        minhash_dedup_sink,
+        read_pairs,
+    )
+
+    src, schema = documents_stream_dir
+    store = str(tmp_path / "store")
+    sink = minhash_dedup_sink(store, "doc_id", "text", threshold=0.7)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_pairs(spark, store).collect()))
+    want = sorted(
+        map(
+            tuple,
+            minhash_estimate_pairs(
+                spark.read.schema(schema).parquet(src),
+                "doc_id",
+                "text",
+                threshold=0.7,
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_minhash_replay_idempotent(
+    spark, documents_stream_dir, tmp_path
+):
+    """Replaying an epoch (at-least-once delivery before the
+    checkpoint commit) must leave the observable pair store unchanged:
+    the sink re-reads only earlier-epoch state and overwrites its own
+    epoch partitions."""
+    from gcp_etl_spark.streaming.dedup_stream import (
+        minhash_dedup_sink,
+        read_pairs,
+    )
+
+    src, schema = documents_stream_dir
+    docs = spark.read.schema(schema).parquet(src)
+    store = str(tmp_path / "store")
+    sink = minhash_dedup_sink(store, "doc_id", "text", threshold=0.7)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    before = sorted(map(tuple, read_pairs(spark, store).collect()))
+    assert len(before) > 0
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
+    after = sorted(map(tuple, read_pairs(spark, store).collect()))
+    assert after == before
