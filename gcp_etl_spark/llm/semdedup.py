@@ -26,7 +26,11 @@ defaults to ADAPTIVE (r5 verdict fix): derived from a one-pass corpus
 count so the EXPECTED bucket size stays ≤ ``target_bucket`` rows —
 planes = max(4, ceil(log2(n / target_bucket))) — which keeps Σ bucket²
 ~ n·target_bucket (linear in n) instead of n²/2^planes at a fixed
-plane count. The within-bucket rescore is memory-bounded too
+plane count. Measured: BENCH_SCALE.json ``semantic_emb_grid`` fits
+time exponent 0.96 across a 100x dissimilar-embeddings grid (2k →
+200k vectors; per-replica orthogonal transforms keep true pairs
+linear), and the per-table Σ bucket² bound is asserted on the 10x
+fixture in tests/test_scale_bench.py. The within-bucket rescore is memory-bounded too
 (``blocked_cosine_pairs`` chunks its matmul). The pair graph and
 everything after it live at near-dup cardinality, orders of magnitude
 below the corpus. Precision is exact (candidates are re-scored with

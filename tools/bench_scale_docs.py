@@ -60,9 +60,34 @@ R6_QUERIES = (
     "bpe_train_merges",
 )
 
+# semantic (embedding-space) dedup, on the dissimilar-EMBEDDINGS
+# fixture: per-replica ORTHOGONAL transforms preserve intra-replica
+# cosine structure exactly while cross-replica similarity collapses to
+# noise, so true near-dup pairs grow linearly with the multiplier and
+# the time exponent measures pure corpus-size scaling of the adaptive-
+# planes LSH + chunked rescore (r5 VERDICT ask #3's datapoint).
+EMB_QUERIES = ("dedup_semantic",)
+
 
 def _fixture_dir(mult: int) -> str:
     return os.path.join(SCALE_ROOT, f"docs_x{mult}")
+
+
+def _emb_fixture_dir(mult: int) -> str:
+    return os.path.join(SCALE_ROOT, f"emb_x{mult}")
+
+
+def ensure_emb_fixtures(mults: list[int]) -> None:
+    from tools.gen_scale import generate
+
+    for m in mults:
+        out = _emb_fixture_dir(m)
+        if os.path.exists(os.path.join(out, "embeddings.parquet")):
+            continue
+        print(f"building emb-only fixture x{m} -> {out}", file=sys.stderr)
+        generate(
+            BASE_DIR, out, m, tables=["embeddings"], dissimilar_emb=True
+        )
 
 
 def ensure_fixtures(mults: list[int]) -> None:
@@ -98,6 +123,7 @@ def run_grid(
     queries: tuple[str, ...],
     mults: list[int],
     pair_queries: set[str] | frozenset[str],
+    fixture_dir=_fixture_dir,
 ) -> dict[str, dict]:
     """Time each query across the multiplier grid; record the fitted
     time exponent, and — for pair-emitting queries — the linear
@@ -113,7 +139,7 @@ def run_grid(
         points: list[tuple[int, float]] = []
         pair_points: list[tuple[int, int]] = []
         for m in [1] + mults:
-            d = BASE_DIR if m == 1 else _fixture_dir(m)
+            d = BASE_DIR if m == 1 else fixture_dir(m)
             t0 = _time.time()
             n_out = fn(spark, d).count()
             dt = round(_time.time() - t0, 2)
@@ -149,7 +175,11 @@ def main() -> None:
         int(s)
         for s in os.environ.get("SPARK_GRAFT_DOCS_MULTS", "10,30,100").split(",")
     ]
-    ensure_fixtures(mults)
+    only_pre = os.environ.get("SPARK_GRAFT_DOCS_GRID", "both")
+    if only_pre != "emb":
+        ensure_fixtures(mults)
+    if only_pre in ("both", "emb"):
+        ensure_emb_fixtures(mults)
 
     from gcp_etl_spark.queries import load_all
     from gcp_etl_spark.session import get_spark
@@ -193,6 +223,38 @@ def main() -> None:
         }
         headline["r6_time_exponents"] = {
             q: rgrid[q]["time_exponent"] for q in R6_QUERIES
+        }
+    if only in ("both", "emb"):
+        from gcp_etl_spark.llm.semdedup import adaptive_planes
+
+        egrid = run_grid(
+            spark,
+            specs,
+            EMB_QUERIES,
+            mults,
+            frozenset(),
+            fixture_dir=_emb_fixture_dir,
+        )
+        import pyarrow.parquet as _pq
+
+        base_vecs = _pq.read_metadata(
+            os.path.join(BASE_DIR, "embeddings.parquet")
+        ).num_rows
+        for rec in egrid.values():
+            rec["adaptive_planes"] = {
+                f"x{m}": adaptive_planes(base_vecs * m) for m in [1] + mults
+            }
+        prior["semantic_emb_grid"] = {
+            "fixture": (
+                "dissimilar-embeddings (per-replica orthogonal transform, "
+                "linear true-pair growth), embeddings only"
+            ),
+            "base_vecs": base_vecs,
+            "mults": [1] + mults,
+            "queries": egrid,
+        }
+        headline["emb_time_exponents"] = {
+            q: egrid[q]["time_exponent"] for q in EMB_QUERIES
         }
     if only in ("both", "text"):
         tgrid = run_grid(

@@ -71,6 +71,7 @@ def _replica(
     i: int,
     strides: dict[str, int],
     dissimilar_docs: bool = False,
+    dissimilar_emb: bool = False,
 ) -> pa.Table:
     cols = {}
     for field in tbl.schema:
@@ -111,8 +112,25 @@ def _replica(
     if name == "embeddings" and i > 0:
         emb = out["embedding"].combine_chunks()
         flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float32)
-        noise = np.random.RandomState(i).normal(0.0, 0.02, flat.shape)
-        flat = (flat + noise).astype(np.float32)
+        if dissimilar_emb:
+            # per-replica ORTHOGONAL transform (dim permutation + sign
+            # flips): intra-replica cosines are preserved EXACTLY (the
+            # base near-dup structure is copied verbatim) while
+            # cross-replica cosine collapses to ~N(0, 1/dim) noise —
+            # the embeddings analog of the dissimilar-docs word tags.
+            # True near-dup pairs therefore grow LINEARLY with the
+            # multiplier: the fixture for measuring corpus-size scaling
+            # of semantic dedup at constant output density.
+            dim = len(emb[0])
+            rs = np.random.RandomState(7_000 + i)
+            perm = rs.permutation(dim)
+            signs = rs.choice(
+                np.array([-1.0, 1.0], dtype=np.float32), size=dim
+            )
+            flat = (flat.reshape(-1, dim)[:, perm] * signs).reshape(-1)
+        else:
+            noise = np.random.RandomState(i).normal(0.0, 0.02, flat.shape)
+            flat = (flat + noise).astype(np.float32)
         new = pa.ListArray.from_arrays(emb.offsets, pa.array(flat, pa.float32()))
         out = out.set_column(
             out.schema.get_field_index("embedding"),
@@ -128,6 +146,7 @@ def generate(
     mult: int,
     tables: list[str] | None = None,
     dissimilar_docs: bool = False,
+    dissimilar_emb: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     strides = _strides(base)
@@ -142,7 +161,14 @@ def generate(
             continue
         src = pq.read_table(os.path.join(base, f"{t}.parquet"))
         parts = [
-            _replica(src, t, i, strides, dissimilar_docs=dissimilar_docs)
+            _replica(
+                src,
+                t,
+                i,
+                strides,
+                dissimilar_docs=dissimilar_docs,
+                dissimilar_emb=dissimilar_emb,
+            )
             for i in range(mult)
         ]
         big = pa.concat_tables(parts).combine_chunks()
