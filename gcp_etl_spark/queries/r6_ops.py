@@ -1411,3 +1411,369 @@ def stream_dedup_minhash(spark, sf_dir):
     return minhash_estimate_pairs(
         d, id_col="doc_id", text_col="text", threshold=0.7
     ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------- weighted reservoir sample
+
+_ES_K = 50
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           round(
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) / 4294967296.0) / n_chars, 9
+           ) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_ES_K}
+    """,
+    tags=("llm", "sampling", "prep"),
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """WEIGHTED reservoir sample without replacement (Efraimidis &
+    Spirakis 2006, public): each row gets key u^(1/w) for a uniform u
+    and weight w (here n_chars — longer docs proportionally likelier);
+    the k largest keys ARE a weighted sample without replacement. We
+    rank by the monotone-equivalent ln(u)/w (descending), which avoids
+    pow() and keeps both engines on a single libm call.
+
+    Determinism: u is the md5-hash uniform (first 8 hex digits /
+    2^32) — the engine's standard seeded-draw construction (same as
+    DSIR's bucket hash and the bootstrap's Poisson draw), identical
+    integer arithmetic in both engines; ln of the same double divided
+    by the same integer is bit-stable across libm implementations at
+    the 9 dp contract.
+
+    Scale: the canonical ONE-PASS distributed sample — orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, driver
+    merges k·partitions rows); no shuffle ever carries the corpus, no
+    per-row state beyond the k-row heap. This is how you draw a
+    quality-weighted training subset from 100 TB without a sort."""
+    d = t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_ES_K)
+    )
+
+
+# ---------------------------------------------------- Cohen's kappa
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH flags AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ra,
+             CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS rb
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_returnflag = 'R') r
+        ON r.l_orderkey = o.o_orderkey
+    ),
+    c AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00,
+             sum(ra) AS na1, sum(rb) AS nb1
+      FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+           round((na1 * nb1 + (n - na1) * (n - nb1))
+                 / CAST(n AS DOUBLE) / n, 6) AS pe,
+           round(((n11 + n00) / CAST(n AS DOUBLE)
+                  - (na1 * nb1 + (n - na1) * (n - nb1))
+                    / CAST(n AS DOUBLE) / n)
+                 / (1 - (na1 * nb1 + (n - na1) * (n - nb1))
+                        / CAST(n AS DOUBLE) / n), 6) AS kappa
+    FROM c
+    """,
+    tags=("stats", "agreement", "classification"),
+)
+def stats_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA — chance-corrected agreement between two binary
+    "raters" over the same items: here, per order, rater A says
+    "finished" (o_orderstatus = 'F') and rater B says "has a returned
+    line" (any lineitem with l_returnflag = 'R'). kappa = (po - pe) /
+    (1 - pe) with po the observed agreement and pe the agreement
+    expected from the raters' marginals. The standard label-quality /
+    annotator-consistency gate before training on labeled data.
+
+    Determinism: all four cell counts are exact longs; po/pe/kappa are
+    a fixed expression tree over those longs — identical doubles in
+    both engines, rounded 6 dp.
+
+    Scale: rater B is a map-side-combinable DISTINCT on the filtered
+    lineitem (returned orderkeys only), one equi-join on the orders
+    key, then a single 4-cell aggregate — the 2x2 confusion matrix is
+    the only thing that leaves the executors."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("rb", F.lit(1))
+    )
+    flags = o.join(
+        returned, o.o_orderkey == returned.l_orderkey, "left"
+    ).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ra"),
+        F.coalesce(F.col("rb"), F.lit(0)).alias("rb"),
+    )
+    c = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0)
+        ).alias("n11"),
+        F.sum(
+            F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0)
+        ).alias("n00"),
+        F.sum("ra").alias("na1"),
+        F.sum("rb").alias("nb1"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        F.col("na1") * F.col("nb1")
+        + (F.col("n") - F.col("na1")) * (F.col("n") - F.col("nb1"))
+    ) / n / F.col("n")
+    return c.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+    )
+
+
+# ------------------------------------------ leakage-free group split
+
+_SPLIT_TRAIN = 0.8
+_SPLIT_VAL = 0.9
+
+
+@query(
+    "prep_leakage_split",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+           FROM w, unnest(range(len(ws)-2)) AS t(i)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    lab AS (SELECT n AS node, min(m) AS comp FROM reach GROUP BY n),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(lab.comp, d.doc_id) AS grp
+      FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, grp,
+             CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS u
+      FROM grouped
+    )
+    SELECT CASE WHEN u < {_SPLIT_TRAIN} THEN 'train'
+                WHEN u < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "prep", "split", "dedup", "cluster"),
+)
+def prep_leakage_split(spark, sf_dir):
+    """LEAKAGE-FREE train/val/test split: near-duplicate documents must
+    never straddle a split boundary (a val doc with a train near-dup
+    inflates eval — the contamination mode decontamination can't
+    catch because it's WITHIN the corpus). Groups = connected
+    components over the exact trigram-Jaccard >= 0.5 edges (the
+    survivorship graph); singletons are their own group. Each GROUP —
+    not each doc — draws one md5-hash uniform and lands wholly in
+    train (<0.8), val (<0.9) or test. Returned relation: per-split
+    group and doc counts (the assignment itself is (doc_id, split) —
+    aggregate kept small for the gate; every member of a group shares
+    its split by construction).
+
+    Determinism: the group id is the component min-label (exact), the
+    draw is the engine-standard md5 uniform on the group id — same
+    integer arithmetic both engines.
+
+    Scale: edges come from the df-capped postings join, components
+    from the distributed min-label loop (both scale-proven members of
+    the dedup family); the split draw is one hash per GROUP and the
+    output is 3 rows. No stage sees the corpus text after shingling."""
+    from gcp_etl_spark.llm.cluster import connected_components
+    from gcp_etl_spark.queries.llm_ops import _ngram_jaccard_pairs
+
+    pairs = _ngram_jaccard_pairs(spark, sf_dir, df_cap=None)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    grouped = d.join(cc, d.doc_id == cc.node, "left").select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("grp")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("grp").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    assigned = grouped.withColumn(
+        "split",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("grp").alias("n_groups"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+# ------------------------------------------------- DP-noised counts
+
+_DP_EPSILON = 1.0
+
+
+@query(
+    "agg_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, cnt,
+             CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT)
+               / 4294967296.0 - 0.5 AS s
+      FROM c
+    )
+    SELECT source,
+           CAST(cnt AS BIGINT) AS true_count,
+           round(cnt - sign(s) * ln(1 - 2 * abs(s)) / {_DP_EPSILON}, 4)
+             AS noisy_count
+    FROM u ORDER BY source
+    """,
+    tags=("privacy", "aggregate", "dp"),
+)
+def agg_dp_noisy_counts(spark, sf_dir):
+    """LAPLACE-MECHANISM count release (epsilon = 1, sensitivity 1 for
+    a per-source count): noisy = count + Lap(1/eps), with the Laplace
+    draw materialized by inverse CDF — noise = -sign(u - 0.5) *
+    ln(1 - 2|u - 0.5|) / eps over a uniform u. The aggregate a
+    data-clearing pipeline publishes instead of raw per-source counts.
+
+    HONESTY NOTE: the uniform here is the engine's DETERMINISTIC md5
+    hash draw (so the relation is testable and replay-stable); a real
+    DP release must use fresh cryptographic randomness — this query
+    demonstrates the sensitivity/epsilon algebra and the exact
+    inverse-CDF transform, not a privacy guarantee. true_count is
+    returned alongside for the correctness gate; a production release
+    would drop it.
+
+    Scale: one map-side-combinable count per source; the noise term is
+    one hash + one log on the |sources|-row aggregate. Nothing else
+    moves."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    s = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    return c.select(
+        "source",
+        F.col("cnt").cast("long").alias("true_count"),
+        F.round(
+            F.col("cnt")
+            - F.signum(s) * F.log(F.lit(1) - 2 * F.abs(s)) / _DP_EPSILON,
+            4,
+        ).alias("noisy_count"),
+    ).orderBy("source")
+
+
+# -------------------------------------------- global training order
+
+_ORDER_SHARDS = 8
+
+
+@query(
+    "prep_training_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    rn AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hx, doc_id) - 1 AS r
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(r % {_ORDER_SHARDS} AS BIGINT) AS shard,
+           CAST(r // {_ORDER_SHARDS} AS BIGINT) AS pos
+    FROM rn ORDER BY shard, pos
+    """,
+    tags=("llm", "prep", "ordering"),
+)
+def prep_training_order(spark, sf_dir):
+    """DETERMINISTIC GLOBAL SHUFFLE for training order: every epoch-0
+    data loader wants the corpus in a seeded random permutation,
+    striped across shards so concurrent readers never overlap. Order =
+    md5(doc_id) (a keyed permutation — change the key, change the
+    epoch), rank = the engine's two-pass range-partitioned global row
+    number (operators/quantiles.global_row_number — NO single-
+    partition window), shard/pos = round-robin stripe of the rank.
+
+    Determinism: md5 hex strings compare identically in both engines;
+    doc_id tiebreak makes the permutation total.
+
+    Scale: the rank is the zipWithIndex algebra — one range exchange
+    on the hash + per-partition offsets — and the stripe arithmetic is
+    a map. This is exactly how you materialize a shuffled 100 TB
+    training manifest without ever sorting into one reducer."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    rn = global_row_number(d, order_cols=["hx", "doc_id"], rn_col="rn")
+    return (
+        rn.select(
+            "doc_id",
+            ((F.col("rn") - 1) % _ORDER_SHARDS).cast("long").alias("shard"),
+            ((F.col("rn") - 1) / _ORDER_SHARDS).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
