@@ -1777,3 +1777,290 @@ def prep_training_order(spark, sf_dir):
         )
         .orderBy("shard", "pos")
     )
+
+
+# --------------------------------------------- bitext margin mining
+
+_BT_K = 4
+_BT_MARGIN = 1.0
+
+
+@query(
+    "mine_bitext_margin",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label = 0
+    ),
+    tt AS (
+      SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS w
+      FROM embeddings WHERE label = 1
+    ),
+    p AS (
+      SELECT sid, tid,
+             round(list_dot_product(v, w)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(w, w))), 6) AS cos
+      FROM s CROSS JOIN tt
+    ),
+    ks AS (
+      SELECT sid, avg(cos) AS knn FROM (
+        SELECT sid, cos, row_number() OVER (
+          PARTITION BY sid ORDER BY cos DESC, tid) AS rn FROM p
+      ) WHERE rn <= {_BT_K} GROUP BY sid
+    ),
+    kt AS (
+      SELECT tid, avg(cos) AS knn FROM (
+        SELECT tid, cos, row_number() OVER (
+          PARTITION BY tid ORDER BY cos DESC, sid) AS rn FROM p
+      ) WHERE rn <= {_BT_K} GROUP BY tid
+    ),
+    m AS (
+      SELECT p.sid, p.tid, p.cos,
+             p.cos / ((ks.knn + kt.knn) / 2) AS margin
+      FROM p JOIN ks USING (sid) JOIN kt USING (tid)
+    ),
+    best AS (
+      SELECT sid, tid, cos, margin, row_number() OVER (
+        PARTITION BY sid ORDER BY margin DESC, tid) AS rn
+      FROM m
+    )
+    SELECT sid, tid, cos, round(margin, 6) AS margin
+    FROM best WHERE rn = 1 AND margin >= {_BT_MARGIN}
+    ORDER BY sid
+    """,
+    tags=("llm", "embedding", "mining", "bitext"),
+)
+def mine_bitext_margin(spark, sf_dir):
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix parallel-corpus miner, public): across two embedding
+    spaces (here label 0 = "source language", label 1 = "target"),
+    score every cross pair by the RATIO margin — cos(x, y) divided by
+    the mean of the two endpoints' average top-k neighbor cosines —
+    and keep each source's best-margin target when the margin clears
+    1.0. Raw cosine over-selects hubs (vectors close to everything);
+    the margin normalizes by local density, which is why every public
+    mined-bitext pipeline uses it.
+
+    Determinism: cosine is rounded to 6 dp FIRST (both engines then
+    window/avg/divide identical doubles); ties break on neighbor id.
+
+    Scale: the pair relation is broadcast(tgt) x streamed src — at
+    100 TB the same margin algebra rides the ANN candidate stream
+    (IVF/LSH shortlists) instead of the dense cross join; the k-NN
+    means are |src|- and |tgt|-bounded window aggregates."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    tt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").cast("array<double>").alias("w"),
+    )
+    p = s.crossJoin(F.broadcast(tt)).select(
+        "sid",
+        "tid",
+        F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos"),
+    )
+    ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
+    wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
+    ks = (
+        p.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("sid")
+        .agg(F.avg("cos").alias("ks"))
+    )
+    kt = (
+        p.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("tid")
+        .agg(F.avg("cos").alias("kt"))
+    )
+    m = (
+        p.join(ks, "sid")
+        .join(kt, "tid")
+        .withColumn(
+            "margin", F.col("cos") / ((F.col("ks") + F.col("kt")) / 2)
+        )
+    )
+    wbest = Window.partitionBy("sid").orderBy(F.desc("margin"), "tid")
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= _BT_MARGIN))
+        .select("sid", "tid", "cos", F.round("margin", 6).alias("margin"))
+        .orderBy("sid")
+    )
+
+
+# -------------------------------------------- PR threshold sweep
+
+
+@query(
+    "eval_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             round(1.0 / (1.0 + exp(-({_score_w()[0]}
+                   + {_score_w()[1]} * (value / 100.0)
+                   + {_score_w()[2]} * (hour(ts) / 24.0)))), 6) AS score
+      FROM events
+    ),
+    thr AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS thr),
+    cells AS (
+      SELECT thr,
+             sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(y) AS pos
+      FROM scored CROSS JOIN thr GROUP BY thr
+    )
+    SELECT CAST(thr AS DOUBLE) AS thr,
+           CAST(tp + fp AS BIGINT) AS n_flagged,
+           round(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE tp / CAST(tp + fp AS DOUBLE) END, 6)
+             AS precision,
+           round(tp / CAST(pos AS DOUBLE), 6) AS recall
+    FROM cells ORDER BY thr
+    """,
+    tags=("stats", "classifier", "evaluation"),
+)
+def eval_pr_curve(spark, sf_dir):
+    """PRECISION-RECALL THRESHOLD SWEEP for the shipped quality
+    classifier (same logistic weights the calibration monitor scores
+    with): at each of 9 operating thresholds, how many rows the filter
+    would flag and at what precision/recall — the curve a pipeline
+    owner reads to pick the quality-filter cut before a training run.
+
+    Determinism: the sigmoid is rounded to 6 dp before the threshold
+    compare (both engines gate identical doubles); counts are exact
+    longs; the final ratios divide identical longs.
+
+    Scale: ONE pass — the x9 threshold fan-out happens via a broadcast
+    literal explode and collapses map-side (9 running cells per task);
+    the shuffle carries 9 rows x partitions. No per-threshold rescans,
+    which is the difference between a 9x and a 1x cost at 100 TB."""
+    w = _score_w()
+    e = t(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(w[0])
+                        + F.lit(w[1]) * (F.col("value") / 100.0)
+                        + F.lit(w[2]) * (F.hour("ts") / 24.0)
+                    )
+                )
+            ),
+            6,
+        ).alias("score"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(round(x / 10, 2)) for x in range(1, 10)])
+    ).alias("thr")
+    cells = (
+        scored.select("y", "score", thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    return cells.select(
+        F.round("thr", 2).alias("thr"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_flagged"),
+        F.round(
+            F.when(F.col("tp") + F.col("fp") == 0, 0.0).otherwise(
+                F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(F.col("tp") / F.col("pos").cast("double"), 6).alias(
+            "recall"
+        ),
+    ).orderBy("thr")
+
+
+# ------------------------------------------ sampled dup-rate estimate
+
+_DUPEST_P = 0.25
+
+
+@query(
+    "dedup_rate_estimate",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 < {_DUPEST_P} AS in_sample
+      FROM documents
+    )
+    SELECT CAST(count(*) FILTER (in_sample) AS BIGINT) AS sample_n,
+           CAST(count(DISTINCT h) FILTER (in_sample) AS BIGINT)
+             AS sample_distinct,
+           round(1.0 - count(DISTINCT h) FILTER (in_sample)
+                       / CAST(count(*) FILTER (in_sample) AS DOUBLE), 6)
+             AS sample_dup_rate,
+           CAST(count(*) AS BIGINT) AS full_n,
+           CAST(count(DISTINCT h) AS BIGINT) AS full_distinct,
+           round(1.0 - count(DISTINCT h)
+                       / CAST(count(*) AS DOUBLE), 6) AS full_dup_rate
+    FROM hashed
+    """,
+    tags=("llm", "dedup", "sampling", "estimate"),
+)
+def dedup_rate_estimate(spark, sf_dir):
+    """SAMPLED EXACT-DUP RATE ESTIMATE — the cheap pre-flight before
+    committing a full dedup pass: hash-sample 25% of doc ids
+    (deterministic md5 draw), measure the exact-duplicate rate inside
+    the sample (1 - distinct/total over content digests), and report
+    it next to the full-corpus truth the gate verifies against. The
+    sampled rate UNDERSTATES the true rate (a dup pair survives
+    sampling with probability p^2) — that bias is the documented
+    contract, and the full columns exist here so the gate can check
+    both; a production run computes only the sample side.
+
+    Scale: the sample side touches p*n digests; content never
+    shuffles (md5 digests do), and both distinct-counts are map-side
+    partial aggregations. One scan serves both estimates."""
+    d = t(spark, sf_dir, "documents")
+    in_sample = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+        < _DUPEST_P
+    )
+    hashed = d.select(F.md5("text").alias("h"), in_sample.alias("in_sample"))
+    return hashed.agg(
+        F.count(F.when(F.col("in_sample"), 1)).alias("sample_n"),
+        F.countDistinct(F.when(F.col("in_sample"), F.col("h"))).alias(
+            "sample_distinct"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.when(F.col("in_sample"), F.col("h")))
+            / F.count(F.when(F.col("in_sample"), 1)).cast("double"),
+            6,
+        ).alias("sample_dup_rate"),
+        F.count("*").alias("full_n"),
+        F.countDistinct("h").alias("full_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h") / F.count("*").cast("double"),
+            6,
+        ).alias("full_dup_rate"),
+    )
