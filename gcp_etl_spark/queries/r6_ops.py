@@ -2064,3 +2064,201 @@ def dedup_rate_estimate(spark, sf_dir):
             6,
         ).alias("full_dup_rate"),
     )
+
+
+# ------------------------------------------------ join-key skew report
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+@query(
+    "diag_skew_report",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    c AS (SELECT key_col, k, count(*) AS cnt FROM u GROUP BY 1, 2)
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(max(cnt) / avg(cnt), 6) AS skew_factor,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt
+    FROM c GROUP BY key_col ORDER BY key_col
+    """,
+    tags=("diagnostics", "skew", "scale", "quantiles"),
+)
+def diag_skew_report(spark, sf_dir):
+    """JOIN-KEY SKEW REPORT — the diagnostic you run BEFORE deciding to
+    salt: per candidate join key of the fact table, the key-count
+    distribution (distinct keys, hottest key, max/mean skew factor,
+    exact p50/p99 per-key counts). A skew_factor near 1 says hash
+    partitioning balances; p99 << max says one pathological key —
+    salt exactly that one (the scale_ops salted-join pattern); a heavy
+    p99 tail says bump shuffle partitions / rely on AQE skew-join.
+
+    Scale shape: ONE scan of the fact table fans out via a struct-
+    array explode (x|keys|, map-side), collapses to (key_col, key)
+    counts with partial aggregation, and the distribution stats run on
+    the count relation: max/avg as a grouped agg, the percentiles
+    through the engine-standard two-pass range-partitioned
+    exact_quantiles (never a single-reducer value map). Nothing
+    driver-side at any corpus size."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key_col"),
+                        F.col(c).cast("long").alias("k"),
+                    )
+                    for c in _SKEW_KEYS
+                ]
+            )
+        ).alias("e")
+    ).select("e.key_col", "e.k")
+    c = u.groupBy("key_col", "k").agg(F.count("*").alias("cnt"))
+    aggs = c.groupBy("key_col").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_factor"),
+    )
+    q = exact_quantiles(
+        c,
+        "cnt",
+        {"p50_cnt": 0.5, "p99_cnt": 0.99},
+        group_cols=["key_col"],
+    )
+    return aggs.join(q, "key_col").orderBy("key_col")
+
+
+# --------------------------------------- matryoshka truncation eval
+
+_MRL_DIMS = 16
+_MRL_K = 5
+_MRL_NQ = 8
+
+
+@query(
+    "ann_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_MRL_NQ}
+    ),
+    c AS (
+      SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT q_id, n_id,
+             round(list_dot_product(qv, nv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(nv, nv))), 6) AS cos_full,
+             round(list_dot_product(qv[1:{_MRL_DIMS}], nv[1:{_MRL_DIMS}])
+                   / (sqrt(list_dot_product(qv[1:{_MRL_DIMS}],
+                                            qv[1:{_MRL_DIMS}]))
+                      * sqrt(list_dot_product(nv[1:{_MRL_DIMS}],
+                                              nv[1:{_MRL_DIMS}]))), 6)
+               AS cos_trunc
+      FROM q JOIN c ON q_id <> n_id
+    ),
+    fullk AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_full DESC, n_id) AS rn FROM p
+      ) WHERE rn <= {_MRL_K}
+    ),
+    trunck AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_trunc DESC, n_id) AS rn FROM p
+      ) WHERE rn <= {_MRL_K}
+    )
+    SELECT f.q_id,
+           CAST(count(tr.n_id) AS BIGINT) AS overlap,
+           round(count(tr.n_id) / {_MRL_K}.0, 6) AS recall_at_k
+    FROM fullk f LEFT JOIN trunck tr
+      ON tr.q_id = f.q_id AND tr.n_id = f.n_id
+    GROUP BY f.q_id ORDER BY f.q_id
+    """,
+    tags=("llm", "ann", "embedding", "evaluation"),
+)
+def ann_matryoshka_eval(spark, sf_dir):
+    """MATRYOSHKA TRUNCATION EVAL (Kusupati et al. 2022, MRL, public):
+    can the index store only the first {16} dims? Per probe, exact
+    top-k under the FULL cosine vs top-k under the truncated-prefix
+    cosine, reported as recall@k of the truncated ranking — the
+    measurement that justifies (or vetoes) a 4x index-size cut before
+    you build the IVF/PQ index on truncated vectors.
+
+    Determinism: both cosines round to 6 dp before ranking; ties break
+    on neighbor id; recall is a count ratio of exact longs.
+
+    Scale: ONE broadcast(probes) x corpus stream computes both scores
+    per pair (the truncated dot is a prefix slice of the same array —
+    no second scan); the two rankings are |probes|-partitioned window
+    top-ks over the scored relation. At 100 TB the same dual-score
+    expression rides the ANN candidate stream."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    p = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_full"),
+            F.round(
+                cosine(
+                    F.slice(F.col("qv"), 1, _MRL_DIMS),
+                    F.slice(F.col("nv"), 1, _MRL_DIMS),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), "n_id")
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_trunc"), "n_id")
+    fullk = (
+        p.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("q_id", "n_id")
+    )
+    trunck = (
+        p.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("q_id", F.col("n_id").alias("t_id"))
+    )
+    joined = fullk.join(
+        trunck,
+        (fullk.q_id == trunck.q_id) & (fullk.n_id == trunck.t_id),
+        "left",
+    ).select(fullk.q_id.alias("qq"), "t_id")
+    return (
+        joined.groupBy("qq")
+        .agg(
+            F.count("t_id").alias("overlap"),
+            F.round(F.count("t_id") / F.lit(float(_MRL_K)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .select(F.col("qq").alias("q_id"), "overlap", "recall_at_k")
+        .orderBy("q_id")
+    )
