@@ -360,3 +360,47 @@ def test_cc_local_equals_distributed(spark):
     assert local == dist
     # min-label contract: chain 1-2-3-5-4 labels to 1
     assert (4, 1) in local and (12, 10) in local and (20, 20) in local
+
+
+def test_leakage_split_never_splits_near_dup_pairs(spark):
+    """The leakage-free split's whole contract: for EVERY trigram-
+    Jaccard >= 0.5 edge, both endpoints land in the same split (their
+    shared component drew one uniform). Checked edge-by-edge against
+    the registered assignment logic rebuilt at doc granularity."""
+    from gcp_etl_spark.llm.cluster import connected_components
+    from gcp_etl_spark.queries.llm_ops import _ngram_jaccard_pairs
+    from gcp_etl_spark.queries.r6_ops import _SPLIT_TRAIN, _SPLIT_VAL
+
+    pairs = _ngram_jaccard_pairs(spark, SF_SMALL, df_cap=None)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = t(spark, SF_SMALL, "documents").select("doc_id")
+    grouped = d.join(cc, d.doc_id == cc.node, "left").select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("grp")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("grp").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    assigned = grouped.select(
+        "doc_id",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    a = assigned.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = assigned.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    straddling = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    n_edges = pairs.count()
+    assert n_edges > 0 and straddling == 0
+    # and the split is non-degenerate on this fixture
+    n_splits = assigned.select("split").distinct().count()
+    assert n_splits >= 2
