@@ -2262,3 +2262,168 @@ def ann_matryoshka_eval(spark, sf_dir):
         .select(F.col("qq").alias("q_id"), "overlap", "recall_at_k")
         .orderBy("q_id")
     )
+
+
+# -------------------------------------------- KMV distinct-overlap
+
+_KMV_K = 64
+_KMV_SRC_A = "src0"
+_KMV_SRC_B = "src1"
+
+
+def _kmv_grams_sql() -> str:
+    return f"""
+    w AS (
+      SELECT source, string_split(lower(text), ' ') AS ws
+      FROM documents WHERE source IN ('{_KMV_SRC_A}', '{_KMV_SRC_B}')
+    ),
+    g AS (
+      SELECT DISTINCT source, ws[i+1] || ' ' || ws[i+2] AS g
+      FROM w, unnest(range(len(ws) - 1)) AS t(i)
+    ),
+    h AS (
+      SELECT source, g,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+               / 4294967296.0 AS h
+      FROM g
+    ),
+    akmv AS (SELECT h FROM h WHERE source = '{_KMV_SRC_A}'
+             ORDER BY h, g LIMIT {_KMV_K}),
+    bkmv AS (SELECT h FROM h WHERE source = '{_KMV_SRC_B}'
+             ORDER BY h, g LIMIT {_KMV_K}),
+    ukmv AS (
+      SELECT h FROM (SELECT h FROM akmv UNION SELECT h FROM bkmv)
+      ORDER BY h LIMIT {_KMV_K}
+    )
+    """
+
+
+@query(
+    "sketch_kmv_overlap",
+    oracle=f"""
+    WITH {_kmv_grams_sql()},
+    theta AS (SELECT max(h) AS th, count(*) AS ku FROM ukmv),
+    rho AS (
+      SELECT count(*) AS both FROM ukmv u
+      WHERE EXISTS (SELECT 1 FROM akmv a WHERE a.h = u.h)
+        AND EXISTS (SELECT 1 FROM bkmv b WHERE b.h = u.h)
+    ),
+    exact AS (
+      SELECT count(DISTINCT g) AS xu,
+             count(DISTINCT CASE WHEN na > 0 AND nb > 0 THEN g END) AS xi
+      FROM (
+        SELECT g,
+               count(CASE WHEN source = '{_KMV_SRC_A}' THEN 1 END) AS na,
+               count(CASE WHEN source = '{_KMV_SRC_B}' THEN 1 END) AS nb
+        FROM h GROUP BY g
+      )
+    )
+    SELECT {_KMV_K} AS k,
+           round((theta.ku - 1) / theta.th, 6) AS est_union,
+           CAST(exact.xu AS BIGINT) AS exact_union,
+           round(rho.both * 1.0 / theta.ku
+                 * ((theta.ku - 1) / theta.th), 6) AS est_intersection,
+           CAST(exact.xi AS BIGINT) AS exact_intersection
+    FROM theta, rho, exact
+    """,
+    tags=("sketch", "dedup", "distinct", "scale"),
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) DISTINCT-OVERLAP sketch
+    (Bar-Yossef et al. 2002; the Theta-sketch set algebra, public):
+    estimate the distinct-bigram union and intersection of two corpus
+    sources from k=64 hash values per side. est_union = (k-1)/theta
+    with theta the k-th smallest hash of the merged sketch; the
+    intersection rides the union sketch — a merged value is in A iff
+    it is in A's sketch (valid because theta <= each side's own
+    threshold), so est_inter = (matching fraction) x est_union. The
+    exact truths are computed alongside for the gate; a production
+    run ships ONLY the sketches.
+
+    Determinism: the hash is the engine-standard md5 uniform; both
+    engines pick the same k values (h then gram tiebreak) and the
+    estimates divide identical doubles.
+
+    Scale: THE point of the sketch — each side reduces to k doubles
+    via per-partition top-k (TakeOrdered; corpus never shuffles), the
+    merge is k+k values, and cross-SOURCE overlap across a 100 TB
+    corpus becomes an O(k) postprocess. The exactness columns are the
+    test-scale luxury the sketch exists to avoid."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_KMV_SRC_A, _KMV_SRC_B)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    grams = (
+        d.select("source", toks.alias("ws"))
+        .select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(ws) - 2),"
+                        " i -> concat(ws[i], ' ', ws[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    h = grams.select(
+        "source",
+        "g",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("h"),
+    )
+    akmv = (
+        h.filter(F.col("source") == _KMV_SRC_A)
+        .orderBy("h", "g")
+        .limit(_KMV_K)
+        .select("h")
+    )
+    bkmv = (
+        h.filter(F.col("source") == _KMV_SRC_B)
+        .orderBy("h", "g")
+        .limit(_KMV_K)
+        .select("h")
+    )
+    ukmv = (
+        akmv.unionByName(bkmv).distinct().orderBy("h").limit(_KMV_K)
+    )
+    theta = ukmv.agg(
+        F.max("h").alias("th"), F.count("*").alias("ku")
+    )
+    both = (
+        ukmv.join(akmv, "h", "left_semi")
+        .join(bkmv, "h", "left_semi")
+        .agg(F.count("*").alias("both"))
+    )
+    exact = (
+        h.groupBy("g")
+        .agg(
+            F.count(F.when(F.col("source") == _KMV_SRC_A, 1)).alias("na"),
+            F.count(F.when(F.col("source") == _KMV_SRC_B, 1)).alias("nb"),
+        )
+        .agg(
+            F.count("*").alias("xu"),
+            F.count(
+                F.when((F.col("na") > 0) & (F.col("nb") > 0), 1)
+            ).alias("xi"),
+        )
+    )
+    return (
+        theta.crossJoin(both)
+        .crossJoin(exact)
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.round((F.col("ku") - 1) / F.col("th"), 6).alias("est_union"),
+            F.col("xu").cast("long").alias("exact_union"),
+            F.round(
+                F.col("both") / F.col("ku") * ((F.col("ku") - 1) / F.col("th")),
+                6,
+            ).alias("est_intersection"),
+            F.col("xi").cast("long").alias("exact_intersection"),
+        )
+    )
