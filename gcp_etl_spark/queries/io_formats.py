@@ -351,3 +351,39 @@ def io_csv_multiline_quoted(spark, sf_dir):
         .option("multiLine", True)
         .csv(d)
     )
+
+
+@query(
+    "io_manifest_time_travel",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source
+    """,
+    tags=("io", "manifest", "time-travel"),
+)
+def io_manifest_time_travel(spark, sf_dir):
+    """TIME TRAVEL over the manifest-managed dataset (the Delta/Iceberg
+    ``VERSION AS OF`` shape, io.py's generation store): generation 0 is
+    written as the en-only snapshot, generation 1 overwrites it with
+    the full corpus and atomically becomes active — then the query
+    reads GENERATION 0 BACK and aggregates it, proving the superseded
+    snapshot is untouched by the later write. The oracle is the same
+    aggregate over the en-only slice, so any bleed-through from
+    generation 1 (extra languages, extra rows) fails the value gate.
+
+    Scale: generations are immutable directories and only the ONE-
+    object manifest mutates (crash-safe swap, io.py:278-316); time
+    travel costs exactly one manifest read plus a normal pruned scan
+    of the requested generation — no log replay, no snapshot
+    reconstruction."""
+    docs = t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="io_tt_")
+    g0 = io.write_managed(docs.filter(F.col("lang") == "en"), d)
+    io.write_managed(docs, d)  # gen 1 becomes ACTIVE
+    old = io.read_managed(spark, d, generation=g0)
+    return (
+        old.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
