@@ -2427,3 +2427,164 @@ def sketch_kmv_overlap(spark, sf_dir):
             F.col("xi").cast("long").alias("exact_intersection"),
         )
     )
+
+
+# ------------------------------------------ referential-integrity audit
+
+
+@query(
+    "quality_fk_audit",
+    oracle="""
+    SELECT 'customer.c_nationkey->nation' AS fk,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    ORDER BY fk
+    """,
+    tags=("quality", "audit", "join", "integrity"),
+)
+def quality_fk_audit(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY AUDIT — the load-gate report a warehouse
+    runs after every ingest (the reference's count-gate generalized
+    from row counts to key integrity): for each declared FK edge, how
+    many child rows dangle (no matching parent). All four TPC-H-ish
+    edges in one relation; a nonzero orphan count is the signal to
+    quarantine the batch before queries silently drop rows in inner
+    joins.
+
+    Scale: each edge is ONE left-anti join on its key — parent sides
+    are dimension-sized (AQE broadcasts them) or co-shuffled fact keys;
+    counts collapse map-side. No row data beyond the join key moves."""
+    edges = [
+        (
+            "customer.c_nationkey->nation",
+            t(spark, sf_dir, "customer"),
+            "c_nationkey",
+            t(spark, sf_dir, "nation"),
+            "n_nationkey",
+        ),
+        (
+            "lineitem.l_orderkey->orders",
+            t(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            t(spark, sf_dir, "orders"),
+            "o_orderkey",
+        ),
+        (
+            "lineitem.l_partkey->part",
+            t(spark, sf_dir, "lineitem"),
+            "l_partkey",
+            t(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        (
+            "orders.o_custkey->customer",
+            t(spark, sf_dir, "orders"),
+            "o_custkey",
+            t(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        rows = child.select(F.col(ck).alias("__k"))
+        orphans = rows.join(
+            parent.select(F.col(pk).alias("__k")), "__k", "left_anti"
+        )
+        rel = rows.agg(F.count("*").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        out = rel if out is None else out.unionByName(rel)
+    return out.orderBy("fk")
+
+
+# ------------------------------------------- packing padding waste
+
+_PAD_LENGTHS = (128, 256, 512, 1024)
+
+
+@query(
+    "pack_padding_waste",
+    oracle=f"""
+    WITH toks AS (
+      SELECT len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS n_toks
+      FROM documents
+    ),
+    l AS (SELECT unnest([{", ".join(str(x) for x in _PAD_LENGTHS)}]) AS seq_len)
+    SELECT seq_len,
+           CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+           CAST(sum(ceil(n_toks * 1.0 / seq_len) * seq_len) AS BIGINT)
+             AS padded_tokens,
+           round(1.0 - sum(n_toks)
+                 / CAST(sum(ceil(n_toks * 1.0 / seq_len) * seq_len)
+                        AS DOUBLE), 6) AS waste_frac
+    FROM toks CROSS JOIN l
+    GROUP BY seq_len ORDER BY seq_len
+    """,
+    tags=("llm", "prep", "packing", "planning"),
+)
+def pack_padding_waste(spark, sf_dir):
+    """PADDING-WASTE PLANNER — pick the training sequence length
+    BEFORE materializing packed shards: for each candidate seq_len,
+    the fraction of padded-batch tokens that would be padding if every
+    document were chunk-padded to seq_len multiples (no cross-doc
+    packing). Read next to ``pack_sequences_budget`` (which measures
+    the greedy-packing alternative): the gap between this table's
+    waste and the packer's residuals is the payoff that justifies the
+    packing shuffle at 100 TB.
+
+    Scale: ONE scan computes token counts; the x|lengths| fan-out is a
+    broadcast literal cross join collapsed map-side into 4 running
+    sums — same single-pass sweep shape as the PR curve."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), " "), lambda x: x != ""
+            )
+        ).alias("n_toks")
+    )
+    lens = F.explode(
+        F.array(*[F.lit(x) for x in _PAD_LENGTHS])
+    ).alias("seq_len")
+    return (
+        toks.select("n_toks", lens)
+        .groupBy("seq_len")
+        .agg(
+            F.sum("n_toks").alias("real_tokens"),
+            F.sum(
+                F.ceil(F.col("n_toks") / F.col("seq_len")) * F.col("seq_len")
+            ).alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_toks")
+                / F.sum(
+                    F.ceil(F.col("n_toks") / F.col("seq_len"))
+                    * F.col("seq_len")
+                ).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("seq_len")
+    )
