@@ -2588,3 +2588,136 @@ def pack_padding_waste(spark, sf_dir):
         )
         .orderBy("seq_len")
     )
+
+
+# --------------------------------------- curation pipeline, end-to-end
+
+_CUR_MIN_CHARS = 50
+_CUR_MAX_CHARS = 400
+_CUR_BUDGET = 512
+
+
+@query(
+    "pipeline_curation_e2e",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN dedup USING (doc_id)
+      WHERE d.n_chars BETWEEN {_CUR_MIN_CHARS} AND {_CUR_MAX_CHARS}
+    ),
+    split AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN u < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN u < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5(md5(text)), 1, 8)) AS UBIGINT)
+                 / 4294967296.0 AS u
+        FROM kept
+      )
+    ),
+    toks AS (
+      SELECT split, lang, doc_id,
+             len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS n_toks
+      FROM split
+    ),
+    runs AS (
+      SELECT split, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY split, lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS cum_before
+      FROM toks
+    )
+    SELECT split, lang,
+           CAST(cum_before // {_CUR_BUDGET} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM runs
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("llm", "pipeline", "e2e", "dedup", "prep", "packing"),
+)
+def pipeline_curation_e2e(spark, sf_dir):
+    """THE CURATION PIPELINE, COMPOSED — raw corpus to packed training
+    manifest in one declarative plan, every stage an operator this
+    engine already ships individually:
+
+      1. EXACT DEDUP — min-doc_id survivor per content digest (text
+         never shuffles, digests do);
+      2. QUALITY FILTER — length gate ({_CUR_MIN_CHARS}..{_CUR_MAX_CHARS}
+         chars; stands in for the composite score, same pushdown shape);
+      3. LEAKAGE-SAFE SPLIT — one md5 uniform per CONTENT digest (exact
+         dups share a draw by construction), 80/10/10;
+      4. TOKEN COUNT + GREEDY PACKING — running-sum bin assignment per
+         (split, lang) at a {_CUR_BUDGET}-token budget;
+      5. MANIFEST — per (split, lang, bin) doc/token masses, the
+         relation a training job reads to schedule shards.
+
+    The value of registering the COMPOSITION: Catalyst fuses the five
+    stages into one plan (the dedup agg, the filter pushed to the scan,
+    the split as a map, packing as a window over already-grouped
+    partitions) — proving the operators compose without materialization
+    barriers. The oracle replays the identical five-stage SQL.
+
+    Scale: stages 1-3 are hash-agg/map shapes; stage 4's window
+    partitions by (split, lang) — bounded groups at any corpus size
+    (the pack_sequences_budget contract). Nothing driver-side."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "lang", "text", "n_chars", F.md5("text").alias("h")
+    )
+    dedup = h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = (
+        h.join(dedup, ["h", "doc_id"])
+        .filter(F.col("n_chars").between(_CUR_MIN_CHARS, _CUR_MAX_CHARS))
+    )
+    u = F.conv(F.substring(F.md5("h"), 1, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+    split = kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    toks = split.select(
+        "split",
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), " "), lambda x: x != ""
+            )
+        ).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn(
+        "cum_before", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return (
+        runs.select(
+            "split",
+            "lang",
+            F.floor(F.col("cum_before") / _CUR_BUDGET).alias("bin"),
+            "n_toks",
+        )
+        .groupBy("split", "lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("split", "lang", "bin")
+    )
