@@ -1,31 +1,25 @@
-"""Round-6 operator additions (SURVEY.md §2B "LLM-data-pipeline
-operators" — data-selection / mixture / classifier / ANN families).
+"""Round-6 operator additions (SURVEY.md §2G — the full table lives
+there; 32 registered queries in this module).
 
-Four operators a large-scale training-data pipeline runs between
-dedup and tokenization, none previously in the surface:
-
-- ``dsir_importance_weights`` — Data Selection via Importance
-  Resampling (Xie et al. 2023, public): per-document importance
-  weights from hashed-bigram bucket log-likelihood ratios between a
-  target slice and the raw corpus. Value-verified (DuckDB replays the
-  identical hashed-feature algebra).
-- ``mix_temperature_sampling`` — temperature-scaled multinomial
-  source sampling (the mT5/XLM-R alpha-sampling scheme, public):
-  p_s ∝ n_s^alpha with deterministic per-source hash-order picks.
-  Value-verified.
-- ``train_quality_logreg`` — distributed full-batch gradient-descent
-  logistic regression (the quality-classifier trainer): each
-  iteration is ONE aggregate pass producing a 3-double weight vector;
-  DuckDB replays the identical unrolled recurrence. Value-verified.
-- ``ann_ivf_pq_rerank`` — the FAISS-style IVF-PQ composition: IVF
-  coarse probe restricts the candidate lists, PQ/ADC scores only
-  those lists, exact cosine reranks the shortlist. Approximate by
-  design → rows-only; recall pinned by
-  tests/test_r6.py::test_ivf_pq_rerank_recall.
+Families, in registration order: data selection (DSIR importance
+weights, temperature mixture sampling, weighted reservoir sample,
+deterministic global training order); classifier lifecycle (GD logreg
+trainer, calibration bins, PR threshold sweep, Cohen's kappa,
+streaming live-calibration); ANN (IVF-PQ rerank, hard negatives,
+partition-pruned IVF probe, matryoshka truncation eval, bitext margin
+mining); tokenization (BPE trainer / decode / vocab export /
+round-trip identity, padding-waste planner); corpus operations
+(snapshot diff, shard planner, leakage-free split, sampled dup-rate
+estimate, KMV distinct-overlap sketch, DP-noised counts, FK integrity
+audit, the fused 5-stage curation pipeline); streaming duals (PSI-
+style latency quantiles, incremental MinHash dedup); multimodal
+(audio resample transcode); text (FIM transform, mixed-language flag).
 
 Cross-engine determinism policy (registry docstring): every
 order-dependent double sum is either decimal-summed (exact,
-order-free) or rounded at >= 8 dp before feeding the next stage.
+order-free) or rounded at >= 8 dp before feeding the next stage;
+every seeded draw is the md5 hash uniform, identical integer
+arithmetic in both engines.
 """
 
 from __future__ import annotations
