@@ -58,6 +58,12 @@ R6_QUERIES = (
     "dsir_importance_weights",
     "mix_temperature_sampling",
     "bpe_train_merges",
+    # late-round-6 docs-only additions: one-pass weighted top-k, the
+    # two-pass global-rank shuffle order, and the fused 5-stage
+    # curation pipeline — all bounded-output, TIME exponent is the claim
+    "sample_weighted_reservoir",
+    "prep_training_order",
+    "pipeline_curation_e2e",
 )
 
 # semantic (embedding-space) dedup, on the dissimilar-EMBEDDINGS
