@@ -2715,3 +2715,71 @@ def pipeline_curation_e2e(spark, sf_dir):
         )
         .orderBy("split", "lang", "bin")
     )
+
+
+# ------------------------------------- streaming curation manifest
+
+
+@query(
+    "stream_curation_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, text, n_chars, md5(text) AS h FROM documents
+    ),
+    surv AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY h),
+    kept AS (
+      SELECT hh.h, hh.lang, hh.text FROM h hh
+      JOIN surv USING (h, doc_id)
+      WHERE hh.n_chars BETWEEN {_CUR_MIN_CHARS} AND {_CUR_MAX_CHARS}
+    ),
+    assigned AS (
+      SELECT lang,
+             CASE WHEN u < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN u < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS n_toks
+      FROM (
+        SELECT *,
+               CAST(('0x' || substr(md5(h), 1, 8)) AS UBIGINT)
+                 / 4294967296.0 AS u
+        FROM kept
+      )
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "llm", "pipeline", "dedup", "prep"),
+)
+def stream_curation_manifest(spark, sf_dir):
+    """STREAMING CURATION dual — the always-on ingestion half of
+    ``pipeline_curation_e2e``: each arriving micro-batch is exact-
+    deduped, quality-gated, token-counted and split-assigned through a
+    persistent digest store (streaming/curation.py, foreachBatch,
+    epoch-partitioned parquet, replay-idempotent), and the manifest is
+    the min-doc_id-per-digest view of that store. Because survivors
+    key on the CONTENT digest (dedup, split draw) and min-id resolves
+    at read, the end-of-stream manifest equals this batch relation for
+    ANY batching of the stream (tests/test_streaming.py::
+    test_stream_curation_equals_batch; replay idempotence alongside).
+
+    This registered batch dual runs the identical per-batch algebra
+    (``curate_batch``) over the full table and aggregates — fully
+    value-verified by the five-stage SQL oracle.
+
+    100 TB: per-epoch cost is O(|batch|) maps plus a digest append;
+    the manifest aggregation touches ~60 B rows, never text."""
+    from gcp_etl_spark.streaming.curation import curate_batch
+
+    d = t(spark, sf_dir, "documents")
+    cur = curate_batch(d, _CUR_MIN_CHARS, _CUR_MAX_CHARS)
+    return (
+        cur.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

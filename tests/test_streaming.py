@@ -483,7 +483,7 @@ def test_stream_latency_quantiles_approx_regime(spark, events_stream_dir):
 def documents_stream_dir(spark, tmp_path_factory):
     # 4 files = 4 deterministic micro-batches (maxFilesPerTrigger=1)
     d = tmp_path_factory.mktemp("docs_stream")
-    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    docs = t(spark, SF_SMALL, "documents")
     src = str(d / "docs")
     for i in range(4):
         docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
@@ -556,4 +556,53 @@ def test_stream_dedup_minhash_replay_idempotent(
     assert len(before) > 0
     sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
     after = sorted(map(tuple, read_pairs(spark, store).collect()))
+    assert after == before
+
+
+def test_stream_curation_equals_batch(spark, documents_stream_dir, tmp_path):
+    """End-of-stream curation manifest (dedup -> quality gate -> split
+    -> token mass, maintained through the epoch-partitioned digest
+    store) must equal the one-shot batch relation for any batching —
+    survivors key on content digests and min-doc_id resolves at read,
+    so slicing the stream can't change the result."""
+    from gcp_etl_spark.queries.r6_ops import stream_curation_manifest
+    from gcp_etl_spark.streaming.curation import curation_sink, read_manifest
+
+    src, schema = documents_stream_dir
+    store = str(tmp_path / "store")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(curation_sink(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, read_manifest(spark, store).collect()))
+    want = sorted(
+        map(tuple, stream_curation_manifest(spark, SF_SMALL).collect())
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_curation_replay_idempotent(spark, documents_stream_dir, tmp_path):
+    """Replaying an epoch (at-least-once delivery before the checkpoint
+    commit) leaves the manifest unchanged: the sink overwrites its own
+    epoch partition and reads nothing."""
+    from gcp_etl_spark.streaming.curation import curation_sink, read_manifest
+
+    src, schema = documents_stream_dir
+    docs = spark.read.schema(schema).parquet(src)
+    store = str(tmp_path / "store")
+    sink = curation_sink(store)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    before = sorted(map(tuple, read_manifest(spark, store).collect()))
+    assert len(before) > 0
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
+    after = sorted(map(tuple, read_manifest(spark, store).collect()))
     assert after == before
