@@ -2783,3 +2783,75 @@ def stream_curation_manifest(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# ----------------------------------------------- one-way ANOVA
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n_g,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s_g,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q_g
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s, sum(q_g) AS q,
+             sum(s_g * s_g / n_g) AS sg2
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           round(sg2 - s * s / n, 4) AS ss_between,
+           round(q - sg2, 4) AS ss_within,
+           round(((sg2 - s * s / n) / (k - 1))
+                 / ((q - sg2) / (n - k)), 6) AS f_stat
+    FROM tot
+    """,
+    tags=("stats", "anova", "hypothesis-test"),
+)
+def stats_anova_oneway(spark, sf_dir):
+    """ONE-WAY ANOVA F-statistic: does mean(value) differ across event
+    types? F = (SSB/(k-1)) / (SSW/(n-k)) with the textbook sum-of-
+    squares decomposition computed entirely from per-group sufficient
+    statistics — count, Σx, Σx² — so the corpus is scanned ONCE and
+    everything after the first agg is a k-row relation. The third
+    member of the engine's hypothesis-test family next to the KS and
+    Mann-Whitney statistics.
+
+    Determinism: Σx and Σx² accumulate as DECIMALS (the value column's
+    2-dp money convention — exact, order-free); the sum-of-squares
+    algebra then runs over identical doubles in both engines, rounded
+    4/6 dp.
+
+    Scale: ONE map-side-combinable aggregate per group; the F algebra
+    lives on k rows. Nothing else moves."""
+    e = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(dec).cast("double").alias("s_g"),
+        F.sum(dec * dec).cast("double").alias("q_g"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sg2"),
+    )
+    ssb = F.col("sg2") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sg2")
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
