@@ -383,3 +383,54 @@ def test_ivf_probe_plan_constant_in_k(spark):
 
     small, big = plan_len(8), plan_len(512)
     assert big < small * 1.5, (small, big)
+
+
+def test_weighted_reservoir_is_take_ordered_on_pruned_scan(spark):
+    """The weighted reservoir sample's 100 TB claim is literal plan
+    shape: per-partition top-k (TakeOrderedAndProject — no global
+    sort, no corpus shuffle) directly over a scan pruned to the two
+    columns it needs."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["sample_weighted_reservoir"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "reservoir sample must not shuffle"
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read, "text column read needlessly"
+
+
+def test_bitext_margin_broadcasts_target_side(spark):
+    """Bitext mining's pair stage must be broadcast(tgt) x streamed
+    src — a shuffled cross join would move the corpus."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["mine_bitext_margin"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_scans_fact_once_with_pruned_schema(spark):
+    """The skew report fans out via explode, not via three scans: the
+    plan must contain exactly ONE lineitem FileScan, reading only the
+    three key columns."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["diag_skew_report"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, "fact table scanned twice"
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_quantity" not in read and "l_comment" not in read
+
+
+def test_curation_pipeline_pushes_quality_gate_to_scan(spark):
+    """The fused curation pipeline's quality gate must reach the scan
+    as a pushed filter — the stage order (dedup agg first in the
+    written algebra) must not defeat predicate pushdown."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["pipeline_curation_e2e"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "n_chars" in pushed, f"quality gate not pushed: {pushed}"
