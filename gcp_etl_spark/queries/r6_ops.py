@@ -2855,3 +2855,66 @@ def stats_anova_oneway(spark, sf_dir):
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------- IVF nprobe sweep
+
+_NPROBE_GRID = (1, 2, 4, 8)
+_NPROBE_K = 5
+_NPROBE_NQ = 10
+
+
+@query(
+    "ann_ivf_nprobe_sweep",
+    # rows-only by design (the k-means coarse quantizer is not
+    # SQL-expressible — same policy as every IVF member); the curve's
+    # CONTRACT is pinned by tests/test_r6.py::
+    # test_ivf_nprobe_sweep_monotone_and_exact_at_full: recall@5 is
+    # non-decreasing in nprobe and EXACTLY 1.0 at nprobe = n_centroids
+    # (probing every list IS brute force).
+    oracle=None,
+    tags=("llm", "ann", "ivf", "evaluation"),
+)
+def ann_ivf_nprobe_sweep(spark, sf_dir):
+    """IVF OPERATING CURVE — recall@k vs nprobe, the measurement that
+    picks the index's speed/recall operating point (the retrieval
+    sibling of eval_pr_curve's threshold sweep): for each probe count
+    in {1,2,4,8 = all lists}, run the IVF top-k for the same probes
+    and report mean overlap with the EXACT brute-force top-k. The
+    candidate volume scales ~ |corpus| x nprobe / n_centroids, so this
+    table IS the cost-for-recall menu an operator reads before fixing
+    nprobe fleet-wide.
+
+    Scale: each sweep point is one IVF probe plan (inverted lists
+    joined via broadcast probes, never a full scan beyond the
+    nprobe = n_centroids anchor row); the exact baseline is computed
+    ONCE. All rankings use 4-dp-rounded cosine + id tiebreaks, so the
+    curve is deterministic run-to-run."""
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+    from gcp_etl_spark.llm.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _NPROBE_NQ)
+    exact = cosine_topk(emb, probes, k=_NPROBE_K).select(
+        "q_id", F.col("n_id").alias("x_id")
+    )
+    out = None
+    for np_ in _NPROBE_GRID:
+        approx = cosine_topk_ivf(
+            emb, probes, k=_NPROBE_K, n_centroids=8, nprobe=np_
+        ).select("q_id", "n_id")
+        hits = exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (exact.x_id == approx.n_id),
+            "left_semi",
+        )
+        rel = hits.agg(
+            (F.count("*") / F.lit(float(_NPROBE_K * _NPROBE_NQ))).alias(
+                "recall_at_k"
+            )
+        ).select(
+            F.lit(np_).cast("int").alias("nprobe"),
+            F.round("recall_at_k", 4).alias("recall_at_k"),
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out.orderBy("nprobe")

@@ -404,3 +404,17 @@ def test_leakage_split_never_splits_near_dup_pairs(spark):
     # and the split is non-degenerate on this fixture
     n_splits = assigned.select("split").distinct().count()
     assert n_splits >= 2
+
+
+def test_ivf_nprobe_sweep_monotone_and_exact_at_full(spark):
+    """The nprobe operating curve's contract: recall@5 never decreases
+    as more inverted lists are probed, and probing ALL lists is
+    brute force (recall exactly 1.0)."""
+    from gcp_etl_spark.queries.r6_ops import ann_ivf_nprobe_sweep
+
+    rows = ann_ivf_nprobe_sweep(spark, SF_SMALL).collect()
+    curve = [(r["nprobe"], r["recall_at_k"]) for r in rows]
+    assert [n for n, _ in curve] == [1, 2, 4, 8]
+    recalls = [r for _, r in curve]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), curve
+    assert recalls[-1] == 1.0, curve
