@@ -95,6 +95,18 @@ HEADLINE = [
     "analytics_decile_lift",
     "embedding_quantize_int8",
     "analytics_heaps_law",
+    # round-5/6 additions with a scale story worth an empirical
+    # exponent: the exact-quantile rewrite's heaviest consumers, the
+    # GC-stabilized bootstrap, BPE encode, semantic dedup (adaptive
+    # planes), the skew diagnostic, and the fused curation pipeline
+    "anomaly_mad_robust",
+    "analytics_bootstrap_ci",
+    "bpe_encode_tokens",
+    "dedup_semantic",
+    "diag_skew_report",
+    "pipeline_curation_e2e",
+    "stream_curation_manifest",
+    "sample_weighted_reservoir",
 ]
 
 
