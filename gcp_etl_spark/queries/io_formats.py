@@ -387,3 +387,49 @@ def io_manifest_time_travel(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source")
     )
+
+
+@query(
+    "io_incremental_discovery",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("io", "discovery", "glob"),
+)
+def io_incremental_discovery(spark, sf_dir):
+    """INGEST-DIRECTORY DISCOVERY over a dated batch layout: two
+    ingestion batches land under nested date directories
+    (<root>/2024/01, <root>/2024/02) with non-data noise files beside
+    them; the scan uses ``recursiveFileLookup`` (walk arbitrary
+    nesting, no partition-inference assumptions) plus
+    ``pathGlobFilter=*.parquet`` (data files only) and must reassemble
+    EXACTLY the full corpus — the oracle aggregates the source table,
+    so a missed batch, a double-read, or an ingested noise file all
+    fail the value gate.
+
+    Scale: file listing is driver-metadata work proportional to file
+    COUNT (the object-store pattern: one LIST per prefix); the data
+    path stays a normal pruned columnar scan. At 100 TB the same two
+    options ride a manifest-compacted directory layout
+    (io.write_managed) instead of raw date dirs."""
+    import os as _os
+
+    docs = t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="io_disc_")
+    docs.filter(F.col("lang") == "en").write.parquet(
+        _os.path.join(d, "2024", "01")
+    )
+    docs.filter(F.col("lang") != "en").write.parquet(
+        _os.path.join(d, "2024", "02")
+    )
+    with open(_os.path.join(d, "2024", "01", "junk.txt"), "w") as f:
+        f.write("not data\n")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(d)
+    )
+    return (
+        back.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+    )
