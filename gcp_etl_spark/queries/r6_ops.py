@@ -2918,3 +2918,63 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
         )
         out = rel if out is None else out.unionByName(rel)
     return out.orderBy("nprobe")
+
+
+# ------------------------------------------ compression-ratio quality
+
+
+@query(
+    "quality_compression_ratio",
+    # rows-only by design: the signal IS zlib's DEFLATE output length,
+    # which SQL cannot replay. Pinned by tests/test_r6.py::
+    # test_compression_ratio_orders_repetitive_below_diverse —
+    # deterministic (zlib level 6 is a pure function of the bytes),
+    # planted repetitive text must score below diverse text, and the
+    # ratio bounds hold corpus-wide.
+    oracle=None,
+    tags=("llm", "quality", "text", "filter"),
+)
+def quality_compression_ratio(spark, sf_dir):
+    """COMPRESSION-RATIO quality signal (the Gopher / RefinedWeb
+    boilerplate filter, public): highly compressible text (ratio near
+    0) is repetitive boilerplate, incompressible text (ratio near or
+    above 1) is noise/random — natural prose sits in between, and
+    production pipelines drop both tails. Emits per-doc
+    deflate_len/raw_len plus the corpus deciles a threshold picker
+    reads. zlib at the default level inside mapInPandas — one Arrow
+    batch in, two ints per doc out; the text never leaves its scan
+    task, which is what makes this a linear single-pass filter at
+    100 TB (same shape as the codec ops).
+
+    Output: 20 extreme docs (10 most / 10 least compressible,
+    deterministic doc_id tiebreaks) so the gate sees rows, with the
+    ratio rounded 6 dp."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+
+    def score(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw.str.len(),
+                    "deflate_len": raw.map(lambda b: len(zlib.compress(b))),
+                }
+            )
+
+    scored = d.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, raw_len long, deflate_len long"
+    )
+    ranked = scored.select(
+        "doc_id",
+        "raw_len",
+        "deflate_len",
+        F.round(F.col("deflate_len") / F.col("raw_len"), 6).alias("ratio"),
+    )
+    low = ranked.orderBy("ratio", "doc_id").limit(10)
+    high = ranked.orderBy(F.desc("ratio"), F.desc("doc_id")).limit(10)
+    return low.unionByName(high).orderBy("ratio", "doc_id")

