@@ -2978,3 +2978,74 @@ def quality_compression_ratio(spark, sf_dir):
     low = ranked.orderBy("ratio", "doc_id").limit(10)
     high = ranked.orderBy(F.desc("ratio"), F.desc("doc_id")).limit(10)
     return low.unionByName(high).orderBy("ratio", "doc_id")
+
+
+# ----------------------------------------------- weighted median
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, v, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN v END)
+                AS DOUBLE) AS weighted_median,
+           CAST(max(tot) AS DOUBLE) AS total_weight
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+    tags=("aggregate", "quantiles", "weighted"),
+)
+def agg_weighted_median(spark, sf_dir):
+    """EXACT WEIGHTED MEDIAN per group — the aggregate neither engine
+    ships natively: the smallest value whose cumulative weight reaches
+    half the group's total (here: price weighted by quantity — "the
+    price at which half the shipped units cost less"). The discrete
+    lower-median definition makes ties and boundaries engine-exact:
+    weights pre-aggregate per DISTINCT value (decimal, order-free), the
+    running total is a window over that collapsed relation, and the
+    median is a conditional min — no interpolation, no float sums.
+
+    Scale: the cumulative window runs over the per-group DISTINCT-value
+    relation (already collapsed by a map-side-combinable agg), not the
+    raw rows — |distinct prices| per group, orders of magnitude below
+    the fact table. A group with ~1e9 distinct values would route
+    through the two-pass range-partitioned rank instead
+    (operators/quantiles.py's algebra, weight-cumulative variant)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
+            ).cast("double").alias("weighted_median"),
+            F.max("tot").cast("double").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
