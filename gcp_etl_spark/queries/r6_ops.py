@@ -3049,3 +3049,124 @@ def agg_weighted_median(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+# ------------------------------------------ Wilcoxon signed-rank
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day(ts) % 2 = 1
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               / count(CASE WHEN day(ts) % 2 = 1 THEN 1 END) AS m_odd,
+             CAST(sum(CASE WHEN day(ts) % 2 = 0
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               / count(CASE WHEN day(ts) % 2 = 0 THEN 1 END) AS m_even
+      FROM events GROUP BY user_id
+      HAVING count(CASE WHEN day(ts) % 2 = 1 THEN 1 END) > 0
+         AND count(CASE WHEN day(ts) % 2 = 0 THEN 1 END) > 0
+    ),
+    diffs AS (
+      SELECT user_id, m_odd - m_even AS d, abs(m_odd - m_even) AS ad
+      FROM halves WHERE m_odd <> m_even
+    ),
+    ranked AS (
+      SELECT d,
+             rank() OVER (ORDER BY ad)
+               + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+      FROM diffs
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS w_plus,
+             sum(CASE WHEN d < 0 THEN r ELSE 0 END) AS w_minus
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(w_plus, 2) AS w_plus,
+           round(w_minus, 2) AS w_minus,
+           round((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 6) AS z
+    FROM s
+    """,
+    tags=("stats", "hypothesis-test", "ranks"),
+)
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    """WILCOXON SIGNED-RANK test — the paired nonparametric member
+    completing the hypothesis-test family (KS, Mann-Whitney, ANOVA):
+    per user, does mean(value) differ between odd and even days of the
+    month (a deterministic within-subject pairing)? Zero diffs drop
+    (standard), |diff| ties take AVERAGE ranks (rank() + (tie_count -
+    1)/2 — the textbook mid-rank), and the normal-approximation z
+    accompanies W+/W-.
+
+    Determinism: half-means divide decimal-exact sums by exact counts;
+    the rank relation orders identical doubles; rank arithmetic is
+    integer until the final divisions.
+
+    Scale: one grouped pass builds per-user half-means (map-side
+    combinable); ranking runs on the |users|-row diff relation through
+    the engine-standard two-pass range-partitioned global row number
+    (operators/quantiles.py) — no single-partition rank window at any
+    population size."""
+    e = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    odd = F.dayofmonth("ts") % 2 == 1
+    halves = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(odd, dec)).cast("double")
+                / F.count(F.when(odd, 1))
+            ).alias("m_odd"),
+            (
+                F.sum(F.when(~odd, dec)).cast("double")
+                / F.count(F.when(~odd, 1))
+            ).alias("m_even"),
+            F.count(F.when(odd, 1)).alias("n_o"),
+            F.count(F.when(~odd, 1)).alias("n_e"),
+        )
+        .filter((F.col("n_o") > 0) & (F.col("n_e") > 0))
+    )
+    diffs = halves.select(
+        (F.col("m_odd") - F.col("m_even")).alias("d"),
+        F.abs(F.col("m_odd") - F.col("m_even")).alias("ad"),
+    ).filter(F.col("d") != 0)
+    # average ranks WITHOUT a single-partition rank window: the
+    # two-pass range-partitioned row number gives a total order over
+    # (ad, d); per-|d| tie group, avg rank = min(rn) + (count-1)/2 —
+    # identical to rank() + (ties-1)/2 since rank() IS the group's min
+    # row number. Same engine-standard shape as the percentile sweep.
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    rn = global_row_number(diffs, order_cols=["ad", "d"], rn_col="rn")
+    tie = rn.groupBy("ad").agg(
+        F.min("rn").alias("min_rn"), F.count("*").alias("ties")
+    )
+    ranked = rn.join(tie, "ad").select(
+        "d",
+        (F.col("min_rn") + (F.col("ties") - 1) / 2.0).alias("r"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+        F.sum(F.when(F.col("d") < 0, F.col("r")).otherwise(0.0)).alias(
+            "w_minus"
+        ),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("long").alias("n_pairs"),
+        F.round("w_plus", 2).alias("w_plus"),
+        F.round("w_minus", 2).alias("w_minus"),
+        F.round(
+            (F.col("w_plus") - n * (n + 1) / 4.0)
+            / F.sqrt(n * (n + 1) * (2 * n + 1) / 24.0),
+            6,
+        ).alias("z"),
+    )
