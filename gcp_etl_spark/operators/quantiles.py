@@ -201,3 +201,107 @@ def exact_quantiles(
             *[name for name, _ in items],
         )
     return wide
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str | Column,
+    weight_col: str | Column,
+    probs: Mapping[str, float],
+    group_cols: Sequence[str] = (),
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact WEIGHTED lower quantiles — smallest value whose cumulative
+    weight reaches p x (total weight) — via the same two-pass range-
+    partitioned algebra as ``exact_quantiles``, accumulating WEIGHTS
+    instead of counts. Neither engine ships this aggregate natively.
+
+    Exactness contract: weights accumulate as DECIMAL (order-free) and
+    the threshold compare is INTEGER-EXACT — ``cum x 10000 >= p10k x
+    total`` with ``p10k = round(p x 10000)`` — so probabilities are
+    honored to 1/10000 with zero float boundary ambiguity, which is
+    what lets a SQL oracle replay the decision bit-for-bit. NULL
+    values and non-positive weights are excluded; NULL group keys are
+    kept (struct-wrapped null-safe keys, same as ``exact_quantiles``).
+
+    Scale: the input first collapses to one row per (group, DISTINCT
+    value) with summed weights (map-side combinable), then follows the
+    standard shape — range exchange, in-partition cumulative sums,
+    broadcast #partitions-row prefix offsets, broadcast threshold
+    relation. No single task ever holds more than its range slice.
+    """
+    gcols = list(group_cols)
+    items = sorted(probs.items(), key=lambda kv: kv[1])
+    vals = df.select(
+        *gcols,
+        (F.col(value_col) if isinstance(value_col, str) else value_col)
+        .cast("double")
+        .alias("__v"),
+        (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+        .cast("decimal(28,6)")
+        .alias("__w"),
+    ).filter(F.col("__v").isNotNull() & (F.col("__w") > 0))
+    gk: list[str] = []
+    if gcols:
+        vals = vals.select(F.struct(*gcols).alias("__gk"), "__v", "__w")
+        gk = ["__gk"]
+    # collapse to distinct values first: ties merge, the ranked
+    # relation shrinks to |distinct values| rows
+    dv = vals.groupBy(*gk, "__v").agg(F.sum("__w").alias("__w"))
+
+    parts = (
+        dv.repartitionByRange(n_parts, *gk, "__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pids (see global_row_number)
+    )
+    local = parts.withColumn(
+        "__lcw",
+        F.sum("__w").over(
+            Window.partitionBy(*gk, "__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    psums = parts.groupBy(*gk, "__pid").agg(F.sum("__w").alias("__pw"))
+    prior = (
+        Window.partitionBy(*gk)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offs = psums.select(
+        *gk,
+        "__pid",
+        F.coalesce(F.sum("__pw").over(prior), F.lit(0).cast("decimal(28,6)"))
+        .alias("__off"),
+    )
+    cum = local.join(F.broadcast(offs), [*gk, "__pid"]).withColumn(
+        "__cw", F.col("__lcw") + F.col("__off")
+    )
+    tots = dv.groupBy(*gk).agg(F.sum("__w").alias("__tot"))
+
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame(
+        [(name, int(round(p * 10000))) for name, p in items],
+        "__qname string, __p10k long",
+    )
+    targets = tots.crossJoin(F.broadcast(probs_df))
+    # integer-exact threshold: cum*10000 >= p10k*tot (all decimal)
+    j = cum.join(F.broadcast(targets), gk if gk else None) if gk else (
+        cum.crossJoin(F.broadcast(targets))
+    )
+    hit = j.filter(
+        F.col("__cw") * 10000 >= F.col("__p10k") * F.col("__tot")
+    )
+    long = hit.groupBy(*gk, "__qname").agg(F.min("__v").alias("__q"))
+    wide = long.groupBy(*gk).agg(
+        *[
+            F.min(F.when(F.col("__qname") == name, F.col("__q"))).alias(name)
+            for name, _ in items
+        ]
+    )
+    if gcols:
+        wide = wide.select(
+            *[F.col(f"__gk.{c}").alias(c) for c in gcols],
+            *[name for name, _ in items],
+        )
+    return wide

@@ -3016,37 +3016,31 @@ def agg_weighted_median(spark, sf_dir):
     running total is a window over that collapsed relation, and the
     median is a conditional min — no interpolation, no float sums.
 
-    Scale: the cumulative window runs over the per-group DISTINCT-value
-    relation (already collapsed by a map-side-combinable agg), not the
-    raw rows — |distinct prices| per group, orders of magnitude below
-    the fact table. A group with ~1e9 distinct values would route
-    through the two-pass range-partitioned rank instead
-    (operators/quantiles.py's algebra, weight-cumulative variant)."""
+    Scale: routed through the engine-standard two-pass range-
+    partitioned WEIGHTED quantile operator
+    (operators/quantiles.exact_weighted_quantiles): distinct values
+    collapse map-side, weights accumulate as decimals across range
+    partitions with broadcast prefix offsets, and the threshold
+    compare is integer-exact — no per-group single-partition
+    cumulative window at any distinct-value cardinality."""
+    from gcp_etl_spark.operators.quantiles import exact_weighted_quantiles
+
     li = t(spark, sf_dir, "lineitem")
-    g = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("v"),
-    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
-    wcum = (
-        Window.partitionBy("flag")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("flag")
-    c = g.select(
-        "flag",
-        "v",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(wtot).alias("tot"),
+    med = exact_weighted_quantiles(
+        li,
+        "l_extendedprice",
+        F.col("l_quantity").cast("decimal(18,2)"),
+        {"weighted_median": 0.5},
+        group_cols=["l_returnflag"],
+    ).withColumnRenamed("l_returnflag", "flag")
+    tot = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_weight")
     )
     return (
-        c.groupBy("flag")
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))
-            ).cast("double").alias("weighted_median"),
-            F.max("tot").cast("double").alias("total_weight"),
-        )
+        med.join(tot, "flag")
+        .select("flag", "weighted_median", "total_weight")
         .orderBy("flag")
     )
 
@@ -3169,4 +3163,57 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
             / F.sqrt(n * (n + 1) * (2 * n + 1) / 24.0),
             6,
         ).alias("z"),
+    )
+
+
+@query(
+    "agg_weighted_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, v, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(CASE WHEN cum * 10000 >= 2500 * tot THEN v END)
+                AS DOUBLE) AS wq25,
+           CAST(min(CASE WHEN cum * 10000 >= 5000 * tot THEN v END)
+                AS DOUBLE) AS wq50,
+           CAST(min(CASE WHEN cum * 10000 >= 9900 * tot THEN v END)
+                AS DOUBLE) AS wq99
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+    tags=("aggregate", "quantiles", "weighted", "scale"),
+)
+def agg_weighted_quantiles(spark, sf_dir):
+    """WEIGHTED QUANTILE SWEEP (p25/p50/p99 of price, weighted by
+    shipped quantity) through the two-pass range-partitioned weighted-
+    quantile operator — one operator call returns all three order
+    statistics per group, the weighted generalization of the engine's
+    exact-percentile standard. The DuckDB oracle replays the identical
+    integer-exact threshold rule (cum x 10000 >= p10k x total) over a
+    cumulative window, which is sound for the oracle's test-scale data
+    while the Spark side keeps the shape that survives 1e9 distinct
+    values (range exchange + decimal prefix offsets, no per-group
+    single-partition window)."""
+    from gcp_etl_spark.operators.quantiles import exact_weighted_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        exact_weighted_quantiles(
+            li,
+            "l_extendedprice",
+            F.col("l_quantity").cast("decimal(18,2)"),
+            {"wq25": 0.25, "wq50": 0.5, "wq99": 0.99},
+            group_cols=["l_returnflag"],
+        )
+        .withColumnRenamed("l_returnflag", "flag")
+        .orderBy("flag")
     )

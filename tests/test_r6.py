@@ -445,3 +445,37 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
     # the low block is <= the high block by construction
     assert rows[0]["ratio"] <= rows[-1]["ratio"]
+
+
+def test_weighted_quantiles_null_groups_and_hand_case(spark):
+    """The weighted-quantile operator's contract: hand-computable lower
+    weighted quantiles, NULL group keys kept, non-positive weights and
+    NULL values excluded."""
+    from gcp_etl_spark.operators.quantiles import exact_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 1),
+            ("a", 2.0, 1),
+            ("a", 3.0, 8),
+            ("b", 5.0, 2),
+            ("b", 9.0, 0),      # zero weight: excluded
+            (None, 7.0, 3),     # NULL group key: kept
+            ("a", None, 4),     # NULL value: excluded
+        ],
+        "g string, v double, w long",
+    )
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_weighted_quantiles(
+            df, "v", "w", {"p50": 0.5, "p90": 0.9}, group_cols=["g"]
+        ).collect()
+    }
+    # group a: weights 1,1,8 of values 1,2,3 -> tot 10; cum>=5 at v=3
+    assert got["a"] == (3.0, 3.0)
+    assert got["b"] == (5.0, 5.0)
+    assert got[None] == (7.0, 7.0)
+    # ungrouped: pooled distribution
+    row = exact_weighted_quantiles(df, "v", "w", {"p50": 0.5}).collect()[0]
+    # pooled weights: v1:1 v2:1 v3:8 v5:2 v7:3 -> tot 15, half 7.5 -> v=3
+    assert row["p50"] == 3.0
