@@ -102,17 +102,21 @@ def connected_components(
     n_edges = sym0.count()
     if n_edges <= small_graph_edges:
         pdf = sym0.toPandas()
-        sym0.unpersist()
         rows = _components_local(pdf, "a", "b")
-        node_type = next(
-            f.dataType for f in edges.schema.fields if f.name == src
-        )
+        # schema parity with the distributed path (r6 ADVICE): the
+        # node type is the WIDENED common type of both endpoint
+        # columns (sym0's explode already coerced a/b through Spark's
+        # own struct-element widening — e.g. int src + long dst → long
+        # on both paths), and nullability follows those coerced fields
+        # rather than being pinned False.
+        a_f = next(f for f in sym0.schema.fields if f.name == "a")
+        sym0.unpersist()
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType(
             [
-                StructField("node", node_type, False),
-                StructField("comp", node_type, False),
+                StructField("node", a_f.dataType, a_f.nullable),
+                StructField("comp", a_f.dataType, a_f.nullable),
             ]
         )
         return edges.sparkSession.createDataFrame(rows, schema)

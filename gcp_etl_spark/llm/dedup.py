@@ -239,7 +239,7 @@ def minhash_estimate_pairs(
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
     sig = sig.select(F.col(id_col).alias("id"), "sig").persist()
     cand = _band_candidates(sig, "id", bands, num_perm // bands)
-    return (
+    pairs = (
         cand.join(
             sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
             "id_a",
@@ -255,6 +255,14 @@ def minhash_estimate_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # materialize the (small, above-threshold) pair relation while the
+    # signature cache is hot, then RELEASE the cache — the r6 ADVICE
+    # leak: returning a lazy plan over a persisted sig meant every call
+    # parked a signature relation in executor storage memory for the
+    # rest of the session (the streaming sink counterpart unpersists)
+    pairs = pairs.localCheckpoint()
+    sig.unpersist()
+    return pairs
 
 
 def minhash_near_duplicates(

@@ -2268,7 +2268,9 @@ _KMV_SRC_B = "src1"
 def _kmv_grams_sql() -> str:
     return f"""
     w AS (
-      SELECT source, string_split(lower(text), ' ') AS ws
+      SELECT source,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS ws
       FROM documents WHERE source IN ('{_KMV_SRC_A}', '{_KMV_SRC_B}')
     ),
     g AS (

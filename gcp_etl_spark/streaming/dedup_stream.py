@@ -56,14 +56,30 @@ from gcp_etl_spark.llm.dedup import (
 
 
 def _read_state(spark, path: str, epoch_id: int) -> DataFrame | None:
-    """Accumulated state from STRICTLY EARLIER epochs (replay-safe)."""
+    """Accumulated state from STRICTLY EARLIER epochs (replay-safe).
+
+    The store layout is one ``epoch=<id>`` subdirectory per committed
+    micro-batch, so "is there earlier state?" is answered by LISTING
+    those directories — not by attempting the read and swallowing
+    whatever exception comes back (r6 ADVICE: a blanket except here
+    turned genuine state corruption / transient FS failures into a
+    silent "no state", losing cross-epoch duplicate pairs instead of
+    failing the micro-batch so the engine replays it)."""
     if not os.path.isdir(path):
         return None
-    try:
-        df = spark.read.parquet(path)
-    except Exception:  # first epoch: directory exists but no partitions
+    earlier = [
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+    ]
+    if not earlier:
         return None
-    return df.filter(F.col("epoch") < epoch_id).drop("epoch")
+    # explicit earlier-epoch paths: pruning happens at the listing, and
+    # a real read failure (corrupt footer, FS error) PROPAGATES so the
+    # micro-batch retries rather than deduping against nothing
+    return spark.read.option("basePath", path).parquet(*sorted(earlier)).drop(
+        "epoch"
+    )
 
 
 def minhash_dedup_sink(
