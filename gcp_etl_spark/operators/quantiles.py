@@ -210,6 +210,8 @@ def exact_weighted_quantiles(
     probs: Mapping[str, float],
     group_cols: Sequence[str] = (),
     n_parts: int = 32,
+    include_total: bool = False,
+    total_col: str = "total_weight",
 ) -> DataFrame:
     """Exact WEIGHTED lower quantiles — smallest value whose cumulative
     weight reaches p x (total weight) — via the same two-pass range-
@@ -229,6 +231,13 @@ def exact_weighted_quantiles(
     standard shape — range exchange, in-partition cumulative sums,
     broadcast #partitions-row prefix offsets, broadcast threshold
     relation. No single task ever holds more than its range slice.
+
+    ``include_total=True`` appends the per-group total weight (exact
+    decimal, named ``total_col``) from the threshold relation the
+    operator already computes — callers that report the total must NOT
+    re-aggregate the source for it (r6 verdict: ``agg_weighted_median``
+    was paying a second full-table scan for a number this operator had
+    already materialized).
     """
     gcols = list(group_cols)
     items = sorted(probs.items(), key=lambda kv: kv[1])
@@ -292,16 +301,28 @@ def exact_weighted_quantiles(
     hit = j.filter(
         F.col("__cw") * 10000 >= F.col("__p10k") * F.col("__tot")
     )
-    long = hit.groupBy(*gk, "__qname").agg(F.min("__v").alias("__q"))
+    # __tot rides along from the broadcast threshold relation: the
+    # total is already in every hit row, so exposing it is two extra
+    # agg columns, not a second scan
+    long = hit.groupBy(*gk, "__qname").agg(
+        F.min("__v").alias("__q"), F.min("__tot").alias("__tot")
+    )
+    extra = (
+        [F.min("__tot").alias(total_col)] if include_total else []
+    )
     wide = long.groupBy(*gk).agg(
         *[
             F.min(F.when(F.col("__qname") == name, F.col("__q"))).alias(name)
             for name, _ in items
-        ]
+        ],
+        *extra,
+    )
+    out_cols = [name for name, _ in items] + (
+        [total_col] if include_total else []
     )
     if gcols:
         wide = wide.select(
             *[F.col(f"__gk.{c}").alias(c) for c in gcols],
-            *[name for name, _ in items],
+            *out_cols,
         )
     return wide

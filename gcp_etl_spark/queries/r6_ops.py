@@ -3028,23 +3028,22 @@ def agg_weighted_median(spark, sf_dir):
     from gcp_etl_spark.operators.quantiles import exact_weighted_quantiles
 
     li = t(spark, sf_dir, "lineitem")
+    # include_total: the per-group total weight comes from the
+    # operator's own threshold relation — ONE lineitem scan (the r6
+    # verdict flagged the previous second full-table aggregate + join)
     med = exact_weighted_quantiles(
         li,
         "l_extendedprice",
         F.col("l_quantity").cast("decimal(18,2)"),
         {"weighted_median": 0.5},
         group_cols=["l_returnflag"],
+        include_total=True,
     ).withColumnRenamed("l_returnflag", "flag")
-    tot = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_weight")
-    )
-    return (
-        med.join(tot, "flag")
-        .select("flag", "weighted_median", "total_weight")
-        .orderBy("flag")
-    )
+    return med.select(
+        "flag",
+        "weighted_median",
+        F.col("total_weight").cast("double").alias("total_weight"),
+    ).orderBy("flag")
 
 
 # ------------------------------------------ Wilcoxon signed-rank

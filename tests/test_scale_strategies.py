@@ -434,3 +434,15 @@ def test_curation_pipeline_pushes_quality_gate_to_scan(spark):
     plan = _plan(df)
     pushed = plan.split("PushedFilters")[1][:300]
     assert "n_chars" in pushed, f"quality gate not pushed: {pushed}"
+
+
+def test_weighted_median_scans_lineitem_once(spark):
+    """include_total must come from the weighted-quantile operator's
+    own threshold relation, not a second full-table aggregate (r6
+    verdict: the query was paying an avoidable second scan + join for
+    total_weight)."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["agg_weighted_median"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned twice"
