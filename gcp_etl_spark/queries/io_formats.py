@@ -9,7 +9,7 @@ full write→scan roundtrip is therefore hash-checked.
 
 from __future__ import annotations
 
-import tempfile
+from gcp_etl_spark.scratch import scratch_dir
 
 from pyspark.sql import functions as F
 
@@ -29,7 +29,7 @@ def io_json_roundtrip(spark, sf_dir):
     projection. Inference types ints as bigint — cast back to the
     declared widths for the oracle."""
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="io_json_")
+    d = scratch_dir("io_json")
     n.write.mode("overwrite").json(d)
     back = io.read_json(spark, d)
     return back.select(
@@ -47,7 +47,7 @@ def io_json_roundtrip(spark, sf_dir):
 def io_csv_roundtrip(spark, sf_dir):
     """Parquet → CSV sink → header CSV scan with declared schema."""
     r = t(spark, sf_dir, "region")
-    d = tempfile.mkdtemp(prefix="io_csv_")
+    d = scratch_dir("io_csv")
     r.write.mode("overwrite").option("header", True).csv(d)
     back = io.read_csv(spark, d, schema=r.schema)
     return back
@@ -67,7 +67,7 @@ def io_parquet_partitioned(spark, sf_dir):
     selected partition directories are read (static pruning — at
     100 TB this is the difference between scanning 2 dirs and all)."""
     o = t(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="io_part_")
+    d = scratch_dir("io_part")
     io.write_parquet(o, d, partition_by=["o_orderstatus"])
     back = io.read_parquet(spark, d).filter(
         F.col("o_orderstatus").isin("F", "O")
@@ -86,7 +86,7 @@ def io_orc_roundtrip(spark, sf_dir):
     """Parquet → ORC sink → ORC scan (Spark's second columnar format;
     values round-trip exactly, so the parquet oracle checks it)."""
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="io_orc_")
+    d = scratch_dir("io_orc")
     n.write.mode("overwrite").orc(d)
     return spark.read.orc(d)
 
@@ -107,7 +107,7 @@ def io_avro_roundtrip(spark, sf_dir):
     same values. The curated-format choice is data-independent, so
     the oracle holds either way."""
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="io_avro_")
+    d = scratch_dir("io_avro")
     if io.write_avro(n, d):
         return spark.read.format("avro").load(d)
     io.write_parquet(n, d)
@@ -124,7 +124,7 @@ def io_text_roundtrip(spark, sf_dir):
     column) — the landing format of raw-crawl text pipelines; the
     fixture text is newline-free so the line roundtrip is exact."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    out = tempfile.mkdtemp(prefix="io_text_")
+    out = scratch_dir("io_text")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
@@ -143,11 +143,10 @@ def io_json_corrupt_records(spark, sf_dir):
     instead of failing the job (FAILFAST) or silently dropping them
     (DROPMALFORMED) — the contract a 100 TB ingest needs to quarantine
     bad data without losing the batch."""
-    import tempfile
 
     from pyspark.sql import types as T
 
-    d = tempfile.mkdtemp(prefix="io_corrupt_")
+    d = scratch_dir("io_corrupt", fresh=True)
     with open(f"{d}/part.json", "w") as f:
         for i in range(25):
             f.write('{"id": %d, "v": "ok%d"}\n' % (i, i))
@@ -187,10 +186,9 @@ def io_schema_evolution(spark, sf_dir):
     both (missing values NULL) — additive-column evolution without
     rewriting old files, the pattern long-lived parquet zones rely
     on."""
-    import tempfile
 
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="io_evolve_")
+    d = scratch_dir("io_evolve", fresh=True)
     n.filter(F.col("n_nationkey") % 2 == 1).write.mode("append").parquet(d)
     n.filter(F.col("n_nationkey") % 2 == 0).withColumn(
         "extra", F.upper("n_name")
@@ -210,7 +208,7 @@ def io_xml_roundtrip(spark, sf_dir):
     spark-xml): row-tag write → schema-inferred read; inference types
     ints as bigint, cast back for the oracle."""
     n = t(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="io_xml_")
+    d = scratch_dir("io_xml")
     n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
         "rowTag", "nation"
     ).save(d)
@@ -239,7 +237,7 @@ def io_jdbc_roundtrip(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    db = tempfile.mkdtemp(prefix="io_jdbc_") + "/db"
+    db = scratch_dir("io_jdbc", fresh=True) + "/db"
     url = io.derby_url(db)
     io.write_jdbc(c, url, "serving_customer")
     return io.read_jdbc(
@@ -343,7 +341,7 @@ def io_csv_multiline_quoted(spark, sf_dir):
         gnarly.alias("gnarly"),
         F.length(gnarly).cast("long").alias("n_chars"),
     )
-    d = tempfile.mkdtemp(prefix="io_csv_ml_")
+    d = scratch_dir("io_csv_ml")
     df.write.mode("overwrite").option("header", True).csv(d)
     return (
         spark.read.schema(df.schema)
@@ -378,7 +376,7 @@ def io_manifest_time_travel(spark, sf_dir):
     of the requested generation — no log replay, no snapshot
     reconstruction."""
     docs = t(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="io_tt_")
+    d = scratch_dir("io_tt", fresh=True)
     g0 = io.write_managed(docs.filter(F.col("lang") == "en"), d)
     io.write_managed(docs, d)  # gen 1 becomes ACTIVE
     old = io.read_managed(spark, d, generation=g0)
@@ -416,7 +414,7 @@ def io_incremental_discovery(spark, sf_dir):
     import os as _os
 
     docs = t(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="io_disc_")
+    d = scratch_dir("io_disc", fresh=True)
     docs.filter(F.col("lang") == "en").write.parquet(
         _os.path.join(d, "2024", "01")
     )

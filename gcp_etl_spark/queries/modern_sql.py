@@ -85,10 +85,10 @@ def catalog_insert_overwrite(spark, sf_dir):
     table counterpart of the path-based sinks (reference's R14
     BigQuery load used WRITE_TRUNCATE = the same overwrite-load
     contract)."""
-    import tempfile
+    from gcp_etl_spark.scratch import scratch_dir
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cat_v")
-    loc = tempfile.mkdtemp(prefix="cat_tbl_")
+    loc = scratch_dir("cat_tbl", fresh=True)
     spark.sql("DROP TABLE IF EXISTS cat_status_counts")
     spark.sql(
         f"""CREATE TABLE cat_status_counts (o_orderstatus STRING, n BIGINT)

@@ -762,7 +762,7 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
     probe list is |centroids|-bounded (collected from an 8-row
     distinct); scoring is broadcast queries × pruned scan, top-k per
     query via window."""
-    import tempfile
+    from gcp_etl_spark.scratch import scratch_dir
 
     from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
     from gcp_etl_spark.llm.similarity import cosine
@@ -770,7 +770,7 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     assigned, centers = ivf_assign(emb, "vec_id", "embedding",
                                    n_centroids=8)
-    d = tempfile.mkdtemp(prefix="ivf_idx_")
+    d = scratch_dir("ivf_idx")
     assigned.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_vec"),

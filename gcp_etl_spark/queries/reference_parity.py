@@ -94,11 +94,11 @@ def ref_pipeline_e2e(spark, sf_dir):
     table is value-checked against a closed-form regeneration of the
     same 100 rows (see oracle)."""
     import json
-    import tempfile
+    from gcp_etl_spark.scratch import scratch_dir
 
     from gcp_etl_spark.pipeline import run_medallion
 
-    d = tempfile.mkdtemp(prefix="ref_e2e_")
+    d = scratch_dir("ref_e2e", fresh=True)
     with open(f"{d}/airports.json", "w") as f:
         for i in range(2000):
             f.write(
