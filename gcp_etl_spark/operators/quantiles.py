@@ -110,7 +110,8 @@ def exact_quantiles(
     probs: Mapping[str, float],
     group_cols: Sequence[str] = (),
     n_parts: int = 32,
-) -> DataFrame:
+    return_values: bool = False,
+):
     """Exact interpolated quantiles (``quantile_cont`` semantics —
     matches DuckDB and Spark ``percentile`` bit-for-bit up to the
     interpolation ulp) computed via the two-pass global rank, never a
@@ -125,6 +126,15 @@ def exact_quantiles(
     joins go through a struct wrapper whose equality is null-safe
     (r5 ADVICE fix — a plain equi-join would silently drop the
     null-keyed group's output row).
+
+    ``return_values=True`` returns ``(quantiles_df, values_df)`` where
+    ``values_df`` is the projected, NULL-filtered ``(*group_cols,
+    value)`` relation behind a lazy localCheckpoint: the quantile pass
+    materializes it, and downstream consumers (a second quantile pass
+    over a derived column, the final scoring aggregate) read the
+    checkpointed rows instead of re-scanning the source — the r6
+    verdict's ``anomaly_mad_robust`` fusion (median pass + MAD pass +
+    outlier agg were paying three source scans).
     """
     gcols = list(group_cols)
     items = sorted(probs.items(), key=lambda kv: kv[1])
@@ -134,17 +144,51 @@ def exact_quantiles(
         .cast("double")
         .alias("__v"),
     ).filter(F.col("__v").isNotNull())
+    if return_values:
+        # checkpoint BEFORE the struct wrap so callers get plain group
+        # columns back; the value column keeps the internal __v name
+        # (collision-proof against any caller column)
+        vals = vals.localCheckpoint(eager=False)
+        values_out = vals
     # single struct group key: null-safe under join/groupBy/range sort
     gk: list[str] = []
     if gcols:
         vals = vals.select(F.struct(*gcols).alias("__gk"), "__v")
         gk = ["__gk"]
 
-    ranked = global_row_number(
-        vals, order_cols=["__v"], part_cols=gk, n_parts=n_parts,
-        rn_col="__rn",
+    # inlined two-pass rank (the global_row_number algebra) so the
+    # group sizes __N come from the #groups x #partitions COUNTS
+    # relation instead of re-aggregating the full ranked relation —
+    # the r6 shape paid a second window pass over every row just to
+    # count groups (r7 fixed-overhead trim, ~0.5 s/pass at sf0.1)
+    parts = (
+        vals.repartitionByRange(n_parts, *gk, "__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pids (see global_row_number)
     )
-    ns = ranked.groupBy(*gk).agg(F.count("*").alias("__N"))
+    local = parts.withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy(*gk, "__pid").orderBy("__v")
+        ),
+    )
+    counts = parts.groupBy(*gk, "__pid").agg(F.count("*").alias("__n"))
+    prior = (
+        Window.partitionBy(*gk)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offs = counts.select(
+        *gk,
+        "__pid",
+        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off"),
+    )
+    ranked = (
+        local.join(F.broadcast(offs), [*gk, "__pid"])
+        .withColumn("__rn", F.col("__lrn") + F.col("__off"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    ns = counts.groupBy(*gk).agg(F.sum("__n").alias("__N"))
 
     spark = df.sparkSession
     probs_df = spark.createDataFrame(
@@ -200,6 +244,8 @@ def exact_quantiles(
             *[F.col(f"__gk.{c}").alias(c) for c in gcols],
             *[name for name, _ in items],
         )
+    if return_values:
+        return wide, values_out
     return wide
 
 

@@ -368,12 +368,21 @@ def anomaly_mad_robust(spark, sf_dir):
     ``median``/``percentile`` aggregate's single-reducer value map
     fails; the tiny per-type stats broadcast back and events shuffles
     only on the range exchange.
+
+    FUSION (r7, verdict ask #8): the median pass checkpoints its
+    projected (event_type, value) relation (``return_values=True``),
+    and BOTH the MAD pass and the final outlier aggregate read those
+    checkpointed rows — the plan scans events ONCE where the r6 shape
+    paid three source scans (events.value is non-null by the testdata
+    schema, so the NULL-filtered relation is row-identical).
     """
     e = t(spark, sf_dir, "events").select("event_type", "value")
-    med = exact_quantiles(
-        e, "value", {"med": 0.5}, group_cols=["event_type"]
+    med, vals = exact_quantiles(
+        e, "value", {"med": 0.5}, group_cols=["event_type"],
+        return_values=True,
     )
-    with_med = e.join(F.broadcast(med), "event_type")
+    base = vals.select("event_type", F.col("__v").alias("value"))
+    with_med = base.join(F.broadcast(med), "event_type")
     mad = exact_quantiles(
         with_med.select(
             "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")

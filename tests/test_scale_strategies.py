@@ -446,3 +446,17 @@ def test_weighted_median_scans_lineitem_once(spark):
     df = load_all()["agg_weighted_median"].fn(spark, SF_SMALL)
     plan = _plan(df)
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned twice"
+
+
+def test_mad_robust_fuses_quantile_passes(spark):
+    """anomaly_mad_robust (r7 fusion): the median pass checkpoints its
+    projected values relation and the MAD pass + outlier aggregate
+    consume the checkpoint — the final plan must contain NO direct
+    events scan (the single source scan lives inside the checkpointed
+    relation), where the r6 shape scanned events three times."""
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["anomaly_mad_robust"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 0, "source re-scanned past the checkpoint"
+    assert "ExistingRDD" in plan
