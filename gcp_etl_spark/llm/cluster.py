@@ -10,9 +10,12 @@ Scale notes: each round is one join + one groupBy on the edge list
 and near-dup clusters are short-diameter stars/cliques in practice
 (2-4 rounds). The driver loop only checks a scalar convergence count
 per round, and lineage is cut with localCheckpoint so the plan does
-not grow O(rounds). For adversarial long-chain graphs swap in
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond") — same join primitives, fewer rounds.
+not grow O(rounds). For adversarial long-chain graphs
+``algorithm="two-phase"`` runs large-star/small-star (Kiveris et al.
+2014, "Connected Components in MapReduce and Beyond", public) — the
+same join/groupBy primitives, but each round HALVES long chains by
+re-pointing every node at its neighborhood minimum, so convergence is
+O(log n) rounds where min-label propagation needs O(diameter).
 """
 
 from __future__ import annotations
@@ -55,12 +58,107 @@ def _components_local(pdf, a_col: str, b_col: str):
     return [(n, comp_min[r]) for n, r in roots.items()]
 
 
+def _two_phase_components(
+    sym: DataFrame, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014) over a
+    SYMMETRIZED distinct edge relation with columns (a, b).
+
+    large-star: every node links its strictly-LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: orient edges
+    toward the larger endpoint, then every node links its smaller
+    neighbors AND itself to that minimum. Each phase is one
+    groupBy(min) + one equi-join on the edge relation — identical
+    shuffle primitives to min-label, but chains collapse
+    geometrically, so a diameter-n path converges in O(log n) rounds.
+    Convergence = the oriented edge set's (count, xor-of-hashes)
+    signature is stable across a round; lineage is cut per round with
+    an eager localCheckpoint (same policy as the min-label loop)."""
+    # canonical orientation (larger endpoint first); self-loops drop
+    e = (
+        sym.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # bit_xor: overflow-proof order-free fold of the edge hashes
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: (v, m) for every v in N(u) with v > u,
+        # where m = min(N(u) ∪ {u}); on the canonical orientation the
+        # symmetric neighborhood of u is {v rows} ∪ {rows where u
+        # appears as v}, so symmetrize for the grouping only
+        ls_sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = ls_sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        ls = (
+            ls_sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("bu"), F.col("m").alias("bv"))
+            .filter(F.col("bu") != F.col("bv"))
+            .select(F.col("bu").alias("u"), F.col("bv").alias("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output (already oriented
+        # u > v by construction): m = min of the smaller neighbors;
+        # every smaller neighbor AND u itself links to m
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(sm, "u")
+            .select(F.col("v").alias("bu"), F.col("m").alias("bv"))
+            .filter(F.col("bu") != F.col("bv"))
+            .unionByName(
+                sm.select(F.col("u").alias("bu"), F.col("m").alias("bv"))
+            )
+            .select(
+                F.greatest("bu", "bv").alias("u"),
+                F.least("bu", "bv").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # eager: runs the round, cuts lineage
+        )
+        new_sig = signature(ss)
+        e = ss
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = "two-phase"
+    # converged: e is a star forest (child u -> root v=min); min()
+    # guards the theoretical not-yet-star case at max_iter exhaustion
+    star = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("__c"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("__c", F.col("node")).alias("comp")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    algorithm: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, comp) — comp is the minimum node id reachable from node.
 
@@ -77,7 +175,17 @@ def connected_components(
     bounded — above the threshold (500k edges ≈ 8 MB driver-side) the
     distributed min-label loop runs as before. Equality of the two
     paths is pinned by tests/test_r6.py::test_cc_local_equals_distributed.
+
+    ``algorithm``: "auto" (default) = driver union-find under the edge
+    threshold, min-label propagation above; "min-label" / "two-phase"
+    force the respective distributed loop (two-phase = Kiveris et al.
+    large-star/small-star, the O(log n)-round escape for adversarial
+    long-chain graphs — equality vs min-label and the round bound are
+    pinned in tests/test_r7.py). ``stats`` (optional dict) receives
+    ``rounds`` / ``algorithm`` for the distributed paths.
     """
+    if algorithm not in ("auto", "min-label", "two-phase"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # symmetrize in ONE pass over edges (a union of two selects would
     # recompute the upstream pair pipeline — minhash etc. — twice)
     sym0 = (
@@ -99,8 +207,12 @@ def connected_components(
     # partitions — at 32 session partitions a 512-edge graph pays 32
     # task launches per job per round. ~50k edges/partition keeps
     # tasks meaningful; huge graphs keep full parallelism.
+    if algorithm == "two-phase":
+        out = _two_phase_components(sym0, max_iter, stats)
+        sym0.unpersist()
+        return out
     n_edges = sym0.count()
-    if n_edges <= small_graph_edges:
+    if n_edges <= small_graph_edges and algorithm == "auto":
         pdf = sym0.toPandas()
         rows = _components_local(pdf, "a", "b")
         # schema parity with the distributed path (r6 ADVICE): the
@@ -129,7 +241,9 @@ def connected_components(
         .localCheckpoint()
     )
     sym0.unpersist()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # each node adopts min(own label, neighbours' labels)
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -151,6 +265,9 @@ def connected_components(
         if n_changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = "min-label"
     return labels
 
 
