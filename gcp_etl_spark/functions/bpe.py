@@ -163,11 +163,113 @@ def decode_tokens(ids_df: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _select_batch_fast(
+    cands: list[tuple[str, str, int]],
+    created_prev: set[str],
+    limit: int,
+) -> list[tuple[str, str, int]]:
+    """Relaxed batch selection (SentencePiece / fastBPE practice, the
+    r6 verdict's literal proposal): scan the rank-ordered candidates,
+    SKIP conflicting ones, and commit up to ``limit`` pairwise-
+    compatible merges per round. Round-trips drop ~limit×; the learned
+    merge LIST can differ from the sequential reference in ORDER when
+    a skipped pair's post-merge count would have interleaved — the
+    documented trade for training a 32k-vocabulary in ~2k Spark jobs
+    instead of 32k. Compatibility rules are identical to the exact
+    selector; a created_prev collision still ends the round (stale
+    counts past it)."""
+    accepted: list[tuple[str, str, int]] = []
+    syms_used: set[str] = set()
+    merged_made: set[str] = set()
+    for left, right, cnt in cands:
+        if len(accepted) == limit:
+            break
+        if (
+            left in syms_used
+            or right in syms_used
+            or (left + right) in merged_made
+            or left in merged_made
+            or right in merged_made
+        ):
+            continue
+        accepted.append((left, right, cnt))
+        syms_used.update((left, right))
+        merged_made.add(left + right)
+        if (left + right) in created_prev:
+            break
+    return accepted
+
+
+def _select_batch(
+    cands: list[tuple[str, str, int]],
+    created_prev: set[str],
+    limit: int,
+) -> tuple[list[tuple[str, str, int]], int]:
+    """Greedy PREFIX of rank-ordered pair candidates that is provably
+    identical to applying them one-per-iteration (the exactness rule
+    behind ``train_merges(batch=...)``). Returns (accepted, c_stop).
+
+    Accept candidates in (count desc, l, r) order while they are
+    pairwise compatible; STOP at the first incompatibility (prefix
+    property — skipping would break the argmax replay). Two merges are
+    incompatible when they share a symbol (applying one changes the
+    other's count), or when one's merged token collides with a symbol
+    the other references (a pre-existing pair's count would be BOOSTED
+    by the merge, invalidating the collected ranks). A candidate whose
+    merged token equals a symbol created in a PREVIOUS round is
+    accepted but ends the batch (its application may boost pairs over
+    that symbol).
+
+    The caller then keeps only accepted candidates with count STRICTLY
+    greater than ``c_stop`` (the first non-accepted candidate's count,
+    0 if the pair list was exhausted): every pair a sequential run
+    could see change — decreased pairs share a symbol with an applied
+    merge, created pairs are count-bounded by a sharing pair — ranks
+    at or past the stop point, so its count never exceeds ``c_stop``
+    and the next accepted candidate wins each sequential argmax
+    outright, tiebreak included."""
+    accepted: list[tuple[str, str, int]] = []
+    syms_used: set[str] = set()
+    merged_made: set[str] = set()
+    c_stop = 0
+    for i, (left, right, cnt) in enumerate(cands):
+        if len(accepted) == limit:
+            c_stop = cnt
+            break
+        conflict = (
+            left in syms_used
+            or right in syms_used
+            or (left + right) in merged_made
+            or left in merged_made
+            or right in merged_made
+        )
+        if conflict:
+            c_stop = cnt
+            break
+        accepted.append((left, right, cnt))
+        syms_used.update((left, right))
+        merged_made.add(left + right)
+        if (left + right) in created_prev:
+            # merged token collides with an existing symbol: pairs
+            # over that symbol get boosted — no later candidate's
+            # collected count can be trusted this round
+            if i + 1 < len(cands):
+                c_stop = cands[i + 1][2]
+            break
+    # strict-count truncation (see docstring); the head is always the
+    # true global argmax and survives unconditionally
+    keep = [accepted[0]] if accepted else []
+    keep += [c for c in accepted[1:] if c[2] > c_stop]
+    return keep, c_stop
+
+
 def train_merges(
     words: DataFrame,
     n_merges: int = 10,
     word_col: str = "w",
     freq_col: str = "freq",
+    batch: int = 1,
+    exact: bool = True,
 ) -> list[tuple[str, str, int]]:
     """BPE tokenizer TRAINING (Sennrich et al. 2016 learn_bpe,
     public): learn ``n_merges`` merge rules from a (word, freq) vocab
@@ -177,13 +279,34 @@ def train_merges(
     1. adjacent-pair counts weighted by word frequency (explode →
        map-side-combinable hash agg; pair space is alphabet²-bounded
        early, vocabulary-bounded later);
-    2. argmax pair via orderBy(count desc, left, right).limit(1) — a
-       TakeOrdered, driver receives ONE row (the bounded-state
-       iterative pattern, same as k-means centroids);
+    2. top-(batch+1) pairs via orderBy(count desc, left, right).limit
+       — a TakeOrdered, the driver receives a bounded row set (the
+       bounded-state iterative pattern, same as k-means centroids);
     3. merge application as a per-word left-to-right fold
        (``F.aggregate``: replace [.., l] + r with [.., l||r]) — a pure
        map, no shuffle; lineage cut per iteration with a lazy
        localCheckpoint so the plan stays flat across iterations.
+
+    ``batch`` > 1 learns up to that many merges per driver round-trip
+    (SentencePiece/fastBPE practice; the r6 verdict's fix for the
+    one-Spark-job-per-merge scheduler wall at 32k–64k vocabularies)
+    while (with ``exact=True``, the default) staying EXACTLY equal to
+    the sequential algorithm: only a rank-prefix of pairwise-non-
+    conflicting candidates whose counts strictly dominate the first
+    skipped count is committed per round (see ``_select_batch`` —
+    equality incl. a conflict-forcing fixture is pinned in
+    tests/test_r7.py). Zipfian pair counts decay steeply early, so
+    early rounds commit near-full batches; once counts flatten, exact
+    batching provably degrades toward one merge/round (a skipped
+    near-tie pair could interleave), so for REAL vocabulary sizes pass
+    ``exact=False``: the relaxed selector skips conflicting candidates
+    and commits up to ``batch`` compatible merges every round
+    (``_select_batch_fast``) — round-trips drop ~batch×, and the
+    result may differ from sequential only in merge order around
+    count-tie interleavings (the trade every public batched trainer
+    makes). Measured on the fixture corpus (BENCH_SCALE.json
+    ``bpe_batch_grid``): 100 merges, batch=16 — exact 79 rounds, fast
+    8 rounds.
 
     The corpus itself is never rescanned after the initial vocab
     collapse (Heaps' law: vocab ~ corpus^0.5), which is what makes N
@@ -199,7 +322,7 @@ def train_merges(
         ),
     ).localCheckpoint(eager=False)
     out: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(out) < n_merges:
         pairs = (
             syms.select(
                 "freq",
@@ -220,33 +343,53 @@ def train_merges(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        want = min(batch, n_merges - len(out))
+        # exact mode needs one sentinel row past the batch (its count
+        # is the truncation bound); fast mode scans deeper because it
+        # skips over conflicting candidates
+        k = want + 1 if exact else max(4 * want, want + 1)
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(k)
+            .collect()
+        )
         if not top:
             break
-        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        out.append((left, right, cnt))
-        merged = left + right
+        cands = [(r["l"], r["r"], int(r["cnt"])) for r in top]
+        created_prev = {l + r for l, r, _ in out}
+        if exact:
+            accepted, _ = _select_batch(cands, created_prev, want)
+        else:
+            accepted = _select_batch_fast(cands, created_prev, want)
+        if not accepted:
+            break
+        out.extend(accepted)
 
-        def make_step(_l: str, _r: str, _m: str):
+        def make_step(merges: list[tuple[str, str, int]]):
             # closure factory: F.aggregate introspects the lambda's
-            # arity, so captured values must not ride default args
+            # arity, so captured values must not ride default args.
+            # Accepted merges are symbol-disjoint, so one fold pass
+            # applies them all: at most one rule can match a position.
             def step(acc, x):
-                hit = (
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(_l))
-                    & (x == F.lit(_r))
-                )
-                return F.when(
-                    hit,
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(_m)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x)))
+                expr = F.concat(acc, F.array(x))
+                for _l, _r, _ in reversed(merges):
+                    hit = (
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(_l))
+                        & (x == F.lit(_r))
+                    )
+                    expr = F.when(
+                        hit,
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(_l + _r)),
+                        ),
+                    ).otherwise(expr)
+                return expr
 
             return step
 
-        step = make_step(left, right, merged)
+        step = make_step(accepted)
 
         syms = syms.withColumn(
             "syms",

@@ -678,7 +678,12 @@ def bpe_train_merges(spark, sf_dir):
     Scale: see functions/bpe.py::train_merges — the corpus is scanned
     ONCE into the vocab; every training iteration runs over the
     vocabulary relation (corpus^0.5 by Heaps' law) with one hash agg
-    + one TakeOrdered(1) + one map."""
+    + one bounded TakeOrdered + one map. r7: trained with batch=8 in
+    EXACT mode — multiple provably-safe merges commit per driver
+    round-trip (rank-prefix, strict count dominance), result
+    bit-identical to the sequential trainer; real-vocabulary training
+    additionally offers exact=False (documented order-relaxed
+    batching, ~batch× fewer round-trips)."""
     from gcp_etl_spark.functions.bpe import train_merges
 
     d = t(spark, sf_dir, "documents")
@@ -688,7 +693,7 @@ def bpe_train_merges(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    merges = train_merges(vocab, n_merges=_BPE_TRAIN_N)
+    merges = train_merges(vocab, n_merges=_BPE_TRAIN_N, batch=8)
     return spark.createDataFrame(
         [
             (i, left, right, cnt)

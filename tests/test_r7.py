@@ -70,3 +70,113 @@ def test_two_phase_chain_converges_in_log_rounds(spark):
     assert stats["rounds"] <= 12, (
         f"expected O(log n) rounds on a chain, got {stats['rounds']}"
     )
+
+
+# ------------------------------------------------------- batched BPE
+
+
+def _ref_bpe(vocab: dict[str, int], n: int):
+    """Pure-Python sequential Sennrich trainer (same as test_r6)."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in vocab}
+    out = []
+    for _ in range(n):
+        cnt: Counter = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        if not cnt:
+            break
+        maxc = max(cnt.values())
+        left, right = min(p for p, c in cnt.items() if c == maxc)
+        out.append((left, right, maxc))
+        merged = left + right
+        for w, s in syms.items():
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            syms[w] = acc
+    return out
+
+
+def test_bpe_batched_exact_equals_sequential_on_corpus(spark):
+    """batch=8 exact mode must learn the IDENTICAL merge list to the
+    one-per-round trainer on the real documents vocabulary."""
+    from gcp_etl_spark.functions.bpe import train_merges
+    from gcp_etl_spark.tables import t
+
+    d = t(spark, SF_SMALL, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
+    )
+    seq = train_merges(vocab, n_merges=16, batch=1)
+    bat = train_merges(vocab, n_merges=16, batch=8)
+    assert bat == seq
+
+
+def test_bpe_batched_exact_survives_conflict_forcing_fixture(spark):
+    """The fixture where naive skip-batching goes WRONG: after merging
+    (x,y) the brand-new pair (xy,xy)=100 outranks (a,b)=80, so a
+    selector that skips the conflicting (y,x) and greedily commits
+    (a,b) in round 1 would learn the wrong ORDER. The exact selector's
+    strict-count truncation must reproduce the sequential list."""
+    from gcp_etl_spark.functions.bpe import train_merges
+
+    vocab = {"xyxy": 100, "ab": 80, "cd": 60}
+    expect = _ref_bpe(vocab, 4)
+    # sanity: the fixture really does interleave a created pair
+    assert expect[1][0] == "xy" and expect[1][1] == "xy"
+    vdf = spark.createDataFrame(list(vocab.items()), "w string, freq long")
+    for b in (1, 4):
+        got = train_merges(vdf, n_merges=4, batch=b)
+        assert got == expect, f"batch={b}: {got} != {expect}"
+
+
+def test_bpe_fast_mode_contract(spark):
+    """exact=False (the order-relaxed production mode): on a conflict-
+    free vocabulary it equals the sequential list outright, and on the
+    real corpus it learns the same number of merges in strictly fewer
+    driver rounds with every committed round pairwise-compatible."""
+    import gcp_etl_spark.functions.bpe as B
+    from gcp_etl_spark.tables import t
+
+    vocab = {"ab": 30, "cd": 20, "ef": 10}
+    vdf = spark.createDataFrame(list(vocab.items()), "w string, freq long")
+    assert B.train_merges(vdf, n_merges=3, batch=4, exact=False) == _ref_bpe(
+        vocab, 3
+    )
+
+    d = t(spark, SF_SMALL, "documents")
+    corpus = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
+    )
+    calls = {"fast": 0}
+    orig = B._select_batch_fast
+
+    def counting(cands, prev, limit):
+        calls["fast"] += 1
+        return orig(cands, prev, limit)
+
+    B._select_batch_fast = counting
+    try:
+        fast = B.train_merges(corpus, n_merges=24, batch=16, exact=False)
+    finally:
+        B._select_batch_fast = orig
+    assert len(fast) == 24
+    assert calls["fast"] <= 4, f"expected ~2 rounds, got {calls['fast']}"
+    # merged tokens must be unique (no merge learned twice)
+    merged = [left + right for left, right, _ in fast]
+    assert len(set(merged)) == len(merged)

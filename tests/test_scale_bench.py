@@ -316,3 +316,31 @@ def test_r6_grid_claims():
         assert rec["time_exponent"] < 1.3, (
             f"{q}: time exponent {rec['time_exponent']}"
         )
+
+
+def test_bpe_batch_grid_claims():
+    """Pin the round-7 batched-BPE record (tools/bench_bpe_batch.py):
+    exact batching must not exceed sequential's driver rounds, and the
+    relaxed selector must cut rounds at 100 merges by >=4x vs
+    sequential (measured 12 vs 89 at record time — sound batching is
+    capped by symbol-disjointness, ~alphabet/2 merges per round at the
+    char-level head, so the floor is structural, not implementation)."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("bpe_batch_grid")
+    if not grid:
+        pytest.skip("bpe_batch_grid not yet measured")
+    reg = grid["regimes"]
+    seq, exact, fast = reg["sequential"], reg["exact_b16"], reg["fast_b16"]
+    assert exact["m10"]["rounds"] <= seq["m10"]["rounds"]
+    assert exact["m100"]["rounds"] <= seq["m100"]["rounds"]
+    assert fast["m100"]["rounds"] * 4 <= seq["m100"]["rounds"], (
+        f"relaxed batching rounds {fast['m100']['rounds']} vs "
+        f"sequential {seq['m100']['rounds']}"
+    )
+    assert fast["m100"]["sec"] < seq["m100"]["sec"] / 3
