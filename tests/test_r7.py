@@ -180,3 +180,91 @@ def test_bpe_fast_mode_contract(spark):
     # merged tokens must be unique (no merge learned twice)
     merged = [left + right for left, right, _ in fast]
     assert len(set(merged)) == len(merged)
+
+
+# ------------------------------------------- ANN-shortlisted bitext
+
+
+def test_bitext_ann_matches_dense_on_aligned_fixture(spark):
+    """On bitext-LIKE geometry (every source vector has a true near-
+    duplicate translation on the target side — the distribution the
+    miner exists for), the ANN-shortlisted miner must reproduce >=90%
+    of the dense variant's (sid -> tid) picks."""
+    import numpy as np
+
+    from gcp_etl_spark.queries.r7_ops import mine_bitext_margin_ann_df
+
+    rng = np.random.default_rng(11)
+    n, dim = 120, 32
+    src = rng.normal(size=(n, dim))
+    tgt = src + 0.15 * rng.normal(size=(n, dim))  # aligned + noise
+    rows = [
+        (i, 0, [float(x) for x in src[i]]) for i in range(n)
+    ] + [
+        (1000 + i, 1, [float(x) for x in tgt[i]]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    ann = {
+        r["sid"]: r["tid"]
+        for r in mine_bitext_margin_ann_df(emb).collect()
+    }
+    # dense reference computed in numpy with the same margin algebra
+    sn = src / np.linalg.norm(src, axis=1, keepdims=True)
+    tn = tgt / np.linalg.norm(tgt, axis=1, keepdims=True)
+    C = np.round(sn @ tn.T, 6)
+    k = 4
+    ks = np.sort(C, axis=1)[:, -k:].mean(axis=1)
+    kt = np.sort(C, axis=0)[-k:, :].mean(axis=0)
+    M = C / ((ks[:, None] + kt[None, :]) / 2)
+    dense = {
+        i: 1000 + int(np.argmax(M[i]))
+        for i in range(n)
+        if M[i].max() >= 1.0
+    }
+    both = set(dense) & set(ann)
+    assert len(both) >= 0.9 * len(dense)
+    agree = sum(1 for s in both if dense[s] == ann[s])
+    assert agree >= 0.9 * len(both), f"{agree}/{len(both)} agreement"
+
+
+def test_bitext_ann_agreement_floor_on_testdata(spark):
+    """On the near-random testdata embeddings (cross-label cosines are
+    noise — geometry no sublinear shortlist can fully cover) the ANN
+    miner must still agree with the dense variant on >=60% of shared
+    picks (measured 0.70-0.73 at record time)."""
+    from gcp_etl_spark.queries import load_all
+
+    specs = load_all()
+    dense = {
+        r["sid"]: r["tid"]
+        for r in specs["mine_bitext_margin"].fn(spark, SF_SMALL).collect()
+    }
+    ann = {
+        r["sid"]: r["tid"]
+        for r in specs["mine_bitext_margin_ann"].fn(spark, SF_SMALL).collect()
+    }
+    both = set(dense) & set(ann)
+    assert len(both) >= 0.8 * len(dense)
+    agree = sum(1 for s in both if dense[s] == ann[s])
+    assert agree >= 0.6 * len(both), f"{agree}/{len(both)} agreement"
+
+
+def test_bitext_ann_plan_has_no_unbounded_cross_join(spark):
+    """The candidate stage must be an equi-join on the coarse cell: no
+    BroadcastNestedLoopJoin or CartesianProduct over two corpus-scale
+    sides anywhere in the plan (the r6 verdict's exact complaint about
+    the dense variant, which stays registered as the oracle foil)."""
+    import contextlib
+    import io as _io
+
+    from gcp_etl_spark.queries import load_all
+
+    df = load_all()["mine_bitext_margin_ann"].fn(spark, SF_SMALL)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -344,3 +344,23 @@ def test_bpe_batch_grid_claims():
         f"sequential {seq['m100']['rounds']}"
     )
     assert fast["m100"]["sec"] < seq["m100"]["sec"] / 3
+
+
+def test_bitext_ann_grid_claims():
+    """Pin the round-7 record: the ANN-shortlisted bitext miner's time
+    exponent across the 100x dissimilar-embeddings grid must stay
+    sub-quadratic (measured 0.50 at record time — the sqrt(n)-cell
+    candidate stream; the dense cross-join foil is O(n^2) by
+    construction)."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("semantic_emb_grid", {})
+    rec = grid.get("queries", {}).get("mine_bitext_margin_ann")
+    if rec is None:
+        pytest.skip("mine_bitext_margin_ann not in the emb grid yet")
+    assert rec["time_exponent"] < 1.3, rec["time_exponent"]

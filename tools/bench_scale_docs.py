@@ -72,7 +72,9 @@ R6_QUERIES = (
 # noise, so true near-dup pairs grow linearly with the multiplier and
 # the time exponent measures pure corpus-size scaling of the adaptive-
 # planes LSH + chunked rescore (r5 VERDICT ask #3's datapoint).
-EMB_QUERIES = ("dedup_semantic",)
+# r7: mine_bitext_margin_ann joins the grid — its claim is the
+# sub-quadratic candidate stream (sqrt(n) coarse cells, nprobe=3)
+EMB_QUERIES = ("dedup_semantic", "mine_bitext_margin_ann")
 
 
 def _fixture_dir(mult: int) -> str:
