@@ -767,10 +767,8 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
     probe list is |centroids|-bounded (collected from an 8-row
     distinct); scoring is broadcast queries × pruned scan, top-k per
     query via window."""
-    from gcp_etl_spark.scratch import scratch_dir
-
     from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
-    from gcp_etl_spark.llm.similarity import cosine
+    from gcp_etl_spark.scratch import scratch_dir
 
     emb = t(spark, sf_dir, "embeddings")
     assigned, centers = ivf_assign(emb, "vec_id", "embedding",
@@ -796,18 +794,11 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
         r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
     )
     pruned = idx.filter(F.col("centroid_id").isin(probes))
-    cand = pruned.join(F.broadcast(q), "centroid_id").filter(
-        F.col("q_id") != F.col("n_id")
-    )
-    scored = cand.withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("n_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("q_id", "n_id", F.round("cos", 4).alias("cos"), "rn")
-    )
+    # scoring shared with the streaming dual (streaming/ann_stream.py)
+    # so batch and per-micro-batch probes are provably the same algebra
+    from gcp_etl_spark.streaming.ann_stream import probe_topk
+
+    return probe_topk(pruned, q, k=5)
 
 
 # ------------------------------------------- corpus snapshot diff

@@ -206,3 +206,62 @@ def mine_bitext_margin_ann(spark, sf_dir):
     vec_id tiebreak and Lloyd is seeded."""
     e = t(spark, sf_dir, "embeddings")
     return mine_bitext_margin_ann_df(e)
+
+
+# ----------------------------------------------- streaming ANN probe
+
+
+@query(
+    "stream_ann_probe",
+    # rows-only by design (k-means quantizer). The STREAMING side is
+    # pinned by tests/test_r7.py::test_stream_ann_probe_equals_batch
+    # (per-micro-batch results union == this batch relation, with
+    # partition pruning asserted in every micro-batch's executed plan)
+    # and ::test_stream_ann_probe_replay_idempotent.
+    oracle=None,
+    tags=("streaming", "llm", "ann", "ivf", "partition-pruning"),
+)
+def stream_ann_probe(spark, sf_dir):
+    """STREAMING TOP-K ANN SERVING dual (r6 verdict ask #7): the
+    partitioned IVF index was persisted and probed in batch only —
+    this completes the serving story. Micro-batches of query vectors
+    arrive via foreachBatch (streaming/ann_stream.py), each batch
+    collects its |centroids|-bounded probe list, reads ONLY those
+    inverted-list directories (static partition pruning per
+    micro-batch), scores through the SAME probe_topk used here, and
+    appends epoch-partitioned, replay-idempotent results.
+
+    This registered batch dual: build the partitioned index from the
+    embeddings corpus, probe it with every query vector the stream
+    would deliver (vec_id % 37 == 0), return the per-query top-5 —
+    the relation the streamed epochs union to exactly, however the
+    stream is batched (each query vector is scored independently
+    against the static index, so the dual holds for ANY batching)."""
+    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
+    from gcp_etl_spark.scratch import scratch_dir
+    from gcp_etl_spark.streaming.ann_stream import probe_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_assign(emb, "vec_id", "embedding",
+                                   n_centroids=8)
+    d = scratch_dir("ann_serve_idx")
+    assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        "centroid_id",
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(d)
+    idx = spark.read.parquet(d)
+
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids(F.col("q_vec"), centers, 2)),
+    )
+    probes = sorted(
+        r["centroid_id"]
+        for r in q.select("centroid_id").distinct().collect()
+    )
+    pruned = idx.filter(F.col("centroid_id").isin(probes))
+    return probe_topk(pruned, q, k=5).orderBy("q_id", "rn")

@@ -268,3 +268,112 @@ def test_bitext_ann_plan_has_no_unbounded_cross_join(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ streaming ANN probe
+
+
+def _ann_stream_setup(spark, tmp_path):
+    """Partitioned index + query vectors split into 3 micro-batch
+    files; returns (index_dir, centers, queries_dir, schema, batch)."""
+    from gcp_etl_spark.llm.ivf import ivf_assign
+    from gcp_etl_spark.tables import t
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    assigned, centers = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    idx_dir = str(tmp_path / "idx")
+    assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        "centroid_id",
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(idx_dir)
+
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qdir = str(tmp_path / "qstream")
+    rows = q.collect()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third:(i + 1) * third] if i < 2 else rows[2 * third:]
+        if chunk:
+            spark.createDataFrame(
+                chunk, q.schema
+            ).coalesce(1).write.mode("append").parquet(qdir)
+    return idx_dir, centers, qdir, q.schema
+
+
+def test_stream_ann_probe_equals_batch(spark, tmp_path):
+    """The union of per-micro-batch top-k results must equal the batch
+    probe over the same index and query set (each query scores
+    independently against the static index, so the dual holds for any
+    batching) — and EVERY micro-batch's executed plan must show the
+    partition-pruned scan."""
+    from gcp_etl_spark.llm.ivf import _nearest_centroids
+    from gcp_etl_spark.streaming.ann_stream import (
+        ann_probe_sink,
+        probe_topk,
+        read_results,
+    )
+
+    idx_dir, centers, qdir, schema = _ann_stream_setup(spark, tmp_path)
+    store = str(tmp_path / "results")
+    plans: list = []
+    sink = ann_probe_sink(
+        idx_dir, centers, store, k=5, nprobe=2, plan_probe=plans
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_results(spark, store).collect()))
+
+    qb = spark.read.schema(schema).parquet(qdir).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids(F.col("q_vec"), centers, 2)),
+    )
+    probes = sorted(
+        r["centroid_id"] for r in qb.select("centroid_id").distinct().collect()
+    )
+    idx = spark.read.parquet(idx_dir).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    want = sorted(map(tuple, probe_topk(idx, qb, k=5).collect()))
+    assert got == want and len(want) > 0
+    # partition pruning per micro-batch: every epoch's executed scan
+    # carries a partition filter on centroid_id
+    assert len(plans) >= 3
+    for p in plans:
+        assert "PartitionFilters" in p and "centroid_id" in p
+
+
+def test_stream_ann_probe_replay_idempotent(spark, tmp_path):
+    """Re-delivering an epoch (at-least-once) must leave the result
+    store unchanged: the epoch directory is overwritten in place."""
+    from gcp_etl_spark.streaming.ann_stream import ann_probe_sink, read_results
+
+    idx_dir, centers, qdir, schema = _ann_stream_setup(spark, tmp_path)
+    store = str(tmp_path / "results")
+    sink = ann_probe_sink(idx_dir, centers, store, k=5, nprobe=2)
+    batches = sorted(
+        f for f in __import__("os").listdir(qdir) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(batches):
+        sink(spark.read.schema(schema).parquet(f"{qdir}/{f}"), i)
+    before = sorted(map(tuple, read_results(spark, store).collect()))
+    # replay epoch 1
+    sink(spark.read.schema(schema).parquet(f"{qdir}/{batches[1]}"), 1)
+    after = sorted(map(tuple, read_results(spark, store).collect()))
+    assert before == after and len(before) > 0
