@@ -103,6 +103,26 @@ def _round_stamp() -> int:
     return (max(ns) + 1) if ns else 0
 
 
+def _prior_timings() -> dict:
+    """Per-query timings from the most recent PREVIOUS round's detail
+    file — the baseline for the contention re-pass guard (r6 verdict
+    ask #5: single-pass queries under the MIN2 threshold could record
+    a contended number with no second chance)."""
+    cur = _round_stamp()
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(HERE, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)(?:_pre)?\.json$", p)
+        if m and int(m.group(1)) < cur and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return {}
+    try:
+        with open(best_path) as f:
+            return json.load(f).get("queries", {})
+    except Exception:  # noqa: BLE001 - a corrupt detail file must not kill bench
+        return {}
+
+
 def _dump_detail(sf: float, timings: dict, detail: dict, failures: list) -> None:
     """Write the full per-query timing map (+ raw passes and host load).
     Called incrementally (every 20 executed queries) as well as at the
@@ -172,15 +192,35 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - cleanup must never kill bench
             pass
 
+    prior = _prior_timings()
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         rec: dict = _host_load()
         passes: list[float] = []
+        repassed_for_load = False
         try:
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             passes.append(round(time.time() - t0, 3))
+            prev = prior.get(name)
+            if (
+                (not MIN2_THRESHOLD_SEC or passes[0] < MIN2_THRESHOLD_SEC)
+                and prev
+                and passes[0] >= 2.5 * prev
+                and rec.get("load1", 0.0) >= 2.0
+            ):
+                # r6 blind spot: a single contended pass BELOW the
+                # re-pass threshold became the official record
+                # (sketch_heavy_hitters 0.61->1.99 s at load1 3.9).
+                # One clean re-pass, record the MIN; a genuine
+                # regression reproduces, noise does not.
+                repassed_for_load = True
+                rec["prior_sec"] = prev
+                _cleanup()
+                t0 = time.time()
+                force(spec.fn(spark, sf_dir))
+                passes.append(round(time.time() - t0, 3))
             if MIN2_THRESHOLD_SEC and passes[0] >= MIN2_THRESHOLD_SEC:
                 # one contended pass must not define the record: re-run
                 # once from a clean cache and record the SECOND pass —
@@ -200,7 +240,10 @@ def main() -> None:
                     t0 = time.time()
                     force(spec.fn(spark, sf_dir))
                     passes.append(round(time.time() - t0, 3))
-            if len(passes) == 3:
+            if repassed_for_load:
+                timings[name] = min(passes)
+                rec["timing"] = "repass_load"
+            elif len(passes) == 3:
                 timings[name] = sorted(passes)[1]
                 rec["timing"] = "median3"
             else:
