@@ -265,3 +265,608 @@ def stream_ann_probe(spark, sf_dir):
     )
     pruned = idx.filter(F.col("centroid_id").isin(probes))
     return probe_topk(pruned, q, k=5).orderBy("q_id", "rn")
+
+
+# ------------------------------------------------------ BM25 retrieval
+
+_BM25_TERMS = ("join", "scan", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(len(ws)) AS total_dl FROM d
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+      WHERE w IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl
+                    / (CAST(stats.total_dl AS DOUBLE) / stats.n)))
+             ) AS score
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "ranking"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 RANKED RETRIEVAL (Robertson/Spärck Jones; the Lucene
+    ln(1 + (N-df+0.5)/(df+0.5)) idf variant, public) for a fixed term
+    set over the documents corpus: per-document score summed over
+    query terms with k1=1.2, b=0.75 length normalization; top-20 by
+    (score desc, doc_id). Completes the retrieval story next to
+    ``text_tfidf_topk`` — BM25 is what every lexical retriever
+    actually ships.
+
+    Determinism: tf/df/dl/N are exact integers in both engines, avgdl
+    is one integer division in double, each term's score is the same
+    closed-form double expression, and the 3-term sum is order-benign
+    at 6 dp rounding (3 terms, same magnitudes — verified by the
+    oracle gate).
+
+    Scale: one corpus scan → (doc, term) tf relation (the IN-list
+    prunes the explode map-side); df is a 3-row broadcast; dl rides
+    the same scan. The score join is broadcast-tiny on one side; the
+    top-20 is a TakeOrdered, no global sort."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    stats = d.agg(
+        F.count("*").alias("n"), F.sum(F.size("ws")).alias("total_dl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n")
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
+
+
+# ---------------------------------------------- held-out perplexity
+
+_PPL_HELDOUT_SRC = "src0"
+_PPL_TOPK = 10
+
+
+@query(
+    "text_perplexity_heldout",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    train_uni AS (
+      SELECT ws[i+1] AS w1, count(*) AS c1
+      FROM d, unnest(range(len(ws))) AS t(i)
+      WHERE source <> '{_PPL_HELDOUT_SRC}' GROUP BY 1
+    ),
+    train_bi AS (
+      SELECT ws[i+1] AS w1, ws[i+2] AS w2, count(*) AS c2
+      FROM d, unnest(range(len(ws) - 1)) AS t(i)
+      WHERE source <> '{_PPL_HELDOUT_SRC}' GROUP BY 1, 2
+    ),
+    v AS (SELECT count(*) AS v FROM train_uni),
+    held AS (
+      SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+      FROM d, unnest(range(len(ws) - 1)) AS t(i)
+      WHERE source = '{_PPL_HELDOUT_SRC}'
+    ),
+    lp AS (
+      SELECT h.doc_id,
+             CAST(round(
+               ln((coalesce(b.c2, 0) + 1.0)
+                  / (coalesce(u.c1, 0) + v.v)), 8) AS DECIMAL(18,8)
+             ) AS logp
+      FROM held h
+      LEFT JOIN train_bi b ON h.w1 = b.w1 AND h.w2 = b.w2
+      LEFT JOIN train_uni u ON h.w1 = u.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(exp(-CAST(sum(logp) AS DOUBLE) / count(*)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    ORDER BY ppl DESC, doc_id LIMIT {_PPL_TOPK}
+    """,
+    tags=("text", "language-model", "quality"),
+)
+def text_perplexity_heldout(spark, sf_dir):
+    """HELD-OUT BIGRAM PERPLEXITY — the classic LM-based quality
+    filter (CCNet/KenLM practice, public): train an add-one-smoothed
+    bigram model on every source EXCEPT the held-out one, score each
+    held-out document by exp(-mean log p(w2|w1)), and surface the
+    ``{_PPL_TOPK}`` most-perplexing documents (the outlier/garbage
+    candidates a curation pipeline reviews first).
+
+    Determinism: counts and the vocabulary size are exact integers;
+    each bigram's log-probability is ONE libm call rounded to 8 dp and
+    summed as DECIMAL (order-free — the repo's standard policy for
+    order-dependent double sums), so both engines divide identical
+    numerators.
+
+    Scale: train counts are two hash aggs over the train split (pair
+    space vocabulary-bounded); held-out bigrams join them on bounded
+    keys (broadcast-able at real vocabulary sizes); document text
+    never rides a shuffle after the explode collapses map-side."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+    )
+    uni = F.explode("ws").alias("w1")
+    train = d.filter(F.col("source") != _PPL_HELDOUT_SRC)
+    train_uni = train.select(uni).groupBy("w1").agg(
+        F.count("*").alias("c1")
+    )
+    train_bi = (
+        train.filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    v = train_uni.agg(F.count("*").alias("v"))
+    held = (
+        d.filter(
+            (F.col("source") == _PPL_HELDOUT_SRC) & (F.size("ws") >= 2)
+        )
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    lp = (
+        held.join(train_bi, ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", logp.alias("logp"))
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.exp(-(F.sum("logp").cast("double")) / F.count("*")), 4
+            ).alias("ppl"),
+        )
+        .orderBy(F.desc("ppl"), "doc_id")
+        .limit(_PPL_TOPK)
+    )
+
+
+# ------------------------------------------- Jaro-Winkler fuzzy join
+
+_JW_SRC_A = "src0"
+_JW_SRC_B = "src1"
+_JW_THRESHOLD = 0.9
+_JW_PREFIX_LEN = 12
+
+
+def _jw_udf():
+    """Vectorized Jaro-Winkler (textbook algorithm: match window
+    max(|a|,|b|)/2-1, transpositions halved, Winkler prefix boost
+    p=0.1 over the first 4 chars applied only when jaro > 0.7 — the
+    exact semantics DuckDB's jaro_winkler_similarity implements,
+    probe-verified including the no-boost-below-0.7 branch). Pure
+    Python per pair but Arrow-batched; strings here are bounded
+    (12-char blocking keys), and at production scale this is the
+    documented slow path a C extension would replace — the PLAN
+    (blocked equi-join, no cross product) is the scale claim."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if not l1 or not l2:
+            return 0.0
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - md), min(l2, i + md + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if not matches:
+            return 0.0
+        tr = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    tr += 1
+                k += 1
+        tr //= 2
+        return (
+            matches / l1 + matches / l2 + (matches - tr) / matches
+        ) / 3
+
+    @pandas_udf("double")
+    def jw(a, b):  # (pd.Series, pd.Series) -> pd.Series
+        out = []
+        for s1, s2 in zip(a, b):
+            j = jaro(s1, s2)
+            if j > 0.7:
+                pre = 0
+                for c1, c2 in zip(s1[:4], s2[:4]):
+                    if c1 != c2:
+                        break
+                    pre += 1
+                j = j + pre * 0.1 * (1.0 - j)
+            out.append(j)
+        return pd.Series(out)
+
+    return jw
+
+
+@query(
+    "fuzzy_jaro_winkler_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, substr(lower(text), 1, {_JW_PREFIX_LEN}) AS k
+      FROM documents WHERE source = '{_JW_SRC_A}'
+    ),
+    b AS (
+      SELECT doc_id, substr(lower(text), 1, {_JW_PREFIX_LEN}) AS k
+      FROM documents WHERE source = '{_JW_SRC_B}'
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+    FROM a JOIN b ON substr(a.k, 1, 1) = substr(b.k, 1, 1)
+    WHERE round(jaro_winkler_similarity(a.k, b.k), 6) >= {_JW_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "fuzzy", "entity-resolution", "udf"),
+)
+def fuzzy_jaro_winkler_join(spark, sf_dir):
+    """JARO-WINKLER FUZZY JOIN — the entity-resolution string matcher
+    (record linkage's standard scorer) as a BLOCKED join: cross-source
+    12-char key prefixes are candidate-paired only within a first-
+    character block (an equi-join — never a cross product), scored by
+    a vectorized Jaro-Winkler pandas UDF, and kept at >= {_JW_THRESHOLD}.
+    Hash-verified against DuckDB's native jaro_winkler_similarity —
+    the UDF replicates its exact semantics (probe-verified incl. the
+    no-boost-below-0.7-jaro branch), so this is a cross-engine test of
+    a nontrivial string metric, not just of the join shape.
+
+    Scale: blocking bounds candidates to Σ_block |A_b|·|B_b| (the
+    standard record-linkage trade); scoring ships only the bounded
+    keys through Arrow. A skewed block is a salting candidate like any
+    hot join key (operators/skew.py)."""
+    jw = _jw_udf()
+    d = t(spark, sf_dir, "documents")
+    key = F.substring(F.lower("text"), 1, _JW_PREFIX_LEN)
+    a = d.filter(F.col("source") == _JW_SRC_A).select(
+        F.col("doc_id").alias("id_a"), key.alias("ka")
+    )
+    b = d.filter(F.col("source") == _JW_SRC_B).select(
+        F.col("doc_id").alias("id_b"), key.alias("kb")
+    )
+    pairs = a.join(
+        b, F.substring("ka", 1, 1) == F.substring("kb", 1, 1)
+    ).withColumn("jw", F.round(jw(F.col("ka"), F.col("kb")), 6))
+    return (
+        pairs.filter(F.col("jw") >= _JW_THRESHOLD)
+        .select("id_a", "id_b", "jw")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------- winsorized stats
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT e.event_type,
+             CAST(round(least(greatest(e.value, q.p05), q.p95), 6)
+                  AS DECIMAL(18,6)) AS clipped
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT c.event_type, count(*) AS n,
+           any_value(q.p05) AS p05, any_value(q.p95) AS p95,
+           round(CAST(sum(clipped) AS DOUBLE) / count(*), 6)
+             AS winsorized_mean
+    FROM c JOIN q ON c.event_type = q.event_type
+    GROUP BY 1
+    """,
+    tags=("aggregate", "robust-stats", "quantiles"),
+)
+def agg_winsorized_stats(spark, sf_dir):
+    """WINSORIZED MEAN per group (clip to [p05, p95], then average) —
+    the robust location estimate feature pipelines use when trimming
+    would change row counts. Composes the engine-standard two-pass
+    range-partitioned exact quantile operator for the clip bounds.
+
+    Determinism: bounds are rounded to 6 dp BEFORE clipping (both
+    engines clip against identical doubles), the clipped value is
+    rounded and summed as DECIMAL (order-free), and only the final
+    mean divides in double.
+
+    Scale: one quantile pass (two range exchanges inside the
+    operator), bounds broadcast back, one decimal hash agg — the
+    clipped values never sort."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    q = exact_quantiles(
+        e, "value", {"p05": 0.05, "p95": 0.95}, group_cols=["event_type"]
+    ).select(
+        "event_type",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6
+    ).cast("decimal(18,6)")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.any_value("p05").alias("p05"),
+            F.any_value("p95").alias("p95"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count("*"), 6
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+# ------------------------------------------ snapshot stats drift
+
+
+@query(
+    "dq_snapshot_stats_drift",
+    oracle="""
+    WITH v1 AS (
+      SELECT source, lang, n_chars FROM documents
+    ),
+    v2 AS (
+      -- simulated next snapshot, same rule as corpus_snapshot_diff:
+      -- every 10th doc dropped, every 7th survivor re-crawled with a
+      -- 10-char prefix added
+      SELECT source, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 10
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    s1 AS (
+      SELECT source, count(*) AS n1, sum(n_chars) AS chars1,
+             count(DISTINCT lang) AS langs1
+      FROM v1 GROUP BY 1
+    ),
+    s2 AS (
+      SELECT source, count(*) AS n2, sum(n_chars) AS chars2,
+             count(DISTINCT lang) AS langs2
+      FROM v2 GROUP BY 1
+    )
+    SELECT source,
+           n1 AS n_v1, n2 AS n_v2,
+           round((n2 - n1) * 100.0 / n1, 4) AS row_delta_pct,
+           round(CAST(chars1 AS DOUBLE) / n1, 6) AS avg_chars_v1,
+           round(CAST(chars2 AS DOUBLE) / n2, 6) AS avg_chars_v2,
+           langs1 AS n_langs_v1, langs2 AS n_langs_v2
+    FROM s1 JOIN s2 USING (source) ORDER BY source
+    """,
+    tags=("data-quality", "drift", "profiling"),
+)
+def dq_snapshot_stats_drift(spark, sf_dir):
+    """COLUMN-LEVEL SNAPSHOT DRIFT REPORT — the per-source statistical
+    diff a pipeline owner reads before promoting a new crawl
+    (row-count delta, mean document length, language cardinality),
+    complementing ``corpus_snapshot_diff`` (which diffs row IDENTITY
+    by fingerprint, not distribution). Both engines derive snapshot v2
+    from the same rule, so the report is hash-verified end-to-end.
+
+    Determinism: counts and char sums are exact integers; the only
+    doubles are final divisions. Scale: two scans of the snapshot pair
+    (columnar — only 3 columns read), two hash aggs on the bounded
+    source key, broadcast join of two #sources-row relations."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.select("source", "lang", "n_chars")
+    v2 = d.filter(F.col("doc_id") % 10 != 0).select(
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 10)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+
+    def stats(df, sfx):
+        return df.groupBy("source").agg(
+            F.count("*").alias(f"n{sfx}"),
+            F.sum("n_chars").alias(f"chars{sfx}"),
+            F.countDistinct("lang").alias(f"langs{sfx}"),
+        )
+
+    s1, s2 = stats(v1, "1"), stats(v2, "2")
+    return (
+        s1.join(s2, "source")
+        .select(
+            "source",
+            F.col("n1").alias("n_v1"),
+            F.col("n2").alias("n_v2"),
+            F.round(
+                (F.col("n2") - F.col("n1")) * 100.0 / F.col("n1"), 4
+            ).alias("row_delta_pct"),
+            F.round(
+                F.col("chars1").cast("double") / F.col("n1"), 6
+            ).alias("avg_chars_v1"),
+            F.round(
+                F.col("chars2").cast("double") / F.col("n2"), 6
+            ).alias("avg_chars_v2"),
+            F.col("langs1").alias("n_langs_v1"),
+            F.col("langs2").alias("n_langs_v2"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- stratified group k-fold
+
+_KFOLD_K = 5
+
+
+@query(
+    "prep_stratified_kfold",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST((rn - 1) % {_KFOLD_K} AS INT) AS fold,
+           count(*) AS n_docs
+    FROM r GROUP BY 1, 2 ORDER BY lang, fold
+    """,
+    tags=("llm", "prep", "sampling", "cross-validation"),
+)
+def prep_stratified_kfold(spark, sf_dir):
+    """STRATIFIED K-FOLD ASSIGNMENT — deterministic 5-fold cross-
+    validation splits balanced WITHIN each stratum (language): rows
+    rank by a seeded hash inside their stratum and fold = rank mod k,
+    so every (lang, fold) cell is exactly ±1 of stratum/k — the
+    guarantee hash-bucketing alone (``sample_stratified``) cannot give.
+
+    Determinism: the in-stratum order is the md5 hex STRING of doc_id
+    (lexicographic, identical in both engines) with doc_id tiebreak.
+
+    Scale: in-stratum ranks route through the engine's two-pass
+    range-partitioned global row number (operators/quantiles.py) —
+    bounded stratum count, unbounded rows per stratum, no
+    single-partition window."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.md5(F.col("doc_id").cast("string")).alias("h"), "doc_id"
+    )
+    ranked = global_row_number(
+        d, order_cols=["h", "doc_id"], part_cols=["lang"], rn_col="rn"
+    )
+    return (
+        ranked.select(
+            "lang",
+            ((F.col("rn") - 1) % _KFOLD_K).cast("int").alias("fold"),
+        )
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "fold")
+    )
+
+
+# -------------------------------------------- streaming KMV distinct
+
+_KMVD_K = 64
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS h
+      FROM events
+    ),
+    bk AS (SELECT h FROM h ORDER BY h LIMIT {_KMVD_K}),
+    s AS (SELECT count(*) AS k_used, max(h) AS kth FROM bk)
+    SELECT k_used,
+           round(kth, 9) AS kth_hash,
+           round(CASE WHEN k_used < {_KMVD_K}
+                      THEN CAST(k_used AS DOUBLE)
+                      ELSE ({_KMVD_K} - 1) / kth END, 4) AS est_distinct
+    FROM s
+    """,
+    tags=("sketch", "distinct-count", "streaming-dual"),
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) DISTINCT-COUNT SKETCH of event users — the
+    single-set companion to ``sketch_kmv_overlap``, registered as the
+    batch dual of the STREAMING sketch (streaming/kmv_stream.py): KMV
+    is exactly mergeable (global bottom-k == bottom-k of per-epoch
+    bottom-k's), so the streamed per-micro-batch sketches merge to
+    THIS relation bit-for-bit however the stream is batched — pinned
+    by tests/test_r7.py::test_stream_kmv_equals_batch + the replay-
+    idempotence twin.
+
+    Determinism: the hash is the engine-standard md5 uniform; the
+    estimator (k-1)/h_k divides identical doubles.
+
+    Scale: the corpus reduces to k=64 doubles via per-partition
+    TakeOrdered — distinct users never shuffle; per-epoch streaming
+    state is ~512 B."""
+    from gcp_etl_spark.streaming.kmv_stream import kmv_bottom_k, kmv_estimate
+
+    e = t(spark, sf_dir, "events")
+    return kmv_estimate(kmv_bottom_k(e, "user_id", _KMVD_K), _KMVD_K)

@@ -377,3 +377,81 @@ def test_stream_ann_probe_replay_idempotent(spark, tmp_path):
     sink(spark.read.schema(schema).parquet(f"{qdir}/{batches[1]}"), 1)
     after = sorted(map(tuple, read_results(spark, store).collect()))
     assert before == after and len(before) > 0
+
+
+# ------------------------------------------------ streaming KMV sketch
+
+
+def _events_stream_dir(spark, tmp_path):
+    from gcp_etl_spark.tables import t
+
+    e = t(spark, SF_SMALL, "events").select("event_id", "user_id")
+    qdir = str(tmp_path / "estream")
+    rows = e.collect()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third:(i + 1) * third] if i < 2 else rows[2 * third:]
+        if chunk:
+            spark.createDataFrame(chunk, e.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(qdir)
+    return qdir, e.schema
+
+
+def test_stream_kmv_equals_batch(spark, tmp_path):
+    """KMV mergeability made executable: the merged per-epoch sketches
+    must equal the one-shot batch sketch BIT-FOR-BIT (k_used, kth hash,
+    estimate) for this 3-batch split of the events table."""
+    from gcp_etl_spark.streaming.kmv_stream import (
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_sink,
+        read_merged_estimate,
+    )
+
+    qdir, schema = _events_stream_dir(spark, tmp_path)
+    store = str(tmp_path / "kmv")
+    sink = kmv_sink(store, "user_id", k=64)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_merged_estimate(spark, store, k=64).collect()
+    want = kmv_estimate(
+        kmv_bottom_k(spark.read.schema(schema).parquet(qdir), "user_id", 64),
+        64,
+    ).collect()
+    assert list(map(tuple, got)) == list(map(tuple, want))
+    assert got[0]["est_distinct"] > 0
+
+
+def test_stream_kmv_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch overwrites its own sketch directory — the
+    merged estimate must be unchanged."""
+    import os as _os
+
+    from gcp_etl_spark.streaming.kmv_stream import (
+        kmv_sink,
+        read_merged_estimate,
+    )
+
+    qdir, schema = _events_stream_dir(spark, tmp_path)
+    store = str(tmp_path / "kmv")
+    sink = kmv_sink(store, "user_id", k=64)
+    batches = sorted(
+        f for f in _os.listdir(qdir) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(batches):
+        sink(spark.read.schema(schema).parquet(f"{qdir}/{f}"), i)
+    before = list(map(tuple, read_merged_estimate(spark, store).collect()))
+    sink(spark.read.schema(schema).parquet(f"{qdir}/{batches[0]}"), 0)
+    after = list(map(tuple, read_merged_estimate(spark, store).collect()))
+    assert before == after
