@@ -870,3 +870,341 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return kmv_estimate(kmv_bottom_k(e, "user_id", _KMVD_K), _KMVD_K)
+
+
+# ------------------------------------------------- Gopher quality rules
+
+# thresholds adapted to the synthetic corpus's ~30-90-word documents;
+# the RULE STRUCTURE is Rae et al. 2021 (Gopher, public) Appendix A
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 500
+_GOPHER_MIN_MEAN_WLEN = 3.0
+_GOPHER_MAX_MEAN_WLEN = 10.0
+_GOPHER_MAX_NONALPHA = 0.2
+_GOPHER_STOPWORDS = ("the", "a", "value", "table")
+_GOPHER_MIN_STOPHITS = 2
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(ws) AS n_words,
+             CAST(len(list_filter(ws, w -> NOT regexp_matches(w, '^[a-z]+$')))
+                  AS DOUBLE) / len(ws) AS nonalpha_ratio,
+             CAST(list_sum(list_transform(ws, w -> strlen(w))) AS DOUBLE)
+               / len(ws) AS mean_wlen,
+             len(list_filter(ws, w -> w IN
+                 ('{_GOPHER_STOPWORDS[0]}', '{_GOPHER_STOPWORDS[1]}',
+                  '{_GOPHER_STOPWORDS[2]}', '{_GOPHER_STOPWORDS[3]}')))
+               AS stop_hits
+      FROM d WHERE len(ws) > 0
+    ),
+    f AS (
+      SELECT source,
+             CASE WHEN n_words < {_GOPHER_MIN_WORDS}
+                    OR n_words > {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+               AS fail_words,
+             CASE WHEN mean_wlen < {_GOPHER_MIN_MEAN_WLEN}
+                    OR mean_wlen > {_GOPHER_MAX_MEAN_WLEN} THEN 1 ELSE 0 END
+               AS fail_wlen,
+             CASE WHEN nonalpha_ratio > {_GOPHER_MAX_NONALPHA} THEN 1
+                  ELSE 0 END AS fail_symbols,
+             CASE WHEN stop_hits < {_GOPHER_MIN_STOPHITS} THEN 1 ELSE 0 END
+               AS fail_stop
+      FROM m
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(fail_words) AS BIGINT) AS n_fail_word_count,
+           CAST(sum(fail_wlen) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(sum(fail_symbols) AS BIGINT) AS n_fail_symbol_ratio,
+           CAST(sum(fail_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(CASE WHEN fail_words + fail_wlen + fail_symbols
+                    + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN fail_words + fail_wlen + fail_symbols
+                          + fail_stop = 0 THEN 1 ELSE 0 END)
+                 * 100.0 / count(*), 4) AS pass_pct
+    FROM f GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "filter", "text"),
+)
+def quality_gopher_rules(spark, sf_dir):
+    """GOPHER QUALITY-FILTER RULES (Rae et al. 2021 Appendix A,
+    public; thresholds adapted to the synthetic corpus, structure
+    verbatim): per document — word-count bounds, mean-word-length
+    bounds, non-alphabetic word ratio cap, minimum stop-word hits —
+    reported as a per-source audit (failure counts per rule + overall
+    pass rate), the table a curation run reviews before applying the
+    gate. Complements the shipped logreg quality classifier with the
+    rule-based filter every public corpus pipeline starts from.
+
+    Determinism: all rule inputs are exact integers or single-division
+    doubles compared against literal thresholds; counts are integers.
+
+    Scale: one corpus scan; every per-doc metric is a map-side array
+    expression (no explode — list aggregates run inside the row), one
+    hash agg on the bounded source key."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    n_words = F.size("ws")
+    nonalpha = F.size(
+        F.filter("ws", lambda w: ~w.rlike("^[a-z]+$"))
+    ).cast("double") / n_words
+    mean_wlen = (
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter("ws", lambda w: w.isin(*_GOPHER_STOPWORDS))
+    )
+    m = d.select(
+        "source",
+        (
+            (n_words < _GOPHER_MIN_WORDS) | (n_words > _GOPHER_MAX_WORDS)
+        ).cast("int").alias("fail_words"),
+        (
+            (mean_wlen < _GOPHER_MIN_MEAN_WLEN)
+            | (mean_wlen > _GOPHER_MAX_MEAN_WLEN)
+        ).cast("int").alias("fail_wlen"),
+        (nonalpha > _GOPHER_MAX_NONALPHA).cast("int").alias("fail_symbols"),
+        (stop_hits < _GOPHER_MIN_STOPHITS).cast("int").alias("fail_stop"),
+    )
+    all_pass = (
+        F.col("fail_words") + F.col("fail_wlen") + F.col("fail_symbols")
+        + F.col("fail_stop")
+        == 0
+    ).cast("int")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("fail_words").alias("n_fail_word_count"),
+            F.sum("fail_wlen").alias("n_fail_mean_word_len"),
+            F.sum("fail_symbols").alias("n_fail_symbol_ratio"),
+            F.sum("fail_stop").alias("n_fail_stopwords"),
+            F.sum(all_pass).alias("n_pass"),
+            F.round(F.sum(all_pass) * 100.0 / F.count("*"), 4).alias(
+                "pass_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- CCNet perplexity buckets
+
+
+@query(
+    "quality_ccnet_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    train_uni AS (
+      SELECT ws[i+1] AS w1, count(*) AS c1
+      FROM d, unnest(range(len(ws))) AS t(i)
+      WHERE source <> '{_PPL_HELDOUT_SRC}' GROUP BY 1
+    ),
+    train_bi AS (
+      SELECT ws[i+1] AS w1, ws[i+2] AS w2, count(*) AS c2
+      FROM d, unnest(range(len(ws) - 1)) AS t(i)
+      WHERE source <> '{_PPL_HELDOUT_SRC}' GROUP BY 1, 2
+    ),
+    v AS (SELECT count(*) AS v FROM train_uni),
+    scored_b AS (
+      SELECT h.doc_id, h.source,
+             CAST(round(
+               ln((coalesce(b.c2, 0) + 1.0)
+                  / (coalesce(u.c1, 0) + v.v)), 8) AS DECIMAL(18,8)
+             ) AS logp
+      FROM (SELECT doc_id, source, ws[i+1] AS w1, ws[i+2] AS w2
+            FROM d, unnest(range(len(ws) - 1)) AS t(i)) h
+      LEFT JOIN train_bi b ON h.w1 = b.w1 AND h.w2 = b.w2
+      LEFT JOIN train_uni u ON h.w1 = u.w1
+      CROSS JOIN v
+    ),
+    ppl AS (
+      SELECT doc_id, source,
+             round(exp(-CAST(sum(logp) AS DOUBLE) / count(*)), 4) AS ppl
+      FROM scored_b GROUP BY 1, 2
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(ppl, 1.0/3), 6) AS c1,
+             round(quantile_cont(ppl, 2.0/3), 6) AS c2
+      FROM ppl
+    )
+    SELECT source,
+           CASE WHEN ppl <= c1 THEN 'head'
+                WHEN ppl <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(min(ppl), 4) AS min_ppl,
+           round(max(ppl), 4) AS max_ppl
+    FROM ppl CROSS JOIN cuts
+    GROUP BY 1, 2 ORDER BY source, bucket
+    """,
+    tags=("llm", "quality", "language-model", "curation"),
+)
+def quality_ccnet_buckets(spark, sf_dir):
+    """CCNET HEAD/MIDDLE/TAIL BUCKETS (Wenzek et al. 2020, public):
+    score EVERY document's bigram perplexity under the LM trained on
+    the non-held-out sources, cut the corpus at the global perplexity
+    terciles, and report per-(source, bucket) counts — the exact
+    partitioning CCNet ships to let consumers trade quality against
+    volume (train on head, sample middle, drop tail).
+
+    Determinism: the per-bigram log-prob policy is shared with
+    ``text_perplexity_heldout`` (8 dp round → decimal sum); tercile
+    cuts are exact interpolated quantiles rounded at 6 dp before the
+    bucket compare, so both engines bucket identical doubles.
+
+    Scale: LM counts are vocabulary-bounded hash aggs; scoring joins
+    on bounded keys; the tercile cut is ONE two-pass range-partitioned
+    quantile over the per-doc ppl relation (never a single-reducer
+    percentile); bucketing is a broadcast of two doubles."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+    )
+    train = d.filter(F.col("source") != _PPL_HELDOUT_SRC)
+    train_uni = train.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c1")
+    )
+    train_bi = (
+        train.filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    v = train_uni.agg(F.count("*").alias("v"))
+    held = (
+        d.filter(F.size("ws") >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    ppl = (
+        held.join(train_bi, ["w1", "w2"], "left")
+        .join(F.broadcast(train_uni), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "source", logp.alias("logp"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.exp(-(F.sum("logp").cast("double")) / F.count("*")), 4
+            ).alias("ppl")
+        )
+    )
+    cuts = exact_quantiles(ppl, "ppl", {"c1": 1.0 / 3, "c2": 2.0 / 3}).select(
+        F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2")
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("c1"), "head")
+        .when(F.col("ppl") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ppl.crossJoin(F.broadcast(cuts))
+        .select("source", bucket.alias("bucket"), "ppl")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+# ------------------------------------------- epoch-resume loader order
+
+_RESUME_EPOCH = 2
+_RESUME_OFFSET = 100
+_RESUME_TAKE = 20
+
+
+@query(
+    "prep_epoch_resume_order",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('{_RESUME_EPOCH}:' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+             ) AS pos
+      FROM documents
+    )
+    SELECT pos, doc_id FROM r
+    WHERE pos > {_RESUME_OFFSET} AND pos <= {_RESUME_OFFSET} + {_RESUME_TAKE}
+    ORDER BY pos
+    """,
+    tags=("llm", "prep", "training", "determinism"),
+)
+def prep_epoch_resume_order(spark, sf_dir):
+    """EPOCH-SEEDED RESUME SLICE — the data-loader contract a training
+    run needs after a crash: each epoch defines a deterministic global
+    permutation (rank by md5 of ``epoch:doc_id``), and resuming from
+    step K means serving ranks K+1..K+take of THAT epoch's order, not
+    re-shuffling. Completes ``prep_training_order`` (epoch-less global
+    order) with the per-epoch reseed + offset semantics.
+
+    Determinism: the permutation key is an md5 hex string compared
+    lexicographically — byte-identical in both engines — with doc_id
+    tiebreak.
+
+    Scale: ranks come from the two-pass range-partitioned global row
+    number; the resume slice is a broadcast-range filter on the rank
+    (at 100 TB the loader would ADDITIONALLY range-prune the rank
+    relation by partition bounds — same algebra)."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        F.md5(
+            F.concat(
+                F.lit(f"{_RESUME_EPOCH}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+        "doc_id",
+    )
+    ranked = global_row_number(
+        d, order_cols=["h", "doc_id"], rn_col="pos"
+    )
+    return (
+        ranked.filter(
+            (F.col("pos") > _RESUME_OFFSET)
+            & (F.col("pos") <= _RESUME_OFFSET + _RESUME_TAKE)
+        )
+        .select("pos", "doc_id")
+        .orderBy("pos")
+    )
