@@ -1208,3 +1208,516 @@ def prep_epoch_resume_order(spark, sf_dir):
         .select("pos", "doc_id")
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------- KS two-sample test
+
+_KS_A = "view"
+_KS_B = "purchase"
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    dv AS (
+      SELECT value, sum(a) AS ca, sum(b) AS cb FROM s GROUP BY value
+    ),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM dv),
+    c AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cuma,
+             sum(cb) OVER (ORDER BY value) AS cumb
+      FROM dv
+    ),
+    d AS (
+      SELECT max(abs(cuma * n.nb - cumb * n.na)) AS dnum
+      FROM c CROSS JOIN n
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           round(CAST(dnum AS DOUBLE) / (n.na * n.nb), 9) AS ks_d,
+           round(2 * exp(-2.0 * (CAST(dnum AS DOUBLE) / (n.na * n.nb))
+                             * (CAST(dnum AS DOUBLE) / (n.na * n.nb))
+                             * n.na * n.nb / (n.na + n.nb)), 6)
+             AS p_asymptotic
+    FROM d CROSS JOIN n
+    """,
+    tags=("stats", "hypothesis-test", "distribution"),
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST (distribution equality of
+    ``value`` between two event types): D = sup|F_a - F_b| over the
+    pooled ECDF, with the one-term asymptotic p-value
+    2·exp(-2D²·n_a·n_b/(n_a+n_b)). The distribution-free companion to
+    the rank tests (Mann-Whitney, Wilcoxon) already in the suite.
+
+    INTEGER-EXACT D: both ECDFs are cumulative COUNTS over the sorted
+    distinct values, and the supremum is computed on the integer
+    cross-normalized gap |cum_a·n_b − cum_b·n_a| — division happens
+    once, on the final maximum, so the statistic is bit-identical
+    cross-engine with zero float-boundary ambiguity.
+
+    Scale: collapses to one row per DISTINCT value (map-side), then
+    the engine-standard two-pass range-partitioned cumulative sum
+    (in-partition cumsum + broadcast prefix offsets) — never a
+    single-partition window over unbounded distinct values; the
+    supremum is a plain max agg."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    dv = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == _KS_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == _KS_B).cast("long")).alias("cb"),
+    )
+    parts = (
+        dv.repartitionByRange(32, "value")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("lca", F.sum("ca").over(w_in)).withColumn(
+        "lcb", F.sum("cb").over(w_in)
+    )
+    psums = parts.groupBy("__pid").agg(
+        F.sum("ca").alias("pa"), F.sum("cb").alias("pb")
+    )
+    prior = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offs = psums.select(
+        "__pid",
+        F.coalesce(F.sum("pa").over(prior), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("pb").over(prior), F.lit(0)).alias("offb"),
+    )
+    cum = local.join(F.broadcast(offs), "__pid").select(
+        (F.col("lca") + F.col("offa")).alias("cuma"),
+        (F.col("lcb") + F.col("offb")).alias("cumb"),
+    )
+    n = psums.agg(
+        F.sum("pa").alias("na"), F.sum("pb").alias("nb")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        ).alias("dnum"),
+        F.any_value("na").alias("na"),
+        F.any_value("nb").alias("nb"),
+    )
+    ks = F.col("dnum").cast("double") / (F.col("na") * F.col("nb"))
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ks, 9).alias("ks_d"),
+        F.round(
+            2
+            * F.exp(
+                -2.0 * ks * ks * F.col("na") * F.col("nb")
+                / (F.col("na") + F.col("nb"))
+            ),
+            6,
+        ).alias("p_asymptotic"),
+    )
+
+
+# ----------------------------------------------- Benford digit audit
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    digit AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+      FROM cents
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digit GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d AS digit, CAST(n AS BIGINT) AS n_obs,
+           round(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_share,
+           round(power(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 2)
+                 / log10(1.0 + 1.0 / d) * total, 6) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+    tags=("data-quality", "audit", "stats"),
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """BENFORD'S LAW FIRST-DIGIT AUDIT — the classic anomaly screen
+    for fabricated or truncated numeric columns: observed
+    first-significant-digit shares of ``value`` against log10(1+1/d),
+    with per-digit chi-square contributions (sum them for the test
+    statistic). A pipeline runs this over ingested monetary/metric
+    columns as a cheap data-forensics gate.
+
+    Determinism: digits come from the exact cents integer; shares and
+    the Benford reference are single-expression doubles rounded at 6
+    dp. Scale: one scan, a 9-row hash agg, a broadcast total."""
+    cents = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.round(F.col("value") * 100).cast("long").cast("string")
+            .substr(1, 1)
+            .cast("int")
+            .alias("d")
+        )
+    )
+    obs = cents.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").alias("n_obs"),
+            F.round(share, 6).alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.pow(share - benford, 2) / benford * F.col("total"), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------- QQ decile table
+
+
+@query(
+    "stats_qq_deciles",
+    oracle=f"""
+    WITH idx AS (SELECT unnest(range(1, 10)) AS i),
+    qa AS (
+      SELECT quantile_cont(value,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM events WHERE event_type = '{_KS_A}'
+    ),
+    qb AS (
+      SELECT quantile_cont(value,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM events WHERE event_type = '{_KS_B}'
+    )
+    SELECT CAST(i / 10.0 AS DOUBLE) AS p,
+           round(qa.qs[CAST(i AS INT)], 6) AS q_a,
+           round(qb.qs[CAST(i AS INT)], 6) AS q_b,
+           round(qb.qs[CAST(i AS INT)] - qa.qs[CAST(i AS INT)], 6) AS gap
+    FROM idx CROSS JOIN qa CROSS JOIN qb ORDER BY p
+    """,
+    tags=("stats", "distribution", "quantiles"),
+)
+def stats_qq_deciles(spark, sf_dir):
+    """QUANTILE-QUANTILE DECILE TABLE between two event types — the
+    numeric backbone of a Q-Q plot (where the distributions diverge,
+    and by how much at each decile), complementing the KS test's
+    single-number answer with the location-by-location picture.
+
+    Scale: BOTH decile sweeps run through the two-pass range-
+    partitioned exact quantile operator in ONE call each (nine
+    probabilities amortize one exchange); the join is 9×9 rows."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events")
+    probs = {f"d{int(p*10)}": round(p, 1) for p in
+             (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)}
+
+    def side(tp, out):
+        q = exact_quantiles(
+            e.filter(F.col("event_type") == tp), "value", probs
+        )
+        # wide -> long: (p, q)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    F.round(F.col(name), 6).alias(out),
+                )
+                for name, p in probs.items()
+            ]
+        )
+        return q.select(F.explode(pairs).alias("e")).select(
+            "e.p", f"e.{out}"
+        )
+
+    qa, qb = side(_KS_A, "q_a"), side(_KS_B, "q_b")
+    return (
+        qa.join(qb, "p")
+        .select(
+            "p", "q_a", "q_b",
+            F.round(F.col("q_b") - F.col("q_a"), 6).alias("gap"),
+        )
+        .orderBy("p")
+    )
+
+
+# ------------------------------------- bloom-prefiltered decontamination
+
+_BLOOM_EVAL_SRC = "src0"
+_BLOOM_N = 5  # n-gram width
+_BLOOM_TOPK = 20
+
+
+@query(
+    "decontaminate_bloom_verified",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+               || ws[i+4] || ' ' || ws[i+5] AS g
+      FROM d, unnest(range(len(ws) - {_BLOOM_N - 1})) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE source = '{_BLOOM_EVAL_SRC}'),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_contaminated_ngrams
+      FROM g c JOIN ev ON c.g = ev.g
+      WHERE c.source <> '{_BLOOM_EVAL_SRC}'
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_contaminated_ngrams AS BIGINT)
+             AS n_contaminated_ngrams
+    FROM hits
+    ORDER BY n_contaminated_ngrams DESC, doc_id LIMIT {_BLOOM_TOPK}
+    """,
+    tags=("llm", "decontamination", "bloom", "scale"),
+)
+def decontaminate_bloom_verified(spark, sf_dir):
+    """BLOOM-PREFILTERED DECONTAMINATION (the Lee et al. / eval-leak
+    audit pattern at its production shape): the eval set's distinct
+    {_BLOOM_N}-grams build a deterministic broadcast Bloom filter
+    (operators/bloom.py, 1% fpp); the training corpus's n-grams probe
+    it Arrow-batched, and only the survivors (a ~1%-inflated superset
+    of true matches) reach the EXACT verification join — whose output
+    therefore equals the exact-join result bit-for-bit (no false
+    negatives), which is what lets a DuckDB oracle gate a sketch-
+    accelerated plan. Reports the {_BLOOM_TOPK} most-contaminated
+    training documents.
+
+    Scale: the filter is fixed-size (m ≈ 9.6 bits/member at 1% fpp)
+    versus broadcasting the full n-gram set (~8+ bytes/member hashed,
+    more as strings); the exact join then runs on ~1% of the corpus
+    n-grams instead of all of them — the same trade Spark's runtime
+    bloom join makes, here as an explicit reusable operator."""
+    from gcp_etl_spark.operators.bloom import (
+        bloom_parameters,
+        build_bloom,
+        might_contain_udf,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(ws) - {_BLOOM_N}),"
+        " i -> concat_ws(' ', slice(ws, i + 1, " + str(_BLOOM_N) + ")))"
+    )
+    g = (
+        d.filter(F.size("ws") >= _BLOOM_N)
+        .select("doc_id", "source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    ev = g.filter(F.col("source") == _BLOOM_EVAL_SRC).select("g").distinct()
+    n_eval = ev.count()
+    m, k = bloom_parameters(n_eval, fpp=0.01)
+    bits = build_bloom(ev, "g", m, k)
+    probe = might_contain_udf(bits, k)
+    corpus = g.filter(F.col("source") != _BLOOM_EVAL_SRC)
+    candidates = corpus.filter(probe(F.col("g")))
+    verified = candidates.join(ev, "g")  # removes bloom false positives
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .orderBy(F.desc("n_contaminated_ngrams"), "doc_id")
+        .limit(_BLOOM_TOPK)
+    )
+
+
+# ------------------------------------------ multi-touch attribution
+
+_ATTR_WINDOW_MIN = 60
+
+
+@query(
+    "analytics_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.event_id AS pid, p.v, e.event_type
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts >= p.ts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+       AND e.ts < p.ts
+    ),
+    credit AS (
+      SELECT event_type,
+             CAST(round(CAST(v AS DOUBLE)
+                        / count(*) OVER (PARTITION BY pid), 6)
+                  AS DECIMAL(18,6)) AS c
+      FROM touch
+    )
+    SELECT event_type,
+           count(*) AS n_touches,
+           round(CAST(sum(c) AS DOUBLE), 4) AS attributed_value
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "attribution", "interval-join", "events"),
+)
+def analytics_multitouch_attribution(spark, sf_dir):
+    """LINEAR MULTI-TOUCH ATTRIBUTION: each purchase's value splits
+    equally across every non-purchase touch by the same user in the
+    preceding {_ATTR_WINDOW_MIN} minutes; report credited value per
+    touch type — the marketing-analytics workhorse between last-touch
+    (one window) and Shapley (combinatorial).
+
+    Determinism: per-touch credit is value/k rounded at 6 dp (both
+    engines divide identical doubles by identical integer counts) and
+    summed as DECIMAL.
+
+    Scale: the touch relation is an EQUI-join on user_id with a range
+    predicate — the interval-join shape (operators/interval_join.py):
+    the join key bounds the pair space, the time band prunes within
+    user. The per-purchase touch count is a window over the (already
+    joined) touch relation keyed by purchase id."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    touch = p.join(
+        e,
+        (F.col("user_id") == F.col("puid"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") >= F.col("pts") - F.expr(
+            f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES"))
+        & (F.col("ts") < F.col("pts")),
+    ).select("pid", "v", "event_type")
+    w = Window.partitionBy("pid")
+    credit = touch.select(
+        "event_type",
+        F.round(
+            F.col("v").cast("double") / F.count("*").over(w), 6
+        ).cast("decimal(18,6)").alias("c"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------ distinct n-gram diversity
+
+
+@query(
+    "text_distinct_ngram_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, count(*) AS n1, count(DISTINCT w) AS d1
+      FROM (SELECT source, unnest(ws) AS w FROM d) GROUP BY 1
+    ),
+    bi AS (
+      SELECT source, count(*) AS n2,
+             count(DISTINCT ws[i+1] || ' ' || ws[i+2]) AS d2
+      FROM d, unnest(range(len(ws) - 1)) AS t(i) GROUP BY 1
+    ),
+    tri AS (
+      SELECT source, count(*) AS n3,
+             count(DISTINCT ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+               AS d3
+      FROM d, unnest(range(len(ws) - 2)) AS t(i) GROUP BY 1
+    )
+    SELECT source,
+           round(CAST(d1 AS DOUBLE) / n1, 6) AS distinct_1,
+           round(CAST(d2 AS DOUBLE) / n2, 6) AS distinct_2,
+           round(CAST(d3 AS DOUBLE) / n3, 6) AS distinct_3
+    FROM uni JOIN bi USING (source) JOIN tri USING (source)
+    ORDER BY source
+    """,
+    tags=("text", "diversity", "quality"),
+)
+def text_distinct_ngram_ratio(spark, sf_dir):
+    """DISTINCT-N DIVERSITY RATIOS per source (distinct-1/2/3 — the
+    standard text-degeneration diagnostic): the share of unique
+    uni/bi/trigrams among all emitted, low values flagging repetitive
+    or templated sources before they enter a training mix.
+
+    Determinism: pure integer counts, one final division each.
+    Scale: three hash aggs over exploded n-grams (counts shuffle, text
+    doesn't); distinct counts are per-source exact aggregates."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+
+    def ng(n, cn, dn):
+        if n == 1:
+            ex = d.select("source", F.explode("ws").alias("g"))
+        else:
+            ex = d.filter(F.size("ws") >= n).select(
+                "source",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(ws) - {n}),"
+                        f" i -> concat_ws(' ', slice(ws, i + 1, {n})))"
+                    )
+                ).alias("g"),
+            )
+        return ex.groupBy("source").agg(
+            F.count("*").alias(cn), F.countDistinct("g").alias(dn)
+        )
+
+    uni, bi, tri = ng(1, "n1", "d1"), ng(2, "n2", "d2"), ng(3, "n3", "d3")
+    return (
+        uni.join(bi, "source")
+        .join(tri, "source")
+        .select(
+            "source",
+            F.round(F.col("d1").cast("double") / F.col("n1"), 6).alias(
+                "distinct_1"
+            ),
+            F.round(F.col("d2").cast("double") / F.col("n2"), 6).alias(
+                "distinct_2"
+            ),
+            F.round(F.col("d3").cast("double") / F.col("n3"), 6).alias(
+                "distinct_3"
+            ),
+        )
+        .orderBy("source")
+    )

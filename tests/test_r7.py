@@ -455,3 +455,30 @@ def test_stream_kmv_replay_idempotent(spark, tmp_path):
     sink(spark.read.schema(schema).parquet(f"{qdir}/{batches[0]}"), 0)
     after = list(map(tuple, read_merged_estimate(spark, store).collect()))
     assert before == after
+
+
+# --------------------------------------------------- bloom prefilter
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    """Every member must probe True (the decontamination pattern's
+    correctness rests on zero false negatives); non-member false-
+    positive rate must be within ~3x the 1% design point."""
+    from gcp_etl_spark.operators.bloom import (
+        bloom_parameters,
+        build_bloom,
+        might_contain_udf,
+    )
+
+    members = spark.range(500).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("g")
+    )
+    m, k = bloom_parameters(500, fpp=0.01)
+    bits = build_bloom(members, "g", m, k)
+    probe = might_contain_udf(bits, k)
+    assert members.filter(~probe(F.col("g"))).count() == 0
+    others = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("g")
+    )
+    fp = others.filter(probe(F.col("g"))).count()
+    assert fp <= 0.03 * 5000, f"fpp too high: {fp}/5000"
