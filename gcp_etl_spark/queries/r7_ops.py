@@ -1423,20 +1423,22 @@ def stats_qq_deciles(spark, sf_dir):
     and by how much at each decile), complementing the KS test's
     single-number answer with the location-by-location picture.
 
-    Scale: BOTH decile sweeps run through the two-pass range-
-    partitioned exact quantile operator in ONE call each (nine
-    probabilities amortize one exchange); the join is 9×9 rows."""
+    Scale: BOTH decile sweeps run in ONE grouped call of the two-pass
+    range-partitioned exact quantile operator (event_type is the group
+    key — one exchange serves both sides, nine probabilities amortize
+    it); the pivot join is 9×9 rows."""
     from gcp_etl_spark.operators.quantiles import exact_quantiles
 
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
     probs = {f"d{int(p*10)}": round(p, 1) for p in
              (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)}
+    q = exact_quantiles(
+        e, "value", probs, group_cols=["event_type"]
+    )
 
     def side(tp, out):
-        q = exact_quantiles(
-            e.filter(F.col("event_type") == tp), "value", probs
-        )
-        # wide -> long: (p, q)
         pairs = F.array(
             *[
                 F.struct(
@@ -1446,8 +1448,10 @@ def stats_qq_deciles(spark, sf_dir):
                 for name, p in probs.items()
             ]
         )
-        return q.select(F.explode(pairs).alias("e")).select(
-            "e.p", f"e.{out}"
+        return (
+            q.filter(F.col("event_type") == tp)
+            .select(F.explode(pairs).alias("e"))
+            .select("e.p", f"e.{out}")
         )
 
     qa, qb = side(_KS_A, "q_a"), side(_KS_B, "q_b")
