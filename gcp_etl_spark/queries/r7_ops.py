@@ -1725,3 +1725,152 @@ def text_distinct_ngram_ratio(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------- Gini index
+
+
+@query(
+    "analytics_gini_index",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(v) AS sv, sum(CAST(i AS DECIMAL(18,0)) * v) AS siv
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(2 * siv AS DOUBLE) / (n * CAST(sv AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM s ORDER BY event_type
+    """,
+    tags=("analytics", "inequality", "ranks"),
+)
+def analytics_gini_index(spark, sf_dir):
+    """GINI COEFFICIENT of ``value`` per event type — the inequality/
+    concentration measure (revenue concentration, token-budget skew)
+    via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending ranks.
+
+    Determinism: ranks are integers from a total order with event_id
+    tiebreak; Σx and Σ(i·x) accumulate as DECIMAL (exact at 2 dp ×
+    bigint rank); the two divisions happen once at the end.
+
+    Scale: ranks come from the engine-standard two-pass range-
+    partitioned global row number (bounded group count, unbounded rows
+    per group — never a single-partition window); the sums are one
+    map-side-combinable hash agg."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "event_id",
+    )
+    ranked = global_row_number(
+        e, order_cols=["v", "event_id"], part_cols=["event_type"],
+        rn_col="i",
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("v")).alias("siv"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n"),
+        F.round(
+            (2 * F.col("siv")).cast("double")
+            / (F.col("n") * F.col("sv").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------- boilerplate prefixes
+
+_BP_PREFIX_TOKENS = 8
+_BP_TOPK = 3
+
+
+@query(
+    "text_boilerplate_prefixes",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    p AS (
+      SELECT source,
+             array_to_string(ws[1:{_BP_PREFIX_TOKENS}], ' ') AS prefix
+      FROM d WHERE len(ws) >= {_BP_PREFIX_TOKENS}
+    ),
+    c AS (
+      SELECT source, prefix, count(*) AS n_docs,
+             count(*) OVER (PARTITION BY source) AS n_src_rows
+      FROM p GROUP BY source, prefix
+    ),
+    tot AS (SELECT source, count(*) AS n_src FROM p GROUP BY 1),
+    r AS (
+      SELECT c.source, prefix, n_docs, tot.n_src,
+             row_number() OVER (PARTITION BY c.source
+                                ORDER BY n_docs DESC, prefix) AS rk
+      FROM c JOIN tot ON c.source = tot.source
+    )
+    SELECT source, CAST(rk AS INT) AS rank, prefix,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / n_src, 6) AS share
+    FROM r WHERE rk <= {_BP_TOPK}
+    ORDER BY source, rank
+    """,
+    tags=("text", "boilerplate", "curation"),
+)
+def text_boilerplate_prefixes(spark, sf_dir):
+    """BOILERPLATE PREFIX DETECTOR (the C4/RefinedWeb prep step that
+    finds templated headers before stripping them): per source, the
+    {_BP_TOPK} most frequent {_BP_PREFIX_TOKENS}-token document
+    prefixes with their document share — a high share flags a
+    template/scraper artifact the curation pipeline should strip or
+    downweight.
+
+    Scale: the prefix is a bounded in-row slice (text never explodes);
+    one hash agg on (source, prefix), a bounded per-source top-k
+    window over the AGGREGATED relation (|distinct prefixes| rows, not
+    documents)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+            "ws"
+        ),
+    ).filter(F.size("ws") >= _BP_PREFIX_TOKENS)
+    p = d.select(
+        "source",
+        F.concat_ws(
+            " ", F.slice("ws", 1, _BP_PREFIX_TOKENS)
+        ).alias("prefix"),
+    )
+    c = p.groupBy("source", "prefix").agg(F.count("*").alias("n_docs"))
+    tot = p.groupBy("source").agg(F.count("*").alias("n_src"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "prefix")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BP_TOPK)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "prefix",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_src"), 6
+            ).alias("share"),
+        )
+        .orderBy("source", "rank")
+    )
