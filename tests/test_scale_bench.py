@@ -364,3 +364,25 @@ def test_bitext_ann_grid_claims():
     if rec is None:
         pytest.skip("mine_bitext_margin_ann not in the emb grid yet")
     assert rec["time_exponent"] < 1.3, rec["time_exponent"]
+
+
+def test_cc_chain_grid_claims():
+    """Pin the two-phase CC round growth record: on path graphs the
+    rounds must grow LOGARITHMICALLY — each 4x node step adds ~2
+    rounds (measured 9/11/13 at 256/1024/4096), nowhere near the
+    O(diameter) a propagation algorithm would pay."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("cc_chain_grid")
+    if not grid:
+        pytest.skip("cc_chain_grid not yet measured")
+    c = grid["chains"]
+    assert c["n256"]["rounds"] <= 12
+    assert c["n1024"]["rounds"] <= c["n256"]["rounds"] + 4
+    assert c["n4096"]["rounds"] <= c["n1024"]["rounds"] + 4
+    assert c["n4096"]["rounds"] <= 16, "not logarithmic"
