@@ -111,14 +111,28 @@ def _prior_timings() -> dict:
     cur = _round_stamp()
     best_n, best_path = -1, None
     for p in glob.glob(os.path.join(HERE, "BENCH_DETAIL_r*.json")):
-        m = re.search(r"BENCH_DETAIL_r(\d+)(?:_pre)?\.json$", p)
+        # FINAL round files only: the _pre partials are mid-round
+        # snapshots with stale/missing queries (review finding: the
+        # old pattern matched _pre and strict '>' kept whichever the
+        # glob returned first)
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
         if m and int(m.group(1)) < cur and int(m.group(1)) > best_n:
             best_n, best_path = int(m.group(1)), p
     if best_path is None:
         return {}
     try:
         with open(best_path) as f:
-            return json.load(f).get("queries", {})
+            data = json.load(f)
+        # a baseline from another scale factor would fire the 2.5x
+        # re-pass on nearly every query — ignore it
+        cur_sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        m_sf = re.search(r"sf([0-9.]+)", cur_sf_dir)
+        cur_sf = float(m_sf.group(1)) if m_sf else -1.0
+        if data.get("sf") != cur_sf:
+            return {}
+        return data.get("queries", {})
     except Exception:  # noqa: BLE001 - a corrupt detail file must not kill bench
         return {}
 

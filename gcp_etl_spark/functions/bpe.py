@@ -304,9 +304,9 @@ def train_merges(
     (``_select_batch_fast``) — round-trips drop ~batch×, and the
     result may differ from sequential only in merge order around
     count-tie interleavings (the trade every public batched trainer
-    makes). Measured on the fixture corpus (BENCH_SCALE.json
-    ``bpe_batch_grid``): 100 merges, batch=16 — exact 79 rounds, fast
-    8 rounds.
+    makes). Measured on the sf0.1 vocabulary (BENCH_SCALE.json
+    ``bpe_batch_grid``): 100 merges, batch=16 — sequential 89 rounds,
+    exact 82, fast 12.
 
     The corpus itself is never rescanned after the initial vocab
     collapse (Heaps' law: vocab ~ corpus^0.5), which is what makes N

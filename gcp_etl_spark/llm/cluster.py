@@ -95,6 +95,7 @@ def _two_phase_components(
 
     sig = signature(e)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # ---- large-star: (v, m) for every v in N(u) with v > u,
@@ -138,13 +139,24 @@ def _two_phase_components(
         new_sig = signature(ss)
         e = ss
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
         stats["algorithm"] = "two-phase"
-    # converged: e is a star forest (child u -> root v=min); min()
-    # guards the theoretical not-yet-star case at max_iter exhaustion
+        stats["converged"] = converged
+    if not converged:
+        # an unconverged edge set is NOT a star forest — extracting
+        # labels from it would silently split components (review
+        # finding). log2-round convergence means max_iter=25 covers
+        # graphs far beyond any real corpus; hitting this is a bug or
+        # a deliberately tiny max_iter, and both should be loud.
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{rounds} rounds (max_iter={max_iter}); raise max_iter"
+        )
+    # converged: e is a star forest (child u -> root v = component min)
     star = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("__c"))
     return nodes.join(star, "node", "left").select(
         "node", F.coalesce("__c", F.col("node")).alias("comp")

@@ -36,6 +36,88 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_prefix_sums(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    part_cols: Sequence[str] = (),
+    n_parts: int = 32,
+):
+    """THE ENGINE'S CUMULATIVE-SUM PRIMITIVE: globally cumulative sums
+    of ``sum_cols`` over a total (per-group) order, computed by the
+    two-pass range-partitioned shape — range exchange, in-partition
+    window, #groups×#partitions partial sums, broadcast prefix
+    offsets — never a single-partition window. Every rank/ECDF/
+    weighted-quantile operator in the repo is a projection of this
+    (r7 review: four inlined copies of the algebra collapsed here).
+
+    Returns ``(cum, psums)``: ``cum`` is the input plus one
+    ``<col>_cum`` per sum column (inclusive of the current row);
+    ``psums`` is the per-(group, physical-partition) partial-sum
+    relation ``(*part_cols, __pid, <col>_psum)`` — callers fold it for
+    group totals/sizes instead of re-aggregating the input.
+
+    The lazy localCheckpoint after the range exchange FREEZES the
+    physical partition ids: the exchanged relation feeds both the
+    windowed rows and the partial-sum counts, and without
+    materialization each branch would re-execute the exchange with an
+    independently SAMPLED boundary set — ``spark_partition_id()`` then
+    disagrees between branches and the offset join silently corrupts
+    the sums (observed on the ancestor of this code; see the r5 rank-
+    corruption note). NULL group keys are handled by the CALLER
+    (struct-wrap the keys — struct equality is null-safe)."""
+    pc, oc, sc = list(part_cols), list(order_cols), list(sum_cols)
+    parts = (
+        df.repartitionByRange(n_parts, *pc, *oc)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy(*pc, "__pid")
+        .orderBy(*oc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*", *[F.sum(c).over(w_in).alias(f"__lc_{c}") for c in sc]
+    )
+    psums = parts.groupBy(*pc, "__pid").agg(
+        *[F.sum(c).alias(f"{c}_psum") for c in sc]
+    )
+    # zero literals typed like the sums so decimal columns stay exact
+    ztypes = {
+        f.name: f.dataType
+        for f in psums.schema.fields
+        if f.name.endswith("_psum")
+    }
+    prior = (
+        Window.partitionBy(*pc)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offs = psums.select(
+        *pc,
+        "__pid",
+        *[
+            F.coalesce(
+                F.sum(f"{c}_psum").over(prior),
+                F.lit(0).cast(ztypes[f"{c}_psum"]),
+            ).alias(f"__o_{c}")
+            for c in sc
+        ],
+    )
+    cum = (
+        local.join(F.broadcast(offs), [*pc, "__pid"])
+        .select(
+            *[c for c in df.columns],
+            *[
+                (F.col(f"__lc_{c}") + F.col(f"__o_{c}")).alias(f"{c}_cum")
+                for c in sc
+            ],
+        )
+    )
+    return cum, psums
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -66,41 +148,13 @@ def global_row_number(
     if pc:
         work = work.withColumn("__grngk", F.struct(*pc))
         gk = ["__grngk"]
-    # localCheckpoint (lazy) FREEZES the partition ids: the ranked
-    # relation feeds two branches (the windowed rows and the offset
-    # counts), and without materialization each branch re-executes the
-    # range exchange with an independently SAMPLED boundary set —
-    # spark_partition_id() then disagrees between branches and the
-    # offset join silently corrupts ranks (observed: duplicate/skipped
-    # ranks whenever Catalyst's column pruning makes the two exchange
-    # subtrees non-identical, defeating ReuseExchange). The checkpoint
-    # also means the input is scanned once, not once per branch.
-    parts = (
-        work.repartitionByRange(n_parts, *gk, *oc)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    local = parts.withColumn(
-        "__lrn",
-        F.row_number().over(Window.partitionBy(*gk, "__pid").orderBy(*oc)),
-    )
-    counts = local.groupBy(*gk, "__pid").agg(F.count("*").alias("__n"))
-    # bounded relation: #groups x #partitions rows — the tiny-window
-    # prefix sum here is the documented-benign case
-    prior = (
-        Window.partitionBy(*gk)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offs = counts.select(
-        *gk,
-        "__pid",
-        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off"),
-    )
+    # the global row number IS the cumulative count: delegate to the
+    # shared primitive (pid-freeze invariant documented there)
+    work = work.withColumn("__one", F.lit(1).cast("long"))
+    cum, _ = range_prefix_sums(work, oc, ["__one"], gk, n_parts)
     return (
-        local.join(F.broadcast(offs), [*gk, "__pid"])
-        .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
-        .drop(*gk, "__pid", "__lrn", "__off")
+        cum.withColumnRenamed("__one_cum", rn_col)
+        .drop("__one", *gk)
     )
 
 
@@ -156,39 +210,16 @@ def exact_quantiles(
         vals = vals.select(F.struct(*gcols).alias("__gk"), "__v")
         gk = ["__gk"]
 
-    # inlined two-pass rank (the global_row_number algebra) so the
-    # group sizes __N come from the #groups x #partitions COUNTS
-    # relation instead of re-aggregating the full ranked relation —
-    # the r6 shape paid a second window pass over every row just to
-    # count groups (r7 fixed-overhead trim, ~0.5 s/pass at sf0.1)
-    parts = (
-        vals.repartitionByRange(n_parts, *gk, "__v")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # freeze pids (see global_row_number)
+    # shared two-pass rank primitive; group sizes __N fold the
+    # #groups x #partitions partial-sum relation instead of
+    # re-aggregating the full ranked relation (the r6 shape paid a
+    # second window pass over every row just to count groups)
+    work = vals.withColumn("__one", F.lit(1).cast("long"))
+    ranked, counts = range_prefix_sums(
+        work, ["__v"], ["__one"], gk, n_parts
     )
-    local = parts.withColumn(
-        "__lrn",
-        F.row_number().over(
-            Window.partitionBy(*gk, "__pid").orderBy("__v")
-        ),
-    )
-    counts = parts.groupBy(*gk, "__pid").agg(F.count("*").alias("__n"))
-    prior = (
-        Window.partitionBy(*gk)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offs = counts.select(
-        *gk,
-        "__pid",
-        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off"),
-    )
-    ranked = (
-        local.join(F.broadcast(offs), [*gk, "__pid"])
-        .withColumn("__rn", F.col("__lrn") + F.col("__off"))
-        .drop("__pid", "__lrn", "__off")
-    )
-    ns = counts.groupBy(*gk).agg(F.sum("__n").alias("__N"))
+    ranked = ranked.withColumnRenamed("__one_cum", "__rn").drop("__one")
+    ns = counts.groupBy(*gk).agg(F.sum("__one_psum").alias("__N"))
 
     spark = df.sparkSession
     probs_df = spark.createDataFrame(
@@ -304,39 +335,15 @@ def exact_weighted_quantiles(
     # relation shrinks to |distinct values| rows
     dv = vals.groupBy(*gk, "__v").agg(F.sum("__w").alias("__w"))
 
-    parts = (
-        dv.repartitionByRange(n_parts, *gk, "__v")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # freeze pids (see global_row_number)
-    )
-    local = parts.withColumn(
-        "__lcw",
-        F.sum("__w").over(
-            Window.partitionBy(*gk, "__pid")
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    psums = parts.groupBy(*gk, "__pid").agg(F.sum("__w").alias("__pw"))
-    prior = (
-        Window.partitionBy(*gk)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offs = psums.select(
-        *gk,
-        "__pid",
-        F.coalesce(F.sum("__pw").over(prior), F.lit(0).cast("decimal(28,6)"))
-        .alias("__off"),
-    )
-    cum = local.join(F.broadcast(offs), [*gk, "__pid"]).withColumn(
-        "__cw", F.col("__lcw") + F.col("__off")
-    )
+    # shared two-pass cumulative-sum primitive (decimal weights stay
+    # exact — the primitive types its zero literals from the sums)
+    cum, psums = range_prefix_sums(dv, ["__v"], ["__w"], gk, n_parts)
+    cum = cum.withColumnRenamed("__w_cum", "__cw")
     # group totals fold the per-partition sums already computed for
     # the prefix offsets — re-aggregating dv here would re-derive the
     # whole distinct-value relation from the SOURCE a second time (the
-    # lazy checkpoint hides only `parts`' subtree, not dv's)
-    tots = psums.groupBy(*gk).agg(F.sum("__pw").alias("__tot"))
+    # lazy checkpoint hides only the exchanged subtree, not dv's)
+    tots = psums.groupBy(*gk).agg(F.sum("__w_psum").alias("__tot"))
 
     spark = df.sparkSession
     probs_df = spark.createDataFrame(

@@ -767,38 +767,26 @@ def ann_ivf_partitioned_probe(spark, sf_dir):
     probe list is |centroids|-bounded (collected from an 8-row
     distinct); scoring is broadcast queries × pruned scan, top-k per
     query via window."""
-    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
+    # the build / probe / prune / score stages are the shared serving
+    # operators in streaming/ann_stream.py, so this batch query, the
+    # r7 stream_ann_probe dual, and the foreachBatch sink are the same
+    # algebra by construction
     from gcp_etl_spark.scratch import scratch_dir
+    from gcp_etl_spark.streaming.ann_stream import (
+        build_partitioned_index,
+        probe_relation,
+        probe_topk,
+        prune_index,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    assigned, centers = ivf_assign(emb, "vec_id", "embedding",
-                                   n_centroids=8)
-    d = scratch_dir("ivf_idx")
-    assigned.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").cast("array<double>").alias("n_vec"),
-        "centroid_id",
-    ).write.partitionBy("centroid_id").mode("overwrite").parquet(d)
-    idx = spark.read.parquet(d)
-
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("q_vec"),
-    ).withColumn(
-        "centroid_id",
-        F.explode(_nearest_centroids(F.col("q_vec"), centers, nprobe=2)),
+    idx, centers = build_partitioned_index(
+        emb, scratch_dir("ivf_idx"), n_centroids=8
     )
-    # |centroids|-bounded collect → a LITERAL IN-list the scan can
-    # statically prune partition directories with
-    probes = sorted(
-        r["centroid_id"] for r in q.select("centroid_id").distinct().collect()
+    q = probe_relation(
+        emb.filter(F.col("vec_id") % 50 == 0), centers, nprobe=2
     )
-    pruned = idx.filter(F.col("centroid_id").isin(probes))
-    # scoring shared with the streaming dual (streaming/ann_stream.py)
-    # so batch and per-micro-batch probes are provably the same algebra
-    from gcp_etl_spark.streaming.ann_stream import probe_topk
-
-    return probe_topk(pruned, q, k=5)
+    return probe_topk(prune_index(idx, q), q, k=5)
 
 
 # ------------------------------------------- corpus snapshot diff

@@ -237,34 +237,22 @@ def stream_ann_probe(spark, sf_dir):
     the relation the streamed epochs union to exactly, however the
     stream is batched (each query vector is scored independently
     against the static index, so the dual holds for ANY batching)."""
-    from gcp_etl_spark.llm.ivf import _nearest_centroids, ivf_assign
     from gcp_etl_spark.scratch import scratch_dir
-    from gcp_etl_spark.streaming.ann_stream import probe_topk
+    from gcp_etl_spark.streaming.ann_stream import (
+        build_partitioned_index,
+        probe_relation,
+        probe_topk,
+        prune_index,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    assigned, centers = ivf_assign(emb, "vec_id", "embedding",
-                                   n_centroids=8)
-    d = scratch_dir("ann_serve_idx")
-    assigned.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").cast("array<double>").alias("n_vec"),
-        "centroid_id",
-    ).write.partitionBy("centroid_id").mode("overwrite").parquet(d)
-    idx = spark.read.parquet(d)
-
-    q = emb.filter(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("q_vec"),
-    ).withColumn(
-        "centroid_id",
-        F.explode(_nearest_centroids(F.col("q_vec"), centers, 2)),
+    idx, centers = build_partitioned_index(
+        emb, scratch_dir("ann_serve_idx"), n_centroids=8
     )
-    probes = sorted(
-        r["centroid_id"]
-        for r in q.select("centroid_id").distinct().collect()
+    q = probe_relation(
+        emb.filter(F.col("vec_id") % 37 == 0), centers, nprobe=2
     )
-    pruned = idx.filter(F.col("centroid_id").isin(probes))
-    return probe_topk(pruned, q, k=5).orderBy("q_id", "rn")
+    return probe_topk(prune_index(idx, q), q, k=5).orderBy("q_id", "rn")
 
 
 # ------------------------------------------------------ BM25 retrieval
@@ -1240,9 +1228,10 @@ _KS_B = "purchase"
     )
     SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
            round(CAST(dnum AS DOUBLE) / (n.na * n.nb), 9) AS ks_d,
-           round(2 * exp(-2.0 * (CAST(dnum AS DOUBLE) / (n.na * n.nb))
+           round(least(1.0,
+                 2 * exp(-2.0 * (CAST(dnum AS DOUBLE) / (n.na * n.nb))
                              * (CAST(dnum AS DOUBLE) / (n.na * n.nb))
-                             * n.na * n.nb / (n.na + n.nb)), 6)
+                             * n.na * n.nb / (n.na + n.nb))), 6)
              AS p_asymptotic
     FROM d CROSS JOIN n
     """,
@@ -1266,6 +1255,8 @@ def stats_ks_two_sample(spark, sf_dir):
     (in-partition cumsum + broadcast prefix offsets) — never a
     single-partition window over unbounded distinct values; the
     supremum is a plain max agg."""
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_KS_A, _KS_B)
     )
@@ -1273,40 +1264,17 @@ def stats_ks_two_sample(spark, sf_dir):
         F.sum((F.col("event_type") == _KS_A).cast("long")).alias("ca"),
         F.sum((F.col("event_type") == _KS_B).cast("long")).alias("cb"),
     )
-    parts = (
-        dv.repartitionByRange(32, "value")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    w_in = (
-        Window.partitionBy("__pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = parts.withColumn("lca", F.sum("ca").over(w_in)).withColumn(
-        "lcb", F.sum("cb").over(w_in)
-    )
-    psums = parts.groupBy("__pid").agg(
-        F.sum("ca").alias("pa"), F.sum("cb").alias("pb")
-    )
-    prior = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    offs = psums.select(
-        "__pid",
-        F.coalesce(F.sum("pa").over(prior), F.lit(0)).alias("offa"),
-        F.coalesce(F.sum("pb").over(prior), F.lit(0)).alias("offb"),
-    )
-    cum = local.join(F.broadcast(offs), "__pid").select(
-        (F.col("lca") + F.col("offa")).alias("cuma"),
-        (F.col("lcb") + F.col("offb")).alias("cumb"),
-    )
+    # shared two-pass cumulative-sum primitive (both ECDFs in one call)
+    cum, psums = range_prefix_sums(dv, ["value"], ["ca", "cb"])
     n = psums.agg(
-        F.sum("pa").alias("na"), F.sum("pb").alias("nb")
+        F.sum("ca_psum").alias("na"), F.sum("cb_psum").alias("nb")
     )
     d = cum.crossJoin(F.broadcast(n)).agg(
         F.max(
-            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            F.abs(
+                F.col("ca_cum") * F.col("nb")
+                - F.col("cb_cum") * F.col("na")
+            )
         ).alias("dnum"),
         F.any_value("na").alias("na"),
         F.any_value("nb").alias("nb"),
@@ -1317,10 +1285,15 @@ def stats_ks_two_sample(spark, sf_dir):
         F.col("nb").alias("n_b"),
         F.round(ks, 9).alias("ks_d"),
         F.round(
-            2
-            * F.exp(
-                -2.0 * ks * ks * F.col("na") * F.col("nb")
-                / (F.col("na") + F.col("nb"))
+            # clamp: the one-term asymptotic series exceeds 1 for
+            # small D (review finding) — a probability caps at 1
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -2.0 * ks * ks * F.col("na") * F.col("nb")
+                    / (F.col("na") + F.col("nb"))
+                ),
             ),
             6,
         ).alias("p_asymptotic"),
@@ -1338,8 +1311,10 @@ def stats_ks_two_sample(spark, sf_dir):
       FROM events WHERE value > 0
     ),
     digit AS (
+      -- sub-cent amounts (cents = 0) carry no leading digit at the
+      -- cents granularity this audit runs at; excluded in both engines
       SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
-      FROM cents
+      FROM cents WHERE c >= 1
     ),
     obs AS (SELECT d, count(*) AS n FROM digit GROUP BY d),
     tot AS (SELECT sum(n) AS total FROM obs)
@@ -1366,11 +1341,12 @@ def dq_benford_first_digit(spark, sf_dir):
     cents = (
         t(spark, sf_dir, "events")
         .filter(F.col("value") > 0)
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+        # sub-cent amounts round to 0 cents: no leading digit at this
+        # granularity (review finding — digit 0 would emit NULL shares)
+        .filter(F.col("c") >= 1)
         .select(
-            F.round(F.col("value") * 100).cast("long").cast("string")
-            .substr(1, 1)
-            .cast("int")
-            .alias("d")
+            F.col("c").cast("string").substr(1, 1).cast("int").alias("d")
         )
     )
     obs = cents.groupBy("d").agg(F.count("*").alias("n"))
@@ -1534,12 +1510,22 @@ def decontaminate_bloom_verified(spark, sf_dir):
         f"transform(sequence(0, size(ws) - {_BLOOM_N}),"
         " i -> concat_ws(' ', slice(ws, i + 1, " + str(_BLOOM_N) + ")))"
     )
+    # checkpoint the tokenized n-gram relation ONCE: its consumers
+    # (eval count, bloom build, candidate probe, verify join) would
+    # otherwise each re-run the corpus tokenize+explode+distinct
+    # (review finding: four corpus-scale passes where one will do)
     g = (
         d.filter(F.size("ws") >= _BLOOM_N)
         .select("doc_id", "source", F.explode(grams).alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    ev = g.filter(F.col("source") == _BLOOM_EVAL_SRC).select("g").distinct()
+    ev = (
+        g.filter(F.col("source") == _BLOOM_EVAL_SRC)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_eval = ev.count()
     m, k = bloom_parameters(n_eval, fpp=0.01)
     bits = build_bloom(ev, "g", m, k)

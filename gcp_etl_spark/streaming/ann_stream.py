@@ -29,6 +29,58 @@ from gcp_etl_spark.llm.ivf import _nearest_centroids
 from gcp_etl_spark.llm.similarity import cosine
 
 
+def build_partitioned_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit the coarse quantizer, write the assigned corpus
+    ``partitionBy(centroid_id)``, read it back. Returns (idx, centers).
+    Shared by the batch probe queries and the streaming sink setup so
+    the serving layout is built one way everywhere."""
+    from gcp_etl_spark.llm.ivf import ivf_assign
+
+    assigned, centers = ivf_assign(emb, id_col, vec_col, n_centroids)
+    assigned.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+        "centroid_id",
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(index_dir)
+    return emb.sparkSession.read.parquet(index_dir), centers
+
+
+def probe_relation(
+    emb: DataFrame,
+    centers,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, q_vec, centroid_id) with one row per probed cell."""
+    return emb.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids(F.col("q_vec"), centers, nprobe)),
+    )
+
+
+def prune_index(idx: DataFrame, q: DataFrame) -> DataFrame:
+    """Statically prune the partitioned index to the cells ``q``
+    probes: the |centroids|-bounded probe list collects to a literal
+    IN-list the parquet scan prunes partition directories with."""
+    probes = sorted(
+        r["centroid_id"]
+        for r in q.select("centroid_id").distinct().collect()
+    )
+    if not probes:  # empty query set: prune everything
+        return idx.filter(F.lit(False))
+    return idx.filter(F.col("centroid_id").isin(probes))
+
+
 def probe_topk(
     idx: DataFrame, q: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -67,24 +119,15 @@ def ann_probe_sink(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        q = batch_df.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).cast("array<double>").alias("q_vec"),
-        ).withColumn(
-            "centroid_id",
-            F.explode(_nearest_centroids(F.col("q_vec"), centers, nprobe)),
-        ).localCheckpoint()  # tiny; freezes the probe set for the epoch
-        # |centroids|-bounded collect -> literal IN-list -> static
-        # partition pruning at the parquet scan, per micro-batch
-        probes = sorted(
-            r["centroid_id"]
-            for r in q.select("centroid_id").distinct().collect()
-        )
-        if not probes:
+        # tiny; the checkpoint freezes the probe set for the epoch
+        q = probe_relation(
+            batch_df, centers, nprobe, id_col, vec_col
+        ).localCheckpoint()
+        if q.limit(1).count() == 0:
             return
-        idx = spark.read.parquet(index_dir).filter(
-            F.col("centroid_id").isin(probes)
-        )
+        # prune_index: |centroids|-bounded collect -> literal IN-list
+        # -> static partition pruning at the parquet scan, per batch
+        idx = prune_index(spark.read.parquet(index_dir), q)
         out = probe_topk(idx, q, k)
         if plan_probe is not None:
             plan_probe.append(out._jdf.queryExecution().executedPlan().toString())
