@@ -1860,3 +1860,224 @@ def text_boilerplate_prefixes(spark, sf_dir):
         )
         .orderBy("source", "rank")
     )
+
+
+# ------------------------------------------------ Pareto 80/20 point
+
+_PARETO_TARGET = 0.8
+
+
+@query(
+    "analytics_pareto_8020",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum
+      FROM c
+    ),
+    tot AS (SELECT count(*) AS n, sum(rev) AS total FROM c),
+    hit AS (
+      SELECT min(rk) AS k FROM r CROSS JOIN tot
+      WHERE cum * 10 >= total * {int(_PARETO_TARGET * 10)}
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_customers,
+           CAST(hit.k AS BIGINT) AS n_top_customers,
+           round(CAST(hit.k AS DOUBLE) / tot.n, 6) AS top_share,
+           CAST({_PARETO_TARGET} AS DOUBLE) AS revenue_share
+    FROM hit CROSS JOIN tot
+    """,
+    tags=("analytics", "concentration", "ranks"),
+)
+def analytics_pareto_8020(spark, sf_dir):
+    """PARETO CONCENTRATION POINT: the smallest number of customers
+    whose (descending) cumulative revenue reaches 80% of the total —
+    the "how top-heavy is revenue" number next to the Gini index's
+    integral view.
+
+    Determinism: revenue pre-aggregates as DECIMAL per customer; the
+    threshold compare is integer-exact (cum×10 ≥ total×8 in decimal);
+    ranks break ties on customer key.
+
+    Scale: per-customer revenue is one hash agg; the descending
+    cumulative sum routes through the shared range-partitioned prefix
+    primitive (ordering on the NEGATED revenue — the exchange orders
+    ascending); the answer is a broadcast-threshold min."""
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    # descending order = ascending on the negated key (+custkey tiebreak)
+    work = c.select(
+        "o_custkey", "rev", (-F.col("rev")).alias("__negrev"),
+        F.lit(1).cast("long").alias("__one"),
+    )
+    cum, psums = range_prefix_sums(
+        work, ["__negrev", "o_custkey"], ["rev", "__one"]
+    )
+    tot = psums.agg(
+        F.sum("__one_psum").alias("n"), F.sum("rev_psum").alias("total")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("rev_cum") * 10
+            >= F.col("total") * int(_PARETO_TARGET * 10)
+        )
+        .agg(F.min("__one_cum").alias("k"))
+    )
+    return hit.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.col("k").alias("n_top_customers"),
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+            "top_share"
+        ),
+        F.lit(float(_PARETO_TARGET)).alias("revenue_share"),
+    )
+
+
+# --------------------------------------------------- per-user peak rate
+
+_PEAK_WINDOW_MIN = 5
+
+
+@query(
+    "events_peak_rate",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_PEAK_WINDOW_MIN * 60 * 1000000} PRECEDING
+                     AND CURRENT ROW
+             ) AS cnt
+      FROM events
+    )
+    SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_5min
+    FROM w GROUP BY user_id
+    ORDER BY peak_5min DESC, user_id LIMIT 20
+    """,
+    tags=("analytics", "rate", "window", "events"),
+)
+def events_peak_rate(spark, sf_dir):
+    """PER-USER PEAK EVENT RATE: the maximum number of events any
+    trailing {_PEAK_WINDOW_MIN}-minute window contains, per user —
+    burst detection for rate limiting / abuse review, reported as the
+    top-20 burstiest users.
+
+    Determinism: the trailing window is a numeric RANGE frame over
+    exact epoch microseconds (identical integer bounds both engines).
+
+    Scale: one per-user window over a time-RANGE frame (single
+    shuffle on user_id; frames never materialize — Spark's range
+    frame slides two pointers), one hash agg, TakeOrdered top-20."""
+    from gcp_etl_spark.queries.temporal_ops import _us
+
+    e = t(spark, sf_dir, "events")
+    us = _us(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_PEAK_WINDOW_MIN * 60 * 1_000_000, 0)
+    )
+    return (
+        e.select("user_id", F.count("*").over(w).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("peak_5min"))
+        .orderBy(F.desc("peak_5min"), "user_id")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------- Luhn checksum audit
+
+
+@query(
+    "pii_luhn_validate",
+    oracle="""
+    WITH cand AS (
+      -- deterministic 16-digit candidate per event: the zero-padded
+      -- concatenation both engines derive identically
+      SELECT event_id,
+             lpad(CAST(user_id AS VARCHAR), 8, '0')
+               || lpad(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                       8, '0') AS digits
+      FROM events
+      WHERE value > 0 AND round(value * 100) < 100000000 AND user_id >= 0
+    ),
+    luhn AS (
+      SELECT event_id, digits,
+             list_sum(
+               list_transform(range(1, 17), i ->
+                 CASE WHEN i % 2 = 1
+                      THEN CAST(substr(digits, 17 - i, 1) AS INT)
+                      ELSE CASE
+                        WHEN CAST(substr(digits, 17 - i, 1) AS INT) * 2 > 9
+                        THEN CAST(substr(digits, 17 - i, 1) AS INT) * 2 - 9
+                        ELSE CAST(substr(digits, 17 - i, 1) AS INT) * 2
+                      END END)
+             ) AS s
+      FROM cand
+    )
+    SELECT count(*) AS n_candidates,
+           CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_luhn_valid,
+           round(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) * 100.0
+                 / count(*), 4) AS valid_pct
+    FROM luhn
+    """,
+    tags=("privacy", "pii", "audit"),
+)
+def pii_luhn_validate(spark, sf_dir):
+    """LUHN CHECKSUM VALIDATION — the second stage of credit-card PII
+    scanning (regex finds 16-digit candidates, the Luhn mod-10 check
+    rejects the ~90% that are coincidental digit runs, cutting the
+    redaction false-positive rate 10x). The fixture has no real card
+    numbers, so candidates are deterministic 16-digit strings derived
+    identically in both engines; the CHECK — double every second digit
+    from the right, subtract 9 above 9, sum mod 10 — is the real
+    algorithm, exercised digit-for-digit.
+
+    Scale: pure map over candidate strings (the digit fold is an
+    in-row array transform, no explode), one global count agg."""
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cand = e.filter(
+        (F.col("value") > 0)
+        & (cents < 100000000)
+        & (F.col("user_id") >= 0)
+    ).select(
+        F.concat(
+            F.lpad(F.col("user_id").cast("string"), 8, "0"),
+            F.lpad(cents.cast("string"), 8, "0"),
+        ).alias("digits")
+    )
+    # i = 1..16 counted from the RIGHT; odd positions keep the digit,
+    # even positions double-and-subtract-9-above-9 (Luhn, public)
+    s = F.aggregate(
+        F.expr(
+            "transform(sequence(1, 16), i -> CASE WHEN i % 2 = 1"
+            " THEN CAST(substring(digits, 17 - i, 1) AS INT)"
+            " ELSE CASE WHEN CAST(substring(digits, 17 - i, 1) AS INT)"
+            "   * 2 > 9"
+            " THEN CAST(substring(digits, 17 - i, 1) AS INT) * 2 - 9"
+            " ELSE CAST(substring(digits, 17 - i, 1) AS INT) * 2"
+            " END END)"
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    valid = (s % 10 == 0).cast("long")
+    return cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(valid).alias("n_luhn_valid"),
+        F.round(F.sum(valid) * 100.0 / F.count("*"), 4).alias(
+            "valid_pct"
+        ),
+    )
