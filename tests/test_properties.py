@@ -164,3 +164,61 @@ def test_stratified_sample_exact_quotas(spark, rows):
     for k, n in strata.items():
         assert got[k]["n_total"] == n
         assert got[k]["n_taken"] == math.ceil(0.1 * n)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # group
+            st.integers(-50, 50),                   # order key
+            st.integers(-5, 5),                     # weight a
+            st.integers(0, 9),                      # weight b
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.integers(1, 7),
+)
+def test_range_prefix_sums_matches_pandas(spark, rows, n_parts):
+    """PROPERTY: range_prefix_sums (the primitive behind every rank/
+    quantile/ECDF operator) equals a pandas groupwise cumsum for any
+    data, any group/tie structure, any partition count — cumulative
+    values per (group, order-key) and per-group totals both. Ties on
+    the order key are order-ambiguous ROW-wise, so the comparison
+    collapses to the LAST cumulative value per distinct key (a
+    well-defined quantity under any tie order)."""
+    import pandas as pd
+
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
+    df = spark.createDataFrame(
+        rows, "g int, k int, wa long, wb long"
+    )
+    cum, psums = range_prefix_sums(
+        df, ["k"], ["wa", "wb"], part_cols=["g"], n_parts=n_parts
+    )
+    got = (
+        cum.groupBy("g", "k")
+        .agg(F.max("wa_cum").alias("ca"), F.max("wb_cum").alias("cb"))
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "k", "wa", "wb"]).sort_values(
+        ["g", "k"], kind="stable"
+    )
+    pdf["ca"] = pdf.groupby("g")["wa"].cumsum()
+    pdf["cb"] = pdf.groupby("g")["wb"].cumsum()
+    want = pdf.groupby(["g", "k"]).agg(ca=("ca", "max"), cb=("cb", "max"))
+    for r in got:
+        w = want.loc[(r["g"], r["k"])]
+        assert (r["ca"], r["cb"]) == (w["ca"], w["cb"]), (r, w)
+    # totals: per-group partial sums fold to the exact group sums
+    tots = {
+        r["g"]: (r["ta"], r["tb"])
+        for r in psums.groupBy("g")
+        .agg(F.sum("wa_psum").alias("ta"), F.sum("wb_psum").alias("tb"))
+        .collect()
+    }
+    gt = pdf.groupby("g").agg(ta=("wa", "sum"), tb=("wb", "sum"))
+    for g, (ta, tb) in tots.items():
+        assert (ta, tb) == (gt.loc[g]["ta"], gt.loc[g]["tb"])
