@@ -2081,3 +2081,93 @@ def pii_luhn_validate(spark, sf_dir):
             "valid_pct"
         ),
     )
+
+
+# ------------------------------------------- MMR diversified top-k
+
+_MMR_PROBE = 17          # query vector id
+_MMR_SHORTLIST = 40
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+@query(
+    "ann_mmr_rerank",
+    # rows-only by design: MMR's greedy argmax recurrence (each pick
+    # depends on max-similarity to all previous picks) is not a single
+    # SQL statement. Pinned exactly against a pure-numpy replay in
+    # tests/test_r7.py::test_mmr_matches_numpy_reference.
+    oracle=None,
+    tags=("llm", "ann", "retrieval", "diversity"),
+)
+def ann_mmr_rerank(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998, public — the standard retrieval diversifier): from the
+    probe's cosine top-{_MMR_SHORTLIST} shortlist, greedily pick
+    {_MMR_K} items maximizing λ·rel(d) − (1−λ)·max_sim(d, picked) —
+    relevance traded against redundancy, λ={_MMR_LAMBDA}.
+
+    Scale split (how every production reranker runs): the SHORTLIST is
+    the distributed part — one broadcast-probe cosine pass over the
+    corpus, TakeOrdered top-{_MMR_SHORTLIST} — and the MMR recurrence
+    then operates on the k²-bounded candidate set ({_MMR_SHORTLIST}²
+    pairwise sims, a {_MMR_SHORTLIST}-row collect), which is
+    serving-side math by construction, not a driver-loop smell: its
+    input is bounded by the shortlist size whatever the corpus is.
+
+    Determinism: cosines round at 6 dp before the greedy recurrence;
+    ties break on vec_id ascending (both pinned in the numpy replay
+    pytest)."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == _MMR_PROBE).select(
+        F.col("v").alias("qv")
+    )
+    shortlist = (
+        emb.filter(F.col("vec_id") != _MMR_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id", "v",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_SHORTLIST)
+    )
+    cand = shortlist.collect()  # bounded: _MMR_SHORTLIST rows
+    import numpy as np
+
+    ids = [r["vec_id"] for r in cand]
+    rel = np.array([r["rel"] for r in cand])
+    M = np.array([r["v"] for r in cand], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 6)  # pairwise cosine, 6 dp like rel
+    picked: list[int] = []
+    out_rows = []
+    for rank in range(min(_MMR_K, len(ids))):
+        best_i, best_score = -1, None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            div = max((S[i][j] for j in picked), default=0.0)
+            score = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        picked.append(best_i)
+        out_rows.append(
+            (
+                rank + 1,
+                int(ids[best_i]),
+                float(rel[best_i]),
+                round(float(best_score), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id long, rel double, mmr_score double"
+    )

@@ -482,3 +482,66 @@ def test_bloom_no_false_negatives_and_bounded_fpp(spark):
     )
     fp = others.filter(probe(F.col("g"))).count()
     assert fp <= 0.03 * 5000, f"fpp too high: {fp}/5000"
+
+
+# --------------------------------------------------------- MMR rerank
+
+
+def test_mmr_matches_numpy_reference(spark):
+    """The registered MMR query must equal an independent end-to-end
+    numpy replay (shortlist + greedy recurrence recomputed from the
+    raw embeddings), pick-for-pick and score-for-score."""
+    import numpy as np
+
+    from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.queries.r7_ops import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_PROBE,
+        _MMR_SHORTLIST,
+    )
+    from gcp_etl_spark.tables import t
+
+    got = [
+        (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in load_all()["ann_mmr_rerank"].fn(spark, SF_SMALL).collect()
+    ]
+
+    rows = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qi = int(np.where(ids == _MMR_PROBE)[0][0])
+    rel_all = np.round(Mn @ Mn[qi], 6)
+    mask = ids != _MMR_PROBE
+    order = sorted(
+        np.where(mask)[0], key=lambda i: (-rel_all[i], ids[i])
+    )[:_MMR_SHORTLIST]
+    sids = [int(ids[i]) for i in order]
+    rel = rel_all[order]
+    S = np.round(Mn[order] @ Mn[order].T, 6)
+    picked: list[int] = []
+    want = []
+    for rank in range(_MMR_K):
+        best_i, best_s = -1, None
+        for i in range(len(sids)):
+            if i in picked:
+                continue
+            div = max((S[i][j] for j in picked), default=0.0)
+            sc = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+            if best_s is None or sc > best_s or (
+                sc == best_s and sids[i] < sids[best_i]
+            ):
+                best_i, best_s = i, sc
+        picked.append(best_i)
+        want.append(
+            (rank + 1, sids[best_i], float(rel[best_i]),
+             round(float(best_s), 6))
+        )
+    assert got == want
+    # diversification sanity: MMR must not equal the plain relevance
+    # top-k order unless the shortlist is already diverse
+    plain = [sids[i] for i in range(_MMR_K)]
+    assert len(got) == _MMR_K and [g[1] for g in got][0] == plain[0]
