@@ -184,6 +184,15 @@ def _select_batch_fast(
     for left, right, cnt in cands:
         if len(accepted) == limit:
             break
+        if (left + right) in syms_used:
+            # the merged token would equal a symbol an earlier-accepted
+            # merge REFERENCES: inside one fold pass the newly created
+            # token could immediately feed that merge's rule (e.g.
+            # accept B=(s,z) then A=(l,r) with l+r==s → word [l,r,z]
+            # folds to [lrz], but sequential B-then-A yields [s,z]).
+            # Not skippable — any later candidate faces the same stale
+            # hazard — so END the batch before accepting.
+            break
         if (
             left in syms_used
             or right in syms_used
@@ -239,6 +248,13 @@ def _select_batch(
         conflict = (
             left in syms_used
             or right in syms_used
+            # merged token == a symbol an earlier-accepted merge
+            # references: applying this candidate would create a token
+            # that merge's rule fires on WITHIN the same fold pass,
+            # diverging from the sequential order (B=(s,z) then
+            # A=(l,r), l+r==s: fold gives [lrz], sequential [s,z]).
+            # Stop BEFORE accepting so c_stop truncation sees it.
+            or (left + right) in syms_used
             or (left + right) in merged_made
             or left in merged_made
             or right in merged_made

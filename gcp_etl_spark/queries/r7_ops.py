@@ -1269,11 +1269,15 @@ def stats_ks_two_sample(spark, sf_dir):
     n = psums.agg(
         F.sum("ca_psum").alias("na"), F.sum("cb_psum").alias("nb")
     )
+    # decimal(38,0) for the cross-normalized products: at >~3e9 rows
+    # per side cum·n exceeds int64 (the DuckDB oracle computes these
+    # in 128-bit HUGEINT) — decimal keeps the Spark side integer-exact
+    # to the oracle's width instead of ANSI-erroring at scale
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     d = cum.crossJoin(F.broadcast(n)).agg(
         F.max(
             F.abs(
-                F.col("ca_cum") * F.col("nb")
-                - F.col("cb_cum") * F.col("na")
+                dec("ca_cum") * dec("nb") - dec("cb_cum") * dec("na")
             )
         ).alias("dnum"),
         F.any_value("na").alias("na"),

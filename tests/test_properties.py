@@ -183,35 +183,36 @@ def test_stratified_sample_exact_quotas(spark, rows):
 def test_range_prefix_sums_matches_pandas(spark, rows, n_parts):
     """PROPERTY: range_prefix_sums (the primitive behind every rank/
     quantile/ECDF operator) equals a pandas groupwise cumsum for any
-    data, any group/tie structure, any partition count — cumulative
-    values per (group, order-key) and per-group totals both. Ties on
-    the order key are order-ambiguous ROW-wise, so the comparison
-    collapses to the LAST cumulative value per distinct key (a
-    well-defined quantity under any tie order)."""
+    data, any group/tie structure, any partition count. Ties on the
+    order key alone are order-ambiguous ROW-wise (with negative
+    weights even the per-key max of prefix sums is permutation-
+    dependent — r7 ADVICE), so a unique row id joins the order key:
+    the cumulative is then exactly defined per ROW and compared
+    row-by-row, while ties on k still straddle range-partition
+    boundaries (the case the offset algebra must survive)."""
     import pandas as pd
 
     from gcp_etl_spark.operators.quantiles import range_prefix_sums
 
+    rows_id = [(g, k, i, wa, wb) for i, (g, k, wa, wb) in enumerate(rows)]
     df = spark.createDataFrame(
-        rows, "g int, k int, wa long, wb long"
+        rows_id, "g int, k int, rid int, wa long, wb long"
     )
     cum, psums = range_prefix_sums(
-        df, ["k"], ["wa", "wb"], part_cols=["g"], n_parts=n_parts
+        df, ["k", "rid"], ["wa", "wb"], part_cols=["g"], n_parts=n_parts
     )
-    got = (
-        cum.groupBy("g", "k")
-        .agg(F.max("wa_cum").alias("ca"), F.max("wb_cum").alias("cb"))
-        .collect()
-    )
-    pdf = pd.DataFrame(rows, columns=["g", "k", "wa", "wb"]).sort_values(
-        ["g", "k"], kind="stable"
-    )
+    got = {
+        (r["g"], r["rid"]): (r["wa_cum"], r["wb_cum"])
+        for r in cum.collect()
+    }
+    pdf = pd.DataFrame(
+        rows_id, columns=["g", "k", "rid", "wa", "wb"]
+    ).sort_values(["g", "k", "rid"])
     pdf["ca"] = pdf.groupby("g")["wa"].cumsum()
     pdf["cb"] = pdf.groupby("g")["wb"].cumsum()
-    want = pdf.groupby(["g", "k"]).agg(ca=("ca", "max"), cb=("cb", "max"))
-    for r in got:
-        w = want.loc[(r["g"], r["k"])]
-        assert (r["ca"], r["cb"]) == (w["ca"], w["cb"]), (r, w)
+    assert len(got) == len(pdf)
+    for _, w in pdf.iterrows():
+        assert got[(w["g"], w["rid"])] == (w["ca"], w["cb"]), (dict(w), got)
     # totals: per-group partial sums fold to the exact group sums
     tots = {
         r["g"]: (r["ta"], r["tb"])

@@ -545,3 +545,25 @@ def test_mmr_matches_numpy_reference(spark):
     # top-k order unless the shortlist is already diverse
     plain = [sids[i] for i in range(_MMR_K)]
     assert len(got) == _MMR_K and [g[1] for g in got][0] == plain[0]
+
+
+def test_bpe_batch_selector_rejects_merged_token_feeding_prior_merge():
+    """r7-ADVICE regression: a candidate whose merged token equals a
+    symbol an earlier-accepted merge REFERENCES must END the batch
+    before being accepted (in one fold pass, applying A=(l,r) with
+    l+r==s creates a token that B=(s,z)'s rule fires on — word
+    [l,r,z] would fold to [lrz] where sequential B-then-A gives
+    [s,z]). Before the fix both selectors committed A (reachable via
+    the created_prev path, which ends the batch AFTER accepting)."""
+    from gcp_etl_spark.functions.bpe import _select_batch, _select_batch_fast
+
+    # "st" was created in a previous round; B references it, A recreates it
+    cands = [("st", "z", 100), ("s", "t", 90), ("q", "q", 10)]
+    created_prev = {"st"}
+
+    accepted, c_stop = _select_batch(cands, created_prev, limit=4)
+    assert accepted == [("st", "z", 100)], accepted
+    assert c_stop == 90  # A's count bounds the strict truncation
+
+    fast = _select_batch_fast(cands, created_prev, limit=4)
+    assert fast == [("st", "z", 100)], fast
