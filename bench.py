@@ -40,9 +40,26 @@ by the partial-headline cadence riding earlier lines since r2) keeps
 the short headline authoritative, while a raw-stdout capture now also
 contains the full map.
 
+Round-8 hygiene (r7 verdict ask #1: the 469.6 s r7 headline was
+contention-dominated — load1 4.8-7.9, 275-341 host procs — vs a 411.3 s
+quieter same-corpus pass; that gap exceeded every real plan change):
+  * LOAD GATE: before each measured pass, if load1 exceeds the gate
+    (default 4.0 — r7's skewed records were taken at load1 4.8+; env
+    SPARK_GRAFT_BENCH_LOAD_GATE) the bench sleeps and resamples up to
+    6 times (suite-wide sleep budget 600 s so a permanently-busy host
+    still finishes), then proceeds, marking the pass contended.
+  * MIN UNDER LOAD: when EVERY pass of a query ran contended, the
+    record is min(passes) — the pass2-warm rationale (record the warm
+    second pass) assumes a quiet host; under load the minimum is the
+    least-contaminated observation.
+  * the headline JSON carries ``contended_queries`` (count of queries
+    whose RECORDED pass started above the gate) so a polluted suite
+    number is self-diagnosing at the headline level.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list),
 SPARK_GRAFT_BENCH_MIN2 (threshold sec, default 2; 0 disables),
+SPARK_GRAFT_BENCH_LOAD_GATE (load1 gate, default 4.0; 0 disables),
 SPARK_GRAFT_ROUND (round stamp for the detail snapshot filename).
 """
 
@@ -62,6 +79,8 @@ from gcp_etl_spark.session import get_spark
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 MIN2_THRESHOLD_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MIN2", "2"))
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0"))
+_SLEEP_BUDGET = [600.0]  # suite-wide seconds the gate may spend waiting
 
 # silence the known-benign WindowExec warnings in the bench tail ONLY —
 # library sessions keep them (see session._quiet_benign_warnings)
@@ -87,6 +106,28 @@ def _host_load() -> dict:
     except OSError:  # pragma: no cover
         pass
     return out
+
+
+def _gate_load() -> tuple[float, bool]:
+    """Wait (bounded) for the host to quiet down before a measured
+    pass. Returns (load1 at pass start, contended?) where contended
+    means the pass is STARTING above the gate anyway — either the gate
+    is disabled, the retries ran out, or the suite sleep budget is
+    spent (a permanently-busy host must still produce a bench)."""
+    try:
+        load = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        return 0.0, False
+    if not LOAD_GATE:
+        return round(load, 1), False
+    tries = 6
+    while load > LOAD_GATE and tries > 0 and _SLEEP_BUDGET[0] > 0:
+        nap = min(5.0, _SLEEP_BUDGET[0])
+        time.sleep(nap)
+        _SLEEP_BUDGET[0] -= nap
+        tries -= 1
+        load = os.getloadavg()[0]
+    return round(load, 1), load > LOAD_GATE
 
 
 def _round_stamp() -> int:
@@ -148,6 +189,7 @@ def _dump_detail(sf: float, timings: dict, detail: dict, failures: list) -> None
         "unit": "sec",
         "sf": sf,
         "min2_threshold_sec": MIN2_THRESHOLD_SEC,
+        "load_gate": LOAD_GATE,
         "timing": "pass2_warm_if_slow",
         "queries": timings,
         "detail": detail,
@@ -212,11 +254,20 @@ def main() -> None:
             continue
         rec: dict = _host_load()
         passes: list[float] = []
+        pass_loads: list[float] = []
+        pass_hot: list[bool] = []
         repassed_for_load = False
-        try:
+
+        def _measured_pass() -> None:
+            load, hot = _gate_load()
+            pass_loads.append(load)
+            pass_hot.append(hot)
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             passes.append(round(time.time() - t0, 3))
+
+        try:
+            _measured_pass()
             prev = prior.get(name)
             if (
                 (not MIN2_THRESHOLD_SEC or passes[0] < MIN2_THRESHOLD_SEC)
@@ -232,9 +283,7 @@ def main() -> None:
                 repassed_for_load = True
                 rec["prior_sec"] = prev
                 _cleanup()
-                t0 = time.time()
-                force(spec.fn(spark, sf_dir))
-                passes.append(round(time.time() - t0, 3))
+                _measured_pass()
             if MIN2_THRESHOLD_SEC and passes[0] >= MIN2_THRESHOLD_SEC:
                 # one contended pass must not define the record: re-run
                 # once from a clean cache and record the SECOND pass —
@@ -242,21 +291,24 @@ def main() -> None:
                 # min-of-2 which biased records downward (r4 ADVICE);
                 # all raw passes stay in the detail file
                 _cleanup()
-                t0 = time.time()
-                force(spec.fn(spark, sf_dir))
-                passes.append(round(time.time() - t0, 3))
+                _measured_pass()
                 if passes[1] > 2 * passes[0]:
                     # r5 lesson (analytics_bootstrap_ci: 2.66 s pass-1,
                     # 55.1 s pass-2 became the official number): a
                     # pass-to-pass blowup means GC/contention noise, not
                     # warmth — run a THIRD pass and record the median
                     _cleanup()
-                    t0 = time.time()
-                    force(spec.fn(spark, sf_dir))
-                    passes.append(round(time.time() - t0, 3))
+                    _measured_pass()
             if repassed_for_load:
                 timings[name] = min(passes)
                 rec["timing"] = "repass_load"
+            elif len(passes) >= 2 and all(pass_hot):
+                # r7 verdict ask #1b: EVERY pass started above the load
+                # gate (retries exhausted) — the warm-pass-2 rationale
+                # assumes a quiet host, so under sustained load the
+                # minimum is the least-contaminated observation
+                timings[name] = min(passes)
+                rec["timing"] = "min_contended"
             elif len(passes) == 3:
                 timings[name] = sorted(passes)[1]
                 rec["timing"] = "median3"
@@ -267,6 +319,10 @@ def main() -> None:
                 # two-pass records)
                 rec["timing"] = "pass2_warm" if len(passes) == 2 else "pass1"
             rec["passes"] = passes
+            rec["pass_loads"] = pass_loads
+            # contended = the pass whose time became the record STARTED
+            # above the gate (feeds the headline contended_queries count)
+            rec["contended"] = pass_hot[passes.index(timings[name])]
             detail[name] = rec
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             failures.append(name)
@@ -352,6 +408,12 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "timing": "pass2_warm_if_slow",
+                # r7 verdict ask #1c: how many records were taken above
+                # the load gate — nonzero means the suite number carries
+                # host contention, not plan changes
+                "contended_queries": sum(
+                    1 for r in detail.values() if r.get("contended")
+                ),
                 **dist,
                 "detail": f"BENCH_DETAIL_r{_round_stamp():02d}.json",
                 **_host_load(),

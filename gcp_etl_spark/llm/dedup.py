@@ -221,6 +221,7 @@ def minhash_estimate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) with id_a < id_b — LSH candidates
     scored by SIGNATURE-estimated Jaccard only (no exact shingle
@@ -234,10 +235,25 @@ def minhash_estimate_pairs(
     scoring ships 512 B per side per candidate — document size never
     rides a shuffle. Exact-Jaccard confirmation of survivors, when
     wanted, is a downstream batch job over this (much smaller) pair
-    relation (minhash_near_duplicates's verify stage)."""
+    relation (minhash_near_duplicates's verify stage).
+
+    ``materialize`` (cache-lifetime policy — the r6-leak / r7-wall
+    trade): True (default, right for long-lived sessions and the
+    streaming sink) runs the pipeline eagerly inside this call over a
+    SQL-persisted signature cache and releases the cache before
+    returning — nothing is parked in the session CacheManager, at the
+    cost of one materialization job on the critical path. False (the
+    one-shot registered-query shape: build plan → driver collects →
+    plan dropped) returns the LAZY plan with the signature relation
+    behind a lazy ``localCheckpoint`` instead of ``persist`` — still
+    computed once per action across its three consumers, but the
+    blocks are RDD-level (no session-lifetime CacheManager entry; the
+    ContextCleaner frees them when the plan is dropped), so the
+    caller's single action pays no extra materialization pass."""
     assert num_perm % bands == 0
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    sig = sig.select(F.col(id_col).alias("id"), "sig").persist()
+    sig = sig.select(F.col(id_col).alias("id"), "sig")
+    sig = sig.persist() if materialize else sig.localCheckpoint(eager=False)
     cand = _band_candidates(sig, "id", bands, num_perm // bands)
     pairs = (
         cand.join(
@@ -255,13 +271,14 @@ def minhash_estimate_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    # materialize the (small, above-threshold) pair relation while the
-    # signature cache is hot, then RELEASE the cache — the r6 ADVICE
-    # leak: returning a lazy plan over a persisted sig meant every call
-    # parked a signature relation in executor storage memory for the
-    # rest of the session (the streaming sink counterpart unpersists)
-    pairs = pairs.localCheckpoint()
-    sig.unpersist()
+    if materialize:
+        # materialize the (small, above-threshold) pair relation while
+        # the signature cache is hot, then RELEASE the cache — the r6
+        # ADVICE leak: returning a lazy plan over a persisted sig meant
+        # every call parked a signature relation in the session
+        # CacheManager for the rest of the session
+        pairs = pairs.localCheckpoint()
+        sig.unpersist()
     return pairs
 
 
@@ -297,15 +314,19 @@ def minhash_near_duplicates(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    # Shingle-hash each doc ONCE and persist the (id, hb) intermediate:
+    # Shingle-hash each doc ONCE and reuse the (id, hb) intermediate:
     # it feeds the signature stage AND both sides of the verification
     # join, and the interpreted-HOF shingle expression is the dominant
-    # cost (measured 2.8s of the 6.6s pipeline at sf0.1) — without the
-    # persist it is recomputed and its large codegen unit appears three
-    # times in the plan. (The earlier no-persist note applied to the
-    # *signature self-join*, where ReusedExchange already shared the
-    # stage; this persist sits one level lower and removes real work.)
-    base = _hashed_shingles(df, id_col, text_col, shingle_k).persist()
+    # cost (measured 2.8s of the 6.6s pipeline at sf0.1) — without
+    # reuse it is recomputed and its large codegen unit appears three
+    # times in the plan. A lazy localCheckpoint (not SQL persist):
+    # blocks are computed once at the caller's action and are RDD-
+    # level, so nothing parks in the session CacheManager after the
+    # plan is dropped (persist-without-unpersist here was the same
+    # session-lifetime leak the r6 ADVICE flagged in estimate_pairs).
+    base = _hashed_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     sig = base.select(
         F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
     )
@@ -398,13 +419,21 @@ def minhash_incremental(
         # corpus and batch are slices of ONE table (``full``, split by
         # ``batch_pred`` over the id): shingle-hash the combined scan
         # once and split the hashed intermediate, instead of running
-        # the scan + Arrow hashing pipeline twice
-        all_b = _hashed_shingles(full, id_col, text_col, shingle_k).persist()
+        # the scan + Arrow hashing pipeline twice. Lazy localCheckpoint
+        # (not SQL persist): reuse without a session-lifetime
+        # CacheManager entry — see minhash_near_duplicates.
+        all_b = _hashed_shingles(
+            full, id_col, text_col, shingle_k
+        ).localCheckpoint(eager=False)
         bb = all_b.filter(batch_pred(F.col("id")))
         cb = all_b.filter(~batch_pred(F.col("id")))
     else:
-        cb = _hashed_shingles(corpus, id_col, text_col, shingle_k).persist()
-        bb = _hashed_shingles(batch, id_col, text_col, shingle_k).persist()
+        cb = _hashed_shingles(
+            corpus, id_col, text_col, shingle_k
+        ).localCheckpoint(eager=False)
+        bb = _hashed_shingles(
+            batch, id_col, text_col, shingle_k
+        ).localCheckpoint(eager=False)
 
     def sig_buckets(base, out_id):
         sig = base.select("id", _min_perm_udf(num_perm)("hb").alias("sig"))

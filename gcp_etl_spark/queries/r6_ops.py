@@ -1386,8 +1386,11 @@ def stream_dedup_minhash(spark, sf_dir):
     from gcp_etl_spark.llm.dedup import minhash_estimate_pairs
 
     d = t(spark, sf_dir, "documents")
+    # one-shot query shape: lazy plan, no eager materialization pass,
+    # signature blocks ContextCleaner-freed when the plan is dropped
     return minhash_estimate_pairs(
-        d, id_col="doc_id", text_col="text", threshold=0.7
+        d, id_col="doc_id", text_col="text", threshold=0.7,
+        materialize=False,
     ).orderBy("id_a", "id_b")
 
 

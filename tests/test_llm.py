@@ -427,3 +427,35 @@ def test_prefix_filter_join_is_exact(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_dedup_family_leaves_no_session_cache_entries(spark):
+    """r6-ADVICE leak contract, widened in r8: NO dedup-family call may
+    park a relation in the session CacheManager after it returns (and,
+    for the eager path, after its action) — persist-without-unpersist
+    there is session-lifetime. Intra-query reuse now rides RDD-level
+    lazy localCheckpoints, whose blocks the ContextCleaner frees with
+    the plan, so the SQL cache must stay exactly as it started."""
+    from gcp_etl_spark.llm.dedup import (
+        minhash_estimate_pairs,
+        minhash_incremental,
+        minhash_near_duplicates,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "another test left a cached relation behind"
+
+    docs = t(spark, SF_SMALL, "documents").limit(120)
+    # eager path: cache released before return
+    minhash_estimate_pairs(docs, "doc_id", "text", materialize=True).count()
+    assert cm.isEmpty()
+    # lazy one-shot path: never touches the SQL cache at all
+    minhash_estimate_pairs(docs, "doc_id", "text", materialize=False).count()
+    assert cm.isEmpty()
+    minhash_near_duplicates(docs, "doc_id", "text").count()
+    assert cm.isEmpty()
+    minhash_incremental(
+        corpus=None, batch=None, id_col="doc_id", text_col="text",
+        full=docs, batch_pred=lambda i: i % 5 == 0,
+    ).count()
+    assert cm.isEmpty()
