@@ -313,3 +313,67 @@ def test_winnowing_shared_substring_guarantee(spark):
     # and the long docs: the overflow bug shifted long-doc hashes by -1
     assert hs[1] & hs[3], "long-doc decoded hashes diverge from short-doc"
     assert len(out) == 4 and all(r["n_selected"] > 0 for r in out)
+
+
+def test_exact_quantiles_agg_path_equals_rank_path(spark):
+    """r8 adaptive strategy: the size-gated percentile-AGGREGATE path
+    must equal the two-pass rank path bit-for-bit-ish (1e-9) on a
+    fixture with NULL group keys, NULL values, ties, and a 1-row
+    group — and the auto gate must pick agg for a tiny relation while
+    honoring an explicit rank override."""
+    import gcp_etl_spark.operators.quantiles as Q
+    from gcp_etl_spark.tables import t
+    from tests.conftest import SF_SMALL
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+        ("b", 5.0), ("b", None),
+        (None, 3.0), (None, 7.0), (None, 8.0),
+        ("c", 4.25),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = {"p25": 0.25, "med": 0.5, "p90": 0.9}
+
+    def rows_of(strategy):
+        out = Q.exact_quantiles(
+            df, "v", probs, group_cols=["g"], strategy=strategy
+        ).collect()
+        return {
+            r["g"]: (r["p25"], r["med"], r["p90"]) for r in out
+        }
+
+    agg, rank = rows_of("agg"), rows_of("rank")
+    assert set(agg) == set(rank) == {"a", "b", "c", None}
+    for g in agg:
+        for x, y in zip(agg[g], rank[g]):
+            assert abs(x - y) <= 1e-9, (g, agg[g], rank[g])
+
+    # auto gate needs REAL plan statistics: a createDataFrame relation
+    # is LogicalRDD (stats = Long.Max => conservatively rank); a tiny
+    # parquet-backed relation estimates small => agg plan. This is the
+    # deliberate asymmetry: unknown size must never pick the
+    # single-reducer aggregate.
+    rdd_backed = Q.exact_quantiles(
+        df, "v", probs, group_cols=["g"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in rdd_backed
+
+    pq = t(spark, SF_SMALL, "events").select("event_type", "value")
+    auto_plan = Q.exact_quantiles(
+        pq, "value", probs, group_cols=["event_type"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" in auto_plan
+    rank_plan = Q.exact_quantiles(
+        pq, "value", probs, group_cols=["event_type"], strategy="rank"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in rank_plan
+
+    # the FORCE_STRATEGY hook (plan-hygiene sweep) overrides auto
+    Q.FORCE_STRATEGY = "rank"
+    try:
+        forced = Q.exact_quantiles(
+            pq, "value", probs, group_cols=["event_type"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in forced
+    finally:
+        Q.FORCE_STRATEGY = None

@@ -87,8 +87,25 @@ _EXACT_PCT_OK = {
 
 
 def test_no_cartesian_or_python_row_in_declared_plans(spark):
+    # pin the 100 TB-regime plans: exact_quantiles' adaptive gate would
+    # pick the percentile AGGREGATE at this fixture scale (correctly —
+    # the inputs are tiny), but this sweep exists to screen the plans
+    # the same queries produce when the gate says "unbounded", so force
+    # the rank path module-wide for the build
+    import gcp_etl_spark.operators.quantiles as Q
+
     specs = load_all()
     offenders: list[str] = []
+    old_force = Q.FORCE_STRATEGY
+    Q.FORCE_STRATEGY = "rank"
+    try:
+        _sweep(spark, specs, offenders)
+    finally:
+        Q.FORCE_STRATEGY = old_force
+    assert not offenders, "\n".join(offenders)
+
+
+def _sweep(spark, specs, offenders):
     for name, spec in sorted(specs.items()):
         if name in _EAGER_BUILD:
             continue
@@ -114,4 +131,3 @@ def test_no_cartesian_or_python_row_in_declared_plans(spark):
                 "relation not declared cardinality-bounded — use "
                 "operators.exact_quantiles"
             )
-    assert not offenders, "\n".join(offenders)
