@@ -71,17 +71,30 @@ def _two_phase_components(
     groupBy(min) + one equi-join on the edge relation — identical
     shuffle primitives to min-label, but chains collapse
     geometrically, so a diameter-n path converges in O(log n) rounds.
+
+    Per-round job accounting (r7 verdict ask #4 — the sf0.1 cost was
+    per-round fixed overhead ×2 phases, not data): the round's
+    checkpoint is LAZY, so the convergence-signature action is the
+    round's ONLY job — it materializes the checkpoint blocks (cutting
+    lineage) and tests convergence in one pass, where the r7 shape
+    paid two jobs per round (eager checkpoint, then signature). The
+    large-star output keeps duplicate edges (its consumers — a min
+    aggregate, an equi-join, and the small-star output's distinct —
+    are all set-semantics-safe), dropping one shuffle per round.
     Convergence = the oriented edge set's (count, xor-of-hashes)
-    signature is stable across a round; lineage is cut per round with
-    an eager localCheckpoint (same policy as the min-label loop)."""
-    # canonical orientation (larger endpoint first); self-loops drop
+    signature stable across a round, unchanged from r7, so detection
+    round counts match the r7 grid exactly."""
+    # canonical orientation (larger endpoint first); self-loops drop.
+    # LAZY checkpoint: the nodes job below materializes the caller's
+    # persisted sym, and round 1's signature job materializes e — no
+    # standalone up-front job
     e = (
         sym.select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
 
@@ -93,7 +106,9 @@ def _two_phase_components(
         ).first()
         return (row["n"], row["h"])
 
-    sig = signature(e)
+    # no initial signature job: round 1's signature can never match
+    # None, so the first comparison simply records
+    sig = None
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -115,7 +130,8 @@ def _two_phase_components(
             .select(F.col("v").alias("bu"), F.col("m").alias("bv"))
             .filter(F.col("bu") != F.col("bv"))
             .select(F.col("bu").alias("u"), F.col("bv").alias("v"))
-            .distinct()
+            # duplicates kept: consumers are min-agg / equi-join / a
+            # final distinct — one fewer shuffle per round
         )
         # ---- small-star on the large-star output (already oriented
         # u > v by construction): m = min of the smaller neighbors;
@@ -134,10 +150,14 @@ def _two_phase_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()  # eager: runs the round, cuts lineage
+            # LAZY: the next signature job materializes the blocks and
+            # cuts lineage; plan depth is bounded by the 2-round stride
+            .localCheckpoint(eager=False)
         )
-        new_sig = signature(ss)
         e = ss
+        # the signature action IS the round's only job: it materializes
+        # the lazy checkpoint (cutting lineage) and tests convergence
+        new_sig = signature(e)
         if new_sig == sig:
             converged = True
             break
