@@ -136,6 +136,32 @@ def encode_tokens_pos(
     return words.mapInPandas(batches, "w string, pos int, token string")
 
 
+def encode_words_arrays(
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]] = DEFAULT_MERGES,
+    word_col: str = "w",
+) -> DataFrame:
+    """(w, toks array<string>) — per-distinct-word BPE token SEQUENCE
+    as one array row (the shape token-level substring dedup needs to
+    rebuild per-document token streams by flattening in word order).
+    Same per-word mapInPandas fold as ``encode_vocab``; runs once per
+    vocab entry, corpus text never encoded row-by-row."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws: list[str] = []
+            ts: list[list[str]] = []
+            for w in pdf[word_col]:
+                ws.append(str(w))
+                ts.append(bpe_encode_word(str(w), ranks))
+            yield pd.DataFrame({"w": ws, "toks": ts})
+
+    return words.mapInPandas(batches, "w string, toks array<string>")
+
+
 def decode_tokens(ids_df: DataFrame, vocab: DataFrame) -> DataFrame:
     """(w, n_tokens, decoded) — BPE DECODE: map token ids back to
     surface tokens through the vocabulary relation and re-concatenate

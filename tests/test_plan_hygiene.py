@@ -131,3 +131,82 @@ def _sweep(spark, specs, offenders):
                 "relation not declared cardinality-bounded — use "
                 "operators.exact_quantiles"
             )
+
+
+# ---------------------------------------------------------------------
+# Plan-shape regression CI (r7 verdict ask #8): the top-20 most
+# expensive queries (by BENCH_DETAIL_r07) get a committed physical-plan
+# FINGERPRINT — exchange count, join-strategy multiset, parquet scan
+# count, RDD scan count — and the test fails when any metric GROWS
+# past the snapshot. This is what catches a localCheckpoint-style
+# constant landing on a hot path before the bench does (the r7 dedup
+# regression's failure mode). Shrinkage (a plan got cheaper) passes but
+# the snapshot should be refreshed: SPARK_GRAFT_REGEN_FINGERPRINTS=1.
+# Iterative queries are fingerprinted on their FINAL (post-loop) plan,
+# which is where a stray materialization would appear anyway.
+
+_FP_FILE = "tests/plan_fingerprints.json"
+
+# top-20 by r7 cost; pinned as a literal so a bench reshuffle cannot
+# silently change what this test covers
+_FP_QUERIES = [
+    "dedup_cluster_twophase", "window_range_frame", "anomaly_mad_robust",
+    "dedup_cluster_exact", "dedup_prefix_filter", "graph_adamic_adar",
+    "dedup_clusters", "dedup_minhash_incremental", "graph_jaccard_neighbors",
+    "quality_ccnet_buckets", "decontaminate_bloom_verified",
+    "join_theta_pairs", "dedup_minhash", "agg_weighted_quantiles",
+    "agg_weighted_median", "dedup_containment",
+    "graph_clustering_coefficient", "dedup_ngram_jaccard",
+    "prep_leakage_split", "agg_median",
+]
+
+_FP_MARKS = {
+    "exchanges": re.compile(r"(?<!Reused)Exchange"),
+    "bhj": re.compile(r"BroadcastHashJoin"),
+    "smj": re.compile(r"SortMergeJoin"),
+    "shj": re.compile(r"ShuffledHashJoin"),
+    "bnlj": re.compile(r"BroadcastNestedLoopJoin"),
+    "cartesian": re.compile(r"CartesianProduct"),
+    "parquet_scans": re.compile(r"Scan parquet"),
+    "rdd_scans": re.compile(r"Scan ExistingRDD"),
+}
+
+
+def _fingerprint(plan: str) -> dict[str, int]:
+    return {k: len(rx.findall(plan)) for k, rx in _FP_MARKS.items()}
+
+
+def test_top20_plan_fingerprints_do_not_grow(spark):
+    import json
+    import os
+
+    specs = load_all()
+    got: dict[str, dict[str, int]] = {}
+    for name in _FP_QUERIES:
+        df = specs[name].fn(spark, SF_SMALL)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        got[name] = _fingerprint(buf.getvalue())
+
+    if os.environ.get("SPARK_GRAFT_REGEN_FINGERPRINTS") == "1":
+        with open(_FP_FILE, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        return
+
+    with open(_FP_FILE) as f:
+        want = json.load(f)
+    grew: list[str] = []
+    for name, fp in got.items():
+        base = want.get(name)
+        if base is None:
+            grew.append(f"{name}: no committed fingerprint — regen")
+            continue
+        for k, v in fp.items():
+            if v > base.get(k, 0):
+                grew.append(
+                    f"{name}: {k} grew {base.get(k, 0)} -> {v} "
+                    "(new shuffle/scan/join on a hot path — either fix "
+                    "the plan or regen fingerprints WITH justification)"
+                )
+    assert not grew, "\n".join(grew)

@@ -232,6 +232,22 @@ def main() -> None:
         headline["r6_time_exponents"] = {
             q: rgrid[q]["time_exponent"] for q in R6_QUERIES
         }
+    if only in ("both", "r8"):
+        # r8: token-level exact-substring dedup — pair-emitting, same
+        # linear true-pair contract as the exact-similarity trio (the
+        # per-replica word tags make BPE token streams replica-local,
+        # so qualifying token runs never cross replicas)
+        r8q = ("dedup_substring_tokens",)
+        r8grid = run_grid(spark, specs, r8q, mults, frozenset(r8q))
+        prior["substring_tokens_docs_grid"] = {
+            "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+            "base_docs": 5000,
+            "mults": [1] + mults,
+            "queries": r8grid,
+        }
+        headline["r8_time_exponents"] = {
+            q: r8grid[q]["time_exponent"] for q in r8q
+        }
     if only in ("both", "emb"):
         from gcp_etl_spark.llm.semdedup import adaptive_planes
 
