@@ -52,21 +52,51 @@ def _position_cols(col, m: int, k: int):
     ]
 
 
-def build_bloom(df: DataFrame, col: str, m: int, k: int) -> np.ndarray:
-    """Distributed build: explode every member's k positions, distinct
-    (bounded by m), collect, set bits. Returns a numpy bool[m]."""
-    pos = (
-        df.select(
-            F.explode(F.array(*_position_cols(F.col(col), m, k))).alias(
-                "p"
+def build_bloom(
+    df: DataFrame, col: str, m: int, k: int, distributed: bool | None = None
+) -> np.ndarray:
+    """Build the filter; returns a numpy bool[m].
+
+    Two builds, same result (equality pytest-pinned):
+    - position-collect (default below ~4M bits): explode every
+      member's k positions, distinct (bounded by m rows), collect,
+      set bits — all hashing stays JVM-side;
+    - ``distributed=True`` (auto above ~4M bits — the r7 verdict's
+      "wire it when a caller builds from the large side"): a
+      treeAggregate of PACKED per-partition bit arrays (m/8 bytes
+      each), OR-merged up the tree — the driver receives one m/8-byte
+      array total instead of up-to-m position rows, so filter size,
+      not membership cardinality, bounds every transfer."""
+    if distributed is None:
+        distributed = m > (1 << 22)
+    if not distributed:
+        pos = (
+            df.select(
+                F.explode(
+                    F.array(*_position_cols(F.col(col), m, k))
+                ).alias("p")
             )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
+        bits = np.zeros(m, dtype=bool)
+        bits[[r["p"] for r in pos]] = True
+        return bits
+
+    n_bytes = (m + 7) // 8
+
+    def seq(acc: np.ndarray, row) -> np.ndarray:
+        for p in row["ps"]:
+            acc[p >> 3] |= 1 << (p & 7)
+        return acc
+
+    packed = (
+        df.select(F.array(*_position_cols(F.col(col), m, k)).alias("ps"))
+        .rdd.treeAggregate(
+            np.zeros(n_bytes, dtype=np.uint8), seq, np.bitwise_or
+        )
     )
-    bits = np.zeros(m, dtype=bool)
-    bits[[r["p"] for r in pos]] = True
-    return bits
+    return np.unpackbits(packed, count=m, bitorder="little").astype(bool)
 
 
 def might_contain_udf(bits: np.ndarray, k: int):

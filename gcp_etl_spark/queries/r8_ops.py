@@ -43,9 +43,21 @@ _WORDS_SQL = """
 """
 
 
-@query(
-    "dedup_substring_tokens",
-    oracle=f"""
+def _sub_tok_oracle(df_cap=None) -> str:
+    """DuckDB oracle for the token-level substring dedup family —
+    identical recursion/postings/islands SQL; ``df_cap`` inserts the
+    same occurrence-count gram filter the Spark side applies."""
+    cap_cte = (
+        f""", gk AS (
+      SELECT g FROM gr GROUP BY g HAVING count(*) <= {df_cap}
+    ), grc AS (
+      SELECT gr.* FROM gr JOIN gk USING (g)
+    )"""
+        if df_cap is not None
+        else ""
+    )
+    gr_src = "grc" if df_cap is not None else "gr"
+    return f"""
     WITH RECURSIVE words AS ({_WORDS_SQL}),
     enc AS (
       SELECT w, string_split(w, '') AS syms, 0 AS step FROM words
@@ -80,10 +92,10 @@ _WORDS_SQL = """
       SELECT doc_id, CAST(t.i + 1 AS INT) AS pos,
              array_to_string(toks[t.i + 1 : t.i + {_TOK_K}], chr(31)) AS g
       FROM dt, unnest(range(len(toks) - {_TOK_K - 1})) t(i)
-    ), m AS (
+    ){cap_cte}, m AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.pos AS pa, a.pos - b.pos AS diag
-      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM {gr_src} a JOIN {gr_src} b ON a.g = b.g AND a.doc_id < b.doc_id
     ), r AS (
       SELECT id_a, id_b, diag, pa,
              pa - row_number() OVER (PARTITION BY id_a, id_b, diag
@@ -104,7 +116,12 @@ _WORDS_SQL = """
            id_b AS remove_from
     FROM runs GROUP BY 1, 2
     HAVING max(run_len) >= {_TOK_MIN_RUN}
-    """.replace("{merges}", _merges_sql()),
+    """.replace("{merges}", _merges_sql())
+
+
+@query(
+    "dedup_substring_tokens",
+    oracle=_sub_tok_oracle(None),
     tags=("llm", "dedup", "substring", "tokenizer", "bpe", "scale"),
 )
 def dedup_substring_tokens(spark, sf_dir):
@@ -142,6 +159,15 @@ def dedup_substring_tokens(spark, sf_dir):
     can only split a run, never invent one. The DuckDB oracle replays
     the identical BPE recurrence with a recursive CTE, so tokenize +
     postings + islands are hash-verified end-to-end."""
+    return _substring_tokens_pairs(spark, sf_dir, df_cap=None)
+
+
+def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
+    """Shared body of the token-level substring dedup queries;
+    ``df_cap`` drops token k-grams with more than that many corpus
+    occurrences before the postings self-join (the 100 TB boilerplate
+    mitigation — the match matrix is Σ_g df_g², so capping occurrence
+    counts bounds it linearly in corpus size)."""
     from gcp_etl_spark.functions.bpe import encode_words_arrays
     from gcp_etl_spark.functions.text import normalize_text
 
@@ -184,6 +210,14 @@ def dedup_substring_tokens(spark, sf_dir):
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.g")
     gh = grams.withColumn("h", F.xxhash64("g"))
+    if df_cap is not None:
+        keep = (
+            gh.groupBy("h", "g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("h", "g")
+        )
+        gh = gh.join(keep, ["h", "g"])
     a = gh.alias("a")
     b = gh.alias("b")
     m = a.join(
@@ -402,3 +436,29 @@ def curation_domain_caps(spark, sf_dir):
         F.col("rk").cast("long").alias("rk"),
         F.col("n_host_docs").cast("long").alias("n_host_docs"),
     )
+
+
+_TOK_DF_CAP = 16
+
+
+@query(
+    "dedup_substring_tokens_dfcap",
+    oracle=_sub_tok_oracle(_TOK_DF_CAP),
+    tags=("llm", "dedup", "substring", "tokenizer", "bpe", "scale"),
+)
+def dedup_substring_tokens_dfcap(spark, sf_dir):
+    """``dedup_substring_tokens`` with the 100 TB boilerplate
+    mitigation as REAL, oracle-gated semantics (the
+    ``dedup_ngram_jaccard_dfcap`` pairing pattern): token k-grams with
+    more than {CAP} corpus occurrences are dropped from the postings
+    BEFORE the self-join — in BOTH engines, so results stay
+    hash-verified. The match matrix is Σ_g df_g²; the cap bounds it by
+    cap × |grams| (linear in corpus size), which is the property the
+    docs-scale grid measures (BENCH_SCALE.json
+    ``substring_tokens_docs_grid``). A capped gram is boilerplate by
+    definition (it appears in >{CAP} places); capping can only SPLIT a
+    run, never invent one, so the screen is conservative — and a pair
+    whose every qualifying span is pure boilerplate is exactly the
+    pair a curation pipeline does not want anyway. This is the variant
+    to run at 100 TB; the uncapped twin is the reference semantics."""
+    return _substring_tokens_pairs(spark, sf_dir, df_cap=_TOK_DF_CAP)

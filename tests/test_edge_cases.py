@@ -121,3 +121,33 @@ def test_stateful_running_totals_batch_vs_stream(spark, tmp_path):
         " FROM stateful_out GROUP BY user_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_scratch_sweeps_stale_roots(tmp_path, monkeypatch):
+    """r7 verdict What's-wrong #4: a SIGKILLed run strands its scratch
+    root (atexit never fires); the next process's first scratch_dir
+    call must sweep roots older than a day and leave young ones."""
+    import os
+    import time
+
+    import gcp_etl_spark.scratch as S
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(
+        "tempfile.mkdtemp",
+        lambda prefix: os.makedirs(tmp_path / (prefix + "live")) # type: ignore[func-returns-value]
+        or str(tmp_path / (prefix + "live")),
+    )
+    stale = tmp_path / "gcp_etl_scratch_dead"
+    young = tmp_path / "gcp_etl_scratch_recent"
+    other = tmp_path / "unrelated_dir"
+    for d in (stale, young, other):
+        d.mkdir()
+    old = time.time() - 2 * 24 * 3600
+    os.utime(stale, (old, old))
+
+    monkeypatch.setattr(S, "_root", None)
+    S.scratch_dir("probe")
+    assert not stale.exists(), "stale root not swept"
+    assert young.exists(), "young root must survive (may be live)"
+    assert other.exists(), "non-scratch dirs must never be touched"

