@@ -462,3 +462,516 @@ def dedup_substring_tokens_dfcap(spark, sf_dir):
     pair a curation pipeline does not want anyway. This is the variant
     to run at 100 TB; the uncapped twin is the reference semantics."""
     return _substring_tokens_pairs(spark, sf_dir, df_cap=_TOK_DF_CAP)
+
+
+# ------------------------------------------ rank/robust test batteries
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH dv AS (
+      SELECT value, count(*) AS c FROM events GROUP BY value
+    ), cum AS (
+      SELECT value, c, sum(c) OVER (ORDER BY value) AS c_cum FROM dv
+    ), dvt AS (
+      SELECT value, event_type, count(*) AS cg FROM events GROUP BY 1, 2
+    ), r2 AS (
+      -- 2*midrank(v) = 2*C(v-) + c + 1 = 2*c_cum - c + 1 (integers)
+      SELECT t.event_type,
+             sum(t.cg) AS n_g,
+             sum(t.cg * (2 * m.c_cum - m.c + 1)) AS r2_g
+      FROM dvt t JOIN cum m USING (value) GROUP BY 1
+    ), n AS (
+      SELECT sum(c) AS nn, sum(c * c * c - c) AS ties FROM dv
+    ), h AS (
+      SELECT max(n.nn) AS nn, max(n.ties) AS ties,
+             count(*) AS k,
+             3.0 / (max(n.nn) * (max(n.nn) + 1.0))
+               * sum(CAST(r2_g AS DOUBLE) * r2_g / n_g)
+               - 3.0 * (max(n.nn) + 1) AS h_raw
+      FROM r2 CROSS JOIN n
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n,
+           round(h_raw, 6) AS h,
+           round(h_raw / (1.0 - CAST(ties AS DOUBLE)
+                                / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)
+             AS h_tie_corrected
+    FROM h
+    """,
+    tags=("stats", "hypothesis-test", "rank", "events"),
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H (rank one-way ANOVA across ALL event types —
+    the k-group extension of the suite's Mann-Whitney): mid-ranks over
+    the pooled values, H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), plus the
+    tie-corrected H/(1 − Σ(t³−t)/(N³−N)).
+
+    INTEGER-EXACT RANK SUMS: the pooled relation collapses to one row
+    per DISTINCT value (the stats_ks_two_sample shape), where
+    2·midrank(v) = 2·cum(v) − c(v) + 1 is an integer, so each group's
+    doubled rank sum Σ c_g(v)·(2·cum−c+1) is computed in exact longs —
+    floats appear only in the final statistic.
+
+    Scale: distinct-value collapse is map-side; the cumulative count
+    rides the engine-standard two-pass range exchange
+    (range_prefix_sums); the per-(value,type) counts join the
+    distinct-value relation on value — everything is distinct-value-
+    sized after the first aggregation."""
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    dv = e.groupBy("value").agg(F.count("*").alias("c"))
+    cum, psums = range_prefix_sums(dv, ["value"], ["c"])
+    dvt = e.groupBy("value", "event_type").agg(F.count("*").alias("cg"))
+    r2 = (
+        dvt.join(cum.select("value", "c", "c_cum"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(
+                F.col("cg")
+                * (2 * F.col("c_cum") - F.col("c") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    n = dv.agg(
+        F.sum("c").alias("nn"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "ties"
+        ),
+    )
+    h = r2.crossJoin(F.broadcast(n)).agg(
+        F.max("nn").alias("nn"),
+        F.max("ties").alias("ties"),
+        F.count("*").alias("k"),
+        (
+            F.lit(3.0)
+            / (F.max("nn") * (F.max("nn") + F.lit(1.0)))
+            * F.sum(
+                F.col("r2_g").cast("double")
+                * F.col("r2_g")
+                / F.col("n_g")
+            )
+            - F.lit(3.0) * (F.max("nn") + 1)
+        ).alias("h_raw"),
+    )
+    return h.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round("h_raw", 6).alias("h"),
+        F.round(
+            F.col("h_raw")
+            / (
+                F.lit(1.0)
+                - F.col("ties").cast("double")
+                / (
+                    F.col("nn").cast("double") * F.col("nn") * F.col("nn")
+                    - F.col("nn")
+                )
+            ),
+            6,
+        ).alias("h_tie_corrected"),
+    )
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), z AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN med m USING (event_type)
+    ), g AS (
+      SELECT event_type, count(*) AS n_g, avg(z) AS zbar_g,
+             sum(z * z) AS zz_g, sum(z) AS zs_g
+      FROM z GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_g) AS n, sum(zs_g) / sum(n_g) AS zbar, count(*) AS k
+      FROM g
+    )
+    SELECT CAST(tot.k AS BIGINT) AS n_groups, CAST(tot.n AS BIGINT) AS n,
+           round(
+             (CAST(tot.n AS DOUBLE) - tot.k) / (tot.k - 1)
+             * sum(g.n_g * (g.zbar_g - tot.zbar) * (g.zbar_g - tot.zbar))
+             / sum(g.zz_g - g.n_g * g.zbar_g * g.zbar_g), 6) AS f_stat
+    FROM g CROSS JOIN tot
+    GROUP BY tot.k, tot.n
+    """,
+    tags=("stats", "hypothesis-test", "robust-stats", "events"),
+)
+def stats_levene_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE test (Levene's test with group MEDIANS —
+    variance homogeneity across event types, the robust gate before
+    trusting the suite's one-way ANOVA): z = |x − median_g|, then the
+    one-way ANOVA F statistic on z.
+
+    Scale: group medians come from ``operators.exact_quantiles`` (the
+    adaptive two-pass/aggregate operator — per-type values are
+    unbounded-distinct); the F statistic is two hash aggregations over
+    the scored relation. Medians are interpolated identically in both
+    engines; the remaining algebra is sums."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med, vals = exact_quantiles(
+        e, "value", {"med": 0.5}, group_cols=["event_type"],
+        return_values=True,
+    )
+    z = (
+        vals.select("event_type", F.col("__v").alias("value"))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.avg("z").alias("zbar_g"),
+        F.sum(F.col("z") * F.col("z")).alias("zz_g"),
+        F.sum("z").alias("zs_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        (F.sum("zs_g") / F.sum("n_g")).alias("zbar"),
+        F.count("*").alias("k"),
+    )
+    num = F.sum(
+        F.col("n_g")
+        * (F.col("zbar_g") - F.col("zbar"))
+        * (F.col("zbar_g") - F.col("zbar"))
+    )
+    den = F.sum(
+        F.col("zz_g") - F.col("n_g") * F.col("zbar_g") * F.col("zbar_g")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.round(
+                (F.col("n").cast("double") - F.col("k"))
+                / (F.col("k") - 1)
+                * num
+                / den,
+                6,
+            ).alias("f_stat")
+        )
+        .select(
+            F.col("k").cast("long").alias("n_groups"),
+            F.col("n").cast("long").alias("n"),
+            "f_stat",
+        )
+    )
+
+
+_PERM_A = "view"
+_PERM_B = "purchase"
+_PERM_B_COUNT = 199  # Monte-Carlo relabelings; p floors at 1/(B+1) = 0.005
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = '{_PERM_A}' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('{_PERM_A}', '{_PERM_B}')
+    ), nn AS (
+      SELECT sum(a) AS na, count(*) AS nt FROM s
+    ), obs AS (
+      SELECT avg(value) FILTER (a = 1) - avg(value) FILTER (a = 0) AS d
+      FROM s
+    ), perm AS (
+      SELECT b.b,
+             CASE WHEN CAST(('0x' || substr(md5(b.b || ':' ||
+                    CAST(s.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % nn.nt < nn.na
+                  THEN 1 ELSE 0 END AS side,
+             s.value
+      FROM s CROSS JOIN nn,
+           generate_series(0, {_PERM_B_COUNT - 1}) b(b)
+    ), diffs AS (
+      SELECT b, avg(value) FILTER (side = 1)
+               - avg(value) FILTER (side = 0) AS d
+      FROM perm GROUP BY b
+    )
+    SELECT CAST(nn.na AS BIGINT) AS n_a,
+           CAST(nn.nt - nn.na AS BIGINT) AS n_b,
+           round(obs.d, 6) AS observed_diff,
+           CAST({_PERM_B_COUNT} AS BIGINT) AS n_permutations,
+           round((1.0 + count(*) FILTER (WHERE abs(diffs.d) >= abs(obs.d)))
+                 / ({_PERM_B_COUNT} + 1.0), 6) AS p_value
+    FROM diffs CROSS JOIN obs CROSS JOIN nn
+    GROUP BY nn.na, nn.nt, obs.d
+    """,
+    tags=("stats", "hypothesis-test", "resampling", "events"),
+)
+def stats_permutation_test(spark, sf_dir):
+    """MONTE-CARLO RANDOMIZATION TEST for the mean-value difference
+    between two event types (the distribution-free companion to the
+    suite's bootstrap CI): B = {B} deterministic pseudo-random
+    RELABELINGS of the pooled sample (each row joins side A with
+    probability n_a/n, via the md5-hash uniform — the engine's
+    standard seeded-hash construction, bit-replayable in DuckDB), and
+    p = (1 + #{{|d_b| ≥ |d_obs|}}) / (B + 1) — the add-one Monte-Carlo
+    estimator, valid under exchangeability exactly like the classical
+    permutation test (relabeling is the iid-approximation every
+    large-scale implementation uses; fixed-margin permutation needs a
+    global per-replicate shuffle, which is the one thing that does not
+    distribute).
+
+    Scale: the B×N explode is MAP-SIDE (sequence + explode, no
+    shuffle); partial aggregation combines per (replicate, side)
+    before the exchange, so only 2B rows shuffle however large the
+    corpus — the same contract as the bootstrap."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_PERM_A, _PERM_B)
+    ).select(
+        "event_id",
+        "value",
+        (F.col("event_type") == _PERM_A).cast("int").alias("a"),
+    )
+    nn = e.agg(
+        F.sum("a").alias("na"), F.count("*").alias("nt")
+    )
+    obs = e.agg(
+        (
+            F.avg(F.when(F.col("a") == 1, F.col("value")))
+            - F.avg(F.when(F.col("a") == 0, F.col("value")))
+        ).alias("d_obs")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    perm = (
+        e.crossJoin(F.broadcast(nn))
+        .select(
+            "value",
+            "na",
+            "nt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_PERM_B_COUNT - 1))
+            ).alias("b"),
+            "event_id",
+        )
+        .select(
+            "b",
+            "value",
+            (h % F.col("nt") < F.col("na")).cast("int").alias("side"),
+        )
+    )
+    diffs = perm.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("side") == 1, F.col("value")))
+            - F.avg(F.when(F.col("side") == 0, F.col("value")))
+        ).alias("d")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(nn))
+        .groupBy("na", "nt", "d_obs")
+        .agg(
+            F.round(
+                (
+                    F.lit(1.0)
+                    + F.count(
+                        F.when(F.abs("d") >= F.abs("d_obs"), 1)
+                    )
+                )
+                / F.lit(_PERM_B_COUNT + 1.0),
+                6,
+            ).alias("p_value")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            (F.col("nt") - F.col("na")).cast("long").alias("n_b"),
+            F.round("d_obs", 6).alias("observed_diff"),
+            F.lit(_PERM_B_COUNT).cast("long").alias("n_permutations"),
+            "p_value",
+        )
+    )
+
+
+# -------------------------------------- C4-style duplicate-text signal
+
+
+@query(
+    "quality_dup_shingle_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+             ws[i+4] || ' ' || ws[i+5] AS g
+      FROM w, unnest(range(len(ws) - 4)) t(i)
+    ), df AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           round(CAST(count(*) FILTER (df.df >= 2) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio,
+           (CAST(count(*) FILTER (df.df >= 2) AS DOUBLE)
+                 / count(*)) >= 0.5 AS flagged
+    FROM g JOIN df USING (g) GROUP BY 1
+    """,
+    tags=("llm", "quality", "dedup", "ngram"),
+)
+def quality_dup_shingle_ratio(spark, sf_dir):
+    """PER-DOCUMENT duplicated-text ratio (the C4/RefinedWeb "mostly
+    duplicated document" signal, public): fraction of a document's
+    word-5-gram occurrences whose gram appears in ≥ 2 documents
+    corpus-wide, flagging docs above 50%. The PAIR-level dedup family
+    says who matches whom; this is the per-DOC curation score a
+    pipeline thresholds on.
+
+    Scale: gram document frequency is one map-side-combinable
+    count-distinct keyed by the gram; the ratio join ships (gram → is
+    it shared) back to |doc × gram| rows keyed by gram — never
+    doc × doc. The division is int/int in IEEE double — bit-exact
+    cross-engine, so flagged booleans hash-match too."""
+    par = spark.sparkContext.defaultParallelism
+    from gcp_etl_spark.functions.text import normalize_text
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("ws"))
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(ws) >= 5,"
+                " transform(sequence(0, size(ws) - 5),"
+                "  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],"
+                "                 ws[i+3], ws[i+4])),"
+                " cast(array() as array<string>))"
+            )
+        ).alias("g"),
+    )
+    df = g.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    ratio = F.count(F.when(F.col("df") >= 2, 1)).cast("double") / F.count(
+        "*"
+    )
+    return (
+        g.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(ratio, 6).alias("dup_ratio"),
+            (ratio >= 0.5).alias("flagged"),
+        )
+    )
+
+
+# ------------------------------------------- tokenizer fertility audit
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    enc AS (
+      SELECT w, string_split(w, '') AS syms, 0 AS step FROM words
+      UNION ALL
+      SELECT w,
+             syms[1:mi-1] || [syms[mi] || syms[mi+1]] || syms[mi+2:],
+             step + 1
+      FROM (
+        SELECT e.w AS w, e.syms AS syms, e.step AS step,
+               min_by(CAST(t.i AS INT), m.rank * 1000000 + t.i) AS mi
+        FROM enc e,
+             unnest(range(1, len(e.syms))) t(i)
+             JOIN {{merges}}
+               ON e.syms[t.i] = m.x AND e.syms[t.i + 1] = m.y
+        GROUP BY e.w, e.syms, e.step
+      )
+    ), final AS (
+      SELECT w, len(syms) AS n_toks FROM enc
+      QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+    ), lw AS (
+      SELECT lang, w, count(*) AS freq FROM (
+        SELECT lang, unnest(string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(lw.freq) AS BIGINT) AS n_words,
+           round(CAST(sum(lw.freq * f.n_toks) AS DOUBLE)
+                 / sum(lw.freq), 6) AS fertility,
+           round(CAST(sum(lw.freq * len(lw.w)) AS DOUBLE)
+                 / sum(lw.freq * f.n_toks), 6) AS chars_per_token
+    FROM lw JOIN final f USING (w)
+    GROUP BY lang
+    """.replace("{merges}", _merges_sql()),
+    tags=("llm", "tokenizer", "bpe", "quality"),
+)
+def bpe_fertility_by_lang(spark, sf_dir):
+    """TOKENIZER FERTILITY audit by language — tokens-per-word and
+    chars-per-token under the shipped merge table, the standard metric
+    for "does this tokenizer under-serve language X" (high fertility =
+    more sequence length per word = worse training economics for that
+    language). Joins the per-DISTINCT-WORD BPE fold to per-(lang,
+    word) frequencies, so corpus text is tokenized once per vocab
+    entry and re-weighted — never row-by-row.
+
+    INTEGER-EXACT numerators: Σ freq·n_tokens and Σ freq·chars are
+    long sums; the two divisions are the only floats — bit-exact
+    int/int IEEE division cross-engine. The DuckDB oracle replays the
+    merge recurrence with the family's recursive CTE."""
+    from gcp_etl_spark.functions.bpe import encode_words_arrays
+    from gcp_etl_spark.functions.text import normalize_text
+
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("lang", F.split(normalize_text(F.col("text")), " ").alias("ws"))
+    )
+    lw = (
+        d.select("lang", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wt = encode_words_arrays(lw.select("w").distinct()).select(
+        "w", F.size("toks").cast("long").alias("n_toks")
+    )
+    j = lw.join(wt, "w")
+    return j.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_toks")).cast("double")
+            / F.sum("freq"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("freq") * F.length("w")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_toks")),
+            6,
+        ).alias("chars_per_token"),
+    )

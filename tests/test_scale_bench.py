@@ -406,3 +406,25 @@ def test_bpe_m1000_grid_claims():
         pytest.skip("m1000_x30vocab not yet measured")
     assert rec["merges"] == 1000, rec
     assert rec["rounds"] * 4 <= 1000, rec
+
+
+def test_substring_tokens_grid_claims():
+    """Pin the round-8 record: the df-capped token-level substring
+    dedup's time exponent across the 100x dissimilar-docs grid stays
+    <= ~1 (measured 0.84 — the cap bounds the match matrix by
+    cap x |grams|, linear in corpus size)."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    rec = (
+        data.get("substring_tokens_docs_grid", {})
+        .get("queries", {})
+        .get("dedup_substring_tokens_dfcap")
+    )
+    if rec is None:
+        pytest.skip("substring_tokens_docs_grid not yet measured")
+    assert rec["time_exponent"] <= 1.1, rec["time_exponent"]
