@@ -78,7 +78,12 @@ def graph_triangle_count(spark, sf_dir):
     high-degree-hub skew this id-orientation would hit on power-law
     graphs. Here node ids are mod-residues with near-uniform degrees,
     so id-orientation is equivalent and cheaper."""
-    e = _edges(spark, sf_dir).persist()
+    # lazy localCheckpoint, not SQL persist: reuse across the four
+    # consumers WITHOUT a session-lifetime CacheManager entry (the
+    # r8 leak audit — a persist with no unpersist here parked the edge
+    # relation for the rest of the session; the driver runs the whole
+    # corpus in ONE session)
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = e1.join(e2, "y")
@@ -156,8 +161,15 @@ def graph_pagerank(spark, sf_dir):
     # is bounded by 2*C(N_NODES, 2) rows (~90k) regardless of input
     # scale, so coalesce it — every round re-scans these partitions and
     # 32 task launches per job per round would be pure overhead
-    edges = sym.join(deg, "u").coalesce(4).persist()
-    nodes = deg.select(F.col("u").alias("node")).coalesce(1).persist()
+    # lazy localCheckpoints (not SQL persists — r8 leak audit): blocks
+    # materialize at the first round's action, every later round reads
+    # them, and the ContextCleaner frees them with the plan
+    edges = sym.join(deg, "u").coalesce(4).localCheckpoint(eager=False)
+    nodes = (
+        deg.select(F.col("u").alias("node"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
     n1 = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(

@@ -2116,6 +2116,13 @@ def diag_skew_report(spark, sf_dir):
         "cnt",
         {"p50_cnt": 0.5, "p99_cnt": 0.99},
         group_cols=["key_col"],
+        # pinned rank path: the quantile input is the per-KEY count
+        # relation — distinct-key-sized, i.e. unbounded at scale, so
+        # the adaptive gate's aggregate path is never right here; the
+        # rank path's internal checkpoint also keeps the fact table at
+        # ONE visible scan (plan contract pinned in
+        # tests/test_scale_strategies.py)
+        strategy="rank",
     )
     return aggs.join(q, "key_col").orderBy("key_col")
 

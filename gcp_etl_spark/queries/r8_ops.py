@@ -975,3 +975,336 @@ def bpe_fertility_by_lang(spark, sf_dir):
             6,
         ).alias("chars_per_token"),
     )
+
+
+# ------------------------------------------------ k-core decomposition
+
+_KC_NODES = 2000   # sparser residue graph than graph_ops' 300 so the
+                   # peel is non-trivial at every fixture scale
+_KC_ROUNDS = 20    # FIXED round count in BOTH engines: identical output
+                   # whether or not the peel has converged (convergence
+                   # at fixture scale is pytest-asserted separately)
+
+
+@query(
+    "graph_k_core",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {_KC_NODES}, l_partkey % {_KC_NODES}) AS u,
+        greatest(l_orderkey % {_KC_NODES}, l_partkey % {_KC_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {_KC_NODES} <> l_partkey % {_KC_NODES}
+    ), kk AS (
+      SELECT CAST(ceil(2.0 * (SELECT count(*) FROM e)
+                       / (SELECT count(DISTINCT n) FROM (
+                            SELECT u AS n FROM e
+                            UNION ALL SELECT v FROM e)))
+                  AS INT) + 1 AS k
+    ), peel AS (
+      SELECT 0 AS i, u AS n, v AS nb FROM e
+      UNION ALL SELECT 0, v, u FROM e
+      UNION ALL
+      SELECT i + 1, n, nb FROM (
+        SELECT i, n, nb,
+               count(*) OVER (PARTITION BY i, n) AS dn,
+               count(*) OVER (PARTITION BY i, nb) AS dnb
+        FROM peel
+      ) CROSS JOIN kk
+      WHERE i < {_KC_ROUNDS} AND dn >= kk.k AND dnb >= kk.k
+    )
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree,
+           (SELECT CAST(k AS BIGINT) FROM kk) AS k
+    FROM peel WHERE i = {_KC_ROUNDS} GROUP BY n
+    """,
+    tags=("graph", "iterative", "k-core"),
+)
+def graph_k_core(spark, sf_dir):
+    """K-CORE DECOMPOSITION (iterative peeling): repeatedly delete
+    nodes of degree < k until a fixed point — the standard spam/
+    link-farm and community-density screen. k self-adapts to the
+    fixture (⌈avg degree⌉ + 1, computed identically in both engines)
+    so the peel is non-trivial at every scale factor. Both engines run
+    EXACTLY {ROUNDS} peel rounds (idempotent after convergence, so the
+    fixed count keeps the output hash-equal regardless of where the
+    fixed point lands; convergence at fixture scale is asserted in
+    tests/test_r7.py).
+
+    Peel step on the SYMMETRIC directed relation: a row (n, nb)
+    survives iff deg(n) ≥ k AND deg(nb) ≥ k — mirrored rows share the
+    condition, so symmetry is invariant and this is exactly
+    "drop all edges incident to a sub-k node". The DuckDB oracle runs
+    the identical recurrence in a recursive CTE whose step references
+    the working table ONCE (degrees via two window counts — the
+    single-self-reference restriction is why the relation is kept
+    symmetric).
+
+    Scale: Spark's step is two bounded hash aggs (degrees) + two
+    equi-joins per round, lineage cut by lazy localCheckpoints that
+    the single final action materializes in sequence; at 100 TB each
+    round is one degree shuffle — never all-pairs."""
+    li = t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % _KC_NODES).alias("a")
+    b = (F.col("l_partkey") % _KC_NODES).alias("b")
+    e = (
+        li.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+        .unionByName(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.agg(F.count("*").alias("ne"))
+    n_nodes = sym.select("n").distinct().agg(F.count("*").alias("nv"))
+    kk = (
+        n_edges.crossJoin(n_nodes)
+        .select(
+            (
+                F.ceil(F.lit(2.0) * F.col("ne") / F.col("nv")).cast("int")
+                + 1
+            ).alias("k")
+        )
+    )
+    cur = sym
+    for _ in range(_KC_ROUNDS):
+        deg = cur.groupBy("n").agg(F.count("*").alias("d"))
+        cur = (
+            cur.crossJoin(F.broadcast(kk))
+            .join(deg.withColumnRenamed("n", "__x"),
+                  F.col("n") == F.col("__x"))
+            .filter(F.col("d") >= F.col("k"))
+            .drop("__x", "d")
+            .join(
+                deg.select(
+                    F.col("n").alias("__y"), F.col("d").alias("d2")
+                ),
+                F.col("nb") == F.col("__y"),
+            )
+            .filter(F.col("d2") >= F.col("k"))
+            .select("n", "nb")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.groupBy(F.col("n").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .crossJoin(F.broadcast(kk.select(F.col("k").cast("long").alias("k"))))
+    )
+
+
+# --------------------------------- stratified A/B (Cochran-M-H) + EB
+
+
+@query(
+    "stats_cmh_stratified",
+    oracle="""
+    WITH unit AS (
+      SELECT c.c_custkey AS k, c.c_mktsegment AS stratum,
+             CAST(c.c_custkey % 2 AS INT) AS treat,
+             CASE WHEN count(*) FILTER (
+                    o.o_orderpriority IN ('1-URGENT', '2-HIGH')) > 0
+                  THEN 1 ELSE 0 END AS success
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT stratum,
+             sum(CASE WHEN treat = 1 AND success = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN treat = 1 AND success = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN treat = 0 AND success = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN treat = 0 AND success = 0 THEN 1 ELSE 0 END) AS d
+      FROM unit GROUP BY 1
+    ), terms AS (
+      SELECT stratum, a, b, c, d,
+             a + b + c + d AS n,
+             CAST((a + b) AS DOUBLE) * (a + c) / (a + b + c + d) AS e_a,
+             CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               / ((a + b + c + d) * (a + b + c + d)
+                  * (a + b + c + d - 1)) AS v_a
+      FROM cells WHERE a + b + c + d > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a + b + c + d) AS BIGINT) AS n_units,
+           round((sum(a - e_a)) * (sum(a - e_a)) / sum(v_a), 6)
+             AS cmh_chi2,
+           round(sum(CAST(a AS DOUBLE) * d / n)
+                 / sum(CAST(b AS DOUBLE) * c / n), 6) AS mh_odds_ratio
+    FROM terms
+    """,
+    tags=("stats", "hypothesis-test", "ab-test", "orders"),
+)
+def stats_cmh_stratified(spark, sf_dir):
+    """COCHRAN–MANTEL–HAENSZEL stratified A/B test (the confounder-
+    aware extension of ab_test_proportions): per-customer variant
+    (custkey parity) × success (any urgent/high-priority order),
+    stratified by market segment; CMH χ² = (Σ(a−E[a]))²/ΣVar(a) pools
+    evidence across strata without mixing their base rates, and the
+    Mantel–Haenszel odds ratio Σ(ad/n)/Σ(bc/n) is the standard pooled
+    effect estimate. Simpson's-paradox insurance for experiment
+    readouts.
+
+    Scale: one join + two hash aggregations; cells are
+    strata-bounded (5 segments), everything after the per-customer
+    rollup is tiny. Cell counts are exact longs; doubles appear only
+    in the per-stratum E/V terms (≤5 of them)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    unit = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("stratum"),
+            (F.col("c_custkey") % 2).cast("int").alias("treat"),
+        )
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("o_orderpriority").isin(
+                            "1-URGENT", "2-HIGH"
+                        ),
+                        1,
+                    )
+                )
+                > 0
+            )
+            .cast("int")
+            .alias("success")
+        )
+    )
+    cells = unit.groupBy("stratum").agg(
+        F.sum(
+            ((F.col("treat") == 1) & (F.col("success") == 1)).cast("long")
+        ).alias("a"),
+        F.sum(
+            ((F.col("treat") == 1) & (F.col("success") == 0)).cast("long")
+        ).alias("b"),
+        F.sum(
+            ((F.col("treat") == 0) & (F.col("success") == 1)).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((F.col("treat") == 0) & (F.col("success") == 0)).cast("long")
+        ).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.filter(n > 1).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        n.alias("n"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / n
+        ).alias("e_a"),
+        (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (n * n * (n - 1))
+        ).alias("v_a"),
+    )
+    dev = F.sum(F.col("a") - F.col("e_a"))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_units"),
+        F.round(dev * dev / F.sum("v_a"), 6).alias("cmh_chi2"),
+        F.round(
+            F.sum(F.col("a").cast("double") * F.col("d") / F.col("n"))
+            / F.sum(F.col("b").cast("double") * F.col("c") / F.col("n")),
+            6,
+        ).alias("mh_odds_ratio"),
+    )
+
+
+_EB_TOP = 20
+
+
+@query(
+    "analytics_eb_shrinkage",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey AS part,
+             count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem GROUP BY 1
+    ), mom AS (
+      -- method-of-moments beta prior over raw per-part rates
+      SELECT avg(CAST(r AS DOUBLE) / n) AS m,
+             sum((CAST(r AS DOUBLE) / n - (SELECT avg(CAST(r AS DOUBLE) / n)
+                                           FROM pr))
+                 * (CAST(r AS DOUBLE) / n - (SELECT avg(CAST(r AS DOUBLE) / n)
+                                             FROM pr)))
+               / (count(*) - 1) AS v
+      FROM pr
+    ), prior AS (
+      SELECT m, v,
+             m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM mom
+    )
+    SELECT part, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_returned,
+           round(CAST(r AS DOUBLE) / n, 6) AS raw_rate,
+           round((r + prior.alpha) / (n + prior.alpha + prior.beta), 6)
+             AS eb_rate,
+           round(prior.alpha, 6) AS alpha, round(prior.beta, 6) AS beta
+    FROM pr CROSS JOIN prior
+    ORDER BY eb_rate DESC, part LIMIT {_EB_TOP}
+    """,
+    tags=("analytics", "bayes", "lineitem"),
+)
+def analytics_eb_shrinkage(spark, sf_dir):
+    """EMPIRICAL-BAYES rate shrinkage (beta-binomial, method-of-moments
+    prior — Robinson's "estimating ability from success rates" recipe,
+    public): per-part return rates shrunk toward the corpus prior,
+    (r + α)/(n + α + β), so low-volume parts stop topping the ranking
+    on 1-of-2 flukes — the standard fix for small-sample leaderboards.
+    Top-{TOP} by shrunk rate.
+
+    Scale: one hash agg to per-part cells; the prior is a 1-row
+    moment aggregate broadcast back; ranking is a TakeOrdered top-k.
+    The sample-variance pass uses the two-pass mean-then-deviations
+    form so both engines sum the identical doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r"),
+    )
+    rate = F.col("r").cast("double") / F.col("n")
+    m_row = pr.agg(F.avg(rate).alias("m"))
+    mom = (
+        pr.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.any_value("m").alias("m"),
+            (
+                F.sum((rate - F.col("m")) * (rate - F.col("m")))
+                / (F.count("*") - 1)
+            ).alias("v"),
+        )
+    )
+    ab = F.col("m") * (F.col("m") * (1 - F.col("m")) / F.col("v") - 1)
+    prior = mom.select(
+        ab.alias("alpha"),
+        ((1 - F.col("m")) / F.col("m") * ab).alias("beta"),
+    )
+    out = pr.crossJoin(F.broadcast(prior)).select(
+        "part",
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_returned"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            (F.col("r") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("eb_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )
+    return out.orderBy(F.col("eb_rate").desc(), "part").limit(_EB_TOP)

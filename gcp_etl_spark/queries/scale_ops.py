@@ -99,7 +99,10 @@ def rollup_multires(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
     )
-    minute = minute.persist()  # feeds both coarser grains
+    # feeds both coarser grains — lazy localCheckpoint, not SQL persist
+    # (a persist with no unpersist parks the relation in the session
+    # CacheManager forever; r8 leak audit)
+    minute = minute.localCheckpoint(eager=False)
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
     ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))

@@ -443,7 +443,10 @@ def test_dedup_family_leaves_no_session_cache_entries(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty(), "another test left a cached relation behind"
+    # earlier tests in the shared session may cache legitimately —
+    # the contract under test is "no NEW entries from THESE calls"
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
 
     docs = t(spark, SF_SMALL, "documents").limit(120)
     # eager path: cache released before return
@@ -459,3 +462,19 @@ def test_dedup_family_leaves_no_session_cache_entries(spark):
         full=docs, batch_pred=lambda i: i % 5 == 0,
     ).count()
     assert cm.isEmpty()
+
+
+def test_query_corpus_leak_audit_graph_rollup(spark):
+    """r8 leak audit extension: the three query-level persists with no
+    unpersist (triangle count, pagerank edges/nodes, rollup minute
+    grain) are now lazy localCheckpoints — the SQL CacheManager must
+    stay empty after each runs in a long-lived session."""
+    from gcp_etl_spark.queries import load_all
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # see the dedup-family leak test note
+    assert cm.isEmpty()
+    specs = load_all()
+    for name in ("graph_triangle_count", "graph_pagerank", "rollup_multires"):
+        specs[name].fn(spark, SF_SMALL).count()
+        assert cm.isEmpty(), f"{name} parked a relation in the CacheManager"
