@@ -1308,3 +1308,173 @@ def analytics_eb_shrinkage(spark, sf_dir):
         F.round("beta", 6).alias("beta"),
     )
     return out.orderBy(F.col("eb_rate").desc(), "part").limit(_EB_TOP)
+
+
+# ----------------------------------------- URL curation funnel (e2e)
+
+_FUNNEL_MIN_CHARS = 150
+_FUNNEL_CAP = _DOMAIN_CAP
+
+
+@query(
+    "curation_url_funnel",
+    oracle=f"""
+    WITH s1 AS (SELECT doc_id, text, n_chars FROM documents),
+    s2 AS (SELECT * FROM s1 WHERE n_chars >= {_FUNNEL_MIN_CHARS}),
+    canon AS (
+      SELECT doc_id, n_chars, text,
+             'https://h' || CAST({_URL_HID_SQL} AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+               || CASE WHEN doc_id % 11 = 0 THEN '?v=2' ELSE '' END
+               AS cu,
+             'h' || CAST({_URL_HID_SQL} AS VARCHAR) || '.example.com'
+               AS host
+      FROM s2
+    ),
+    s3 AS (
+      SELECT * FROM canon
+      QUALIFY row_number() OVER (PARTITION BY cu ORDER BY doc_id) = 1
+    ),
+    s4 AS (
+      SELECT * FROM s3
+      QUALIFY row_number() OVER (PARTITION BY host
+                                 ORDER BY n_chars DESC, doc_id)
+              <= {_FUNNEL_CAP}
+    ),
+    -- dup-shingle signal computed over the RAW corpus (contamination
+    -- is corpus-wide, not survivor-relative)
+    w AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+               '\\s+', ' ', 'g'), ' ') AS ws FROM s1),
+    g AS (SELECT doc_id,
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                 ws[i+4] || ' ' || ws[i+5] AS g
+          FROM w, unnest(range(len(ws) - 4)) t(i)),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+    ratio AS (
+      SELECT g.doc_id,
+             CAST(count(*) FILTER (df.df >= 2) AS DOUBLE) / count(*) AS r
+      FROM g JOIN df USING (g) GROUP BY 1
+    ),
+    s5 AS (
+      SELECT s4.doc_id FROM s4
+      JOIN ratio ON ratio.doc_id = s4.doc_id
+      WHERE ratio.r < 0.5
+    ),
+    f AS (
+      SELECT 1 AS stage, 'raw' AS stage_name,
+             (SELECT count(*) FROM s1) AS n_out
+      UNION ALL SELECT 2, 'min_length', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'url_dedup', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'domain_caps', (SELECT count(*) FROM s4)
+      UNION ALL SELECT 5, 'dup_shingle', (SELECT count(*) FROM s5)
+    )
+    SELECT stage, stage_name, CAST(n_out AS BIGINT) AS n_out,
+           round(CAST(n_out AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6) AS keep_rate
+    FROM f
+    """,
+    tags=("llm", "curation", "url", "pipeline"),
+)
+def curation_url_funnel(spark, sf_dir):
+    """THE URL-CURATION FUNNEL (RefinedWeb's macro shape, public):
+    raw → minimum-length gate → URL-normalized dedup (keep smallest
+    doc_id per canonical url) → per-domain caps (≤{CAP}, quality
+    order) → corpus-wide duplicated-text screen (word-5-gram dup
+    ratio < 50%). One row per stage with survivor count and keep rate
+    — the auditable funnel report every curation run publishes, and
+    the e2e composition of this round's URL ops.
+
+    Scale: each stage is one hash shuffle on its own key (canonical
+    url, host, gram); stages compose lazily so Catalyst prunes columns
+    through the whole funnel; the dup-shingle signal is computed over
+    the RAW corpus (contamination is corpus-wide), reusing the
+    quality_dup_shingle_ratio algebra. Counts are exact longs; the
+    keep-rate division is int/int IEEE — bit-exact cross-engine."""
+    from gcp_etl_spark.functions.text import normalize_text
+    from gcp_etl_spark.operators.topk import top_k_per_group
+
+    par = spark.sparkContext.defaultParallelism
+    s1 = (
+        t(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", "text", "n_chars")
+        .localCheckpoint(eager=False)  # feeds 3 stages + the signal
+    )
+    s2 = s1.filter(F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+    hid = F.floor(F.sqrt((F.col("doc_id") % 1600).cast("double"))).cast(
+        "int"
+    )
+    canon = s2.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://h"),
+            hid.cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("?v=2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("cu"),
+        F.concat(
+            F.lit("h"), hid.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    s3 = top_k_per_group(canon, ["cu"], [F.col("doc_id")], 1).drop("rn")
+    s4 = top_k_per_group(
+        s3, ["host"], [F.col("n_chars").desc(), F.col("doc_id")],
+        _FUNNEL_CAP,
+    ).drop("rn")
+
+    w = s1.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ws")
+    )
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(ws) >= 5,"
+                " transform(sequence(0, size(ws) - 5),"
+                "  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2],"
+                "                 ws[i+3], ws[i+4])),"
+                " cast(array() as array<string>))"
+            )
+        ).alias("g"),
+    )
+    dfr = g.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    ratio = (
+        g.join(dfr, "g")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.count(F.when(F.col("df") >= 2, 1)).cast("double")
+                / F.count("*")
+            ).alias("r")
+        )
+    )
+    s5 = s4.join(ratio, "doc_id").filter(F.col("r") < 0.5)
+
+    total = s1.count()
+
+    def stage(i, name, df):
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").cast("long").alias("n_out"),
+        )
+
+    out = (
+        stage(1, "raw", s1)
+        .unionByName(stage(2, "min_length", s2))
+        .unionByName(stage(3, "url_dedup", s3))
+        .unionByName(stage(4, "domain_caps", s4))
+        .unionByName(stage(5, "dup_shingle", s5))
+    )
+    return out.select(
+        "stage",
+        "stage_name",
+        "n_out",
+        F.round(F.col("n_out").cast("double") / F.lit(total), 6).alias(
+            "keep_rate"
+        ),
+    )
