@@ -1478,3 +1478,58 @@ def curation_url_funnel(spark, sf_dir):
             "keep_rate"
         ),
     )
+
+
+@query(
+    "stream_domain_caps",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'h' || CAST({_URL_HID_SQL} AS VARCHAR) || '.example.com'
+               AS host
+      FROM documents
+    ), r AS (
+      SELECT host, doc_id,
+             count(*) OVER (PARTITION BY host) AS n_host_docs,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM u
+    )
+    SELECT host, doc_id, CAST(rk AS BIGINT) AS rk,
+           CAST(n_host_docs AS BIGINT) AS n_host_docs
+    FROM r WHERE rk <= {_DOMAIN_CAP}
+    """,
+    tags=("streaming", "llm", "curation", "url"),
+)
+def stream_domain_caps(spark, sf_dir):
+    """STREAMING PER-DOMAIN CAPS dual (the curation family's always-on
+    member): each arriving micro-batch stores only its own per-host
+    top-cap candidates (≤ cap × hosts rows, text never enters state)
+    plus mergeable arrival counts; top-k under a total order is a
+    MERGEABLE aggregate, so the read-time resolution equals this batch
+    election exactly for ANY batching (equality + replay-idempotence
+    pinned in tests/test_streaming.py). This registered dual computes
+    the batch relation through the SAME shared per-batch reducers the
+    foreachBatch sink uses (streaming/domain_caps.py)."""
+    from gcp_etl_spark.streaming.domain_caps import (
+        batch_candidates,
+        batch_counts,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    kept = batch_candidates(d, _DOMAIN_CAP)
+    counts = batch_counts(d).select(
+        "host", F.col("n").cast("long").alias("n_host_docs")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .join(counts, "host")
+        .select(
+            "host", "doc_id", F.col("rk").cast("long").alias("rk"),
+            "n_host_docs",
+        )
+    )

@@ -606,3 +606,56 @@ def test_stream_curation_replay_idempotent(spark, documents_stream_dir, tmp_path
     sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
     after = sorted(map(tuple, read_manifest(spark, store).collect()))
     assert after == before
+
+
+def test_stream_domain_caps_equals_batch(spark, documents_stream_dir, tmp_path):
+    """Per-domain caps maintained incrementally (each epoch stores its
+    own per-host top-cap candidates + arrival counts) must resolve to
+    the one-shot batch election on the full table — top-k under a
+    total order is mergeable, so the store is batching-invariant."""
+    from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.streaming.domain_caps import caps_sink, read_caps
+
+    src, schema = documents_stream_dir
+    store = str(tmp_path / "store")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(caps_sink(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_caps(spark, store).collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_all()["curation_domain_caps"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_domain_caps_replay_idempotent(
+    spark, documents_stream_dir, tmp_path
+):
+    """Replaying an epoch must leave the resolved caps unchanged (the
+    sink overwrites its own epoch partitions and reads nothing)."""
+    from gcp_etl_spark.streaming.domain_caps import caps_sink, read_caps
+
+    src, schema = documents_stream_dir
+    docs = spark.read.schema(schema).parquet(src)
+    store = str(tmp_path / "store")
+    sink = caps_sink(store)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    before = sorted(map(tuple, read_caps(spark, store).collect()))
+    assert len(before) > 0
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
+    after = sorted(map(tuple, read_caps(spark, store).collect()))
+    assert after == before
