@@ -683,14 +683,26 @@ _PERM_B_COUNT = 199  # Monte-Carlo relabelings; p floors at 1/(B+1) = 0.005
       SELECT avg(value) FILTER (a = 1) - avg(value) FILTER (a = 0) AS d
       FROM s
     ), perm AS (
-      SELECT b.b,
-             CASE WHEN CAST(('0x' || substr(md5(b.b || ':' ||
-                    CAST(s.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                  % nn.nt < nn.na
+      -- an md5 hex digest is exactly 32 chars = FOUR 8-char windows:
+      -- permutation b = 4g + w reads window w of digest md5(g : id),
+      -- so each row computes ceil(B/4) digests instead of B; the hex
+      -- window compares as a fixed-width lowercase STRING against the
+      -- %08x threshold floor(2^32 * n_a / n) — lexicographic ==
+      -- numeric for fixed-width hex
+      SELECT g.g * 4 + w.w AS b,
+             CASE WHEN substr(
+                    md5(CAST(g.g AS VARCHAR) || ':' ||
+                        CAST(s.event_id AS VARCHAR)),
+                    1 + 8 * w.w, 8)
+                  < printf('%08x',
+                           CAST(floor(4294967296.0 * nn.na / nn.nt)
+                                AS BIGINT))
                   THEN 1 ELSE 0 END AS side,
              s.value
       FROM s CROSS JOIN nn,
-           generate_series(0, {_PERM_B_COUNT - 1}) b(b)
+           generate_series(0, {(_PERM_B_COUNT + 3) // 4 - 1}) g(g),
+           generate_series(0, 3) w(w)
+      WHERE g.g * 4 + w.w < {_PERM_B_COUNT}
     ), diffs AS (
       SELECT b, avg(value) FILTER (side = 1)
                - avg(value) FILTER (side = 0) AS d
@@ -741,21 +753,28 @@ def stats_permutation_test(spark, sf_dir):
             - F.avg(F.when(F.col("a") == 0, F.col("value")))
         ).alias("d_obs")
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("event_id").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # md5 is the wall-clock term (measured 5.6 of 7.5 s at sf0.1), so
+    # the explode is structured digest-FIRST: one digest per
+    # (row, group g), then its 32 hex chars posexplode into FOUR
+    # independent 8-char windows (b = 4g + w) — a 4× cut in digests.
+    # The hex window compares as a fixed-width lowercase STRING against
+    # the %08x-formatted threshold ⌊2³²·n_a/n⌋ (lexicographic ==
+    # numeric for fixed-width hex), killing the per-permutation conv
+    # (measured ~2 s of the wall on its own).
+    n_groups = (_PERM_B_COUNT + 3) // 4
+    dig = F.md5(
+        F.concat(
+            F.col("g").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    thr = F.format_string(
+        "%08x",
+        F.floor(
+            F.lit(4294967296.0) * F.col("na") / F.col("nt")
+        ).cast("long"),
+    )
     perm = (
         e.crossJoin(F.broadcast(nn))
         .select(
@@ -763,14 +782,28 @@ def stats_permutation_test(spark, sf_dir):
             "na",
             "nt",
             F.explode(
-                F.sequence(F.lit(0), F.lit(_PERM_B_COUNT - 1))
-            ).alias("b"),
+                F.sequence(F.lit(0), F.lit(n_groups - 1))
+            ).alias("g"),
             "event_id",
         )
         .select(
-            "b",
             "value",
-            (h % F.col("nt") < F.col("na")).cast("int").alias("side"),
+            (F.col("g") * 4).alias("b0"),
+            thr.alias("thr"),
+            # regexp_extract_all slices the digest into its four 8-char
+            # windows with md5 written ONCE in the expression tree — an
+            # array of four substring(dig,...) copies would re-inline
+            # (and recompute) the digest per element after Catalyst's
+            # projection collapse (measured: the 4× digest cut vanished)
+            F.posexplode(
+                F.regexp_extract_all(dig, F.lit(".{8}"), 0)
+            ).alias("w", "win"),
+        )
+        .filter(F.col("b0") + F.col("w") < _PERM_B_COUNT)
+        .select(
+            (F.col("b0") + F.col("w")).alias("b"),
+            "value",
+            (F.col("win") < F.col("thr")).cast("int").alias("side"),
         )
     )
     diffs = perm.groupBy("b").agg(
