@@ -1566,3 +1566,256 @@ def stream_domain_caps(spark, sf_dir):
             "n_host_docs",
         )
     )
+
+
+# ---------------------------------- tabular feature-prep (ML encoders)
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20.0  # pseudo-count toward the global prior
+
+
+@query(
+    "prep_target_encoding",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS cat,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_TE_FOLDS} AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    prior AS (SELECT avg(CAST(y AS DOUBLE)) AS p FROM rows_),
+    cf AS (
+      SELECT cat, fold, count(*) AS n, sum(y) AS s
+      FROM rows_ GROUP BY 1, 2
+    ),
+    tot AS (SELECT cat, sum(n) AS n_all, sum(s) AS s_all FROM cf GROUP BY 1)
+    SELECT cf.cat, CAST(cf.fold AS INT) AS fold,
+           CAST(tot.n_all - cf.n AS BIGINT) AS n_oof,
+           round((tot.s_all - cf.s + {_TE_SMOOTH} * prior.p)
+                 / (tot.n_all - cf.n + {_TE_SMOOTH}), 6) AS encoding,
+           round(prior.p, 6) AS global_prior
+    FROM cf JOIN tot USING (cat) CROSS JOIN prior
+    """,
+    tags=("prep", "ml", "encoding", "orders"),
+)
+def prep_target_encoding(spark, sf_dir):
+    """LEAKAGE-FREE K-FOLD TARGET ENCODING (the mean-encoding recipe
+    every tabular pipeline uses; out-of-fold to avoid target leakage):
+    for each (category, fold), the encoding is the smoothed mean of
+    the binary target over all OTHER folds' rows of that category —
+    (Σ_oof y + m·prior)/(n_oof + m), m = {SMOOTH}. Folds are
+    md5-deterministic (content-keyed, re-ingestion-stable — the
+    prep_stratified_kfold convention). Output is the (category × fold)
+    encoding TABLE a training job broadcast-joins onto its rows.
+
+    Scale: one hash agg to (category, fold) cells, the out-of-fold
+    sums derived by subtraction from per-category totals — the corpus
+    is scanned ONCE however many folds."""
+    o = t(spark, sf_dir, "orders")
+    rows_ = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _TE_FOLDS
+        ).alias("fold"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    prior = rows_.agg(F.avg(F.col("y").cast("double")).alias("p"))
+    cf = rows_.groupBy("cat", "fold").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    tot = cf.groupBy("cat").agg(
+        F.sum("n").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    return (
+        cf.join(tot, "cat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "cat",
+            F.col("fold").cast("int").alias("fold"),
+            (F.col("n_all") - F.col("n")).cast("long").alias("n_oof"),
+            F.round(
+                (
+                    F.col("s_all")
+                    - F.col("s")
+                    + F.lit(_TE_SMOOTH) * F.col("p")
+                )
+                / (F.col("n_all") - F.col("n") + F.lit(_TE_SMOOTH)),
+                6,
+            ).alias("encoding"),
+            F.round("p", 6).alias("global_prior"),
+        )
+    )
+
+
+@query(
+    "prep_woe_iv",
+    oracle="""
+    WITH lab AS (
+      SELECT o.o_orderpriority AS bin,
+             CASE WHEN max(CASE WHEN l.l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS bad
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    ),
+    cells AS (
+      SELECT bin,
+             sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) AS n_good,
+             sum(bad) AS n_bad
+      FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_good) AS g, sum(n_bad) AS b FROM cells)
+    SELECT bin, CAST(n_good AS BIGINT) AS n_good,
+           CAST(n_bad AS BIGINT) AS n_bad,
+           round(ln((CAST(n_good AS DOUBLE) / tot.g)
+                    / (CAST(n_bad AS DOUBLE) / tot.b)), 6) AS woe,
+           round((CAST(n_good AS DOUBLE) / tot.g
+                  - CAST(n_bad AS DOUBLE) / tot.b)
+                 * ln((CAST(n_good AS DOUBLE) / tot.g)
+                      / (CAST(n_bad AS DOUBLE) / tot.b)), 6) AS iv_term
+    FROM cells CROSS JOIN tot
+    """,
+    tags=("prep", "ml", "encoding", "orders", "lineitem"),
+)
+def prep_woe_iv(spark, sf_dir):
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE per feature bin (the
+    credit-scoring encoder/screen, public): unit = order, bad = the
+    order contains a returned line, bins = order priority. WoE_i =
+    ln((good_i/G)/(bad_i/B)); the per-bin IV terms sum to the
+    feature's screening IV. The standard monotone-risk encoding for
+    logistic models and a feature-selection statistic in one.
+
+    Scale: one join + per-order rollup (map-side combinable), then
+    bin-bounded cells; ln on 5 cells. Counts exact longs; the
+    divisions are int/int IEEE — bit-exact cross-engine."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    lab = (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("bin"))
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("bad")
+        )
+    )
+    cells = lab.groupBy("bin").agg(
+        F.sum((F.col("bad") == 0).cast("long")).alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("g"), F.sum("n_bad").alias("b")
+    )
+    good_r = F.col("n_good").cast("double") / F.col("g")
+    bad_r = F.col("n_bad").cast("double") / F.col("b")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round(F.log(good_r / bad_r), 6).alias("woe"),
+            F.round((good_r - bad_r) * F.log(good_r / bad_r), 6).alias(
+                "iv_term"
+            ),
+        )
+    )
+
+
+# -------------------------------------- Markov stationary distribution
+
+_MK_ITERS = 20
+
+
+@query(
+    "analytics_markov_stationary",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), trans AS (
+      SELECT event_type AS s, nxt AS d, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+      SELECT s, d, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY s) AS p
+      FROM trans
+    ), states AS (SELECT DISTINCT s FROM p),
+    pi AS (
+      SELECT 0 AS i, s,
+             1.0 / (SELECT count(*) FROM states) AS w
+      FROM states
+      UNION ALL
+      SELECT i + 1, d AS s, sum(w * p) AS w FROM (
+        SELECT pi.i, pi.w, p.d, p.p
+        FROM pi JOIN p ON p.s = pi.s
+        WHERE pi.i < {_MK_ITERS}
+      ) GROUP BY i, d
+    )
+    SELECT pi.s AS state, round(pi.w, 6) AS pi_stationary,
+           round(e.n_emp / (SELECT CAST(count(*) AS DOUBLE) FROM seq
+                            WHERE nxt IS NOT NULL), 6) AS pi_empirical
+    FROM pi
+    JOIN (SELECT s, CAST(sum(n) AS DOUBLE) AS n_emp
+          FROM trans GROUP BY 1) e USING (s)
+    WHERE pi.i = {_MK_ITERS}
+    """,
+    tags=("analytics", "markov", "iterative", "events"),
+)
+def analytics_markov_stationary(spark, sf_dir):
+    """STATIONARY DISTRIBUTION of the per-user event-type Markov chain
+    (the long-run state occupancy the transition matrix implies —
+    where event_transition_matrix gives one step, this gives the fixed
+    point): π ← πP for {ITERS} power iterations from uniform, reported
+    next to the EMPIRICAL source-state occupancy so drift between
+    "where the chain would settle" and "where the data is" is visible
+    per state.
+
+    Scale: the transition matrix is |event_types|² — STRUCTURALLY
+    bounded — so after one distributed lag-1 count the iteration runs
+    driver-side on the collected cell dict (the k-means/PCA
+    bounded-state convention); the DuckDB oracle replays the identical
+    recurrence with a fixed-depth recursive CTE (the pagerank-oracle
+    pattern). 6-dp rounding absorbs summation-order ulps."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("d")
+    ).agg(F.count("*").alias("n"))
+    cells = trans.collect()  # bounded: |event_types|^2 rows
+    from collections import defaultdict
+
+    row_tot: dict = defaultdict(int)
+    emp: dict = defaultdict(int)
+    for r in cells:
+        row_tot[r["s"]] += r["n"]
+        emp[r["s"]] += r["n"]
+    p = {(r["s"], r["d"]): r["n"] / row_tot[r["s"]] for r in cells}
+    states = sorted(row_tot)
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MK_ITERS):
+        nxt: dict = defaultdict(float)
+        for (s, d), pv in sorted(p.items()):
+            nxt[d] += pi[s] * pv
+        pi = dict(nxt)
+    total = sum(emp.values())
+    rows_ = [
+        (s, round(pi.get(s, 0.0), 6), round(emp[s] / total, 6))
+        for s in states
+    ]
+    return spark.createDataFrame(
+        rows_, "state string, pi_stationary double, pi_empirical double"
+    )
