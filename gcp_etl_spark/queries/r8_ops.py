@@ -524,22 +524,28 @@ def stats_kruskal_wallis(spark, sf_dir):
     dv = e.groupBy("value").agg(F.count("*").alias("c"))
     cum, psums = range_prefix_sums(dv, ["value"], ["c"])
     dvt = e.groupBy("value", "event_type").agg(F.count("*").alias("cg"))
+    # decimal(38,0) for the rank-sum and tie accumulators: at 10^9+
+    # rows c³ and Σ cg·(2·cum−c+1) exceed int64 (DuckDB's BIGINT sums
+    # auto-promote to HUGEINT — decimal keeps the Spark side exact to
+    # the oracle's width; same class as the r7 KS ADVICE fix)
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     r2 = (
         dvt.join(cum.select("value", "c", "c_cum"), "value")
         .groupBy("event_type")
         .agg(
             F.sum("cg").alias("n_g"),
             F.sum(
-                F.col("cg")
-                * (2 * F.col("c_cum") - F.col("c") + 1)
+                dec(F.col("cg"))
+                * dec(2 * F.col("c_cum") - F.col("c") + 1)
             ).alias("r2_g"),
         )
     )
     n = dv.agg(
         F.sum("c").alias("nn"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
-            "ties"
-        ),
+        F.sum(
+            dec(F.col("c")) * dec(F.col("c")) * dec(F.col("c"))
+            - dec(F.col("c"))
+        ).alias("ties"),
     )
     h = r2.crossJoin(F.broadcast(n)).agg(
         F.max("nn").alias("nn"),
