@@ -1825,3 +1825,92 @@ def analytics_markov_stationary(spark, sf_dir):
     return spark.createDataFrame(
         rows_, "state string, pi_stationary double, pi_empirical double"
     )
+
+
+# ------------------------------------------------ geohash spatial grid
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis; 30 bits total = 6 base32 chars
+_GH_PREFIX = 3  # grid aggregation precision (3 chars = 15 bits)
+
+
+def _gh_sql(div: str) -> str:
+    """The full geohash-6 expression over integer columns lat/lon, as
+    ONE arithmetic-only SQL string (bit ops via {div}/%/* so the same
+    builder emits Spark SQL with ``div`` and DuckDB SQL with ``//`` —
+    no engine-specific bit operators). Quantization is pure integer:
+    latq = (lat+90)*2^15 {div} 180, lngq = (lon+180)*2^15 {div} 360;
+    the interleave puts lng bits at odd positions (geohash standard,
+    public — Niemeyer 2008)."""
+    latq = f"(((lat + 90) * 32768) {div} 180)"
+    lngq = f"(((lon + 180) * 32768) {div} 360)"
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"(({lngq} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({latq} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    combined = "(" + " + ".join(terms) + ")"
+    chars = []
+    for j in range(6):
+        shift = 1 << (25 - 5 * j)
+        chars.append(
+            f"substr('{_GH_ALPHABET}', "
+            f"CAST(({combined} {div} {shift}) % 32 AS INT) + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+@query(
+    "geo_geohash_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, user_id,
+             CAST(user_id % 360 - 180 AS BIGINT) AS lon,
+             CAST(event_id % 180 - 90 AS BIGINT) AS lat
+      FROM events
+    ), gh AS (
+      SELECT user_id, {_gh_sql('//')} AS geohash6 FROM pts
+    )
+    SELECT substr(geohash6, 1, {_GH_PREFIX}) AS cell,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(geohash6) AS sample_geohash6
+    FROM gh GROUP BY 1
+    """,
+    tags=("geo", "spatial", "scalar", "events"),
+)
+def geo_geohash_grid(spark, sf_dir):
+    """GEOHASH GRID AGGREGATION (Niemeyer's geohash, public — the
+    spatial bucketing every geo pipeline uses for grid rollups and
+    proximity blocking): encode each event's synthetic integer
+    (lon, lat) to a 6-char geohash (15 bits/axis, standard odd-lng
+    interleave, base32 alphabet) and aggregate events/users per
+    {PREFIX}-char grid cell. The geo companion to the LSH-bucketing
+    family: equal prefixes = nearby points, so the same bucket-join
+    algebra does spatial blocking.
+
+    ONE arithmetic-only expression string (bit ops spelled as
+    integer div/%/×) is generated for BOTH engines — Spark runs it
+    via F.expr with ``div``, DuckDB with ``//`` — so the 30-bit
+    interleave and the base32 indexing are hash-verified
+    character-for-character. Pure integer end-to-end: no float
+    rounding anywhere.
+
+    Scale: encode is a zero-shuffle map; the rollup is one hash agg
+    keyed by the cell — the standard grid shape."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        (F.col("user_id") % 360 - 180).cast("long").alias("lon"),
+        (F.col("event_id") % 180 - 90).cast("long").alias("lat"),
+    )
+    gh = pts.select(
+        "user_id", F.expr(_gh_sql("div")).alias("geohash6")
+    )
+    return (
+        gh.groupBy(F.substring("geohash6", 1, _GH_PREFIX).alias("cell"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("geohash6").alias("sample_geohash6"),
+        )
+    )

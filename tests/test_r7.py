@@ -605,3 +605,42 @@ def test_k_core_peel_converges_within_fixed_rounds(spark):
     # every node keeps its degree, so the MIN degree already >= k
     # certifies the fixed point (degree can only drop via removals,
     # and nothing is removable when all degrees pass the gate)
+
+
+def test_geohash_encoding_matches_textbook_reference():
+    """geo_geohash_grid's arithmetic-only 30-bit encoder must equal the
+    textbook bisection geohash (Niemeyer) on integer-degree points —
+    checked exhaustively over the fixture's full coordinate domain."""
+    from gcp_etl_spark.queries.r8_ops import _GH_ALPHABET
+
+    def ref_geohash(lat, lon, length=6):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, ch, even, out = 0, 0, True, []
+        while len(out) < length:
+            r, v = (lon_r, lon) if even else (lat_r, lat)
+            mid = (r[0] + r[1]) / 2
+            if v >= mid:
+                ch, r[0] = ch * 2 + 1, mid
+            else:
+                ch, r[1] = ch * 2, mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(_GH_ALPHABET[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    def ours(lat, lon):
+        latq = ((lat + 90) * 32768) // 180
+        lngq = ((lon + 180) * 32768) // 360
+        comb = 0
+        for i in range(15):
+            comb += ((lngq >> i) & 1) << (2 * i + 1)
+            comb += ((latq >> i) & 1) << (2 * i)
+        return "".join(
+            _GH_ALPHABET[(comb >> (25 - 5 * j)) & 31] for j in range(6)
+        )
+
+    for lat in range(-90, 90):
+        for lon in range(-180, 180):
+            assert ref_geohash(lat, lon) == ours(lat, lon), (lat, lon)
