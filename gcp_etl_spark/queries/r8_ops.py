@@ -1914,3 +1914,105 @@ def geo_geohash_grid(spark, sf_dir):
             F.min("geohash6").alias("sample_geohash6"),
         )
     )
+
+
+# ---------------------------------------------- spatial blocking join
+
+_GEO_R_KM = 150.0
+_GEO_CELL_DEG = 1.40625  # 180/128: lat span of 150 km (1.36°) fits ±1
+_GEO_MAX_LAT = 60        # keeps the lon span of 150 km ≤ 2 cells
+_GEO_TYPE = "signup"
+
+_HAV_SQL = (
+    "2 * 6371.0 * asin(sqrt("
+    " pow(sin(radians(b_lat - a_lat) / 2), 2)"
+    " + cos(radians(a_lat)) * cos(radians(b_lat))"
+    " * pow(sin(radians(b_lon - a_lon) / 2), 2)))"
+)
+
+
+@query(
+    "geo_blocked_distance_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(user_id % 360 - 180 AS DOUBLE) AS lon,
+             CAST(event_id % 180 - 90 AS DOUBLE) AS lat
+      FROM events
+      WHERE event_type = '{_GEO_TYPE}'
+        AND abs(event_id % 180 - 90) <= {_GEO_MAX_LAT}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({_HAV_SQL.replace('a_lat', 'a.lat').replace('a_lon', 'a.lon')
+                          .replace('b_lat', 'b.lat').replace('b_lon', 'b.lon')},
+                 4) AS km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE round({_HAV_SQL.replace('a_lat', 'a.lat').replace('a_lon', 'a.lon')
+                          .replace('b_lat', 'b.lat').replace('b_lon', 'b.lon')},
+                4) <= {_GEO_R_KM}
+    """,
+    tags=("geo", "spatial", "join", "events", "scale"),
+)
+def geo_blocked_distance_join(spark, sf_dir):
+    """SPATIAL DISTANCE JOIN via grid blocking — all point pairs within
+    {R} km, computed with the LSH-bucket-join algebra instead of a
+    cross product: quantize each point to a {CELL}° grid cell, explode
+    ONE side into its 3×5 neighbor cells (±1 lat cell covers the
+    1.36° lat span of {R} km; ±2 lon cells cover the ≤2.71° lon span
+    at |lat| ≤ {MAXLAT}°, the query's declared domain), equi-join on
+    the cell, then the exact haversine ≤ {R} filter — a candidate
+    SUPERSET by the geometry above, so the blocked join returns
+    EXACTLY the cross join's answer.
+
+    That zero-miss property is value-proven, not asserted: the DuckDB
+    oracle is the BRUTE-FORCE O(n²) cross join, so a single pair the
+    blocking misses is a hash mismatch. (Same oracle-foil pattern as
+    the ANN bitext miner.) Boundary compare on round(km, 4) so
+    cross-engine trig ulps cannot flip membership — the
+    geo_haversine_nearest_hub convention.
+
+    Scale: |points × 15| rows shuffle keyed by cell — never
+    point × point; per-cell density bounds the candidate fanout, and
+    hot cells split with the same salting as any skewed equi-join."""
+    e = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == _GEO_TYPE)
+        & (F.abs(F.col("event_id") % 180 - 90) <= _GEO_MAX_LAT)
+    )
+    pts = e.select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("event_id") % 180 - 90).cast("double").alias("lat"),
+    )
+    cy = F.floor((F.col("lat") + 90) / _GEO_CELL_DEG).cast("int")
+    cx = F.floor((F.col("lon") + 180) / _GEO_CELL_DEG).cast("int")
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cy + dy).alias("cy"), (cx + dx).alias("cx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-2, -1, 0, 1, 2)
+                ]
+            )
+        ).alias("c"),
+    ).select("id_a", "a_lat", "a_lon", "c.cy", "c.cx")
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        cy.alias("cy"),
+        cx.alias("cx"),
+    )
+    km = F.round(F.expr(_HAV_SQL), 4)
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("km", km)
+        .filter(F.col("km") <= _GEO_R_KM)
+        .select("id_a", "id_b", "km")
+    )
