@@ -380,3 +380,56 @@ def pixel_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "bin": bins, "n": cnts})
 
     return df.mapInPandas(batches, HIST_SCHEMA)
+
+
+def augment_media(
+    df: DataFrame,
+    crop: int = 16,
+    offset: int = 4,
+    flip_mod: int = 4,
+) -> DataFrame:
+    """DETERMINISTIC train-time image augmentation: center-ish crop to
+    ``crop``×``crop`` at ``(offset, offset)``, plus a horizontal flip
+    for media ids ≡ 0 (mod ``flip_mod``) — the id-keyed determinism
+    that makes augmented corpora reproducible across re-runs (the same
+    contract as every content-keyed draw in this engine). Decode →
+    transform → RE-ENCODE inside mapInPandas; pixels never leave the
+    task. Non-PNG payloads pass through with ``augmented = skipped``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads, metas = [], []
+            for mid, b, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(m) if m is not None else {}
+                try:
+                    arr = codecs.png_decode(bytes(b)) if b else None
+                except ValueError:
+                    arr = None
+                if arr is not None and arr.shape[2] == 3:
+                    a2 = arr[
+                        offset : offset + crop, offset : offset + crop, :
+                    ]
+                    flipped = int(mid) % flip_mod == 0
+                    if flipped:
+                        a2 = a2[:, ::-1, :]
+                    payloads.append(codecs.png_encode(np.ascontiguousarray(a2)))
+                    meta["augmented"] = "flip+crop" if flipped else "crop"
+                else:
+                    payloads.append(b)
+                    meta["augmented"] = "skipped"
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)

@@ -2016,3 +2016,86 @@ def geo_blocked_distance_join(spark, sf_dir):
         .filter(F.col("km") <= _GEO_R_KM)
         .select("id_a", "id_b", "km")
     )
+
+
+# ------------------------------------------- multimodal augmentation
+
+
+@query(
+    "multimodal_image_augment",
+    # crop 16x16 at (4,4) + horizontal flip for media_id % 4 == 0: the
+    # oracle applies the same index map to the generator formula
+    # pixel[y,x,c] = (13*id + 7*x + 11*y + 17*c) % 256, so a hash match
+    # proves the decode -> crop/flip -> encode -> decode chain
+    oracle="""
+    WITH ids AS (SELECT 2 * i AS media_id FROM generate_series(0, 31) t(i)),
+    px AS (
+      SELECT ids.media_id, x.x AS x,
+             (13 * ids.media_id
+              + 7 * (CASE WHEN ids.media_id % 4 = 0
+                          THEN 4 + (15 - x.x) ELSE 4 + x.x END)
+              + 11 * (4 + y.y) + 17 * c.c) % 256 AS v
+      FROM ids,
+           generate_series(0, 15) x(x),
+           generate_series(0, 15) y(y),
+           generate_series(0, 2) c(c)
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(sum((x + 1) * v) AS BIGINT) AS pos_checksum,
+           (media_id % 4 = 0) AS flipped
+    FROM px GROUP BY media_id
+    """,
+    tags=("llm", "multimodal", "codec", "augment"),
+)
+def multimodal_image_augment(spark, sf_dir):
+    """REAL train-time image augmentation pipeline: PNG decode →
+    16×16 crop at (4,4) → id-keyed deterministic horizontal flip →
+    PNG re-encode (``augment_media``) → decode again and aggregate the
+    augmented pixels. Deterministic augmentation (content/id-keyed,
+    never RNG-state-keyed) is what makes an augmented corpus
+    reproducible across re-runs and resumable mid-epoch. The oracle
+    applies the same crop/flip index map to the pixel generator
+    formula, pinning the full decode→transform→encode→decode chain
+    value-for-value.
+
+    Scale: pixels never leave the scan task (mapInPandas); only
+    4-column aggregate rows shuffle — the multimodal family contract."""
+    from gcp_etl_spark.llm.multimodal import (
+        augment_media,
+        extract_features,
+        synthesize_codec_media,
+    )
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "image/png"
+    )
+    aug = augment_media(media, crop=16, offset=4, flip_mod=4)
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gcp_etl_spark.llm import codecs  # executor-side
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_values": [], "value_sum": [],
+                "pos_checksum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = codecs.png_decode(bytes(payload)).astype(np.int64)
+                w = np.arange(arr.shape[1]).reshape(1, -1, 1) + 1
+                out["media_id"].append(int(mid))
+                out["n_values"].append(int(arr.size))
+                out["value_sum"].append(int(arr.sum()))
+                # column-weighted checksum: FLIP-SENSITIVE where the
+                # plain sum is flip-invariant (same pixel multiset)
+                out["pos_checksum"].append(int((arr * w).sum()))
+            yield pd.DataFrame(out)
+
+    return aug.mapInPandas(
+        feats,
+        "media_id long, n_values long, value_sum long, pos_checksum long",
+    ).withColumn("flipped", F.col("media_id") % 4 == 0)
