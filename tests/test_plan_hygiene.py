@@ -158,6 +158,9 @@ _FP_QUERIES = [
     "agg_weighted_median", "dedup_containment",
     "graph_clustering_coefficient", "dedup_ngram_jaccard",
     "prep_leakage_split", "agg_median",
+    # r8 additions that entered the expensive set (BENCH_DETAIL_r08)
+    "stats_permutation_test", "dedup_substring_tokens_dfcap",
+    "dedup_substring_tokens", "graph_k_core", "curation_url_funnel",
 ]
 
 _FP_MARKS = {
