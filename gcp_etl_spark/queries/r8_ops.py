@@ -2099,3 +2099,226 @@ def multimodal_image_augment(spark, sf_dir):
         feats,
         "media_id long, n_values long, value_sum long, pos_checksum long",
     ).withColumn("flipped", F.col("media_id") % 4 == 0)
+
+
+# --------------------------------------- Nelson-Aalen / price indices
+
+
+@query(
+    "analytics_survival_nelson_aalen",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS tmax FROM events),
+    u AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS te
+      FROM events GROUP BY 1
+    ), durs AS (
+      SELECT CAST(date_diff('day', t0, coalesce(te, g.tmax)) AS BIGINT)
+               AS dur,
+             (te IS NOT NULL) AS ev
+      FROM u, g
+    ), agg AS (
+      SELECT dur,
+             count(*) FILTER (WHERE ev) AS d,
+             count(*) AS leaving
+      FROM durs GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             sum(leaving) OVER () -
+               coalesce(sum(leaving) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM agg
+    ), terms AS (
+      SELECT dur, d, n_at_risk,
+             CAST(CAST(d AS DOUBLE) / n_at_risk AS DECIMAL(18,12))
+               AS hterm,
+             CAST(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE)
+                                       * n_at_risk)
+                  AS DECIMAL(18,12)) AS vterm
+      FROM risk WHERE d > 0
+    )
+    SELECT dur AS day, CAST(d AS BIGINT) AS d_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(CAST(sum(hterm) OVER (ORDER BY dur) AS DOUBLE), 6)
+             AS cum_hazard,
+           round(CAST(sum(vterm) OVER (ORDER BY dur) AS DOUBLE), 6)
+             AS hazard_var
+    FROM terms
+    """,
+    tags=("analytics", "survival", "events"),
+)
+def analytics_survival_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard H(t) = Σ_{t_i ≤ t} d_i/n_i with
+    its variance estimator Σ d_i/n_i² — the non-parametric hazard
+    companion of the suite's Kaplan-Meier curve (same
+    time-to-first-purchase / right-censoring construction), preferred
+    when the HAZARD level itself is the decision variable (incident
+    rates, reliability engineering). exp(−H) is the Breslow survival
+    estimate, so the pair cross-checks KM.
+
+    Same FP-determinism policy as KM: each per-day term is int/int in
+    IEEE double then cast to decimal(18,12), so the ordered prefix
+    sums are exact however either engine associates them; one 6-dp
+    round at the end.
+
+    Scale: one user-level min-agg shuffle; everything after is
+    per-distinct-duration — observation-window-bounded, so the global
+    window is over a tiny relation (the KM convention)."""
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("tmax"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("te"),
+    )
+    durs = u.crossJoin(F.broadcast(g)).select(
+        F.datediff(
+            F.coalesce(F.col("te"), F.col("tmax")).cast("date"),
+            F.col("t0").cast("date"),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("te").isNotNull().alias("ev"),
+    )
+    agg = durs.groupBy("dur").agg(
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = agg.select(
+        "dur",
+        "d",
+        (
+            F.sum("leaving").over(wall)
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    nd = F.col("n_at_risk").cast("double")
+    terms = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_at_risk",
+        (F.col("d").cast("double") / nd)
+        .cast("decimal(18,12)")
+        .alias("hterm"),
+        (F.col("d").cast("double") / (nd * F.col("n_at_risk")))
+        .cast("decimal(18,12)")
+        .alias("vterm"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("dur").alias("day"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(F.sum("hterm").over(wcum).cast("double"), 6).alias(
+            "cum_hazard"
+        ),
+        F.round(F.sum("vterm").over(wcum).cast("double"), 6).alias(
+            "hazard_var"
+        ),
+    )
+
+
+@query(
+    "analytics_price_index",
+    oracle="""
+    WITH yr AS (
+      SELECT l_partkey AS part,
+             year(l_shipdate) AS y,
+             sum(l_quantity) AS q,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS spend
+      FROM lineitem GROUP BY 1, 2
+    ), yrs AS (
+      SELECT min(y) AS y0, max(y) AS y1 FROM yr
+    ), px AS (
+      -- unit value per (part, year): spend/qty, the standard unit-value
+      -- price proxy when no list price exists
+      SELECT part, y, CAST(spend AS DOUBLE) / q AS p, q FROM yr
+    ), pair AS (
+      SELECT b.part, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+      FROM px b JOIN px c ON c.part = b.part
+      CROSS JOIN yrs
+      WHERE b.y = yrs.y0 AND c.y = yrs.y1
+    )
+    SELECT (SELECT y0 FROM yrs) AS base_year,
+           (SELECT y1 FROM yrs) AS compare_year,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche,
+           round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                      * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher
+    FROM pair
+    """,
+    tags=("analytics", "econometrics", "lineitem"),
+)
+def analytics_price_index(spark, sf_dir):
+    """PRICE INDICES (Laspeyres / Paasche / Fisher ideal — the
+    standard inflation trio, public): unit-value prices per part in
+    the first and last shipment years, base-year-weighted
+    (Σp₁q₀/Σp₀q₀), current-year-weighted (Σp₁q₁/Σp₀q₁), and their
+    geometric mean, over parts present in BOTH years.
+
+    Scale: one (part, year) hash agg over the fact table, then a
+    part-keyed self-join of two year slices — dimension-sized, never
+    fact-sized. Sums of p·q doubles aggregate order-free enough for
+    the 6-dp round (products of unit values with long quantities;
+    relative error ~1e-15 per term)."""
+    li = t(spark, sf_dir, "lineitem")
+    yr = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").alias("y"),
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "spend"
+        ),
+    )
+    yrs = yr.agg(F.min("y").alias("y0"), F.max("y").alias("y1"))
+    px = yr.select(
+        "part", "y", (F.col("spend").cast("double") / F.col("q")).alias("p"), "q"
+    )
+    b = px.alias("b")
+    c = px.alias("c")
+    pair = (
+        b.join(c, F.col("b.part") == F.col("c.part"))
+        .crossJoin(F.broadcast(yrs))
+        .filter(
+            (F.col("b.y") == F.col("y0")) & (F.col("c.y") == F.col("y1"))
+        )
+        .select(
+            F.col("y0"),
+            F.col("y1"),
+            F.col("b.p").alias("p0"),
+            F.col("b.q").alias("q0"),
+            F.col("c.p").alias("p1"),
+            F.col("c.q").alias("q1"),
+        )
+    )
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(
+        F.col("p0") * F.col("q0")
+    )
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(
+        F.col("p0") * F.col("q1")
+    )
+    return pair.groupBy("y0", "y1").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).select(
+        F.col("y0").cast("long").alias("base_year"),
+        F.col("y1").cast("long").alias("compare_year"),
+        "n_parts",
+        "laspeyres",
+        "paasche",
+        "fisher",
+    )
