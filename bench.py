@@ -178,11 +178,34 @@ def _prior_timings() -> dict:
         return {}
 
 
-def _dump_detail(sf: float, timings: dict, detail: dict, failures: list) -> None:
+def _dump_detail(
+    sf: float,
+    timings: dict,
+    detail: dict,
+    failures: list,
+    merge: bool = False,
+) -> None:
     """Write the full per-query timing map (+ raw passes and host load).
     Called incrementally (every 20 executed queries) as well as at the
     end, so an externally-imposed wall timeout still leaves a usable
-    partial detail file."""
+    partial detail file. ``merge=True`` (subset runs via
+    SPARK_GRAFT_BENCH_ONLY) folds this run's queries into the existing
+    same-round detail instead of clobbering a full-corpus snapshot
+    with a 2-query map."""
+    if merge:
+        path0 = os.path.join(HERE, f"BENCH_DETAIL_r{_round_stamp():02d}.json")
+        if os.path.exists(path0):
+            try:
+                with open(path0) as f:
+                    old = json.load(f)
+                if old.get("sf") == sf:
+                    timings = {**old.get("queries", {}), **timings}
+                    detail = {**old.get("detail", {}), **detail}
+                    failures = sorted(
+                        set(old.get("failures", [])) | set(failures)
+                    )
+            except Exception:  # noqa: BLE001 - corrupt old detail: overwrite
+                pass
     payload = {
         "metric": "declared_query_suite_wall",
         "value": round(sum(timings.values()), 3),
@@ -334,7 +357,7 @@ def main() -> None:
         if n_done % gc_every == 0:
             spark.sparkContext._jvm.System.gc()
         if n_done % 20 == 0:
-            _dump_detail(sf, timings, detail, failures)
+            _dump_detail(sf, timings, detail, failures, merge=bool(only))
             # cumulative parseable headline: if an external wall
             # timeout kills the run, the driver's "last JSON line"
             # parse still gets a partial-but-valid result instead of
@@ -365,7 +388,7 @@ def main() -> None:
             spark = get_spark("bench")
 
     total = round(sum(timings.values()), 3)
-    _dump_detail(sf, timings, detail, failures)
+    _dump_detail(sf, timings, detail, failures, merge=bool(only))
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
