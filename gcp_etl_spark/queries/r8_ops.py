@@ -2322,3 +2322,95 @@ def analytics_price_index(spark, sf_dir):
         "paasche",
         "fisher",
     )
+
+
+# ----------------------------------------------- equivalence testing
+
+_TOST_DELTA = 5.0  # equivalence margin on the mean difference
+_TOST_Z = 1.6448536269514722  # z_{0.95}: one-sided 5% per bound
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = '{_PERM_A}' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('{_PERM_A}', '{_PERM_B}')
+    ), g AS (
+      SELECT a, count(*) AS n, avg(value) AS m,
+             sum(value * value) AS ss, sum(value) AS sv
+      FROM s GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN a = 1 THEN n END) AS n1,
+             max(CASE WHEN a = 1 THEN m END) AS m1,
+             max(CASE WHEN a = 1 THEN (ss - sv * sv / n) / (n - 1) END)
+               AS v1,
+             max(CASE WHEN a = 0 THEN n END) AS n2,
+             max(CASE WHEN a = 0 THEN m END) AS m2,
+             max(CASE WHEN a = 0 THEN (ss - sv * sv / n) / (n - 1) END)
+               AS v2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(m1 - m2, 6) AS mean_diff,
+           round(sqrt(v1 / n1 + v2 / n2), 6) AS se,
+           round((m1 - m2 + {_TOST_DELTA}) / sqrt(v1 / n1 + v2 / n2), 6)
+             AS z_lower,
+           round((m1 - m2 - {_TOST_DELTA}) / sqrt(v1 / n1 + v2 / n2), 6)
+             AS z_upper,
+           ((m1 - m2 + {_TOST_DELTA}) / sqrt(v1 / n1 + v2 / n2)
+              > {_TOST_Z}
+            AND (m1 - m2 - {_TOST_DELTA}) / sqrt(v1 / n1 + v2 / n2)
+              < -{_TOST_Z}) AS equivalent
+    FROM w
+    """,
+    tags=("stats", "hypothesis-test", "equivalence", "events"),
+)
+def stats_tost_equivalence(spark, sf_dir):
+    """TOST EQUIVALENCE TEST (Schuirmann's two one-sided tests,
+    public): is the mean difference between two event types WITHIN
+    ±{DELTA}? — the inverse question of the difference tests
+    (failing to reject ≠ equivalence; TOST is the correct procedure
+    for "these two variants are the same" claims). Both one-sided
+    z-statistics against the margin, Welch-style unpooled SE, and the
+    joint verdict at one-sided α = 5%.
+
+    Scale: ONE map-side-combinable aggregation (n, Σv, Σv²) per side —
+    the whole test is a 2-row reduction however large the corpus.
+    Variances via the sum-of-squares identity on the same scan."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_PERM_A, _PERM_B)
+    ).select(
+        "value", (F.col("event_type") == _PERM_A).cast("int").alias("a")
+    )
+    g = e.groupBy("a").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("value").alias("sv"),
+    )
+    var = (F.col("ss") - F.col("sv") * F.col("sv") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    w = g.agg(
+        F.max(F.when(F.col("a") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("a") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("a") == 1, var)).alias("v1"),
+        F.max(F.when(F.col("a") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("a") == 0, F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("a") == 0, var)).alias("v2"),
+    )
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    d = F.col("m1") - F.col("m2")
+    zl = (d + _TOST_DELTA) / se
+    zu = (d - _TOST_DELTA) / se
+    return w.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(d, 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round(zl, 6).alias("z_lower"),
+        F.round(zu, 6).alias("z_upper"),
+        ((zl > _TOST_Z) & (zu < -_TOST_Z)).alias("equivalent"),
+    )
