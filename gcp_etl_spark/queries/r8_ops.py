@@ -2414,3 +2414,73 @@ def stats_tost_equivalence(spark, sf_dir):
         F.round(zu, 6).alias("z_upper"),
         ((zl > _TOST_Z) & (zu < -_TOST_Z)).alias("equivalent"),
     )
+
+
+# ------------------------------------------------ Poisson rate ratio
+
+
+@query(
+    "stats_poisson_rate_ratio",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(date_diff('day', min(ts), max(ts)) + 1 AS BIGINT)
+               AS days
+      FROM events
+    ), c AS (
+      SELECT count(*) FILTER (event_type = '{_PERM_A}') AS ka,
+             count(*) FILTER (event_type = '{_PERM_B}') AS kb
+      FROM events
+    )
+    SELECT CAST(ka AS BIGINT) AS n_a, CAST(kb AS BIGINT) AS n_b,
+           span.days AS exposure_days,
+           round(CAST(ka AS DOUBLE) / span.days, 6) AS rate_a,
+           round(CAST(kb AS DOUBLE) / span.days, 6) AS rate_b,
+           round(CAST(ka AS DOUBLE) / kb, 6) AS rate_ratio,
+           round(ln(CAST(ka AS DOUBLE) / kb)
+                 / sqrt(1.0 / ka + 1.0 / kb), 6) AS z_log_ratio
+    FROM c CROSS JOIN span
+    """,
+    tags=("stats", "hypothesis-test", "poisson", "events"),
+)
+def stats_poisson_rate_ratio(spark, sf_dir):
+    """TWO-SAMPLE POISSON RATE-RATIO TEST (count-process inference —
+    incident/arrival rates, where the mean tests assume continuous
+    responses): event counts of two types over the shared observation
+    window, the rate ratio k_a/k_b (equal exposure cancels), and the
+    log-ratio z statistic ln(k_a/k_b)/√(1/k_a + 1/k_b) — the standard
+    large-sample test for "did the error rate double?".
+
+    Scale: the entire test is ONE map-side-combinable filtered-count
+    aggregation plus a min/max over ts — two scalar rows at any corpus
+    size. Counts exact longs; int/int divisions bit-exact."""
+    e = t(spark, sf_dir, "events")
+    span = e.agg(
+        (
+            F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+            + 1
+        )
+        .cast("long")
+        .alias("days")
+    )
+    c = e.agg(
+        F.count(F.when(F.col("event_type") == _PERM_A, 1)).alias("ka"),
+        F.count(F.when(F.col("event_type") == _PERM_B, 1)).alias("kb"),
+    )
+    ratio = F.col("ka").cast("double") / F.col("kb")
+    return c.crossJoin(F.broadcast(span)).select(
+        F.col("ka").cast("long").alias("n_a"),
+        F.col("kb").cast("long").alias("n_b"),
+        F.col("days").alias("exposure_days"),
+        F.round(F.col("ka").cast("double") / F.col("days"), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("kb").cast("double") / F.col("days"), 6).alias(
+            "rate_b"
+        ),
+        F.round(ratio, 6).alias("rate_ratio"),
+        F.round(
+            F.log(ratio)
+            / F.sqrt(1.0 / F.col("ka") + 1.0 / F.col("kb")),
+            6,
+        ).alias("z_log_ratio"),
+    )
