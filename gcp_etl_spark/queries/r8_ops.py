@@ -2484,3 +2484,68 @@ def stats_poisson_rate_ratio(spark, sf_dir):
             6,
         ).alias("z_log_ratio"),
     )
+
+
+# ---------------------------------------------- Wilson proportion CI
+
+_WILSON_Z = 1.959963984540054  # z_{0.975}: two-sided 95%
+
+
+@query(
+    "stats_wilson_ci",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN count(*) FILTER (event_type = 'purchase') > 0
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY 1
+    ), c AS (SELECT count(*) AS n, sum(conv) AS k FROM u)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_converted,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round((k + {_WILSON_Z} * {_WILSON_Z} / 2)
+                 / (n + {_WILSON_Z} * {_WILSON_Z}), 6) AS p_center,
+           round(((k + {_WILSON_Z} * {_WILSON_Z} / 2)
+                  - {_WILSON_Z} * sqrt(CAST(k AS DOUBLE) * (n - k) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / 4))
+                 / (n + {_WILSON_Z} * {_WILSON_Z}), 6) AS ci_lo,
+           round(((k + {_WILSON_Z} * {_WILSON_Z} / 2)
+                  + {_WILSON_Z} * sqrt(CAST(k AS DOUBLE) * (n - k) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / 4))
+                 / (n + {_WILSON_Z} * {_WILSON_Z}), 6) AS ci_hi
+    FROM c
+    """,
+    tags=("stats", "estimation", "proportion", "events"),
+)
+def stats_wilson_ci(spark, sf_dir):
+    """WILSON SCORE INTERVAL for the user conversion rate — the
+    proportion CI that stays inside [0,1] and behaves at small k/n
+    where the Wald interval collapses (the estimator-side companion
+    of the suite's two-proportion z-TEST): center (k + z²/2)/(n + z²)
+    ± z·√(k(n−k)/n + z²/4)/(n + z²) at 95%.
+
+    Scale: one per-user rollup (map-side combinable) then a 1-row
+    reduction; exact long counts, int/int divisions."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    c = u.agg(F.count("*").alias("n"), F.sum("conv").alias("k"))
+    z2 = _WILSON_Z * _WILSON_Z
+    kc = F.col("k") + z2 / 2
+    den = F.col("n") + z2
+    half = _WILSON_Z * F.sqrt(
+        F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+        + z2 / 4
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("p_hat"),
+        F.round(kc / den, 6).alias("p_center"),
+        F.round((kc - half) / den, 6).alias("ci_lo"),
+        F.round((kc + half) / den, 6).alias("ci_hi"),
+    )
