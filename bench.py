@@ -56,10 +56,26 @@ quieter same-corpus pass; that gap exceeded every real plan change):
     whose RECORDED pass started above the gate) so a polluted suite
     number is self-diagnosing at the headline level.
 
+Round-9 hygiene (r8 verdict asks #1/#2: agg_weighted_median recorded
+20.35 s in-suite on BOTH passes at load1 1.8 vs 3.36 s isolated warm,
+with no code diff — and the identical 27-query alphabetical prefix
+re-run next round measured 2.87 s, so the pollution was TRANSIENT HOST
+INTERFERENCE invisible to loadavg, most plausibly an IO stall):
+  * per-pass /proc/stat iowait share + per-record block-manager
+    storage telemetry (cached RDDs / blocks / bytes) make both failure
+    modes self-diagnosing in the detail file;
+  * FRESH-SESSION RE-PASS: a record >= 3x its prior-round number on a
+    quiet host (load1 under the gate) gets one re-run in a NEW
+    SparkSession; the record is the min, provenance
+    ``repass_fresh_session`` — a genuine regression reproduces in the
+    fresh session, polluted session/host state does not.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list),
 SPARK_GRAFT_BENCH_MIN2 (threshold sec, default 2; 0 disables),
 SPARK_GRAFT_BENCH_LOAD_GATE (load1 gate, default 4.0; 0 disables),
+SPARK_GRAFT_BENCH_PRIOR_FILE (explicit prior-round detail file — the
+fresh-session re-pass rule's test/demo hook),
 SPARK_GRAFT_ROUND (round stamp for the detail snapshot filename).
 """
 
@@ -108,6 +124,46 @@ def _host_load() -> dict:
     return out
 
 
+def _proc_stat() -> tuple[int, int] | None:
+    """(iowait, total) jiffies from /proc/stat — sampled around each
+    measured pass so an IO-stalled record is self-diagnosing. r8's
+    agg_weighted_median anomaly (20.35 s in-suite at load1 1.8 vs
+    3.36 s isolated; unreproducible with the identical 27-query prefix
+    re-run next round, 2.87 s) was transient host interference that
+    loadavg never showed — tasks in uninterruptible IO sleep inflate
+    wall time without inflating load1 on a 32-core box."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[4], sum(vals)  # iowait, total
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _storage_telemetry(spark) -> dict:
+    """Block-manager storage state (r8 verdict ask #1): cached-RDD
+    count, cached partition/block count, and storage memory+disk bytes
+    via the public ``getRDDStorageInfo`` — recorded per bench query so
+    a session whose block manager is accumulating state (e.g. lazy
+    localCheckpoint blocks surviving cleanup) is visible in the detail
+    file instead of being inferred after the fact."""
+    out: dict = {}
+    try:
+        infos = list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        out["rdds_cached"] = len(infos)
+        out["blocks_cached"] = sum(i.numCachedPartitions() for i in infos)
+        out["storage_mem_mb"] = round(
+            sum(i.memSize() for i in infos) / 1048576, 1
+        )
+        disk = sum(i.diskSize() for i in infos)
+        if disk:
+            out["storage_disk_mb"] = round(disk / 1048576, 1)
+    except Exception:  # noqa: BLE001 - telemetry must never kill bench
+        pass
+    return out
+
+
 def _gate_load() -> tuple[float, bool]:
     """Wait (bounded) for the host to quiet down before a measured
     pass. Returns (load1 at pass start, contended?) where contended
@@ -149,6 +205,16 @@ def _prior_timings() -> dict:
     file — the baseline for the contention re-pass guard (r6 verdict
     ask #5: single-pass queries under the MIN2 threshold could record
     a contended number with no second chance)."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR_FILE")
+    if override:
+        # test/demo hook: point the prior-baseline at an explicit file
+        # (the fresh-session re-pass rule is demonstrated by injecting
+        # a tiny prior — tests/test_bench_policy.py)
+        try:
+            with open(override) as f:
+                return json.load(f).get("queries", {})
+        except Exception:  # noqa: BLE001
+            return {}
     cur = _round_stamp()
     best_n, best_path = -1, None
     for p in glob.glob(os.path.join(HERE, "BENCH_DETAIL_r*.json")):
@@ -193,7 +259,10 @@ def _dump_detail(
     same-round detail instead of clobbering a full-corpus snapshot
     with a 2-query map."""
     if merge:
-        path0 = os.path.join(HERE, f"BENCH_DETAIL_r{_round_stamp():02d}.json")
+        path0 = os.path.join(
+            os.environ.get("SPARK_GRAFT_BENCH_OUT_DIR", HERE),
+            f"BENCH_DETAIL_r{_round_stamp():02d}.json",
+        )
         if os.path.exists(path0):
             try:
                 with open(path0) as f:
@@ -201,8 +270,13 @@ def _dump_detail(
                 if old.get("sf") == sf:
                     timings = {**old.get("queries", {}), **timings}
                     detail = {**old.get("detail", {}), **detail}
+                    # a query that failed in the full round but succeeds
+                    # in this re-run must LEAVE the failure list (r8
+                    # ADVICE: the plain union kept it in 'failures'
+                    # while also appearing in the merged timing map)
                     failures = sorted(
-                        set(old.get("failures", [])) | set(failures)
+                        (set(old.get("failures", [])) | set(failures))
+                        - set(timings)
                     )
             except Exception:  # noqa: BLE001 - corrupt old detail: overwrite
                 pass
@@ -218,9 +292,10 @@ def _dump_detail(
         "detail": detail,
         "failures": failures,
     }
+    out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT_DIR", HERE)
     for path in (
-        os.path.join(HERE, "BENCH_DETAIL.json"),
-        os.path.join(HERE, f"BENCH_DETAIL_r{_round_stamp():02d}.json"),
+        os.path.join(out_dir, "BENCH_DETAIL.json"),
+        os.path.join(out_dir, f"BENCH_DETAIL_r{_round_stamp():02d}.json"),
     ):
         with open(path, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
@@ -279,15 +354,26 @@ def main() -> None:
         passes: list[float] = []
         pass_loads: list[float] = []
         pass_hot: list[bool] = []
+        pass_iowait: list[float] = []
         repassed_for_load = False
 
         def _measured_pass() -> None:
             load, hot = _gate_load()
             pass_loads.append(load)
             pass_hot.append(hot)
+            io0 = _proc_stat()
             t0 = time.time()
             force(spec.fn(spark, sf_dir))
             passes.append(round(time.time() - t0, 3))
+            io1 = _proc_stat()
+            # host-wide iowait share of the pass window: high values
+            # flag an IO stall that load1 cannot see (r8 anomaly)
+            if io0 and io1 and io1[1] > io0[1]:
+                pass_iowait.append(
+                    round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
+                )
+            else:  # pragma: no cover
+                pass_iowait.append(-1.0)
 
         try:
             _measured_pass()
@@ -341,11 +427,37 @@ def main() -> None:
                 # 'pass2_warm' label mixed cold one-pass and warm
                 # two-pass records)
                 rec["timing"] = "pass2_warm" if len(passes) == 2 else "pass1"
+            # FRESH-SESSION ANOMALY RE-PASS (r8 verdict ask #2): a
+            # record blowing >3x past its prior-round number on a
+            # QUIET host (load1 under the gate — the load gate catches
+            # host contention but not session-state pollution or an IO
+            # stall, r8's blind spot) gets ONE re-run in a brand-new
+            # SparkSession. A genuine plan regression reproduces there;
+            # polluted state does not. The record is the MIN across
+            # sessions, provenance 'repass_fresh_session'.
+            prev = prior.get(name)
+            if (
+                prev
+                and timings[name] >= 3.0 * prev
+                and (not LOAD_GATE or rec.get("load1", 0.0) < LOAD_GATE)
+            ):
+                rec["prior_sec"] = prev
+                spark.stop()
+                spark = get_spark("bench")
+                _measured_pass()
+                rec["repass_fresh_session"] = passes[-1]
+                if passes[-1] < timings[name]:
+                    timings[name] = passes[-1]
+                    rec["timing"] = "repass_fresh_session"
             rec["passes"] = passes
             rec["pass_loads"] = pass_loads
+            rec["pass_iowait"] = pass_iowait
             # contended = the pass whose time became the record STARTED
             # above the gate (feeds the headline contended_queries count)
             rec["contended"] = pass_hot[passes.index(timings[name])]
+            # block-manager storage state BEFORE this query's cleanup:
+            # what the query just ran on top of (ask #1 telemetry)
+            rec.update(_storage_telemetry(spark))
             detail[name] = rec
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             failures.append(name)
@@ -436,6 +548,13 @@ def main() -> None:
                 # host contention, not plan changes
                 "contended_queries": sum(
                     1 for r in detail.values() if r.get("contended")
+                ),
+                # r9: how many records took the fresh-session escape
+                # hatch (anomaly vs prior round on a quiet host)
+                "repassed_fresh": sum(
+                    1
+                    for r in detail.values()
+                    if "repass_fresh_session" in r
                 ),
                 **dist,
                 "detail": f"BENCH_DETAIL_r{_round_stamp():02d}.json",

@@ -82,8 +82,11 @@ def _two_phase_components(
     aggregate, an equi-join, and the small-star output's distinct —
     are all set-semantics-safe), dropping one shuffle per round.
     Convergence = the oriented edge set's (count, xor-of-hashes)
-    signature stable across a round, unchanged from r7, so detection
-    round counts match the r7 grid exactly."""
+    signature stable across a round; at max_iter >= 2 no initial
+    signature job runs (an already-converged input costs one
+    idempotent extra round) so detection round counts match the r7
+    grid exactly, while max_iter == 1 seeds the signature up front so
+    converged inputs still report converged=True (r8 ADVICE edge)."""
     # canonical orientation (larger endpoint first); self-loops drop.
     # LAZY checkpoint: the nodes job below materializes the caller's
     # persisted sym, and round 1's signature job materializes e — no
@@ -106,9 +109,15 @@ def _two_phase_components(
         ).first()
         return (row["n"], row["h"])
 
-    # no initial signature job: round 1's signature can never match
-    # None, so the first comparison simply records
-    sig = None
+    # no initial signature job in the common case: round 1's signature
+    # can never match None, so the first comparison simply records —
+    # already-converged inputs cost one (idempotent) extra round, which
+    # is cheaper than a guaranteed up-front signature job on EVERY
+    # call. EXCEPTION (r8 ADVICE): with max_iter == 1 there is no
+    # second round to detect convergence in, so the initial signature
+    # is seeded up front — converged=True on a converged input is part
+    # of the function's contract and must not depend on max_iter.
+    sig = signature(e) if max_iter == 1 else None
     rounds = 0
     converged = False
     for _ in range(max_iter):

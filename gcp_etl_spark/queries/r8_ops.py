@@ -1035,11 +1035,11 @@ _KC_ROUNDS = 20    # FIXED round count in BOTH engines: identical output
       FROM lineitem
       WHERE l_orderkey % {_KC_NODES} <> l_partkey % {_KC_NODES}
     ), kk AS (
-      SELECT CAST(ceil(2.0 * (SELECT count(*) FROM e)
+      SELECT CAST(ceil(1.0 * (SELECT count(*) FROM e)
                        / (SELECT count(DISTINCT n) FROM (
                             SELECT u AS n FROM e
                             UNION ALL SELECT v FROM e)))
-                  AS INT) + 1 AS k
+                  AS INT) AS k
     ), peel AS (
       SELECT 0 AS i, u AS n, v AS nb FROM e
       UNION ALL SELECT 0, v, u FROM e
@@ -1062,8 +1062,13 @@ def graph_k_core(spark, sf_dir):
     """K-CORE DECOMPOSITION (iterative peeling): repeatedly delete
     nodes of degree < k until a fixed point — the standard spam/
     link-farm and community-density screen. k self-adapts to the
-    fixture (⌈avg degree⌉ + 1, computed identically in both engines)
-    so the peel is non-trivial at every scale factor. Both engines run
+    fixture (⌈avg degree / 2⌉, computed identically in both engines):
+    measured degeneracy is 7 / 46 / 470 at sf0.001/0.01/0.1 vs
+    k = 5 / 30 / 260, so the surviving core is NON-EMPTY at every
+    scale (r8 ADVICE: the previous ⌈avg⌉+1 exceeded degeneracy and the
+    "verified" core was the trivially-hash-equal empty set; the pytest
+    now asserts a non-empty, strictly-smaller-than-input core at two
+    scales). Both engines run
     EXACTLY {ROUNDS} peel rounds (idempotent after convergence, so the
     fixed count keeps the output hash-equal regardless of where the
     fixed point lands; convergence at fixture scale is asserted in
@@ -1102,10 +1107,9 @@ def graph_k_core(spark, sf_dir):
     kk = (
         n_edges.crossJoin(n_nodes)
         .select(
-            (
-                F.ceil(F.lit(2.0) * F.col("ne") / F.col("nv")).cast("int")
-                + 1
-            ).alias("k")
+            F.ceil(F.lit(1.0) * F.col("ne") / F.col("nv"))
+            .cast("int")
+            .alias("k")
         )
     )
     cur = sym
@@ -1920,6 +1924,10 @@ def geo_geohash_grid(spark, sf_dir):
 
 _GEO_R_KM = 150.0
 _GEO_CELL_DEG = 1.40625  # 180/128: lat span of 150 km (1.36°) fits ±1
+_GEO_LON_CELLS = 256     # 360/1.40625 exactly — the lon ring size the
+                         # neighbor-cell indices wrap modulo (r8 ADVICE:
+                         # without the wrap, pairs straddling ±180°
+                         # were never candidates)
 _GEO_MAX_LAT = 60        # keeps the lon span of 150 km ≤ 2 cells
 _GEO_TYPE = "signup"
 
@@ -1929,6 +1937,52 @@ _HAV_SQL = (
     " + cos(radians(a_lat)) * cos(radians(b_lat))"
     " * pow(sin(radians(b_lon - a_lon) / 2), 2)))"
 )
+
+
+def _geo_blocked_pairs(pts):
+    """Grid-blocked candidate pairs within ``_GEO_R_KM`` of each other,
+    given ``pts(id, lon double, lat double)`` with |lat| <= _GEO_MAX_LAT.
+    The lon cell index lives on a RING of ``_GEO_LON_CELLS`` cells
+    (360/1.40625 = 256 exactly), so the exploded neighbor indices wrap
+    with ``pmod`` — haversine distance itself wraps at the antimeridian,
+    and a point at lon -180 is 1°-of-longitude away from one at +179
+    (r8 ADVICE high: the unwrapped index silently excluded those pairs;
+    regression pinned by tests/test_r7.py::test_geo_blocked_join_wraps_
+    antimeridian against a brute-force cross join over wrap points)."""
+    cy = F.floor((F.col("lat") + 90) / _GEO_CELL_DEG).cast("int")
+    cx = F.floor((F.col("lon") + 180) / _GEO_CELL_DEG).cast("int")
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cy + dy).alias("cy"),
+                        F.pmod(cx + dx, F.lit(_GEO_LON_CELLS)).alias("cx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-2, -1, 0, 1, 2)
+                ]
+            )
+        ).alias("c"),
+    ).select("id_a", "a_lat", "a_lon", "c.cy", "c.cx")
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        cy.alias("cy"),
+        F.pmod(cx, F.lit(_GEO_LON_CELLS)).alias("cx"),
+    )
+    km = F.round(F.expr(_HAV_SQL), 4)
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("km", km)
+        .filter(F.col("km") <= _GEO_R_KM)
+        .select("id_a", "id_b", "km")
+    )
 
 
 @query(
@@ -1962,14 +2016,20 @@ def geo_blocked_distance_join(spark, sf_dir):
     at |lat| ≤ {MAXLAT}°, the query's declared domain), equi-join on
     the cell, then the exact haversine ≤ {R} filter — a candidate
     SUPERSET by the geometry above, so the blocked join returns
-    EXACTLY the cross join's answer.
+    EXACTLY the cross join's answer. The lon index wraps modulo the
+    256-cell ring (``pmod``) so antimeridian-straddling pairs remain
+    candidates (r8 ADVICE: lon −180 vs +179 is ~111 km, inside the
+    radius, yet unwrapped indices 0 vs 255 never met).
 
     That zero-miss property is value-proven, not asserted: the DuckDB
     oracle is the BRUTE-FORCE O(n²) cross join, so a single pair the
-    blocking misses is a hash mismatch. (Same oracle-foil pattern as
-    the ANN bitext miner.) Boundary compare on round(km, 4) so
-    cross-engine trig ulps cannot flip membership — the
-    geo_haversine_nearest_hub convention.
+    blocking misses is a hash mismatch — and because the fixture-scale
+    event grid may coincidentally contain no wrap pairs, the wrap case
+    is ALSO pinned directly (tests/test_r8.py wrap regression runs this
+    helper against a brute-force cross join over synthetic ±180°
+    points). Boundary compare on round(km, 4) so cross-engine trig
+    ulps cannot flip membership — the geo_haversine_nearest_hub
+    convention.
 
     Scale: |points × 15| rows shuffle keyed by cell — never
     point × point; per-cell density bounds the candidate fanout, and
@@ -1983,39 +2043,7 @@ def geo_blocked_distance_join(spark, sf_dir):
         (F.col("user_id") % 360 - 180).cast("double").alias("lon"),
         (F.col("event_id") % 180 - 90).cast("double").alias("lat"),
     )
-    cy = F.floor((F.col("lat") + 90) / _GEO_CELL_DEG).cast("int")
-    cx = F.floor((F.col("lon") + 180) / _GEO_CELL_DEG).cast("int")
-    a = pts.select(
-        F.col("id").alias("id_a"),
-        F.col("lat").alias("a_lat"),
-        F.col("lon").alias("a_lon"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (cy + dy).alias("cy"), (cx + dx).alias("cx")
-                    )
-                    for dy in (-1, 0, 1)
-                    for dx in (-2, -1, 0, 1, 2)
-                ]
-            )
-        ).alias("c"),
-    ).select("id_a", "a_lat", "a_lon", "c.cy", "c.cx")
-    b = pts.select(
-        F.col("id").alias("id_b"),
-        F.col("lat").alias("b_lat"),
-        F.col("lon").alias("b_lon"),
-        cy.alias("cy"),
-        cx.alias("cx"),
-    )
-    km = F.round(F.expr(_HAV_SQL), 4)
-    return (
-        a.join(b, ["cy", "cx"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("km", km)
-        .filter(F.col("km") <= _GEO_R_KM)
-        .select("id_a", "id_b", "km")
-    )
+    return _geo_blocked_pairs(pts)
 
 
 # ------------------------------------------- multimodal augmentation

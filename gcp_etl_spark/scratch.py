@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -37,7 +38,26 @@ _root: str | None = None
 _STALE_AFTER_SEC = 24 * 3600
 
 
+def _owner_pid(name: str) -> int | None:
+    """Owning pid embedded in a root dir name (``gcp_etl_scratch_p{pid}_``),
+    or None for legacy/foreign names."""
+    m = re.match(r"gcp_etl_scratch_p(\d+)_", name)
+    return int(m.group(1)) if m else None
+
+
+def _pid_alive(pid: int) -> bool:
+    return os.path.exists(f"/proc/{pid}")
+
+
 def _sweep_stale_roots() -> None:
+    """Remove roots stranded by SIGKILLed runs. A root is swept only
+    when BOTH signals agree it is dead: the embedded owning pid is no
+    longer alive (r8 ADVICE: a >24h live run's root mtime never
+    updates — only direct-child changes touch it — so age alone could
+    delete scratch out from under a long bench), AND it is older than
+    the stale window (pids recycle, so a young dir whose pid happens
+    to be missing is left alone). Legacy roots without a pid fall back
+    to the age-only rule."""
     base = tempfile.gettempdir()
     now = time.time()
     try:
@@ -49,8 +69,12 @@ def _sweep_stale_roots() -> None:
             continue
         path = os.path.join(base, name)
         try:
-            if now - os.path.getmtime(path) > _STALE_AFTER_SEC:
-                shutil.rmtree(path, ignore_errors=True)
+            if now - os.path.getmtime(path) <= _STALE_AFTER_SEC:
+                continue
+            pid = _owner_pid(name)
+            if pid is not None and _pid_alive(pid):
+                continue  # live owner: never sweep, however old
+            shutil.rmtree(path, ignore_errors=True)
         except OSError:  # pragma: no cover - racing another sweep is fine
             pass
 
@@ -59,7 +83,7 @@ def _scratch_root() -> str:
     global _root
     if _root is None:
         _sweep_stale_roots()
-        _root = tempfile.mkdtemp(prefix="gcp_etl_scratch_")
+        _root = tempfile.mkdtemp(prefix=f"gcp_etl_scratch_p{os.getpid()}_")
         atexit.register(shutil.rmtree, _root, ignore_errors=True)
     return _root
 

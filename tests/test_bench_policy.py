@@ -1,0 +1,69 @@
+"""Bench-harness policy regressions (r8 verdict asks #1/#2).
+
+These run bench.py as a SUBPROCESS at sf0.001 with a single cheap
+query, an injected prior-round baseline, and a temp output dir, so the
+policy rules are demonstrated end-to-end without touching the repo's
+round artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(tmp_path, prior_sec: float, query: str = "ref_select_limit"):
+    prior = {"sf": 0.001, "queries": {query: prior_sec}}
+    prior_file = tmp_path / "prior.json"
+    prior_file.write_text(json.dumps(prior))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_PRIOR_FILE=str(prior_file),
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="77",
+        SPARK_GRAFT_BENCH_MIN2="0",       # isolate the fresh-session rule
+        SPARK_GRAFT_BENCH_LOAD_GATE="64",  # never gate on this host
+        SPARK_GRAFT_CPUS="8",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r77.json").read_text())
+    return detail["detail"][query]
+
+
+def test_fresh_session_repass_fires_on_injected_anomaly(tmp_path):
+    """An absurdly small injected prior (1 ms) makes ANY record >= 3x
+    prior on a quiet host — the rule must restart the session, re-run,
+    and stamp ``repass_fresh_session`` provenance (r8 blind spot: the
+    load gate caught host contention but not session-state pollution,
+    so agg_weighted_median's 20.35 s polluted record had no escape)."""
+    rec = _run_bench(tmp_path, prior_sec=0.001)
+    assert "repass_fresh_session" in rec, rec
+    assert rec["prior_sec"] == 0.001
+    assert len(rec["passes"]) >= 2  # original + fresh-session pass
+    # telemetry rides every record (ask #1)
+    assert "pass_iowait" in rec and len(rec["pass_iowait"]) == len(
+        rec["passes"]
+    )
+
+
+def test_fresh_session_repass_quiet_on_normal_prior(tmp_path):
+    """A generous prior (120 s) means no anomaly: exactly one pass, no
+    fresh-session provenance — the rule must not add a systematic
+    second pass to every query."""
+    rec = _run_bench(tmp_path, prior_sec=120.0)
+    assert "repass_fresh_session" not in rec, rec
+    assert len(rec["passes"]) == 1

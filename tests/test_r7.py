@@ -72,6 +72,26 @@ def test_two_phase_chain_converges_in_log_rounds(spark):
     )
 
 
+def test_two_phase_converged_input_with_max_iter_one(spark):
+    """r8 ADVICE edge: an already-converged input (a star forest) with
+    max_iter=1 must still detect convergence — the lazy initial
+    signature is seeded up front ONLY in that case, so the function's
+    converged contract does not depend on having a second round."""
+    from gcp_etl_spark.llm.cluster import connected_components
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 6)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = connected_components(
+        e, algorithm="two-phase", max_iter=1, stats=stats
+    )
+    assert stats["converged"] is True and stats["rounds"] == 1
+    assert sorted(map(tuple, out.collect())) == [
+        (0, 0), (1, 0), (2, 0), (5, 5), (6, 5)
+    ]
+
+
 # ------------------------------------------------------- batched BPE
 
 
@@ -591,20 +611,89 @@ def test_k_core_peel_converges_within_fixed_rounds(spark):
     """graph_k_core runs a FIXED 20 peel rounds in both engines; this
     pins that the fixture-scale peel actually CONVERGES within them
     (one extra round changes nothing), so the fixed count equals the
-    true k-core, and that surviving nodes all have core degree >= k."""
+    true k-core, that surviving nodes all have core degree >= k, and —
+    r8 ADVICE — that the core is NON-EMPTY and a STRICT subset of the
+    input nodes (k = ceil(avg degree / 2) sits below the measured
+    degeneracy of 7 at sf0.001, so an empty result means the peel
+    algebra broke, and a full-size result means k stopped binding:
+    either way the oracle comparison is no longer vacuous)."""
     from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.queries.r8_ops import _KC_NODES
+    from gcp_etl_spark.tables import t
 
     specs = load_all()
     out = specs["graph_k_core"].fn(spark, SF_SMALL)
     rows = out.collect()
-    if not rows:
-        return  # empty core is a legal fixed point
+    assert rows, "k-core must be non-empty at fixture scale (vacuous oracle)"
     k = rows[0]["k"]
     assert all(r["core_degree"] >= k for r in rows), (k, rows[:5])
     # idempotence probe: a converged core peeled once more is itself —
     # every node keeps its degree, so the MIN degree already >= k
     # certifies the fixed point (degree can only drop via removals,
     # and nothing is removable when all degrees pass the gate)
+    li = t(spark, SF_SMALL, "lineitem")
+    n_nodes = (
+        li.select((F.col("l_orderkey") % _KC_NODES).alias("n"))
+        .unionByName(li.select((F.col("l_partkey") % _KC_NODES).alias("n")))
+        .distinct()
+        .count()
+    )
+    assert 0 < len(rows) < n_nodes, (len(rows), n_nodes)
+
+
+def test_geo_blocked_join_wraps_antimeridian(spark):
+    """The blocked distance join must return EXACTLY the brute-force
+    cross join's pairs on a point set that straddles the ±180°
+    antimeridian (r8 ADVICE high: the unwrapped lon cell index could
+    never pair cell 0 with cell 255, silently dropping e.g.
+    lon −180 vs +179.5 at the equator — haversine ~56 km, well inside
+    the 150 km radius). The sf0.01 verify fixture happens to contain
+    zero wrap pairs, so this synthetic grid exercises the property the
+    oracle comparison cannot."""
+    import math
+
+    from gcp_etl_spark.queries.r8_ops import (
+        _GEO_R_KM,
+        _geo_blocked_pairs,
+    )
+
+    pts = [
+        (i, lon, lat)
+        for i, (lon, lat) in enumerate(
+            (lon, lat)
+            for lon in (-180.0, -179.5, -178.9, 178.8, 179.2, 179.9)
+            for lat in (-0.7, 0.0, 0.4, 33.0, -59.5)
+        )
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _geo_blocked_pairs(df).collect()
+    }
+
+    def hav(a, b):
+        _, lon1, lat1 = a
+        _, lon2, lat2 = b
+        p = math.pi / 180
+        h = (
+            math.sin((lat2 - lat1) * p / 2) ** 2
+            + math.cos(lat1 * p)
+            * math.cos(lat2 * p)
+            * math.sin((lon2 - lon1) * p / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+    want = {
+        (a[0], b[0])
+        for a in pts
+        for b in pts
+        if a[0] < b[0] and round(hav(a, b), 4) <= _GEO_R_KM
+    }
+    # the fixture MUST contain wrap pairs or the test is vacuous
+    assert any(
+        abs(pts[a][1] - pts[b][1]) > 300 for a, b in want
+    ), "no antimeridian pairs in the expected set"
+    assert got == want
 
 
 def test_geohash_encoding_matches_textbook_reference():
