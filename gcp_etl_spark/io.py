@@ -19,6 +19,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -373,6 +374,58 @@ def vacuum_managed(path: str) -> list[str]:
             shutil.rmtree(os.path.join(path, name))
             removed.append(name)
     return removed
+
+
+def merge_managed(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    delete_col: str | None = None,
+    broadcast_keys: bool = True,
+) -> int:
+    """Batch ``MERGE INTO``-style keyed upsert on a managed dataset —
+    the batch DML twin of the streaming exactly-once JDBC upsert
+    (streaming/jdbc_sink.py) and the incremental cousin of the
+    reference's full-table WRITE_TRUNCATE reload
+    (k8s/dags/etl-gcp-vinicius-campos.py:132-142, which replaces the
+    warehouse table wholesale on every run).
+
+    Semantics per ANSI MERGE with the three standard clauses:
+      * WHEN MATCHED AND source.<delete_col>  -> DELETE
+      * WHEN MATCHED                          -> UPDATE SET * (source
+        row replaces the target row wholesale)
+      * WHEN NOT MATCHED AND NOT <delete_col> -> INSERT *
+
+    Copy-on-write over the generation store: survivors = target rows
+    whose key matches NO source key (one LEFT ANTI join) unioned with
+    the source's non-delete rows, written as the NEXT generation and
+    atomically activated. The pre-merge generation stays immutable on
+    disk — MERGE is time-travelable and crash-safe for free, exactly
+    like ``compact_managed`` (a crash before the manifest swap leaves
+    readers on the old generation).
+
+    Scale: the anti join shuffles on the merge key only; with
+    ``broadcast_keys`` (default) the DISTINCT source-key relation — a
+    CDC batch's keys, orders of magnitude smaller than the table — is
+    broadcast, so the TARGET NEVER SHUFFLES AT ALL: each target file
+    scan task drops matched keys map-side and the write re-partitions
+    nothing. Set it False when the source rivals the target in size
+    and let AQE pick the join strategy. Returns the new generation."""
+    keys = list(key_cols)
+    target = read_managed(spark, path)
+    if delete_col is not None:
+        upserts = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        upserts = source
+    src_keys = source.select(*keys).distinct()
+    if broadcast_keys:
+        src_keys = F.broadcast(src_keys)
+    kept = target.join(src_keys, keys, "left_anti")
+    merged = kept.unionByName(upserts.select(*target.columns))
+    return write_managed(merged, path)
 
 
 def _verify_generation(spark: SparkSession, src: str, dst: str) -> tuple[int, int]:

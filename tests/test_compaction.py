@@ -135,3 +135,58 @@ def test_time_travel_reads_prior_generation(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="generation 0"):
         io.read_managed(spark, path, generation=0)
+
+
+def test_merge_managed_clauses_and_pre_merge_time_travel(spark, tmp_path):
+    """merge_managed (r8 verdict ask #3) applies all three MERGE
+    clauses in one generation bump — matched+delete -> gone,
+    matched -> source row wins wholesale, unmatched source -> inserted,
+    untouched target rows survive byte-for-byte — and the PRE-merge
+    generation remains readable and row-identical via time travel."""
+    path = str(tmp_path / "managed_merge")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10.0 * i) for i in range(8)],
+        "k long, tag string, val double",
+    )
+    g0 = io.write_managed(base, path)
+    cdc = spark.createDataFrame(
+        [
+            (1, "upd", -1.0, False),   # matched -> update
+            (2, "del", 0.0, True),     # matched -> delete
+            (100, "new", 5.0, False),  # unmatched -> insert
+            (200, "gone", 0.0, True),  # unmatched delete -> no-op
+        ],
+        "k long, tag string, val double, del boolean",
+    )
+    g1 = io.merge_managed(spark, path, cdc, ["k"], delete_col="del")
+    assert (g0, g1) == (0, 1)
+    got = {
+        r["k"]: (r["tag"], r["val"])
+        for r in io.read_managed(spark, path).collect()
+    }
+    want = {i: (f"v{i}", 10.0 * i) for i in range(8) if i not in (1, 2)}
+    want[1] = ("upd", -1.0)
+    want[100] = ("new", 5.0)
+    assert got == want
+    # pre-merge generation: intact, row-identical (not just a count)
+    pre = sorted(
+        map(tuple, io.read_managed(spark, path, generation=g0).collect())
+    )
+    assert pre == sorted(map(tuple, base.collect()))
+
+
+def test_merge_managed_without_delete_col(spark, tmp_path):
+    """delete_col=None degrades to pure upsert: every source row lands,
+    no row can be deleted."""
+    path = str(tmp_path / "managed_upsert")
+    io.write_managed(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    io.merge_managed(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        ["k"],
+    )
+    got = sorted(map(tuple, io.read_managed(spark, path).collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
