@@ -300,6 +300,46 @@ def agg_pivot(spark, sf_dir):
     )
 
 
+@query(
+    "agg_pivot_dynamic",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot_dynamic(spark, sf_dir):
+    """DYNAMIC pivot — ``groupBy().pivot(col)`` with NO value list, the
+    discovery variant of agg_pivot (r8 verdict missing #1). Spark runs
+    an extra DISTINCT job over the pivot column, sorts the discovered
+    values, and widens the plan by one column per (value x agg).
+
+    WHY DYNAMIC PIVOT IS CAPPED AT SCALE: every distinct value becomes
+    a PHYSICAL PLAN COLUMN, so plan size, codegen size, and row width
+    all grow linearly with pivot-column cardinality — Spark refuses
+    past ``spark.sql.pivotMaxValues`` (default 10,000) precisely
+    because an unbounded-cardinality pivot is a driver/codegen OOM,
+    not a data-size problem. At 100 TB the rule is: explicit value
+    list (agg_pivot) when the domain is known, conditional aggregation
+    when it is bounded-but-wide, and a LONG-format groupBy (never a
+    pivot) when it is unbounded. l_linestatus discovers {F, O} —
+    sorted, so the output schema is deterministic and the oracle names
+    the same columns."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus")
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
 _GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, count(*) AS n_rows

@@ -356,3 +356,53 @@ def scalar_collation_lcase(spark, sf_dir):
         GROUP BY lower(p) ORDER BY priority_ci
         """
     )
+
+
+@query(
+    "sql_pivot_unpivot_roundtrip",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS sum_qty
+    FROM p WHERE qty_o IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag, 'qty_f', qty_f FROM p WHERE qty_f IS NOT NULL
+    """,
+    tags=("sql", "pivot", "unpivot"),
+)
+def sql_pivot_unpivot_roundtrip(spark, sf_dir):
+    """NATIVE SQL ``PIVOT`` then DataFrame ``unpivot`` (melt) back to
+    long form — the literal PIVOT/UNPIVOT API surface (r8 verdict
+    missing #1; the engine's production pivots route through
+    schema-stable conditional aggregation, e.g. the retention
+    triangle, and this query's ORACLE is exactly that conditional-agg
+    equivalent, so the native syntax is hash-verified against the
+    scale-safe rewrite it sugars).
+
+    Both directions verified in ONE plan: a wrong pivot cell, a
+    dropped NULL-handling row, or a mislabeled unpivot column all
+    shift the long-form hash. ``unpivot`` keeps NULL measure rows
+    (unlike SQL UNPIVOT's default EXCLUDE NULLS), so they are filtered
+    explicitly and the oracle mirrors the filter.
+
+    Scale: PIVOT with an EXPLICIT value list is one hash aggregate
+    with #values x #aggs columns — no discovery pass, fixed plan
+    width; see agg_pivot_dynamic for why the discovery variant is
+    deliberately capped."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    pivoted = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        )
+        PIVOT (sum(l_quantity)
+               FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+        """
+    )
+    return pivoted.unpivot(
+        ["l_returnflag"], ["qty_o", "qty_f"], "status_col", "sum_qty"
+    ).filter(F.col("sum_qty").isNotNull())

@@ -5,10 +5,26 @@ The successor API to ``applyInPandasWithState`` (which
 typed state handles (ValueState/ListState/MapState), timers, and
 initial-state support, running on the RocksDB state store.
 
-ENVIRONMENT GATE: the OSS implementation ships its state-server
-protocol as protobuf, and this container's ``google.protobuf`` is
-broken (``cannot import name 'descriptor'`` — no pip available per the
-build contract). ``available()`` probes that dependency so callers and
+ENVIRONMENT GATE (re-probed round 9, still broken — exact failure for
+the next container bump): the ``protobuf`` distribution is ENTIRELY
+ABSENT from site-packages (pyenv 3.11.7; ``importlib.util.find_spec
+('google')`` is None on the driver), and an end-to-end run crashes the
+streaming Python runner with::
+
+    StreamingPythonRunnerInitializationException: ... returned -2.
+    Cause: from google.protobuf import descriptor as _descriptor
+    ImportError: cannot import name 'descriptor' from
+    'google.protobuf' (unknown location)
+
+via ``transform_with_state_driver_worker`` ->
+``stateful_processor_api_client`` ->
+``pyspark/sql/streaming/proto/StateMessage_pb2.py``, whose generated
+header says "Protobuf Python Version: 6.33.0" and calls
+``ValidateProtobufRuntimeVersion`` — so the fix is exactly one wheel:
+``protobuf==6.33.*`` (same major, >= 6.33.0; pyspark 4.1.2 does not
+declare it, it rides the grpcio-status dependency of the ``connect``
+extra which is also not installed). No pip in this container per the
+build contract. ``available()`` probes the dependency so callers and
 tests degrade explicitly instead of crashing the streaming runner; on
 a normal Spark 4 deployment the probe passes and the operator runs as
 written (the construction mirrors streaming/stateful.py's

@@ -371,8 +371,13 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     from gcp_etl_spark.streaming import tws
 
     if not tws.available():
-        _pytest.skip("google.protobuf unavailable — transformWithState "
-                     "cannot start its state server in this container")
+        _pytest.skip(
+            "protobuf wheel absent (need protobuf==6.33.*, the runtime "
+            "pyspark 4.1.2's generated StateMessage_pb2.py validates): "
+            "the streaming python runner exits -2 with ImportError: "
+            "cannot import name 'descriptor' from 'google.protobuf' — "
+            "re-probed end-to-end round 9, see streaming/tws.py"
+        )
     from pyspark.sql import functions as F
 
     from gcp_etl_spark.tables import t as tt
