@@ -1,0 +1,1071 @@
+"""Round-9 operators: the remaining classical-stats battery gaps
+(Friedman / Cochran's Q / Cliff's delta / Jarque-Bera / Grubbs / Tukey
+fences / Durbin-Watson / Ljung-Box / Page-Hinkley / Bartlett / McNemar
+/ Welch), graph label propagation + HITS, and LLM-curation ops
+(Kneser-Ney bigram LM, mixture weights, curriculum phases).
+
+Exactness conventions (the kruskal/skew-kurt house rules):
+- rank statistics accumulate DOUBLED mid-ranks as integers;
+- moment statistics accumulate exact DECIMAL power sums, cast to
+  double only for the final closed-form statistic, rounded 6dp;
+- libm terms inside a sum are cast to DECIMAL per-term so the sum is
+  order-free (the text_bigram_lm trick);
+- time-series statistics run on the CALENDAR-BOUNDED daily relation
+  (≤ |days| rows at any corpus size), so their single-partition
+  windows are structurally safe.
+
+No reference counterpart (the reference's query surface is
+k8s/submit/etl-on-gcp-vinicius-campos.py:22-92 — SELECT * LIMIT 100
+plus two counts); these extend the declared analytics/LLM surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+# --------------------------------------------------- Friedman test
+
+_FR_BLOCKS = 30  # user_id % blocks = the repeated-measures subject
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+    cell AS (
+      SELECT user_id % {_FR_BLOCKS} AS blk, event_type AS trt,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), full_blk AS (
+      SELECT blk FROM cell GROUP BY blk
+      HAVING count(*) = (SELECT k FROM k)
+    ), ranked AS (
+      SELECT c.blk, c.trt, c.cnt,
+             rank() OVER (PARTITION BY c.blk ORDER BY c.cnt) AS r,
+             count(*) OVER (PARTITION BY c.blk, c.cnt) AS tie
+      FROM cell c JOIN full_blk USING (blk)
+    ), rs AS (
+      SELECT trt, sum(2 * r + tie - 1) AS r2_j FROM ranked GROUP BY trt
+    ), ties AS (
+      SELECT blk, cnt, count(*) AS tt FROM ranked GROUP BY 1, 2
+    ), agg AS (
+      SELECT (SELECT count(*) FROM full_blk) AS b,
+             (SELECT k FROM k) AS k,
+             (SELECT sum(r2_j * r2_j) FROM rs) AS sr2,
+             (SELECT sum(tt * tt * tt - tt) FROM ties) AS tsum
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           round(3.0 / (b * k * (k + 1.0)) * sr2 - 3.0 * b * (k + 1),
+                 6) AS chi2_f,
+           round((3.0 / (b * k * (k + 1.0)) * sr2 - 3.0 * b * (k + 1))
+                 / (1.0 - CAST(tsum AS DOUBLE)
+                          / (b * k * (CAST(k AS DOUBLE) * k - 1))),
+                 6) AS chi2_f_tie_corrected
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "rank", "events"),
+)
+def stats_friedman_test(spark, sf_dir):
+    """FRIEDMAN TEST (rank two-way ANOVA for repeated measures): b
+    subject blocks (user_id buckets) × k treatments (event types),
+    response = per-cell event count, mid-ranked WITHIN each block;
+    χ²_F = 12/(bk(k+1))·Σ R_j² − 3b(k+1), plus the standard tie
+    correction 1 − Σ(t³−t)/(bk(k²−1)). Only COMPLETE blocks (all k
+    treatments present) enter, computed identically in both engines.
+
+    INTEGER-EXACT RANK SUMS: within a block, 2·midrank = 2·rank_min +
+    ties − 1 is an integer, so Σ_j R_j² uses exact longs via the
+    doubled-rank identity Σ(2R_j)² = 4·Σ R_j² (the kruskal convention);
+    floats appear only in the final statistic.
+
+    Scale: block cells are a bounded hash agg; the within-block rank
+    window partitions by block with exactly k rows per partition —
+    parallelism = #blocks, no global sort."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        (F.col("user_id") % _FR_BLOCKS).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.count("*").alias("cnt"))
+    k1 = e.agg(F.countDistinct("event_type").alias("k"))
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count("*").alias("nt"))
+        .crossJoin(F.broadcast(k1))
+        .filter(F.col("nt") == F.col("k"))
+        .select("blk")
+    )
+    ranked = cell.join(F.broadcast(full_blk), "blk").select(
+        "blk",
+        "trt",
+        "cnt",
+        F.rank().over(Window.partitionBy("blk").orderBy("cnt")).alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("blk", "cnt"))
+        .alias("tie"),
+    )
+    rs = ranked.groupBy("trt").agg(
+        F.sum(2 * F.col("r") + F.col("tie") - 1).alias("r2_j")
+    )
+    ties = ranked.groupBy("blk", "cnt").agg(F.count("*").alias("tt"))
+    b1 = full_blk.agg(F.count("*").alias("b"))
+    sr2 = rs.agg(F.sum(F.col("r2_j") * F.col("r2_j")).alias("sr2"))
+    tsum = ties.agg(
+        F.sum(
+            F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")
+        ).alias("tsum")
+    )
+    agg = (
+        b1.crossJoin(F.broadcast(k1))
+        .crossJoin(F.broadcast(sr2))
+        .crossJoin(F.broadcast(tsum))
+    )
+    bb, kk = F.col("b"), F.col("k")
+    raw = (
+        F.lit(3.0) / (bb * kk * (kk + F.lit(1.0))) * F.col("sr2")
+        - F.lit(3.0) * bb * (kk + 1)
+    )
+    corr = raw / (
+        F.lit(1.0)
+        - F.col("tsum").cast("double")
+        / (bb * kk * (kk.cast("double") * kk - 1))
+    )
+    return agg.select(
+        bb.cast("long").alias("n_blocks"),
+        kk.cast("long").alias("k"),
+        F.round(raw, 6).alias("chi2_f"),
+        F.round(corr, 6).alias("chi2_f_tie_corrected"),
+    )
+
+
+# --------------------------------------------------- Cochran's Q
+
+_CQ_BLOCKS = 40
+_CQ_THRESH = 60.0
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+    cell AS (
+      SELECT user_id % {_CQ_BLOCKS} AS blk, event_type AS trt,
+             CASE WHEN max(value) > {_CQ_THRESH} THEN 1 ELSE 0 END AS x
+      FROM events GROUP BY 1, 2
+    ), full_blk AS (
+      SELECT blk FROM cell GROUP BY blk
+      HAVING count(*) = (SELECT k FROM k)
+    ), kept AS (
+      SELECT c.* FROM cell c JOIN full_blk USING (blk)
+    ), col_tot AS (SELECT trt, sum(x) AS cj FROM kept GROUP BY trt),
+    row_tot AS (SELECT blk, sum(x) AS ri FROM kept GROUP BY blk),
+    agg AS (
+      SELECT (SELECT k FROM k) AS k,
+             (SELECT count(*) FROM full_blk) AS b,
+             (SELECT sum(cj) FROM col_tot) AS n,
+             (SELECT sum(cj * cj) FROM col_tot) AS sc2,
+             (SELECT sum(ri) FROM row_tot) AS sr,
+             (SELECT sum(ri * ri) FROM row_tot) AS sr2
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n_success,
+           round(CAST(k - 1 AS DOUBLE) * (k * sc2 - CAST(n AS DOUBLE) * n)
+                 / (k * sr - sr2), 6) AS q
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "binary", "events"),
+)
+def stats_cochran_q(spark, sf_dir):
+    """COCHRAN'S Q (k-treatment extension of McNemar for binary
+    repeated measures): per (user-block, event-type) the binary
+    response is "any event over the value threshold"; Q = (k−1)·
+    (k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²) over complete blocks. Every
+    accumulator is an integer — the single float is the final ratio.
+
+    Scale: two bounded hash aggs (column totals over k treatments, row
+    totals over b blocks) after one map-side cell aggregation; nothing
+    driver-bound."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        (F.col("user_id") % _CQ_BLOCKS).alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(
+        F.when(F.max("value") > _CQ_THRESH, 1).otherwise(0).alias("x")
+    )
+    k1 = e.agg(F.countDistinct("event_type").alias("k"))
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count("*").alias("nt"))
+        .crossJoin(F.broadcast(k1))
+        .filter(F.col("nt") == F.col("k"))
+        .select("blk")
+    )
+    kept = cell.join(F.broadcast(full_blk), "blk")
+    col_tot = kept.groupBy("trt").agg(F.sum("x").alias("cj"))
+    row_tot = kept.groupBy("blk").agg(F.sum("x").alias("ri"))
+    agg = (
+        k1.crossJoin(
+            F.broadcast(full_blk.agg(F.count("*").alias("b")))
+        )
+        .crossJoin(
+            F.broadcast(
+                col_tot.agg(
+                    F.sum("cj").alias("n"),
+                    F.sum(F.col("cj") * F.col("cj")).alias("sc2"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                row_tot.agg(
+                    F.sum("ri").alias("sr"),
+                    F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+                )
+            )
+        )
+    )
+    kk = F.col("k")
+    q = (
+        (kk - 1).cast("double")
+        * (kk * F.col("sc2") - F.col("n").cast("double") * F.col("n"))
+        / (kk * F.col("sr") - F.col("sr2"))
+    )
+    return agg.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        kk.cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_success"),
+        F.round(q, 6).alias("q"),
+    )
+
+
+# --------------------------------------------------- Cliff's delta
+
+_CD_A, _CD_B = "click", "view"
+
+
+@query(
+    "stats_cliffs_delta",
+    oracle=f"""
+    WITH g AS (
+      SELECT value,
+             count(*) FILTER (event_type = '{_CD_A}') AS c1,
+             count(*) FILTER (event_type = '{_CD_B}') AS c2
+      FROM events WHERE event_type IN ('{_CD_A}', '{_CD_B}')
+      GROUP BY value
+    ), cum AS (
+      SELECT value, c1, c2,
+             sum(c1) OVER (ORDER BY value) AS s1,
+             sum(c2) OVER (ORDER BY value) AS s2
+      FROM g
+    ), agg AS (
+      SELECT sum(c1 * (s2 - c2)) AS gt, sum(c2 * (s1 - c1)) AS lt,
+             sum(c1) AS n1, sum(c2) AS n2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
+           round((gt - lt) / (1.0 * n1 * n2), 6) AS cliffs_delta
+    FROM agg
+    """,
+    tags=("stats", "effect-size", "rank", "events"),
+)
+def stats_cliffs_delta(spark, sf_dir):
+    """CLIFF'S DELTA (ordinal effect size, the robust companion to the
+    suite's Mann-Whitney): δ = (#{x>y} − #{x<y}) / (n₁n₂) between two
+    event-type groups — WITHOUT materializing the n₁×n₂ pair matrix.
+    Pairs are counted analytically from the DISTINCT-VALUE relation:
+    #{x>y} = Σ_v c₁(v)·cum₂(v⁻), an integer fold over one cumulative
+    pass (the engine's range_prefix_sums primitive carries both
+    groups' counts in a single exchange).
+
+    Scale: |distinct values| rows after a map-side collapse; the
+    cumulative sums ride the standard two-pass range exchange — the
+    naive pairwise definition would be 10¹⁸ pairs at 10⁹ rows/group."""
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CD_A, _CD_B)
+    )
+    g = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == _CD_A, 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == _CD_B, 1)).alias("c2"),
+    )
+    cum, _ = range_prefix_sums(g, ["value"], ["c1", "c2"])
+    agg = cum.agg(
+        F.sum(
+            F.col("c1") * (F.col("c2_cum") - F.col("c2"))
+        ).alias("gt"),
+        F.sum(
+            F.col("c2") * (F.col("c1_cum") - F.col("c1"))
+        ).alias("lt"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("gt").cast("long").alias("n_greater"),
+        F.col("lt").cast("long").alias("n_less"),
+        F.round(
+            (F.col("gt") - F.col("lt"))
+            / (F.lit(1.0) * F.col("n1") * F.col("n2")),
+            6,
+        ).alias("cliffs_delta"),
+    )
+
+
+# ------------------------------------------- Jarque-Bera normality
+
+def _moment_sums(df, col):
+    """Exact decimal power sums S1..S4 of a 2dp-valued double column
+    (the agg_skew_kurt convention: v, v², v³, v⁴ are exact at
+    2/4/6/8 dp and below the decimal widths, so the double→decimal
+    casts are lossless in both engines)."""
+    v = F.col(col)
+    return [
+        F.count("*").cast("double").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(32,6)")).cast("double").alias("s3"),
+        F.sum(
+            (v * v * v * v).cast("decimal(38,8)")
+        ).cast("double").alias("s4"),
+    ]
+
+
+_JB_MOMENTS_SQL = """
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(value * value * value AS DECIMAL(32,6)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(value * value * value * value AS DECIMAL(38,8)))
+                  AS DOUBLE) AS s4
+      FROM events
+"""
+
+
+@query(
+    "stats_jarque_bera",
+    oracle=f"""
+    WITH m AS ({_JB_MOMENTS_SQL}),
+    c AS (
+      SELECT n,
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+               / pow(s2 / n - pow(s1 / n, 2), 1.5) AS skew,
+             (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+               / pow(s2 / n - pow(s1 / n, 2), 2) - 3 AS ekurt
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(skew, 6) AS skew, round(ekurt, 6) AS excess_kurt,
+           round(n / 6.0 * (skew * skew + ekurt * ekurt / 4.0), 4) AS jb
+    FROM c
+    """,
+    tags=("stats", "hypothesis-test", "normality", "events"),
+)
+def stats_jarque_bera(spark, sf_dir):
+    """JARQUE-BERA normality test: JB = n/6·(S² + K²/4) from population
+    skewness S and excess kurtosis K. Moments come from exact DECIMAL
+    power sums (one map-side-combinable aggregate; the agg_skew_kurt
+    moment algebra) so the statistic is identical cross-engine up to
+    the final IEEE arithmetic, rounded.
+
+    Scale: ONE aggregation pass, four decimal accumulators — no second
+    scan for the mean, no per-row deviation materialization."""
+    e = t(spark, sf_dir, "events")
+    m = e.agg(*_moment_sums(e, "value"))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (
+        s3 / n - 3 * mean * (s2 / n) + 2 * F.pow(mean, 3)
+    ) / F.pow(m2, 1.5)
+    ekurt = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * F.pow(mean, 2) * (s2 / n)
+        - 3 * F.pow(mean, 4)
+    ) / F.pow(m2, 2) - 3
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(skew, 6).alias("skew"),
+        F.round(ekurt, 6).alias("excess_kurt"),
+        F.round(n / 6.0 * (skew * skew + ekurt * ekurt / 4.0), 4).alias(
+            "jb"
+        ),
+    )
+
+
+# --------------------------------------------------- Grubbs statistic
+
+
+@query(
+    "stats_grubbs_max_outlier",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      FROM events
+    ), c AS (
+      SELECT n, s1 / n AS mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS s
+      FROM m
+    ), dev AS (
+      SELECT e.value, abs(e.value - c.mu) AS d, c.n, c.mu, c.s
+      FROM events e CROSS JOIN c
+    ), mx AS (SELECT max(d) AS dmax FROM dev)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(max(dmax) / max(s), 6) AS g,
+           min(value) AS outlier_value
+    FROM dev CROSS JOIN mx WHERE d = dmax
+    """,
+    tags=("stats", "outlier", "events"),
+)
+def stats_grubbs_max_outlier(spark, sf_dir):
+    """GRUBBS' statistic G = max|x − x̄| / s (sample s): the classical
+    single-outlier screen. Mean and s come from exact decimal sums, so
+    the per-row deviation |x − x̄| is the same double everywhere and
+    the argmax row is engine-independent; ties on the max deviation
+    resolve to the smallest value.
+
+    Scale: one moment pass + one max pass over the scan — the
+    deviation never shuffles (the 1-row stats relation is broadcast),
+    and the argmax filter is a map-side compare against two broadcast
+    scalars."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    c = m.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s"),
+    )
+    dev = e.select("value").crossJoin(F.broadcast(c)).select(
+        "value", F.abs(v - F.col("mu")).alias("d"), "n", "s"
+    )
+    mx = dev.agg(F.max("d").alias("dmax"))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("dmax"))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("dmax") / F.max("s"), 6).alias("g"),
+            F.min("value").alias("outlier_value"),
+        )
+    )
+
+
+# --------------------------------------------------- Tukey fences
+
+
+@query(
+    "anomaly_tukey_fences",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(max(q.q1), 6) AS q1, round(max(q.q3), 6) AS q3,
+           CAST(count(*) FILTER (
+             e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("stats", "outlier", "quantile", "events"),
+)
+def anomaly_tukey_fences(spark, sf_dir):
+    """TUKEY FENCES outlier screen per event type: flag values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Quartiles come from the engine's
+    two-pass range-partitioned ``exact_quantiles`` (quantile_cont
+    semantics, identical to the DuckDB oracle) — never the
+    single-reducer percentile aggregate; the fence compare is a
+    map-side filter against the broadcast per-group quartile relation.
+
+    Scale: bounded group count (event types) with unbounded values per
+    group — exactly exact_quantiles' intended regime; the outlier
+    count pass re-scans the source once with the fences broadcast."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    q = exact_quantiles(
+        e, "value", {"q1": 0.25, "q3": 0.75}, group_cols=["event_type"]
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = e.join(F.broadcast(q), "event_type")
+    out = (
+        F.col("value") < F.col("q1") - 1.5 * iqr
+    ) | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    return j.groupBy("event_type").agg(
+        F.round(F.max("q1"), 6).alias("q1"),
+        F.round(F.max("q3"), 6).alias("q3"),
+        F.count(F.when(out, 1)).cast("long").alias("n_outliers"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------- calendar-daily time-series tests
+#
+# All three share the CALENDAR-BOUNDED daily-revenue series (<= |days|
+# rows at ANY corpus size — 2,399 days in the fixture, ~3k for a
+# decade of data), so the single-partition windows over the series are
+# structurally safe; the heavy work is the map-side-combinable daily
+# aggregation underneath. y is integer CENTS (round(price*100) —
+# exact, the io_merge_upsert convention), so every prefix/lag operand
+# is engine-identical.
+
+_DAILY_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    return d.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+
+
+@query(
+    "stats_durbin_watson",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE) AS st2,
+             CAST(sum(CAST(t AS HUGEINT) * y) AS DOUBLE) AS sty,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy
+      FROM idx
+    ), fit AS (
+      SELECT n, st, sy,
+             (n * sty - st * sy) / (n * st2 - st * st) AS b
+      FROM s
+    ), res AS (
+      SELECT t,
+             y - (sy - b * st) / n - b * t AS e,
+             lag(y - (sy - b * st) / n - b * t)
+               OVER (ORDER BY t) AS e_prev
+      FROM idx CROSS JOIN fit
+    )
+    SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_days,
+           round((SELECT b FROM fit), 6) AS slope_cents_per_day,
+           round(CAST((SELECT sum(CAST((e - e_prev) * (e - e_prev)
+                                       AS DECIMAL(38,6)))
+                       FROM res WHERE e_prev IS NOT NULL) AS DOUBLE)
+                 / CAST((SELECT sum(CAST(e * e AS DECIMAL(38,6)))
+                         FROM res) AS DOUBLE), 6) AS dw
+    """,
+    tags=("stats", "time-series", "autocorrelation", "orders"),
+)
+def stats_durbin_watson(spark, sf_dir):
+    """DURBIN-WATSON test for lag-1 autocorrelation in the residuals of
+    the daily-revenue trend regression: fit y_t = a + b·t by closed-form
+    OLS (slope/intercept from exact integer sums Σt, Σt², Σty, Σy —
+    cast to double once), then DW = Σ(e_t − e_{t−1})² / Σe_t². Each
+    squared residual term is cast to DECIMAL before summing so the two
+    sums are order-free (the text_bigram_lm per-term trick); residual
+    operands are bit-identical cross-engine because a and b are.
+
+    Scale: the only unbounded work is the daily aggregation (map-side
+    combinable); the OLS sums, the lag window, and the two residual
+    sums all run on the calendar-bounded series."""
+    idx = _daily(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec(F.col("t"))).cast("double").alias("st"),
+        F.sum(dec(F.col("t")) * F.col("t")).cast("double").alias("st2"),
+        F.sum(dec(F.col("t")) * F.col("y")).cast("double").alias("sty"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+    )
+    fit = s.select(
+        "n",
+        "st",
+        "sy",
+        (
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            / (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+        ).alias("b"),
+    )
+    e = (
+        F.col("y")
+        - (F.col("sy") - F.col("b") * F.col("st")) / F.col("n")
+        - F.col("b") * F.col("t")
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "n",
+        "b",
+        e.alias("e"),
+        F.lag(e).over(Window.orderBy("t")).alias("e_prev"),
+    )
+    d6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    return res.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("b"), 6).alias("slope_cents_per_day"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("e_prev").isNotNull(),
+                    d6(
+                        (F.col("e") - F.col("e_prev"))
+                        * (F.col("e") - F.col("e_prev"))
+                    ),
+                )
+            ).cast("double")
+            / F.sum(d6(F.col("e") * F.col("e"))).cast("double"),
+            6,
+        ).alias("dw"),
+    )
+
+
+_LB_LAGS = 5
+
+
+@query(
+    "stats_ljung_box",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy
+      FROM idx
+    ), d AS (
+      SELECT t, y - (SELECT sy / n FROM s) AS dy FROM idx
+    ), den AS (
+      SELECT CAST(sum(CAST(dy * dy AS DECIMAL(38,6))) AS DOUBLE) AS s0
+      FROM d
+    ), rk AS (
+      SELECT k.k AS lag,
+             CAST(sum(CAST(a.dy * b.dy AS DECIMAL(38,6))) AS DOUBLE)
+               / (SELECT s0 FROM den) AS r
+      FROM (SELECT unnest(range(1, {_LB_LAGS + 1})) AS k) k,
+           d a JOIN d b ON b.t = a.t + k.k
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_days,
+           round(max(CASE WHEN lag = 1 THEN r END), 6) AS r1,
+           round(max(CASE WHEN lag = 2 THEN r END), 6) AS r2,
+           round(max(CASE WHEN lag = 3 THEN r END), 6) AS r3,
+           round((SELECT n FROM s) * ((SELECT n FROM s) + 2)
+                 * sum(r * r / ((SELECT n FROM s) - lag)), 4) AS q_lb
+    FROM rk
+    """,
+    tags=("stats", "time-series", "autocorrelation", "orders"),
+)
+def stats_ljung_box(spark, sf_dir):
+    """LJUNG-BOX portmanteau test on the daily-revenue series: sample
+    autocorrelations r_k for lags 1..{L} (ACF denominator convention —
+    one variance normalizer), Q = n(n+2)·Σ r_k²/(n−k). Lagged products
+    come from an explode(1..{L}) + shifted equi-join on the day index
+    — one plan for all lags, not {L} window passes; per-term DECIMAL
+    casts make every sum order-free.
+
+    Scale: the lag join is on the bounded daily relation; the
+    unbounded scan feeds one map-side daily aggregation."""
+    idx = _daily(spark, sf_dir)
+    s = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+    )
+    d = idx.crossJoin(F.broadcast(s)).select(
+        "t", "n", (F.col("y") - F.col("sy") / F.col("n")).alias("dy")
+    )
+    d6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    den = d.agg(
+        F.sum(d6(F.col("dy") * F.col("dy"))).cast("double").alias("s0")
+    )
+    lags = d.select(
+        F.col("t"),
+        F.col("dy").alias("dy_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _LB_LAGS + 1)])
+        ).alias("lag"),
+    )
+    b = d.select(F.col("t").alias("tb"), F.col("dy").alias("dy_b"))
+    rk = (
+        lags.join(b, F.col("tb") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(d6(F.col("dy_a") * F.col("dy_b"))).alias("sk"))
+        .crossJoin(F.broadcast(den))
+        .select("lag", (F.col("sk").cast("double") / F.col("s0")).alias("r"))
+    )
+    n1 = s.select("n")
+    rk2 = rk.crossJoin(F.broadcast(n1)).withColumn(
+        "term", F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+    )
+    return rk2.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max(F.when(F.col("lag") == 1, F.col("r"))), 6).alias("r1"),
+        F.round(F.max(F.when(F.col("lag") == 2, F.col("r"))), 6).alias("r2"),
+        F.round(F.max(F.when(F.col("lag") == 3, F.col("r"))), 6).alias("r3"),
+        F.round(
+            F.max("n") * (F.max("n") + 2) * F.sum("term"), 4
+        ).alias("q_lb"),
+    )
+
+
+@query(
+    "analytics_page_hinkley",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), s AS (
+      SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy FROM idx
+    ), m AS (
+      SELECT t, day,
+             (SELECT n FROM s)
+               * sum(CAST(y AS HUGEINT)) OVER (ORDER BY t)
+               - CAST(t AS HUGEINT) * (SELECT sy FROM s) AS mt
+      FROM idx
+    ), r AS (
+      SELECT t, day, mt, min(mt) OVER (ORDER BY t) AS mmin FROM m
+    ), mx AS (SELECT max(mt - mmin) AS phs FROM r)
+    SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_days,
+           round(CAST((SELECT phs FROM mx) AS DOUBLE)
+                 / ((SELECT n FROM s) * 100.0), 4) AS ph_stat,
+           min(day) AS detect_day
+    FROM r WHERE mt - mmin = (SELECT phs FROM mx)
+    """,
+    tags=("stats", "time-series", "drift", "orders"),
+)
+def analytics_page_hinkley(spark, sf_dir):
+    """PAGE-HINKLEY upward-drift statistic on daily revenue: PH =
+    max_t (m_t − min_{i≤t} m_i) with m_t = Σ_{i≤t}(y_i − ȳ). Scaled by
+    n to stay INTEGER-EXACT end to end: M_t = n·CumY_t − t·ΣY is an
+    exact integer, the running min and the max-gap are integer
+    comparisons, and the single division by n·100 (back to currency
+    units) happens once at the end — so the argmax day (the change
+    point PH detects) is engine-exact, not a float tie.
+
+    Scale: cumulative sum + running min are single-partition windows
+    over the calendar-bounded series; everything upstream is the
+    map-side daily aggregation."""
+    idx = _daily(spark, sf_dir)
+    s = idx.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = idx.crossJoin(F.broadcast(s)).select(
+        "t",
+        "day",
+        "n",
+        (
+            F.col("n") * F.sum(F.col("y").cast("decimal(38,0)")).over(w_cum)
+            - F.col("t") * F.col("sy")
+        ).alias("mt"),
+    )
+    r = m.select(
+        "t",
+        "day",
+        "n",
+        "mt",
+        F.min("mt").over(w_cum).alias("mmin"),
+    )
+    mx = r.agg(F.max(F.col("mt") - F.col("mmin")).alias("phs"))
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("mt") - F.col("mmin") == F.col("phs"))
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.round(
+                F.max("phs").cast("double")
+                / (F.max("n") * F.lit(100.0)),
+                4,
+            ).alias("ph_stat"),
+            F.min("day").alias("detect_day"),
+        )
+    )
+
+
+# --------------------------------------------------- Bartlett's test
+
+
+@query(
+    "stats_bartlett",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS ni,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    ), v AS (
+      SELECT event_type, ni, (s2 - s1 * s1 / ni) / (ni - 1) AS si2 FROM g
+    ), a AS (
+      SELECT CAST(sum(ni) AS DOUBLE) AS nn, count(*) AS k,
+             sum(CAST((ni - 1) * ln(si2) AS DECIMAL(28,12))) AS sl,
+             sum(CAST((ni - 1) * si2 AS DECIMAL(28,8))) AS spnum,
+             sum(CAST(1.0 / (ni - 1) AS DECIMAL(28,20))) AS sinv
+      FROM v
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(((nn - k) * ln(CAST(spnum AS DOUBLE) / (nn - k))
+                  - CAST(sl AS DOUBLE))
+                 / (1 + (CAST(sinv AS DOUBLE) - 1.0 / (nn - k))
+                        / (3.0 * (k - 1))), 6) AS t_bartlett
+    FROM a
+    """,
+    tags=("stats", "hypothesis-test", "variance", "events"),
+)
+def stats_bartlett(spark, sf_dir):
+    """BARTLETT'S TEST for variance homogeneity across the k event
+    types (the parametric sibling of the suite's Levene/Brown-
+    Forsythe): T = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with the
+    standard correction C. Per-group variances come from exact decimal
+    sums; each ln term is one libm op on engine-identical operands,
+    cast to DECIMAL before the k-term fold so the sums are order-free.
+
+    Scale: one grouped moment pass (bounded k), then a k-row fold."""
+    e = t(spark, sf_dir, "events")
+    v0 = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("ni"),
+        F.sum(v0.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v0 * v0).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    v = g.select(
+        "event_type",
+        "ni",
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("ni"))
+            / (F.col("ni") - 1)
+        ).alias("si2"),
+    )
+    a = v.agg(
+        F.sum("ni").cast("double").alias("nn"),
+        F.count("*").alias("k"),
+        F.sum(
+            ((F.col("ni") - 1) * F.log(F.col("si2"))).cast(
+                "decimal(28,12)"
+            )
+        ).alias("sl"),
+        F.sum(
+            ((F.col("ni") - 1) * F.col("si2")).cast("decimal(28,8)")
+        ).alias("spnum"),
+        F.sum(
+            (F.lit(1.0) / (F.col("ni") - 1)).cast("decimal(28,20)")
+        ).alias("sinv"),
+    )
+    nn, kk = F.col("nn"), F.col("k")
+    tstat = (
+        (nn - kk) * F.log(F.col("spnum").cast("double") / (nn - kk))
+        - F.col("sl").cast("double")
+    ) / (
+        1
+        + (F.col("sinv").cast("double") - F.lit(1.0) / (nn - kk))
+        / (F.lit(3.0) * (kk - 1))
+    )
+    return a.select(
+        nn.cast("long").alias("n"),
+        kk.cast("long").alias("k"),
+        F.round(tstat, 6).alias("t_bartlett"),
+    )
+
+
+# --------------------------------------------------- McNemar's test
+
+_MN_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "stats_mcnemar",
+    oracle=f"""
+    WITH flags AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderkey % 2 = 0
+                       AND o_orderpriority IN {_MN_URGENT}
+                      THEN 1 ELSE 0 END) AS x0,
+             max(CASE WHEN o_orderkey % 2 = 1
+                       AND o_orderpriority IN {_MN_URGENT}
+                      THEN 1 ELSE 0 END) AS x1,
+             count(*) FILTER (o_orderkey % 2 = 0) AS n0,
+             count(*) FILTER (o_orderkey % 2 = 1) AS n1
+      FROM orders GROUP BY 1
+    ), paired AS (SELECT * FROM flags WHERE n0 > 0 AND n1 > 0),
+    c AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN x0 = 1 AND x1 = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN x0 = 0 AND x1 = 1 THEN 1 ELSE 0 END) AS c
+      FROM paired
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+           round((b - c) * (b - c) / (1.0 * (b + c)), 6) AS chi2,
+           round((abs(b - c) - 1) * (abs(b - c) - 1)
+                 / (1.0 * (b + c)), 6) AS chi2_cc
+    FROM c
+    """,
+    tags=("stats", "hypothesis-test", "paired", "orders"),
+)
+def stats_mcnemar(spark, sf_dir):
+    """McNEMAR'S TEST for paired binary outcomes: per customer, two
+    pseudo-conditions (even/odd order keys) each yield a binary
+    "placed an urgent order" flag; the test uses only the DISCORDANT
+    counts b = #(1→0), c = #(0→1): χ² = (b−c)²/(b+c), plus the
+    Edwards continuity correction. Every accumulator is an integer.
+
+    Scale: one grouped flag pass (map-side combinable conditional
+    maxes) + a 1-row fold — the pair matrix is never materialized."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin(*_MN_URGENT)
+    even = F.col("o_orderkey") % 2 == 0
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(even & urgent, 1).otherwise(0)).alias("x0"),
+        F.max(F.when(~even & urgent, 1).otherwise(0)).alias("x1"),
+        F.count(F.when(even, 1)).alias("n0"),
+        F.count(F.when(~even, 1)).alias("n1"),
+    )
+    paired = flags.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    c = paired.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("x0") == 1) & (F.col("x1") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("x0") == 0) & (F.col("x1") == 1), 1).otherwise(0)
+        ).alias("c"),
+    )
+    b_, c_ = F.col("b"), F.col("c")
+    return c.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        b_.cast("long").alias("b"),
+        c_.cast("long").alias("c"),
+        F.round(
+            (b_ - c_) * (b_ - c_) / (F.lit(1.0) * (b_ + c_)), 6
+        ).alias("chi2"),
+        F.round(
+            (F.abs(b_ - c_) - 1)
+            * (F.abs(b_ - c_) - 1)
+            / (F.lit(1.0) * (b_ + c_)),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+# --------------------------------------------------- Welch's t-test
+
+_WT_A, _WT_B = "purchase", "click"
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      FROM events WHERE event_type IN ('{_WT_A}', '{_WT_B}')
+      GROUP BY 1
+    ), v AS (
+      SELECT event_type, n, s1 / n AS mu,
+             (s2 - s1 * s1 / n) / (n - 1) AS s2v
+      FROM g
+    ), w AS (
+      SELECT max(CASE WHEN event_type = '{_WT_A}' THEN n END) AS n1,
+             max(CASE WHEN event_type = '{_WT_A}' THEN mu END) AS m1,
+             max(CASE WHEN event_type = '{_WT_A}' THEN s2v END) AS v1,
+             max(CASE WHEN event_type = '{_WT_B}' THEN n END) AS n2,
+             max(CASE WHEN event_type = '{_WT_B}' THEN mu END) AS m2,
+             max(CASE WHEN event_type = '{_WT_B}' THEN s2v END) AS v2
+      FROM v
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 4) AS df_ws
+    FROM w
+    """,
+    tags=("stats", "hypothesis-test", "two-sample", "events"),
+)
+def stats_welch_ttest(spark, sf_dir):
+    """WELCH'S t-TEST (unequal-variance two-sample mean comparison —
+    the parametric twin of the suite's Mann-Whitney) between two event
+    types, with the Welch-Satterthwaite degrees of freedom. Means and
+    sample variances come from exact decimal sums; the statistic is
+    identical IEEE arithmetic both sides, rounded.
+
+    Scale: ONE grouped moment pass over the filtered scan; the final
+    statistic is a 1-row pivot fold."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WT_A, _WT_B)
+    )
+    v0 = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v0.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v0 * v0).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    v = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2v"),
+    )
+    pick = lambda et, c: F.max(  # noqa: E731
+        F.when(F.col("event_type") == et, F.col(c))
+    )
+    w = v.agg(
+        pick(_WT_A, "n").alias("n1"),
+        pick(_WT_A, "mu").alias("m1"),
+        pick(_WT_A, "s2v").alias("v1"),
+        pick(_WT_B, "n").alias("n2"),
+        pick(_WT_B, "mu").alias("m2"),
+        pick(_WT_B, "s2v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias(
+            "t_welch"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("df_ws"),
+    )

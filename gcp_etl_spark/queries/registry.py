@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # priority tier, so the established early-registry names keep their
 # relative order after the fresh modules.
 _MODULE_PRIORITY = [
+    "gcp_etl_spark.queries.r9_ops",
     "gcp_etl_spark.queries.r8_ops",
     "gcp_etl_spark.queries.r7_ops",
     "gcp_etl_spark.queries.r6_ops",
@@ -96,7 +97,13 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
         windows,
     )
-    from gcp_etl_spark.queries import r5_ops, r6_ops, r7_ops, r8_ops  # noqa: F401
+    from gcp_etl_spark.queries import (  # noqa: F401
+        r5_ops,
+        r6_ops,
+        r7_ops,
+        r8_ops,
+        r9_ops,
+    )
 
     prio = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
     default = len(prio)
