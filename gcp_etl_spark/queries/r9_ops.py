@@ -144,7 +144,7 @@ def stats_friedman_test(spark, sf_dir):
 # --------------------------------------------------- Cochran's Q
 
 _CQ_BLOCKS = 40
-_CQ_THRESH = 60.0
+_CQ_THRESH = 49.0  # ~median of value, so the first-event flag is ~Bernoulli(.5)
 
 
 @query(
@@ -153,7 +153,8 @@ _CQ_THRESH = 60.0
     WITH k AS (SELECT count(DISTINCT event_type) AS k FROM events),
     cell AS (
       SELECT user_id % {_CQ_BLOCKS} AS blk, event_type AS trt,
-             CASE WHEN max(value) > {_CQ_THRESH} THEN 1 ELSE 0 END AS x
+             CASE WHEN arg_min(value, event_id) > {_CQ_THRESH}
+                  THEN 1 ELSE 0 END AS x
       FROM events GROUP BY 1, 2
     ), full_blk AS (
       SELECT blk FROM cell GROUP BY blk
@@ -181,7 +182,8 @@ _CQ_THRESH = 60.0
 def stats_cochran_q(spark, sf_dir):
     """COCHRAN'S Q (k-treatment extension of McNemar for binary
     repeated measures): per (user-block, event-type) the binary
-    response is "any event over the value threshold"; Q = (k−1)·
+    response is "the cell's FIRST event is over the value threshold"
+    (a fixed-size property — see the inline note); Q = (k−1)·
     (k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²) over complete blocks. Every
     accumulator is an integer — the single float is the final ratio.
 
@@ -193,7 +195,18 @@ def stats_cochran_q(spark, sf_dir):
         (F.col("user_id") % _CQ_BLOCKS).alias("blk"),
         F.col("event_type").alias("trt"),
     ).agg(
-        F.when(F.max("value") > _CQ_THRESH, 1).otherwise(0).alias("x")
+        # x = "first event (min event_id) over the threshold": a
+        # FIXED-SIZE property of the cell, so it stays ~Bernoulli(.5)
+        # as cells grow with corpus size — any max/avg/majority flag
+        # CONCENTRATES with cell size and degenerates Q's denominator
+        # to zero at larger scale factors (observed at sf0.01)
+        F.when(
+            F.min(F.struct("event_id", "value")).getField("value")
+            > _CQ_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("x")
     )
     k1 = e.agg(F.countDistinct("event_type").alias("k"))
     full_blk = (
@@ -1068,4 +1081,426 @@ def stats_welch_ttest(spark, sf_dir):
             ),
             4,
         ).alias("df_ws"),
+    )
+
+
+# --------------------------------------------- label propagation
+
+_LP_NODES = 300
+_LP_ROUNDS = 4  # FIXED round count in BOTH engines (k-core convention:
+                # synchronous LPA may oscillate, so equality comes from
+                # replaying the identical deterministic recurrence, not
+                # from convergence)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT
+        least(l_orderkey % {_LP_NODES}, l_partkey % {_LP_NODES}) AS u,
+        greatest(l_orderkey % {_LP_NODES}, l_partkey % {_LP_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {_LP_NODES} <> l_partkey % {_LP_NODES}
+    ), e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    lab AS (
+      SELECT 0 AS i, u AS n, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      UNION ALL
+      SELECT i + 1, n, nl FROM (
+        SELECT i, n, nl,
+               row_number() OVER (PARTITION BY i, n
+                                  ORDER BY cnt DESC, nl) AS rn
+        FROM (
+          SELECT l.i AS i, e.u AS n, l.lbl AS nl,
+                 count(*) OVER (PARTITION BY l.i, e.u, l.lbl) AS cnt
+          FROM lab l JOIN e ON e.v = l.n
+          WHERE l.i < {_LP_ROUNDS}
+        )
+      ) WHERE rn = 1
+    )
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(n) AS BIGINT) AS min_node
+    FROM lab WHERE i = {_LP_ROUNDS} GROUP BY lbl
+    """,
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark, sf_dir):
+    """SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan et
+    al. 2007) with a fully DETERMINISTIC update — new label = the most
+    frequent label among neighbors, ties broken by SMALLEST label — so
+    both engines replay the identical recurrence for a fixed
+    {ROUNDS}-round schedule and the community histogram is hash-equal
+    (the graph_k_core fixed-round convention; vanilla LPA's random
+    tie-breaking would be unverifiable).
+
+    Spark shape per round: one equi-join (neighbor labels), one hash
+    agg (label counts per node), one argmax via struct-max (count,
+    −label) — no windows, no sorts; lineage cut by a lazy
+    localCheckpoint per round. The DuckDB oracle nests the same argmax
+    as window count + row_number inside the recursive term.
+
+    Scale: each round shuffles O(|E|) label tuples with map-side
+    partial counts; state is O(|V|)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % _LP_NODES).alias("a")
+    b = (F.col("l_partkey") % _LP_NODES).alias("b")
+    e0 = (
+        li.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    sym = (
+        e0.unionByName(
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        sym.select(F.col("u").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_LP_ROUNDS):
+        nb = sym.join(
+            lab.withColumnRenamed("n", "__v"), F.col("v") == F.col("__v")
+        ).select(F.col("u").alias("n"), "lbl")
+        cnt = nb.groupBy("n", "lbl").agg(F.count("*").alias("cnt"))
+        lab = (
+            cnt.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("lbl")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("n", (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return lab.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("n").cast("long").alias("min_node"),
+    )
+
+
+# --------------------------------------------------------------- HITS
+
+_HITS_S = 100   # hub side: suppliers mod
+_HITS_P = 150   # authority side: parts mod
+_HITS_ROUNDS = 4  # fixed double-steps (h -> a -> h), both engines
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey % {_HITS_S} AS s,
+                      l_partkey % {_HITS_P} AS p
+      FROM lineitem
+    ), hs AS (
+      SELECT 0 AS i, s, CAST(1.0 AS DOUBLE) AS h
+      FROM (SELECT DISTINCT s FROM e)
+      UNION ALL
+      SELECT hs.i + 1, e2.s, sum(hs.h)
+      FROM hs JOIN e e1 ON e1.s = hs.s JOIN e e2 ON e2.p = e1.p
+      WHERE hs.i < {_HITS_ROUNDS}
+      GROUP BY 1, 2
+    ), hfin AS (SELECT s, h FROM hs WHERE i = {_HITS_ROUNDS}),
+    afin AS (
+      SELECT e.p, sum(hfin.h) AS av
+      FROM e JOIN hfin ON hfin.s = e.s GROUP BY e.p
+    )
+    SELECT kind, node, score FROM (
+      SELECT 'hub' AS kind, CAST(s AS BIGINT) AS node,
+             round(h / (SELECT sum(h) FROM hfin), 6) AS score
+      FROM hfin
+      UNION ALL
+      SELECT 'authority', CAST(p AS BIGINT),
+             round(av / (SELECT sum(av) FROM afin), 6)
+      FROM afin
+    )
+    """,
+    tags=("graph", "iterative", "hits", "bipartite"),
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg 1999) on the natural
+    supplier→part bipartite graph: a = Aᵀh, h = A a for {ROUNDS} fixed
+    double-steps, L1-normalized ONCE at output. Deferring the
+    normalization keeps every intermediate an exact sum-of-products of
+    the all-ones start (value growth ≤ (d_s·d_p)^rounds ≈ 1e13, far
+    inside double range), so cross-engine drift is summation-order
+    ulps only — absorbed by 6dp rounding on the normalized scores (the
+    pagerank-oracle convention). The DuckDB recursion folds each
+    double-step as a single two-hop join (Σ_{{p∈N(s)}} Σ_{{s'∈N(p)}});
+    Spark materializes the authority pass explicitly — identical
+    algebra, different plan freedom.
+
+    Scale: per round one O(|E|) shuffle each way with map-side partial
+    sums; node state is O(|V|); lazy localCheckpoints cut lineage."""
+    li = t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_suppkey") % _HITS_S).alias("s"),
+            (F.col("l_partkey") % _HITS_P).alias("p"),
+        )
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    h = (
+        e.select("s")
+        .distinct()
+        .select("s", F.lit(1.0).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_HITS_ROUNDS):
+        a_vec = (
+            e.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum("h").alias("av"))
+        )
+        h = (
+            e.join(a_vec, "p")
+            .groupBy("s")
+            .agg(F.sum("av").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    a_fin = e.join(h, "s").groupBy("p").agg(F.sum("h").alias("av"))
+    h_tot = h.agg(F.sum("h").alias("tot"))
+    a_tot = a_fin.agg(F.sum("av").alias("tot"))
+    hubs = h.crossJoin(F.broadcast(h_tot)).select(
+        F.lit("hub").alias("kind"),
+        F.col("s").cast("long").alias("node"),
+        F.round(F.col("h") / F.col("tot"), 6).alias("score"),
+    )
+    auths = a_fin.crossJoin(F.broadcast(a_tot)).select(
+        F.lit("authority").alias("kind"),
+        F.col("p").cast("long").alias("node"),
+        F.round(F.col("av") / F.col("tot"), 6).alias("score"),
+    )
+    return hubs.unionByName(auths)
+
+
+# --------------------------------------- Kneser-Ney bigram LM
+
+_KN_D = 0.75  # fixed absolute discount (Kneser-Ney 1995 / Chen-Goodman)
+_KN_TOP = 30
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), idx AS (
+      SELECT doc_id, i AS pos, ws[i+1] AS word
+      FROM toks, unnest(range(len(ws))) AS t(i)
+    ), bg AS (
+      SELECT doc_id,
+             lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             word AS w2
+      FROM idx
+    ), bgn AS (SELECT w1, w2 FROM bg WHERE w1 IS NOT NULL),
+    cb AS (SELECT w1, w2, count(*) AS c12 FROM bgn GROUP BY 1, 2),
+    cu AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM cb GROUP BY w1
+    ), cc AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+    tt AS (SELECT count(*) AS bity FROM cb)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round((c12 - {_KN_D}) / c1
+                 + ({_KN_D} * n1f / c1) * (CAST(n1b AS DOUBLE) / bity),
+                 6) AS p_kn
+    FROM cb JOIN cu USING (w1) JOIN cc USING (w2) CROSS JOIN tt
+    ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOP}
+    """,
+    tags=("text", "lm", "llm-prep", "documents"),
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """INTERPOLATED KNESER-NEY bigram probabilities (fixed absolute
+    discount D = {D}) — the LM smoothing actually used for data-quality
+    perplexity filters, vs text_bigram_lm's add-one baseline:
+    P(w₂|w₁) = (c₁₂ − D)/c₁ + D·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/|bigram types|,
+    where the continuation counts N₁₊ make the unigram backoff measure
+    "how many contexts" rather than "how many tokens" (the KN insight).
+    Reported for the top-{TOP} bigrams by INTEGER count (total order
+    with word tiebreaks — no float ordering), probability rounded 6dp
+    from all-integer inputs, so the hash pins the full count algebra.
+
+    Scale: everything is a grouped count over the bigram relation
+    (map-side combinable); the final top-{TOP} is a TakeOrdered — no
+    global sort. c₁ is derived from the bigram table (Σ_w₂ c₁₂), never
+    a second corpus pass."""
+    par = spark.sparkContext.defaultParallelism
+    docs = t(spark, sf_dir, "documents").repartition(par)
+    idx = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = idx.select(
+        F.lag("word").over(w).alias("w1"), F.col("word").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    cb = bgn.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cu = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cc = cb.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = cb.agg(F.count("*").alias("bity"))
+    p = (
+        (F.col("c12") - _KN_D) / F.col("c1")
+        + (_KN_D * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b").cast("double") / F.col("bity"))
+    )
+    return (
+        cb.join(cu, "w1")
+        .join(cc, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_KN_TOP)
+    )
+
+
+# ------------------------------------------- mixture weights
+
+_MX_TAU = 0.7  # sampling temperature (multilingual-LM convention)
+
+
+@query(
+    "curation_mixture_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, sum(len(string_split(lower(text), ' '))) AS toks
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT sum(toks) AS tt FROM tk),
+    pw AS (
+      SELECT lang, toks,
+             pow(CAST(toks AS DOUBLE) / tt, {_MX_TAU}) AS pt
+      FROM tk CROSS JOIN tot
+    ), z AS (SELECT sum(CAST(pt AS DECIMAL(28,18))) AS zz FROM pw)
+    SELECT lang, CAST(toks AS BIGINT) AS n_tokens,
+           round(CAST(toks AS DOUBLE)
+                 / (SELECT tt FROM tot), 6) AS p_natural,
+           round(pt / CAST((SELECT zz FROM z) AS DOUBLE), 6) AS w_sample,
+           round(pt / CAST((SELECT zz FROM z) AS DOUBLE)
+                 * (SELECT tt FROM tot) / toks, 6) AS epochs_at_budget
+    FROM pw
+    """,
+    tags=("llm", "curation", "mixture", "documents"),
+)
+def curation_mixture_weights(spark, sf_dir):
+    """TRAINING-MIXTURE WEIGHTS by temperature sampling (the
+    multilingual-LM upsampling rule, τ = {TAU}): per language,
+    w_i = p_i^τ / Σ_j p_j^τ over natural token shares p_i, plus the
+    implied per-language epoch count at a one-corpus token budget
+    (w_i·T / tok_i > 1 ⇒ that language repeats — the practical
+    overfitting signal mixture designers watch). Token counts are
+    integers; each pow term is one libm op on identical rationals,
+    cast to DECIMAL before the k-term normalizer fold (order-free).
+
+    Scale: one map-side token-count aggregation over the corpus; the
+    mixture algebra runs on the |langs|-row relation."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("toks")
+    )
+    tot = tk.agg(F.sum("toks").alias("tt"))
+    pw = tk.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "toks",
+        "tt",
+        F.pow(F.col("toks").cast("double") / F.col("tt"), _MX_TAU).alias(
+            "pt"
+        ),
+    )
+    z = pw.agg(
+        F.sum(F.col("pt").cast("decimal(28,18)")).alias("zz")
+    )
+    j = pw.crossJoin(F.broadcast(z))
+    w = F.col("pt") / F.col("zz").cast("double")
+    return j.select(
+        "lang",
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round(F.col("toks").cast("double") / F.col("tt"), 6).alias(
+            "p_natural"
+        ),
+        F.round(w, 6).alias("w_sample"),
+        F.round(w * F.col("tt") / F.col("toks"), 6).alias(
+            "epochs_at_budget"
+        ),
+    )
+
+
+# --------------------------------------- curriculum phase assignment
+
+_CUR_PHASES = 3
+
+
+@query(
+    "curation_curriculum_phases",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_words
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+             row_number() OVER (ORDER BY n_words, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM d
+    )
+    SELECT CAST(floor((rn - 1) * {_CUR_PHASES} * 1.0 / n) + 1 AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_words) AS BIGINT) AS min_words,
+           CAST(max(n_words) AS BIGINT) AS max_words,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM r GROUP BY 1
+    """,
+    tags=("llm", "curation", "curriculum", "documents"),
+)
+def curation_curriculum_phases(spark, sf_dir):
+    """CURRICULUM PHASE ASSIGNMENT: order the corpus by a difficulty
+    proxy (document length in words — short-to-long curriculum) and
+    split it into {PHASES} equal-population phases by GLOBAL RANK,
+    phase = ⌊(rank−1)·{PHASES}/n⌋ + 1 — the integer-exact equivalent of
+    NTILE that the engine can compute WITHOUT a single-partition
+    window: ranks come from the two-pass range-partitioned
+    ``global_row_number`` (range exchange → in-partition row_number →
+    broadcast prefix offsets), so phase assignment scales to any
+    corpus. Tie-break (n_words, doc_id) makes the order total, hence
+    the assignment engine-exact.
+
+    Scale: one range exchange + one bounded offset broadcast; the
+    DuckDB oracle uses the window-function formulation of the same
+    rank — equal by construction."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_words"),
+    )
+    n1 = d.agg(F.count("*").alias("n"))
+    r = global_row_number(d, ["n_words", "doc_id"], rn_col="rn")
+    phase = (
+        F.floor((F.col("rn") - 1) * _CUR_PHASES / F.col("n")).cast("long")
+        + 1
+    )
+    return (
+        r.crossJoin(F.broadcast(n1))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
     )
