@@ -433,3 +433,101 @@ def augment_media(
             )
 
     return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthesize_neardup_images(spark: SparkSession, n_pairs: int = 24) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE image corpus for the perceptual-
+    hash dedup family: media ids 2s / 2s+1 share the pixel-formula
+    seed s, and the odd id adds +40 (pre-mod) to every channel of the
+    sparse pixel lattice (x+y) ≡ 0 (mod 5) — a ~20%-of-pixels
+    brightness nudge measured to flip 2-6 of the 64 average-hash bits
+    (the near-dup case) while different seeds land hamming ≥ 1 with a
+    long tail. pixel = (13·s + 7x + 11y + 17c + nudge) % 256,
+    mirrored literally in the multimodal_phash_dedup oracle. Real PNG
+    encode inside mapInPandas — the payloads are genuine codec
+    round-trips, not arrays."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids = [int(i) for i in pdf["id"]]
+            payloads = []
+            for i in ids:
+                s, noisy = i // 2, i % 2
+                y = np.arange(IMG_H).reshape(-1, 1, 1)
+                x = np.arange(IMG_W).reshape(1, -1, 1)
+                c = np.arange(3).reshape(1, 1, -1)
+                nudge = noisy * 40 * (((x + y) % 5) == 0).astype(np.int64)
+                arr = (
+                    (13 * s + 7 * x + 11 * y + 17 * c + nudge) % 256
+                ).astype(np.uint8)
+                payloads.append(codecs.png_encode(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": ["image/png"] * len(ids),
+                    "payload": payloads,
+                    "meta": [{"seed": str(i // 2)} for i in ids],
+                }
+            )
+
+    return spark.range(2 * n_pairs).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, hash_lo long, hash_hi long"
+
+
+def average_hash(df: DataFrame, block: int = 3) -> DataFrame:
+    """64-bit AVERAGE HASH (aHash) of each PNG payload, INTEGER-EXACT:
+    grayscale = channel SUM (no division), 8×8 grid of ``block``²-pixel
+    block sums, bit(by,bx) = [blocksum · 64 > total] — every compare is
+    integer, so a SQL oracle can replay the hash from the pixel
+    formula bit for bit. Returned as two 32-bit halves in longs
+    (hash_lo = bits 0..31, hash_hi = bits 32..63) so downstream xor /
+    bit_count / band extraction never touches the int64 sign bit.
+
+    Decode and hashing stay inside mapInPandas — pixels never shuffle;
+    only the 3-long hash row leaves the scan task (the multimodal
+    family contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_id, out_lo, out_hi = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = codecs.png_decode(bytes(b)) if b else None
+                except ValueError:
+                    arr = None
+                if arr is None:
+                    continue
+                g = arr.astype(np.int64).sum(axis=2)
+                h8, w8 = g.shape[0] // block, g.shape[1] // block
+                blocks = g[: h8 * block, : w8 * block].reshape(
+                    h8, block, w8, block
+                ).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (blocks.astype(object) * (h8 * w8) > total)
+                lo = hi = 0
+                for by in range(h8):
+                    for bx in range(w8):
+                        if bits[by, bx]:
+                            bit = 8 * by + bx
+                            if bit < 32:
+                                lo |= 1 << bit
+                            else:
+                                hi |= 1 << (bit - 32)
+                out_id.append(int(mid))
+                out_lo.append(lo)
+                out_hi.append(hi)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "hash_lo": out_lo,
+                    "hash_hi": out_hi,
+                }
+            )
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)

@@ -1504,3 +1504,126 @@ def curation_curriculum_phases(spark, sf_dir):
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+# ------------------------------------ perceptual-hash image dedup
+
+_PH_PAIRS = 24   # 48 images: ids 2s / 2s+1 share a content seed
+_PH_HAM = 3      # report pairs with hamming <= 3
+_PH_BANDS = 4    # 4 x 16-bit bands: pigeonhole-EXACT for hamming <= 3
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH ids AS (
+      SELECT i AS media_id, i // 2 AS s, i % 2 AS nz
+      FROM generate_series(0, {2 * _PH_PAIRS - 1}) t(i)
+    ), px AS (
+      SELECT media_id, y.y // 3 AS by, x.x // 3 AS bx,
+             (13 * s + 7 * x.x + 11 * y.y + 17 * c.c
+              + CASE WHEN nz = 1 AND (x.x + y.y) % 5 = 0
+                     THEN 40 ELSE 0 END) % 256 AS v
+      FROM ids,
+           generate_series(0, 23) x(x),
+           generate_series(0, 23) y(y),
+           generate_series(0, 2) c(c)
+    ), blk AS (
+      SELECT media_id, by, bx, sum(v) AS bsum FROM px GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT media_id, sum(bsum) AS tsum FROM blk GROUP BY 1
+    ), bits AS (
+      SELECT b.media_id, 8 * by + bx AS bit,
+             CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS onb
+      FROM blk b JOIN tot t USING (media_id)
+    ), h AS (
+      SELECT media_id,
+             sum(CASE WHEN onb = 1 AND bit < 32
+                      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS lo,
+             sum(CASE WHEN onb = 1 AND bit >= 32
+                      THEN CAST(1 AS BIGINT) << (bit - 32)
+                      ELSE 0 END) AS hi
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+           (a.media_id // 2 = b.media_id // 2) AS same_seed
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          <= {_PH_HAM}
+    """,
+    tags=("llm", "multimodal", "dedup", "lsh", "codec"),
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """PERCEPTUAL-HASH IMAGE NEAR-DUP DETECTION over the REAL PNG
+    path: decode → integer 64-bit average-hash (aHash: 8×8 block sums
+    vs the global mean, channel-sum grayscale — every compare integer,
+    llm/multimodal.py::average_hash) → {BANDS}×16-bit BAND BLOCKING →
+    in-bucket xor/bit_count hamming ≤ {HAM} — the simhash/minhash
+    banding algebra applied to image content. Banding is
+    pigeonhole-EXACT here: hamming ≤ {HAM} < {BANDS} bands forces at
+    least one identical band, so the blocked join provably returns the
+    BRUTE-FORCE answer — and the oracle IS the brute-force all-pairs
+    scan, replaying decode + hash from the pixel generator formula
+    (nudged near-dup corpus: llm/multimodal.py::
+    synthesize_neardup_images). A missed pair is a hash mismatch, and
+    the fixture is constructed non-vacuous (measured: true pairs land
+    hamming 2-6, several cross-seed pairs ≤ {HAM}).
+
+    Scale: pixels never shuffle (decode + hash inside mapInPandas);
+    |images|×{BANDS} band keys shuffle; per-bucket fanout is bounded
+    by band-collision density exactly as in dedup_simhash."""
+    from gcp_etl_spark.llm.multimodal import (
+        average_hash,
+        synthesize_neardup_images,
+    )
+
+    media = synthesize_neardup_images(spark, n_pairs=_PH_PAIRS)
+    h = average_hash(media).localCheckpoint(eager=False)
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    (
+                        F.shiftright(
+                            F.col("hash_lo" if i < 2 else "hash_hi"),
+                            16 * (i % 2),
+                        )
+                        % 65536
+                    ).alias("bv"),
+                )
+                for i in range(_PH_BANDS)
+            ]
+        )
+    ).alias("b")
+    bands = h.select(
+        F.col("media_id"), "hash_lo", "hash_hi", band
+    ).select("media_id", "hash_lo", "hash_hi", "b.bi", "b.bv")
+    other = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash_lo").alias("lo_b"),
+        F.col("hash_hi").alias("hi_b"),
+        "bi",
+        "bv",
+    )
+    ham = F.bit_count(
+        F.col("hash_lo").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hash_hi").bitwiseXOR(F.col("hi_b")))
+    return (
+        bands.join(other, ["bi", "bv"])
+        .filter(F.col("media_id") < F.col("id_b"))
+        .select(
+            F.col("media_id").alias("id_a"),
+            "id_b",
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_HAM)
+        .distinct()
+        .withColumn(
+            "same_seed",
+            (F.col("id_a") / 2).cast("long")
+            == (F.col("id_b") / 2).cast("long"),
+        )
+    )
