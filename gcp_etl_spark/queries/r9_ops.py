@@ -1627,3 +1627,493 @@ def multimodal_phash_dedup(spark, sf_dir):
             == (F.col("id_b") / 2).cast("long"),
         )
     )
+
+
+# --------------------------------------------------- G-test
+
+_GT_THRESH = 49.0
+
+
+@query(
+    "stats_g_test",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type AS r,
+             CASE WHEN value > {_GT_THRESH} THEN 1 ELSE 0 END AS c,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT r, c, o,
+             sum(o) OVER (PARTITION BY r) AS rt,
+             sum(o) OVER (PARTITION BY c) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ), g AS (
+      SELECT count(DISTINCT r) AS nr, count(DISTINCT c) AS nc,
+             max(n) AS n,
+             sum(CAST(2.0 * o * ln(CAST(o AS DOUBLE) * n / (rt * ct))
+                      AS DECIMAL(28,12))) AS gsum
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(CAST(gsum AS DOUBLE), 6) AS g
+    FROM g
+    """,
+    tags=("stats", "hypothesis-test", "contingency", "events"),
+)
+def stats_g_test(spark, sf_dir):
+    """G-TEST (log-likelihood-ratio contingency test, the
+    information-theoretic twin of the suite's χ²): G = 2·Σ O·ln(O·N /
+    (row·col)) over the event-type × value-threshold table. Each ln
+    term is one libm op on identical integer-derived rationals, cast
+    to DECIMAL before the cell fold (order-free); all marginals are
+    integers.
+
+    Scale: one map-side cell aggregation (k×2 cells), window marginals
+    on the bounded cell relation."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("r"),
+        F.when(F.col("value") > _GT_THRESH, 1).otherwise(0).alias("c"),
+    ).agg(F.count("*").alias("o"))
+    m = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("c")).alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    g = m.agg(
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+        F.max("n").alias("n"),
+        F.sum(
+            (
+                F.lit(2.0)
+                * F.col("o")
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.col("n")
+                    / (F.col("rt") * F.col("ct"))
+                )
+            ).cast("decimal(28,12)")
+        ).alias("gsum"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(F.col("gsum").cast("double"), 6).alias("g"),
+    )
+
+
+# --------------------------------------------------- Fleiss' kappa
+
+_FK_RATINGS = 5  # fixed ratings per item (Fleiss requires constant n)
+
+
+@query(
+    "stats_fleiss_kappa",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey AS item, o_orderpriority AS cat,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), kept AS (
+      SELECT item, cat FROM ranked WHERE rn <= {_FK_RATINGS}
+        AND item IN (SELECT item FROM ranked GROUP BY item
+                     HAVING count(*) >= {_FK_RATINGS})
+    ), nij AS (
+      SELECT item, cat, count(*) AS nij FROM kept GROUP BY 1, 2
+    ), pi AS (
+      SELECT item, sum(nij * nij) - {_FK_RATINGS} AS pnum FROM nij
+      GROUP BY item
+    ), pj AS (
+      SELECT cat, sum(nij) AS cj FROM nij GROUP BY cat
+    ), agg AS (
+      SELECT (SELECT count(*) FROM pi) AS n_items,
+             (SELECT sum(pnum) FROM pi) AS pbar_num,
+             (SELECT sum(CAST(cj AS HUGEINT) * cj) FROM pj) AS pe_num
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           round(CAST(pbar_num AS DOUBLE)
+                 / (n_items * {_FK_RATINGS} * ({_FK_RATINGS} - 1)), 6)
+             AS p_bar,
+           round(CAST(pe_num AS DOUBLE)
+                 / pow(CAST(n_items AS DOUBLE) * {_FK_RATINGS}, 2), 6)
+             AS p_e,
+           round((CAST(pbar_num AS DOUBLE)
+                  / (n_items * {_FK_RATINGS} * ({_FK_RATINGS} - 1))
+                  - CAST(pe_num AS DOUBLE)
+                    / pow(CAST(n_items AS DOUBLE) * {_FK_RATINGS}, 2))
+                 / (1 - CAST(pe_num AS DOUBLE)
+                        / pow(CAST(n_items AS DOUBLE) * {_FK_RATINGS}, 2)),
+                 6) AS kappa
+    FROM agg
+    """,
+    tags=("stats", "agreement", "orders"),
+)
+def stats_fleiss_kappa(spark, sf_dir):
+    """FLEISS' KAPPA (multi-rater categorical agreement, generalizing
+    the suite's Cohen's kappa beyond two raters): each customer is an
+    "item" whose first {N} orders (by order key — deterministic) are
+    the {N} "ratings", category = order priority. κ = (P̄ − P_e)/(1 −
+    P_e) with P_i = (Σ_j n_ij² − n)/(n(n−1)) and P_e = Σ_j p_j². Every
+    accumulator is an integer (HUGEINT/decimal for Σc_j²); floats are
+    the three final ratios.
+
+    Scale: the first-{N} pick is a per-entity bounded window (rows per
+    partition = orders per customer); everything after is grouped
+    integer counts."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ranked = o.select(
+        F.col("o_custkey").alias("item"),
+        F.col("o_orderpriority").alias("cat"),
+        F.row_number().over(w).alias("rn"),
+    )
+    eligible = (
+        ranked.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _FK_RATINGS)
+        .select("item")
+    )
+    kept = ranked.filter(F.col("rn") <= _FK_RATINGS).join(
+        eligible, "item"
+    )
+    nij = kept.groupBy("item", "cat").agg(F.count("*").alias("nij"))
+    pi = nij.groupBy("item").agg(
+        (F.sum(F.col("nij") * F.col("nij")) - _FK_RATINGS).alias("pnum")
+    )
+    pj = nij.groupBy("cat").agg(F.sum("nij").alias("cj"))
+    agg = (
+        pi.agg(
+            F.count("*").alias("n_items"),
+            F.sum("pnum").alias("pbar_num"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pj.agg(
+                    F.sum(
+                        F.col("cj").cast("decimal(38,0)") * F.col("cj")
+                    ).alias("pe_num")
+                )
+            )
+        )
+    )
+    ni = F.col("n_items")
+    p_bar = F.col("pbar_num").cast("double") / (
+        ni * _FK_RATINGS * (_FK_RATINGS - 1)
+    )
+    p_e = F.col("pe_num").cast("double") / F.pow(
+        ni.cast("double") * _FK_RATINGS, 2
+    )
+    return agg.select(
+        ni.cast("long").alias("n_items"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("kappa"),
+    )
+
+
+# --------------------------------------------------- Mood's median test
+
+
+@query(
+    "stats_mood_median",
+    oracle="""
+    WITH med AS (
+      SELECT quantile_cont(value, 0.5) AS gm FROM events
+    ), cells AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (value > (SELECT gm FROM med))
+                  AS BIGINT) AS above,
+             CAST(count(*) FILTER (value <= (SELECT gm FROM med))
+                  AS BIGINT) AS at_or_below
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT sum(above) AS ta, sum(at_or_below) AS tb,
+             sum(above) + sum(at_or_below) AS n
+      FROM cells
+    )
+    SELECT c.event_type, c.above, c.at_or_below,
+           round((SELECT gm FROM med), 6) AS grand_median,
+           round(pow(c.above - (c.above + c.at_or_below)
+                               * CAST(m.ta AS DOUBLE) / m.n, 2)
+                 / ((c.above + c.at_or_below) * CAST(m.ta AS DOUBLE) / m.n)
+                 + pow(c.at_or_below - (c.above + c.at_or_below)
+                                       * CAST(m.tb AS DOUBLE) / m.n, 2)
+                 / ((c.above + c.at_or_below)
+                    * CAST(m.tb AS DOUBLE) / m.n), 6) AS chi2_contrib
+    FROM cells c CROSS JOIN m
+    """,
+    tags=("stats", "hypothesis-test", "median", "events"),
+)
+def stats_mood_median(spark, sf_dir):
+    """MOOD'S MEDIAN TEST: classify every observation against the
+    GRAND median (computed by the engine's two-pass exact_quantiles,
+    quantile_cont semantics), then the per-group above/at-or-below
+    table with each group's χ² contribution — the k-group
+    nonparametric location screen that, unlike Kruskal-Wallis, is
+    robust to outliers in the tails.
+
+    Scale: one exact-quantile pass (range-partitioned), one broadcast
+    scalar compare, one k×2 hash agg. Counts are integers; the grand
+    median is the identical interpolated double in both engines."""
+    from gcp_etl_spark.operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = exact_quantiles(e, "value", {"gm": 0.5})
+    cells = (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") > F.col("gm"), 1))
+            .cast("long")
+            .alias("above"),
+            F.count(F.when(F.col("value") <= F.col("gm"), 1))
+            .cast("long")
+            .alias("at_or_below"),
+            F.round(F.max("gm"), 6).alias("grand_median"),
+        )
+    )
+    m = cells.agg(
+        F.sum("above").alias("ta"),
+        F.sum("at_or_below").alias("tb"),
+        (F.sum("above") + F.sum("at_or_below")).alias("n"),
+    )
+    j = cells.crossJoin(F.broadcast(m))
+    ni = F.col("above") + F.col("at_or_below")
+    ea = ni * F.col("ta").cast("double") / F.col("n")
+    eb = ni * F.col("tb").cast("double") / F.col("n")
+    return j.select(
+        "event_type",
+        "above",
+        "at_or_below",
+        "grand_median",
+        F.round(
+            F.pow(F.col("above") - ea, 2) / ea
+            + F.pow(F.col("at_or_below") - eb, 2) / eb,
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+# ------------------------------------------- EWMA control chart
+
+_EW_LAMBDA = 0.2   # EWMA smoothing
+_EW_WINDOW = 60    # truncated-kernel length ((1-λ)^60 ≈ 1.5e-6)
+_EW_SIGMA = 2.5    # control limit in global-σ units
+
+
+@query(
+    "anomaly_ewma_control",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (
+      SELECT day, y, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2
+      FROM idx
+    ), sig AS (
+      SELECT n, sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM s
+    ), z AS (
+      SELECT a.t, a.day, a.y,
+             sum(CAST({_EW_LAMBDA} * pow(1 - {_EW_LAMBDA}, j.j) * b.y
+                      AS DECIMAL(38,10))) AS zt_num,
+             sum(CAST({_EW_LAMBDA} * pow(1 - {_EW_LAMBDA}, j.j)
+                      AS DECIMAL(38,20))) AS zt_den
+      FROM idx a
+      JOIN (SELECT unnest(range(1, {_EW_WINDOW + 1})) AS j) j ON TRUE
+      JOIN idx b ON b.t = a.t - j.j
+      GROUP BY 1, 2, 3
+    ), flags AS (
+      SELECT t, day, y,
+             CAST(zt_num AS DOUBLE) / CAST(zt_den AS DOUBLE) AS z_prev
+      FROM z WHERE t > {_EW_WINDOW}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_tested,
+           CAST(count(*) FILTER (
+             abs(y - z_prev) > {_EW_SIGMA} * (SELECT sd FROM sig))
+             AS BIGINT) AS n_flagged,
+           min(CASE WHEN abs(y - z_prev)
+                         > {_EW_SIGMA} * (SELECT sd FROM sig)
+                    THEN day END) AS first_flag_day,
+           max(CASE WHEN abs(y - z_prev)
+                         > {_EW_SIGMA} * (SELECT sd FROM sig)
+                    THEN day END) AS last_flag_day
+    FROM flags
+    """,
+    tags=("stats", "time-series", "control-chart", "orders"),
+)
+def anomaly_ewma_control(spark, sf_dir):
+    """EWMA CONTROL CHART on daily revenue: each day is tested against
+    the exponentially weighted moving average of the PRIOR {W} days
+    (λ = {L}, truncated kernel — (1−λ)^{W} ≈ 1.5e-6, and the
+    truncation is part of the DEFINED statistic so both engines replay
+    it exactly rather than approximating an infinite recursion);
+    flag when |y_t − z_{{t−1}}| > {S}·σ̂. Kernel weights are identical
+    libm pow values on literal operands; weighted terms are cast to
+    DECIMAL so the per-day sums are order-free; σ̂ comes from exact
+    integer sums. The truncated-kernel formulation REPLACES the
+    sequential EWMA recursion (unparallelizable, and the untruncated
+    closed form needs (1/(1−λ))^t — overflow at t≈2400) with one
+    explode+shifted-join — embarrassingly parallel at any length.
+
+    Scale: |days|×{W} joined rows — calendar-bounded; the corpus-size
+    work is the daily aggregation."""
+    idx = _daily(spark, sf_dir)
+    s = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sig = s.select(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd")
+    )
+    a = idx.select(
+        "t",
+        "day",
+        "y",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, _EW_WINDOW + 1)])
+        ).alias("j"),
+    )
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    wgt = _EW_LAMBDA * F.pow(F.lit(1 - _EW_LAMBDA), F.col("j"))
+    z = (
+        a.join(b, F.col("tb") == F.col("t") - F.col("j"))
+        .groupBy("t", "day", "y")
+        .agg(
+            F.sum((wgt * F.col("yb")).cast("decimal(38,10)")).alias(
+                "zt_num"
+            ),
+            F.sum(wgt.cast("decimal(38,20)")).alias("zt_den"),
+        )
+        .filter(F.col("t") > _EW_WINDOW)
+        .select(
+            "t",
+            "day",
+            "y",
+            (
+                F.col("zt_num").cast("double")
+                / F.col("zt_den").cast("double")
+            ).alias("z_prev"),
+        )
+    )
+    flag = F.abs(F.col("y") - F.col("z_prev")) > _EW_SIGMA * F.col("sd")
+    return z.crossJoin(F.broadcast(sig)).agg(
+        F.count("*").cast("long").alias("n_days_tested"),
+        F.count(F.when(flag, 1)).cast("long").alias("n_flagged"),
+        F.min(F.when(flag, F.col("day"))).alias("first_flag_day"),
+        F.max(F.when(flag, F.col("day"))).alias("last_flag_day"),
+    )
+
+
+# --------------------------------------- Theil's U (uncertainty coeff)
+
+
+@query(
+    "stats_theil_u",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS xs, o_orderpriority AS ys, count(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS nn FROM cells),
+    hy AS (
+      SELECT -sum(CAST((CAST(cy AS DOUBLE) / nn)
+                       * ln(CAST(cy AS DOUBLE) / nn)
+                       AS DECIMAL(28,18))) AS h_y
+      FROM (SELECT ys, sum(n) AS cy FROM cells GROUP BY ys)
+      CROSS JOIN tot
+    ), hyx AS (
+      SELECT -sum(CAST((CAST(n AS DOUBLE) / nn)
+                       * ln(CAST(n AS DOUBLE) / cx)
+                       AS DECIMAL(28,18))) AS h_y_x
+      FROM cells
+      JOIN (SELECT xs, sum(n) AS cx FROM cells GROUP BY xs) USING (xs)
+      CROSS JOIN tot
+    )
+    SELECT round(CAST(h_y AS DOUBLE), 6) AS h_y,
+           round(CAST(h_y_x AS DOUBLE), 6) AS h_y_given_x,
+           round((CAST(h_y AS DOUBLE) - CAST(h_y_x AS DOUBLE))
+                 / CAST(h_y AS DOUBLE), 6) AS theil_u
+    FROM hy CROSS JOIN hyx
+    """,
+    tags=("stats", "association", "entropy", "orders"),
+)
+def stats_theil_u(spark, sf_dir):
+    """THEIL'S U (uncertainty coefficient U(priority | segment)): the
+    ASYMMETRIC categorical-association measure — how much knowing the
+    customer segment reduces the entropy of order priority, U =
+    (H(Y) − H(Y|X)) / H(Y). Complements the suite's symmetric
+    Cramér's V. Probabilities are integer-count rationals; each ln
+    term is cast to DECIMAL before the fold (order-free).
+
+    Scale: one join + one cell hash agg (bounded |segments|×
+    |priorities| cells); entropies fold the cell relation."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("xs"),
+            F.col("o_orderpriority").alias("ys"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("nn"))
+    cy = cells.groupBy("ys").agg(F.sum("n").alias("cy"))
+    h_y = (
+        cy.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                -F.sum(
+                    (
+                        (F.col("cy").cast("double") / F.col("nn"))
+                        * F.log(F.col("cy").cast("double") / F.col("nn"))
+                    ).cast("decimal(28,18)")
+                )
+            ).alias("h_y")
+        )
+    )
+    cx = cells.groupBy("xs").agg(F.sum("n").alias("cx"))
+    h_y_x = (
+        cells.join(cx, "xs")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                -F.sum(
+                    (
+                        (F.col("n").cast("double") / F.col("nn"))
+                        * F.log(F.col("n").cast("double") / F.col("cx"))
+                    ).cast("decimal(28,18)")
+                )
+            ).alias("h_y_x")
+        )
+    )
+    j = h_y.crossJoin(F.broadcast(h_y_x))
+    return j.select(
+        F.round(F.col("h_y").cast("double"), 6).alias("h_y"),
+        F.round(F.col("h_y_x").cast("double"), 6).alias("h_y_given_x"),
+        F.round(
+            (F.col("h_y").cast("double") - F.col("h_y_x").cast("double"))
+            / F.col("h_y").cast("double"),
+            6,
+        ).alias("theil_u"),
+    )
