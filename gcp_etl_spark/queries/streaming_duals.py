@@ -253,3 +253,48 @@ def stream_static_enrich(spark, sf_dir):
     return static_enriched_agg(
         t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
     )
+
+
+@query(
+    "stream_gtest_drift",
+    oracle="""
+    WITH cells AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+             event_type AS r,
+             CASE WHEN value > 49.0 THEN 1 ELSE 0 END AS c,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT w_start, r, c, n,
+             sum(n) OVER (PARTITION BY w_start, r) AS rt,
+             sum(n) OVER (PARTITION BY w_start, c) AS ct,
+             sum(n) OVER (PARTITION BY w_start) AS nn
+      FROM cells
+    )
+    SELECT w_start, CAST(sum(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum(CAST(2.0 * n
+                               * ln(CAST(n AS DOUBLE) * nn / (rt * ct))
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS g
+    FROM m GROUP BY w_start
+    """,
+    tags=("streaming", "dq", "drift", "stats", "events"),
+)
+def stream_gtest_drift(spark, sf_dir):
+    """STREAMING INDEPENDENCE-DRIFT monitor — the always-on windowed
+    version of stats_g_test: per daily tumbling window, the G
+    statistic of the event-type × value-threshold contingency table.
+    The windowed cell count (``gtest_cells``) is the only stateful
+    streaming stage (counts merge — batching-invariant by
+    construction); marginals + the decimal-cast log-likelihood fold
+    run per micro-batch via foreachBatch (``gtest_drift``, the
+    psi_drift pattern). Streaming-vs-batch equality is asserted in
+    tests/test_streaming.py; here the batch dual is value-checked
+    against DuckDB.
+
+    Scale: state = (windows in watermark) × |types| × 2 cells; the
+    read-time fold runs on that bounded relation."""
+    from gcp_etl_spark.streaming.windows import gtest_cells, gtest_drift
+
+    return gtest_drift(gtest_cells(t(spark, sf_dir, "events")))

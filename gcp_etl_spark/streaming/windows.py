@@ -433,3 +433,65 @@ def score_calibration_windows(
         .select(F.col("w.start").alias("w_start"), "n",
                 "mean_predicted", "actual_rate")
     )
+
+
+# Fixed split threshold for the independence monitor's value flag —
+# ships with the job like PSI_EDGES (fitted offline ≈ corpus median).
+GTEST_THRESH = 49.0
+
+
+def gtest_cells(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    thresh: float = GTEST_THRESH,
+    watermark: str | None = "2 days",
+) -> DataFrame:
+    """(w_start, r, c, n) tumbling-window contingency cells (event
+    type × value-over-threshold flag) — the stream-safe half of the
+    G-test independence monitor: one windowed grouped count, state
+    bounded by (windows inside watermark) × |types| × 2, and COUNTS
+    MERGE, so the stage is batching-invariant by construction."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, width).alias("w"),
+            F.col("event_type").alias("r"),
+            F.when(F.col("value") > thresh, 1).otherwise(0).alias("c"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "r", "c", "n")
+    )
+
+
+def gtest_drift(win_cells: DataFrame) -> DataFrame:
+    """Per-window G statistic (log-likelihood-ratio independence test)
+    over windowed contingency cells: G_w = 2·Σ_cells n·ln(n·N_w /
+    (row_w·col_w)). Marginals are window sums over the already-
+    aggregated |windows|×|types|×2 relation, and the fold runs per
+    micro-batch via foreachBatch (the psi_drift pattern) — the
+    windowed cell count is the only stateful stage. Each ln term is
+    cast to DECIMAL so the per-window fold is order-free (the
+    stats_g_test convention); a G_w spiking over time = the
+    value/type association is drifting."""
+    from pyspark.sql import Window as W
+
+    rt = F.sum("n").over(W.partitionBy("w_start", "r"))
+    ct = F.sum("n").over(W.partitionBy("w_start", "c"))
+    nn = F.sum("n").over(W.partitionBy("w_start"))
+    term = (
+        F.lit(2.0)
+        * F.col("n")
+        * F.log(F.col("n").cast("double") * nn / (rt * ct))
+    ).cast("decimal(28,12)")
+    enriched = win_cells.select("w_start", "r", "c", "n", term.alias("g_term"))
+    return (
+        enriched.groupBy("w_start")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            (
+                (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+            ).cast("long").alias("dof"),
+            F.round(F.sum("g_term").cast("double"), 6).alias("g"),
+        )
+    )

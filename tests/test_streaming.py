@@ -664,3 +664,22 @@ def test_stream_domain_caps_replay_idempotent(
     sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay epoch 1
     after = sorted(map(tuple, read_caps(spark, store).collect()))
     assert after == before
+
+
+def test_stream_gtest_drift_equals_batch(spark, events_stream_dir):
+    """G-test independence drift as a REAL streaming query: the
+    windowed contingency-cell count is the only stateful stage (counts
+    merge, so the stage is batching-invariant); marginals + the
+    log-likelihood fold run post-sink (the psi_drift foreachBatch
+    pattern). Streamed result must equal the batch dual."""
+    from gcp_etl_spark.streaming.windows import gtest_cells, gtest_drift
+
+    path, schema = events_stream_dir
+    batch = gtest_drift(gtest_cells(spark.read.schema(schema).parquet(path)))
+    stream = gtest_cells(spark.readStream.schema(schema).parquet(path))
+    assert stream.isStreaming
+    sink = run_stream(spark, stream, "complete")
+    got = gtest_drift(sink)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
