@@ -1020,7 +1020,13 @@ def bpe_fertility_by_lang(spark, sf_dir):
 
 _KC_NODES = 2000   # sparser residue graph than graph_ops' 300 so the
                    # peel is non-trivial at every fixture scale
-_KC_ROUNDS = 20    # FIXED round count in BOTH engines: identical output
+_KC_DELTA = 4      # k = min_degree + 4: peels SOMETHING and keeps
+                   # SOMETHING at every fixture scale (measured removed
+                   # 817 / 2 / 4 of 1476 / 2000 / 2000 nodes at
+                   # sf0.001/0.01/0.1), unlike avg-based k which is
+                   # either above degeneracy (empty core) or below the
+                   # min degree (nothing peeled) on this graph family
+_KC_ROUNDS = 8     # FIXED round count in BOTH engines: identical output
                    # whether or not the peel has converged (convergence
                    # at fixture scale is pytest-asserted separately)
 
@@ -1035,11 +1041,11 @@ _KC_ROUNDS = 20    # FIXED round count in BOTH engines: identical output
       FROM lineitem
       WHERE l_orderkey % {_KC_NODES} <> l_partkey % {_KC_NODES}
     ), kk AS (
-      SELECT CAST(ceil(1.0 * (SELECT count(*) FROM e)
-                       / (SELECT count(DISTINCT n) FROM (
-                            SELECT u AS n FROM e
-                            UNION ALL SELECT v FROM e)))
-                  AS INT) AS k
+      SELECT CAST(min(d) + {_KC_DELTA} AS INT) AS k FROM (
+        SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+      )
     ), peel AS (
       SELECT 0 AS i, u AS n, v AS nb FROM e
       UNION ALL SELECT 0, v, u FROM e
@@ -1062,13 +1068,15 @@ def graph_k_core(spark, sf_dir):
     """K-CORE DECOMPOSITION (iterative peeling): repeatedly delete
     nodes of degree < k until a fixed point — the standard spam/
     link-farm and community-density screen. k self-adapts to the
-    fixture (⌈avg degree / 2⌉, computed identically in both engines):
-    measured degeneracy is 7 / 46 / 470 at sf0.001/0.01/0.1 vs
-    k = 5 / 30 / 260, so the surviving core is NON-EMPTY at every
-    scale (r8 ADVICE: the previous ⌈avg⌉+1 exceeded degeneracy and the
-    "verified" core was the trivially-hash-equal empty set; the pytest
-    now asserts a non-empty, strictly-smaller-than-input core at two
-    scales). Both engines run
+    fixture as MIN DEGREE + {DELTA}, computed identically in both
+    engines — the only k family that makes the peel non-trivial on
+    BOTH sides at every fixture scale: measured, it removes
+    817/2/4 nodes and keeps 1379/1999/1996 at sf0.001/0.01/0.1, with
+    the peel cascading ≥2 rounds at sf0.1. (r8 ADVICE: ⌈avg⌉+1
+    exceeded the graph's degeneracy everywhere — the "verified" core
+    was the trivially-hash-equal empty set; an avg-fraction k swings
+    to the other failure, min-degree ≥ k, where NOTHING peels. The
+    pytest asserts a non-empty STRICT-subset core.) Both engines run
     EXACTLY {ROUNDS} peel rounds (idempotent after convergence, so the
     fixed count keeps the output hash-equal regardless of where the
     fixed point lands; convergence at fixture scale is asserted in
@@ -1102,15 +1110,10 @@ def graph_k_core(spark, sf_dir):
         .unionByName(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
         .localCheckpoint(eager=False)
     )
-    n_edges = e.agg(F.count("*").alias("ne"))
-    n_nodes = sym.select("n").distinct().agg(F.count("*").alias("nv"))
     kk = (
-        n_edges.crossJoin(n_nodes)
-        .select(
-            F.ceil(F.lit(1.0) * F.col("ne") / F.col("nv"))
-            .cast("int")
-            .alias("k")
-        )
+        sym.groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .agg((F.min("d") + _KC_DELTA).cast("int").alias("k"))
     )
     cur = sym
     for _ in range(_KC_ROUNDS):
