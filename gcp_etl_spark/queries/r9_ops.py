@@ -2117,3 +2117,489 @@ def stats_theil_u(spark, sf_dir):
             6,
         ).alias("theil_u"),
     )
+
+
+# ----------------------------------------------- jackknife variance
+
+
+@query(
+    "stats_jackknife_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(o_orderkey % 97 + 1 AS BIGINT)) AS DOUBLE) AS sx
+      FROM orders
+    ), loo AS (
+      SELECT (s.sy - round(o_totalprice * 100))
+             / (s.sx - (o_orderkey % 97 + 1)) AS ri,
+             s.sy / s.sx AS r, s.n
+      FROM orders CROSS JOIN s
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(max(r), 6) AS ratio,
+           round((max(n) - 1) / max(n)
+                 * CAST(sum(CAST((ri - r) * (ri - r) AS DECIMAL(38,20)))
+                        AS DOUBLE), 6) AS var_jack,
+           round(sqrt((max(n) - 1) / max(n)
+                 * CAST(sum(CAST((ri - r) * (ri - r) AS DECIMAL(38,20)))
+                        AS DOUBLE)), 6) AS se_jack
+    FROM loo
+    """,
+    tags=("stats", "resampling", "variance", "orders"),
+)
+def stats_jackknife_ratio(spark, sf_dir):
+    """DISTRIBUTED DELETE-1 JACKKNIFE for a NON-LINEAR statistic (the
+    ratio estimator R = Σy/Σx): each row's leave-one-out replicate
+    R_(i) = (Σy − y_i)/(Σx − x_i) is computed map-side from the two
+    broadcast totals — n replicates WITHOUT n passes, the trick that
+    makes jackknife variance a one-scan operation at any scale.
+    Var_jack = (n−1)/n · Σ(R_(i) − R)²; squared deviations are cast to
+    DECIMAL per term (order-free sum). y = integer cents, x = a
+    positive integer covariate, so every replicate is the same IEEE
+    division of exact integers in both engines.
+
+    Scale: one moment pass + one map-side replicate pass; nothing
+    shuffles but two scalar rows."""
+    o = t(spark, sf_dir, "orders")
+    ycents = F.round(F.col("o_totalprice") * 100).cast("long")
+    xcov = (F.col("o_orderkey") % 97 + 1).cast("long")
+    s = o.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(ycents).cast("double").alias("sy"),
+        F.sum(xcov).cast("double").alias("sx"),
+    )
+    loo = o.crossJoin(F.broadcast(s)).select(
+        (
+            (F.col("sy") - F.round(F.col("o_totalprice") * 100))
+            / (F.col("sx") - (F.col("o_orderkey") % 97 + 1))
+        ).alias("ri"),
+        (F.col("sy") / F.col("sx")).alias("r"),
+        "n",
+    )
+    d20 = lambda c: c.cast("decimal(38,20)")  # noqa: E731
+    var = (
+        (F.max("n") - 1)
+        / F.max("n")
+        * F.sum(
+            d20((F.col("ri") - F.col("r")) * (F.col("ri") - F.col("r")))
+        ).cast("double")
+    )
+    return loo.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max("r"), 6).alias("ratio"),
+        F.round(var, 6).alias("var_jack"),
+        F.round(F.sqrt(var), 6).alias("se_jack"),
+    )
+
+
+# ------------------------------------- one-sample GOF vs uniform(0,500)
+
+_GOF_M = 500.0  # literal reference domain: events.value ⊂ (0, 490.02]
+
+
+@query(
+    "stats_ks_uniform_gof",
+    oracle=f"""
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS i,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(max(greatest(
+             CAST(i AS DOUBLE) / n - value / {_GOF_M},
+             value / {_GOF_M} - (CAST(i AS DOUBLE) - 1) / n)), 6) AS d
+    FROM r
+    """,
+    tags=("stats", "gof", "events"),
+)
+def stats_ks_uniform_gof(spark, sf_dir):
+    """ONE-SAMPLE KOLMOGOROV-SMIRNOV goodness-of-fit against
+    U(0, {M}): D = max_i max(i/n − F₀(x_(i)), F₀(x_(i)) − (i−1)/n).
+    The sorted index i comes from the engine's two-pass
+    ``global_row_number`` (total order (value, event_id) — ties broken
+    deterministically, so both engines walk the identical ECDF), never
+    a single-partition sort. F₀ is a literal-scale division.
+
+    Scale: one range exchange + a max fold — the one-sample twin of
+    the suite's two-sample KS."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    e = t(spark, sf_dir, "events").select("value", "event_id")
+    r = global_row_number(e, ["value", "event_id"], rn_col="i")
+    n1 = r.agg(F.count("*").alias("n"))
+    j = r.crossJoin(F.broadcast(n1))
+    d = F.greatest(
+        F.col("i").cast("double") / F.col("n")
+        - F.col("value") / _GOF_M,
+        F.col("value") / _GOF_M
+        - (F.col("i").cast("double") - 1) / F.col("n"),
+    )
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max(d), 6).alias("d"),
+    )
+
+
+@query(
+    "stats_cramer_von_mises",
+    oracle=f"""
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS i,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(1.0 / (12 * max(n))
+                 + CAST(sum(CAST(pow(value / {_GOF_M}
+                                     - (2.0 * i - 1) / (2 * n), 2)
+                                 AS DECIMAL(38,20))) AS DOUBLE), 6)
+             AS w2
+    FROM r
+    """,
+    tags=("stats", "gof", "events"),
+)
+def stats_cramer_von_mises(spark, sf_dir):
+    """CRAMÉR-VON MISES one-sample statistic vs U(0, {M}): W² =
+    1/(12n) + Σᵢ (F₀(x_(i)) − (2i−1)/(2n))². Sorted positions from the
+    two-pass global rank; each squared term cast to DECIMAL so the
+    order of the fold cannot move the sum (the house per-term rule).
+
+    Scale: identical shape to the one-sample KS — range exchange +
+    one fold."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    e = t(spark, sf_dir, "events").select("value", "event_id")
+    r = global_row_number(e, ["value", "event_id"], rn_col="i")
+    n1 = r.agg(F.count("*").alias("n"))
+    j = r.crossJoin(F.broadcast(n1))
+    term = F.pow(
+        F.col("value") / _GOF_M
+        - (2.0 * F.col("i") - 1) / (2 * F.col("n")),
+        2,
+    ).cast("decimal(38,20)")
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.lit(1.0) / (12 * F.max("n"))
+            + F.sum(term).cast("double"),
+            6,
+        ).alias("w2"),
+    )
+
+
+@query(
+    "stats_anderson_darling",
+    oracle=f"""
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS i,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(-CAST(max(n) AS DOUBLE)
+                 - CAST(sum(CAST(
+                     ((2.0 * i - 1) * ln(value / {_GOF_M})
+                      + (2.0 * (n - i) + 1) * ln(1 - value / {_GOF_M}))
+                     AS DECIMAL(38,18))) AS DOUBLE) / max(n), 6) AS a2
+    FROM r
+    """,
+    tags=("stats", "gof", "events"),
+)
+def stats_anderson_darling(spark, sf_dir):
+    """ANDERSON-DARLING one-sample statistic vs U(0, {M}) in the
+    single-pass form A² = −n − (1/n)·Σᵢ[(2i−1)·ln F₀(x_(i)) +
+    (2(n−i)+1)·ln(1−F₀(x_(i)))] — algebraically equal to the textbook
+    pairing of x_(i) with x_(n+1−i) but needing NO reversed-rank
+    self-join. F₀ < 1 everywhere by the literal domain choice
+    ({M} > max value), so both logs are defined; each term is one libm
+    ln on identical operands, cast to DECIMAL before the fold.
+
+    Scale: the GOF-family shape — two-pass global rank + one fold.
+    AD weights the tails 1/(F(1−F)) — the member of the family that
+    catches tail departures KS/CvM miss."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    e = t(spark, sf_dir, "events").select("value", "event_id")
+    r = global_row_number(e, ["value", "event_id"], rn_col="i")
+    n1 = r.agg(F.count("*").alias("n"))
+    j = r.crossJoin(F.broadcast(n1))
+    f0 = F.col("value") / _GOF_M
+    term = (
+        (2.0 * F.col("i") - 1) * F.log(f0)
+        + (2.0 * (F.col("n") - F.col("i")) + 1) * F.log(1 - f0)
+    ).cast("decimal(38,18)")
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            -F.max("n").cast("double")
+            - F.sum(term).cast("double") / F.max("n"),
+            6,
+        ).alias("a2"),
+    )
+
+
+# ------------------------------------------- intraclass correlation
+
+
+@query(
+    "stats_icc_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS ni,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT count(*) AS gk,
+             CAST(sum(ni) AS DOUBLE) AS nn,
+             sum(CAST(s1 * s1 / ni AS DECIMAL(38,12))) AS ssb_part,
+             CAST(sum(CAST(s1 AS DECIMAL(28,8))) AS DOUBLE) AS st1,
+             CAST(sum(CAST(s2 AS DECIMAL(38,8))) AS DOUBLE) AS st2,
+             sum(CAST(ni * ni AS DECIMAL(38,4))) AS sn2
+      FROM g
+    ), m AS (
+      SELECT gk, nn,
+             (CAST(ssb_part AS DOUBLE) - st1 * st1 / nn) / (gk - 1) AS msb,
+             (st2 - CAST(ssb_part AS DOUBLE)) / (nn - gk) AS msw,
+             (nn - CAST(sn2 AS DOUBLE) / nn) / (gk - 1) AS k0
+      FROM a
+    )
+    SELECT CAST(gk AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n,
+           round(msb, 6) AS msb, round(msw, 6) AS msw,
+           round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+    FROM m
+    """,
+    tags=("stats", "agreement", "anova", "events"),
+)
+def stats_icc_oneway(spark, sf_dir):
+    """INTRACLASS CORRELATION ICC(1) (one-way random effects, unequal
+    group sizes): MSB/MSW from the one-way ANOVA decomposition with
+    k₀ = (N − Σnᵢ²/N)/(g−1) as the effective group size; ICC =
+    (MSB − MSW)/(MSB + (k₀−1)·MSW) — the reliability twin of the
+    suite's ANOVA. Group moments are exact decimal sums; Σ s₁ᵢ²/nᵢ
+    terms are cast to DECIMAL before the g-term fold.
+
+    Scale: one grouped moment pass (bounded g), then a g-row fold."""
+    e = t(spark, sf_dir, "events")
+    v0 = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("ni"),
+        F.sum(v0.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v0 * v0).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    a = g.agg(
+        F.count("*").alias("gk"),
+        F.sum("ni").cast("double").alias("nn"),
+        F.sum(
+            (F.col("s1") * F.col("s1") / F.col("ni")).cast(
+                "decimal(38,12)"
+            )
+        ).alias("ssb_part"),
+        F.sum(F.col("s1").cast("decimal(28,8)")).cast("double").alias(
+            "st1"
+        ),
+        F.sum(F.col("s2").cast("decimal(38,8)")).cast("double").alias(
+            "st2"
+        ),
+        F.sum((F.col("ni") * F.col("ni")).cast("decimal(38,4)")).alias(
+            "sn2"
+        ),
+    )
+    m = a.select(
+        "gk",
+        "nn",
+        (
+            (F.col("ssb_part").cast("double") - F.col("st1") * F.col("st1") / F.col("nn"))
+            / (F.col("gk") - 1)
+        ).alias("msb"),
+        (
+            (F.col("st2") - F.col("ssb_part").cast("double"))
+            / (F.col("nn") - F.col("gk"))
+        ).alias("msw"),
+        (
+            (F.col("nn") - F.col("sn2").cast("double") / F.col("nn"))
+            / (F.col("gk") - 1)
+        ).alias("k0"),
+    )
+    return m.select(
+        F.col("gk").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.col("msb"), 6).alias("msb"),
+        F.round(F.col("msw"), 6).alias("msw"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+    )
+
+
+# ------------------------------------- lagged cross-correlation
+
+_XC_LAGS = 3
+_XC_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "analytics_crosscorr_lagged",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y,
+             sum(CASE WHEN o_orderpriority IN {_XC_URGENT}
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS x
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT x, y, row_number() OVER (ORDER BY day) AS t FROM daily
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy
+      FROM idx
+    ), d AS (
+      SELECT t, x - (SELECT sx / n FROM s) AS dx,
+             y - (SELECT sy / n FROM s) AS dy
+      FROM idx
+    ), den AS (
+      SELECT CAST(sum(CAST(dx * dx AS DECIMAL(38,6))) AS DOUBLE) AS vx,
+             CAST(sum(CAST(dy * dy AS DECIMAL(38,6))) AS DOUBLE) AS vy
+      FROM d
+    )
+    SELECT k.k AS lag,
+           round(CAST(sum(CAST(a.dx * b.dy AS DECIMAL(38,6))) AS DOUBLE)
+                 / sqrt((SELECT vx FROM den) * (SELECT vy FROM den)),
+                 6) AS r_xy
+    FROM (SELECT unnest(range(-{_XC_LAGS}, {_XC_LAGS + 1})) AS k) k,
+         d a JOIN d b ON b.t = a.t + k.k
+    GROUP BY 1
+    """,
+    tags=("stats", "time-series", "cross-correlation", "orders"),
+)
+def analytics_crosscorr_lagged(spark, sf_dir):
+    """LAGGED CROSS-CORRELATION between two daily series (urgent-order
+    revenue x vs total revenue y): r_xy(k) for k ∈ [−{L}, {L}] — does
+    one series LEAD the other? One explode + shifted equi-join
+    computes every lag in a single plan (the Ljung-Box shape); the
+    normalizer uses full-series variances so r is comparable across
+    lags. Deviation products are cast to DECIMAL per term; the input
+    series are integer cents.
+
+    Scale: the lag join runs on the calendar-bounded daily relation;
+    the corpus-size work is one map-side daily aggregation."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(cents).alias("y"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin(*_XC_URGENT), cents
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+    )
+    idx = daily.select(
+        "x", "y", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    s = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+    )
+    d = idx.crossJoin(F.broadcast(s)).select(
+        "t",
+        (F.col("x") - F.col("sx") / F.col("n")).alias("dx"),
+        (F.col("y") - F.col("sy") / F.col("n")).alias("dy"),
+    )
+    d6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    den = d.agg(
+        F.sum(d6(F.col("dx") * F.col("dx"))).cast("double").alias("vx"),
+        F.sum(d6(F.col("dy") * F.col("dy"))).cast("double").alias("vy"),
+    )
+    a = d.select(
+        "t",
+        F.col("dx").alias("dx_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.lit(k).cast("long")
+                    for k in range(-_XC_LAGS, _XC_LAGS + 1)
+                ]
+            )
+        ).alias("lag"),
+    )
+    b = d.select(F.col("t").alias("tb"), F.col("dy").alias("dy_b"))
+    return (
+        a.join(b, F.col("tb") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(d6(F.col("dx_a") * F.col("dy_b"))).alias("sxy"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.round(
+                F.col("sxy").cast("double")
+                / F.sqrt(F.col("vx") * F.col("vy")),
+                6,
+            ).alias("r_xy"),
+        )
+    )
+
+
+# ------------------------------------------- systematic sampling
+
+_SYS_K = 17  # take every 17th row of the keyed total order
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ), pick AS (
+      SELECT * FROM r WHERE rn % {_SYS_K} = 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM pick GROUP BY 1
+    """,
+    tags=("sampling", "scale", "orders"),
+)
+def sample_systematic(spark, sf_dir):
+    """SYSTEMATIC SAMPLING — every {K}-th row of the keyed total order
+    (the survey-sampling design that guarantees even coverage of an
+    ordered frame, complementing the suite's hash/stratified/weighted/
+    reservoir samplers). Global positions come from the two-pass
+    ``global_row_number`` (range exchange + broadcast prefix offsets),
+    NEVER a single-partition window, so the selection is deterministic
+    and engine-exact at any scale; the sample is verified by per-class
+    keyed checksums.
+
+    Scale: one range exchange; selection is a map-side modulo
+    filter."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    r = global_row_number(o, ["o_orderkey"], rn_col="rn")
+    pick = r.filter(F.col("rn") % _SYS_K == 1)
+    return pick.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+    )
