@@ -406,3 +406,177 @@ def sql_pivot_unpivot_roundtrip(spark, sf_dir):
     return pivoted.unpivot(
         ["l_returnflag"], ["qty_o", "qty_f"], "status_col", "sum_qty"
     ).filter(F.col("sum_qty").isNotNull())
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1
+    """,
+    tags=("sql", "modern", "identifier"),
+)
+def sql_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause (SQL-injection-safe templating of table and
+    COLUMN names, Spark 3.5+/4): the table name, the group-by column,
+    and the measure column all arrive as STRING PARAMETERS bound
+    through IDENTIFIER(:p) — the catalog-object analogue of value
+    parameter markers. The query text itself contains no literal
+    object names, so this pins the full resolve path.
+
+    Scale: plan-identical to the literal query — IDENTIFIER is
+    resolved at analysis time, zero runtime cost."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(IDENTIFIER(:mcol) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER(:tab) GROUP BY 1
+        """,
+        args={
+            "tab": "orders",
+            "gcol": "o_orderpriority",
+            "mcol": "o_totalprice",
+        },
+    )
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_high_balance
+    FROM customer
+    WHERE c_acctbal > 5000.0 AND c_mktsegment <> 'MACHINERY'
+    GROUP BY 1
+    """,
+    tags=("sql", "modern", "parameters"),
+)
+def sql_named_parameters(spark, sf_dir):
+    """NAMED PARAMETER MARKERS (:name binding in spark.sql, Spark
+    3.4+/4): typed literal binding without string interpolation — the
+    API surface that kills SQL injection and enables plan caching by
+    parameter. Two markers of different types (double threshold,
+    string exclusion) bound in one statement.
+
+    Scale: markers fold to literals before optimization — predicate
+    pushdown sees the constants exactly as if inlined."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_high_balance
+        FROM customer
+        WHERE c_acctbal > :minbal AND c_mktsegment <> :excl
+        GROUP BY 1
+        """,
+        args={"minbal": 5000.0, "excl": "MACHINERY"},
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem WHERE l_quantity BETWEEN 10 AND 40 GROUP BY 1
+    """,
+    tags=("sql", "modern", "variables"),
+)
+def sql_session_variables(spark, sf_dir):
+    """SQL SESSION VARIABLES (DECLARE / SET VAR, Spark 3.5+/4): the
+    bounds of a quantity band are declared as typed session variables,
+    SET from a scalar subquery-free expression, and referenced in the
+    filter — the scripting surface warehouse users expect for
+    multi-statement jobs.
+
+    Scale: variables resolve to literals at analysis time (same
+    pushdown story as parameter markers)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE lo_q DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE hi_q DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR lo_q = 10.0")
+    spark.sql("SET VAR hi_q = 10.0 + 30.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem WHERE l_quantity BETWEEN lo_q AND hi_q GROUP BY 1
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1
+    """,
+    tags=("sql", "modern", "dynamic"),
+)
+def sql_execute_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE (dynamic SQL, Spark 4): the statement text is
+    assembled at runtime and executed with a USING parameter — the
+    warehouse-scripting escape hatch for metadata-driven jobs (e.g. a
+    loop over table names from a config relation). Here the dynamic
+    text runs the customer-nation rollup with the join key bound via
+    a ? positional marker.
+
+    Scale: the inner statement plans exactly like its static twin."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE stmt STRING DEFAULT ''"
+    )
+    spark.sql(
+        """SET VAR stmt =
+        'SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         WHERE c_acctbal > ? GROUP BY 1'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING -1000000.0")
+
+
+@query(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT l_suppkey % 50 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("sql", "surface", "partitioning"),
+)
+def sql_distribute_sort_by(spark, sf_dir):
+    """DISTRIBUTE BY + SORT BY (Hive-heritage physical-layout SQL
+    surface): rows are hash-distributed on the bucket key and sorted
+    WITHIN each partition — the declarative form of
+    repartition().sortWithinPartitions(), the layout primitive behind
+    write-time clustering. The aggregation on top makes the result
+    order-insensitive, so the oracle checks the VALUES while the
+    surface exercises the clause path (the partition-local sort's
+    effect is pinned separately by the engine's Z-order/compaction
+    tests).
+
+    Scale: one hash exchange + in-partition sort — exactly what a
+    clustered write wants; no global sort."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(l_quantity) AS DOUBLE) AS max_qty
+        FROM (
+          SELECT l_suppkey % 50 AS bucket, l_quantity
+          FROM lineitem
+          DISTRIBUTE BY l_suppkey % 50 SORT BY l_quantity
+        ) GROUP BY bucket
+        """
+    )
