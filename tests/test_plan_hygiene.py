@@ -147,16 +147,16 @@ def _sweep(spark, specs, offenders):
 
 _FP_FILE = "tests/plan_fingerprints.json"
 
-# EVERY query >= 1 s in BENCH_DETAIL_r08 (r8 verdict ask #5), union
-# the original r7 top-20 — 157 plans; pinned as a literal so a bench
+# EVERY query >= 1 s in the latest full bench detail (r8 + r9), union
+# the original r7 top-20 — 170 plans; pinned as a literal so a bench
 # reshuffle cannot silently change what this test covers. Regen:
 # SPARK_GRAFT_REGEN_FINGERPRINTS=1 python -m pytest
 #   tests/test_plan_hygiene.py -k fingerprints
 _FP_QUERIES = [
     "ab_test_proportions", "agg_bitmap_distinct", "agg_corr",
     "agg_map_from_entries", "agg_median", "agg_ols_two_feature",
-    "agg_regr_covar", "agg_skew_kurt", "agg_stats", "agg_weighted_median",
-    "agg_weighted_quantiles", "agg_winsorized_stats",
+    "agg_percentile_disc", "agg_regr_covar", "agg_skew_kurt", "agg_stats",
+    "agg_weighted_median", "agg_weighted_quantiles", "agg_winsorized_stats",
     "analytics_abc_pareto", "analytics_bootstrap_ci",
     "analytics_cohort_ltv", "analytics_gini_index", "analytics_heaps_law",
     "analytics_lttb_downsample", "analytics_mann_whitney",
@@ -167,47 +167,52 @@ _FP_QUERIES = [
     "ann_cosine_topk_ivf", "ann_cosine_topk_lsh", "ann_cosine_topk_pq",
     "ann_hard_negatives", "ann_ivf_nprobe_sweep",
     "ann_ivf_partitioned_probe", "ann_ivf_pq_rerank", "ann_matryoshka_eval",
-    "anomaly_mad_robust", "asof_join_events_orders", "basket_cooccurrence",
-    "bpe_fertility_by_lang", "bpe_roundtrip_identity", "bpe_train_merges",
-    "bpe_vocab_export", "curation_url_funnel", "customer_value_trajectory",
-    "decontaminate_bloom_verified", "decontaminate_ngram_overlap",
-    "dedup_cluster_exact", "dedup_cluster_twophase", "dedup_clusters",
-    "dedup_containment", "dedup_minhash", "dedup_minhash_incremental",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcap",
-    "dedup_prefix_filter", "dedup_semantic", "dedup_simhash",
-    "dedup_substring_spans", "dedup_substring_tokens",
+    "anomaly_ewma_control", "anomaly_mad_robust", "asof_join_events_orders",
+    "basket_cooccurrence", "bpe_fertility_by_lang",
+    "bpe_roundtrip_identity", "bpe_train_merges", "bpe_vocab_export",
+    "curation_url_funnel", "customer_value_trajectory",
+    "customers_overdue_alert", "decontaminate_bloom_verified",
+    "decontaminate_ngram_overlap", "dedup_cluster_exact",
+    "dedup_cluster_twophase", "dedup_clusters", "dedup_containment",
+    "dedup_minhash", "dedup_minhash_incremental", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_dfcap", "dedup_prefix_filter", "dedup_semantic",
+    "dedup_simhash", "dedup_substring_spans", "dedup_substring_tokens",
     "dedup_substring_tokens_dfcap", "dedup_survivorship",
     "dedup_weighted_jaccard", "diag_skew_report",
     "dq_reconcile_order_totals", "dq_referential_integrity",
     "dq_uniqueness_profile", "dq_value_drift_psi",
     "dsir_importance_weights", "embedding_covariance",
     "embedding_distance_histogram", "embedding_pca_project",
-    "geo_geohash_grid", "geo_haversine_nearest_hub", "graph_adamic_adar",
-    "graph_clustering_coefficient", "graph_jaccard_neighbors",
-    "graph_k_core", "graph_pagerank", "graph_shortest_path",
-    "graph_triangle_count", "interval_max_concurrency",
-    "io_parquet_partitioned", "join_bucketed_smb", "join_interval_banded",
-    "join_interval_overlap", "join_range_lookup_broadcast",
-    "join_skew_salted", "join_theta_pairs", "mine_bitext_margin",
-    "mine_bitext_margin_ann", "multimodal_audio_decode",
-    "multimodal_image_augment", "nation_trade_matrix",
-    "orders_reorder_interval", "orders_sla_ship_lag",
-    "part_brand_share_shift", "prep_leakage_split", "prep_woe_iv",
-    "profile_columns", "q11_important_stock", "q1_pricing_summary",
-    "q20_full_derived_partsupp", "q21_waiting_orders", "q5_region_revenue",
-    "q8_market_share", "q9_full_derived_partsupp", "q9_product_profit",
-    "quality_calibration_bins", "quality_ccnet_buckets",
-    "quality_composite_score", "quality_compression_ratio",
-    "quality_dup_shingle_ratio", "quality_fk_audit", "quality_gopher_rules",
-    "ref_pipeline_e2e", "ref_sql_star_hinted", "retention_triangle",
-    "scalar_json", "sketch_kmv_jaccard", "sketch_kmv_overlap",
-    "stats_kruskal_wallis", "stats_ks_two_sample", "stats_permutation_test",
-    "stats_qq_deciles", "stats_wilcoxon_signed_rank", "stream_ann_probe",
+    "event_transition_lift", "geo_geohash_grid",
+    "geo_haversine_nearest_hub", "global_row_number_twopass",
+    "graph_adamic_adar", "graph_clustering_coefficient", "graph_hits",
+    "graph_jaccard_neighbors", "graph_k_core", "graph_label_propagation",
+    "graph_pagerank", "graph_shortest_path", "graph_triangle_count",
+    "interval_max_concurrency", "io_merge_upsert", "io_parquet_partitioned",
+    "join_bucketed_smb", "join_interval_banded", "join_interval_overlap",
+    "join_range_lookup_broadcast", "join_skew_salted", "join_theta_pairs",
+    "mine_bitext_margin", "mine_bitext_margin_ann",
+    "multimodal_audio_decode", "multimodal_image_augment",
+    "nation_trade_matrix", "orders_reorder_interval", "orders_sla_ship_lag",
+    "part_brand_share_shift", "pii_luhn_validate", "prep_leakage_split",
+    "prep_woe_iv", "profile_columns", "q11_important_stock",
+    "q1_pricing_summary", "q20_full_derived_partsupp", "q21_waiting_orders",
+    "q5_region_revenue", "q8_market_share", "q9_full_derived_partsupp",
+    "q9_product_profit", "quality_calibration_bins",
+    "quality_ccnet_buckets", "quality_composite_score",
+    "quality_compression_ratio", "quality_dup_shingle_ratio",
+    "quality_fk_audit", "quality_gopher_rules", "ref_pipeline_e2e",
+    "ref_sql_star_hinted", "retention_triangle", "scalar_json",
+    "sketch_kmv_jaccard", "sketch_kmv_overlap", "stats_cliffs_delta",
+    "stats_fleiss_kappa", "stats_friedman_test", "stats_kruskal_wallis",
+    "stats_ks_two_sample", "stats_permutation_test", "stats_qq_deciles",
+    "stats_wilcoxon_signed_rank", "stream_ann_probe",
     "stream_dedup_minhash", "stream_session", "subq_correlated", "subq_cte",
     "subq_lateral_topk", "subq_recursive_cte", "subq_recursive_hierarchy",
     "subq_scalar", "text_bigram_lm", "text_burstiness",
     "text_char_bigram_entropy", "text_collocations_pmi",
-    "text_distinct_ngram_ratio", "text_hapax_ratio", "text_ngram_novelty",
+    "text_distinct_ngram_ratio", "text_hapax_ratio",
+    "text_kneser_ney_bigram", "text_ngram_novelty",
     "text_perplexity_heldout", "text_phrase_search", "text_rake_keywords",
     "text_repetition_ratio", "text_rolling_hash", "text_sentiment_lexicon",
     "text_source_divergence", "text_tfidf_topk",
