@@ -1,0 +1,559 @@
+"""Round-9 second batch: effect sizes and ordinal association
+(Cohen's d / Hedges' g, Cochran-Armitage trend, Goodman-Kruskal gamma
++ Somers' D, Cronbach's alpha), distribution distance (exact 1-D
+Wasserstein), and concentration curves (Lorenz deciles).
+
+Exactness conventions (the r9_ops house rules):
+- counts and integer-valued measures accumulate as BIGINTs; money
+  accumulates as round(x*100) cents or DECIMAL(18,2) per `_exact.py`;
+- closed-form statistics are computed in double from bitwise-identical
+  operands on both engines, rounded 6dp at the very end;
+- contingency-table statistics reduce the fact table to a tiny cell
+  grid FIRST (one hash agg), then do all pair algebra on the grid —
+  the grid is bounded by the attribute cardinalities, never the data.
+
+No reference counterpart (the reference's query surface is
+k8s/submit/etl-on-gcp-vinicius-campos.py:22-92 — SELECT * LIMIT 100
+plus two counts); these extend the declared analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gcp_etl_spark.queries.registry import query
+from gcp_etl_spark.tables import t
+
+# ------------------------------------------------ Cohen's d / Hedges' g
+
+
+@query(
+    "stats_cohens_d",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS s2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1
+    ), v AS (
+      SELECT flag, n, s1 / n AS mu,
+             (s2 - s1 * s1 / n) / (n - 1) AS s2v
+      FROM g
+    ), w AS (
+      SELECT max(CASE WHEN flag = 'A' THEN n END) AS n1,
+             max(CASE WHEN flag = 'A' THEN mu END) AS m1,
+             max(CASE WHEN flag = 'A' THEN s2v END) AS v1,
+             max(CASE WHEN flag = 'R' THEN n END) AS n2,
+             max(CASE WHEN flag = 'R' THEN mu END) AS m2,
+             max(CASE WHEN flag = 'R' THEN s2v END) AS v2
+      FROM v
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)),
+                 6) AS cohens_d,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM w
+    """,
+    tags=("stats", "effect-size", "lineitem"),
+)
+def stats_cohens_d(spark, sf_dir):
+    """COHEN'S d + HEDGES' g (standardized mean difference — the
+    effect size the suite's t-tests report significance WITHOUT):
+    pooled-SD d between returned ('R') and alert ('A') line
+    quantities, with Hedges' small-sample bias correction
+    J = 1 - 3/(4N - 9). Quantities are integral, so the decimal power
+    sums are exact; the statistic is identical IEEE arithmetic both
+    sides.
+
+    Scale: ONE grouped moment pass over the filtered scan (map-side
+    partial aggregation), then a 2-row pivot fold."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    q = F.col("l_quantity")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q.cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(28,6)")).cast("double").alias("s2"),
+    )
+    v = g.select(
+        "flag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2v"),
+    )
+    pick = lambda fl, c: F.max(  # noqa: E731
+        F.when(F.col("flag") == fl, F.col(c))
+    )
+    w = v.agg(
+        pick("A", "n").alias("n1"),
+        pick("A", "mu").alias("m1"),
+        pick("A", "s2v").alias("v1"),
+        pick("R", "n").alias("n2"),
+        pick("R", "mu").alias("m2"),
+        pick("R", "s2v").alias("v2"),
+    )
+    sp = F.sqrt(
+        (
+            (F.col("n1") - 1) * F.col("v1")
+            + (F.col("n2") - 1) * F.col("v2")
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / sp
+    j = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return w.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_r"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )
+
+
+# ------------------------------------------- Cochran-Armitage trend
+
+
+@query(
+    "stats_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+      FROM orders GROUP BY 1
+    ), a AS (
+      SELECT sum(n) AS nn, sum(r) AS rr,
+             sum(s * r) AS sr, sum(s * n) AS sn,
+             sum(s * s * n) AS s2n
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_success,
+           round((sr - CAST(sn AS DOUBLE) * rr / nn)
+                 / sqrt((CAST(rr AS DOUBLE) / nn)
+                        * (1.0 - CAST(rr AS DOUBLE) / nn)
+                        * (s2n - CAST(sn AS DOUBLE) * sn / nn)), 6)
+             AS z_trend,
+           round(pow(sr - CAST(sn AS DOUBLE) * rr / nn, 2)
+                 / ((CAST(rr AS DOUBLE) / nn)
+                    * (1.0 - CAST(rr AS DOUBLE) / nn)
+                    * (s2n - CAST(sn AS DOUBLE) * sn / nn)), 6)
+             AS chi2_trend
+    FROM a
+    """,
+    tags=("stats", "hypothesis-test", "trend", "orders"),
+)
+def stats_cochran_armitage_trend(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST (dose-response for proportions
+    across ORDERED groups — what the suite's chi-square cannot see:
+    a monotone drift in success rate): dose score = the priority's
+    leading digit (1-URGENT .. 5-LOW), success = finished status 'F'.
+    T = Σ s·r − (Σ s·n)·R/N, Var = p̄(1−p̄)(Σ s²n − (Σ sn)²/N),
+    z = T/√Var. Every accumulator is an exact BIGINT; only the final
+    closed form runs in double.
+
+    Scale: one 5-row grouped count pass, then a 1-row fold — the
+    standard contingency reduction."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("r"),
+    )
+    a = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).alias("sr"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("s2n"),
+    )
+    nn = F.col("nn").cast("double")
+    pbar = F.col("rr").cast("double") / nn
+    tnum = F.col("sr") - F.col("sn").cast("double") * F.col("rr") / nn
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (F.col("s2n") - F.col("sn").cast("double") * F.col("sn") / nn)
+    )
+    return a.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("n_success"),
+        F.round(tnum / F.sqrt(var), 6).alias("z_trend"),
+        F.round(F.pow(tnum, 2) / var, 6).alias("chi2_trend"),
+    )
+
+
+# -------------------------------------------------- Cronbach's alpha
+
+
+@query(
+    "stats_cronbach_alpha",
+    oracle="""
+    WITH u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+    cell AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    item AS (  -- per-item population variance, zero-filled via sums
+      SELECT event_type,
+             sum(c) AS s1, sum(c * c) AS s2
+      FROM cell GROUP BY 1
+    ),
+    itemvar AS (
+      SELECT sum((s2 - CAST(s1 AS DOUBLE) * s1 / nu) / nu) AS sum_var
+      FROM item, u
+    ),
+    totrow AS (
+      SELECT user_id, sum(c) AS tot FROM cell GROUP BY 1
+    ),
+    totvar AS (
+      SELECT (sum(tot * tot)
+              - CAST(sum(tot) AS DOUBLE) * sum(tot) / max(nu))
+             / max(nu) AS var_total
+      FROM totrow, u
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(nu AS BIGINT) AS n_users,
+           round(CAST(k AS DOUBLE) / (k - 1)
+                 * (1.0 - sum_var / var_total), 6) AS cronbach_alpha
+    FROM k, u, itemvar, totvar
+    """,
+    tags=("stats", "reliability", "events"),
+)
+def stats_cronbach_alpha(spark, sf_dir):
+    """CRONBACH'S ALPHA (internal-consistency reliability — do the k
+    per-user activity counters measure one latent engagement trait?):
+    items = the k event types, subjects = users, score = per-user
+    per-type event count, α = k/(k−1)·(1 − Σ var_item / var_total).
+
+    ZERO-FILL VIA SUMS: a user missing a type scores 0, which
+    contributes nothing to Σc or Σc² — so population variances over
+    ALL users come straight from the present-cell integer sums and
+    the global user count, with no pivot and no dense user × type
+    materialization (the thing that would not scale).
+
+    Scale: one (user,type) grouped count (map-side partial), two tiny
+    reductions over it, one exact distinct-user count."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    u = e.agg(F.countDistinct("user_id").alias("nu"))
+    k = e.agg(F.countDistinct("event_type").alias("k"))
+    item = cell.groupBy("event_type").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    itemvar = item.crossJoin(u).agg(
+        F.sum(
+            (
+                F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("nu")
+            )
+            / F.col("nu")
+        ).alias("sum_var")
+    )
+    totrow = cell.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    totvar = totrow.crossJoin(u).agg(
+        (
+            (
+                F.sum(F.col("tot") * F.col("tot"))
+                - F.sum("tot").cast("double")
+                * F.sum("tot")
+                / F.first("nu")
+            )
+            / F.first("nu")
+        ).alias("var_total")
+    )
+    return (
+        k.crossJoin(u)
+        .crossJoin(itemvar)
+        .crossJoin(totvar)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("nu").cast("long").alias("n_users"),
+            F.round(
+                F.col("k").cast("double")
+                / (F.col("k") - 1)
+                * (1.0 - F.col("sum_var") / F.col("var_total")),
+                6,
+            ).alias("cronbach_alpha"),
+        )
+    )
+
+
+# ------------------------------------------- exact 1-D Wasserstein
+
+
+@query(
+    "stats_wasserstein_1d",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1
+    ), tot AS (
+      SELECT sum(ca) AS na, sum(cr) AS nr FROM v
+    ), cum AS (
+      SELECT q,
+             sum(ca) OVER (ORDER BY q) AS fa,
+             sum(cr) OVER (ORDER BY q) AS fr,
+             lead(q) OVER (ORDER BY q) AS q_next
+      FROM v
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+           round(CAST(sum(abs(fa * nr - fr * na) * (q_next - q))
+                      AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nr), 6) AS wasserstein_1
+    FROM cum, tot
+    WHERE q_next IS NOT NULL
+    GROUP BY na, nr
+    """,
+    tags=("stats", "distribution-distance", "lineitem"),
+)
+def stats_wasserstein_1d(spark, sf_dir):
+    """EXACT 1-D WASSERSTEIN (earth mover's) DISTANCE between the
+    quantity distributions of returned vs alert line items:
+    W₁ = ∫|F_A − F_B| dx over the shared support, evaluated exactly on
+    the ≤50-point integer support as Σ |F_A(q)−F_B(q)|·Δq. The CDF
+    difference stays an INTEGER the whole way (|cumA·N_R − cumR·N_A|),
+    so the sum is order-free; one double division at the very end —
+    the distribution-distance companion to the suite's KS (sup-norm)
+    and Jensen-Shannon (density) tests, and the metric ANN/semdedup
+    drift monitors care about.
+
+    Scale: the fact scan collapses to the value support first (one
+    hash agg, map-side partial); the cumulative window runs on ≤50
+    support rows — structurally bounded, single partition by design."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    v = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("cr"),
+    )
+    tot = v.agg(F.sum("ca").alias("na"), F.sum("cr").alias("nr"))
+    w = Window.orderBy("q")
+    cum = v.select(
+        "q",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cr").over(w).alias("fr"),
+        F.lead("q").over(w).alias("q_next"),
+    )
+    return (
+        cum.filter(F.col("q_next").isNotNull())
+        .crossJoin(tot)
+        .groupBy("na", "nr")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("fa") * F.col("nr")
+                        - F.col("fr") * F.col("na")
+                    )
+                    * (F.col("q_next") - F.col("q"))
+                )
+                .cast("double")
+                / (F.col("na").cast("double") * F.col("nr")),
+                6,
+            ).alias("wasserstein_1")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nr").cast("long").alias("n_r"),
+            "wasserstein_1",
+        )
+    )
+
+
+# ---------------------------------------------------- Lorenz deciles
+
+
+@query(
+    "analytics_lorenz_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM rev
+    ), g AS (
+      SELECT decile, count(*) AS n_cust, sum(cents) AS dec_cents
+      FROM d GROUP BY 1
+    )
+    SELECT decile, n_cust,
+           round(CAST(dec_cents AS DOUBLE)
+                 / sum(dec_cents) OVER (), 6) AS rev_share,
+           round(CAST(sum(dec_cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / sum(dec_cents) OVER (), 6) AS lorenz_cum_share
+    FROM g ORDER BY decile
+    """,
+    tags=("analytics", "concentration", "orders"),
+)
+def analytics_lorenz_deciles(spark, sf_dir):
+    """LORENZ CURVE at decile resolution (the curve behind the suite's
+    Gini scalar): customers ranked by total spend (exact cents),
+    ntile(10) with a deterministic custkey tie-break, per-decile
+    revenue share and cumulative (Lorenz) share. The bottom-heavy
+    read: lorenz_cum_share(d) = fraction of all revenue earned by the
+    poorest 10·d% of customers.
+
+    Scale: the global ntile ranks the AGGREGATED customer dimension
+    (|customers| ≪ |orders|; the fact scan collapses first), the same
+    deliberate pattern as analytics_gini — for fact-grained ranking
+    use global_row_number_twopass. Cents stay BIGINT until the two
+    share divisions."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    d = rev.select(
+        "o_custkey",
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias(
+            "decile"
+        ),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("cents").alias("dec_cents")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile")
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_cust",
+        F.round(
+            F.col("dec_cents").cast("double")
+            / F.sum("dec_cents").over(wall),
+            6,
+        ).alias("rev_share"),
+        F.round(
+            F.sum("dec_cents").over(wcum).cast("double")
+            / F.sum("dec_cents").over(wall),
+            6,
+        ).alias("lorenz_cum_share"),
+    ).orderBy("decile")
+
+
+# ------------------------------------- Goodman-Kruskal gamma / Somers
+
+
+@query(
+    "stats_gamma_somers",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    ), obs AS (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS x,
+             lc.n_lines AS y
+      FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    ), cell AS (
+      SELECT x, y, count(*) AS n FROM obs GROUP BY 1, 2
+    ), pair AS (
+      SELECT sum(CASE WHEN b.x > a.x AND b.y > a.y
+                      THEN a.n * b.n ELSE 0 END) AS c,
+             sum(CASE WHEN b.x > a.x AND b.y < a.y
+                      THEN a.n * b.n ELSE 0 END) AS d,
+             sum(CASE WHEN b.x > a.x AND b.y = a.y
+                      THEN a.n * b.n ELSE 0 END) AS ty
+      FROM cell a JOIN cell b
+        ON (b.x > a.x) OR (b.x = a.x AND b.y > a.y)
+    )
+    SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           round((c - d) * 1.0 / (c + d), 6) AS gk_gamma,
+           round((c - d) * 1.0 / (c + d + ty), 6) AS somers_dyx
+    FROM pair
+    """,
+    tags=("stats", "ordinal-association", "orders", "lineitem"),
+)
+def stats_gamma_somers(spark, sf_dir):
+    """GOODMAN-KRUSKAL GAMMA + SOMERS' D (ordinal association between
+    order priority rank and order width in line items — the
+    ordinal-ordinal slot next to the suite's Kendall tau, which ranks
+    continuous pairs): concordant/discordant pair counts computed on
+    the CONTINGENCY GRID, never on row pairs — each unordered cell
+    pair is visited once via the (x,y)-lexicographic join predicate,
+    contributing n_a·n_b pairs at integer exactness. γ ignores ties;
+    Somers' d_yx (y = order width as the dependent) additionally
+    charges pairs tied on y only, i.e. differing on x (ty).
+
+    Scale: facts collapse to a ≤ 5×|line-widths| cell grid in one
+    hash agg; the grid self-join is |cells|² ≈ tiny and constant in
+    the data size — the defining trick of grid-based pair statistics
+    (same family as stat_crosstab_exact)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lc = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    obs = o.join(lc, o.o_orderkey == lc.l_orderkey).select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.col("n_lines").alias("y"),
+    )
+    cell = obs.groupBy("x", "y").agg(F.count("*").alias("n"))
+    a = cell.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("n").alias("na")
+    )
+    b = cell.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
+    )
+    pair = a.join(
+        b,
+        (F.col("xb") > F.col("xa"))
+        | ((F.col("xb") == F.col("xa")) & (F.col("yb") > F.col("ya"))),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        ).alias("d"),
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") == F.col("ya")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        ).alias("ty"),
+    )
+    return pair.select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round((F.col("c") - F.col("d")) * 1.0 / (F.col("c") + F.col("d")), 6).alias(
+            "gk_gamma"
+        ),
+        F.round(
+            (F.col("c") - F.col("d"))
+            * 1.0
+            / (F.col("c") + F.col("d") + F.col("ty")),
+            6,
+        ).alias("somers_dyx"),
+    )
