@@ -557,3 +557,350 @@ def stats_gamma_somers(spark, sf_dir):
             6,
         ).alias("somers_dyx"),
     )
+
+
+# ------------------------------------- binary-segmentation changepoint
+
+
+@query(
+    "analytics_binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT d,
+             row_number() OVER (ORDER BY d) AS i,
+             sum(cents) OVER (ORDER BY d) AS sl_c,
+             count(*) OVER () AS nn,
+             sum(cents) OVER () AS ss_c
+      FROM daily
+    ), gains AS (
+      SELECT d, i AS n_left, nn - i AS n_right,
+             (sl_c / 100.0) / i AS mean_left,
+             (ss_c / 100.0 - sl_c / 100.0) / (nn - i) AS mean_right,
+             (sl_c / 100.0) * (sl_c / 100.0) / i
+               + (ss_c / 100.0 - sl_c / 100.0)
+                 * (ss_c / 100.0 - sl_c / 100.0) / (nn - i)
+               - (ss_c / 100.0) * (ss_c / 100.0) / nn AS gain
+      FROM idx WHERE i < nn
+    )
+    SELECT d AS split_date, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round(mean_left, 4) AS mean_left,
+           round(mean_right, 4) AS mean_right,
+           round(gain, 4) AS sse_gain
+    FROM gains ORDER BY gain DESC, d LIMIT 1
+    """,
+    tags=("analytics", "changepoint", "time-series", "orders"),
+)
+def analytics_binseg_changepoint(spark, sf_dir):
+    """BINARY-SEGMENTATION CHANGEPOINT (one step of the classic binseg
+    recursion — the offline complement to the suite's sequential CUSUM
+    and Page-Hinkley detectors): the split t of the daily-revenue
+    series maximizing the SSE reduction
+    gain(t) = S_l²/n_l + S_r²/n_r − S²/N (the Σy² terms cancel, so no
+    second-moment pass is needed). Deterministic date tie-break.
+
+    EXACTNESS: daily revenue is an exact BIGINT cents sum scaled to
+    dollars (exact doubles); every downstream operand is then
+    bit-identical on both engines, so the double gains — and the
+    argmax ordering over them — agree exactly.
+
+    Scale: the fact scan collapses to the calendar-bounded daily
+    relation first; prefix sums + the argmax are windows over ≤|days|
+    rows (structurally bounded single partition), and the final pick
+    is a TopK(1)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "d",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(w).alias("sl_c"),
+        F.count("*").over(wall).alias("nn"),
+        F.sum("cents").over(wall).alias("ss_c"),
+    )
+    # prefix sums stay exact BIGINT cents (a windowed double sum would
+    # differ across engines: DuckDB's segment-tree pairwise order vs
+    # Spark's sequential order); dollars appear only in the closed form
+    sl = F.col("sl_c") / 100.0
+    ss = F.col("ss_c") / 100.0
+    g = idx.filter(F.col("i") < F.col("nn")).select(
+        "d",
+        F.col("i").alias("n_left"),
+        (F.col("nn") - F.col("i")).alias("n_right"),
+        (sl / F.col("i")).alias("mean_left"),
+        ((ss - sl) / (F.col("nn") - F.col("i"))).alias("mean_right"),
+        (
+            sl * sl / F.col("i")
+            + (ss - sl) * (ss - sl) / (F.col("nn") - F.col("i"))
+            - ss * ss / F.col("nn")
+        ).alias("gain"),
+    )
+    return (
+        g.orderBy(F.desc("gain"), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("split_date"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+            F.round("gain", 4).alias("sse_gain"),
+        )
+    )
+
+
+# --------------------------------------- Lo-MacKinlay variance ratio
+
+_VR_Q = 5
+
+
+@query(
+    "stats_variance_ratio",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+      FROM orders GROUP BY 1
+    ), sc AS (
+      SELECT count(*) - 1 AS tt,
+             (max_by(x, d) - min_by(x, d)) / (count(*) - 1) AS mu
+      FROM daily
+    ), lagged AS (
+      SELECT x - lag(x, 1) OVER (ORDER BY d) AS d1,
+             x - lag(x, {_VR_Q}) OVER (ORDER BY d) AS dq
+      FROM daily
+    ), sums AS (
+      SELECT
+        CAST(sum(CAST((d1 - mu) * (d1 - mu) AS DECIMAL(38,6)))
+             AS DOUBLE) AS s1,
+        CAST(sum(CAST((dq - {_VR_Q} * mu) * (dq - {_VR_Q} * mu)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+        max(tt) AS tt
+      FROM lagged, sc
+    )
+    SELECT CAST(tt + 1 AS BIGINT) AS n_days,
+           round((sq / ({_VR_Q} * (tt - {_VR_Q} + 1.0)))
+                 / (s1 / tt), 6) AS vr,
+           round(((sq / ({_VR_Q} * (tt - {_VR_Q} + 1.0))) / (s1 / tt)
+                  - 1.0)
+                 / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                        / (3.0 * {_VR_Q} * tt)), 6) AS z_homosk
+    FROM sums
+    """,
+    tags=("stats", "time-series", "random-walk", "orders"),
+)
+def stats_variance_ratio(spark, sf_dir):
+    """LO-MACKINLAY VARIANCE RATIO TEST (q = 5): is the daily-revenue
+    series a random walk? Under H0 the variance of q-day increments is
+    q x the 1-day variance, so VR = σ²_q/(q·σ²_1) ≈ 1; the
+    homoskedastic z uses the standard asymptotic variance
+    2(2q−1)(q−1)/(3qT). Drift μ̂ = (x_T − x_0)/T, the ML estimator.
+
+    EXACTNESS: increments derive from exact cents-scaled doubles, and
+    each squared deviation is cast to DECIMAL per-term before summing
+    (the text_bigram_lm trick) so the reduction is order-free.
+
+    Scale: fact scan → calendar-bounded daily relation → two lag
+    windows and one fold over ≤|days| rows."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+        ).alias("x")
+    )
+    sc = daily.agg(
+        (F.count("*") - 1).alias("tt"),
+        (
+            (F.max_by("x", "d") - F.min_by("x", "d"))
+            / (F.count("*") - 1)
+        ).alias("mu"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", _VR_Q).over(w)).alias("dq"),
+    )
+    sums = lagged.crossJoin(sc).agg(
+        F.sum(
+            ((F.col("d1") - F.col("mu")) * (F.col("d1") - F.col("mu"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            (
+                (F.col("dq") - _VR_Q * F.col("mu"))
+                * (F.col("dq") - _VR_Q * F.col("mu"))
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sq"),
+        F.max("tt").alias("tt"),
+    )
+    vr = (F.col("sq") / (_VR_Q * (F.col("tt") - _VR_Q + 1.0))) / (
+        F.col("s1") / F.col("tt")
+    )
+    z = (vr - 1.0) / F.sqrt(
+        2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q * F.col("tt"))
+    )
+    return sums.select(
+        (F.col("tt") + 1).cast("long").alias("n_days"),
+        F.round(vr, 6).alias("vr"),
+        F.round(z, 6).alias("z_homosk"),
+    )
+
+
+# ------------------------------------------------ Good-Turing spectrum
+
+
+@query(
+    "text_good_turing",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+                    '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), types AS (
+      SELECT w, count(*) AS r FROM toks GROUP BY 1
+    ), nt AS (
+      SELECT sum(r) AS n_tokens FROM types
+    ), spec AS (
+      SELECT r, count(*) AS n_types FROM types GROUP BY 1
+    )
+    SELECT s.r, s.n_types,
+           round((s.r + 1.0) * s2.n_types / s.n_types, 6) AS r_star,
+           round(s.r * s.n_types * 1.0 / nt.n_tokens, 6) AS p_mass
+    FROM spec s
+    LEFT JOIN spec s2 ON s2.r = s.r + 1
+    CROSS JOIN nt
+    WHERE s.r <= 10
+    ORDER BY s.r
+    """,
+    tags=("text", "lexicon", "smoothing", "documents"),
+)
+def text_good_turing(spark, sf_dir):
+    """GOOD-TURING FREQUENCY SPECTRUM (the frequency-of-frequencies
+    table N_r behind Good-Turing smoothing, Kneser-Ney's ancestor —
+    companions: text_zipf_fit fits the rank law, text_hapax_ratio
+    reads off N_1): for r ≤ 10, the type count N_r, the smoothed
+    count r* = (r+1)·N_{r+1}/N_r, and the probability mass r·N_r/N.
+    Row r = 1's p_mass IS the Good-Turing unseen-event estimate
+    p₀ = N_1/N. N_{r+1} looks up by exact join (NULL when the
+    spectrum has a gap), never by lead() over possibly-missing rows.
+
+    Scale: tokens collapse to the type table in one hash agg (counts
+    shuffle, text doesn't), the spectrum is a second tiny agg, and the
+    r ≤ 10 output is constant-size."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                " ",
+            )
+        ).alias("w")
+    )
+    types = toks.groupBy("w").agg(F.count("*").alias("r"))
+    nt = types.agg(F.sum("r").alias("n_tokens"))
+    spec = types.groupBy("r").agg(F.count("*").alias("n_types"))
+    s2 = spec.select(
+        (F.col("r") - 1).alias("r_join"),
+        F.col("n_types").alias("n_types_next"),
+    )
+    return (
+        spec.filter(F.col("r") <= 10)
+        .join(s2, F.col("r") == F.col("r_join"), "left")
+        .crossJoin(nt)
+        .select(
+            "r",
+            "n_types",
+            F.round(
+                (F.col("r") + 1.0)
+                * F.col("n_types_next")
+                / F.col("n_types"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("r") * F.col("n_types") * 1.0 / F.col("n_tokens"), 6
+            ).alias("p_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+# ------------------------------------------------- SoftDeDup weights
+
+
+@query(
+    "dedup_soft_weights",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS k
+      FROM documents
+    ), c AS (
+      SELECT k, count(*) AS cnt FROM h GROUP BY 1
+    )
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(1.0 / c.cnt AS DECIMAL(38,18))) AS DOUBLE)
+             AS effective_docs,
+           round(1.0 - CAST(sum(CAST(1.0 / c.cnt AS DECIMAL(38,18)))
+                            AS DOUBLE) / count(*), 6) AS dup_discount
+    FROM h JOIN c USING (k)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "weighting", "documents"),
+)
+def dedup_soft_weights(spark, sf_dir):
+    """SOFT DEDUPLICATION WEIGHTS (SoftDeDup: down-weight duplicates
+    instead of dropping them — each copy of a content appearing c
+    times trains with weight 1/c, so every content contributes unit
+    mass and no data is discarded): per source, the effective dataset
+    size Σ 1/c and the duplication discount 1 − eff/n. The reweighting
+    twin of dedup_exact (which keeps one copy) and dedup_rate_estimate
+    (which only measures).
+
+    EXACTNESS: 1/c is one IEEE division (bit-identical both engines);
+    each term is cast to DECIMAL(38,18) before summing so the
+    reduction is order-free (the per-term-cast house trick).
+
+    Scale: digests shuffle, text doesn't — the md5 collapses each
+    payload to 32 bytes before the count join; per-source output is
+    |sources| rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+        ).alias("k"),
+    )
+    c = d.groupBy("k").agg(F.count("*").alias("cnt"))
+    eff = F.sum((1.0 / F.col("cnt")).cast("decimal(38,18)")).cast(
+        "double"
+    )
+    return (
+        d.join(c, "k")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            eff.alias("effective_docs"),
+            F.round(1.0 - eff / F.count("*"), 6).alias("dup_discount"),
+        )
+        .orderBy("source")
+    )
