@@ -904,3 +904,311 @@ def dedup_soft_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- point-in-polygon
+
+# Simple star-shaped test polygon (lon, lat vertex ring, non-convex:
+# four of the eight vertices pull inward, so ray casting is exercised
+# on a shape where bounding-box or convex-hull tests would be wrong).
+_PIP_POLY = [
+    (-120.0, -60.0),
+    (-30.0, -20.0),
+    (60.0, -60.0),
+    (30.0, 0.0),
+    (60.0, 60.0),
+    (-30.0, 20.0),
+    (-120.0, 60.0),
+    (-90.0, 0.0),
+]
+
+
+def _pip_crossings_sql() -> str:
+    """ONE ray-casting expression string shared verbatim by BOTH
+    engines (the geo_geohash_grid trick): for each polygon edge,
+    count a crossing of the horizontal ray from (lon, lat) going
+    east, via the classic semi-open rule. Identical IEEE arithmetic
+    on identical literals ⇒ bit-identical crossing counts."""
+    terms = []
+    n = len(_PIP_POLY)
+    for i in range(n):
+        x1, y1 = _PIP_POLY[i]
+        x2, y2 = _PIP_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+            f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) "
+            f"+ {x1}) THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(user_id % 360 - 180 AS DOUBLE) AS lon,
+             CAST(event_id % 180 - 90 AS DOUBLE) AS lat
+      FROM events
+    ), hit AS (
+      SELECT event_type,
+             CASE WHEN ({_pip_crossings_sql()}) % 2 = 1
+                  THEN 1 ELSE 0 END AS inside
+      FROM pts
+    )
+    SELECT event_type, count(*) AS n_points,
+           CAST(sum(inside) AS BIGINT) AS n_inside,
+           round(sum(inside) * 1.0 / count(*), 6) AS inside_share
+    FROM hit GROUP BY 1 ORDER BY 1
+    """,
+    tags=("geo", "spatial", "events"),
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """POINT-IN-POLYGON via ray casting (even-odd rule) against a
+    non-convex 8-vertex polygon — the spatial predicate underneath
+    geofencing and region rollups, next to the suite's haversine and
+    grid-blocking ops. Each point casts an eastward ray; crossings
+    count per edge with the classic semi-open rule
+    (y1 > lat) ≠ (y2 > lat), so shared vertices are counted once.
+
+    The crossing expression is ONE generated SQL string evaluated
+    verbatim by BOTH engines (the geo_geohash_grid convention):
+    identical literals + identical IEEE ops ⇒ identical counts, no
+    float-drift surface at all.
+
+    Scale: a pure per-row map (no shuffle until the per-type count
+    rollup); an 8-edge test is ~24 flops/row, and at 100 TB a real
+    multi-polygon layer would broadcast the (small) vertex table and
+    run the same per-partition arithmetic."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (F.col("user_id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("event_id") % 180 - 90).cast("double").alias("lat"),
+    )
+    hit = pts.select(
+        "event_type",
+        F.when(
+            F.expr(f"({_pip_crossings_sql()}) % 2 = 1"), 1
+        ).otherwise(0).alias("inside"),
+    )
+    return (
+        hit.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("inside").alias("n_inside"),
+            F.round(F.sum("inside") * 1.0 / F.count("*"), 6).alias(
+                "inside_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------ link prediction
+
+from gcp_etl_spark.queries.graph_ops import N_NODES, _edges  # noqa: E402
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS u,
+        greatest(l_orderkey % {N_NODES}, l_partkey % {N_NODES}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {N_NODES} <> l_partkey % {N_NODES}
+    ), adj AS (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT n, count(*) AS d FROM adj GROUP BY 1
+    ), cand AS (
+      SELECT a1.n AS u, a2.n AS v, a1.m
+      FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.u = a1.n AND e.v = a2.n)
+    ), sc AS (
+      SELECT c.u, c.v, count(*) AS cn,
+             CAST(sum(CAST(1.0 / dm.d AS DECIMAL(38,18))) AS DOUBLE)
+               AS ra
+      FROM cand c JOIN deg dm ON dm.n = c.m
+      GROUP BY 1, 2
+    )
+    SELECT sc.u, sc.v, cn,
+           CAST(du.d * dv.d AS BIGINT) AS pa,
+           round(ra, 6) AS resource_alloc
+    FROM sc JOIN deg du ON du.n = sc.u JOIN deg dv ON dv.n = sc.v
+    ORDER BY ra DESC, sc.u, sc.v LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "lineitem"),
+)
+def graph_link_prediction(spark, sf_dir):
+    """LINK PREDICTION SCORES for NON-adjacent node pairs — the
+    candidate side of the graph family (adamic_adar and
+    jaccard_neighbors score EXISTING edges; this ranks wedge-connected
+    pairs that are NOT yet edges, the actual recommendation task):
+    common-neighbor count, preferential attachment deg_u·deg_v, and
+    resource allocation Σ_{{m ∈ CN}} 1/deg(m) (Zhou-Lü-Zhang), top-20
+    by RA. 1/deg is one IEEE division cast to DECIMAL per-term so the
+    sum is order-free.
+
+    Scale: wedges via the adjacency self-join through the shared
+    neighbor (bounded by Σ deg(m)², never |V|²); non-edge filtering is
+    a LEFT ANTI join; the degree lookups are unhinted equi-joins (AQE
+    broadcasts when small); top-20 is TakeOrderedAndProject."""
+    e = _edges(spark, sf_dir)
+    adj = e.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("n").alias("cu"), F.col("m").alias("w1"))
+    a2 = adj.select(F.col("n").alias("cv"), F.col("m").alias("w2"))
+    cand = (
+        a1.join(
+            a2,
+            (F.col("w1") == F.col("w2")) & (F.col("cu") < F.col("cv")),
+        )
+        .select("cu", "cv", F.col("w1").alias("m"))
+        .join(
+            e,
+            (F.col("cu") == F.col("u")) & (F.col("cv") == F.col("v")),
+            "left_anti",
+        )
+    )
+    dm = deg.select(F.col("n").alias("m"), F.col("d").alias("dm"))
+    sc = (
+        cand.join(dm, "m")
+        .groupBy("cu", "cv")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum((1.0 / F.col("dm")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("ra"),
+        )
+    )
+    du = deg.select(F.col("n").alias("cu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("cv"), F.col("d").alias("dv"))
+    return (
+        sc.join(du, "cu")
+        .join(dv, "cv")
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "cn",
+            (F.col("du") * F.col("dv")).cast("long").alias("pa"),
+            F.round("ra", 6).alias("resource_alloc"),
+        )
+        .orderBy(F.desc("ra"), "u", "v")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ parquet codecs
+
+_IO_CODECS = ("gzip", "snappy", "zstd")
+
+
+@query(
+    "io_parquet_codecs",
+    oracle=f"""
+    WITH src AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT codec, n_rows, price_cents
+    FROM (VALUES {", ".join(f"('{c}')" for c in sorted(_IO_CODECS))})
+         codecs(codec), src
+    ORDER BY codec
+    """,
+    tags=("io", "parquet", "compression", "lineitem"),
+)
+def io_parquet_codecs(spark, sf_dir):
+    """PARQUET COMPRESSION CODEC ROUNDTRIP (gzip / snappy / zstd —
+    the three production codecs; zstd is the modern default for cold
+    data, snappy for hot): the same lineitem slice is written with
+    each codec and read back, and the per-codec row count + exact
+    cents checksum must reconstruct the source exactly — proving the
+    codec choice never touches values, only bytes.
+
+    Scale: codec is a per-row-group storage property; at 100 TB the
+    pick trades scan CPU against storage/IO (zstd ≈ 2-3x smaller,
+    snappy ≈ 2x faster decode), and this query is the correctness
+    gate for flipping it per-table.
+
+    Cites reference parquet write at
+    k8s/submit/etl-on-gcp-vinicius-campos.py:90 (snappy default)."""
+    import os
+
+    from gcp_etl_spark.scratch import scratch_dir
+
+    d = scratch_dir("io_codecs", fresh=True)
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    outs = []
+    for codec in sorted(_IO_CODECS):
+        path = os.path.join(d, codec)
+        src.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("price_cents"),
+            ).select(F.lit(codec).alias("codec"), "n_rows", "price_cents")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("codec")
+
+
+# ------------------------------------- VALUES + GROUP/ORDER BY ALL
+
+
+@query(
+    "sql_values_order_by_all",
+    oracle="""
+    SELECT m.band, o.o_orderstatus AS status, count(*) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('1', 'high'), ('2', 'high'), ('3', 'mid'),
+                 ('4', 'low'), ('5', 'low')) m(pfx, band)
+      ON substr(o.o_orderpriority, 1, 1) = m.pfx
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "modern", "orders"),
+)
+def sql_values_order_by_all(spark, sf_dir):
+    """VALUES inline table + GROUP BY ALL + ORDER BY ALL — three
+    modern-SQL conveniences in one statement (the literal API surface
+    next to sql_group_by_all): a VALUES-derived priority→band mapping
+    joined to the fact table, grouped and ordered by every
+    non-aggregate column implicitly. Spark 4 and DuckDB both resolve
+    ALL the same way (grouping keys in select order), which this
+    query hash-verifies.
+
+    Scale: the inline table is a broadcast by construction; the
+    aggregation is one hash agg."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_vob_v")
+    return spark.sql(
+        """
+        SELECT m.band, o.o_orderstatus AS status,
+               count(*) AS n_orders
+        FROM orders_vob_v o
+        JOIN (SELECT * FROM VALUES ('1', 'high'), ('2', 'high'),
+                                   ('3', 'mid'), ('4', 'low'),
+                                   ('5', 'low') AS v(pfx, band)) m
+          ON substr(o.o_orderpriority, 1, 1) = m.pfx
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
