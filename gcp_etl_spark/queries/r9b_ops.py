@@ -947,8 +947,8 @@ def _pip_crossings_sql() -> str:
     oracle=f"""
     WITH pts AS (
       SELECT event_type,
-             CAST(user_id % 360 - 180 AS DOUBLE) AS lon,
-             CAST(event_id % 180 - 90 AS DOUBLE) AS lat
+             CAST((event_id * 7919) % 360 - 180 AS DOUBLE) AS lon,
+             CAST((event_id * 104729) % 180 - 90 AS DOUBLE) AS lat
       FROM events
     ), hit AS (
       SELECT event_type,
@@ -981,10 +981,17 @@ def geo_point_in_polygon(spark, sf_dir):
     multi-polygon layer would broadcast the (small) vertex table and
     run the same per-partition arithmetic."""
     e = t(spark, sf_dir, "events")
+    # multiplicative-hash lattice (coprime multipliers) so BOTH axes
+    # cover their full range at every fixture scale — the raw ids are
+    # near-sequential and would pin one axis to a narrow band
     pts = e.select(
         "event_type",
-        (F.col("user_id") % 360 - 180).cast("double").alias("lon"),
-        (F.col("event_id") % 180 - 90).cast("double").alias("lat"),
+        ((F.col("event_id") * 7919) % 360 - 180)
+        .cast("double")
+        .alias("lon"),
+        ((F.col("event_id") * 104729) % 180 - 90)
+        .cast("double")
+        .alias("lat"),
     )
     hit = pts.select(
         "event_type",

@@ -1,0 +1,205 @@
+"""Round-9 second batch: property pins that hold INDEPENDENTLY of the
+DuckDB oracles (which could in principle share a bug with the Spark
+side if both transcribed the same wrong formula) — each test
+recomputes the claimed definition from scratch in NumPy/pure Python on
+the raw fixture and checks the registered query against it."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    from gcp_etl_spark.queries import load_all
+
+    return load_all()[name].fn(spark, SF_SMALL)
+
+
+def _daily_cents(orders: pd.DataFrame) -> pd.Series:
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    return (
+        cents.groupby(orders["o_orderdate"].dt.normalize())
+        .sum()
+        .sort_index()
+    )
+
+
+def test_holt_winters_matches_python_recurrence(spark):
+    """The F.aggregate fold must implement the textbook additive
+    Holt-Winters recurrence exactly — recomputed here step by step in
+    Python floats (identical IEEE semantics) from the raw parquet."""
+    daily = _daily_cents(
+        pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    ).to_numpy()
+    y = daily / 100.0
+    dd = len(y)
+    level = float(daily[:7].sum()) / 700.0
+    trend = (float(daily[7:14].sum()) / 700.0 - level) / 7.0
+    seas = [float(c) / 100.0 - level for c in daily[:7]]
+    for ti in range(7, dd):
+        slot = ti % 7
+        sold = seas[slot]
+        lnew = 0.3 * (y[ti] - sold) + 0.7 * (level + trend)
+        trend = 0.1 * (lnew - level) + 0.9 * trend
+        seas[slot] = 0.2 * (y[ti] - lnew) + 0.8 * sold
+        level = lnew
+    want = {
+        h: round(level + h * trend + seas[(dd - 1 + h) % 7], 6)
+        for h in range(1, 8)
+    }
+    got = {r["h"]: r["forecast"] for r in _run(spark, "analytics_holt_winters").collect()}
+    assert got.keys() == want.keys()
+    for h in want:
+        assert math.isclose(got[h], want[h], rel_tol=0, abs_tol=1e-6), (
+            h,
+            got[h],
+            want[h],
+        )
+
+
+def test_point_in_polygon_matches_python_raycast(spark):
+    """The generated crossing-expression string must implement the
+    classic even-odd ray cast — recomputed per point in pure Python
+    with the same semi-open rule."""
+    from gcp_etl_spark.queries.r9b_ops import _PIP_POLY
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    lon = ((ev["event_id"] * 7919) % 360 - 180).astype(float).to_numpy()
+    lat = ((ev["event_id"] * 104729) % 180 - 90).astype(float).to_numpy()
+
+    def inside(px, py):
+        c = 0
+        n = len(_PIP_POLY)
+        for i in range(n):
+            x1, y1 = _PIP_POLY[i]
+            x2, y2 = _PIP_POLY[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2 == 1
+
+    hits = {}
+    for et, lo, la in zip(ev["event_type"], lon, lat):
+        npts, nin = hits.get(et, (0, 0))
+        hits[et] = (npts + 1, nin + (1 if inside(lo, la) else 0))
+    got = {
+        r["event_type"]: (r["n_points"], r["n_inside"])
+        for r in _run(spark, "geo_point_in_polygon").collect()
+    }
+    assert got == hits
+    # the fixture must actually exercise BOTH outcomes
+    assert sum(v[1] for v in hits.values()) > 0
+    assert sum(v[1] for v in hits.values()) < sum(v[0] for v in hits.values())
+
+
+def test_gamma_somers_matches_bruteforce_pairs(spark):
+    """Contingency-grid concordance algebra vs literal O(n^2) pair
+    enumeration over the fixture's (priority, width) observations."""
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    width = li.groupby("l_orderkey").size()
+    m = o.set_index("o_orderkey").join(width.rename("y"), how="inner")
+    x = m["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = m["y"].to_numpy()
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(len(x), k=1)
+    prod = dx[iu] * dy[iu]
+    c = int((prod > 0).sum())
+    d = int((prod < 0).sum())
+    ty = int(((dx[iu] != 0) & (dy[iu] == 0)).sum())
+    row = _run(spark, "stats_gamma_somers").collect()[0]
+    assert row["concordant"] == c
+    assert row["discordant"] == d
+    assert math.isclose(row["gk_gamma"], round((c - d) / (c + d), 6), abs_tol=1e-9)
+    assert math.isclose(
+        row["somers_dyx"], round((c - d) / (c + d + ty), 6), abs_tol=1e-9
+    )
+
+
+def test_wasserstein_matches_numpy_cdf_integral(spark):
+    """The integer-exact CDF-difference sum must equal the direct
+    numpy evaluation of the W1 integral between the two samples."""
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    a = li.loc[li["l_returnflag"] == "A", "l_quantity"].to_numpy()
+    r = li.loc[li["l_returnflag"] == "R", "l_quantity"].to_numpy()
+    support = np.unique(np.concatenate([a, r]))
+    fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    fr = np.searchsorted(np.sort(r), support, side="right") / len(r)
+    want = float(np.sum(np.abs(fa[:-1] - fr[:-1]) * np.diff(support)))
+    row = _run(spark, "stats_wasserstein_1d").collect()[0]
+    assert row["n_a"] == len(a) and row["n_r"] == len(r)
+    assert math.isclose(row["wasserstein_1"], round(want, 6), abs_tol=2e-6)
+
+
+def test_soft_weights_sum_to_distinct_contents(spark):
+    """SoftDeDup invariant: summing 1/c over every copy of every
+    content yields EXACTLY the number of distinct contents — so the
+    per-source effective sizes must total the global distinct count
+    (unit mass per content, split across its copies)."""
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    norm = (
+        docs["text"]
+        .str.lower()
+        .str.strip()
+        .str.replace(r"\s+", " ", regex=True)
+    )
+    n_distinct = norm.nunique()
+    rows = _run(spark, "dedup_soft_weights").collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert math.isclose(
+        sum(r["effective_docs"] for r in rows), n_distinct, abs_tol=1e-6
+    )
+
+
+def test_binseg_gain_is_argmax_of_all_splits(spark):
+    """The reported split must maximize the SSE-reduction over EVERY
+    possible split position (recomputed by brute force), and the gain
+    must equal SSE(total) - SSE(left) - SSE(right) at that split."""
+    daily = _daily_cents(pd.read_parquet(f"{SF_SMALL}/orders.parquet"))
+    y = (daily / 100.0).to_numpy()
+
+    def sse(v):
+        return float(((v - v.mean()) ** 2).sum()) if len(v) else 0.0
+
+    gains = [
+        sse(y) - sse(y[:i]) - sse(y[i:]) for i in range(1, len(y))
+    ]
+    best = int(np.argmax(gains))
+    row = _run(spark, "analytics_binseg_changepoint").collect()[0]
+    assert row["n_left"] == best + 1
+    assert math.isclose(row["sse_gain"], gains[best], rel_tol=1e-9, abs_tol=1e-3)
+    assert pd.Timestamp(row["split_date"]) == daily.index[best]
+
+
+def test_link_prediction_candidates_are_nonedges_with_common_neighbors(
+    spark,
+):
+    """Every scored pair must be a NON-edge sharing >= 1 neighbor, and
+    cn/pa/ra must match a direct adjacency-set recomputation."""
+    from gcp_etl_spark.queries.graph_ops import N_NODES
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    u = (li["l_orderkey"] % N_NODES).to_numpy()
+    v = (li["l_partkey"] % N_NODES).to_numpy()
+    edges = {
+        (min(a, b), max(a, b)) for a, b in zip(u, v) if a != b
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in _run(spark, "graph_link_prediction").collect():
+        pu, pv = r["u"], r["v"]
+        assert (pu, pv) not in edges
+        common = adj[pu] & adj[pv]
+        assert r["cn"] == len(common) > 0
+        assert r["pa"] == len(adj[pu]) * len(adj[pv])
+        ra = sum(1.0 / len(adj[m]) for m in common)
+        assert math.isclose(r["resource_alloc"], round(ra, 6), abs_tol=1e-5)
