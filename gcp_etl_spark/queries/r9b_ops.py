@@ -1365,3 +1365,467 @@ def analytics_holt_winters(spark, sf_dir):
         )
         .orderBy("h")
     )
+
+
+# ------------------------------------------ isotonic (PAVA) calibration
+
+_ISO_BINS = 20
+
+
+@query(
+    "calibration_isotonic_fit",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(event_id % {_ISO_BINS} AS BIGINT) AS b,
+             CASE WHEN value > 100 - 3 * (event_id % {_ISO_BINS})
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ), bin AS (
+      SELECT b, count(*) AS n, sum(y) AS s FROM obs GROUP BY 1
+    ), pre AS (
+      SELECT b,
+             sum(n) OVER (ORDER BY b) AS cn,
+             sum(s) OVER (ORDER BY b) AS cs
+      FROM bin
+    ), seg AS (  -- weighted avg of bins i..j from prefix sums
+      SELECT i.b AS i, j.b AS j,
+             CAST(j.cs - coalesce(i0.cs, 0) AS DOUBLE)
+               / (j.cn - coalesce(i0.cn, 0)) AS avg_ij
+      FROM pre i
+      JOIN pre j ON j.b >= i.b
+      LEFT JOIN pre i0 ON i0.b = i.b - 1
+    ), inner_min AS (  -- for t and i <= t: min over j >= t
+      SELECT t.b AS t, s.i, min(s.avg_ij) AS m
+      FROM bin t JOIN seg s ON s.i <= t.b AND s.j >= t.b
+      GROUP BY 1, 2
+    )
+    SELECT im.t AS bin, bn.n AS n_obs,
+           round(CAST(bn.s AS DOUBLE) / bn.n, 6) AS raw_rate,
+           round(max(im.m), 6) AS isotonic_rate
+    FROM inner_min im JOIN bin bn ON bn.b = im.t
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    tags=("analytics", "calibration", "isotonic", "events"),
+)
+def calibration_isotonic_fit(spark, sf_dir):
+    """ISOTONIC REGRESSION (weighted PAVA) of an outcome rate on a
+    score bin — the standard probability-calibration step after
+    quality_calibration_bins measures miscalibration: the fitted curve
+    is the closest MONOTONE non-decreasing rate, computed via the
+    exact minimax identity ŷ_t = max_{{i≤t}} min_{{j≥t}} avg(i..j)
+    (equivalent to pool-adjacent-violators, but expressible as pure
+    joins/windows instead of a sequential merge loop).
+
+    EXACTNESS: segment averages come from BIGINT prefix sums (one
+    integer division per (i,j) segment — identical IEEE both
+    engines); min/max over them are order-free.
+
+    Scale: facts collapse to {_ISO_BINS} bins first; the (i,j,t)
+    minimax join is O(B³) on B = {_ISO_BINS} constant-size rows —
+    bounded by the bin count, never the data."""
+    e = t(spark, sf_dir, "events")
+    obs = e.select(
+        (F.col("event_id") % _ISO_BINS).cast("long").alias("b"),
+        F.when(
+            F.col("value") > 100 - 3 * (F.col("event_id") % _ISO_BINS), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = obs.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    w = Window.orderBy("b")
+    pre = bins.select(
+        "b",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    i = pre.select(
+        F.col("b").alias("i"),
+        (F.col("b") - 1).alias("i_prev"),
+    )
+    i0 = pre.select(
+        F.col("b").alias("i0b"),
+        F.col("cn").alias("cn0"),
+        F.col("cs").alias("cs0"),
+    )
+    j = pre.select(
+        F.col("b").alias("j"), F.col("cn").alias("cnj"), F.col("cs").alias("csj")
+    )
+    seg = (
+        i.join(j, F.col("j") >= F.col("i"))
+        .join(i0, F.col("i0b") == F.col("i_prev"), "left")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("csj") - F.coalesce(F.col("cs0"), F.lit(0))).cast(
+                    "double"
+                )
+                / (F.col("cnj") - F.coalesce(F.col("cn0"), F.lit(0)))
+            ).alias("avg_ij"),
+        )
+    )
+    tb = bins.select(
+        F.col("b").alias("t"), F.col("n").alias("n_obs"), F.col("s").alias("st")
+    )
+    inner = (
+        tb.join(seg, (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")))
+        .groupBy("t", "n_obs", "st", "i")
+        .agg(F.min("avg_ij").alias("m"))
+    )
+    return (
+        inner.groupBy("t", "n_obs", "st")
+        .agg(F.max("m").alias("iso"))
+        .select(
+            F.col("t").alias("bin"),
+            F.col("n_obs"),
+            F.round(F.col("st").cast("double") / F.col("n_obs"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------- Bass diffusion model
+
+
+@query(
+    "analytics_bass_diffusion",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type, min(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY 1, 2
+    ), adopt AS (
+      SELECT d0 AS d, count(*) AS n FROM first_seen GROUP BY 1
+    ), cum AS (
+      SELECT d, n,
+             sum(n) OVER (ORDER BY d) - n AS c
+      FROM adopt
+    ), m5 AS (
+      SELECT count(*) AS nn,
+             CAST(sum(c) AS DOUBLE) AS sc,
+             CAST(sum(c * c) AS DOUBLE) AS sc2,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c) AS DOUBLE) AS sc3,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c * c) AS DOUBLE)
+               AS sc4,
+             CAST(sum(n) AS DOUBLE) AS sy,
+             CAST(sum(n * c) AS DOUBLE) AS syc,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * c * c) AS DOUBLE) AS syc2
+      FROM cum
+    ), det AS (
+      SELECT nn, sy, syc, syc2, sc, sc2, sc3, sc4,
+             nn * (sc2 * sc4 - sc3 * sc3)
+               - sc * (sc * sc4 - sc2 * sc3)
+               + sc2 * (sc * sc3 - sc2 * sc2) AS dd
+      FROM m5
+    ), coef AS (
+      SELECT
+        (sy * (sc2 * sc4 - sc3 * sc3)
+         - sc * (syc * sc4 - syc2 * sc3)
+         + sc2 * (syc * sc3 - syc2 * sc2)) / dd AS a,
+        (nn * (syc * sc4 - syc2 * sc3)
+         - sy * (sc * sc4 - sc2 * sc3)
+         + sc2 * (sc * syc2 - sc2 * syc)) / dd AS b,
+        (nn * (sc2 * syc2 - sc3 * syc)
+         - sc * (sc * syc2 - sc2 * syc)
+         + sy * (sc * sc3 - sc2 * sc2)) / dd AS c
+      FROM det
+    )
+    SELECT round(a, 6) AS a, round(b, 6) AS b, round(c, 6) AS c,
+           round((-b - sqrt(b * b - 4 * a * c)) / (2 * c), 4) AS m_sat,
+           round(a / ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)), 6)
+             AS p_innov,
+           round(-c * ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)), 6)
+             AS q_imit
+    FROM coef
+    """,
+    tags=("analytics", "forecast", "diffusion", "events"),
+)
+def analytics_bass_diffusion(spark, sf_dir):
+    """BASS DIFFUSION MODEL fit (Bass 1969, the classic
+    new-product-adoption curve): adoption unit = a (user, event_type)
+    first touch (per-user capability adoption — plain per-user first
+    events all land on day one in this corpus, a singular design);
+    regress daily NEW adoptions n_t on cumulative prior adoptions,
+    n_t = a + b·C_{t−1} + c·C_{t−1}²
+    (discrete-time Bass), by exact 3-parameter OLS — normal equations
+    from BIGINT/DECIMAL power sums (C ≤ |users| so C⁴ needs the
+    decimal widening), solved by Cramer's rule in double. Implied
+    market size m = the positive root of a + bm + cm² = 0, innovation
+    p = a/m, imitation q = −c·m — the 'm_sat vs observed users'
+    gap is the standard saturation-headroom read.
+
+    Scale: one first-touch aggregation (the retention_cohorts shape)
+    collapses facts to the calendar-bounded adoption series; the
+    regression is a single fold of 7 exact power sums.
+
+    The adoption window frame (sum OVER ORDER BY minus current row)
+    keeps C_{t−1} integer-exact — no double prefix sums (the binseg
+    segment-tree lesson)."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    adopt = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("d")
+    cum = adopt.select(
+        "d", "n", (F.sum("n").over(w) - F.col("n")).alias("c")
+    )
+    c = F.col("c")
+    n = F.col("n")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m5 = cum.agg(
+        F.count("*").alias("nn"),
+        F.sum(c).cast("double").alias("sc"),
+        F.sum(c * c).cast("double").alias("sc2"),
+        F.sum(dec(c) * c * c).cast("double").alias("sc3"),
+        F.sum(dec(c) * c * c * c).cast("double").alias("sc4"),
+        F.sum(n).cast("double").alias("sy"),
+        F.sum(n * c).cast("double").alias("syc"),
+        F.sum(dec(n) * c * c).cast("double").alias("syc2"),
+    )
+    nn, sc, sc2, sc3, sc4, sy, syc, syc2 = (
+        F.col("nn"),
+        F.col("sc"),
+        F.col("sc2"),
+        F.col("sc3"),
+        F.col("sc4"),
+        F.col("sy"),
+        F.col("syc"),
+        F.col("syc2"),
+    )
+    dd = (
+        nn * (sc2 * sc4 - sc3 * sc3)
+        - sc * (sc * sc4 - sc2 * sc3)
+        + sc2 * (sc * sc3 - sc2 * sc2)
+    )
+    a = (
+        sy * (sc2 * sc4 - sc3 * sc3)
+        - sc * (syc * sc4 - syc2 * sc3)
+        + sc2 * (syc * sc3 - syc2 * sc2)
+    ) / dd
+    b = (
+        nn * (syc * sc4 - syc2 * sc3)
+        - sy * (sc * sc4 - sc2 * sc3)
+        + sc2 * (sc * syc2 - sc2 * syc)
+    ) / dd
+    cc = (
+        nn * (sc2 * syc2 - sc3 * syc)
+        - sc * (sc * syc2 - sc2 * syc)
+        + sy * (sc * sc3 - sc2 * sc2)
+    ) / dd
+    m_sat = (-b - F.sqrt(b * b - 4 * a * cc)) / (2 * cc)
+    return m5.select(
+        F.round(a, 6).alias("a"),
+        F.round(b, 6).alias("b"),
+        F.round(cc, 6).alias("c"),
+        F.round(m_sat, 4).alias("m_sat"),
+        F.round(a / m_sat, 6).alias("p_innov"),
+        F.round(-cc * m_sat, 6).alias("q_imit"),
+    )
+
+
+# ------------------------------------------------------ l-diversity
+
+_LDIV_L = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cell AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             count(*) AS group_size,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS l_distinct
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation, segment, group_size, l_distinct,
+           CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END
+             AS violates_l{_LDIV_L}
+    FROM cell
+    WHERE group_size > 0
+    ORDER BY l_distinct, nation, segment
+    LIMIT 25
+    """,
+    tags=("privacy", "anonymity", "customer"),
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-DIVERSITY AUDIT (Machanavajjhala et al. — the successor
+    check to privacy_k_anonymity, which this complements: k-anonymity
+    bounds group SIZE, l-diversity bounds the variety of the SENSITIVE
+    attribute within each group): per quasi-identifier group
+    (nation × market segment), the number of distinct sensitive values
+    (account-balance kilobuckets) and whether it falls below l=3 —
+    groups where every member shares a balance bucket leak the bucket
+    even under k-anonymity.
+
+    Scale: one grouped count-distinct (Spark expands it to a two-level
+    aggregate; the QI-group grid is tiny); the worst-25 report is a
+    deterministic TopK."""
+    c = t(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_distinct"),
+    )
+    return (
+        cell.filter(F.col("group_size") > 0)
+        .select(
+            "nation",
+            "segment",
+            "group_size",
+            "l_distinct",
+            F.when(F.col("l_distinct") < _LDIV_L, 1)
+            .otherwise(0)
+            .alias(f"violates_l{_LDIV_L}"),
+        )
+        .orderBy("l_distinct", "nation", "segment")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------- Burrows' delta
+
+_BD_TOPN = 30
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(regexp_replace(trim(lower(text)),
+                    '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), top_words AS (
+      SELECT w FROM toks GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {_BD_TOPN}
+    ), src_tot AS (
+      SELECT source, count(*) AS tot FROM toks GROUP BY 1
+    ), freq AS (
+      SELECT st.source, tw.w,
+             coalesce(c.cnt, 0) * 1.0 / st.tot AS f
+      FROM src_tot st
+      CROSS JOIN top_words tw
+      LEFT JOIN (SELECT source, w, count(*) AS cnt
+                 FROM toks GROUP BY 1, 2) c
+        ON c.source = st.source AND c.w = tw.w
+    ), stats AS (
+      SELECT w,
+             count(*) AS ns,
+             CAST(sum(CAST(f AS DECIMAL(38,18))) AS DOUBLE) AS sf,
+             CAST(sum(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS sf2
+      FROM freq GROUP BY 1
+    ), z AS (
+      SELECT fr.source, fr.w,
+             (fr.f - st.sf / st.ns)
+               / sqrt(st.sf2 / st.ns
+                      - (st.sf / st.ns) * (st.sf / st.ns)) AS z
+      FROM freq fr JOIN stats st ON st.w = fr.w
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,18)))
+                      AS DOUBLE) / {_BD_TOPN}, 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY delta, src_a, src_b
+    LIMIT 15
+    """,
+    tags=("text", "stylometry", "documents"),
+)
+def text_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA (the standard stylometric authorship-attribution
+    distance): z-score each source's relative frequency of the corpus
+    top-{_BD_TOPN} words against the across-source mean/sd, then
+    Δ(a,b) = mean |z_a − z_b|. The 15 most similar source pairs — the
+    cross-source cousin of text_source_divergence (which compares
+    full distributions, not style markers).
+
+    EXACTNESS: relative frequencies are single int/int divisions;
+    every across-source sum (μ, σ, and the |z| distance) casts
+    per-term to DECIMAL so reductions are order-free; population σ
+    matches the classical delta definition.
+
+    Scale: tokens collapse to (source, word) counts once; the z table
+    is |sources| × {_BD_TOPN} rows and the pair join is over the tiny
+    source dimension."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                " ",
+            )
+        ).alias("w"),
+    )
+    top_words = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_BD_TOPN)
+        .select("w")
+    )
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("tot"))
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    freq = (
+        src_tot.crossJoin(top_words)
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)) * 1.0 / F.col("tot")
+            ).alias("f"),
+        )
+    )
+    stats = freq.groupBy("w").agg(
+        F.count("*").alias("ns"),
+        F.sum(F.col("f").cast("decimal(38,18)")).cast("double").alias("sf"),
+        F.sum((F.col("f") * F.col("f")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sf2"),
+    )
+    mu = F.col("sf") / F.col("ns")
+    sd = F.sqrt(F.col("sf2") / F.col("ns") - mu * mu)
+    z = freq.join(stats, "w").select(
+        "source", "w", ((F.col("f") - mu) / sd).alias("z")
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"),
+        F.col("w").alias("wb"),
+        F.col("z").alias("zb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("za") - F.col("zb")).cast("decimal(38,18)")
+                ).cast("double")
+                / _BD_TOPN,
+                6,
+            ).alias("delta")
+        )
+        .orderBy("delta", "src_a", "src_b")
+        .limit(15)
+    )

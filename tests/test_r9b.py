@@ -203,3 +203,64 @@ def test_link_prediction_candidates_are_nonedges_with_common_neighbors(
         assert r["pa"] == len(adj[pu]) * len(adj[pv])
         ra = sum(1.0 / len(adj[m]) for m in common)
         assert math.isclose(r["resource_alloc"], round(ra, 6), abs_tol=1e-5)
+
+
+def test_isotonic_fit_is_monotone_and_matches_pava(spark):
+    """The minimax join formulation must produce a non-decreasing
+    curve identical to a literal pool-adjacent-violators merge loop."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    b = (ev["event_id"] % 20).astype(int)
+    y = (ev["value"] > 100 - 3 * b).astype(int)
+    g = pd.DataFrame({"b": b, "y": y}).groupby("b")["y"].agg(["count", "sum"])
+    blocks = [
+        [int(r["count"]), int(r["sum"]), [bb]] for bb, r in g.iterrows()
+    ]
+    merged: list[list] = []
+    for blk in blocks:
+        merged.append(blk)
+        while (
+            len(merged) >= 2
+            and merged[-2][1] * merged[-1][0]
+            >= merged[-1][1] * merged[-2][0]
+        ):
+            n2, s2, ids2 = merged.pop()
+            merged[-1][0] += n2
+            merged[-1][1] += s2
+            merged[-1][2] += ids2
+    want = {}
+    for n, sv, ids in merged:
+        for bb in ids:
+            want[bb] = round(sv / n, 6)
+    rows = _run(spark, "calibration_isotonic_fit").collect()
+    got = {r["bin"]: r["isotonic_rate"] for r in rows}
+    fitted = [got[k] for k in sorted(got)]
+    assert all(a <= bb + 1e-12 for a, bb in zip(fitted, fitted[1:]))
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=2e-6), (k, got[k], want[k])
+    # the fixture must actually pool something (raw rates non-monotone)
+    raw = [r["raw_rate"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert any(a > bb for a, bb in zip(raw, raw[1:]))
+
+
+def test_bass_diffusion_matches_numpy_lstsq(spark):
+    """Cramer's-rule coefficients must match numpy's least-squares on
+    the same adoption design matrix."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    fs = (
+        ev.assign(d=ev["ts"].dt.normalize())
+        .groupby(["user_id", "event_type"])["d"]
+        .min()
+    )
+    adopt = fs.value_counts().sort_index()
+    n = adopt.to_numpy().astype(float)
+    c = np.concatenate([[0.0], np.cumsum(n)[:-1]])
+    X = np.stack([np.ones_like(c), c, c * c], axis=1)
+    coef, *_ = np.linalg.lstsq(X, n, rcond=None)
+    row = _run(spark, "analytics_bass_diffusion").collect()[0]
+    assert math.isclose(row["a"], coef[0], rel_tol=1e-6, abs_tol=1e-4)
+    assert math.isclose(row["b"], coef[1], rel_tol=1e-6, abs_tol=1e-4)
+    assert math.isclose(row["c"], coef[2], rel_tol=1e-6, abs_tol=1e-4)
+    m = row["m_sat"]
+    assert math.isclose(
+        row["a"] + row["b"] * m + row["c"] * m * m, 0.0, abs_tol=5e-3
+    )
