@@ -1829,3 +1829,411 @@ def text_burrows_delta(spark, sf_dir):
         .orderBy("delta", "src_a", "src_b")
         .limit(15)
     )
+
+
+# ---------------------------------------------- MATTR lexical diversity
+
+_MATTR_W = 25
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, source,
+             unnest(ws) AS w,
+             unnest(range(len(ws))) AS p,
+             len(ws) AS L
+      FROM (SELECT doc_id, source,
+                   string_split(regexp_replace(trim(lower(text)),
+                                '\\s+', ' ', 'g'), ' ') AS ws
+            FROM documents) d
+    ), prv AS (
+      SELECT doc_id, source, p, L,
+             coalesce(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p),
+                      -1) AS prev
+      FROM pos
+    ), contrib AS (
+      SELECT doc_id, source, L,
+             greatest(prev + 1, p - {_MATTR_W} + 1, 0) AS a,
+             least(p, L - {_MATTR_W}) AS b
+      FROM prv WHERE L >= {_MATTR_W}
+    ), perdoc AS (
+      SELECT doc_id, source,
+             sum(CASE WHEN b >= a THEN b - a + 1 ELSE 0 END) * 1.0
+               / ((max(L) - {_MATTR_W} + 1) * {_MATTR_W}) AS mattr
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT source, count(*) AS n_docs,
+           round(CAST(sum(CAST(mattr AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS avg_mattr
+    FROM perdoc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "lexical-diversity", "documents"),
+)
+def text_mattr_diversity(spark, sf_dir):
+    """MATTR (moving-average type-token ratio, Covington & McFall —
+    the length-independent lexical-diversity measure; plain TTR decays
+    with length, which is why text_hapax_ratio can't compare docs):
+    mean distinct-type count over every complete {_MATTR_W}-token
+    window, / {_MATTR_W}.
+
+    THE INTERVAL-CONTRIBUTION TRICK (no per-window distinct pass):
+    token occurrence at position p is the FIRST of its type inside
+    window w iff prev_occurrence(p) < w ≤ p, so it adds 1 to exactly
+    the windows w ∈ [max(prev+1, p−W+1, 0), min(p, L−W)] — and
+    Σ_w distinct(w) is just the sum of those clamped interval lengths.
+    One lag window + one sum replaces a per-window count-distinct
+    (which would be W× the data); everything stays integer until the
+    final two divisions.
+
+    Scale: positions shuffle once on (doc, token) for the lag;
+    per-doc then per-source aggregation; per-doc MATTR sums cast
+    per-term to DECIMAL so the source average is order-free."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+        ).alias("ws"),
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.size("ws").alias("L"),
+        F.posexplode("ws").alias("p", "w"),
+    )
+    wlag = Window.partitionBy("doc_id", "w").orderBy("p")
+    prv = pos.select(
+        "doc_id",
+        "source",
+        "p",
+        "L",
+        F.coalesce(F.lag("p").over(wlag), F.lit(-1)).alias("prev"),
+    )
+    contrib = prv.filter(F.col("L") >= _MATTR_W).select(
+        "doc_id",
+        "source",
+        "L",
+        F.greatest(
+            F.col("prev") + 1, F.col("p") - _MATTR_W + 1, F.lit(0)
+        ).alias("a"),
+        F.least(F.col("p"), F.col("L") - _MATTR_W).alias("b"),
+    )
+    perdoc = contrib.groupBy("doc_id", "source").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("b") >= F.col("a"),
+                    F.col("b") - F.col("a") + 1,
+                ).otherwise(0)
+            )
+            * 1.0
+            / ((F.max("L") - _MATTR_W + 1) * _MATTR_W)
+        ).alias("mattr")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("mattr").cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_mattr"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- weekly spectral energy
+
+import math as _math  # noqa: E402
+
+
+def _trig_case(k: int, fn) -> str:
+    """CASE lookup of cos/sin(2π·k·(t%7)/7) as full-precision double
+    literals — ONE string shared verbatim by both engines (repr() is
+    the exact shortest round-trip, so both parse the same double)."""
+    arms = " ".join(
+        f"WHEN {i} THEN CAST({fn(2.0 * _math.pi * k * i / 7.0)!r}"
+        " AS DOUBLE)"
+        for i in range(7)
+    )
+    return f"(CASE CAST(t % 7 AS INT) {arms} END)"
+
+
+_SPEC_TERMS = {
+    k: (_trig_case(k, _math.cos), _trig_case(k, _math.sin))
+    for k in (1, 2, 3)
+}
+
+
+@query(
+    "analytics_spectral_weekly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT cents / 100.0 AS y,
+             row_number() OVER (ORDER BY d) - 1 AS t,
+             cents
+      FROM daily
+    ), sums AS (
+      SELECT count(*) AS dd,
+             CAST(sum(cents) AS DOUBLE) AS sc,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+               AS sc2,
+             {", ".join(
+                 f'''CAST(sum(CAST({cos_} * y AS DECIMAL(38,6)))
+                      AS DOUBLE) AS a{k},
+                 CAST(sum(CAST({sin_} * y AS DECIMAL(38,6)))
+                      AS DOUBLE) AS b{k}'''
+                 for k, (cos_, sin_) in sorted(_SPEC_TERMS.items())
+             )}
+      FROM idx
+    )
+    SELECT k,
+           round(2.0 * sqrt(a * a + b * b) / dd, 4) AS amplitude,
+           round(2.0 * (a * a + b * b)
+                 / (dd * ((sc2 - sc * sc / dd) / 10000.0)), 6)
+             AS energy_share
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({k} AS BIGINT) AS k, a{k} AS a, b{k} AS b,"
+          f" dd, sc, sc2 FROM sums"
+          for k in sorted(_SPEC_TERMS)
+      )}
+    ) ORDER BY k
+    """,
+    tags=("analytics", "time-series", "spectral", "orders"),
+)
+def analytics_spectral_weekly(spark, sf_dir):
+    """WEEKLY-HARMONIC SPECTRAL ENERGY (periodogram probe at the 7-day
+    frequency and its 2nd/3rd harmonics — the frequency-domain twin of
+    analytics_seasonality_index, and the diagnostic that picks m for
+    analytics_holt_winters): a_k = Σ y_t·cos(2πkt/7),
+    b_k = Σ y_t·sin(2πkt/7), amplitude 2√(a²+b²)/D and the share of
+    centered energy 2(a²+b²)/(D·SS).
+
+    EXACTNESS: the 21 trig constants are repr()-exact double literals
+    in a CASE lookup shared VERBATIM by both engines (there are only 7
+    phases per harmonic — no per-row libm calls, so no cross-engine
+    sin/cos divergence is even possible); every product is cast to
+    DECIMAL per-term so the sums are order-free; SS comes from exact
+    integer cents power sums.
+
+    Scale: facts collapse to the calendar-bounded daily relation; the
+    harmonic sums are one fold (map-side partial) over ≤|days| rows."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    idx = daily.select(
+        (F.col("cents") / 100.0).alias("y"),
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("t"),
+        "cents",
+    )
+    aggs = [
+        F.count("*").alias("dd"),
+        F.sum("cents").cast("double").alias("sc"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("sc2"),
+    ]
+    for k, (cos_, sin_) in sorted(_SPEC_TERMS.items()):
+        aggs.append(
+            F.sum(F.expr(f"CAST({cos_} * y AS DECIMAL(38,6))"))
+            .cast("double")
+            .alias(f"a{k}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CAST({sin_} * y AS DECIMAL(38,6))"))
+            .cast("double")
+            .alias(f"b{k}")
+        )
+    sums = idx.agg(*aggs)
+    parts = []
+    for k in sorted(_SPEC_TERMS):
+        parts.append(
+            sums.select(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"a{k}").alias("a"),
+                F.col(f"b{k}").alias("b"),
+                "dd",
+                "sc",
+                "sc2",
+            )
+        )
+    un = parts[0]
+    for pth in parts[1:]:
+        un = un.unionAll(pth)
+    ss = (F.col("sc2") - F.col("sc") * F.col("sc") / F.col("dd")) / 10000.0
+    return un.select(
+        "k",
+        F.round(
+            2.0 * F.sqrt(F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            / F.col("dd"),
+            4,
+        ).alias("amplitude"),
+        F.round(
+            2.0
+            * (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            / (F.col("dd") * ss),
+            6,
+        ).alias("energy_share"),
+    ).orderBy("k")
+
+
+# ------------------------------------------------- Ansari-Bradley
+
+_AB_A, _AB_B = "purchase", "click"
+
+
+def _ab_s(x: str, intdiv: str) -> str:
+    """Closed-form prefix sum of Ansari-Bradley scores,
+    S(x) = Σ_{r<=x} min(r, N+1−r), as pure INTEGER arithmetic
+    (``intdiv`` is ``div`` on Spark, ``//`` on DuckDB — the geohash
+    convention; every product is even before its halving, so the
+    integer divisions are exact). References columns x and nn; mm is
+    floor((N+1)/2)."""
+    mm = f"(({x}) * 0 + (nn + 1) {intdiv} 2)"  # per-row constant
+    sx = f"CASE WHEN ({x}) <= {mm} THEN (({x}) * (({x}) + 1)) {intdiv} 2"
+    sm = f"(({mm}) * (({mm}) + 1)) {intdiv} 2"
+    tail = (
+        f"{sm} + (({x}) - {mm}) * (nn + 1)"
+        f" - ((({x}) * (({x}) + 1)) - (({mm}) * (({mm}) + 1))) {intdiv} 2"
+    )
+    return f"({sx} ELSE {tail} END)"
+
+
+@query(
+    "stats_ansari_bradley",
+    oracle=f"""
+    WITH f AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+    ), byv AS (
+      SELECT v, count(*) AS cnt, sum(g1) AS c1 FROM f GROUP BY 1
+    ), pos AS (
+      SELECT v, cnt, c1,
+             sum(cnt) OVER (ORDER BY v) - cnt AS before_,
+             sum(cnt) OVER () AS nn,
+             sum(c1) OVER () AS n1
+      FROM byv
+    ), sc AS (
+      SELECT v, cnt, c1, nn, n1,
+             ({_ab_s("before_ + cnt", "//")}
+              - {_ab_s("before_", "//")}) * 1.0 / cnt AS avg_score
+      FROM pos
+    ), agg AS (
+      SELECT max(nn) AS nn, max(n1) AS n1,
+             CAST(sum(CAST(c1 * avg_score AS DECIMAL(38,12)))
+                  AS DOUBLE) AS a_stat,
+             CAST(sum(CAST(cnt * avg_score * avg_score
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sa2,
+             CAST(sum(CAST(cnt * avg_score AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sa1
+      FROM sc
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(nn - n1 AS BIGINT) AS n2,
+           round(a_stat, 6) AS ab_stat,
+           round((a_stat - n1 * (sa1 / nn))
+                 / sqrt(n1 * (nn - n1) * 1.0 / (nn - 1)
+                        * (sa2 / nn - (sa1 / nn) * (sa1 / nn))), 6)
+             AS z
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test", "dispersion", "events"),
+)
+def stats_ansari_bradley(spark, sf_dir):
+    """ANSARI-BRADLEY TEST (rank test for equal DISPERSION — the
+    scale-difference slot next to the suite's location tests
+    Mann-Whitney/Mood; Levene/Bartlett are its parametric cousins):
+    scores a_r = min(r, N+1−r) pile up at the distribution's flanks,
+    so a group with larger spread collects smaller scores. Tied values
+    receive the exact AVERAGE of their run's scores via the
+    closed-form prefix S(x) = Σ min(r, N+1−r) — integer arithmetic
+    (the `div`-vs-`//` shared-expression convention), one division
+    per distinct value. z uses the exact finite-sampling moments of a
+    tie-averaged linear rank statistic: E[A] = n1·ā,
+    Var[A] = n1·n2·σ²_a/(N−1).
+
+    Scale: the fact scan collapses to distinct values first; the rank
+    windows run over the value support, not the rows; every sum casts
+    per-term to DECIMAL (order-free)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_A, _AB_B)
+    )
+    byv = e.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == _AB_A, 1).otherwise(0)
+        ).alias("c1"),
+    )
+    wv = Window.orderBy("v")
+    wall = Window.partitionBy()
+    pos = byv.select(
+        "v",
+        "cnt",
+        "c1",
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("before_"),
+        F.sum("cnt").over(wall).alias("nn"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    sc = pos.select(
+        "cnt",
+        "c1",
+        "nn",
+        "n1",
+        F.expr(
+            f"({_ab_s('before_ + cnt', 'div')}"
+            f" - {_ab_s('before_', 'div')}) * 1.0 / cnt"
+        ).alias("avg_score"),
+    )
+    agg = sc.agg(
+        F.max("nn").alias("nn"),
+        F.max("n1").alias("n1"),
+        F.sum(
+            (F.col("c1") * F.col("avg_score")).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("a_stat"),
+        F.sum(
+            (
+                F.col("cnt") * F.col("avg_score") * F.col("avg_score")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sa2"),
+        F.sum(
+            (F.col("cnt") * F.col("avg_score")).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sa1"),
+    )
+    abar = F.col("sa1") / F.col("nn")
+    var = (
+        F.col("n1")
+        * (F.col("nn") - F.col("n1"))
+        * 1.0
+        / (F.col("nn") - 1)
+        * (F.col("sa2") / F.col("nn") - abar * abar)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("nn") - F.col("n1")).cast("long").alias("n2"),
+        F.round("a_stat", 6).alias("ab_stat"),
+        F.round(
+            (F.col("a_stat") - F.col("n1") * abar) / F.sqrt(var), 6
+        ).alias("z"),
+    )

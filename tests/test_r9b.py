@@ -264,3 +264,70 @@ def test_bass_diffusion_matches_numpy_lstsq(spark):
     assert math.isclose(
         row["a"] + row["b"] * m + row["c"] * m * m, 0.0, abs_tol=5e-3
     )
+
+
+def test_mattr_matches_direct_window_count(spark):
+    """The interval-contribution formulation must equal the literal
+    per-window distinct-type count, recomputed doc by doc."""
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    W = 25
+    per_source: dict[str, list[float]] = {}
+    for _, row in docs.iterrows():
+        toks = re.sub(r"\s+", " ", row["text"].lower().strip()).split(" ")
+        L = len(toks)
+        if L < W:
+            continue
+        vals = [
+            len(set(toks[w : w + W])) / W for w in range(0, L - W + 1)
+        ]
+        per_source.setdefault(row["source"], []).append(
+            sum(vals) / len(vals)
+        )
+    got = {
+        r["source"]: (r["n_docs"], r["avg_mattr"])
+        for r in _run(spark, "text_mattr_diversity").collect()
+    }
+    assert set(got) == set(per_source)
+    for src, ms in per_source.items():
+        assert got[src][0] == len(ms)
+        assert math.isclose(
+            got[src][1], sum(ms) / len(ms), abs_tol=2e-6
+        ), src
+
+
+def test_ansari_bradley_matches_bruteforce_scores(spark):
+    """The closed-form S(x) tie-averaged scores must equal literal
+    enumeration: sort the combined sample, score min(r, N+1-r),
+    average scores within tied runs, sum over group 1."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    f = ev[ev["event_type"].isin(["purchase", "click"])]
+    v = f["value"].to_numpy()
+    g1 = (f["event_type"] == "purchase").to_numpy()
+    order = np.argsort(v, kind="stable")
+    n = len(v)
+    raw = np.minimum(np.arange(1, n + 1), n + 1 - np.arange(1, n + 1))
+    score = np.empty(n)
+    sv = v[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        score[i:j] = raw[i:j].mean()
+        i = j
+    a_stat = float(score[g1[order]].sum())
+    abar = score.mean()
+    var = (
+        g1.sum()
+        * (n - g1.sum())
+        / (n - 1)
+        * float(((score - abar) ** 2).mean())
+    )
+    z = (a_stat - g1.sum() * abar) / math.sqrt(var)
+    row = _run(spark, "stats_ansari_bradley").collect()[0]
+    assert row["n1"] == int(g1.sum())
+    assert row["n2"] == int(n - g1.sum())
+    assert math.isclose(row["ab_stat"], a_stat, rel_tol=1e-9, abs_tol=1e-4)
+    assert math.isclose(row["z"], z, abs_tol=1e-5)
