@@ -2237,3 +2237,77 @@ def stats_ansari_bradley(spark, sf_dir):
             (F.col("a_stat") - F.col("n1") * abar) / F.sqrt(var), 6
         ).alias("z"),
     )
+
+
+# ----------------------------------- streaming Python DataSource
+
+_SGS_ROWS, _SGS_BATCH, _SGS_PARTS = 2000, 500, 4
+
+
+@query(
+    "io_python_datasource_stream",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT i AS id,
+             (i * 2654435761) % 4294967296 AS h
+      FROM unnest(range(0, {_SGS_ROWS})) t(i)
+    )
+    SELECT CAST((h // 256) % 10 AS BIGINT) AS sensor,
+           count(*) AS n,
+           CAST(sum(h % 997) AS BIGINT) AS total_metric,
+           CAST(min(id) AS BIGINT) AS first_id
+    FROM rows_ GROUP BY 1 ORDER BY 1
+    """,
+    tags=("io", "datasource", "streaming", "spark4"),
+)
+def io_python_datasource_stream(spark, sf_dir):
+    """STREAMING Python DataSource (Spark 4 ``DataSourceStreamReader``
+    — the readStream twin of io_python_datasource): the same seeded
+    generator exposed as a MICRO-BATCHED source whose ``latestOffset``
+    advances {_SGS_BATCH} rows per call, drained here with
+    ``processAllAvailable`` — {_SGS_ROWS // _SGS_BATCH} real
+    micro-batches, each planned into {_SGS_PARTS} executor-side
+    partitions, appended exactly-once to a memory sink. Because the
+    rows come from the Knuth formula, the WHOLE streaming path (offset
+    bookkeeping → per-batch partition planning → Arrow transfer →
+    sink) is hash-verified against DuckDB replaying the algebra — the
+    strongest correctness gate the streaming source API can get.
+
+    Scale: partitions(start, end) splits every micro-batch across the
+    cluster like any streaming scan; nothing materializes on the
+    driver. tests/test_r9b.py pins that >= 2 micro-batches actually
+    ran (the offset plateau is real, not one giant batch)."""
+    from gcp_etl_spark.sources.synthgen import register
+
+    register(spark)
+    sink = "synthgen_stream_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    sdf = (
+        spark.readStream.format("synthgen")
+        .option("rows", _SGS_ROWS)
+        .option("batchRows", _SGS_BATCH)
+        .option("numPartitions", _SGS_PARTS)
+        .load()
+    )
+    query_ = (
+        sdf.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query_.processAllAvailable()
+    finally:
+        query_.stop()
+    return (
+        spark.table(sink)
+        .groupBy("sensor")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("metric").cast("long").alias("total_metric"),
+            F.min("id").cast("long").alias("first_id"),
+        )
+        .orderBy("sensor")
+    )

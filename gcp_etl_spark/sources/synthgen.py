@@ -21,7 +21,12 @@ driver-side row materialization.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 KNUTH = 2654435761  # 2^32 / golden ratio, the classic multiplicative hash
@@ -72,10 +77,54 @@ class SynthGenDataSource(DataSource):
     def reader(self, schema: StructType) -> SynthGenReader:
         return SynthGenReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "SynthGenStreamReader":
+        return SynthGenStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     try:
         spark.dataSource.register(SynthGenDataSource)
     except Exception:  # noqa: BLE001 - re-registration raises on some builds
+        pass
+
+
+class SynthGenStreamReader(DataSourceStreamReader):
+    """Micro-batched STREAMING reader over the same seeded formula:
+    each ``latestOffset`` call advances the available range by
+    ``batchRows``, so a ``processAllAvailable`` drain executes
+    ceil(rows / batchRows) real micro-batches before the offset
+    plateaus at ``rows`` — exercising offset tracking, per-batch
+    partition planning, and executor-side reads, while staying exactly
+    replayable in SQL (same Knuth formula, same id range)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.total = int(options.get("rows", 2000))
+        self.batch = int(options.get("batchRows", 500))
+        self.n_parts = int(options.get("numPartitions", 4))
+        self._avail = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._avail = min(self.total, self._avail + self.batch)
+        return {"pos": self._avail}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["pos"]), int(end["pos"])
+        per = -(-(e - s) // self.n_parts)  # ceil
+        return [
+            _RangePartition(s + i * per, min(s + (i + 1) * per, e), i)
+            for i in range(self.n_parts)
+            if s + i * per < e
+        ]
+
+    def read(self, partition: _RangePartition):
+        # identical executor-side formula as the batch reader
+        for i in range(partition.start, partition.end):
+            h = (i * KNUTH) % (1 << 32)
+            yield (i, partition.pid, h % 997, (h >> 8) % 10)
+
+    def commit(self, end: dict) -> None:
         pass

@@ -331,3 +331,50 @@ def test_ansari_bradley_matches_bruteforce_scores(spark):
     assert row["n2"] == int(n - g1.sum())
     assert math.isclose(row["ab_stat"], a_stat, rel_tol=1e-9, abs_tol=1e-4)
     assert math.isclose(row["z"], z, abs_tol=1e-5)
+
+
+def test_streaming_datasource_runs_multiple_microbatches(spark):
+    """The offset plateau must be real: draining the synthgen stream
+    executes ceil(rows/batchRows) micro-batches (not one giant batch),
+    appends exactly rows rows, and a re-run in the same session starts
+    clean (no double-append from the previous sink table)."""
+    from gcp_etl_spark.queries import load_all
+
+    fn = load_all()["io_python_datasource_stream"].fn
+    out1 = {r["sensor"]: (r["n"], r["total_metric"]) for r in fn(spark, SF_SMALL).collect()}
+    assert sum(n for n, _ in out1.values()) == 2000
+    assert not [
+        q
+        for q in spark.streams.active
+        if q.name == "synthgen_stream_sink"
+    ]
+    out2 = {r["sensor"]: (r["n"], r["total_metric"]) for r in fn(spark, SF_SMALL).collect()}
+    assert out1 == out2
+    # drive the stream directly and count REAL micro-batches
+    from gcp_etl_spark.sources.synthgen import register
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthgen")
+        .option("rows", 2000)
+        .option("batchRows", 500)
+        .option("numPartitions", 4)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("synthgen_stream_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+    finally:
+        q.stop()
+    assert n_batches >= 2, [p["numInputRows"] for p in q.recentProgress]
+    assert (
+        sum(p["numInputRows"] for p in q.recentProgress) == 2000
+    )
