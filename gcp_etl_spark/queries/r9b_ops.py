@@ -2311,3 +2311,325 @@ def io_python_datasource_stream(spark, sf_dir):
         )
         .orderBy("sensor")
     )
+
+
+# ---------------------------------------------- Mann-Kendall trend
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ), ties AS (
+      SELECT coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0) AS tie_adj
+      FROM (SELECT count(*) AS tt FROM daily GROUP BY c
+            HAVING count(*) > 1)
+    ), nn AS (SELECT count(*) AS n FROM daily)
+    SELECT n, s,
+           round((s - CASE WHEN s > 0 THEN 1
+                           WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_adj) / 18.0), 6) AS z_mk
+    FROM pairs, ties, nn
+    """,
+    tags=("stats", "hypothesis-test", "trend", "orders"),
+)
+def stats_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL TREND TEST (the standard nonparametric monotone
+    trend test — the significance companion to analytics_theil_sen,
+    whose slope it decides is real): S = Σ_{i<j} sign(x_j − x_i) over
+    the daily-revenue series, tie-corrected variance
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, continuity-corrected z. Every
+    accumulator is an exact BIGINT on exact cents.
+
+    Scale: the pair join runs on the CALENDAR-BOUNDED daily relation
+    (≤|days|² ≈ 5.8M comparisons at any corpus size — constant, not
+    data-scaled); the fact scan collapses first."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("c")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count("*").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tt")
+                    * (F.col("tt") - 1)
+                    * (2 * F.col("tt") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_adj")
+        )
+    )
+    nn = daily.agg(F.count("*").alias("n"))
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_adj")
+    ) / 18.0
+    return (
+        pairs.crossJoin(ties)
+        .crossJoin(nn)
+        .select(
+            "n",
+            "s",
+            F.round((F.col("s") - cc) / F.sqrt(var), 6).alias("z_mk"),
+        )
+    )
+
+
+# ------------------------------------------------- Granger (lite)
+
+
+@query(
+    "analytics_granger_lite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS x,
+             count(*) AS z
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT x AS y,
+             lag(x) OVER (ORDER BY d) AS xl,
+             lag(z) OVER (ORDER BY d) AS zl
+      FROM daily
+    ), m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(y  AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xl AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(zl AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+             CAST(sum(CAST(y * y   AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(xl * xl AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(zl * zl AS DECIMAL(38,6))) AS DOUBLE) AS szz,
+             CAST(sum(CAST(y * xl  AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y * zl  AS DECIMAL(38,6))) AS DOUBLE) AS szy,
+             CAST(sum(CAST(xl * zl AS DECIMAL(38,6))) AS DOUBLE) AS sxz
+      FROM lagged WHERE xl IS NOT NULL
+    ), c AS (
+      SELECT n,
+             syy - sy * sy / n AS cyy,
+             sxx - sx * sx / n AS cxx,
+             szz - sz * sz / n AS czz,
+             sxy - sx * sy / n AS cxy,
+             szy - sz * sy / n AS czy,
+             sxz - sx * sz / n AS cxz
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(cyy - cxy * cxy / cxx, 4) AS rss_restricted,
+           round(cyy - (czz * cxy * cxy - 2 * cxz * cxy * czy
+                        + cxx * czy * czy)
+                       / (cxx * czz - cxz * cxz), 4) AS rss_full,
+           round(((cyy - cxy * cxy / cxx)
+                  - (cyy - (czz * cxy * cxy - 2 * cxz * cxy * czy
+                            + cxx * czy * czy)
+                           / (cxx * czz - cxz * cxz)))
+                 / ((cyy - (czz * cxy * cxy - 2 * cxz * cxy * czy
+                            + cxx * czy * czy)
+                           / (cxx * czz - cxz * cxz)) / (n - 3)), 6)
+             AS f_granger
+    FROM c
+    """,
+    tags=("analytics", "time-series", "causality", "orders"),
+)
+def analytics_granger_lite(spark, sf_dir):
+    """GRANGER CAUSALITY (lag-1, 'lite'): does yesterday's ORDER COUNT
+    improve today's REVENUE forecast beyond yesterday's revenue alone?
+    F = (RSS_restricted − RSS_full)/(RSS_full/(n−3)) comparing
+    x_t ~ x_{t−1} against x_t ~ x_{t−1} + z_{t−1}, both fit by exact
+    closed-form OLS on centered moments (the 2-feature normal
+    equations inverted symbolically — the agg_ols_two_feature
+    pattern). Per-term decimal casts keep all nine cross-moments
+    order-free.
+
+    Scale: facts collapse to the calendar-bounded daily relation; one
+    lag window, one nine-sum fold, a 1-row closed form."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+        ).alias("x"),
+        F.count("*").alias("z"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("x").alias("y"),
+        F.lag("x").over(w).alias("xl"),
+        F.lag("z").over(w).alias("zl"),
+    ).filter(F.col("xl").isNotNull())
+    dsum6 = lambda e: F.sum(e.cast("decimal(38,6)")).cast(  # noqa: E731
+        "double"
+    )
+    y, xl, zl = F.col("y"), F.col("xl"), F.col("zl")
+    m = lagged.agg(
+        F.count("*").alias("n"),
+        dsum6(y).alias("sy"),
+        dsum6(xl).alias("sx"),
+        dsum6(zl).alias("sz"),
+        dsum6(y * y).alias("syy"),
+        dsum6(xl * xl).alias("sxx"),
+        dsum6(zl * zl).alias("szz"),
+        dsum6(y * xl).alias("sxy"),
+        dsum6(y * zl).alias("szy"),
+        dsum6(xl * zl).alias("sxz"),
+    )
+    n = F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
+    rss_r = cyy - cxy * cxy / cxx
+    rss_f = cyy - (
+        czz * cxy * cxy - 2 * cxz * cxy * czy + cxx * czy * czy
+    ) / (cxx * czz - cxz * cxz)
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(rss_r, 4).alias("rss_restricted"),
+        F.round(rss_f, 4).alias("rss_full"),
+        F.round((rss_r - rss_f) / (rss_f / (n - 3)), 6).alias(
+            "f_granger"
+        ),
+    )
+
+
+# --------------------------------------------- Theil index decomposition
+
+
+@query(
+    "analytics_theil_index",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), tot AS (
+      SELECT count(*) AS n, CAST(sum(cents) AS DOUBLE) AS s
+      FROM cust
+    ), within AS (
+      SELECT CAST(sum(CAST((cents / (s / n))
+                           * ln(cents / (s / n)) / n
+                           AS DECIMAL(38,12))) AS DOUBLE) AS t_total
+      FROM cust, tot
+    ), grp AS (
+      SELECT nation, count(*) AS ng, CAST(sum(cents) AS DOUBLE) AS sg
+      FROM cust GROUP BY 1
+    ), between_ AS (
+      SELECT CAST(sum(CAST((sg / s) * ln((sg / s) / (ng * 1.0 / n))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS t_between
+      FROM grp, tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(t_total, 6) AS theil_total,
+           round(t_between, 6) AS theil_between,
+           round(t_total - t_between, 6) AS theil_within
+    FROM within, between_, tot
+    """,
+    tags=("analytics", "inequality", "orders", "customer"),
+)
+def analytics_theil_index(spark, sf_dir):
+    """THEIL T INEQUALITY INDEX with between/within-nation
+    decomposition (the additively-decomposable inequality measure —
+    what analytics_gini cannot do: T_total = T_between + Σ w_g T_g
+    splits customer-spend inequality into cross-nation and
+    within-nation parts): T = (1/n)Σ (x_i/μ)·ln(x_i/μ),
+    T_between = Σ (s_g/S)·ln((s_g/S)/(n_g/n)).
+
+    EXACTNESS: spend is exact cents; μ and the ratios are identical
+    IEEE operands both engines; each ln() term is cast to
+    DECIMAL(38,12) before summing — order-free AND absorbing any
+    sub-1e-12 libm ulp disagreement between the JVM's and DuckDB's ln.
+
+    Scale: one grouped sum per customer (facts collapse first), a
+    |nations|-row group pass, two folds."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("cents").cast("double").alias("s")
+    )
+    mu = F.col("s") / F.col("n")
+    within = cust.crossJoin(tot).agg(
+        F.sum(
+            (
+                (F.col("cents") / mu)
+                * F.log(F.col("cents") / mu)
+                / F.col("n")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("t_total")
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count("*").alias("ng"), F.sum("cents").cast("double").alias("sg")
+    )
+    between = grp.crossJoin(tot).agg(
+        F.sum(
+            (
+                (F.col("sg") / F.col("s"))
+                * F.log(
+                    (F.col("sg") / F.col("s"))
+                    / (F.col("ng") * 1.0 / F.col("n"))
+                )
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("t_between")
+    )
+    return (
+        within.crossJoin(between)
+        .crossJoin(tot)
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round("t_total", 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round(F.col("t_total") - F.col("t_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )
