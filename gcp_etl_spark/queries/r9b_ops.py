@@ -2633,3 +2633,197 @@ def analytics_theil_index(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------------ Hurst exponent (R/S)
+
+_HURST_SIZES = (8, 16, 32, 64)
+# ln(n) for the regression x-axis as repr()-exact shared literals —
+# computed once here, parsed identically by both engines
+_HURST_LNS = {n: repr(_math.log(n)) for n in _HURST_SIZES}
+
+
+@query(
+    "analytics_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT c, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+    ), sized AS (
+      SELECT s.n, idx.c, idx.i,
+             idx.i // s.n AS blk,
+             idx.i % s.n AS pos
+      FROM idx, (VALUES {", ".join(f"({n})" for n in _HURST_SIZES)})
+                s(n)
+    ), blkstat AS (
+      SELECT n, blk,
+             count(*) AS m,
+             sum(c) AS s1,
+             sum(CAST(c AS DECIMAL(38,0)) * c) AS s2
+      FROM sized GROUP BY 1, 2
+    ), dev AS (
+      SELECT s.n, s.blk,
+             s.n * sum(s.c) OVER (PARTITION BY s.n, s.blk
+                                  ORDER BY s.pos)
+               - (s.pos + 1) * b.s1 AS ndev
+      FROM sized s JOIN blkstat b
+        ON b.n = s.n AND b.blk = s.blk AND b.m = s.n
+    ), rs AS (
+      SELECT n, blk,
+             (max(ndev) - min(ndev)) * 1.0
+               / sqrt(CAST(max_s2n AS DOUBLE)) AS rs_ratio
+      FROM (SELECT d.*,
+                   b.n * b.s2 - CAST(b.s1 AS DECIMAL(38,0)) * b.s1
+                     AS max_s2n
+            FROM dev d JOIN blkstat b
+              ON b.n = d.n AND b.blk = d.blk)
+      GROUP BY n, blk, max_s2n
+      HAVING max_s2n > 0
+    ), avg_rs AS (
+      SELECT n,
+             count(*) AS n_blocks,
+             CAST(sum(CAST(rs_ratio AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*) AS mean_rs
+      FROM rs GROUP BY 1
+    ), pts AS (
+      SELECT CASE n {" ".join(
+          f"WHEN {n} THEN CAST({ln} AS DOUBLE)"
+          for n, ln in _HURST_LNS.items())} END AS x,
+             ln(mean_rs) AS y
+      FROM avg_rs
+    ), fit AS (
+      SELECT count(*) AS k,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_sizes,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+             AS hurst
+    FROM fit
+    """,
+    tags=("analytics", "time-series", "long-memory", "orders"),
+)
+def analytics_hurst_rs(spark, sf_dir):
+    """HURST EXPONENT via rescaled-range (R/S) analysis (Hurst 1951 /
+    Mandelbrot — long-memory diagnostic: H≈0.5 random walk, H>0.5
+    persistent trends, H<0.5 mean reversion; the long-horizon
+    companion to stats_variance_ratio's fixed-q test): for block sizes
+    n ∈ {_HURST_SIZES}, split the daily-revenue series into full
+    blocks, R = range of cumulative deviations from the block mean,
+    S = population std; H = slope of ln(mean R/S) on ln(n).
+
+    THE INTEGER-SCALED CUMDEV TRICK: multiplying through by n makes
+    every cumulative deviation exact — n·dev_t = n·Σ_{{i≤t}}c_i − t·S1
+    (BIGINT cents), and n²S² = n·S2 − S1² (DECIMAL) — so R/S is ONE
+    division of exact operands per block; no double prefix sums (the
+    binseg segment-tree lesson applies to windowed sums here too).
+    ln(n) regression x-coordinates are repr()-exact shared literals;
+    runtime ln() terms cast per-term to DECIMAL(38,12), absorbing any
+    libm ulp disagreement.
+
+    Scale: everything after the daily collapse is windows over the
+    calendar-bounded series × 4 sizes; the regression is a 4-point
+    closed form."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("c")
+    )
+    idx = daily.select(
+        "c", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
+    )
+    sizes = idx.select(
+        F.explode(
+            F.array(*[F.lit(nsz) for nsz in _HURST_SIZES])
+        ).alias("n"),
+        "c",
+        "i",
+    ).select(
+        "n",
+        "c",
+        "i",
+        (F.col("i") / F.col("n")).cast("long").alias("blk"),
+        (F.col("i") % F.col("n")).alias("pos"),
+    )
+    blkstat = sizes.groupBy("n", "blk").agg(
+        F.count("*").alias("m"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    wcum = Window.partitionBy("n", "blk").orderBy("pos")
+    dev = (
+        sizes.alias("s")
+        .join(
+            blkstat.alias("b"),
+            (F.col("s.n") == F.col("b.n"))
+            & (F.col("s.blk") == F.col("b.blk"))
+            & (F.col("b.m") == F.col("s.n")),
+        )
+        .select(
+            F.col("s.n").alias("n"),
+            F.col("s.blk").alias("blk"),
+            (
+                F.col("s.n") * F.sum("s.c").over(
+                    Window.partitionBy("s.n", "s.blk").orderBy("s.pos")
+                )
+                - (F.col("s.pos") + 1) * F.col("b.s1")
+            ).alias("ndev"),
+            (
+                F.col("b.n") * F.col("b.s2")
+                - F.col("b.s1").cast("decimal(38,0)") * F.col("b.s1")
+            ).alias("s2n"),
+        )
+    )
+    rs = (
+        dev.groupBy("n", "blk", "s2n")
+        .agg(
+            (
+                (F.max("ndev") - F.min("ndev"))
+                * 1.0
+                / F.sqrt(F.col("s2n").cast("double"))
+            ).alias("rs_ratio")
+        )
+        .filter(F.col("s2n") > 0)
+    )
+    avg_rs = rs.groupBy("n").agg(
+        F.count("*").alias("n_blocks"),
+        (
+            F.sum(F.col("rs_ratio").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_rs"),
+    )
+    xexpr = "CASE n " + " ".join(
+        f"WHEN {n} THEN CAST({ln} AS DOUBLE)"
+        for n, ln in _HURST_LNS.items()
+    ) + " END"
+    pts = avg_rs.select(
+        F.expr(xexpr).alias("x"), F.log("mean_rs").alias("y")
+    )
+    d12 = lambda e: F.sum(e.cast("decimal(38,12)")).cast(  # noqa: E731
+        "double"
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        d12(F.col("x")).alias("sx"),
+        d12(F.col("y")).alias("sy"),
+        d12(F.col("x") * F.col("y")).alias("sxy"),
+        d12(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k = F.col("k")
+    return fit.select(
+        k.cast("long").alias("n_sizes"),
+        F.round(
+            (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (k * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("hurst"),
+    )

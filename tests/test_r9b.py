@@ -378,3 +378,31 @@ def test_streaming_datasource_runs_multiple_microbatches(spark):
     assert (
         sum(p["numInputRows"] for p in q.recentProgress) == 2000
     )
+
+
+def test_hurst_rs_matches_numpy_blocks(spark):
+    """The integer-scaled cumdev algebra must equal the literal R/S
+    recipe: per full block, range of cumulative deviations from the
+    block mean over the population std; H = 4-point log-log slope."""
+    daily = _daily_cents(pd.read_parquet(f"{SF_SMALL}/orders.parquet"))
+    c = daily.to_numpy().astype(float)
+    pts = []
+    for n in (8, 16, 32, 64):
+        ratios = []
+        for b in range(len(c) // n):
+            blk = c[b * n : (b + 1) * n]
+            dev = np.cumsum(blk - blk.mean())
+            s = blk.std()  # population
+            if s > 0:
+                ratios.append((dev.max() - dev.min()) / s)
+        if ratios:
+            pts.append((math.log(n), math.log(np.mean(ratios))))
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    k = len(pts)
+    slope = (k * (x * y).sum() - x.sum() * y.sum()) / (
+        k * (x * x).sum() - x.sum() ** 2
+    )
+    row = _run(spark, "analytics_hurst_rs").collect()[0]
+    assert row["n_sizes"] == k
+    assert math.isclose(row["hurst"], slope, abs_tol=1e-5)
