@@ -148,11 +148,14 @@ def _sweep(spark, specs, offenders):
 _FP_FILE = "tests/plan_fingerprints.json"
 
 # EVERY query >= 1 s in the latest full bench detail (r8 + r9), union
-# the original r7 top-20 — 170 plans; pinned as a literal so a bench
-# reshuffle cannot silently change what this test covers. Regen:
+# the original r7 top-20 and the r9 second-batch queries >= 1 s warm
+# at sf0.1 — 175 plans; pinned as a literal so a bench reshuffle
+# cannot silently change what this test covers. Regen:
 # SPARK_GRAFT_REGEN_FINGERPRINTS=1 python -m pytest
 #   tests/test_plan_hygiene.py -k fingerprints
 _FP_QUERIES = [
+    "graph_link_prediction", "io_python_datasource_stream",
+    "stats_gamma_somers", "io_parquet_codecs", "text_burrows_delta",
     "ab_test_proportions", "agg_bitmap_distinct", "agg_corr",
     "agg_map_from_entries", "agg_median", "agg_ols_two_feature",
     "agg_percentile_disc", "agg_regr_covar", "agg_skew_kurt", "agg_stats",
