@@ -689,26 +689,27 @@ _PERM_B_COUNT = 199  # Monte-Carlo relabelings; p floors at 1/(B+1) = 0.005
       SELECT avg(value) FILTER (a = 1) - avg(value) FILTER (a = 0) AS d
       FROM s
     ), perm AS (
-      -- an md5 hex digest is exactly 32 chars = FOUR 8-char windows:
-      -- permutation b = 4g + w reads window w of digest md5(g : id),
-      -- so each row computes ceil(B/4) digests instead of B; the hex
+      -- an md5 hex digest is exactly 32 chars = EIGHT 4-char windows:
+      -- permutation b = 8g + w reads window w of digest md5(g : id),
+      -- so each row computes ceil(B/8) digests instead of B; the hex
       -- window compares as a fixed-width lowercase STRING against the
-      -- %08x threshold floor(2^32 * n_a / n) — lexicographic ==
-      -- numeric for fixed-width hex
-      SELECT g.g * 4 + w.w AS b,
+      -- %04x threshold floor(2^16 * n_a / n) — lexicographic ==
+      -- numeric for fixed-width hex (16-bit draw granularity shifts
+      -- the effective assignment p by < 1/65536, immaterial at B=199)
+      SELECT g.g * 8 + w.w AS b,
              CASE WHEN substr(
                     md5(CAST(g.g AS VARCHAR) || ':' ||
                         CAST(s.event_id AS VARCHAR)),
-                    1 + 8 * w.w, 8)
-                  < printf('%08x',
-                           CAST(floor(4294967296.0 * nn.na / nn.nt)
+                    1 + 4 * w.w, 4)
+                  < printf('%04x',
+                           CAST(floor(65536.0 * nn.na / nn.nt)
                                 AS BIGINT))
                   THEN 1 ELSE 0 END AS side,
              s.value
       FROM s CROSS JOIN nn,
-           generate_series(0, {(_PERM_B_COUNT + 3) // 4 - 1}) g(g),
-           generate_series(0, 3) w(w)
-      WHERE g.g * 4 + w.w < {_PERM_B_COUNT}
+           generate_series(0, {(_PERM_B_COUNT + 7) // 8 - 1}) g(g),
+           generate_series(0, 7) w(w)
+      WHERE g.g * 8 + w.w < {_PERM_B_COUNT}
     ), diffs AS (
       SELECT b, avg(value) FILTER (side = 1)
                - avg(value) FILTER (side = 0) AS d
@@ -761,13 +762,14 @@ def stats_permutation_test(spark, sf_dir):
     )
     # md5 is the wall-clock term (measured 5.6 of 7.5 s at sf0.1), so
     # the explode is structured digest-FIRST: one digest per
-    # (row, group g), then its 32 hex chars posexplode into FOUR
-    # independent 8-char windows (b = 4g + w) — a 4× cut in digests.
+    # (row, group g), then its 32 hex chars posexplode into EIGHT
+    # independent 4-char windows (b = 8g + w) — an 8× cut in digests
+    # vs the naive per-permutation digest (r9: was 4×; 16-bit draws
+    # shift the assignment p by < 1/65536, immaterial at B=199).
     # The hex window compares as a fixed-width lowercase STRING against
-    # the %08x-formatted threshold ⌊2³²·n_a/n⌋ (lexicographic ==
-    # numeric for fixed-width hex), killing the per-permutation conv
-    # (measured ~2 s of the wall on its own).
-    n_groups = (_PERM_B_COUNT + 3) // 4
+    # the %04x-formatted threshold ⌊2¹⁶·n_a/n⌋ (lexicographic ==
+    # numeric for fixed-width hex), killing the per-permutation conv.
+    n_groups = (_PERM_B_COUNT + 7) // 8
     dig = F.md5(
         F.concat(
             F.col("g").cast("string"),
@@ -776,9 +778,9 @@ def stats_permutation_test(spark, sf_dir):
         )
     )
     thr = F.format_string(
-        "%08x",
+        "%04x",
         F.floor(
-            F.lit(4294967296.0) * F.col("na") / F.col("nt")
+            F.lit(65536.0) * F.col("na") / F.col("nt")
         ).cast("long"),
     )
     perm = (
@@ -794,7 +796,7 @@ def stats_permutation_test(spark, sf_dir):
         )
         .select(
             "value",
-            (F.col("g") * 4).alias("b0"),
+            (F.col("g") * 8).alias("b0"),
             thr.alias("thr"),
             # regexp_extract_all slices the digest into its four 8-char
             # windows with md5 written ONCE in the expression tree — an
@@ -802,7 +804,7 @@ def stats_permutation_test(spark, sf_dir):
             # (and recompute) the digest per element after Catalyst's
             # projection collapse (measured: the 4× digest cut vanished)
             F.posexplode(
-                F.regexp_extract_all(dig, F.lit(".{8}"), 0)
+                F.regexp_extract_all(dig, F.lit(".{4}"), 0)
             ).alias("w", "win"),
         )
         .filter(F.col("b0") + F.col("w") < _PERM_B_COUNT)
