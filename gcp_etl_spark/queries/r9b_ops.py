@@ -2896,3 +2896,75 @@ def scalar_temporal_extras(spark, sf_dir):
         .orderBy("event_id")
         .limit(20)
     )
+
+
+# --------------------------------------------- rank normalization
+
+
+@query(
+    "prep_rank_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             (rank() OVER (PARTITION BY source ORDER BY n_chars)
+              + (count(*) OVER (PARTITION BY source, n_chars) - 1)
+                / 2.0
+              - 0.5)
+             / count(*) OVER (PARTITION BY source) AS u
+      FROM documents
+    ), decile AS (
+      SELECT source,
+             least(CAST(floor(u * 10) AS BIGINT), 9) AS dec_
+      FROM ranked
+    )
+    SELECT source, dec_ AS decile, count(*) AS n_docs
+    FROM decile GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("prep", "normalization", "documents"),
+)
+def prep_rank_normalize(spark, sf_dir):
+    """RANK (QUANTILE) NORMALIZATION across sources — the
+    distribution-free feature transform (van der Waerden's u without
+    the normal quantile): within each source, doc length maps to its
+    mid-rank percentile u = (midrank − 0.5)/n, making every source's
+    transformed feature uniform-on-[0,1] and hence COMPARABLE across
+    sources whose raw length distributions differ (the cross-source
+    prerequisite for pooled quality models — the prep twin of
+    dq_value_drift_psi, which only MEASURES the incomparability).
+    Output: per-source occupancy of the u-deciles — flat ≈ n/10 rows
+    per bucket everywhere certifies the transform (ties distort only
+    their own bucket).
+
+    EXACTNESS: mid-rank u = (rank_min + (ties−1)/2 − 0.5)/n is two
+    exact divisions of integer operands; the decile floor is exact.
+
+    Scale: one rank window per source partition (shuffles on source —
+    at 100 TB partition the window by (source, hash-bucket) and
+    two-pass merge, the global_row_number_twopass pattern); output is
+    |sources|×10 rows."""
+    d = t(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("n_chars")
+    wtie = Window.partitionBy("source", "n_chars")
+    wall = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        (
+            (
+                F.rank().over(wsrc)
+                + (F.count("*").over(wtie) - 1) / 2.0
+                - 0.5
+            )
+            / F.count("*").over(wall)
+        ).alias("u"),
+    )
+    return (
+        ranked.select(
+            "source",
+            F.least(
+                F.floor(F.col("u") * 10).cast("long"), F.lit(9)
+            ).alias("decile"),
+        )
+        .groupBy("source", "decile")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "decile")
+    )
