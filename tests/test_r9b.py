@@ -406,3 +406,42 @@ def test_hurst_rs_matches_numpy_blocks(spark):
     row = _run(spark, "analytics_hurst_rs").collect()[0]
     assert row["n_sizes"] == k
     assert math.isclose(row["hurst"], slope, abs_tol=1e-5)
+
+
+def test_viterbi_burst_matches_python_dp(spark):
+    """The two-fold Viterbi must equal a literal Python DP with the
+    same integer-scaled costs — including the decoded path, not just
+    the min cost — and the fixture must decode a non-trivial path."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize()).size().sort_index()
+    ns = daily.to_numpy()
+    dd = len(ns)
+    lam0 = ns.sum() * 1.0 / dd
+    lam1 = lam0 * 1.05
+    l0, l1 = math.log(lam0), math.log(lam1)
+    c0 = [math.floor(1e6 * (lam0 - n * l0)) for n in ns]
+    c1 = [math.floor(1e6 * (lam1 - n * l1)) for n in ns]
+    PEN = 500000
+    v0, v1 = c0[0], c1[0] + PEN
+    bs = []
+    for ti in range(1, dd):
+        p0 = 1 if v1 < v0 else 0
+        p1 = 0 if v0 + PEN < v1 else 1
+        v0, v1 = min(v0, v1) + c0[ti], min(v1, v0 + PEN) + c1[ti]
+        bs.append((p0, p1))
+    cur = 1 if v1 < v0 else 0
+    states = [cur]
+    for p0, p1 in reversed(bs):
+        cur = p0 if cur == 0 else p1
+        states.append(cur)
+    states.reverse()
+    segs = states[0] + sum(
+        1 for i in range(1, dd) if states[i] == 1 and states[i - 1] == 0
+    )
+    row = _run(spark, "events_burst_viterbi").collect()[0]
+    assert row["n_days"] == dd
+    assert row["n_burst_days"] == sum(states)
+    assert row["n_burst_segments"] == segs
+    assert row["min_cost_scaled"] == min(v0, v1)
+    # non-vacuity: both states appear
+    assert 0 < sum(states) < dd
