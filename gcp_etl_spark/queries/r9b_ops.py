@@ -3149,3 +3149,47 @@ def events_burst_viterbi(spark, sf_dir):
         .alias("n_burst_segments"),
         F.col("mc").alias("min_cost_scaled"),
     )
+
+
+# ------------------------------------------- boolean aggregate family
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_large,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_orderstatus IN ('F', 'O', 'P')) AS statuses_valid
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregate", "boolean", "orders"),
+)
+def agg_boolean_family(spark, sf_dir):
+    """BOOLEAN AGGREGATE FAMILY — the literal API surface for
+    predicate rollups: ``count_if`` (counting a predicate without a
+    CASE), ``bool_and``/``every`` (universal), ``bool_or``/``some``
+    (existential) — the idioms data-quality gates compile to (the
+    reference's own gate, k8s/dags/etl-gcp-vinicius-campos.py:146-151,
+    is a count_if in disguise: rows > 0). every/some are exercised as
+    the ANSI synonyms of bool_and/bool_or in the same plan.
+
+    Scale: all four are map-side-partial hash aggregates (AND/OR are
+    associative+commutative) — one shuffle of 5-group partials."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("count_if(o_totalprice > 100000)").alias("n_large"),
+            F.expr("bool_and(o_totalprice > 1000)").alias("all_over_1k"),
+            F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+            F.expr(
+                "every(o_orderstatus IN ('F', 'O', 'P'))"
+            ).alias("statuses_valid"),
+        )
+        .orderBy("priority")
+    )
