@@ -3193,3 +3193,152 @@ def agg_boolean_family(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# ------------------------------------------------ ACF + PACF (D-L)
+
+_PACF_K = 10
+
+
+@query(
+    "analytics_acf_pacf",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ), arrs AS (
+      SELECT count(*) AS dd, sum(c) AS sc, list(c ORDER BY d) AS cs
+      FROM daily
+    ), ysrel AS (
+      SELECT dd,
+             list_transform(cs, c -> c / 100.0 - sc / (100.0 * dd)) AS ys
+      FROM arrs
+    ), rhos AS (
+      SELECT list_transform(range(1, {_PACF_K} + 1), k ->
+               CAST(list_reduce(list_transform(
+                      range(CAST(k AS INT) + 1, CAST(len(ys) AS INT) + 1),
+                      t -> CAST(ys[t] * ys[t - k] AS DECIMAL(38,6))),
+                    (a, b) -> CAST(a + b AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(list_reduce(list_transform(ys,
+                      y -> CAST(y * y AS DECIMAL(38,6))),
+                    (a, b) -> CAST(a + b AS DECIMAL(38,6))) AS DOUBLE))
+             AS rho
+      FROM ysrel
+    ), dl AS (
+      SELECT 1 AS k, [rho[1]] AS phi, [rho[1]] AS pacf, rho FROM rhos
+      UNION ALL
+      SELECT k + 1,
+             list_transform(phi, (p, j) -> p - q.kk * phi[k + 1 - j])
+               || [q.kk],
+             pacf || [q.kk],
+             rho
+      FROM (
+        SELECT dl.*,
+               (rho[k + 1]
+                - list_reduce(list_transform(range(1, k + 1),
+                    j2 -> phi[j2] * rho[k + 1 - j2]), (a, b) -> a + b))
+               / (1.0 - list_reduce(list_transform(range(1, k + 1),
+                    j2 -> phi[j2] * rho[j2]), (a, b) -> a + b)) AS kk
+        FROM dl WHERE k < {_PACF_K}
+      ) q
+    ), fin AS (SELECT * FROM dl WHERE k = {_PACF_K})
+    SELECT CAST(t.k AS BIGINT) AS k,
+           round(rho[t.k], 6) AS acf,
+           round(pacf[t.k], 6) AS pacf
+    FROM fin, unnest(range(1, {_PACF_K} + 1)) t(k)
+    ORDER BY 1
+    """,
+    tags=("analytics", "time-series", "autocorrelation", "orders"),
+)
+def analytics_acf_pacf(spark, sf_dir):
+    """ACF + PACF to lag {_PACF_K} via the DURBIN-LEVINSON recursion
+    (the Box-Jenkins model-identification table: ACF cutoff → MA
+    order, PACF cutoff → AR order — the structured upgrade of
+    analytics_acf1 and the input stats_ljung_box tests jointly):
+    ρ_k from exact centered products (per-term decimal folds — both
+    engines sum SEQUENTIALLY via aggregate()/list_reduce, never a
+    pairwise list_sum), then φ_kk by the D-L update
+    φ_kk = (ρ_k − Σφ_{{k−1,j}}ρ_{{k−j}})/(1 − Σφ_{{k−1,j}}ρ_j).
+
+    The recursion runs as ONE F.aggregate fold over lag index with
+    nested inner-product folds (the Holt-Winters pattern, one level
+    deeper: HOFs inside HOFs) against a recursive-CTE oracle —
+    bit-identical because every inner sum is the same sequential
+    left fold on both engines.
+
+    Scale: facts collapse to the calendar-bounded daily series; the
+    K² recursion runs on one row."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("c")
+    )
+    arr = daily.agg(
+        F.count("*").alias("dd"),
+        F.sum("c").alias("sc"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, c))), p -> p.c)"
+        ).alias("cs"),
+    ).select(
+        "dd",
+        F.expr(
+            "transform(cs, c -> c / 100.0D - sc / (100.0D * dd))"
+        ).alias("ys"),
+    )
+    acf = arr.select(
+        F.expr(
+            f"""
+  transform(sequence(1, {_PACF_K}), k ->
+    CAST(aggregate(sequence(CAST(k AS INT) + 1, CAST(size(ys) AS INT)),
+      CAST(0 AS DECIMAL(38,6)),
+      (a, t) -> CAST(a + CAST(element_at(ys, t) * element_at(ys, t - k)
+                              AS DECIMAL(38,6)) AS DECIMAL(38,6)))
+      AS DOUBLE)
+    / CAST(aggregate(ys, CAST(0 AS DECIMAL(38,6)),
+        (a, y) -> CAST(a + CAST(y * y AS DECIMAL(38,6))
+                       AS DECIMAL(38,6))) AS DOUBLE))"""
+        ).alias("rho")
+    )
+    kk_expr = """(element_at(rho, k)
+                - aggregate(sequence(1, k - 1), 0.0D,
+                    (s, j2) -> s + element_at(acc.phi, j2)
+                                 * element_at(rho, k - j2)))
+               / (1.0D - aggregate(sequence(1, k - 1), 0.0D,
+                    (s, j2) -> s + element_at(acc.phi, j2)
+                                 * element_at(rho, j2)))"""
+    dl = acf.select(
+        "rho",
+        F.expr(
+            f"""
+  aggregate(
+    sequence(2, {_PACF_K}),
+    named_struct('phi', array(element_at(rho, 1)),
+                 'pacf', array(element_at(rho, 1))),
+    (acc, k) -> named_struct(
+      'phi', concat(
+         transform(acc.phi, (p, j) ->
+           p - ({kk_expr}) * element_at(acc.phi, k - 1 - j)),
+         array({kk_expr})),
+      'pacf', concat(acc.pacf, array({kk_expr}))))"""
+        ).alias("dl"),
+    )
+    return (
+        dl.select(
+            F.posexplode(
+                F.expr(
+                    "zip_with(rho, dl.pacf,"
+                    " (a, p) -> struct(a AS acf, p AS pacf))"
+                )
+            ).alias("k0", "v")
+        )
+        .select(
+            (F.col("k0") + 1).cast("long").alias("k"),
+            F.round(F.col("v.acf"), 6).alias("acf"),
+            F.round(F.col("v.pacf"), 6).alias("pacf"),
+        )
+        .orderBy("k")
+    )

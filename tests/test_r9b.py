@@ -445,3 +445,31 @@ def test_viterbi_burst_matches_python_dp(spark):
     assert row["min_cost_scaled"] == min(v0, v1)
     # non-vacuity: both states appear
     assert 0 < sum(states) < dd
+
+
+def test_acf_pacf_matches_numpy_levinson(spark):
+    """The nested-fold Durbin-Levinson must match a literal NumPy
+    implementation of the recursion on the same centered ACF."""
+    daily = _daily_cents(pd.read_parquet(f"{SF_SMALL}/orders.parquet"))
+    y = (daily / 100.0).to_numpy()
+    yc = y - y.mean()
+    den = float((yc * yc).sum())
+    K = 10
+    rho = [
+        float((yc[k:] * yc[:-k]).sum()) / den for k in range(1, K + 1)
+    ]
+    phi = [rho[0]]
+    pacf = [rho[0]]
+    for k in range(2, K + 1):
+        num = rho[k - 1] - sum(
+            phi[j] * rho[k - 2 - j] for j in range(k - 1)
+        )
+        d = 1.0 - sum(phi[j] * rho[j] for j in range(k - 1))
+        kk = num / d
+        phi = [phi[j] - kk * phi[k - 2 - j] for j in range(k - 1)] + [kk]
+        pacf.append(kk)
+    rows = {r["k"]: (r["acf"], r["pacf"]) for r in _run(spark, "analytics_acf_pacf").collect()}
+    assert set(rows) == set(range(1, K + 1))
+    for k in range(1, K + 1):
+        assert math.isclose(rows[k][0], rho[k - 1], abs_tol=2e-6), k
+        assert math.isclose(rows[k][1], pacf[k - 1], abs_tol=2e-6), k
