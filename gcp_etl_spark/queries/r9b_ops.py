@@ -3342,3 +3342,68 @@ def analytics_acf_pacf(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------------ gzip text roundtrip
+
+
+@query(
+    "io_text_gzip_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN line LIKE '%:A' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_a
+    FROM (
+      SELECT l_orderkey || ':' || l_linenumber || ':' || l_returnflag
+               AS line
+      FROM lineitem WHERE l_orderkey % 11 = 0
+    )
+    """,
+    tags=("io", "text", "compression", "lineitem"),
+)
+def io_text_gzip_roundtrip(spark, sf_dir):
+    """GZIP-COMPRESSED TEXT roundtrip (the .gz line-file path —
+    ingest pipelines meet it constantly; unlike parquet codecs, a
+    gzip TEXT file is NOT SPLITTABLE, which is the scale trap this
+    query documents): a derived line file is written
+    gzip-compressed, read back transparently (Spark decompresses by
+    extension), and the line count / char mass / flag tally must
+    reconstruct the source exactly.
+
+    Scale note: each .gz file decompresses in ONE task — the write
+    side controls parallelism by file count (here the source's
+    partitioning), never by split; at 100 TB prefer zstd-parquet or
+    uncompressed-splittable text for the hot path and treat .gz as an
+    ingest-only format.
+
+    Cites the reference's zip ingest (the same not-splittable
+    archive-at-rest shape): k8s/cloud-function/
+    airport-cloud-function.zip::main.py:5-31."""
+    import os
+
+    from gcp_etl_spark.scratch import scratch_dir
+
+    d = scratch_dir("io_text_gz", fresh=True)
+    path = os.path.join(d, "lines")
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("l_returnflag"),
+            ).alias("value")
+        )
+    )
+    src.write.mode("overwrite").option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("value").endswith(":A"), 1).otherwise(0)
+        ).alias("n_flag_a"),
+    )
