@@ -211,50 +211,26 @@ def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
     ).select("doc_id", "s.pos", "s.g")
     gh = grams.withColumn("h", F.xxhash64("g"))
     if df_cap is not None:
-        # POSTINGS-COMBINATION (the dedup_weighted_jaccard rewrite):
-        # the cap bounds every posting list, so each gram's <=
-        # C(cap, 2) ordered position pairs explode in place from one
-        # collect_list — one groupBy(h, g) shuffle replaces the
-        # keep-join + a><b shuffle join (~25% faster at sf0.1; at
-        # 100 TB it removes the largest exchange). Same-doc repeats of
-        # a gram produce NULL pair slots, filtered before the explode.
-        posts = (
+        keep = (
             gh.groupBy("h", "g")
-            .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
-            .filter(F.size("ps") <= df_cap)
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("h", "g")
         )
-        m = posts.select(
-            F.explode(
-                F.expr(
-                    """
-        filter(flatten(transform(ps, (x, i) ->
-          transform(slice(ps, i + 2, size(ps)), y ->
-            CASE WHEN x.doc_id < y.doc_id THEN
-                   struct(x.doc_id AS id_a, y.doc_id AS id_b,
-                          x.pos AS pa, x.pos - y.pos AS diag)
-                 WHEN y.doc_id < x.doc_id THEN
-                   struct(y.doc_id AS id_a, x.doc_id AS id_b,
-                          y.pos AS pa, y.pos - x.pos AS diag)
-                 ELSE CAST(NULL AS
-                   struct<id_a:bigint,id_b:bigint,pa:int,diag:int>)
-            END))), p -> p IS NOT NULL)"""
-                )
-            ).alias("pr")
-        ).select("pr.id_a", "pr.id_b", "pr.pa", "pr.diag")
-    else:
-        a = gh.alias("a")
-        b = gh.alias("b")
-        m = a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.pos").alias("pa"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-        )
+        gh = gh.join(keep, ["h", "g"])
+    a = gh.alias("a")
+    b = gh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
     r = m.withColumn(
         "grp",
         F.col("pa")
