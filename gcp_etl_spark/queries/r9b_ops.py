@@ -3407,3 +3407,94 @@ def io_text_gzip_roundtrip(spark, sf_dir):
             F.when(F.col("value").endswith(":A"), 1).otherwise(0)
         ).alias("n_flag_a"),
     )
+
+
+# --------------------------------------------- Goertzel audio energy
+
+_GZ_N = 2048  # samples per clip (the codec fixture's clip length)
+_GZ_BINS = (64, 128, 256)  # DFT bin indices probed per clip
+# 2cos(2*pi*f/N) as repr()-exact literals shared by both engines
+_GZ_COEF = {
+    f: repr(2.0 * _math.cos(2.0 * _math.pi * f / _GZ_N))
+    for f in _GZ_BINS
+}
+
+
+@query(
+    "multimodal_audio_goertzel",
+    oracle=f"""
+    WITH RECURSIVE clips AS (
+      SELECT 2 * i + 1 AS media_id FROM generate_series(0, 31) t(i)
+    ), bins(fbin, c) AS (
+      VALUES {", ".join(
+        f"({f}, CAST({c} AS DOUBLE))" for f, c in _GZ_COEF.items())}
+    ), g AS (
+      SELECT media_id, fbin, c, 0 AS i,
+             CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2
+      FROM clips, bins
+      UNION ALL
+      SELECT media_id, fbin, c, i + 1,
+             (((37 * media_id + 13 * i) % 4096) - 2048) + c * s1 - s2,
+             s1
+      FROM g WHERE i < {_GZ_N}
+    )
+    SELECT media_id, CAST(fbin AS BIGINT) AS freq_bin,
+           round(s1 * s1 + s2 * s2 - c * s1 * s2, 3) AS power
+    FROM g WHERE i = {_GZ_N}
+    ORDER BY media_id, freq_bin
+    """,
+    tags=("llm", "multimodal", "audio", "spectral"),
+)
+def multimodal_audio_goertzel(spark, sf_dir):
+    """GOERTZEL SINGLE-BIN DFT ENERGY on REAL decoded audio (the
+    frequency-domain feature extractor: tone detection, band energy,
+    voice-activity features — the spectral member of the audio family
+    next to the time-domain ZCR/windows ops): for each WAV clip and
+    each probed bin f, the O(N) Goertzel recurrence
+    s₀ = x + 2cos(2πf/N)·s₁ − s₂, power = s₁² + s₂² − c·s₁s₂.
+
+    The Spark side DECODES THE ACTUAL RIFF/WAV BYTES (stdlib parser in
+    llm/codecs.py) inside mapInPandas and runs the recurrence in
+    Python floats; the oracle regenerates the PCM signal from its
+    formula and runs the same recurrence as a recursive CTE — the 2048
+    steps are identical IEEE double ops (the 2cos coefficients are
+    repr()-exact shared literals), so a hash match proves BOTH the
+    codec path and the recurrence, bit-exact.
+
+    Scale: decode + recurrence run inside the scan task (samples never
+    shuffle — the multimodal house shape); output is |clips|×|bins|
+    rows."""
+    import pandas as pd  # noqa: PLC0415
+
+    from gcp_etl_spark.llm.codecs import wav_decode
+    from gcp_etl_spark.llm.multimodal import synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=64).filter(
+        F.col("mime") == "audio/wav"
+    )
+    coefs = {f: float(c) for f, c in _GZ_COEF.items()}
+
+    def batches(it):
+        for pdf in it:
+            mids, fbins, powers = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = wav_decode(bytes(payload))
+                xs = [float(v) for v in samples]
+                for f, c in coefs.items():
+                    s1 = s2 = 0.0
+                    for x in xs:
+                        s0 = x + c * s1 - s2
+                        s2 = s1
+                        s1 = s0
+                    mids.append(int(mid))
+                    fbins.append(f)
+                    powers.append(
+                        round(s1 * s1 + s2 * s2 - c * s1 * s2, 3)
+                    )
+            yield pd.DataFrame(
+                {"media_id": mids, "freq_bin": fbins, "power": powers}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, "media_id long, freq_bin long, power double"
+    ).orderBy("media_id", "freq_bin")
