@@ -3498,3 +3498,73 @@ def multimodal_audio_goertzel(spark, sf_dir):
     return media.select("media_id", "payload").mapInPandas(
         batches, "media_id long, freq_bin long, power double"
     ).orderBy("media_id", "freq_bin")
+
+
+# -------------------------------------------- streaming W1 drift dual
+
+
+@query(
+    "stream_wasserstein_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(floor(value) AS BIGINT) AS b, count(*) AS n_ref
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+             CAST(floor(value) AS BIGINT) AS b, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT w.w_start, r.b, r.n_ref, coalesce(win.n, 0) AS n
+      FROM (SELECT DISTINCT w_start FROM win) w
+      CROSS JOIN ref r
+      LEFT JOIN win ON win.w_start = w.w_start AND win.b = r.b
+    ), cum AS (
+      SELECT w_start, b,
+             sum(n) OVER (PARTITION BY w_start ORDER BY b) AS cw,
+             sum(n_ref) OVER (PARTITION BY w_start ORDER BY b) AS cr,
+             lead(b) OVER (PARTITION BY w_start ORDER BY b) AS b_next,
+             sum(n) OVER (PARTITION BY w_start) AS nw,
+             sum(n_ref) OVER (PARTITION BY w_start) AS nr
+      FROM grid
+    )
+    SELECT w_start, CAST(nw AS BIGINT) AS n_window,
+           round(CAST(sum(abs(cw * nr - cr * nw) * (b_next - b))
+                      AS DOUBLE)
+                 / (CAST(nw AS DOUBLE) * nr), 6) AS w1_drift
+    FROM cum WHERE b_next IS NOT NULL
+    GROUP BY w_start, nw, nr
+    ORDER BY w_start
+    """,
+    tags=("streaming", "drift", "wasserstein", "events"),
+)
+def stream_wasserstein_drift(spark, sf_dir):
+    """WINDOWED WASSERSTEIN-1 DRIFT MONITOR (the METRIC member of the
+    drift family: PSI and the G-test see reshuffled mass, W₁ also
+    sees how FAR it moved along the value axis — a price distribution
+    sliding up 10% moves W₁ proportionally while PSI just saturates):
+    per tumbling day-window, the exact W₁ between the window's
+    floor(value)-bucket distribution and the full-corpus reference
+    profile, via the integer CDF-difference identity
+    (stats_wasserstein_1d).
+
+    Streaming shape (the psi_drift convention): the additive windowed
+    bucket count (streaming/windows.py::w1_binned_counts) is the ONLY
+    stateful stage — counts merge across micro-batches, so the monitor
+    is batching-invariant (pytest-pinned by splitting the corpus and
+    merging); the per-window fold runs per micro-batch via
+    foreachBatch in a live stream, identically here in batch.
+
+    Scale: state is |windows-in-watermark| × |buckets|; the fold's
+    windows run per w_start partition over the already-aggregated
+    grid."""
+    from gcp_etl_spark.streaming.windows import (
+        w1_binned_counts,
+        w1_drift,
+    )
+
+    e = t(spark, sf_dir, "events")
+    ref = e.groupBy(F.floor("value").cast("long").alias("b")).agg(
+        F.count("*").alias("n_ref")
+    )
+    win = w1_binned_counts(e, watermark=None)
+    return w1_drift(win, ref).orderBy("w_start")

@@ -495,3 +495,81 @@ def gtest_drift(win_cells: DataFrame) -> DataFrame:
             F.round(F.sum("g_term").cast("double"), 6).alias("g"),
         )
     )
+
+
+def w1_binned_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    watermark: str | None = "2 days",
+) -> DataFrame:
+    """(w_start, b, n) tumbling-window INTEGER-bucket counts for
+    Wasserstein-1 drift — same stream-safe shape as
+    ``psi_binned_counts`` (one windowed grouped count, additive and
+    therefore batching-invariant), but over the ordered floor(value)
+    support so downstream distances are metric, not just
+    distributional."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, width).alias("w"),
+            F.floor("value").cast("long").alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "b", "n")
+    )
+
+
+def w1_drift(win_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """Per-window exact Wasserstein-1 distance between the window's
+    value distribution and a STATIC reference profile ``(b, n_ref)``
+    over the ordered integer-bucket support:
+    W₁ = Σ_b |cumW·N_R − cumR·N_W|·Δb / (N_W·N_R).
+
+    The CDF difference stays an INTEGER the whole way (the
+    stats_wasserstein_1d identity), so the per-window fold is
+    order-free; the only stateful stage upstream is the additive
+    windowed count. A window's buckets are a subset of the reference
+    support (the reference is fitted on the same corpus), so
+    zero-filling is a left join from the reference grid."""
+    from pyspark.sql import Window
+
+    wins = win_counts.select("w_start").distinct()
+    grid = wins.crossJoin(F.broadcast(ref_counts))
+    j = grid.join(win_counts, ["w_start", "b"], "left").select(
+        "w_start",
+        "b",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "n_ref",
+    )
+    wcum = Window.partitionBy("w_start").orderBy("b")
+    cum = j.select(
+        "w_start",
+        "b",
+        F.sum("n").over(wcum).alias("cw"),
+        F.sum("n_ref").over(wcum).alias("cr"),
+        F.lead("b").over(wcum).alias("b_next"),
+        F.sum("n").over(Window.partitionBy("w_start")).alias("nw"),
+        F.sum("n_ref").over(Window.partitionBy("w_start")).alias("nr"),
+    )
+    return (
+        cum.filter(F.col("b_next").isNotNull())
+        .groupBy("w_start", "nw", "nr")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cw") * F.col("nr") - F.col("cr") * F.col("nw")
+                )
+                * (F.col("b_next") - F.col("b"))
+            ).alias("num")
+        )
+        .select(
+            "w_start",
+            F.col("nw").cast("long").alias("n_window"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("nw").cast("double") * F.col("nr")),
+                6,
+            ).alias("w1_drift"),
+        )
+    )
