@@ -3568,3 +3568,248 @@ def stream_wasserstein_drift(spark, sf_dir):
     )
     win = w1_binned_counts(e, watermark=None)
     return w1_drift(win, ref).orderBy("w_start")
+
+
+# -------------------------------------------- Brier decomposition
+
+_BRIER_BINS = 10
+
+
+@query(
+    "stats_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ((event_id * 2654435761) % 1000) / 1000.0 AS p,
+             CASE WHEN value * (1 + ((event_id * 2654435761) % 1000)
+                               / 1000.0) > 60 THEN 1 ELSE 0 END AS y
+      FROM events
+    ), binned AS (
+      SELECT least(CAST(floor(p * {_BRIER_BINS}) AS BIGINT),
+                   {_BRIER_BINS - 1}) AS k,
+             p, y
+      FROM scored
+    ), per_bin AS (
+      SELECT k, count(*) AS n,
+             CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+             sum(y) AS sy
+      FROM binned GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS nn, CAST(sum(sy) AS DOUBLE) / sum(n) AS ybar
+      FROM per_bin
+    ), brier AS (
+      SELECT CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sq
+      FROM binned
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           round(sq / nn, 6) AS brier_score,
+           round(CAST(sum(CAST(n * (sp / n - CAST(sy AS DOUBLE) / n)
+                                 * (sp / n - CAST(sy AS DOUBLE) / n)
+                               AS DECIMAL(38,12))) AS DOUBLE) / nn, 6)
+             AS reliability,
+           round(CAST(sum(CAST(n * (CAST(sy AS DOUBLE) / n - ybar)
+                                 * (CAST(sy AS DOUBLE) / n - ybar)
+                               AS DECIMAL(38,12))) AS DOUBLE) / nn, 6)
+             AS resolution,
+           round(ybar * (1 - ybar), 6) AS uncertainty
+    FROM per_bin, tot, brier
+    GROUP BY nn, sq, ybar
+    """,
+    tags=("stats", "calibration", "scoring", "events"),
+)
+def stats_brier_decomposition(spark, sf_dir):
+    """MURPHY DECOMPOSITION OF THE BRIER SCORE (reliability −
+    resolution + uncertainty ≈ Brier, exactly when forecasts are
+    bin-constant — the diagnostic that says WHY a probabilistic
+    scorer is bad: miscalibrated (reliability↑) vs uninformative
+    (resolution↓); quality_calibration_bins plots the curve, this
+    scores it): forecast p is a deterministic Knuth-hash rational
+    (NO libm, so every value is exact on both engines), outcome
+    y = value·(1+p) > 60 — correlated with p by construction, so
+    resolution is non-trivial.
+
+    Scale: one scored scan → {_BRIER_BINS}-bin grouped moments
+    (map-side partial) → 1-row fold; per-term decimal casts keep all
+    sums order-free."""
+    e = t(spark, sf_dir, "events")
+    p = ((F.col("event_id") * 2654435761) % 1000) / 1000.0
+    scored = e.select(
+        p.alias("p"),
+        F.when(F.col("value") * (1 + p) > 60, 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * _BRIER_BINS).cast("long"),
+            F.lit(_BRIER_BINS - 1),
+        ).alias("k"),
+        "p",
+        "y",
+    )
+    per_bin = binned.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p").cast("decimal(38,12)")).cast("double").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("nn"),
+        (F.sum("sy").cast("double") / F.sum("n")).alias("ybar"),
+    )
+    brier = binned.agg(
+        F.sum(
+            ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sq")
+    )
+    pk = F.col("sp") / F.col("n")
+    yk = F.col("sy").cast("double") / F.col("n")
+    return (
+        per_bin.crossJoin(tot)
+        .crossJoin(brier)
+        .groupBy("nn", "sq", "ybar")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") * (pk - yk) * (pk - yk)).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("n")
+                        * (yk - F.col("ybar"))
+                        * (yk - F.col("ybar"))
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("resolution"),
+        )
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.round(F.col("sq") / F.col("nn"), 6).alias("brier_score"),
+            "reliability",
+            "resolution",
+            F.round(F.col("ybar") * (1 - F.col("ybar")), 6).alias(
+                "uncertainty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------- multiclass macro-F1
+
+
+@query(
+    "eval_macro_f1",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS actual,
+             CASE WHEN value < 10 THEN 'click'
+                  WHEN value < 30 THEN 'view'
+                  WHEN value < 60 THEN 'scroll'
+                  WHEN value < 120 THEN 'signup'
+                  ELSE 'purchase' END AS predicted
+      FROM events
+    ), cm AS (
+      SELECT actual, predicted, count(*) AS n FROM obs GROUP BY 1, 2
+    ), per_class AS (
+      SELECT c.cls,
+             coalesce(tp.n, 0) AS tp,
+             coalesce(p.np, 0) - coalesce(tp.n, 0) AS fp,
+             coalesce(a.na, 0) - coalesce(tp.n, 0) AS fn
+      FROM (SELECT DISTINCT actual AS cls FROM obs) c
+      LEFT JOIN (SELECT actual, n FROM cm WHERE actual = predicted) tp
+        ON tp.actual = c.cls
+      LEFT JOIN (SELECT predicted, sum(n) AS np FROM cm GROUP BY 1) p
+        ON p.predicted = c.cls
+      LEFT JOIN (SELECT actual, sum(n) AS na FROM cm GROUP BY 1) a
+        ON a.actual = c.cls
+    )
+    SELECT cls,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                 ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1,
+           round(CAST((SELECT sum(CASE WHEN 2 * tp + fp + fn = 0
+                                  THEN CAST(0.0 AS DECIMAL(38,12))
+                                  ELSE CAST(2.0 * tp / (2 * tp + fp + fn)
+                                       AS DECIMAL(38,12)) END)
+                       FROM per_class) AS DOUBLE)
+                 / (SELECT count(*) FROM per_class), 6) AS macro_f1
+    FROM per_class ORDER BY cls
+    """,
+    tags=("eval", "classification", "events"),
+)
+def eval_macro_f1(spark, sf_dir):
+    """MULTICLASS CONFUSION-MATRIX EVALUATION with per-class F1 and
+    macro-F1 (the model-eval staple next to the suite's AUC/PR-curve
+    binary metrics): a deterministic value-threshold classifier
+    predicts the event type; per class TP / FP / FN come off the
+    confusion matrix, F1 = 2TP/(2TP+FP+FN), macro-F1 = unweighted
+    class mean (each F1 term decimal-cast so the mean is order-free).
+
+    Scale: the fact scan collapses to the |classes|² confusion grid in
+    one hash agg; every join after that is on the tiny class
+    dimension."""
+    e = t(spark, sf_dir, "events")
+    pred = (
+        F.when(F.col("value") < 10, "click")
+        .when(F.col("value") < 30, "view")
+        .when(F.col("value") < 60, "scroll")
+        .when(F.col("value") < 120, "signup")
+        .otherwise("purchase")
+    )
+    obs = e.select(F.col("event_type").alias("actual"), pred.alias("predicted"))
+    cm = obs.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    classes = obs.select(F.col("actual").alias("cls")).distinct()
+    tp = cm.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    np_ = cm.groupBy("predicted").agg(F.sum("n").alias("np"))
+    na = cm.groupBy("actual").agg(F.sum("n").alias("na"))
+    per_class = (
+        classes.join(tp, "cls", "left")
+        .join(np_, classes.cls == np_.predicted, "left")
+        .join(na, classes.cls == na.actual, "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("np"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce(F.col("na"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fn"),
+        )
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    macro = per_class.agg(
+        (
+            F.sum(f1.cast("decimal(38,12)")).cast("double") / F.count("*")
+        ).alias("macro_f1")
+    )
+    return (
+        per_class.crossJoin(F.broadcast(macro))
+        .select(
+            "cls",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.round(f1, 6).alias("f1"),
+            F.round("macro_f1", 6).alias("macro_f1"),
+        )
+        .orderBy("cls")
+    )
