@@ -3813,3 +3813,183 @@ def eval_macro_f1(spark, sf_dir):
         )
         .orderBy("cls")
     )
+
+
+# --------------------------------------------------- Tukey HSD (q)
+
+
+@query(
+    "stats_tukey_hsd",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+               AS s2
+      FROM events GROUP BY 1
+    ), mse AS (
+      SELECT sum(s2 - s1 * s1 / n) / (sum(n) - count(*)) AS mse,
+             CAST(sum(n) - count(*) AS BIGINT) AS df_err
+      FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(a.s1 / a.n - b.s1 / b.n, 6) AS mean_diff,
+           round(abs(a.s1 / a.n - b.s1 / b.n)
+                 / sqrt(mse / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+             AS q_stat,
+           df_err
+    FROM g a JOIN g b ON a.event_type < b.event_type, mse
+    ORDER BY 1, 2
+    """,
+    tags=("stats", "post-hoc", "anova", "events"),
+)
+def stats_tukey_hsd(spark, sf_dir):
+    """TUKEY HSD POST-HOC COMPARISONS (the step AFTER
+    stats_anova_oneway rejects: WHICH pairs of groups differ?): for
+    every event-type pair, the studentized-range statistic
+    q = |m_i − m_j| / √(MSE/2 · (1/n_i + 1/n_j)) with the pooled
+    within-group MSE (the Tukey-Kramer unequal-n form). q compares
+    against the studentized range quantile q_{α,k,df}; the statistic
+    and df are emitted, the table lookup is the caller's (no libm
+    special functions exist in either engine).
+
+    Scale: one grouped moment pass (k rows) → k² pair join on the
+    tiny group dimension; exact decimal power sums throughout."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    mse = g.agg(
+        (
+            F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.sum("n") - F.count("*"))
+        ).alias("mse"),
+        (F.sum("n") - F.count("*")).cast("long").alias("df_err"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        (F.col("s1") / F.col("n")).alias("ma"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        (F.col("s1") / F.col("n")).alias("mb"),
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+            F.round(
+                F.abs(F.col("ma") - F.col("mb"))
+                / F.sqrt(
+                    F.col("mse")
+                    / 2.0
+                    * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+                6,
+            ).alias("q_stat"),
+            "df_err",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# -------------------------------------------- hashed feature crosses
+
+_FC_BUCKETS = 64
+_FC_MOD = 2147483647  # Mersenne prime for the rolling segment hash
+
+
+@query(
+    "prep_hashed_feature_cross",
+    oracle=f"""
+    WITH crossed AS (
+      SELECT c_nationkey, c_mktsegment,
+             (c_nationkey * 31 + list_reduce(
+                list_transform(range(1, length(c_mktsegment) + 1),
+                               i -> CAST(ascii(c_mktsegment[i])
+                                         AS BIGINT)),
+                (h, a) -> (h * 31 + a) % {_FC_MOD}))
+             % {_FC_BUCKETS} AS bucket
+      FROM customer
+    ), per_bucket AS (
+      SELECT bucket, count(*) AS n,
+             count(DISTINCT (c_nationkey, c_mktsegment)) AS n_crosses
+      FROM crossed GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(n_crosses) AS BIGINT) AS cross_slots,
+           CAST((SELECT count(DISTINCT (c_nationkey, c_mktsegment))
+                 FROM customer) AS BIGINT) AS distinct_crosses,
+           round(1.0 - (SELECT count(DISTINCT (c_nationkey,
+                                               c_mktsegment))
+                        FROM customer)
+                       * 1.0 / sum(n_crosses), 6) AS collision_gain,
+           CAST(max(n_crosses) AS BIGINT) AS worst_bucket_crosses
+    FROM per_bucket
+    """,
+    tags=("prep", "feature-hashing", "customer"),
+)
+def prep_hashed_feature_cross(spark, sf_dir):
+    """HASHED FEATURE CROSS (the hashing trick for categorical
+    crosses — nation × market-segment crossed into {_FC_BUCKETS}
+    buckets, the fixed-width embedding-table input large-scale
+    recommenders use instead of a vocabulary that grows with the
+    data): bucket = (nation·31 + rollhash(segment)) mod {_FC_BUCKETS},
+    with bucket occupancy, how many distinct raw crosses share each
+    bucket, and the collision rate the width choice costs
+    (collision_gain > 0 means crosses actually collided — audited,
+    not assumed).
+
+    PORTABLE HASH, DELIBERATELY: builtin hash() differs between
+    engines (Spark = Murmur3, DuckDB = its own), so the segment hashes
+    via an explicit base-31 ASCII rolling hash both engines compute
+    identically — the same engine-portability constraint a real
+    feature store faces when training (Spark) and serving (another
+    runtime) must bucket identically.
+
+    Scale: pure per-row map + one grouped count; the audit relation is
+    ≤ {_FC_BUCKETS} rows."""
+    e = t(spark, sf_dir, "customer")
+    rollhash = F.expr(
+        f"""aggregate(sequence(1, length(c_mktsegment)), 0L,
+          (h, i) -> (h * 31 + ascii(substring(c_mktsegment, i, 1)))
+                    % {_FC_MOD})"""
+    )
+    crossed = e.select(
+        "c_nationkey",
+        "c_mktsegment",
+        ((F.col("c_nationkey") * 31 + rollhash) % _FC_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = crossed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_nationkey", "c_mktsegment").alias("n_crosses"),
+    )
+    tot = crossed.agg(
+        F.countDistinct("c_nationkey", "c_mktsegment").alias(
+            "distinct_crosses"
+        )
+    )
+    return per_bucket.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("n_crosses").cast("long").alias("cross_slots"),
+        F.max("distinct_crosses").cast("long").alias("distinct_crosses"),
+        F.round(
+            1.0
+            - F.max("distinct_crosses") * 1.0 / F.sum("n_crosses"),
+            6,
+        ).alias("collision_gain"),
+        F.max("n_crosses").cast("long").alias("worst_bucket_crosses"),
+    )
