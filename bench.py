@@ -70,12 +70,26 @@ INTERFERENCE invisible to loadavg, most plausibly an IO stall):
     ``repass_fresh_session`` — a genuine regression reproduces in the
     fresh session, polluted session/host state does not.
 
+Round-10 hygiene (r9 verdict ask #1: 17 records stamped contended=True
+because the host stayed above the load gate across a stretch of the
+suite; r8 had 1 — the host was noisy, not the engine):
+  * POST-SUITE RETRY QUEUE: after the full pass, every record whose
+    decisive pass started above the gate is re-run ONCE in a fresh
+    session at the then-current load; the record is the min. A quiet
+    retry that does NOT beat the original clears the contended flag
+    (the number was confirmed, not inflated); a retry that is itself
+    contended leaves the original standing as documented
+    irreducible host noise. Raw retry passes/loads/iowait stay in
+    the detail file under retry_* keys.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ONLY (comma list),
 SPARK_GRAFT_BENCH_MIN2 (threshold sec, default 2; 0 disables),
 SPARK_GRAFT_BENCH_LOAD_GATE (load1 gate, default 4.0; 0 disables),
 SPARK_GRAFT_BENCH_PRIOR_FILE (explicit prior-round detail file — the
 fresh-session re-pass rule's test/demo hook),
+SPARK_GRAFT_BENCH_LOAD_SCHEDULE (JSON file of load1 values consumed
+one per gate call — the retry-queue rule's test/demo hook),
 SPARK_GRAFT_ROUND (round stamp for the detail snapshot filename).
 """
 
@@ -170,6 +184,23 @@ def _gate_load() -> tuple[float, bool]:
     means the pass is STARTING above the gate anyway — either the gate
     is disabled, the retries ran out, or the suite sleep budget is
     spent (a permanently-busy host must still produce a bench)."""
+    sched_path = os.environ.get("SPARK_GRAFT_BENCH_LOAD_SCHEDULE")
+    if sched_path:
+        # test/demo hook (tests/test_bench_policy.py): a JSON list of
+        # load1 values consumed one per gate call, so the
+        # contended→retry-queue path is demonstrable without a
+        # genuinely-busy host; an exhausted schedule falls through to
+        # the real loadavg
+        try:
+            with open(sched_path) as f:
+                vals = json.load(f)
+        except Exception:  # noqa: BLE001
+            vals = []
+        if vals:
+            v = float(vals.pop(0))
+            with open(sched_path, "w") as f:
+                json.dump(vals, f)
+            return round(v, 1), bool(LOAD_GATE) and v > LOAD_GATE
     try:
         load = os.getloadavg()[0]
     except OSError:  # pragma: no cover
@@ -498,6 +529,51 @@ def main() -> None:
         if restart_every and n_done % restart_every == 0:
             spark.stop()
             spark = get_spark("bench")
+
+    # POST-SUITE RETRY QUEUE (r9 verdict ask #1: 17 records were
+    # stamped contended=True because the host stayed above the load
+    # gate for a stretch of the suite — a noisy host PATCH should not
+    # stamp a round). After the full pass, every record whose decisive
+    # pass started above the gate gets ONE more chance on the
+    # then-current load: fresh session, clean cache, record the MIN.
+    # If the retry also runs contended the original record stands (the
+    # host really is busy — documented irreducible noise), and the
+    # headline's contended_queries counts only records still contended
+    # AFTER the queue drained.
+    retry_q = [n for n, r in detail.items() if r.get("contended")]
+    if retry_q:
+        spark.stop()
+        spark = get_spark("bench")
+        for name in retry_q:
+            spec = specs[name]
+            rec = detail[name]
+            load, hot = _gate_load()
+            io0 = _proc_stat()
+            t0 = time.time()
+            try:
+                force(spec.fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001 - retry must not kill bench
+                print(f"# bench retry FAILURE {name}: {e}", file=sys.stderr)
+                continue
+            took = round(time.time() - t0, 3)
+            io1 = _proc_stat()
+            rec.setdefault("retry_passes", []).append(took)
+            rec.setdefault("retry_loads", []).append(load)
+            if io0 and io1 and io1[1] > io0[1]:
+                rec.setdefault("retry_iowait", []).append(
+                    round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
+                )
+            if took < timings[name]:
+                timings[name] = took
+                rec["timing"] = "retry_quiet" if not hot else "retry_min"
+                rec["contended"] = hot
+            elif not hot:
+                # quiet retry CONFIRMED the original number — it was
+                # not contention-inflated after all; clear the flag so
+                # the headline counts only genuinely-dubious records
+                rec["contended"] = False
+                rec["retry_confirmed"] = True
+            _cleanup()
 
     total = round(sum(timings.values()), 3)
     _dump_detail(sf, timings, detail, failures, merge=bool(only))

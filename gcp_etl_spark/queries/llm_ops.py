@@ -1056,9 +1056,11 @@ def embedding_pca_project(spark, sf_dir):
     state, the same pattern as the PQ/IVF codebook training —
     ``llm/pq.py``); the projection is then one broadcast matmul per
     batch via mapInPandas. No oracle (DuckDB has no eigensolver) —
-    geometry is pinned by pytest: orthonormal components, per-component
-    projection variance == eigenvalue, top-k explained-variance >=
-    uniform share.
+    geometry is pinned by pytest (orthonormal components, monotone
+    decorrelated variances — tests/test_llm.py) and the SPECTRUM is
+    value-pinned vs NumPy's eigvalsh of the full-corpus covariance
+    (per-component projection variance == eigenvalue, rel 1e-4 —
+    tests/test_r10.py, r9 ask #7).
 
     Sign determinism: each eigenvector is flipped so its
     largest-magnitude coordinate is positive (eigh sign is otherwise

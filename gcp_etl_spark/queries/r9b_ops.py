@@ -3930,10 +3930,10 @@ _FC_MOD = 2147483647  # Mersenne prime for the rolling segment hash
            CAST(sum(n_crosses) AS BIGINT) AS cross_slots,
            CAST((SELECT count(DISTINCT (c_nationkey, c_mktsegment))
                  FROM customer) AS BIGINT) AS distinct_crosses,
-           round(1.0 - (SELECT count(DISTINCT (c_nationkey,
-                                               c_mktsegment))
-                        FROM customer)
-                       * 1.0 / sum(n_crosses), 6) AS collision_gain,
+           round(1.0 - count(*) * 1.0
+                       / (SELECT count(DISTINCT (c_nationkey,
+                                                 c_mktsegment))
+                          FROM customer), 6) AS collision_gain,
            CAST(max(n_crosses) AS BIGINT) AS worst_bucket_crosses
     FROM per_bucket
     """,
@@ -3946,9 +3946,15 @@ def prep_hashed_feature_cross(spark, sf_dir):
     recommenders use instead of a vocabulary that grows with the
     data): bucket = (nation·31 + rollhash(segment)) mod {_FC_BUCKETS},
     with bucket occupancy, how many distinct raw crosses share each
-    bucket, and the collision rate the width choice costs
-    (collision_gain > 0 means crosses actually collided — audited,
-    not assumed).
+    bucket, and the collision rate the width choice costs:
+    collision_gain = 1 − buckets_used / distinct_crosses — the share
+    of distinct crosses that LOST their own bucket to a collision.
+    (An earlier formulation compared distinct_crosses against
+    Σ n_crosses over buckets, which are identical by construction —
+    bucket is a deterministic function of the cross — so it was
+    identically 0; r9 ADVICE. The fixture pin in tests/test_r9b.py
+    asserts the fixture really collides: 125 crosses into 64 buckets
+    forces collision_gain > 0 by pigeonhole.)
 
     PORTABLE HASH, DELIBERATELY: builtin hash() differs between
     engines (Spark = Murmur3, DuckDB = its own), so the segment hashes
@@ -3987,8 +3993,7 @@ def prep_hashed_feature_cross(spark, sf_dir):
         F.sum("n_crosses").cast("long").alias("cross_slots"),
         F.max("distinct_crosses").cast("long").alias("distinct_crosses"),
         F.round(
-            1.0
-            - F.max("distinct_crosses") * 1.0 / F.sum("n_crosses"),
+            1.0 - F.count("*") * 1.0 / F.max("distinct_crosses"),
             6,
         ).alias("collision_gain"),
         F.max("n_crosses").cast("long").alias("worst_bucket_crosses"),

@@ -96,7 +96,16 @@ class SynthGenStreamReader(DataSourceStreamReader):
     ceil(rows / batchRows) real micro-batches before the offset
     plateaus at ``rows`` — exercising offset tracking, per-batch
     partition planning, and executor-side reads, while staying exactly
-    replayable in SQL (same Knuth formula, same id range)."""
+    replayable in SQL (same Knuth formula, same id range).
+
+    OFFSET MONOTONICITY UNDER RESTART (r9 ADVICE): the available
+    position starts in driver memory, so a reader restarted from a
+    durable checkpoint would otherwise report latestOffset BELOW the
+    committed offset — which Spark's microbatch planner rejects
+    (offsets must never regress). ``partitions``/``commit`` therefore
+    floor ``_avail`` at every offset the engine hands back, so the
+    first ``latestOffset`` after recovery resumes from the committed
+    position instead of 0."""
 
     def __init__(self, schema: StructType, options: dict):
         self.total = int(options.get("rows", 2000))
@@ -113,6 +122,10 @@ class SynthGenStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["pos"]), int(end["pos"])
+        # recovery floor: a restarted reader learns the committed
+        # position from the engine's replay calls, so latestOffset
+        # never regresses below an offset Spark already planned
+        self._avail = max(self._avail, e)
         per = -(-(e - s) // self.n_parts)  # ceil
         return [
             _RangePartition(s + i * per, min(s + (i + 1) * per, e), i)
@@ -127,4 +140,4 @@ class SynthGenStreamReader(DataSourceStreamReader):
             yield (i, partition.pid, h % 997, (h >> 8) % 10)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._avail = max(self._avail, int(end["pos"]))

@@ -529,18 +529,31 @@ def w1_drift(win_counts: DataFrame, ref_counts: DataFrame) -> DataFrame:
     The CDF difference stays an INTEGER the whole way (the
     stats_wasserstein_1d identity), so the per-window fold is
     order-free; the only stateful stage upstream is the additive
-    windowed count. A window's buckets are a subset of the reference
-    support (the reference is fitted on the same corpus), so
-    zero-filling is a left join from the reference grid."""
+    windowed count. The per-window support is the UNION of the
+    reference buckets and that window's observed buckets (r9 ADVICE:
+    a left join from the reference grid silently dropped window mass
+    in buckets outside the historic support — understating drift
+    exactly when values move beyond it, the case a drift monitor most
+    needs to flag); buckets missing from either side zero-fill, and
+    since every reference bucket appears in every window's grid the
+    per-window Σn_ref is still the full reference mass."""
     from pyspark.sql import Window
 
     wins = win_counts.select("w_start").distinct()
-    grid = wins.crossJoin(F.broadcast(ref_counts))
-    j = grid.join(win_counts, ["w_start", "b"], "left").select(
-        "w_start",
-        "b",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-        "n_ref",
+    support = (
+        wins.crossJoin(F.broadcast(ref_counts.select("b")))
+        .unionByName(win_counts.select("w_start", "b"))
+        .distinct()
+    )
+    j = (
+        support.join(win_counts, ["w_start", "b"], "left")
+        .join(F.broadcast(ref_counts), ["b"], "left")
+        .select(
+            "w_start",
+            "b",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        )
     )
     wcum = Window.partitionBy("w_start").orderBy("b")
     cum = j.select(

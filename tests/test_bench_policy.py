@@ -67,3 +67,47 @@ def test_fresh_session_repass_quiet_on_normal_prior(tmp_path):
     rec = _run_bench(tmp_path, prior_sec=120.0)
     assert "repass_fresh_session" not in rec, rec
     assert len(rec["passes"]) == 1
+
+
+def test_contended_record_enters_retry_queue(tmp_path):
+    """r9 verdict ask #1: a record whose decisive pass started above
+    the load gate must get a post-suite retry in a fresh session. The
+    load schedule injects one loud sample (10.0 > gate 4.0) for the
+    measured pass; the retry pops an explicitly-quiet sample (0.5), so
+    either the retry beats the original (timing=retry_quiet) or it
+    confirms it (retry_confirmed) — in BOTH cases the record must no
+    longer count as contended and the raw retry pass must be in the
+    detail file."""
+    query = "ref_select_limit"
+    sched = tmp_path / "loads.json"
+    sched.write_text(json.dumps([10.0, 0.5]))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="78",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="4.0",
+        SPARK_GRAFT_BENCH_LOAD_SCHEDULE=str(sched),
+        SPARK_GRAFT_CPUS="8",
+    )
+    env.pop("SPARK_GRAFT_BENCH_PRIOR_FILE", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r78.json").read_text())
+    rec = detail["detail"][query]
+    assert rec["pass_loads"][0] == 10.0  # the injected loud pass
+    assert "retry_passes" in rec and len(rec["retry_passes"]) == 1
+    assert rec["retry_loads"] == [0.5]
+    assert rec["contended"] is False, rec
+    assert rec["timing"] == "retry_quiet" or rec.get("retry_confirmed")
+    head = json.loads(out.stdout.strip().splitlines()[-1])
+    assert head["contended_queries"] == 0

@@ -504,3 +504,60 @@ def test_w1_drift_is_batching_invariant(spark):
     assert r1 == r2 and len(r1) > 5
     # drift must be non-trivial somewhere (non-vacuous monitor)
     assert any(v[1] > 0 for v in r1.values())
+
+
+def test_feature_cross_collision_gain_is_positive_and_exact(spark):
+    """r9 ADVICE (medium): the old collision_gain compared
+    distinct_crosses against Σ n_crosses over buckets — identical by
+    construction (bucket is a function of the cross), so the metric
+    was identically 0 and the shared-formula oracle could not see it.
+    The fixed metric is 1 − buckets_used/distinct_crosses; this pin
+    recomputes buckets and crosses from the raw parquet in pure
+    Python and asserts the fixture REALLY collides (125 crosses into
+    64 buckets ⇒ pigeonhole forces gain > 0)."""
+    cust = pd.read_parquet(
+        f"{SF_SMALL}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    mod, buckets = 2147483647, 64
+
+    def roll(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % mod
+        return h
+
+    crosses = set(
+        zip(cust["c_nationkey"].tolist(), cust["c_mktsegment"].tolist())
+    )
+    used = {(int(n) * 31 + roll(seg)) % buckets for n, seg in crosses}
+    want_gain = round(1.0 - len(used) / len(crosses), 6)
+    assert want_gain > 0, "fixture must actually produce collisions"
+    row = _run(spark, "prep_hashed_feature_cross").collect()[0]
+    assert row["buckets_used"] == len(used)
+    assert row["distinct_crosses"] == len(crosses)
+    assert math.isclose(row["collision_gain"], want_gain, abs_tol=1e-9)
+
+
+def test_synthgen_stream_offset_survives_restart():
+    """r9 ADVICE (low): a reader restarted from a durable checkpoint
+    must not report latestOffset below the committed offset (Spark's
+    microbatch planner requires monotone offsets). Simulate recovery:
+    a FRESH reader instance first sees the engine's replay calls
+    (partitions/commit at the committed position), then its next
+    latestOffset must resume from there, not from 0."""
+    from pyspark.sql.types import StructType
+
+    from gcp_etl_spark.sources.synthgen import SynthGenStreamReader
+
+    r1 = SynthGenStreamReader(StructType([]), {"rows": 2000, "batchRows": 500})
+    assert r1.latestOffset() == {"pos": 500}
+    assert r1.latestOffset() == {"pos": 1000}
+    # restart: new instance, driver memory gone; engine replays the
+    # committed batch before asking for new offsets
+    r2 = SynthGenStreamReader(StructType([]), {"rows": 2000, "batchRows": 500})
+    r2.partitions({"pos": 500}, {"pos": 1000})
+    r2.commit({"pos": 1000})
+    nxt = r2.latestOffset()
+    assert nxt["pos"] >= 1000, nxt
+    assert nxt["pos"] == 1500  # resumes forward, one batch at a time

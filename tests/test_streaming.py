@@ -376,7 +376,8 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             "pyspark 4.1.2's generated StateMessage_pb2.py validates): "
             "the streaming python runner exits -2 with ImportError: "
             "cannot import name 'descriptor' from 'google.protobuf' — "
-            "re-probed end-to-end round 9, see streaming/tws.py"
+            "re-probed round 10 (find_spec('google') is None, wheel "
+            "still absent), see streaming/tws.py"
         )
     from pyspark.sql import functions as F
 
