@@ -49,6 +49,13 @@ _EAGER_BUILD = {
     "bpe_train_merges",
     "ann_ivf_pq_rerank",  # IVF/PQ quantizer fits on bounded samples
     "ann_ivf_partitioned_probe",  # index write + quantizer fit at build
+    # r10 iterative trainers: distributed Lloyd / EM loops run eagerly
+    # at build (bounded driver state); pinned by tests/test_r10.py
+    "train_kmeans_lloyd",
+    "ann_cosine_topk_ivf_refined",
+    "train_unigram_lm",
+    "unigram_fertility_roundtrip",
+    "io_merge_schema_evolution",  # managed-store MERGE writes at build
 }
 
 # declared cross joins — CartesianProduct is the point
@@ -223,6 +230,11 @@ _FP_QUERIES = [
     "udf_apply_in_pandas", "udtf_polymorphic_analyze",
     "window_groups_frame", "window_range_frame",
     "window_range_frame_bucketed", "window_rolling_median_wide",
+    # r10 heavy additions (>= 1 s warm at sf0.1); the unigram pair is
+    # excluded — their FINAL plans are a driver-side createDataFrame /
+    # one agg over mapInPandas, so a fingerprint would pin nothing
+    "train_kmeans_lloyd", "dedup_minhash_banding_curve",
+    "dedup_edit_distance_banded", "io_merge_schema_evolution",
 ]
 
 _FP_MARKS = {
