@@ -469,6 +469,55 @@ def minhash_incremental(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sig long) — 64-bit count-weighted SimHash signature per
+    document, one numpy pass per Arrow batch (token blake2b hash →
+    64-bit matrix → vote matmul → bit pack). Shared by the fixed-
+    radius near-dup operator and the radius operating curve."""
+    from hashlib import blake2b
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simsig(col):  # (pd.Series of str) -> pd.Series of long
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(col), dtype=np.uint64)
+        for idx, txt in enumerate(col):
+            toks = (txt or "").lower().split()
+            if not toks:
+                continue
+            uniq, counts = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True
+            )
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(s.encode(), digest_size=8).digest(), "little"
+                    )
+                    for s in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = counts.astype(np.int64) @ (2 * bits - 1)
+            out[idx] = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"), simsig(text_col).alias("sig")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -494,43 +543,7 @@ def simhash_near_duplicates(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-
-    from hashlib import blake2b
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    @pandas_udf("long")
-    def simsig(col):  # (pd.Series of str) -> pd.Series of long
-        shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(col), dtype=np.uint64)
-        for idx, txt in enumerate(col):
-            toks = (txt or "").lower().split()
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        blake2b(s.encode(), digest_size=8).digest(), "little"
-                    )
-                    for s in uniq
-                ),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = counts.astype(np.int64) @ (2 * bits - 1)
-            out[idx] = np.bitwise_or.reduce(
-                (votes > 0).astype(np.uint64) << shifts, dtype=np.uint64
-            )
-        return pd.Series(out.view(np.int64))
-
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sig = df.repartition(par, id_col).select(
-        F.col(id_col).alias("id"), simsig(text_col).alias("sig")
-    )
+    sig = simhash_signatures(df, id_col, text_col)
 
     bands = sig.select(
         "id",
@@ -704,3 +717,96 @@ def banding_operating_curve(
         )
         .orderBy("bands")
     )
+
+
+def simhash_radius_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    radii: tuple[int, ...] = (1, 2, 3, 5),
+) -> DataFrame:
+    """SimHash HAMMING-RADIUS OPERATING CURVE — the SimHash sibling of
+    ``banding_operating_curve``: one fixed 64-bit signature relation,
+    swept over candidate radii k. Each k runs the pigeonhole banding
+    (k+1 bands of 64//(k+1) bits — any pair within Hamming k matches
+    at least one band exactly) and the exact bit_count(xor) verify;
+    the row reports the band-stage candidate count next to the
+    verified pair count, i.e. how much the verify stage pays as the
+    radius loosens.
+
+    Verified pair sets are NESTED in k by definition (hamming <= 1 ⊆
+    hamming <= 2 ...), so n_verified is deterministically monotone —
+    pinned in tests together with banding losslessness (the banded
+    verified set equals brute-force all-pairs hamming at fixture
+    scale).
+
+    Scale: signatures computed ONCE and persisted (8 B/doc); each
+    radius is one band equi-join + one xor verify."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    out = None
+    for k in radii:
+        nbands = k + 1
+        width = 64 // nbands
+        bands = sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                f"(sig >> {b * width}) & {(1 << width) - 1}"
+                            ).alias("piece"),
+                        )
+                        for b in range(nbands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "sig", "bk.band", "bk.piece")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.piece") == F.col("b.piece"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .distinct()
+        )
+        stats = cand.agg(
+            F.lit(k).alias("radius"),
+            F.lit(nbands).alias("n_bands"),
+            F.lit(width).alias("band_bits"),
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                    <= k,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_verified"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select(
+        "radius",
+        "n_bands",
+        "band_bits",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified") / F.col("n_candidates").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("verify_yield"),
+    ).orderBy("radius")

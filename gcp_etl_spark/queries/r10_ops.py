@@ -1187,3 +1187,473 @@ def ml_split_conformal(spark, sf_dir):
         ).alias("coverage"),
         F.round(F.lit(2 * qhat / 100.0), 6).alias("interval_width"),
     )
+
+
+# ------------------- SimHash radius operating curve (r10 extra)
+
+
+@query(
+    "dedup_simhash_radius_curve",
+    # rows-only by design (blake2b-hash signatures not replayable in
+    # DuckDB — the simhash family's policy); the curve's CONTRACT is
+    # pinned in tests/test_r10.py: verified pairs nested/monotone in
+    # radius and the banding provably lossless (banded == brute-force
+    # all-pairs hamming at fixture scale).
+    oracle=None,
+    tags=("llm", "dedup", "simhash", "evaluation"),
+)
+def dedup_simhash_radius_curve(spark, sf_dir):
+    """SimHash HAMMING-RADIUS OPERATING CURVE — the SimHash sibling of
+    dedup_minhash_banding_curve (r9 verdict ask #4's pattern applied
+    to the second near-dup family): one fixed 64-bit signature
+    relation swept over radii {1,2,3,5}; each row reports the
+    pigeonhole band-stage candidate count next to the exact verified
+    pair count, i.e. exactly how much verify work a looser radius
+    buys. The engine ships radius 3 (dedup_simhash); this curve is
+    that default's evidence. See llm/dedup.py::simhash_radius_curve
+    for the scale shape (signatures once + one band join per radius).
+    Evaluation slice doc_id < 1250 (the dfcap pattern)."""
+    from gcp_etl_spark.llm.dedup import simhash_radius_curve
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1250)
+    return simhash_radius_curve(d, "doc_id", "text", radii=(1, 2, 3, 5))
+
+
+# -------------- Jonckheere-Terpstra ordered-alternative test (r10)
+
+
+@query(
+    "stats_jonckheere_terpstra",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS g,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), sizes AS (
+      SELECT g, sum(n) AS ng FROM cells GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(ng) AS DOUBLE) AS nn,
+             CAST(sum(CAST(ng AS DECIMAL(38,0))
+                      * CAST(ng AS DECIMAL(38,0))) AS DOUBLE) AS sn2,
+             CAST(sum(CAST(ng AS DECIMAL(38,0))
+                      * CAST(ng AS DECIMAL(38,0))
+                      * CAST(2 * ng + 3 AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sn23
+      FROM sizes
+    ), j2 AS (
+      SELECT CAST(sum(CAST(a.n AS DECIMAL(38,0))
+                      * CAST(b.n AS DECIMAL(38,0))
+                      * (CASE WHEN a.v < b.v THEN 2
+                              WHEN a.v = b.v THEN 1
+                              ELSE 0 END)) AS DOUBLE) AS twoj
+      FROM cells a JOIN cells b ON a.g < b.g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           round(twoj / 2, 1) AS j_stat,
+           round((nn * nn - sn2) / 4, 1) AS j_mean,
+           round((twoj / 2 - (nn * nn - sn2) / 4)
+                 / sqrt((nn * nn * (2 * nn + 3) - sn23) / 72), 6) AS z
+    FROM j2 CROSS JOIN tot
+    """,
+    tags=("stats", "nonparametric", "trend", "lineitem"),
+)
+def stats_jonckheere_terpstra(spark, sf_dir):
+    """JONCKHEERE-TERPSTRA ordered-alternative test (Jonckheere 1954,
+    public): does l_quantity trend UP across the ORDERED groups
+    l_linenumber 1..7? J = sum over group pairs g<h of the Mann-Whitney
+    count #(a<b) + ties/2 — strictly more powerful than Kruskal-Wallis
+    when the alternative is monotone, which is exactly the 'does the
+    metric drift along an ordinal dimension' question a pipeline DQ
+    layer asks.
+
+    Exactness (the stats_ops grid convention): the fact table collapses
+    FIRST to the (group, value) cell grid — bounded by 7 x 50 = 350
+    cells at ANY corpus size — and all pair algebra runs on the grid
+    with DECIMAL(38,0) products (2J stays an exact integer; the
+    variance terms exceed BIGINT at 10x so they accumulate as decimals
+    too). z uses the standard no-tie variance (documented upward bias
+    under ties — the tie-corrected term subtracts <1% on this grid);
+    numerator and denominator are identical IEEE trees on both engines.
+
+    Scale: one hash agg to the grid; the pair join is grid x grid,
+    constant in the data."""
+    cells = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_linenumber").cast("long").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sizes = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = sizes.agg(
+        F.sum("ng").cast("double").alias("nn"),
+        F.sum(dec(F.col("ng")) * dec(F.col("ng")))
+        .cast("double")
+        .alias("sn2"),
+        F.sum(
+            dec(F.col("ng"))
+            * dec(F.col("ng"))
+            * dec(2 * F.col("ng") + 3)
+        )
+        .cast("double")
+        .alias("sn23"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    j2 = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .select(
+            (
+                dec(F.col("a.n"))
+                * dec(F.col("b.n"))
+                * F.when(F.col("a.v") < F.col("b.v"), 2)
+                .when(F.col("a.v") == F.col("b.v"), 1)
+                .otherwise(0)
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("twoj"))
+    )
+    return j2.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(F.col("twoj") / 2, 1).alias("j_stat"),
+        F.round(
+            (F.col("nn") * F.col("nn") - F.col("sn2")) / 4, 1
+        ).alias("j_mean"),
+        F.round(
+            (
+                F.col("twoj") / 2
+                - (F.col("nn") * F.col("nn") - F.col("sn2")) / 4
+            )
+            / F.sqrt(
+                (
+                    F.col("nn") * F.col("nn") * (2 * F.col("nn") + 3)
+                    - F.col("sn23")
+                )
+                / 72
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# -------------- STL-lite seasonal decomposition (r10 extra)
+
+
+@query(
+    "analytics_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT d, cents,
+             sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w,
+             date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+      FROM daily
+    ), fullw AS (
+      SELECT d, dow, 7 * cents AS y7, s7 AS t7, 7 * cents - s7 AS det7
+      FROM seq WHERE w = 7
+    ), sdow AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(det7) AS DOUBLE) / count(*) AS s7m
+      FROM fullw GROUP BY dow
+    ), base AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(y7) AS DOUBLE) AS sy,
+             CAST(sum(t7) AS DOUBLE) AS st
+      FROM fullw
+    ), smean AS (
+      SELECT CAST(sum(CAST(nd * s7m AS DECIMAL(38,6))) AS DOUBLE)
+               / max(b.n) AS sm
+      FROM sdow CROSS JOIN base b
+    ), vars AS (
+      SELECT
+        CAST(sum(CAST((f.y7 - b.sy / b.n) * (f.y7 - b.sy / b.n)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS vy,
+        CAST(sum(CAST((f.t7 - b.st / b.n) * (f.t7 - b.st / b.n)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS vt,
+        CAST(sum(CAST((s.s7m - m.sm) * (s.s7m - m.sm)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS vs,
+        CAST(sum(CAST((f.det7 - s.s7m) * (f.det7 - s.s7m)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS vr
+      FROM fullw f JOIN sdow s ON s.dow = f.dow
+      CROSS JOIN base b CROSS JOIN smean m
+    )
+    SELECT s.dow, s.nd AS n_days,
+           round(s.s7m / 7, 4) AS seasonal_cents,
+           round(v.vt / v.vy, 6) AS trend_share,
+           round(v.vs / v.vy, 6) AS seasonal_share,
+           round(v.vr / v.vy, 6) AS remainder_share
+    FROM sdow s CROSS JOIN vars v
+    ORDER BY s.dow
+    """,
+    tags=("analytics", "time-series", "decomposition", "orders"),
+)
+def analytics_stl_decompose(spark, sf_dir):
+    """STL-LITE ADDITIVE DECOMPOSITION of the daily-revenue series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, remainder =
+    what's left — reporting the per-weekday seasonal effects AND the
+    variance decomposition (trend/seasonal/remainder share of total
+    variance), the one-look 'is this series trend-, season-, or
+    noise-dominated' diagnostic that decides which forecasting family
+    (holt_trend / holt_winters / croston) applies.
+
+    Exactness: the detrended series is kept 7-SCALED so it stays an
+    exact BIGINT (7y - sum7 — the window_range_frame prefix-difference
+    trick applied to decomposition); weekday uses the engine-portable
+    epoch-day % 7 (Spark dayofweek is 1-based Sunday, DuckDB 0-based —
+    neither is used); every squared deviation is per-term
+    DECIMAL(38,6)-cast before summing (the stats_variance_ratio
+    convention), so summation order cannot move the shares. Weekday
+    means divide exact integers by exact counts — identical IEEE
+    division. Shares need not sum to 1 (components correlate — that
+    correlation IS part of the diagnostic).
+
+    Scale: facts collapse to the calendar-bounded daily relation; one
+    7-row window pass + two tiny grouped aggs."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    win = W.orderBy("d").rowsBetween(-3, 3)
+    seq = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(win).alias("s7"),
+        F.count("*").over(win).alias("w"),
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+    )
+    fullw = seq.filter(F.col("w") == 7).select(
+        "d",
+        "dow",
+        (7 * F.col("cents")).alias("y7"),
+        F.col("s7").alias("t7"),
+        (7 * F.col("cents") - F.col("s7")).alias("det7"),
+    )
+    sdow = fullw.groupBy("dow").agg(
+        F.count("*").cast("long").alias("nd"),
+        (F.sum("det7").cast("double") / F.count("*")).alias("s7m"),
+    )
+    base = fullw.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("y7").cast("double").alias("sy"),
+        F.sum("t7").cast("double").alias("st"),
+    )
+    dec6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    smean = (
+        sdow.crossJoin(F.broadcast(base))
+        .agg(
+            (
+                F.sum(dec6(F.col("nd") * F.col("s7m"))).cast("double")
+                / F.max("n")
+            ).alias("sm")
+        )
+    )
+    joined = (
+        fullw.join(F.broadcast(sdow), "dow")
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(smean))
+    )
+    vars_ = joined.agg(
+        F.sum(
+            dec6(
+                (F.col("y7") - F.col("sy") / F.col("n"))
+                * (F.col("y7") - F.col("sy") / F.col("n"))
+            )
+        )
+        .cast("double")
+        .alias("vy"),
+        F.sum(
+            dec6(
+                (F.col("t7") - F.col("st") / F.col("n"))
+                * (F.col("t7") - F.col("st") / F.col("n"))
+            )
+        )
+        .cast("double")
+        .alias("vt"),
+        F.sum(
+            dec6(
+                (F.col("s7m") - F.col("sm")) * (F.col("s7m") - F.col("sm"))
+            )
+        )
+        .cast("double")
+        .alias("vs"),
+        F.sum(
+            dec6(
+                (F.col("det7") - F.col("s7m"))
+                * (F.col("det7") - F.col("s7m"))
+            )
+        )
+        .cast("double")
+        .alias("vr"),
+    )
+    return (
+        sdow.crossJoin(F.broadcast(vars_))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("nd").alias("n_days"),
+            F.round(F.col("s7m") / 7, 4).alias("seasonal_cents"),
+            F.round(F.col("vt") / F.col("vy"), 6).alias("trend_share"),
+            F.round(F.col("vs") / F.col("vy"), 6).alias("seasonal_share"),
+            F.round(F.col("vr") / F.col("vy"), 6).alias("remainder_share"),
+        )
+        .orderBy("dow")
+    )
+
+
+# -------------- Breusch-Pagan heteroskedasticity test (r10 extra)
+
+
+@query(
+    "stats_breusch_pagan",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), xy AS (
+      SELECT cents, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x
+      FROM daily
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS syc,
+             CAST(sum(CAST(x AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sxyc
+      FROM xy
+    ), fit AS (
+      SELECT n, sx, sxx,
+             ((sxyc - sx * syc / n) / 100.0)
+               / (sxx - sx * sx / n) AS b,
+             (syc / n / 100.0)
+               - ((sxyc - sx * syc / n) / 100.0)
+                 / (sxx - sx * sx / n) * (sx / n) AS a
+      FROM m
+    ), resid AS (
+      SELECT x,
+             (cents / 100.0 - (a + b * x))
+               * (cents / 100.0 - (a + b * x)) AS e2
+      FROM xy CROSS JOIN fit
+    ), aux AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(e2 AS DECIMAL(38,6))) AS DOUBLE) AS se2,
+             CAST(sum(CAST(x * e2 AS DECIMAL(38,6))) AS DOUBLE) AS sxe2,
+             CAST(sum(CAST(e2 * e2 AS DECIMAL(38,6))) AS DOUBLE) AS se4
+      FROM resid
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((sxe2 - sx * se2 / n) * (sxe2 - sx * se2 / n)
+                 / ((sxx - sx * sx / n) * (se4 - se2 * se2 / n)), 6)
+             AS r2_aux,
+           round(n * (sxe2 - sx * se2 / n) * (sxe2 - sx * se2 / n)
+                 / ((sxx - sx * sx / n) * (se4 - se2 * se2 / n)), 6)
+             AS lm_stat,
+           (n * (sxe2 - sx * se2 / n) * (sxe2 - sx * se2 / n)
+            / ((sxx - sx * sx / n) * (se4 - se2 * se2 / n))
+            > 3.841458820694124) AS heteroskedastic_5pct
+    FROM aux
+    """,
+    tags=("stats", "regression", "diagnostics", "orders"),
+)
+def stats_breusch_pagan(spark, sf_dir):
+    """BREUSCH-PAGAN heteroskedasticity test (Koenker's studentized
+    form, public): after fitting the daily-revenue trend line, regress
+    the SQUARED residuals on the day index — LM = n R²_aux is chi²(1)
+    under homoskedasticity; a significant LM means the variance itself
+    trends, which invalidates the OLS standard errors every downstream
+    interval (conformal widths, control-chart limits) would otherwise
+    assume constant. Completes the regression-diagnostics pair with
+    stats_cooks_distance (influence) on the same fit.
+
+    Exactness: first-stage moments are DECIMAL(38,0) over exact
+    BIGINTs; residuals come from identical IEEE trees; the aux-stage
+    sums (e², x e², e⁴) are per-term DECIMAL(38,6)-cast before summing
+    (the stats convention — e⁴ also exceeds double-safe integer range,
+    and per-term casting makes order irrelevant). The chi²₁ 5%
+    critical value 3.8414588… is a shared repr-exact literal (the BH
+    pattern — no special functions in-engine).
+
+    Scale: facts collapse to the daily relation; two moment passes."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    xy = daily.select(
+        "cents",
+        F.row_number().over(W.orderBy("d")).cast("long").alias("x"),
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    m = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec0(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec0(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec0(F.col("cents"))).cast("double").alias("syc"),
+        F.sum(dec0(F.col("x")) * dec0(F.col("cents")))
+        .cast("double")
+        .alias("sxyc"),
+    )
+    fit = m.select(
+        "n",
+        "sx",
+        "sxx",
+        (
+            ((F.col("sxyc") - F.col("sx") * F.col("syc") / F.col("n")) / 100.0)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("b"),
+        (
+            (F.col("syc") / F.col("n") / 100.0)
+            - ((F.col("sxyc") - F.col("sx") * F.col("syc") / F.col("n")) / 100.0)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            * (F.col("sx") / F.col("n"))
+        ).alias("a"),
+    )
+    e = F.col("cents") / 100.0 - (F.col("a") + F.col("b") * F.col("x"))
+    resid = xy.crossJoin(F.broadcast(fit)).select(
+        "x", (e * e).alias("e2")
+    )
+    aux = resid.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec0(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec0(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec6(F.col("e2"))).cast("double").alias("se2"),
+        F.sum(dec6(F.col("x") * F.col("e2"))).cast("double").alias("sxe2"),
+        F.sum(dec6(F.col("e2") * F.col("e2"))).cast("double").alias("se4"),
+    )
+    num = (F.col("sxe2") - F.col("sx") * F.col("se2") / F.col("n")) * (
+        F.col("sxe2") - F.col("sx") * F.col("se2") / F.col("n")
+    )
+    den = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) * (
+        F.col("se4") - F.col("se2") * F.col("se2") / F.col("n")
+    )
+    return aux.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / den, 6).alias("r2_aux"),
+        F.round(F.col("n") * num / den, 6).alias("lm_stat"),
+        (F.col("n") * num / den > 3.841458820694124).alias(
+            "heteroskedastic_5pct"
+        ),
+    )

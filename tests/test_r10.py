@@ -596,3 +596,148 @@ def test_split_conformal_matches_python_and_covers(spark):
     # 3-sigma gate must combine both folds' binomial noise
     sigma = math.sqrt(0.1 * 0.9 * (1 / nc + 1 / len(test)))
     assert row["coverage"] >= 0.9 - 3 * sigma, (row["coverage"], sigma)
+
+
+# ---------------- round-10 third batch pins --------------------------
+
+
+def test_jonckheere_matches_bruteforce_pairs(spark):
+    """J recomputed by brute force over the raw rows (every cross-group
+    pair counted directly, no grid algebra), plus the mean/variance
+    formulas from the group sizes."""
+    li = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet", columns=["l_linenumber", "l_quantity"]
+    )
+    groups = {
+        g: np.sort(v["l_quantity"].to_numpy())
+        for g, v in li.groupby("l_linenumber")
+    }
+    keys = sorted(groups)
+    two_j = 0
+    for i, g in enumerate(keys):
+        for h in keys[i + 1 :]:
+            a, b = groups[g], groups[h]
+            lt = np.searchsorted(b, a, side="left")
+            le = np.searchsorted(b, a, side="right")
+            two_j += int(2 * (len(b) - le).sum() + (le - lt).sum())
+    n = len(li)
+    sizes = np.array([len(groups[g]) for g in keys], dtype=float)
+    jm = (n * n - (sizes**2).sum()) / 4
+    var = (n * n * (2 * n + 3) - (sizes**2 * (2 * sizes + 3)).sum()) / 72
+    row = _run(spark, "stats_jonckheere_terpstra").collect()[0]
+    assert row["n_rows"] == n
+    assert math.isclose(row["j_stat"], two_j / 2, abs_tol=0.051)
+    assert math.isclose(row["j_mean"], jm, abs_tol=0.051)
+    assert math.isclose(
+        row["z"], (two_j / 2 - jm) / math.sqrt(var), abs_tol=1e-6
+    )
+
+
+def _daily_cents_series():
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    return (
+        (orders["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_orderdate"].dt.normalize())
+        .sum()
+        .sort_index()
+    )
+
+
+def test_stl_decompose_matches_numpy(spark):
+    """MA trend / weekday seasonal / variance shares recomputed with
+    numpy convolution and plain variance (no decimal casting — the
+    query's order-proof arithmetic must agree with the naive float
+    formula to 1e-6 on shares)."""
+    daily = _daily_cents_series()
+    y = daily.to_numpy().astype(float)
+    dows = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy() % 7
+    s7 = np.convolve(y, np.ones(7), mode="valid")  # full windows
+    y7 = 7 * y[3:-3]
+    d7 = dows[3:-3]
+    det7 = y7 - s7
+    s7m = {d: det7[d7 == d].mean() for d in range(7)}
+    seas = np.array([s7m[d] for d in d7])
+    shares = (
+        np.var(s7),
+        np.var(seas),
+        np.var(det7 - seas) + np.mean(det7 - seas) ** 2,  # Σr²/n
+        np.var(y7),
+    )
+    rows = sorted(
+        _run(spark, "analytics_stl_decompose").collect(),
+        key=lambda r: r["dow"],
+    )
+    assert [r["dow"] for r in rows] == list(range(7))
+    for r in rows:
+        assert r["n_days"] == int((d7 == r["dow"]).sum())
+        assert math.isclose(
+            r["seasonal_cents"], s7m[r["dow"]] / 7, abs_tol=1e-3
+        )
+        assert math.isclose(r["trend_share"], shares[0] / shares[3], abs_tol=1e-6)
+        assert math.isclose(
+            r["seasonal_share"], shares[1] / shares[3], abs_tol=1e-6
+        )
+        assert math.isclose(
+            r["remainder_share"], shares[2] / shares[3], abs_tol=1e-6
+        )
+    # sanity: a random-ish revenue series is remainder-dominated
+    assert rows[0]["remainder_share"] > rows[0]["seasonal_share"]
+
+
+def test_breusch_pagan_matches_numpy(spark):
+    """LM = n R²_aux recomputed with numpy lstsq on both stages."""
+    daily = _daily_cents_series()
+    y = daily.to_numpy() / 100.0
+    n = len(y)
+    x = np.arange(1, n + 1, dtype=float)
+    X = np.column_stack([np.ones(n), x])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e2 = (y - X @ beta) ** 2
+    g, *_ = np.linalg.lstsq(X, e2, rcond=None)
+    ss_res = ((e2 - X @ g) ** 2).sum()
+    ss_tot = ((e2 - e2.mean()) ** 2).sum()
+    r2 = 1 - ss_res / ss_tot
+    row = _run(spark, "stats_breusch_pagan").collect()[0]
+    assert row["n_days"] == n
+    assert math.isclose(row["r2_aux"], r2, abs_tol=1e-6)
+    assert math.isclose(row["lm_stat"], n * r2, abs_tol=1e-3)
+    assert row["heteroskedastic_5pct"] == (n * r2 > 3.841458820694124)
+
+
+def test_simhash_radius_curve_contract(spark):
+    """Verified pair counts are NESTED/monotone in the radius, and the
+    pigeonhole banding is LOSSLESS: at fixture scale the banded
+    verified set equals brute-force all-pairs Hamming over the same
+    signatures, for every radius on the curve."""
+    from gcp_etl_spark.llm.dedup import simhash_signatures
+    from gcp_etl_spark.tables import t as tt
+
+    rows = sorted(
+        _run(spark, "dedup_simhash_radius_curve").collect(),
+        key=lambda r: r["radius"],
+    )
+    assert [r["radius"] for r in rows] == [1, 2, 3, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_verified"] >= a["n_verified"]
+        assert a["n_verified"] <= a["n_candidates"]
+    assert rows[-1]["n_verified"] > 0, "fixture must contain near-dups"
+    # losslessness: brute-force hamming over the engine's signatures
+    d = tt(spark, SF_SMALL, "documents")
+    sigs = {
+        r["id"]: r["sig"]
+        for r in simhash_signatures(d, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    ham = {
+        k: 0 for k in (1, 2, 3, 5)
+    }
+    for i, a_ in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            h = bin((sigs[a_] ^ sigs[b_]) & ((1 << 64) - 1)).count("1")
+            for k in ham:
+                if h <= k:
+                    ham[k] += 1
+    for r in rows:
+        assert r["n_verified"] == ham[r["radius"]], (r["radius"], r, ham)
