@@ -1657,3 +1657,220 @@ def stats_breusch_pagan(spark, sf_dir):
             "heteroskedastic_5pct"
         ),
     )
+
+
+# ------------- streaming BH-FDR multi-group drift monitor (r10)
+
+
+def _fdr_drift_oracle_sql() -> str:
+    crits = _bh_crit_literals(m=5, q=_BH_Q)
+    vals = ", ".join(f"({i + 1}, {c!r})" for i, c in enumerate(crits))
+    return f"""
+    WITH f AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+             event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), ref AS (
+      SELECT g, CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                  / count(*) AS mu,
+             sqrt(CAST(sum(CAST(cents AS DECIMAL(38,0))
+                           * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                    / count(*)
+                  - (CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                       / count(*))
+                    * (CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                         / count(*))) AS sd
+      FROM f GROUP BY g
+    ), wm AS (
+      SELECT w_start, g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sc
+      FROM f GROUP BY 1, 2
+    ), z AS (
+      SELECT w.w_start, w.g, w.n,
+             abs((w.sc / w.n - r.mu) * sqrt(CAST(w.n AS DOUBLE)) / r.sd)
+               AS az
+      FROM wm w JOIN ref r ON r.g = w.g
+    ), crit(i, zc) AS (VALUES {vals}),
+    ranked AS (
+      SELECT w_start, g, n, az,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY az DESC, g) AS i
+      FROM z
+    ), marked AS (
+      SELECT r.*, CASE WHEN r.az >= CAST(c.zc AS DOUBLE)
+                       THEN r.i ELSE 0 END AS hit
+      FROM ranked r JOIN crit c ON c.i = r.i
+    ), kk AS (
+      SELECT w_start, max(hit) AS k FROM marked GROUP BY w_start
+    )
+    SELECT m.w_start, m.g, CAST(m.n AS BIGINT) AS n_events,
+           round(m.az, 6) AS abs_z,
+           CAST(m.i AS BIGINT) AS rank_desc,
+           (m.i <= kk.k) AS drifted
+    FROM marked m JOIN kk USING (w_start)
+    ORDER BY m.w_start, m.g
+    """
+
+
+@query(
+    "stream_fdr_drift",
+    oracle=_fdr_drift_oracle_sql(),
+    tags=("streaming", "drift", "fdr", "multiple-testing", "events"),
+)
+def stream_fdr_drift(spark, sf_dir):
+    """STREAMING BH-FDR MULTI-GROUP DRIFT MONITOR — the multiple-
+    testing upgrade of the drift family (psi / G-test / Wasserstein
+    monitors watch ONE statistic; a segmented dashboard watches m and
+    needs FDR control or it pages 'alpha x m' false alarms by
+    design): per tumbling day-window, one z-test per event_type of
+    windowed mean value vs the static per-type reference profile,
+    then the Benjamini-Hochberg step-up WITHIN the window decides
+    which drifts survive at q={_BH_Q}. Critical |z| values are
+    Acklam literals (no in-engine erf — the stats_bh_fdr contract).
+
+    Stream-safety: the windowed per-group moment agg
+    (streaming/windows.py::group_moment_windows — exact DECIMAL sums,
+    additive, batching-invariance pinned by the split-and-merge
+    pytest) is the ONLY stateful stage; the z/BH algebra is a
+    projection plus an m-row per-window sort. The reference profile
+    is a static broadcast, exactly like psi_drift's.
+
+    Under this IID fixture the per-window null is TRUE, so windows
+    reject nothing or noise-rarely — the pytest pins batching
+    invariance and the BH mechanics, not a fake drift."""
+    from gcp_etl_spark.streaming.windows import (
+        fdr_drift,
+        group_moment_windows,
+    )
+
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ref = e.groupBy(F.col("event_type").alias("g")).agg(
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.sqrt(
+            F.sum(
+                cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")
+            ).cast("double")
+            / F.count("*")
+            - (
+                F.sum(cents.cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+            )
+            * (
+                F.sum(cents.cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("sd"),
+    )
+    crits = _bh_crit_literals(m=5, q=_BH_Q)
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(crits)], "i int, zc double"
+    )
+    wm = group_moment_windows(e, watermark=None).select(
+        "w_start", "g", "n", "sc"
+    )
+    return fdr_drift(wm, ref, crit).orderBy("w_start", "g")
+
+
+# ------------------- log-log price elasticity (r10 extra)
+
+
+@query(
+    "analytics_price_elasticity",
+    oracle="""
+    WITH pp AS (  -- per-part mean unit price and total demand
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS demand
+      FROM lineitem GROUP BY 1
+    ), lg AS (
+      SELECT CAST(ln(price) AS DECIMAL(38,18)) AS lx,
+             CAST(ln(demand) AS DECIMAL(38,18)) AS ly
+      FROM pp
+    ), lgd AS (
+      SELECT CAST(lx AS DOUBLE) AS x, CAST(ly AS DOUBLE) AS y FROM lg
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lgd
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+             AS elasticity,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+             AS r2
+    FROM m
+    """,
+    tags=("analytics", "economics", "regression", "lineitem"),
+)
+def analytics_price_elasticity(spark, sf_dir):
+    """LOG-LOG PRICE ELASTICITY OF DEMAND: regress ln(total quantity)
+    on ln(mean unit price) across parts — the slope IS the elasticity
+    (percent demand change per percent price change), the canonical
+    pricing-analytics regression. Unit price per part = exact cents
+    extendedprice sum / exact quantity sum (identical division).
+
+    ln() IS a libm call that can differ by an ulp between the JVM and
+    DuckDB, so each log value is cast DECIMAL(38,18) IMMEDIATELY (the
+    analytics_theil_index convention — the cast absorbs sub-ulp
+    drift) then brought back to double, so both engines multiply
+    bit-identical operands; every moment term (x, y, xy, x², y²) is
+    per-term DECIMAL(38,12)-cast before summing, making summation
+    order irrelevant too (a decimal×decimal product would overflow
+    DuckDB's 38-digit cap — the double-multiply-then-cast shape is
+    the overflow-safe equivalent).
+
+    Scale: facts collapse to the part dim (one hash agg); the
+    regression is one moment pass over parts."""
+    li = t(spark, sf_dir, "lineitem")
+    pp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.sum(F.col("l_quantity").cast("long").cast("decimal(38,0)"))
+            .cast("double")
+        ).alias("price"),
+        F.sum(F.col("l_quantity").cast("long").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("demand"),
+    )
+    lg = pp.select(
+        F.log(F.col("price"))
+        .cast("decimal(38,18)")
+        .cast("double")
+        .alias("x"),
+        F.log(F.col("demand"))
+        .cast("decimal(38,18)")
+        .cast("double")
+        .alias("y"),
+    )
+    dec12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    m = lg.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec12(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec12(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec12(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec12(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec12(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.round(sxy_c / sxx_c, 6).alias("elasticity"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
+    )

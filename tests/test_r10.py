@@ -741,3 +741,84 @@ def test_simhash_radius_curve_contract(spark):
                     ham[k] += 1
     for r in rows:
         assert r["n_verified"] == ham[r["radius"]], (r["radius"], r, ham)
+
+
+def test_fdr_drift_is_batching_invariant(spark):
+    """The windowed per-group moment agg is the FDR drift monitor's
+    ONLY stateful stage and it is ADDITIVE: counts/sums from two
+    disjoint halves of the corpus merged must yield exactly the same
+    per-(window, group) decisions as one pass (the streaming
+    micro-batch merge contract, same as the W1 monitor's pin)."""
+    from gcp_etl_spark.queries.r10_ops import _bh_crit_literals
+    from gcp_etl_spark.streaming.windows import (
+        fdr_drift,
+        group_moment_windows,
+    )
+    from gcp_etl_spark.tables import t as tt
+
+    e = tt(spark, SF_SMALL, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ref = e.groupBy(F.col("event_type").alias("g")).agg(
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.sqrt(
+            F.sum(
+                cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")
+            ).cast("double")
+            / F.count("*")
+            - (F.sum(cents.cast("decimal(38,0)")).cast("double") / F.count("*"))
+            * (F.sum(cents.cast("decimal(38,0)")).cast("double") / F.count("*"))
+        ).alias("sd"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_bh_crit_literals(m=5, q=0.10))],
+        "i int, zc double",
+    )
+    one = fdr_drift(
+        group_moment_windows(e, watermark=None).select(
+            "w_start", "g", "n", "sc"
+        ),
+        ref,
+        crit,
+    )
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    h2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        group_moment_windows(h1, watermark=None)
+        .unionAll(group_moment_windows(h2, watermark=None))
+        .groupBy("w_start", "g")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sc").alias("sc"),
+        )
+        .select("w_start", "g", "n", F.col("sc").cast("decimal(38,0)").alias("sc"))
+    )
+    two = fdr_drift(merged, ref, crit)
+    key = lambda r: (r["w_start"], r["g"])  # noqa: E731
+    r1 = {key(r): (r["n_events"], r["abs_z"], r["drifted"]) for r in one.collect()}
+    r2 = {key(r): (r["n_events"], r["abs_z"], r["drifted"]) for r in two.collect()}
+    assert r1 == r2 and len(r1) > 20
+
+
+def test_price_elasticity_matches_numpy(spark):
+    """Elasticity slope and R² recomputed with numpy lstsq over
+    per-part log price / log demand from the raw parquet."""
+    li = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_quantity"],
+    )
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    qty = li["l_quantity"].astype("int64")
+    g = pd.DataFrame(
+        {"pk": li["l_partkey"], "c": cents, "q": qty}
+    ).groupby("pk").sum()
+    x = np.log(g["c"].to_numpy(dtype=float) / g["q"].to_numpy(dtype=float))
+    y = np.log(g["q"].to_numpy(dtype=float))
+    X = np.column_stack([np.ones(len(x)), x])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    r = np.corrcoef(x, y)[0, 1]
+    row = _run(spark, "analytics_price_elasticity").collect()[0]
+    assert row["n_parts"] == len(g)
+    assert math.isclose(row["elasticity"], beta[1], abs_tol=1e-5)
+    assert math.isclose(row["r2"], r * r, abs_tol=1e-5)

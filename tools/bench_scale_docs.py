@@ -253,6 +253,27 @@ def main() -> None:
         headline["r8_time_exponents"] = {
             q: r8grid[q]["time_exponent"] for q in r8q
         }
+    if only in ("both", "r10"):
+        # r10: unigram-LM EM tokenizer training. On the dissimilar-docs
+        # fixture every replica's words carry a distinct tag, so the
+        # DISTINCT-WORD vocabulary itself grows ~linearly with the
+        # multiplier — the WORST case for a vocab-relation trainer
+        # (real corpora grow ~corpus^0.5 by Heaps' law), making the
+        # measured exponent an upper bound on the Heaps-world one.
+        # Bounded output (top-30 pieces): the TIME exponent is the claim.
+        r10q = ("train_unigram_lm",)
+        r10grid = run_grid(spark, specs, r10q, mults, frozenset())
+        prior["unigram_docs_grid"] = {
+            "fixture": "dissimilar-docs, docs only (tag-distinct vocab "
+            "grows ~linearly — worst case vs Heaps; exponent is an "
+            "upper bound)",
+            "base_docs": 5000,
+            "mults": [1] + mults,
+            "queries": r10grid,
+        }
+        headline["r10_time_exponents"] = {
+            q: r10grid[q]["time_exponent"] for q in r10q
+        }
     if only in ("both", "emb"):
         from gcp_etl_spark.llm.semdedup import adaptive_planes
 
