@@ -428,3 +428,28 @@ def test_substring_tokens_grid_claims():
     if rec is None:
         pytest.skip("substring_tokens_docs_grid not yet measured")
     assert rec["time_exponent"] <= 1.1, rec["time_exponent"]
+
+
+def test_unigram_docs_grid_claims():
+    """Pin the round-10 record: the unigram-LM EM trainer's time
+    exponent across the 100x dissimilar-docs grid must stay strongly
+    sublinear (measured 0.18 at record time) EVEN under the fixture's
+    worst case — tag-distinct vocab growing ~linearly with the
+    multiplier, where a real Heaps-law corpus grows ~sqrt. The claim
+    is structural: the corpus collapses once to the distinct-word
+    relation, so per-EM-iteration work tracks the vocab, not the
+    corpus."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        data = json.load(f)
+    grid = data.get("unigram_docs_grid")
+    if not grid:
+        pytest.skip("unigram_docs_grid not yet measured")
+    rec = grid["queries"]["train_unigram_lm"]
+    assert rec["time_exponent"] <= 0.6, rec
+    # bounded output at every scale (top-30 pieces)
+    assert all(s["out_rows"] == 30 for s in rec["scales"].values())
