@@ -1874,3 +1874,127 @@ def analytics_price_elasticity(spark, sf_dir):
         F.round(sxy_c / sxx_c, 6).alias("elasticity"),
         F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
     )
+
+
+# ------------- Mondrian (group-conditional) conformal (r10 extra)
+
+
+@query(
+    "ml_conformal_mondrian",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderkey AS k, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 4 AS fold
+      FROM orders
+    ), model AS (
+      SELECT grp, sum(cents) * 1.0 / count(*) AS yhat
+      FROM lab WHERE fold IN (0, 2) GROUP BY grp
+    ), cal AS (
+      SELECT l.grp, abs(l.cents - m.yhat) AS r
+      FROM lab l JOIN model m USING (grp) WHERE l.fold = 1
+    ), qg AS (  -- PER-GROUP ceil((n_g+1)(1-alpha))-th smallest residual
+      SELECT grp, r AS q FROM (
+        SELECT grp, r,
+               row_number() OVER (PARTITION BY grp ORDER BY r) AS rn,
+               count(*) OVER (PARTITION BY grp) AS nc
+        FROM cal
+      ) WHERE rn = least(CAST(ceil((nc + 1) * (1 - {_CONF_ALPHA}))
+                              AS BIGINT), nc)
+    ), test AS (
+      SELECT l.grp, abs(l.cents - m.yhat) <= q.q AS covered
+      FROM lab l JOIN model m USING (grp) JOIN qg q USING (grp)
+      WHERE l.fold = 3
+    )
+    SELECT t.grp,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(q.q), 6) AS qhat_cents,
+           round(count(*) FILTER (covered) * 1.0 / count(*), 6)
+             AS coverage
+    FROM test t JOIN qg q ON q.grp = t.grp
+    GROUP BY t.grp
+    ORDER BY t.grp
+    """,
+    tags=("ml", "conformal", "uncertainty", "orders"),
+)
+def ml_conformal_mondrian(spark, sf_dir):
+    """MONDRIAN (GROUP-CONDITIONAL) CONFORMAL INTERVALS — the upgrade
+    of ml_split_conformal that every segmented deployment actually
+    needs: marginal conformal guarantees 1-alpha coverage ON AVERAGE,
+    which can hide a badly-undercovered segment behind an
+    overcovered one; calibrating q-hat PER GROUP (per order priority)
+    restores the 1-alpha guarantee WITHIN every group
+    (exchangeability within group is all it needs — Vovk's Mondrian
+    taxonomy, public). Output: per-group q-hat and measured held-out
+    coverage, the table an ML-ops reviewer reads before shipping
+    per-segment intervals.
+
+    Exactness: identical to ml_split_conformal (exact cents labels,
+    exact sum/count model, per-group EXACT ORDER-STATISTIC q-hat via
+    a partitioned row_number — both engines rank the same
+    bit-identical doubles).
+
+    Scale: the per-group rank is a partitioned sort (two-pass
+    range-partitioned rank at 100 TB); everything else is broadcast
+    joins against the group dim."""
+    from pyspark.sql import Window as W
+
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).alias("fold"),
+    )
+    model = (
+        lab.filter(F.col("fold").isin(0, 2))
+        .groupBy("grp")
+        .agg((F.sum("cents") * 1.0 / F.count("*")).alias("yhat"))
+    )
+    cal = (
+        lab.filter(F.col("fold") == 1)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.abs(F.col("cents") - F.col("yhat")).alias("r"))
+    )
+    w = W.partitionBy("grp")
+    qg = (
+        cal.select(
+            "grp",
+            "r",
+            F.row_number().over(w.orderBy("r")).alias("rn"),
+            F.count("*").over(w).alias("nc"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.ceil((F.col("nc") + 1) * (1 - _CONF_ALPHA)).cast("long"),
+                F.col("nc"),
+            )
+        )
+        .select("grp", F.col("r").alias("q"))
+    )
+    test = (
+        lab.filter(F.col("fold") == 3)
+        .join(F.broadcast(model), "grp")
+        .join(F.broadcast(qg), "grp")
+        .select(
+            "grp",
+            "q",
+            (F.abs(F.col("cents") - F.col("yhat")) <= F.col("q")).alias(
+                "covered"
+            ),
+        )
+    )
+    return (
+        test.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("q"), 6).alias("qhat_cents"),
+            F.round(
+                F.sum(F.when(F.col("covered"), 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("grp")
+    )

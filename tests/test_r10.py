@@ -822,3 +822,41 @@ def test_price_elasticity_matches_numpy(spark):
     assert row["n_parts"] == len(g)
     assert math.isclose(row["elasticity"], beta[1], abs_tol=1e-5)
     assert math.isclose(row["r2"], r * r, abs_tol=1e-5)
+
+
+def test_mondrian_conformal_matches_python_and_covers_per_group(spark):
+    """Per-group q-hat and coverage replayed from the raw parquet; the
+    group-conditional guarantee gates EVERY group's coverage at
+    1-alpha minus 3 combined binomial sigmas (calibration + test
+    noise, per group)."""
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    df = pd.DataFrame(
+        {
+            "grp": orders["o_orderpriority"],
+            "cents": cents,
+            "fold": orders["o_orderkey"] % 4,
+        }
+    )
+    model = df[df["fold"].isin([0, 2])].groupby("grp")["cents"].apply(
+        lambda s: s.sum() * 1.0 / len(s)
+    )
+    rows = {
+        r["grp"]: r
+        for r in _run(spark, "ml_conformal_mondrian").collect()
+    }
+    for grp, m in model.items():
+        cal = df[(df["fold"] == 1) & (df["grp"] == grp)]
+        r = (cal["cents"] - m).abs().sort_values().to_numpy()
+        nc = len(r)
+        pos = min(int(math.ceil((nc + 1) * 0.9)), nc)
+        qhat = float(r[pos - 1])
+        test = df[(df["fold"] == 3) & (df["grp"] == grp)]
+        cov = float(((test["cents"] - m).abs() <= qhat).mean())
+        row = rows[grp]
+        assert row["n_test"] == len(test)
+        assert math.isclose(row["qhat_cents"], round(qhat, 6), abs_tol=1e-6)
+        assert math.isclose(row["coverage"], round(cov, 6), abs_tol=1e-6)
+        sigma = math.sqrt(0.1 * 0.9 * (1 / nc + 1 / len(test)))
+        assert row["coverage"] >= 0.9 - 3 * sigma, (grp, row["coverage"])
+    assert set(rows) == set(model.index)
