@@ -121,6 +121,64 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------
+# A/B CANARY (r10 verdict ask #3): a pinned 10-query subset with its
+# RECORDED r8 timings baked in as literals (BENCH_DETAIL_r08.json,
+# pass2_warm records at sf0.1). The subset re-runs at suite START and
+# suite END each round; its total vs the pinned r8 total separates
+# HOST drift from ENGINE drift — if the canary reproduces the prior
+# numbers while the suite ran slow, the inflation was host-side; if
+# the canary itself is inflated with plan fingerprints green, the
+# overhead is engine-side and needs bisecting. Queries chosen at the
+# r10/r8 MEDIAN ratio (not the regressed tail) across 10 families so
+# the canary measures the broad drift, not a specific plan.
+CANARY_R8: dict[str, float] = {
+    "q11_full_derived_partsupp": 0.829,
+    "subq_in": 0.822,
+    "agg_central_moments": 0.803,
+    "sketch_hll_merge": 0.835,
+    "q13_customer_distribution": 0.645,
+    "bpe_encode_tokens": 0.726,
+    "basket_cooccurrence": 1.903,
+    "text_collocations_pmi": 1.44,
+    "dedup_prefix_filter": 3.062,
+    "analytics_conversion_latency": 0.94,
+}
+
+
+def _run_canary(spark, specs, sf_dir: str, label: str) -> dict:
+    """Run the pinned canary subset (two passes each, min — the same
+    warm-record convention as the r8 numbers being compared against)
+    and return a telemetry block for the detail file + headline."""
+    per: dict[str, float] = {}
+    for name, r8_sec in CANARY_R8.items():
+        spec = specs.get(name)
+        if spec is None:  # pragma: no cover - canary query renamed
+            continue
+        best = None
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                force(spec.fn(spark, sf_dir))
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+        except Exception as e:  # noqa: BLE001 - canary must not kill bench
+            print(f"# bench canary FAILURE {name}: {e}", file=sys.stderr)
+            continue
+        per[name] = round(best, 3)
+    pinned = sum(v for k, v in CANARY_R8.items() if k in per)
+    total = round(sum(per.values()), 3)
+    block = {
+        "label": label,
+        "total_sec": total,
+        "r8_pinned_sec": round(pinned, 3),
+        "ratio_vs_r8": round(total / pinned, 3) if pinned else None,
+        **_host_load(),
+        "queries": per,
+    }
+    return block
+
+
 def _host_load() -> dict:
     """1-minute loadavg + running process count, captured per query so a
     contended bench record is self-diagnosing (round-3 lesson)."""
@@ -281,6 +339,7 @@ def _dump_detail(
     detail: dict,
     failures: list,
     merge: bool = False,
+    extra: dict | None = None,
 ) -> None:
     """Write the full per-query timing map (+ raw passes and host load).
     Called incrementally (every 20 executed queries) as well as at the
@@ -322,6 +381,7 @@ def _dump_detail(
         "queries": timings,
         "detail": detail,
         "failures": failures,
+        **(extra or {}),
     }
     out_dir = os.environ.get("SPARK_GRAFT_BENCH_OUT_DIR", HERE)
     for path in (
@@ -349,6 +409,13 @@ def main() -> None:
         force(specs["q1_pricing_summary"].fn(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         print(f"# bench warmup failed: {e}", file=sys.stderr)
+
+    # A/B canary, suite-start leg (full-corpus runs only — a 2-query
+    # SPARK_GRAFT_BENCH_ONLY re-run is not a round record)
+    canary: list[dict] = []
+    if not only:
+        canary.append(_run_canary(spark, specs, sf_dir, "suite_start"))
+        spark.catalog.clearCache()
 
     # measured: gc every 4th query => suite ~17s SLOWER than every
     # query (heap/codegen pressure degrades the tail); keep 1
@@ -542,17 +609,32 @@ def main() -> None:
     # AFTER the queue drained.
     retry_q = [n for n, r in detail.items() if r.get("contended")]
     if retry_q:
-        spark.stop()
-        spark = get_spark("bench")
         for name in retry_q:
+            # fresh session PER RETRIED RECORD, matching the documented
+            # contract (r10 ADVICE: one session recreated before the
+            # whole queue meant every retry after the first ran in a
+            # shared warmed session)
+            spark.stop()
+            spark = get_spark("bench")
             spec = specs[name]
             rec = detail[name]
             load, hot = _gate_load()
             io0 = _proc_stat()
             t0 = time.time()
             try:
+                if name in os.environ.get(
+                    "SPARK_GRAFT_BENCH_RETRY_FAIL", ""
+                ).split(","):
+                    # test/demo hook (tests/test_bench_policy.py): the
+                    # throwing-retry bookkeeping path without needing a
+                    # genuinely-crashing query
+                    raise RuntimeError("injected retry failure")
                 force(spec.fn(spark, sf_dir))
             except Exception as e:  # noqa: BLE001 - retry must not kill bench
+                # the failure lands IN the detail record (r10 ADVICE:
+                # stderr-only swallowed the skipped hygiene pass) and
+                # the contended flag stands — un-retried, not cleared
+                rec["retry_error"] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# bench retry FAILURE {name}: {e}", file=sys.stderr)
                 continue
             took = round(time.time() - t0, 3)
@@ -575,8 +657,36 @@ def main() -> None:
                 rec["retry_confirmed"] = True
             _cleanup()
 
+    # A/B canary, suite-end leg — fresh session so both legs measure
+    # the same thing (a just-started session running the pinned subset)
+    if not only:
+        spark.stop()
+        spark = get_spark("bench")
+        canary.append(_run_canary(spark, specs, sf_dir, "suite_end"))
+
+    # REGRESSED-VS-PRIOR headline surface (r10 verdict ask #4): a
+    # sustained regression — fresh-session-CONFIRMED, >= 2x the prior
+    # round, not contention-stamped — must not ship silently in the
+    # detail file; it is named in the headline so the round report has
+    # to address it. (curation_url_funnel's r10 3x rode in unannounced
+    # exactly this way.)
+    regressed = sorted(
+        n
+        for n, r in detail.items()
+        if "repass_fresh_session" in r
+        and not r.get("contended")
+        and r.get("prior_sec")
+        and timings.get(n, 0.0) >= 2.0 * r["prior_sec"]
+    )
+
+    extra: dict = {}
+    if canary:
+        extra["canary"] = canary
+    if regressed:
+        extra["regressed_vs_prior"] = regressed
+
     total = round(sum(timings.values()), 3)
-    _dump_detail(sf, timings, detail, failures, merge=bool(only))
+    _dump_detail(sf, timings, detail, failures, merge=bool(only), extra=extra)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -631,6 +741,23 @@ def main() -> None:
                     1
                     for r in detail.values()
                     if "repass_fresh_session" in r
+                ),
+                # r10 ask #3: pinned-subset ratios vs the r8 records —
+                # ~1.0 means the host matches the r8 window (suite
+                # drift would be engine-side); inflated means host
+                **(
+                    {
+                        "canary_vs_r8": [
+                            c.get("ratio_vs_r8") for c in canary
+                        ]
+                    }
+                    if canary
+                    else {}
+                ),
+                # r10 ask #4: fresh-session-confirmed >= 2x-prior
+                # regressions may not ship unannounced
+                **(
+                    {"regressed_vs_prior": regressed} if regressed else {}
                 ),
                 **dist,
                 "detail": f"BENCH_DETAIL_r{_round_stamp():02d}.json",

@@ -52,7 +52,10 @@ def seed_vocab(
     with corpus frequency >= ``min_freq`` (freq desc, piece asc
     tiebreak). Substring occurrence counts are freq-weighted and
     computed JVM-side (sequence+transform+flatten+explode — no UDF).
-    Returns [(piece, weighted_count)] sorted by piece."""
+    Driver state is <= |alphabet| + ``max_pieces`` rows by
+    construction: the frequency floor and the top-k selection both
+    execute in Spark (TakeOrderedAndProject), never a full-relation
+    collect. Returns [(piece, weighted_count)] sorted by piece."""
     subs = words.select(
         F.col(freq_col).alias("f"),
         F.explode(
@@ -64,20 +67,25 @@ def seed_vocab(
             )
         ).alias("piece"),
     )
-    counts = (
-        subs.groupBy("piece")
-        .agg(F.sum("f").cast("long").alias("n"))
-        .collect()
+    counts = subs.groupBy("piece").agg(F.sum("f").cast("long").alias("n"))
+    # both selections run IN SPARK so the driver only ever holds
+    # alphabet + max_pieces rows BY CONSTRUCTION (r10 verdict ask #5 —
+    # a 100 TB corpus has 10^8+ distinct words x ~4*len substrings;
+    # collecting the full substring-count relation and truncating
+    # driver-side was vocabulary-bounded, not driver-bounded):
+    # single chars are alphabet-bounded, and the multi-char top-k
+    # compiles to TakeOrderedAndProject (distributed heap per
+    # partition + driver merge of max_pieces rows, never a full sort).
+    chars_df = counts.filter(F.length("piece") == 1)
+    multi_df = (
+        counts.filter(
+            (F.length("piece") > 1) & (F.col("n") >= min_freq)
+        )
+        .orderBy(F.col("n").desc(), F.col("piece"))
+        .limit(max_pieces)
     )
-    chars = sorted(
-        (r["piece"], r["n"]) for r in counts if len(r["piece"]) == 1
-    )
-    multi = sorted(
-        ((r["piece"], r["n"]) for r in counts
-         if len(r["piece"]) > 1 and r["n"] >= min_freq),
-        key=lambda kv: (-kv[1], kv[0]),
-    )[:max_pieces]
-    return sorted(chars + multi)
+    rows = chars_df.unionAll(multi_df).collect()
+    return sorted((r["piece"], r["n"]) for r in rows)
 
 
 def forward_backward_counts(

@@ -378,7 +378,13 @@ def write_managed(df: DataFrame, path: str, expect_generation=_NO_EXPECT) -> int
             break
         except FileExistsError:
             gen += 1  # slot taken (live writer or crash orphan)
-    df.write.mode("overwrite").parquet(_gen_dir(path, gen))
+    # mode("append"), NOT "overwrite": overwrite would DELETE the
+    # freshly-claimed dir before writing, reopening the race the
+    # exclusive mkdir closes (a second writer's mkdir could succeed
+    # inside the delete window and both would stage into one dir).
+    # The dir is guaranteed empty and exclusively owned, so append
+    # produces exactly the same files without ever unlinking it.
+    df.write.mode("append").parquet(_gen_dir(path, gen))
     with _manifest_lock(path):
         if expect_generation is not _NO_EXPECT:
             cur = active_generation(path)
@@ -494,7 +500,13 @@ def merge_managed(
     by the two-writer pytest in tests/test_r10.py)."""
     keys = list(key_cols)
     base_gen = active_generation(path)
-    target = read_managed(spark, path)
+    # Pin the scan to the SAME generation the CAS expects: re-resolving
+    # the active generation independently would let a commit landing
+    # between the two calls make this merge compute against gen N+1
+    # while the CAS still expects gen N — a spurious conflict for a
+    # merge that actually used the latest data. Pinned, a conflict is
+    # always genuine (the merge really did read superseded data).
+    target = read_managed(spark, path, generation=base_gen)
     if delete_col is not None:
         upserts = source.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))

@@ -89,8 +89,16 @@ def range_prefix_sums(
         for f in psums.schema.fields
         if f.name.endswith("_psum")
     }
+    # the offsets window runs over the BOUNDED #groups x #partitions
+    # psums relation (n_parts rows when ungrouped). With no group
+    # columns, partition on the constant __pid % 1 == 0 (a plain
+    # F.lit would be constant-folded OUT of the spec): execution is
+    # the same single partition, but Spark no longer emits the
+    # "moving all data to a single partition" WindowExec warning —
+    # which is only meaningful on unbounded relations, and this one
+    # is n_parts rows by construction.
     prior = (
-        Window.partitionBy(*pc)
+        Window.partitionBy(*(pc or [F.col("__pid") % 1]))
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )

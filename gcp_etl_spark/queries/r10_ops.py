@@ -85,9 +85,10 @@ def _kmeans_oracle_sql() -> str:
            round(c.c[1], 6) AS c0, round(c.c[2], 6) AS c1,
            round(c.c[3], 6) AS c2, round(c.c[4], 6) AS c3,
            round(sqrt(list_inner_product(c.c, c.c)), 6) AS center_norm,
-           round(sum(list_inner_product(a.v, a.v)
+           round(CAST(sum(CAST(list_inner_product(a.v, a.v)
                      - 2 * list_inner_product(a.v, c.c)
-                     + list_inner_product(c.c, c.c)), 6) AS inertia
+                     + list_inner_product(c.c, c.c)
+                     AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
     FROM afin a JOIN it{n} c ON a.cid = c.cid
     GROUP BY a.cid, c.c
     """
@@ -172,7 +173,13 @@ def train_kmeans_lloyd(spark, sf_dir):
         F.round(F.sqrt(F.first(_seq_dot(F.col("c"), F.col("c")))), 6).alias(
             "center_norm"
         ),
-        F.round(F.sum("sq"), 6).alias("inertia"),
+        # per-term DECIMAL(38,12) cast before summing (the
+        # stats_variance_ratio convention) so Spark partial-agg vs
+        # DuckDB sequential summation order cannot move the sum across
+        # a 6dp rounding boundary
+        F.round(
+            F.sum(F.col("sq").cast("decimal(38,12)")).cast("double"), 6
+        ).alias("inertia"),
     ).drop("c")
 
 
@@ -615,8 +622,12 @@ _CR_ALPHA = "0.1"  # SES smoothing constant, shared literal
       FROM arrs
       UNION ALL
       SELECT t + 1,
-             {_CR_ALPHA} * qa[t + 1] + (1 - {_CR_ALPHA}) * z,
-             {_CR_ALPHA} * ga[t + 1] + (1 - {_CR_ALPHA}) * p,
+             -- CAST the BIGINT element to DOUBLE FIRST so DuckDB runs
+             -- the same double*double multiply as Spark's
+             -- 0.1D * element_at(qa, i) — a DECIMAL*BIGINT product
+             -- (exact, one rounding) can differ by 1 ulp per step
+             {_CR_ALPHA} * CAST(qa[t + 1] AS DOUBLE) + (1 - {_CR_ALPHA}) * z,
+             {_CR_ALPHA} * CAST(ga[t + 1] AS DOUBLE) + (1 - {_CR_ALPHA}) * p,
              n, qa, ga
       FROM cr WHERE t + 1 <= n
     ), fin AS (SELECT * FROM cr WHERE t = n),
@@ -1129,9 +1140,11 @@ def ml_split_conformal(spark, sf_dir):
     and the >= 1-alpha guarantee from the raw parquet.
 
     Scale: one grouped fit (group dim broadcast back), one
-    rank-for-order-statistic on the calibration fold (two-pass
-    range-partitioned rank at 100 TB — operators.exact_quantiles'
-    shape), one membership test on the test fold."""
+    rank-for-order-statistic on the calibration fold — WIRED through
+    operators.global_row_number's two-pass range-partitioned rank
+    (range exchange + in-partition windows + broadcast prefix
+    offsets; no single-partition WindowExec), one membership test on
+    the test fold."""
     lab = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("grp"),
@@ -1151,18 +1164,23 @@ def ml_split_conformal(spark, sf_dir):
         .join(F.broadcast(model), "grp")
         .select(F.abs(F.col("cents") - F.col("yhat")).alias("r"))
     )
-    from pyspark.sql import Window as W
+    # q-hat = exact order statistic via the TWO-PASS RANGE-PARTITIONED
+    # rank (r10 verdict ask #2): the calibration fold is
+    # corpus-proportional, so an unpartitioned row_number() window
+    # would move ALL of it to ONE partition — global_row_number ranks
+    # it with a range exchange + in-partition windows + broadcast
+    # prefix offsets instead (no single-partition Exchange anywhere;
+    # plan pinned in tests/test_r10.py::test_conformal_rank_plan).
+    from gcp_etl_spark.operators.quantiles import global_row_number
 
     nc = cal.count()
     import math as _m
 
     pos = min(int(_m.ceil((nc + 1) * (1 - _CONF_ALPHA))), nc)
     qrow = (
-        cal.select(
-            "r", F.row_number().over(W.orderBy("r")).alias("rn")
-        )
+        global_row_number(cal, ["r"], rn_col="rn")
         .filter(F.col("rn") == pos)
-        .collect()
+        .collect()  # the 1-row order statistic, cardinality-bounded
     )
     qhat = float(qrow[0]["r"])
     test = (
@@ -1930,15 +1948,15 @@ def ml_conformal_mondrian(spark, sf_dir):
     per-segment intervals.
 
     Exactness: identical to ml_split_conformal (exact cents labels,
-    exact sum/count model, per-group EXACT ORDER-STATISTIC q-hat via
-    a partitioned row_number — both engines rank the same
-    bit-identical doubles).
+    exact sum/count model, per-group EXACT ORDER-STATISTIC q-hat —
+    both engines rank the same bit-identical doubles; the value at a
+    given rank is tie-order-independent).
 
-    Scale: the per-group rank is a partitioned sort (two-pass
-    range-partitioned rank at 100 TB); everything else is broadcast
+    Scale: the per-group rank is WIRED through
+    operators.global_row_number's two-pass range-partitioned rank
+    (per-group row counts are a separate map-side-combinable agg, so
+    no task ever holds a whole group); everything else is broadcast
     joins against the group dim."""
-    from pyspark.sql import Window as W
-
     lab = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("grp"),
@@ -1955,14 +1973,20 @@ def ml_conformal_mondrian(spark, sf_dir):
         .join(F.broadcast(model), "grp")
         .select("grp", F.abs(F.col("cents") - F.col("yhat")).alias("r"))
     )
-    w = W.partitionBy("grp")
+    # per-group q-hat via the TWO-PASS RANGE-PARTITIONED rank (r10
+    # verdict ask #2): a partitioned row_number() window puts n/|groups|
+    # rows on one partition — unbounded in corpus size at 5 priority
+    # groups. global_row_number range-exchanges on (grp, r) instead, so
+    # every task holds only its range slice; per-group sizes come from
+    # a plain map-side-combinable count, and the rank-equality filter
+    # picks each group's order statistic (plan pinned in
+    # tests/test_r10.py::test_conformal_rank_plan).
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    ncs = cal.groupBy("grp").agg(F.count("*").alias("nc"))
     qg = (
-        cal.select(
-            "grp",
-            "r",
-            F.row_number().over(w.orderBy("r")).alias("rn"),
-            F.count("*").over(w).alias("nc"),
-        )
+        global_row_number(cal, ["r"], ["grp"], rn_col="rn")
+        .join(F.broadcast(ncs), "grp")
         .filter(
             F.col("rn")
             == F.least(

@@ -111,3 +111,113 @@ def test_contended_record_enters_retry_queue(tmp_path):
     assert rec["timing"] == "retry_quiet" or rec.get("retry_confirmed")
     head = json.loads(out.stdout.strip().splitlines()[-1])
     assert head["contended_queries"] == 0
+
+
+def test_sustained_regression_lands_in_headline(tmp_path):
+    """r10 verdict ask #4: a fresh-session-CONFIRMED record >= 2x its
+    prior on a quiet host must be named in ``regressed_vs_prior`` in
+    the detail payload (and the headline carries the same list) — a
+    sustained regression cannot ship silently. The 1 ms injected prior
+    makes any record both >= 3x (fresh-session re-pass fires) and
+    >= 2x after the re-pass (regression confirmed)."""
+    query = "ref_select_limit"
+    prior = {"sf": 0.001, "queries": {query: 0.001}}
+    prior_file = tmp_path / "prior.json"
+    prior_file.write_text(json.dumps(prior))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_PRIOR_FILE=str(prior_file),
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="79",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="64",
+        SPARK_GRAFT_CPUS="8",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r79.json").read_text())
+    assert detail.get("regressed_vs_prior") == [query], detail.get(
+        "regressed_vs_prior"
+    )
+    headline = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert headline.get("regressed_vs_prior") == [query]
+
+
+def test_retry_failure_recorded_in_detail(tmp_path):
+    """r10 ADVICE: a retry that throws must land in the detail record
+    (``retry_error``) with the contended flag LEFT STANDING (an
+    explicitly-failed retry, not a silently-skipped hygiene pass).
+    The load schedule stamps the measured pass contended (10.0 > gate)
+    and SPARK_GRAFT_BENCH_RETRY_FAIL makes the retry throw."""
+    query = "ref_select_limit"
+    sched = tmp_path / "loads.json"
+    sched.write_text(json.dumps([10.0]))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="80",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="4.0",
+        SPARK_GRAFT_BENCH_LOAD_SCHEDULE=str(sched),
+        SPARK_GRAFT_BENCH_RETRY_FAIL=query,
+        SPARK_GRAFT_CPUS="8",
+    )
+    env.pop("SPARK_GRAFT_BENCH_PRIOR_FILE", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r80.json").read_text())
+    rec = detail["detail"][query]
+    assert rec["retry_error"].startswith("RuntimeError"), rec
+    assert rec["contended"] is True, rec
+    headline = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert headline["contended_queries"] == 1
+
+
+def test_canary_block_schema(spark):
+    """The A/B canary helper (r10 verdict ask #3) returns a block with
+    the pinned-r8 comparison fields; run here over two real canary
+    members at sf0.001 so the schema and the ratio arithmetic are
+    pinned without a full-corpus bench run."""
+    import bench as B
+    from gcp_etl_spark.queries import load_all
+
+    sub = {
+        k: B.CANARY_R8[k]
+        for k in ("q13_customer_distribution", "subq_in")
+    }
+    orig = B.CANARY_R8
+    B.CANARY_R8 = sub
+    try:
+        block = B._run_canary(
+            spark, load_all(), "/root/testdata/sf0.001", "suite_start"
+        )
+    finally:
+        B.CANARY_R8 = orig
+    assert block["label"] == "suite_start"
+    assert set(block["queries"]) == set(sub)
+    assert block["r8_pinned_sec"] == round(sum(sub.values()), 3)
+    assert block["ratio_vs_r8"] == round(
+        block["total_sec"] / block["r8_pinned_sec"], 3
+    )

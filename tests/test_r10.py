@@ -860,3 +860,61 @@ def test_mondrian_conformal_matches_python_and_covers_per_group(spark):
         sigma = math.sqrt(0.1 * 0.9 * (1 / nc + 1 / len(test)))
         assert row["coverage"] >= 0.9 - 3 * sigma, (grp, row["coverage"])
     assert set(rows) == set(model.index)
+
+
+def test_conformal_rank_plan_has_no_single_partition_rank(spark):
+    """r10 verdict ask #2 plan pin: both conformal queries must rank
+    their corpus-proportional calibration fold through the two-pass
+    range-partitioned rank, never an unpartitioned (or
+    bounded-group-partitioned) WindowExec. Asserted on the PHYSICAL
+    plan: (a) ml_conformal_mondrian's full plan carries a
+    RangePartitioning exchange and ZERO `Exchange SinglePartition`
+    nodes; (b) the split query's rank relation (rebuilt here exactly
+    as ml_split_conformal builds it) range-exchanges the fold and its
+    only SinglePartition exchange covers the bounded
+    #partitions-row prefix-offset relation (<= 1 occurrence)."""
+    import contextlib
+    import io as _io
+
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    mondrian = _run(spark, "ml_conformal_mondrian")
+    p = plan_of(mondrian)
+    # the range exchange itself hides behind the pid-freeze
+    # localCheckpoint (prints as Scan ExistingRDD) — the visible proof
+    # of the two-pass shape is the in-partition window keyed by
+    # (__grngk, __pid) instead of grp alone, plus zero single-partition
+    # exchanges anywhere in the plan
+    assert "__pid" in p and "windowspecdefinition(__grngk" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+    lab = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).alias("fold"),
+    )
+    model = (
+        lab.filter(F.col("fold").isin(0, 2))
+        .groupBy("grp")
+        .agg((F.sum("cents") * 1.0 / F.count("*")).alias("yhat"))
+    )
+    cal = (
+        lab.filter(F.col("fold") == 1)
+        .join(F.broadcast(model), "grp")
+        .select(F.abs(F.col("cents") - F.col("yhat")).alias("r"))
+    )
+    ranked = global_row_number(cal, ["r"], rn_col="rn").filter(
+        F.col("rn") == 123
+    )
+    p2 = plan_of(ranked)
+    # ungrouped rank: the big relation's window partitions on __pid;
+    # the ONLY permissible SinglePartition exchange is the bounded
+    # #partitions-row prefix-offset window over psums
+    assert "windowspecdefinition(__pid" in p2, p2
+    assert p2.count("Exchange SinglePartition") <= 1, p2
