@@ -542,10 +542,20 @@ def main() -> None:
                 rec["prior_sec"] = prev
                 spark.stop()
                 spark = get_spark("bench")
+                # TWO passes, min: a single fresh-session pass is COLD
+                # (first compile of the whole plan in a new JVM) while
+                # the prior-round number it "confirms" was a WARM
+                # record — r10's curation_url_funnel repass recorded
+                # 7.74 s cold against a 2.64 s warm prior, stamping a
+                # regression that measured 3.0 s warm-isolated (r11
+                # investigation). Cold pass 1 warms; pass 2 is the
+                # like-for-like observation.
                 _measured_pass()
-                rec["repass_fresh_session"] = passes[-1]
-                if passes[-1] < timings[name]:
-                    timings[name] = passes[-1]
+                _cleanup()
+                _measured_pass()
+                rec["repass_fresh_session"] = min(passes[-2:])
+                if rec["repass_fresh_session"] < timings[name]:
+                    timings[name] = rec["repass_fresh_session"]
                     rec["timing"] = "repass_fresh_session"
             rec["passes"] = passes
             rec["pass_loads"] = pass_loads
@@ -618,33 +628,49 @@ def main() -> None:
             spark = get_spark("bench")
             spec = specs[name]
             rec = detail[name]
-            load, hot = _gate_load()
-            io0 = _proc_stat()
-            t0 = time.time()
-            try:
-                if name in os.environ.get(
-                    "SPARK_GRAFT_BENCH_RETRY_FAIL", ""
-                ).split(","):
-                    # test/demo hook (tests/test_bench_policy.py): the
-                    # throwing-retry bookkeeping path without needing a
-                    # genuinely-crashing query
-                    raise RuntimeError("injected retry failure")
-                force(spec.fn(spark, sf_dir))
-            except Exception as e:  # noqa: BLE001 - retry must not kill bench
-                # the failure lands IN the detail record (r10 ADVICE:
-                # stderr-only swallowed the skipped hygiene pass) and
-                # the contended flag stands — un-retried, not cleared
-                rec["retry_error"] = f"{type(e).__name__}: {e}"[:300]
-                print(f"# bench retry FAILURE {name}: {e}", file=sys.stderr)
+            # two passes, min: like the fresh-session repass, a single
+            # pass in a just-started session is cold-compile-biased
+            # against the warm in-suite records it competes with
+            took = None
+            failed = False
+            for _ in range(2):
+                load, hot = _gate_load()
+                io0 = _proc_stat()
+                t0 = time.time()
+                try:
+                    if name in os.environ.get(
+                        "SPARK_GRAFT_BENCH_RETRY_FAIL", ""
+                    ).split(","):
+                        # test/demo hook (tests/test_bench_policy.py):
+                        # the throwing-retry bookkeeping path without
+                        # needing a genuinely-crashing query
+                        raise RuntimeError("injected retry failure")
+                    force(spec.fn(spark, sf_dir))
+                except Exception as e:  # noqa: BLE001 - retry must not kill bench
+                    # the failure lands IN the detail record (r10
+                    # ADVICE: stderr-only swallowed the skipped hygiene
+                    # pass) and the contended flag stands
+                    rec["retry_error"] = f"{type(e).__name__}: {e}"[:300]
+                    print(
+                        f"# bench retry FAILURE {name}: {e}",
+                        file=sys.stderr,
+                    )
+                    failed = True
+                    break
+                one = round(time.time() - t0, 3)
+                io1 = _proc_stat()
+                rec.setdefault("retry_passes", []).append(one)
+                rec.setdefault("retry_loads", []).append(load)
+                if io0 and io1 and io1[1] > io0[1]:
+                    rec.setdefault("retry_iowait", []).append(
+                        round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
+                    )
+                if took is None or one < took:
+                    took, best_hot = one, hot
+                _cleanup()
+            if failed or took is None:
                 continue
-            took = round(time.time() - t0, 3)
-            io1 = _proc_stat()
-            rec.setdefault("retry_passes", []).append(took)
-            rec.setdefault("retry_loads", []).append(load)
-            if io0 and io1 and io1[1] > io0[1]:
-                rec.setdefault("retry_iowait", []).append(
-                    round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
-                )
+            hot = best_hot  # the pass that produced the candidate record
             if took < timings[name]:
                 timings[name] = took
                 rec["timing"] = "retry_quiet" if not hot else "retry_min"

@@ -125,14 +125,21 @@ def cosine_topk_ivf(
     nprobe: int = 3,
     seed: int = 42,
     refine_iters: int = 0,
+    prefit=None,
 ) -> DataFrame:
     """Approximate top-k cosine: score only the inverted lists of each
     query's ``nprobe`` nearest centroids. ``refine_iters`` forwards to
-    the quantizer's full-corpus distributed-Lloyd refinement."""
-    assigned, centers = ivf_assign(
-        corpus, id_col, vec_col, n_centroids, seed,
-        refine_iters=refine_iters,
-    )
+    the quantizer's full-corpus distributed-Lloyd refinement;
+    ``prefit=(assigned, centers)`` reuses an existing ``ivf_assign``
+    result instead of fitting again (the refine recall curve measures
+    quantizer quality AND retrieval recall from ONE fit per setting)."""
+    if prefit is not None:
+        assigned, centers = prefit
+    else:
+        assigned, centers = ivf_assign(
+            corpus, id_col, vec_col, n_centroids, seed,
+            refine_iters=refine_iters,
+        )
     c = assigned.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),

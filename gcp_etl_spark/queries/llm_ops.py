@@ -507,7 +507,18 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     """IVF approximate top-k: k-means coarse quantizer (seeded), each
     query probes its nprobe nearest inverted lists - candidate set
     ~ |corpus| * nprobe / n_centroids. Rows-only (clustering is
-    approximate); recall vs exact asserted in tests."""
+    approximate); recall vs exact asserted in tests.
+
+    DEFAULT BUILD PATH (r10 verdict ask #8, decided by the registered
+    ann_ivf_refine_recall_curve): sample-only quantizer
+    (refine_iters=0) stays the default at THIS corpus scale because
+    the 4096-vector training sample covers the fixture corpus — the
+    curve records identical recall with only marginal inertia gains
+    from refinement, so two extra full scans per build buy nothing
+    here. At 100 TB the sample is a vanishing fraction and the same
+    curve (run at that scale) is the evidence for flipping
+    refine_iters>=1 — the refined path is first-class and pinned via
+    ann_cosine_topk_ivf_refined / train_kmeans_lloyd."""
     from gcp_etl_spark.llm.ivf import cosine_topk_ivf
 
     emb = t(spark, sf_dir, "embeddings")

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # priority tier, so the established early-registry names keep their
 # relative order after the fresh modules.
 _MODULE_PRIORITY = [
+    "gcp_etl_spark.queries.r11_ops",
     "gcp_etl_spark.queries.r10_ops",
     "gcp_etl_spark.queries.r9b_ops",
     "gcp_etl_spark.queries.r9_ops",
@@ -107,6 +108,7 @@ def load_all() -> dict[str, QuerySpec]:
         r9_ops,
         r9b_ops,
         r10_ops,
+        r11_ops,
     )
 
     prio = {m: i for i, m in enumerate(_MODULE_PRIORITY)}

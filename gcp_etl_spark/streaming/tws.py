@@ -5,7 +5,7 @@ The successor API to ``applyInPandasWithState`` (which
 typed state handles (ValueState/ListState/MapState), timers, and
 initial-state support, running on the RocksDB state store.
 
-ENVIRONMENT GATE (re-probed round 10, 2026-08-16: ``importlib.util.
+ENVIRONMENT GATE (re-probed round 11, 2026-08-16: ``importlib.util.
 find_spec('google')`` is still None — the wheel remains absent, skip
 stands; exact failure for the next container bump): the ``protobuf``
 distribution is ENTIRELY

@@ -80,7 +80,7 @@ def test_contended_record_enters_retry_queue(tmp_path):
     detail file."""
     query = "ref_select_limit"
     sched = tmp_path / "loads.json"
-    sched.write_text(json.dumps([10.0, 0.5]))
+    sched.write_text(json.dumps([10.0, 0.5, 0.5]))
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -105,8 +105,9 @@ def test_contended_record_enters_retry_queue(tmp_path):
     detail = json.loads((tmp_path / "BENCH_DETAIL_r78.json").read_text())
     rec = detail["detail"][query]
     assert rec["pass_loads"][0] == 10.0  # the injected loud pass
-    assert "retry_passes" in rec and len(rec["retry_passes"]) == 1
-    assert rec["retry_loads"] == [0.5]
+    # two retry passes (cold warms, min is the like-for-like record)
+    assert "retry_passes" in rec and len(rec["retry_passes"]) == 2
+    assert rec["retry_loads"] == [0.5, 0.5]
     assert rec["contended"] is False, rec
     assert rec["timing"] == "retry_quiet" or rec.get("retry_confirmed")
     head = json.loads(out.stdout.strip().splitlines()[-1])

@@ -1,0 +1,33 @@
+"""Round-11 pins: contracts for the r11 operators, each independent of
+the DuckDB oracle (the rows-only queries' correctness evidence)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def _run(spark, name):
+    from gcp_etl_spark.queries import load_all
+
+    return load_all()[name].fn(spark, SF_SMALL)
+
+
+def test_ivf_refine_curve_inertia_monotone_and_recall_bounded(spark):
+    """r10 verdict ask #8: the refine operating curve's contract —
+    (a) one row per grid point, (b) full-corpus mean inertia is
+    NON-INCREASING in refine_iters (Lloyd monotonicity: every
+    distributed pass reassigns-then-recenters, neither step can raise
+    the objective — this is the property that justifies paying for
+    refinement at 100 TB), (c) recall@k in [0,1], and (d) the
+    refine_iters=0 row is the sample-only default build, so the curve
+    directly prices the default-vs-refined decision."""
+    rows = {
+        r["refine_iters"]: r
+        for r in _run(spark, "ann_ivf_refine_recall_curve").collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    inertias = [rows[r]["mean_inertia"] for r in (0, 1, 2)]
+    # 6dp-rounded values: allow equality (converged), never an increase
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
+    for r in (0, 1, 2):
+        assert 0.0 <= rows[r]["recall_at_k"] <= 1.0, rows[r]
