@@ -549,3 +549,916 @@ def stats_partial_correlation(spark, sf_dir):
             6,
         ).alias("r_xy_given_z"),
     )
+
+
+# ------------------------- Kaplan-Meier product-limit (r11 extra)
+
+
+@query(
+    "analytics_kaplan_meier",
+    oracle="""
+    WITH base AS (
+      SELECT date_diff('day', o.o_orderdate::DATE,
+                       min(l.l_shipdate)::DATE) // 7 AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+    ), agg AS (
+      -- week buckets TRUNCATED at 52: the grid is <= 53 rows BY
+      -- CONSTRUCTION at any corpus/calendar size; durations beyond
+      -- the truncation stay in the at-risk totals (correct KM on
+      -- the restricted horizon)
+      SELECT CAST(least(t, 52) AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c
+      FROM base GROUP BY 1
+    ), arrs AS (
+      SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+             list(c ORDER BY t) AS cs,
+             CAST(count(*) AS INT) AS m,
+             (SELECT count(*) FROM base) AS total
+      FROM agg
+    ), km AS (
+      SELECT unnest(range(1, m + 1)) AS i, ts, ds, cs, total FROM arrs
+    )
+    SELECT CAST(ts[i] AS BIGINT) AS t,
+           CAST(total - list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, i), j -> ds[j] + cs[j])),
+                  (a, x) -> a + x) AS BIGINT) AS n_risk,
+           CAST(ds[i] AS BIGINT) AS d_events,
+           round(list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(range(1, i + 1),
+                 j -> 1.0 - CAST(ds[j] AS DOUBLE)
+                      / (total - list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(1, j),
+                                            q -> ds[q] + cs[q])),
+                           (a, x) -> a + x)))),
+             (acc, f) -> acc * f), 6) AS km_survival
+    FROM km
+    WHERE ds[i] > 0
+    ORDER BY t
+    """,
+    tags=("analytics", "survival", "time-series"),
+)
+def analytics_kaplan_meier(spark, sf_dir):
+    """KAPLAN-MEIER PRODUCT-LIMIT survival estimator (Kaplan & Meier
+    1958, public) with RIGHT CENSORING — the nonparametric
+    time-to-event curve behind every retention/churn analysis:
+    duration = WEEKS from order placement to first shipment,
+    truncated at week 52 (the grid is <= 53 rows BY CONSTRUCTION —
+    r11 lesson: day-granularity durations were 3593 distinct values
+    at sf0.01, exploding the O(m^2) folds); an order with status 'F'
+    is an observed event, anything else is censored at its duration. S(t) = prod_{t_i <= t} (1 - d_i / n_i) over
+    event times, n_i = at-risk count (duration >= t_i). The additive
+    cousin (Nelson-Aalen cumulative hazard) is already registered;
+    KM is the multiplicative estimator a survival readout quotes.
+
+    Exactness (the ACF/Durbin-Levinson nested-fold contract): the
+    truncated week grid is constant-bounded, so
+    both engines materialize the SAME sorted (t, d, c) arrays and run
+    SEQUENTIAL left folds — Spark aggregate() over array slices,
+    DuckDB list_reduce with a prepended init — multiplying identical
+    IEEE factors (1 - d/n from exact BIGINTs) in identical order;
+    at-risk counts are pure integer prefix sums. 6dp round at the end.
+
+    Scale: facts collapse to per-order rows (one hash agg), then to
+    the bounded duration grid (second hash agg); the O(m^2) prefix
+    folds run on m <= 53 — constant, corpus-independent."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.min("l_shipdate").alias("ship"))
+        .select(
+            F.least(
+                F.expr(
+                    "datediff(CAST(ship AS DATE),"
+                    " CAST(o_orderdate AS DATE)) div 7"
+                ),
+                F.lit(52),
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    agg = base.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count("*") - F.sum("ev")).cast("long").alias("c"),
+    )
+    arrs = agg.agg(
+        F.expr("array_sort(collect_list(struct(t, d, c)))").alias("a"),
+        F.count("*").cast("int").alias("m"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("total"),
+    )
+    km = arrs.select(
+        "a",
+        "total",
+        F.explode(F.expr("sequence(1, m)")).alias("i"),
+    )
+    # at-risk(i) = total - sum_{j<i}(d_j + c_j); survival(i) =
+    # fold of (1 - d_j / n_j) over j = 1..i — both as sequential
+    # aggregate() folds over the same sorted array both engines built
+    nrisk_j = (
+        "(total - aggregate(slice(a, 1, CAST(j - 1 AS INT)), 0L,"
+        " (s, e) -> s + e.d + e.c))"
+    )
+    return km.select(
+        F.expr("a[i - 1].t").cast("long").alias("t"),
+        F.expr(
+            "total - aggregate(slice(a, 1, CAST(i - 1 AS INT)), 0L,"
+            " (s, e) -> s + e.d + e.c)"
+        )
+        .cast("long")
+        .alias("n_risk"),
+        F.expr("a[i - 1].d").cast("long").alias("d_events"),
+        F.round(
+            F.expr(
+                f"""aggregate(sequence(1, CAST(i AS INT)), 1.0D,
+                  (acc, j) -> acc * (1.0D - CAST(a[j - 1].d AS DOUBLE)
+                                     / {nrisk_j}))"""
+            ),
+            6,
+        ).alias("km_survival"),
+    ).filter(F.expr("a[i - 1].d > 0")).orderBy("t")
+
+
+# ------------------- corpus-level repeated-line removal (r11 extra)
+
+_LINE_DF_CAP = 3  # a line present in >= this many distinct docs is
+                  # boilerplate (the C4 "three or more" rule's shape)
+
+
+@query(
+    "dedup_lines_corpus",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, source, trim(ln) AS ln
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, '. ')) AS ln
+            FROM documents)
+      WHERE trim(ln) <> ''
+    ), keyed AS (
+      SELECT doc_id, source, md5(ln) AS h,
+             CAST(length(ln) AS BIGINT) AS chars
+      FROM lines
+    ), df AS (
+      SELECT h, count(DISTINCT doc_id) AS df FROM keyed GROUP BY h
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (df >= {_LINE_DF_CAP}) AS BIGINT)
+             AS n_removed,
+           round(1.0 - CAST(sum(chars) FILTER (df >= {_LINE_DF_CAP})
+                            AS DOUBLE)
+                       / sum(chars), 6) AS retained_char_frac
+    FROM keyed JOIN df USING (h)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "curation", "text"),
+)
+def dedup_lines_corpus(spark, sf_dir):
+    """CORPUS-LEVEL REPEATED-LINE REMOVAL (the C4 / RefinedWeb
+    boilerplate rule, public: a line occurring in >= {_LINE_DF_CAP}
+    distinct documents is template/boilerplate and is dropped
+    CORPUS-WIDE, not per-document) — the line-granularity member of
+    the dedup family between exact-doc (dedup_cluster_exact) and
+    substring (dedup_substring_tokens). Sentences stand in for lines
+    on this fixture ('. ' split). Output: per-source audit — line
+    volume, lines removed, retained character fraction.
+
+    Scale (the digests-shuffle-not-text house rule): every line
+    immediately collapses to its md5 DIGEST + length; the document
+    frequency agg and the join shuffle 16-byte digests, never line
+    text. Counts are exact BIGINTs; the retained fraction divides
+    exact integers (identical IEEE division), rounded 6dp. md5 is
+    bit-identical across engines, so the whole query is
+    hash-verified — no approximate hashing anywhere.
+
+    At 100 TB: one digest hash agg (map-side combinable) + one
+    broadcast-or-shuffle join on digests; text stays in its scan
+    task. The df >= k filter is the same screen C4 applied at web
+    scale."""
+    d = t(spark, sf_dir, "documents")
+    lines = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), "\\. ")).alias("ln"),
+        )
+        .select("doc_id", "source", F.trim(F.col("ln")).alias("ln"))
+        .filter(F.col("ln") != "")
+    )
+    keyed = lines.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("ln")).alias("h"),
+        F.length(F.col("ln")).cast("long").alias("chars"),
+    )
+    df = keyed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    rem = F.col("df") >= _LINE_DF_CAP
+    return (
+        keyed.join(df, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(rem, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.round(
+                1.0
+                - F.sum(F.when(rem, F.col("chars"))).cast("double")
+                / F.sum("chars"),
+                6,
+            ).alias("retained_char_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------- content-defined chunking dedup ratio (r11 extra)
+
+_CDC_W = 8        # rolling window chars
+_CDC_MASK = 64    # boundary when windowed hash % mask == 0 (~64-char
+                  # expected chunk length)
+_CDC_P = 2147483647  # the portable 31-bit modulus (text_rolling_hash)
+
+# 31^j for j = 0..w-1 — small integer constants shared by both engines
+_CDC_POWS = [31 ** j for j in range(_CDC_W)]
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ), codes AS (
+      SELECT doc_id, source, s, length(s) AS n,
+             list_transform(string_split(s, ''), c -> ascii(c)) AS a
+      FROM norm WHERE length(s) >= {_CDC_W}
+    ), bnds AS (
+      SELECT doc_id, source, s, n,
+             list_filter(range({_CDC_W}, n + 1), i ->
+               (({' + '.join(f'CAST(a[i - {j}] AS BIGINT) * {_CDC_POWS[j]}'
+                             for j in range(_CDC_W))})
+                % {_CDC_P}) % {_CDC_MASK} = 0) AS bs
+      FROM codes
+    ), chunks AS (
+      SELECT doc_id, source, unnest(
+               list_transform(range(1, len(full_bs)), k ->
+                 substring(s, full_bs[k] + 1,
+                           full_bs[k + 1] - full_bs[k]))) AS chunk
+      FROM (SELECT doc_id, source, s,
+                   list_prepend(0, list_append(bs, n)) AS full_bs
+            FROM bnds)
+      WHERE TRUE
+    ), keyed AS (
+      SELECT source, md5(chunk) AS h,
+             CAST(length(chunk) AS BIGINT) AS chars
+      FROM chunks WHERE length(chunk) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+             AS dedup_ratio,
+           round(CAST(sum(chars) AS DOUBLE) / count(*), 6)
+             AS avg_chunk_chars
+    FROM keyed GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "storage", "chunking"),
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup ratio (the rolling-hash boundary
+    scheme behind dedup storage systems — LBFS/Rabin family, public):
+    a chunk boundary falls wherever the windowed polynomial hash of
+    the last {_CDC_W} chars is ≡ 0 mod {_CDC_MASK} (expected chunk
+    ~{_CDC_MASK} chars). Because boundaries depend only on LOCAL
+    content, an insertion re-chunks only its neighborhood — which is
+    why chunk-level dedup (count distinct chunk digests) finds shared
+    substrings that whole-doc hashing misses. Output: per-source
+    chunk volume, distinct chunks, dedup ratio, mean chunk length —
+    the storage-savings table a corpus-dedup operator reads.
+
+    Exactness: the windowed hash is the engine's portable base-31
+    integer polynomial (text_rolling_hash / hashed_feature_cross
+    convention — builtin hash() differs between engines, explicit
+    arithmetic does not); all terms bounded by 8 * 1114111 * 31^7 <
+    2^63, so both engines compute identical BIGINTs; chunks collapse
+    to md5 digests (bit-identical); ratios divide exact integers,
+    6dp. Whole query hash-verified.
+
+    Scale: the per-char work is O({_CDC_W} * len) inside the scan
+    task (JVM codegen transform, no UDF); only (digest, length) pairs
+    shuffle — the digests-shuffle-not-text rule; the per-source agg
+    is map-side combinable. At 100 TB this is one linear pass."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    hash_terms = " + ".join(
+        f"CAST(a[i - {j} - 1] AS BIGINT) * {_CDC_POWS[j]}L"
+        for j in range(_CDC_W)
+    )
+    chunks = (
+        d.repartition(par)  # single-file scan; per-char fold is heavy
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
+            ).alias("s"),
+        )
+        .filter(F.length("s") >= _CDC_W)
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            F.expr("transform(split(s, ''), c -> ascii(c))").alias("a"),
+            F.length("s").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            F.expr(
+                f"""concat(array(0),
+                     filter(sequence({_CDC_W}, n), i ->
+                       ((({hash_terms}) % {_CDC_P}) % {_CDC_MASK}) = 0),
+                     array(n))"""
+            ).alias("full_bs"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    """transform(sequence(1, size(full_bs) - 1), k ->
+                         substring(s, full_bs[k - 1] + 1,
+                                   full_bs[k] - full_bs[k - 1]))"""
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.length("chunk") > 0)
+    )
+    keyed = chunks.select(
+        "source",
+        F.md5(F.col("chunk")).alias("h"),
+        F.length("chunk").cast("long").alias("chars"),
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("h").cast("double") / F.count("*"),
+                6,
+            ).alias("dedup_ratio"),
+            F.round(
+                F.sum("chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chunk_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------- Newey-West HAC standard error (r11 extra)
+
+
+@query(
+    "analytics_newey_west",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT)
+               AS x,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+      FROM d
+    ), fit AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+             sxx - sx * sx / n AS sxx_c
+      FROM m
+    ), r AS (
+      SELECT x, (x - mx) * ((y - my) - b * (x - mx)) AS u,
+             n, b, sxx_c
+      FROM d CROSS JOIN fit
+    ), lagged AS (
+      SELECT u, lag(u) OVER (ORDER BY x) AS ul, n, b, sxx_c FROM r
+    ), s AS (
+      SELECT max(n) AS n, max(b) AS b, max(sxx_c) AS sxx_c,
+             CAST(sum(CAST(u * u AS DECIMAL(38,6))) AS DOUBLE) AS s0,
+             CAST(sum(CAST(u * ul AS DECIMAL(38,6))) AS DOUBLE) AS s1
+      FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b, 6) AS slope_cents_per_day,
+           round(sqrt(s0 / (sxx_c * sxx_c)), 6) AS se_white,
+           round(sqrt((s0 + 2 * 0.5 * s1) / (sxx_c * sxx_c)), 6)
+             AS se_hac_lag1,
+           round(sqrt((s0 + 2 * 0.5 * s1) / (sxx_c * sxx_c))
+                 / sqrt(s0 / (sxx_c * sxx_c)), 6) AS hac_inflation
+    FROM s
+    """,
+    tags=("stats", "regression", "time-series"),
+)
+def analytics_newey_west(spark, sf_dir):
+    """NEWEY-WEST HAC STANDARD ERROR (Newey & West 1987, public) for
+    the daily-revenue trend slope, lag-1 Bartlett kernel (weight
+    1 - 1/(L+1) = 0.5): autocorrelated daily residuals make the
+    classical OLS standard error a lie — the HAC estimator corrects
+    it, and the hac_inflation column is the factor by which naive
+    trend inference was overconfident. Variance of b =
+    (S0 + 2*0.5*S1) / Sxx_c^2 with S_l = sum_t u_t u_{t-l},
+    u_t = x_c,t * e_t (the score series).
+
+    Exactness: integer inputs (epoch day, revenue cents); the OLS
+    moments sum DECIMAL(38,0) (exact); b / means are identical IEEE
+    doubles, hence each u_t is bit-identical cross-engine; the score
+    products u_t*u_t and u_t*u_{t-1} are per-term DECIMAL(38,6)-cast
+    before summing so Spark partial-agg order cannot move S0/S1 (the
+    stats_variance_ratio convention). 6dp rounds at the end.
+
+    Scale: facts collapse to the calendar-bounded daily relation; the
+    lag window orders <= |days| rows; two moment aggs end it."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    d = o.groupBy(
+        (
+            (
+                F.unix_timestamp(F.col("o_orderdate").cast("date"))
+                / 86400
+            ).cast("long")
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("y")
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec0(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec0(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec0(F.col("x")) * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dec0(F.col("x")) * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("b"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias(
+            "sxx_c"
+        ),
+    )
+    r = d.crossJoin(F.broadcast(fit)).select(
+        "x",
+        (
+            (F.col("x") - F.col("mx"))
+            * (
+                (F.col("y") - F.col("my"))
+                - F.col("b") * (F.col("x") - F.col("mx"))
+            )
+        ).alias("u"),
+        "n",
+        "b",
+        "sxx_c",
+    )
+    # lag over the calendar-bounded daily relation (<= |days| rows)
+    lagged = r.select(
+        "u",
+        F.lag("u").over(W.orderBy("x")).alias("ul"),
+        "n",
+        "b",
+        "sxx_c",
+    )
+    dec6 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    s = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.max("sxx_c").alias("sxx_c"),
+        F.sum(dec6(F.col("u") * F.col("u"))).cast("double").alias("s0"),
+        F.sum(dec6(F.col("u") * F.col("ul")))
+        .cast("double")
+        .alias("s1"),
+    )
+    var_w = F.col("s0") / (F.col("sxx_c") * F.col("sxx_c"))
+    var_h = (F.col("s0") + 2 * 0.5 * F.col("s1")) / (
+        F.col("sxx_c") * F.col("sxx_c")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("b", 6).alias("slope_cents_per_day"),
+        F.round(F.sqrt(var_w), 6).alias("se_white"),
+        F.round(F.sqrt(var_h), 6).alias("se_hac_lag1"),
+        F.round(F.sqrt(var_h) / F.sqrt(var_w), 6).alias(
+            "hac_inflation"
+        ),
+    )
+
+
+# ------------------------- AIC/BIC model comparison (r11 extra)
+
+
+@query(
+    "stats_aic_model_compare",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT)
+               AS x1,
+             CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT) % 7
+               AS x2,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM d
+    ), c AS (  -- centered sums
+      SELECT n,
+             s11 - s1 * s1 / n AS a11, s12 - s1 * s2 / n AS a12,
+             s22 - s2 * s2 / n AS a22, s1y - s1 * sy / n AS b1,
+             s2y - s2 * sy / n AS b2, syy - sy * sy / n AS tss
+      FROM m
+    ), f AS (
+      SELECT n, tss,
+             tss - b1 * b1 / a11 AS rss1,
+             tss - (b1 * (a22 * b1 - a12 * b2)
+                    + b2 * (a11 * b2 - a12 * b1))
+                   / (a11 * a22 - a12 * a12) AS rss2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(1.0 - rss1 / tss, 6) AS r2_m1,
+           round(1.0 - rss2 / tss, 6) AS r2_m2,
+           round(n * CAST(CAST(ln(rss1 / n) AS DECIMAL(38,12))
+                          AS DOUBLE) + 2 * 2, 4) AS aic_m1,
+           round(n * CAST(CAST(ln(rss2 / n) AS DECIMAL(38,12))
+                          AS DOUBLE) + 2 * 3, 4) AS aic_m2,
+           round(n * CAST(CAST(ln(rss1 / n) AS DECIMAL(38,12))
+                          AS DOUBLE)
+                 + 2 * CAST(CAST(ln(CAST(n AS DOUBLE))
+                                 AS DECIMAL(38,12)) AS DOUBLE), 4)
+             AS bic_m1,
+           round(n * CAST(CAST(ln(rss2 / n) AS DECIMAL(38,12))
+                          AS DOUBLE)
+                 + 3 * CAST(CAST(ln(CAST(n AS DOUBLE))
+                                 AS DECIMAL(38,12)) AS DOUBLE), 4)
+             AS bic_m2
+    FROM f
+    """,
+    tags=("stats", "regression", "model-selection"),
+)
+def stats_aic_model_compare(spark, sf_dir):
+    """AIC / BIC MODEL COMPARISON (Akaike 1974; Schwarz 1978, public)
+    between the 1-feature trend model (daily revenue ~ day) and the
+    2-feature trend+weekday model (~ day + day%7), both fit closed-
+    form from centered moment sums (Cramer's rule for the 2x2 —
+    the analytics_granger_lite pattern). The model-selection readout
+    (penalized fit: AIC = n ln(RSS/n) + 2k, BIC swaps 2 for ln n) a
+    pipeline consults before adding a seasonal term.
+
+    Exactness: all-integer moment sums in DECIMAL(38,0); RSS/R^2 from
+    identical IEEE trees; each ln() result is DECIMAL(38,12)-cast
+    before re-entering arithmetic (the analytics_theil_index rule —
+    absorbs JVM-vs-DuckDB libm last-ulp divergence); AIC/BIC round
+    4dp (magnitude ~1e4), R^2 6dp.
+
+    Scale: one hash agg over the calendar-bounded daily relation,
+    then 1-row arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    day = (
+        F.unix_timestamp(F.col("o_orderdate").cast("date")) / 86400
+    ).cast("long")
+    d = o.groupBy(
+        day.alias("x1"), (day % 7).alias("x2")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("y")
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec0(F.col("x1"))).cast("double").alias("s1"),
+        F.sum(dec0(F.col("x2"))).cast("double").alias("s2"),
+        F.sum(dec0(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec0(F.col("x1")) * F.col("x1")).cast("double").alias("s11"),
+        F.sum(dec0(F.col("x2")) * F.col("x2")).cast("double").alias("s22"),
+        F.sum(dec0(F.col("x1")) * F.col("x2")).cast("double").alias("s12"),
+        F.sum(dec0(F.col("x1")) * F.col("y")).cast("double").alias("s1y"),
+        F.sum(dec0(F.col("x2")) * F.col("y")).cast("double").alias("s2y"),
+        F.sum(dec0(F.col("y")) * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("a12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("a22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("b1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("b2"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("tss"),
+    )
+    f = c.select(
+        "n",
+        "tss",
+        (F.col("tss") - F.col("b1") * F.col("b1") / F.col("a11")).alias(
+            "rss1"
+        ),
+        (
+            F.col("tss")
+            - (
+                F.col("b1")
+                * (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2"))
+                + F.col("b2")
+                * (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1"))
+            )
+            / (
+                F.col("a11") * F.col("a22")
+                - F.col("a12") * F.col("a12")
+            )
+        ).alias("rss2"),
+    )
+    ln12 = lambda col: (  # noqa: E731 - theil_index libm-absorb rule
+        F.log(col).cast("decimal(38,12)").cast("double")
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(1.0 - F.col("rss1") / F.col("tss"), 6).alias("r2_m1"),
+        F.round(1.0 - F.col("rss2") / F.col("tss"), 6).alias("r2_m2"),
+        F.round(n * ln12(F.col("rss1") / n) + 2 * 2, 4).alias("aic_m1"),
+        F.round(n * ln12(F.col("rss2") / n) + 2 * 3, 4).alias("aic_m2"),
+        F.round(
+            n * ln12(F.col("rss1") / n) + 2 * ln12(n.cast("double")), 4
+        ).alias("bic_m1"),
+        F.round(
+            n * ln12(F.col("rss2") / n) + 3 * ln12(n.cast("double")), 4
+        ).alias("bic_m2"),
+    )
+
+
+# ----------------------- average precision / MAP eval (r11 extra)
+
+
+@query(
+    "eval_average_precision",
+    oracle="""
+    WITH item AS (
+      SELECT o_orderpriority AS grp, l_partkey % 50 AS item,
+             CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), graded AS (
+      SELECT grp, item, cents,
+             CASE WHEN (4 * qty) // max(qty) OVER (PARTITION BY grp)
+                       >= 2 THEN 1 ELSE 0 END AS rel
+      FROM item
+    ), ranked AS (
+      SELECT grp, rel,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cents DESC, item) AS rk,
+             sum(rel) OVER (PARTITION BY grp
+                            ORDER BY cents DESC, item) AS cum_rel
+      FROM graded
+    )
+    SELECT grp,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(CAST(sum(CAST(CASE WHEN rel = 1
+                       THEN CAST(cum_rel AS DOUBLE) / rk
+                       ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                 / sum(rel), 6) AS average_precision
+    FROM ranked GROUP BY grp ORDER BY grp
+    """,
+    tags=("eval", "ranking", "analytics"),
+)
+def eval_average_precision(spark, sf_dir):
+    """AVERAGE PRECISION (AP, the area under the precision-recall
+    steps; per-group rows = the MAP table) — the binary-relevance
+    companion of eval_ndcg_at_k over the same (priority x item)
+    ranking: relevant = top-half quantity grade ((4*qty) DIV maxq
+    >= 2, exact integer rule), predicted order = revenue cents desc.
+    AP = mean over relevant items of precision@their-rank.
+
+    Exactness: relevance and cumulative-relevant counts are exact
+    integers; each precision@k = cum_rel/rk divides exact BIGINTs
+    (identical IEEE); the per-item terms are DECIMAL(38,12)-cast
+    before the sum (order-proof); final division by the exact
+    relevant count rounds 6dp.
+
+    Scale: identical shape to eval_ndcg_at_k — one corpus hash agg to
+    the bounded grid, windows over <= 50-row groups."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    item = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("cents"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    wg = W.partitionBy("grp")
+    graded = item.select(
+        "grp",
+        "item",
+        "cents",
+        (F.lit(4) * F.col("qty")).alias("q4"),
+        F.max("qty").over(wg).alias("maxq"),
+    ).select(
+        "grp",
+        "item",
+        "cents",
+        F.when(F.expr("q4 div maxq") >= 2, 1).otherwise(0).alias("rel"),
+    )
+    wo = wg.orderBy(F.col("cents").desc(), F.col("item"))
+    ranked = graded.select(
+        "grp",
+        "rel",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("rel").over(wo).alias("cum_rel"),
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.sum("rel").cast("long").alias("n_relevant"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        (
+                            F.col("cum_rel").cast("double") / F.col("rk")
+                        ).cast("decimal(38,12)"),
+                    ).otherwise(F.lit(0.0).cast("decimal(38,12)"))
+                ).cast("double")
+                / F.sum("rel"),
+                6,
+            ).alias("average_precision"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ----------------------- as-of join with tolerance (r11 extra)
+
+_ASOF_TOL_US = 600 * 1_000_000  # 10-minute tolerance, microseconds
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ), v AS (
+      SELECT user_id, epoch_us(ts) AS vus FROM events
+      WHERE event_type = 'view'
+    ), j AS (
+      SELECT c.user_id, c.cus, v.vus
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.vus <= c.cus
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(*) FILTER (vus IS NOT NULL
+                 AND cus - vus <= {_ASOF_TOL_US}) AS BIGINT)
+             AS n_matched,
+           CAST(count(*) FILTER (vus IS NOT NULL
+                 AND cus - vus > {_ASOF_TOL_US}) AS BIGINT)
+             AS n_tolerance_missed,
+           CAST(count(*) FILTER (vus IS NULL) AS BIGINT) AS n_no_prior,
+           round(CAST(sum(cus - vus)
+                      FILTER (vus IS NOT NULL
+                              AND cus - vus <= {_ASOF_TOL_US})
+                      AS DOUBLE)
+                 / count(*) FILTER (vus IS NOT NULL
+                                    AND cus - vus <= {_ASOF_TOL_US})
+                 / 1000000.0, 6) AS avg_gap_s
+    FROM j
+    """,
+    tags=("joins", "asof", "events", "temporal"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """AS-OF JOIN WITH TOLERANCE (the kdb/pandas ``merge_asof
+    tolerance=`` semantic): each click matches the user's LATEST view
+    at-or-before it, but only counts as attributed when the gap is
+    within 10 minutes — the attribution-window rule every
+    click-attribution pipeline enforces. Reported: matched /
+    tolerance-missed (a prior view exists but is stale) / no-prior
+    counts and the mean attributed gap.
+
+    Spark implementation (no native ASOF): the union-tag pattern —
+    views and clicks interleave in ONE per-user event-time window and
+    ``last_value(view_ts, ignorenulls)`` carries the latest view
+    forward; ties cannot occur (event timestamps are strictly
+    increasing per user in this table). The oracle uses DuckDB's
+    NATIVE ASOF LEFT JOIN — two entirely different algorithms, one
+    hash-verified answer. Gaps are exact epoch-microsecond BIGINTs;
+    the mean divides exact integers (DECIMAL sum), rounded 6dp.
+
+    Scale: one hash shuffle on user_id, one ordered window per user
+    (state = one timestamp), one aggregate — the streaming dual is
+    stream-static enrich. Never a range join, never an explode."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    tagged = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_type").alias("et"),
+        F.when(
+            F.col("event_type") == "view",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("vus"),
+    )
+    # views sort BEFORE clicks at equal timestamps ('click' < 'view'
+    # lexically, so order by et DESC puts view first) — moot here
+    # (per-user timestamps are unique) but pinned for determinism
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("et").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = (
+        tagged.select(
+            "user_id",
+            "us",
+            "et",
+            F.last("vus", ignorenulls=True).over(w).alias("last_vus"),
+        )
+        .filter(F.col("et") == "click")
+        .select("us", "last_vus")
+    )
+    matched = F.col("last_vus").isNotNull() & (
+        F.col("us") - F.col("last_vus") <= _ASOF_TOL_US
+    )
+    stale = F.col("last_vus").isNotNull() & (
+        F.col("us") - F.col("last_vus") > _ASOF_TOL_US
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.sum(F.when(matched, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(stale, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tolerance_missed"),
+        F.sum(F.when(F.col("last_vus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_prior"),
+        F.round(
+            F.sum(
+                F.when(
+                    matched,
+                    (F.col("us") - F.col("last_vus")).cast(
+                        "decimal(38,0)"
+                    ),
+                )
+            ).cast("double")
+            / F.sum(F.when(matched, 1))
+            / 1000000.0,
+            6,
+        ).alias("avg_gap_s"),
+    )
