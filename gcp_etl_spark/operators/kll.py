@@ -1,0 +1,172 @@
+"""Mergeable streaming QUANTILE SKETCH (KLL-style compactor stack,
+Karnin-Lang-Liberty 2016, public) — the bounded-memory quantile path
+for regimes where even the two-pass exact rank is too expensive: ONE
+pass, O(k log(N/k)) space per partition, mergeable by construction
+(sketch(A) ∪ sketch(B) compacts to sketch(A ∪ B)'s error class), so
+the shape survives any re-partitioning, streaming micro-batches, or a
+1000-executor tree merge.
+
+DETERMINISTIC VARIANT: the classical KLL compactor keeps a RANDOM
+half of each sorted over-full buffer; this implementation keeps
+alternating parities (even indices on one compaction, odd on the
+next — the "sweep" derandomization). That trades the probabilistic
+guarantee for full reproducibility (same data + same partitioning =>
+bit-identical sketch; the driver contract and pytest pins need
+determinism), while the alternating offset still cancels the
+per-compaction rank bias to first order. The rank-error gate is
+pinned EMPIRICALLY in tests/test_r11.py against the exact ranks.
+
+Distribution shape:
+  1. ``partition_sketches`` — mapInPandas builds one compactor stack
+     per PHYSICAL PARTITION (numpy sorts inside the scan task; raw
+     values never shuffle) and emits its surviving (level, value)
+     pairs: <= k * levels rows per partition regardless of input size.
+  2. The union of partition sketches IS the merged sketch (KLL merge
+     = concatenate levels, then compact; compaction only reduces
+     size, so deferring it to the estimate step is lossless).
+  3. ``quantiles_from_sketch`` — each surviving value carries weight
+     2^level; quantile(q) = the value whose weighted CDF crosses q,
+     computed with ONE ordered window over the bounded sketch
+     relation (#partitions * k * levels rows — data-independent).
+At 1000-executor scale the sketch relation is ~1000 * k * levels rows
+(a few MB); if even that offends, re-sketch the sketch (the operator
+composes with itself) — documented, not needed at fixture scale.
+
+No reference counterpart (the reference computes no quantiles); this
+is the sketch-tier companion of operators/quantiles.py's exact path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = "level int, v double"
+
+
+def _compact(buf, parity: int):
+    """Sort a buffer, compact the even-length prefix by keeping the
+    alternating half (mass-preserving: m items at weight w become m/2
+    items at weight 2w), and leave an odd straggler (the max) behind
+    at the current level. Returns (kept, leftover, next_parity)."""
+    import numpy as np
+
+    arr = np.sort(np.asarray(buf, dtype=np.float64))
+    leftover: list[float] = []
+    if len(arr) % 2 == 1:
+        leftover = [float(arr[-1])]
+        arr = arr[:-1]
+    return arr[parity::2], leftover, 1 - parity
+
+
+def _sketch_batches(batches, k: int):
+    """Feed float batches through a compactor stack; return the final
+    levels list (index = level, each a list of floats)."""
+    import numpy as np
+
+    levels: list[list[float]] = [[]]
+    parity: list[int] = [0]
+    for vals in batches:
+        levels[0].extend(float(x) for x in vals)
+        lvl = 0
+        while lvl < len(levels) and len(levels[lvl]) > k:
+            kept, leftover, parity[lvl] = _compact(
+                levels[lvl], parity[lvl]
+            )
+            levels[lvl] = leftover
+            if lvl + 1 == len(levels):
+                levels.append([])
+                parity.append(0)
+            levels[lvl + 1].extend(kept.tolist())
+            lvl += 1
+    # numpy import kept local so the module imports without a JVM
+    _ = np
+    return levels
+
+
+def partition_sketches(
+    df: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """One KLL compactor stack per physical partition; emits the
+    surviving (level, v) rows — <= k * ceil(log2(n_part/k) + 1) rows
+    per partition, the ONLY thing that ever leaves the scan task."""
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        levels = _sketch_batches(
+            (pdf[value_col].dropna().to_numpy() for pdf in it), k
+        )
+        out_lv: list[int] = []
+        out_v: list[float] = []
+        for lv, buf in enumerate(levels):
+            out_lv.extend([lv] * len(buf))
+            out_v.extend(buf)
+        yield pd.DataFrame({"level": out_lv, "v": out_v})
+
+    return df.select(F.col(value_col).alias(value_col)).mapInPandas(
+        build, _SCHEMA
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame, probs: dict[str, float]
+) -> DataFrame:
+    """Weighted-rank quantile estimates from the (level, v) relation:
+    weight(v) = 2^level; quantile(q) = first value whose inclusive
+    weighted CDF reaches q * W. One ordered window over the BOUNDED
+    sketch relation (its size is partitions * k * levels — set by the
+    sketch parameters, not the data)."""
+    from pyspark.sql import Window as W
+
+    w = sketch.select(
+        "v", F.pow(F.lit(2.0), F.col("level")).cast("long").alias("w")
+    )
+    tot = w.agg(F.sum("w").alias("W"))
+    cdf = w.select(
+        "v",
+        F.sum("w")
+        .over(
+            W.orderBy("v").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cw"),
+    )
+    spark = sketch.sparkSession
+    probs_df = spark.createDataFrame(
+        sorted(probs.items(), key=lambda kv: kv[1]),
+        "qname string, p double",
+    )
+    hit = (
+        cdf.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(probs_df))
+        .filter(F.col("cw") >= F.col("p") * F.col("W"))
+        .groupBy("qname")
+        .agg(F.min("v").alias("est"))
+    )
+    return hit
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    k: int = 256,
+) -> DataFrame:
+    """End-to-end: partition sketches -> union (= merged sketch) ->
+    weighted-rank estimates. Returns (qname, est) plus the sketch size
+    telemetry columns a capacity planner reads."""
+    sk = partition_sketches(df, value_col, k).localCheckpoint(
+        eager=False
+    )  # the size agg and the estimate both read the same sketch
+    est = quantiles_from_sketch(sk, probs)
+    size = sk.agg(
+        F.count("*").cast("long").alias("sketch_rows"),
+        F.sum(F.pow(F.lit(2.0), F.col("level")).cast("long"))
+        .cast("long")
+        .alias("weighted_n"),
+    )
+    return est.crossJoin(F.broadcast(size))

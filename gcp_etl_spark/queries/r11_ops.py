@@ -1462,3 +1462,244 @@ def join_asof_tolerance(spark, sf_dir):
             6,
         ).alias("avg_gap_s"),
     )
+
+
+# -------------------- KLL quantile sketch deciles (r11 extra)
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    # rows-only by design: the compactor stack's survivors depend on
+    # partitioning, which SQL cannot replay. The accuracy CONTRACT is
+    # pinned in tests/test_r11.py: every decile estimate within 2% of
+    # the exact rank (k=256), weighted_n == exact row count (the
+    # sketch never loses or invents mass), and fixed partitioning =>
+    # bit-identical sketch (the deterministic sweep variant).
+    oracle=None,
+    tags=("aggregates", "sketch", "quantiles", "mergeable"),
+)
+def agg_kll_quantile_sketch(spark, sf_dir):
+    """KLL-STYLE QUANTILE SKETCH deciles of l_extendedprice
+    (operators/kll.py — deterministic sweep-compaction variant,
+    k=256): the ONE-PASS bounded-memory tier of the quantile family,
+    below exact ``percentile`` (single-reducer value map) and the
+    two-pass exact rank (operators/quantiles.py). Emits each decile
+    estimate next to the sketch-size telemetry (surviving rows,
+    total weighted mass) — the space-for-accuracy receipt.
+
+    Scale: per-partition compactor stacks inside mapInPandas (numpy
+    sorts in the scan task; RAW VALUES NEVER SHUFFLE — only the
+    <= k*levels survivors per partition); the union of partition
+    sketches IS the merged sketch (KLL merge = concat + compact, and
+    compaction is deferred losslessly to the estimate step); the
+    estimate is one ordered window over the bounded sketch relation.
+    Mergeable by construction => identical shape for streaming
+    micro-batches and a 1000-way executor tree."""
+    from gcp_etl_spark.operators.kll import kll_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    probs = {f"q{10 * i}": i / 10 for i in range(1, 10)}
+    return kll_quantiles(
+        li, "l_extendedprice", probs, k=256
+    ).orderBy("qname")
+
+
+# ---------------------- Hosmer-Lemeshow calibration (r11 extra)
+
+_HL_BINS = 10
+
+
+@query(
+    "stats_hosmer_lemeshow",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ((event_id * 2654435761) % 1000) / 1000.0 AS p,
+             CASE WHEN value * (1 + ((event_id * 2654435761) % 1000)
+                               / 1000.0) > 60 THEN 1 ELSE 0 END AS y
+      FROM events
+    ), binned AS (
+      SELECT least(CAST(floor(p * {_HL_BINS}) AS BIGINT),
+                   {_HL_BINS - 1}) AS g, p, y
+      FROM scored
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS o,
+             CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS e
+      FROM binned GROUP BY g
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(CAST(sum(CAST(
+             (o - e) * (o - e) / (e * (1 - e / n))
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS hl_statistic
+    FROM per
+    """,
+    tags=("stats", "calibration", "ml"),
+)
+def stats_hosmer_lemeshow(spark, sf_dir):
+    """HOSMER-LEMESHOW goodness-of-calibration statistic (Hosmer &
+    Lemeshow 1980, public) — THE classical check that a probability
+    model's predictions match observed frequencies, chi-square-
+    distributed with n_bins - 2 df under calibration: HL =
+    sum_g (O_g - E_g)^2 / (E_g (1 - E_g/n_g)) over {_HL_BINS}
+    probability deciles. The decision-grade sibling of the Brier
+    decomposition (same Knuth-hash rational forecasts, so every p is
+    an EXACT multiple of 1/1000 — no libm anywhere in the labels).
+
+    Exactness: O_g are exact BIGINTs; E_g sums exact rationals via
+    DECIMAL(38,12); each bin's chi-square term is the same IEEE tree
+    both engines then DECIMAL-cast before the final 10-term sum. 6dp.
+
+    Scale: one hash agg to the {_HL_BINS}-row bin grid; everything
+    after is constant-size arithmetic."""
+    e = t(spark, sf_dir, "events")
+    p = ((F.col("event_id") * 2654435761) % 1000) / 1000.0
+    scored = e.select(
+        p.alias("p"),
+        F.when(F.col("value") * (1 + p) > 60, 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("p") * _HL_BINS).cast("long"),
+            F.lit(_HL_BINS - 1),
+        ).alias("g"),
+        "p",
+        "y",
+    )
+    per = binned.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("o"),
+        F.sum(F.col("p").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("e"),
+    )
+    term = (
+        (F.col("o") - F.col("e"))
+        * (F.col("o") - F.col("e"))
+        / (F.col("e") * (1 - F.col("e") / F.col("n")))
+    ).cast("decimal(38,12)")
+    return per.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(term).cast("double"), 6).alias("hl_statistic"),
+    )
+
+
+# ------------------ rolling-origin forecast backtest (r11 extra)
+
+_BT_HORIZON = 56  # evaluated days (the rolling-origin window)
+
+
+@query(
+    "analytics_rolling_origin_backtest",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT)
+               AS x,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT x, y,
+             lag(y, 1) OVER (ORDER BY x) AS naive,
+             lag(y, 7) OVER (ORDER BY x) AS snaive,
+             max(x) OVER () AS mx
+      FROM d
+    ), ev AS (
+      SELECT y, naive, snaive FROM lagged
+      WHERE x > mx - {_BT_HORIZON} AND snaive IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(CAST(abs(y - naive) AS DECIMAL(38,0)))
+                      AS DOUBLE) / count(*) / 100.0, 6) AS mae_naive,
+           round(CAST(sum(CAST(abs(y - snaive) AS DECIMAL(38,0)))
+                      AS DOUBLE) / count(*) / 100.0, 6)
+             AS mae_seasonal_naive,
+           round(sqrt(CAST(sum(CAST((y - snaive) * (y - snaive)
+                                    AS DECIMAL(38,0))) AS DOUBLE)
+                      / count(*)) / 100.0, 6) AS rmse_seasonal_naive,
+           round(1.0 - CAST(sum(CAST(abs(y - snaive) AS DECIMAL(38,0)))
+                            AS DOUBLE)
+                     / CAST(sum(CAST(abs(y - naive) AS DECIMAL(38,0)))
+                            AS DOUBLE), 6) AS skill_vs_naive
+    FROM ev
+    """,
+    tags=("analytics", "forecast", "time-series", "evaluation"),
+)
+def analytics_rolling_origin_backtest(spark, sf_dir):
+    """ROLLING-ORIGIN FORECAST BACKTEST (the time-series
+    cross-validation protocol, Hyndman's evaluation canon, public):
+    every day in the final {_BT_HORIZON}-day window is a fresh
+    origin; the 1-step seasonal-naive forecaster (y-hat_t = y_(t-7))
+    is scored against the naive baseline (y-hat_t = y_(t-1)) with
+    MAE / RMSE and the skill score 1 - MAE_model/MAE_baseline — the
+    go/no-go table every forecasting deployment publishes before
+    replacing the incumbent. (The trainable forecasters — SES,
+    Holt-Winters, Croston — are registered separately; this is the
+    EVALUATION harness around any of them, on the cheapest pair.)
+
+    Exactness: daily cents are exact BIGINTs; the lag windows run
+    over the calendar-bounded daily relation; absolute/squared errors
+    are exact integers summed in DECIMAL(38,0); the final divisions
+    and sqrt act on identical doubles, reported in dollars, 6dp.
+
+    Scale: one hash agg collapses facts to days; two lag windows and
+    one aggregate end it — corpus size only affects the first agg."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    d = o.groupBy(
+        (
+            (
+                F.unix_timestamp(F.col("o_orderdate").cast("date"))
+                / 86400
+            ).cast("long")
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("y")
+    )
+    w = W.orderBy("x")
+    lagged = d.select(
+        "x",
+        "y",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 7).over(w).alias("snaive"),
+        F.max("x").over(W.partitionBy(F.lit(0) == F.lit(0))).alias(
+            "mx"
+        ),
+    )
+    ev = lagged.filter(
+        (F.col("x") > F.col("mx") - _BT_HORIZON)
+        & F.col("snaive").isNotNull()
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mae_n = (
+        F.sum(dec0(F.abs(F.col("y") - F.col("naive"))))
+        .cast("double")
+    )
+    mae_s = (
+        F.sum(dec0(F.abs(F.col("y") - F.col("snaive"))))
+        .cast("double")
+    )
+    return ev.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.round(mae_n / F.count("*") / 100.0, 6).alias("mae_naive"),
+        F.round(mae_s / F.count("*") / 100.0, 6).alias(
+            "mae_seasonal_naive"
+        ),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    dec0(
+                        (F.col("y") - F.col("snaive"))
+                        * (F.col("y") - F.col("snaive"))
+                    )
+                ).cast("double")
+                / F.count("*")
+            )
+            / 100.0,
+            6,
+        ).alias("rmse_seasonal_naive"),
+        F.round(1.0 - mae_s / mae_n, 6).alias("skill_vs_naive"),
+    )

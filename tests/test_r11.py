@@ -31,3 +31,40 @@ def test_ivf_refine_curve_inertia_monotone_and_recall_bounded(spark):
     assert inertias[0] >= inertias[1] >= inertias[2], inertias
     for r in (0, 1, 2):
         assert 0.0 <= rows[r]["recall_at_k"] <= 1.0, rows[r]
+
+
+def test_kll_sketch_rank_error_mass_and_determinism(spark):
+    """The KLL sketch's contract (operators/kll.py): (a) MASS — the
+    summed 2^level weights equal the exact row count (compaction
+    halves a buffer but doubles its weight; nothing is lost or
+    invented); (b) ACCURACY — every decile estimate's true rank is
+    within 2% of the target rank at k=256 (the empirical gate for the
+    deterministic sweep variant); (c) DETERMINISM — same data + same
+    partitioning => identical estimates (the property the driver
+    contract needs, and what the sweep derandomization buys)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet", columns=["l_extendedprice"]
+    )["l_extendedprice"].to_numpy()
+    vals_sorted = np.sort(vals)
+    n = len(vals)
+
+    rows = {
+        r["qname"]: r
+        for r in _run(spark, "agg_kll_quantile_sketch").collect()
+    }
+    assert rows["q50"]["weighted_n"] == n
+    for i in range(1, 10):
+        est = rows[f"q{10 * i}"]["est"]
+        true_rank = np.searchsorted(vals_sorted, est, side="right") / n
+        assert abs(true_rank - i / 10) <= 0.02, (
+            i, est, true_rank,
+        )
+
+    again = {
+        r["qname"]: r["est"]
+        for r in _run(spark, "agg_kll_quantile_sketch").collect()
+    }
+    assert again == {q: r["est"] for q, r in rows.items()}
