@@ -1703,3 +1703,272 @@ def analytics_rolling_origin_backtest(spark, sf_dir):
         ).alias("rmse_seasonal_naive"),
         F.round(1.0 - mae_s / mae_n, 6).alias("skill_vs_naive"),
     )
+
+
+# ---------------- streaming windowed quantile monitor (r11 extra)
+
+
+@query(
+    "stream_quantile_monitor",
+    oracle="""
+    WITH win AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+             CAST(floor(value) AS BIGINT) AS b, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT w_start, b,
+             sum(n) OVER (PARTITION BY w_start ORDER BY b) AS cum,
+             sum(n) OVER (PARTITION BY w_start) AS N
+      FROM win
+    )
+    SELECT w_start,
+           CAST(max(N) AS BIGINT) AS n_window,
+           CAST(min(b) FILTER (cum >= ceil(0.50 * N)) AS BIGINT)
+             AS p50_bucket,
+           CAST(min(b) FILTER (cum >= ceil(0.90 * N)) AS BIGINT)
+             AS p90_bucket,
+           CAST(min(b) FILTER (cum >= ceil(0.99 * N)) AS BIGINT)
+             AS p99_bucket
+    FROM cum GROUP BY w_start ORDER BY w_start
+    """,
+    tags=("streaming", "quantiles", "monitoring", "events"),
+)
+def stream_quantile_monitor(spark, sf_dir):
+    """STREAMING WINDOWED QUANTILE MONITOR — per tumbling day-window,
+    the p50/p90/p99 of the event value as integer BUCKET-CDF crossing
+    points (smallest floor(value) bucket whose cumulative count
+    reaches ceil(q*N)): the latency/value-dashboard member of the
+    drift family (PSI sees reshuffled mass, W1 sees moved mass, this
+    sees the headline percentiles every SLO dashboard plots).
+
+    Streaming shape (the psi/w1 convention): the additive windowed
+    bucket count (streaming/windows.py::w1_binned_counts) is the ONLY
+    stateful stage — counts merge across micro-batches, so the
+    monitor is batching-invariant (pinned in tests/test_r11.py by
+    split-and-merge); the CDF crossing runs per window partition over
+    the already-aggregated grid. Unlike a partition-dependent sketch,
+    bucket quantiles are EXACT integers — the streaming quantile path
+    stays hash-verified end to end.
+
+    Scale: state is |windows-in-watermark| x |buckets|; the per-window
+    fold touches only the bounded bucket grid. The unbounded-accuracy
+    batch sibling is agg_kll_quantile_sketch / operators.quantiles."""
+    from gcp_etl_spark.streaming.windows import (
+        w1_binned_counts,
+        window_bucket_quantiles,
+    )
+
+    e = t(spark, sf_dir, "events")
+    win = w1_binned_counts(e, watermark=None)
+    return window_bucket_quantiles(
+        win, {"p50_bucket": 0.50, "p90_bucket": 0.90, "p99_bucket": 0.99}
+    ).orderBy("w_start")
+
+
+# ------------- MATCH_RECOGNIZE-style sequence patterns (r11 extra)
+
+_MR_PATTERN = "v+c+p"  # view+ click+ purchase — the conversion motif
+
+
+@query(
+    "events_match_recognize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts) AS s
+      FROM events GROUP BY user_id
+    ), hits AS (
+      SELECT user_id, length(s) AS seq_len,
+             len(regexp_extract_all(s, '{_MR_PATTERN}')) AS n_matches
+      FROM seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches,
+           CAST(count(*) FILTER (n_matches > 0) AS BIGINT)
+             AS users_with_match,
+           round(CAST(sum(n_matches) AS DOUBLE) / count(*), 6)
+             AS matches_per_user,
+           CAST(max(n_matches) AS BIGINT) AS max_matches
+    FROM hits
+    """,
+    tags=("events", "sequence", "funnel", "analytics"),
+)
+def events_match_recognize(spark, sf_dir):
+    """MATCH_RECOGNIZE-style EVENT-SEQUENCE PATTERN COUNTING (the SQL
+    standard's row-pattern matching, emulated — Spark has no
+    MATCH_RECOGNIZE): each user's event history collapses to an
+    ordered initial-letter string (signup/view/click/purchase/error →
+    s/v/c/p/e) and the conversion motif ``{_MR_PATTERN}`` (one-or-more
+    views, then clicks, then a purchase) is counted as LEFTMOST
+    NON-OVERLAPPING regex matches — exactly MATCH_RECOGNIZE's
+    AFTER MATCH SKIP PAST LAST ROW semantics, because both engines'
+    regex engines scan leftmost-first and resume past each match.
+
+    Exactness: per-user timestamps are unique (pinned fixture
+    property), so the ordered string is deterministic; both engines
+    run the same greedy regex on the same string; all outputs are
+    exact integers except the 6dp mean.
+
+    Scale: ONE hash shuffle on user_id; each user's history collapses
+    to a string inside its group (bounded by per-user event count —
+    the sessionize/top-paths regime); the regex runs once per user,
+    JVM-side. No joins, no explode, no Python."""
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform("
+            "array_sort(collect_list(struct(ts, event_type))),"
+            " x -> substring(x.event_type, 1, 1)))"
+        ).alias("s")
+    )
+    hits = seq.select(
+        F.size(
+            F.expr(f"regexp_extract_all(s, '{_MR_PATTERN}', 0)")
+        ).alias("n_matches")
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_matches").cast("long").alias("total_matches"),
+        F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("users_with_match"),
+        F.round(
+            F.sum("n_matches").cast("double") / F.count("*"), 6
+        ).alias("matches_per_user"),
+        F.max("n_matches").cast("long").alias("max_matches"),
+    )
+
+
+# --------------------------- two-way ANOVA (r11 extra)
+
+
+@query(
+    "stats_two_way_anova",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS a,
+             CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT) % 7
+               AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ), g AS (  -- the 5x7 cell grid: counts + exact sums
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS ss
+      FROM cell GROUP BY a, b
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s, sum(ss) AS ss
+      FROM g
+    ), am AS (SELECT a, sum(n) AS n, sum(s) AS s FROM g GROUP BY a),
+    bm AS (SELECT b, sum(n) AS n, sum(s) AS s FROM g GROUP BY b),
+    ssq AS (
+      SELECT (SELECT ss - s * s / n FROM tot) AS sst,
+             (SELECT sum(s * s / n) - (SELECT s * s / n FROM tot)
+              FROM am) AS ssa,
+             (SELECT sum(s * s / n) - (SELECT s * s / n FROM tot)
+              FROM bm) AS ssb,
+             (SELECT sum(s * s / n) FROM g)
+               - (SELECT sum(s * s / n) FROM am)
+               - (SELECT sum(s * s / n) FROM bm)
+               + (SELECT s * s / n FROM tot) AS ssab,
+             (SELECT ss FROM tot) - (SELECT sum(s * s / n) FROM g)
+               AS ssw,
+             (SELECT n FROM tot) AS n,
+             (SELECT count(*) FROM am) AS ka,
+             (SELECT count(*) FROM bm) AS kb
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(ssa / sst, 6) AS eta2_priority,
+           round(ssb / sst, 6) AS eta2_weekday,
+           round(ssab / sst, 6) AS eta2_interaction,
+           round((ssa / (ka - 1)) / (ssw / (n - ka * kb)), 6)
+             AS f_priority,
+           round((ssb / (kb - 1)) / (ssw / (n - ka * kb)), 6)
+             AS f_weekday,
+           round((ssab / ((ka - 1) * (kb - 1)))
+                 / (ssw / (n - ka * kb)), 6) AS f_interaction
+    FROM ssq
+    """,
+    tags=("stats", "anova", "hypothesis-test"),
+)
+def stats_two_way_anova(spark, sf_dir):
+    """TWO-WAY ANOVA with interaction (unweighted cell-means sums of
+    squares on the balanced-ish 5x7 grid; Fisher, public) — does
+    order value depend on priority, weekday, or their INTERACTION?
+    The one-way ANOVA family member every experiment readout with two
+    crossed factors needs; eta^2 columns give effect sizes next to
+    the F ratios.
+
+    Exactness: y is exact cents; cell/margin/total sums are
+    DECIMAL(38,0)-exact; every SS is sums-of-(s^2/n) algebra on
+    identical doubles — no means materialized, no subtraction of
+    near-equal rounded values; 6dp at the end.
+
+    Scale: one hash agg to the 35-cell grid; margins and totals fold
+    the GRID (never the facts); the rest is 1-row arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    day = (
+        F.unix_timestamp(F.col("o_orderdate").cast("date")) / 86400
+    ).cast("long")
+    cell = o.select(
+        F.col("o_orderpriority").alias("a"),
+        (day % 7).alias("b"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = cell.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec0(F.col("y"))).cast("double").alias("s"),
+        F.sum(dec0(F.col("y")) * F.col("y")).cast("double").alias("ss"),
+    )
+    sq = lambda s, n: F.col(s) * F.col(s) / F.col(n)  # noqa: E731
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+    ).select("n", "ss", sq("s", "n").alias("cm"))
+    am = (
+        g.groupBy("a")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(
+            F.sum(sq("s", "n")).alias("sa"),
+            F.count("*").cast("long").alias("ka"),
+        )
+    )
+    bm = (
+        g.groupBy("b")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(
+            F.sum(sq("s", "n")).alias("sb"),
+            F.count("*").cast("long").alias("kb"),
+        )
+    )
+    gm = g.agg(F.sum(sq("s", "n")).alias("sg"))
+    j = (
+        tot.crossJoin(F.broadcast(am))
+        .crossJoin(F.broadcast(bm))
+        .crossJoin(F.broadcast(gm))
+    )
+    ssa = F.col("sa") - F.col("cm")
+    ssb = F.col("sb") - F.col("cm")
+    ssab = F.col("sg") - F.col("sa") - F.col("sb") + F.col("cm")
+    ssw = F.col("ss") - F.col("sg")
+    sst = F.col("ss") - F.col("cm")
+    dfw = F.col("n") - F.col("ka") * F.col("kb")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(ssa / sst, 6).alias("eta2_priority"),
+        F.round(ssb / sst, 6).alias("eta2_weekday"),
+        F.round(ssab / sst, 6).alias("eta2_interaction"),
+        F.round((ssa / (F.col("ka") - 1)) / (ssw / dfw), 6).alias(
+            "f_priority"
+        ),
+        F.round((ssb / (F.col("kb") - 1)) / (ssw / dfw), 6).alias(
+            "f_weekday"
+        ),
+        F.round(
+            (ssab / ((F.col("ka") - 1) * (F.col("kb") - 1)))
+            / (ssw / dfw),
+            6,
+        ).alias("f_interaction"),
+    )

@@ -678,3 +678,42 @@ def fdr_drift(
         F.col("i").cast("long").alias("rank_desc"),
         (F.col("i") <= F.col("k")).alias("drifted"),
     )
+
+
+def window_bucket_quantiles(
+    win_counts: DataFrame, probs: dict[str, float]
+) -> DataFrame:
+    """Per-window BUCKET-CDF quantile estimates from the additive
+    (w_start, b, n) windowed integer-bucket counts (the
+    psi/w1_binned_counts state — counts merge across micro-batches,
+    so the monitor is batching-invariant by the same argument):
+    quantile(q) = the smallest bucket whose inclusive cumulative count
+    reaches ceil(q * N). Everything is INTEGER (bucket ids, counts,
+    the ceil threshold), so both engines agree exactly — the
+    streaming quantile monitor stays hash-verifiable, unlike a
+    sketch whose survivors depend on partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w_start").orderBy("b")
+    cum = win_counts.select(
+        "w_start",
+        "b",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("n").over(Window.partitionBy("w_start")).alias("N"),
+    )
+    aggs = [F.max("N").cast("long").alias("n_window")]
+    for name, p in sorted(probs.items(), key=lambda kv: kv[1]):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(p) * F.col("N")).cast("long"),
+                    F.col("b"),
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+    return cum.groupBy("w_start").agg(*aggs)

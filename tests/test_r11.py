@@ -68,3 +68,45 @@ def test_kll_sketch_rank_error_mass_and_determinism(spark):
         for r in _run(spark, "agg_kll_quantile_sketch").collect()
     }
     assert again == {q: r["est"] for q, r in rows.items()}
+
+
+def test_stream_quantile_monitor_batching_invariant(spark):
+    """The monitor's only stateful stage is the additive windowed
+    bucket count, so ANY micro-batch split must produce the same
+    result: split the events corpus in half by event_id parity, build
+    each half's windowed counts, MERGE by addition (what the
+    streaming state store does across micro-batches), and assert the
+    quantile fold over merged counts equals the single-batch run."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.streaming.windows import (
+        w1_binned_counts,
+        window_bucket_quantiles,
+    )
+    from gcp_etl_spark.tables import t as tbl
+
+    probs = {"p50_bucket": 0.5, "p90_bucket": 0.9, "p99_bucket": 0.99}
+    e = tbl(spark, SF_SMALL, "events")
+    whole = {
+        r["w_start"]: (r["p50_bucket"], r["p90_bucket"], r["p99_bucket"])
+        for r in window_bucket_quantiles(
+            w1_binned_counts(e, watermark=None), probs
+        ).collect()
+    }
+    halves = [
+        w1_binned_counts(
+            e.filter(F.col("event_id") % 2 == i), watermark=None
+        )
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("w_start", "b")
+        .agg(F.sum("n").alias("n"))
+    )
+    again = {
+        r["w_start"]: (r["p50_bucket"], r["p90_bucket"], r["p99_bucket"])
+        for r in window_bucket_quantiles(merged, probs).collect()
+    }
+    assert whole == again and len(whole) > 1
