@@ -1972,3 +1972,226 @@ def stats_two_way_anova(spark, sf_dir):
             6,
         ).alias("f_interaction"),
     )
+
+
+# ------------------ two-proportion power analysis (r11 extra)
+
+# Phi^-1(0.975) and Phi^-1(0.8) as repr-exact shared literals (the
+# BH-FDR pattern: quantiles computed at BUILD time, never in-engine)
+_PW_Z_A = "1.9599639845400536"  # alpha = 0.05 two-sided
+_PW_Z_B = "0.8416212335729144"  # power = 0.80
+_PW_MDE = "0.02"                # +2pp absolute minimum detectable effect
+
+
+@query(
+    "stats_power_two_proportion",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+               AS k
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT grp, n, k,
+             CAST(k AS DOUBLE) / n AS p1,
+             CAST(k AS DOUBLE) / n + {_PW_MDE} AS p2
+      FROM base
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_observed,
+           round(p1, 6) AS baseline_rate,
+           CAST(ceil(
+             pow({_PW_Z_A} * sqrt(2 * ((p1 + p2) / 2)
+                                  * (1 - (p1 + p2) / 2))
+                 + {_PW_Z_B} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+             / (({_PW_MDE}) * ({_PW_MDE}))) AS BIGINT)
+             AS n_per_arm,
+           CAST(ceil(
+             pow({_PW_Z_A} * sqrt(2 * ((p1 + p2) / 2)
+                                  * (1 - (p1 + p2) / 2))
+                 + {_PW_Z_B} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+             / (({_PW_MDE}) * ({_PW_MDE}))) * 2 AS BIGINT)
+             AS n_total
+    FROM p ORDER BY grp
+    """,
+    tags=("stats", "experiment", "power-analysis"),
+)
+def stats_power_two_proportion(spark, sf_dir):
+    """TWO-PROPORTION SAMPLE-SIZE / POWER TABLE (the classical normal-
+    approximation formula, Fleiss, public): per order priority, the
+    per-arm n needed to detect a +{_PW_MDE} absolute lift over the
+    observed completion rate at alpha=0.05 (two-sided) with 80% power
+    — the table every A/B experiment plan starts from, next to the
+    segment's observed volume. n = (z_a sqrt(2 p-bar q-bar) +
+    z_b sqrt(p1 q1 + p2 q2))^2 / (p2 - p1)^2.
+
+    Exactness: the z quantiles are repr-exact BUILD-TIME literals
+    shared verbatim by both engines (the stats_bh_fdr rule — no
+    in-engine inverse-normal anywhere); p1 divides exact BIGINTs, so
+    the whole formula is the same IEEE tree; ceil() of that identical
+    double is identical. 6dp on the rate only.
+
+    Scale: one grouped count over the facts; the formula runs on the
+    5-row group dim."""
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p1 = F.col("k").cast("double") / F.col("n")
+    p2 = p1 + float(_PW_MDE)
+    pbar = (p1 + p2) / 2
+    za, zb, mde = float(_PW_Z_A), float(_PW_Z_B), float(_PW_MDE)
+    num = F.pow(
+        za * F.sqrt(2 * pbar * (1 - pbar))
+        + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+        F.lit(2),
+    )
+    n_arm = F.ceil(num / (mde * mde)).cast("long")
+    return base.select(
+        "grp",
+        F.col("n").cast("long").alias("n_observed"),
+        F.round(p1, 6).alias("baseline_rate"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).cast("long").alias("n_total"),
+    ).orderBy("grp")
+
+
+# ---------------------- geometric adstock carryover (r11 extra)
+
+_AD_LAMBDA = "0.7"  # daily carryover decay, shared literal
+
+
+@query(
+    "analytics_adstock_carryover",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS imp,
+             CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), arrs AS (
+      SELECT count(*) AS m,
+             list(imp ORDER BY x) AS xs,
+             list(rev ORDER BY x) AS ys
+      FROM d
+    ), ad AS (
+      SELECT 1 AS i, CAST(xs[1] AS DOUBLE) AS a, m, xs, ys FROM arrs
+      UNION ALL
+      SELECT i + 1,
+             CAST(xs[i + 1] AS DOUBLE) + {_AD_LAMBDA} * a,
+             m, xs, ys
+      FROM ad WHERE i + 1 <= m
+    ), pairs AS (  -- adstock_t vs NEXT-day revenue
+      SELECT a AS u, CAST(ys[i + 1] AS DOUBLE) AS v FROM ad WHERE i < m
+    ), mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(u AS DECIMAL(38,9))) AS DOUBLE) AS su,
+             CAST(sum(CAST(v AS DECIMAL(38,9))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(u * v AS DECIMAL(38,9))) AS DOUBLE) AS suv,
+             CAST(sum(CAST(u * u AS DECIMAL(38,9))) AS DOUBLE) AS suu,
+             CAST(sum(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE) AS svv
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((SELECT a FROM ad WHERE i = m), 6) AS final_adstock,
+           round((suv - su * sv / n)
+                 / (sqrt(suu - su * su / n) * sqrt(svv - sv * sv / n)),
+                 6) AS corr_adstock_nextday_rev
+    FROM mm
+    """,
+    tags=("analytics", "marketing", "time-series"),
+)
+def analytics_adstock_carryover(spark, sf_dir):
+    """GEOMETRIC ADSTOCK carryover (the marketing-mix-model transform,
+    Broadbent's adstock, public): adstock_t = imp_t + {_AD_LAMBDA} *
+    adstock_(t-1) over the daily order-count series — exposure decays
+    but accumulates — then the Pearson correlation of the adstocked
+    series with NEXT-day revenue, the basic carryover-effect readout
+    an MMM starts from.
+
+    Exactness (the Croston/Holt-Winters fold contract): exact BIGINT
+    daily inputs; Spark runs the recurrence as ONE F.aggregate fold
+    with an array accumulator over the sorted array, the oracle
+    replays it as a recursive CTE — identical IEEE steps, so every
+    adstock value is bit-identical; the correlation moments are
+    per-term DECIMAL(38,9)-cast (adstock <= imp/(1-lambda), so
+    products stay well inside the cap). 6dp at the end.
+
+    Scale: facts collapse to the calendar-bounded daily relation; the
+    fold is O(|days|) on one row; moments are one agg over |days|-1
+    exploded pairs."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        (
+            (
+                F.unix_timestamp(F.col("o_orderdate").cast("date"))
+                / 86400
+            ).cast("long")
+        ).alias("x")
+    ).agg(
+        F.count("*").cast("long").alias("imp"),
+        F.sum(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("rev"),
+    )
+    arrs = d.agg(
+        F.count("*").cast("int").alias("m"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(x, imp))),"
+            " e -> e.imp)"
+        ).alias("xs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(x, rev))),"
+            " e -> e.rev)"
+        ).alias("ys"),
+    )
+    lam = _AD_LAMBDA
+    ad = arrs.select(
+        "m",
+        "ys",
+        F.expr(
+            f"""aggregate(slice(xs, 2, m - 1),
+              array(CAST(element_at(xs, 1) AS DOUBLE)),
+              (acc, e) -> concat(acc,
+                array(CAST(e AS DOUBLE)
+                      + {lam}D * element_at(acc, -1))))"""
+        ).alias("a"),
+    )
+    pairs = ad.select(
+        F.explode(
+            F.expr(
+                """transform(sequence(1, m - 1), i ->
+                     struct(element_at(a, i) AS u,
+                            CAST(element_at(ys, i + 1) AS DOUBLE)
+                              AS v))"""
+            )
+        ).alias("p"),
+        F.expr("element_at(a, -1)").alias("fin"),
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "fin")
+    dec9 = lambda c: c.cast("decimal(38,9)")  # noqa: E731
+    mm = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("fin").alias("fin"),
+        F.sum(dec9(F.col("u"))).cast("double").alias("su"),
+        F.sum(dec9(F.col("v"))).cast("double").alias("sv"),
+        F.sum(dec9(F.col("u") * F.col("v"))).cast("double").alias("suv"),
+        F.sum(dec9(F.col("u") * F.col("u"))).cast("double").alias("suu"),
+        F.sum(dec9(F.col("v") * F.col("v"))).cast("double").alias("svv"),
+    )
+    n = F.col("n")
+    return mm.select(
+        n.cast("long").alias("n_days"),
+        F.round("fin", 6).alias("final_adstock"),
+        F.round(
+            (F.col("suv") - F.col("su") * F.col("sv") / n)
+            / (
+                F.sqrt(F.col("suu") - F.col("su") * F.col("su") / n)
+                * F.sqrt(F.col("svv") - F.col("sv") * F.col("sv") / n)
+            ),
+            6,
+        ).alias("corr_adstock_nextday_rev"),
+    )

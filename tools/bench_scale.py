@@ -111,6 +111,16 @@ HEADLINE = [
     # scan+hash-agg shape should scale ~linearly (r9 verdict ask #2:
     # "10x grid exponent recorded")
     "train_kmeans_lloyd",
+    # round-11: the new one-pass/digest-shuffle ops — each claims a
+    # ~linear scan-dominated shape worth an empirical exponent (the
+    # KLL sketch additionally claims sketch size is data-INDEPENDENT;
+    # the CDC chunker is O(w·chars) inside the scan task; line-dedup
+    # shuffles digests only)
+    "agg_kll_quantile_sketch",
+    "dedup_cdc_chunks",
+    "dedup_lines_corpus",
+    "events_match_recognize",
+    "analytics_kaplan_meier",
 ]
 
 
