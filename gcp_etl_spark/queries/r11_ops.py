@@ -2195,3 +2195,136 @@ def analytics_adstock_carryover(spark, sf_dir):
             6,
         ).alias("corr_adstock_nextday_rev"),
     )
+
+
+# ------------------- Shapley channel attribution (r11 extra)
+
+
+def _shap_sql(i: str, j: str, k: str) -> str:
+    """3-player Shapley value for channel ``i`` from the subset-rate
+    columns r_, r_c.., named r_<sorted subset letters> — shared
+    VERBATIM by both engines."""
+    s = lambda *cs: "r_" + "".join(sorted(cs))  # noqa: E731
+    return (
+        f"((1.0 / 3) * ({s(i)} - r_) "
+        f"+ (1.0 / 6) * ({s(i, j)} - {s(j)}) "
+        f"+ (1.0 / 6) * ({s(i, k)} - {s(k)}) "
+        f"+ (1.0 / 3) * ({s(i, j, k)} - {s(j, k)}))"
+    )
+
+
+@query(
+    "analytics_shapley_attribution",
+    oracle=f"""
+    WITH firstp AS (
+      SELECT user_id, min(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), exposure AS (
+      SELECT e.user_id,
+             CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv,
+             string_agg(DISTINCT left(e.event_type, 1), ''
+                        ORDER BY left(e.event_type, 1)) AS sub
+      FROM events e
+      LEFT JOIN firstp f ON f.user_id = e.user_id
+      WHERE e.event_type IN ('click', 'signup', 'view')
+        AND (f.user_id IS NULL OR e.ts < f.pts)
+      GROUP BY e.user_id, CASE WHEN f.user_id IS NOT NULL
+                               THEN 1 ELSE 0 END
+    ), rates AS (
+      SELECT sub, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS DOUBLE) / count(*) AS r
+      FROM exposure GROUP BY sub
+    ), wide AS (
+      SELECT coalesce(max(CASE WHEN sub = '' THEN r END), 0.0) AS r_,
+             coalesce(max(CASE WHEN sub = 'c' THEN r END), 0.0) AS r_c,
+             coalesce(max(CASE WHEN sub = 's' THEN r END), 0.0) AS r_s,
+             coalesce(max(CASE WHEN sub = 'v' THEN r END), 0.0) AS r_v,
+             coalesce(max(CASE WHEN sub = 'cs' THEN r END), 0.0)
+               AS r_cs,
+             coalesce(max(CASE WHEN sub = 'cv' THEN r END), 0.0)
+               AS r_cv,
+             coalesce(max(CASE WHEN sub = 'sv' THEN r END), 0.0)
+               AS r_sv,
+             coalesce(max(CASE WHEN sub = 'csv' THEN r END), 0.0)
+               AS r_csv
+      FROM rates
+    )
+    SELECT channel, round(shapley, 6) AS shapley
+    FROM (
+      SELECT 'click' AS channel, {_shap_sql('c', 's', 'v')} AS shapley
+        FROM wide
+      UNION ALL
+      SELECT 'signup', {_shap_sql('s', 'c', 'v')} FROM wide
+      UNION ALL
+      SELECT 'view', {_shap_sql('v', 'c', 's')} FROM wide
+    ) ORDER BY channel
+    """,
+    tags=("analytics", "attribution", "events", "marketing"),
+)
+def analytics_shapley_attribution(spark, sf_dir):
+    """SHAPLEY-VALUE CHANNEL ATTRIBUTION (Shapley 1953; the
+    data-driven attribution model, public): the characteristic
+    function v(S) is the CONVERSION RATE of users whose pre-purchase
+    exposure set is exactly S ⊆ {{click, signup, view}}; each
+    channel's Shapley value averages its marginal contribution over
+    all orderings — the fairness-axiom alternative to last-touch
+    (analytics_multitouch_attribution's rule-based models). 3-player
+    closed form with weights 1/3, 1/6 as shared expressions.
+
+    Exactness: exposure sets are exact (events strictly before the
+    user's first purchase); subset rates divide exact BIGINTs; the
+    Shapley combination is one shared expression tree evaluated on
+    the 8-subset wide row — identical IEEE on both engines; 6dp.
+
+    Scale: one hash shuffle on user_id builds exposure sets
+    (per-user state = 3 booleans); rates collapse to <= 8 rows;
+    everything after is constant-size. The 2^k subset grid caps k —
+    the documented regime is few marketing channels (k <= ~10), not
+    arbitrary sets."""
+    e = t(spark, sf_dir, "events")
+    firstp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    exposure = (
+        e.filter(F.col("event_type").isin("click", "signup", "view"))
+        .join(firstp, "user_id", "left")
+        .filter(F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
+        .groupBy(
+            "user_id",
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias(
+                "conv"
+            ),
+        )
+        .agg(
+            F.expr(
+                "concat_ws('', array_sort(collect_set("
+                "substring(event_type, 1, 1))))"
+            ).alias("sub")
+        )
+    )
+    rates = exposure.groupBy("sub").agg(
+        (F.sum("conv").cast("double") / F.count("*")).alias("r")
+    )
+    wide = rates.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("sub") == sub, F.col("r"))),
+                F.lit(0.0),
+            ).alias(f"r_{sub}")
+            for sub in ("", "c", "s", "v", "cs", "cv", "sv", "csv")
+        ]
+    )
+    rows = None
+    for ch, args in (
+        ("click", ("c", "s", "v")),
+        ("signup", ("s", "c", "v")),
+        ("view", ("v", "c", "s")),
+    ):
+        one = wide.select(
+            F.lit(ch).alias("channel"),
+            F.round(F.expr(_shap_sql(*args)), 6).alias("shapley"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("channel")
