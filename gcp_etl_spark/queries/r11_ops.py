@@ -76,6 +76,10 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
     from gcp_etl_spark.llm.ivf import cosine_topk_ivf, ivf_assign
     from gcp_etl_spark.llm.similarity import cosine_topk
 
+    # NOT checkpointed: the repeated embeddings scans are pruned
+    # columnar reads; the cost is the per-grid-point Lloyd/inertia
+    # CPU (measured — materializing bought nothing). ~13 s warm at
+    # sf0.1, the operating-curve luxury class (banding curve's tier).
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _RF_NQ)
     exact = cosine_topk(emb, probes, k=_RF_K).select(
