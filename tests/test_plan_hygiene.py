@@ -235,6 +235,14 @@ _FP_QUERIES = [
     # one agg over mapInPandas, so a fingerprint would pin nothing
     "train_kmeans_lloyd", "dedup_minhash_banding_curve",
     "dedup_edit_distance_banded", "io_merge_schema_evolution",
+    # r11 additions (>= ~1 s warm at sf0.1) + the re-planned Mondrian
+    # conformal (its two-pass range-partitioned rank is exactly the
+    # shape this CI exists to protect)
+    "ann_ivf_refine_recall_curve", "agg_kll_quantile_sketch",
+    "analytics_kaplan_meier", "dedup_cdc_chunks", "dedup_lines_corpus",
+    "eval_ndcg_at_k", "eval_average_precision",
+    "stream_quantile_monitor", "stats_partial_correlation",
+    "stats_chow_test", "ml_conformal_mondrian",
 ]
 
 _FP_MARKS = {
