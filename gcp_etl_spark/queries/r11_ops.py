@@ -2332,3 +2332,437 @@ def analytics_shapley_attribution(spark, sf_dir):
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows.orderBy("channel")
+
+
+# ---------------- expected calibration error (r11 extra)
+
+_ECE_BINS = 10
+
+
+@query(
+    "eval_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ((event_id * 2654435761) % 1000) / 1000.0 AS p,
+             CASE WHEN value * (1 + ((event_id * 2654435761) % 1000)
+                               / 1000.0) > 60 THEN 1 ELSE 0 END AS y
+      FROM events
+    ), binned AS (
+      SELECT least(CAST(floor(p * {_ECE_BINS}) AS BIGINT),
+                   {_ECE_BINS - 1}) AS g, p, y
+      FROM scored
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM binned GROUP BY g
+    ), tot AS (SELECT sum(n) AS nn FROM per)
+    SELECT CAST(nn AS BIGINT) AS n,
+           round(CAST(sum(CAST(
+                   abs(CAST(sy AS DOUBLE) / n - sp / n) * n
+                   AS DECIMAL(38,12))) AS DOUBLE) / nn, 6) AS ece,
+           round(max(abs(CAST(sy AS DOUBLE) / n - sp / n)), 6) AS mce
+    FROM per CROSS JOIN tot
+    GROUP BY nn
+    """,
+    tags=("eval", "calibration", "ml"),
+)
+def eval_calibration_ece(spark, sf_dir):
+    """EXPECTED + MAXIMUM CALIBRATION ERROR (ECE/MCE, Naeini et al.
+    2015 / Guo et al. 2017, public) — the calibration headline every
+    modern model card quotes: over {_ECE_BINS} confidence bins,
+    ECE = sum_g (n_g/N) |acc_g - conf_g| and MCE = max_g of the same
+    gap. Completes the calibration family (Brier decomposition =
+    the proper-score view, Hosmer-Lemeshow = the test view, this =
+    the reported-metric view) on the SAME exact-rational Knuth-hash
+    forecasts, so all three are mutually consistent.
+
+    Exactness: accuracies divide exact BIGINTs; confidences divide a
+    DECIMAL(38,12)-exact rational sum; each bin's weighted gap is
+    DECIMAL-cast before the 10-term sum; 6dp.
+
+    Scale: one hash agg to the bin grid; constant-size arithmetic."""
+    e = t(spark, sf_dir, "events")
+    p = ((F.col("event_id") * 2654435761) % 1000) / 1000.0
+    scored = e.select(
+        p.alias("p"),
+        F.when(F.col("value") * (1 + p) > 60, 1).otherwise(0).alias("y"),
+    )
+    per = (
+        scored.select(
+            F.least(
+                F.floor(F.col("p") * _ECE_BINS).cast("long"),
+                F.lit(_ECE_BINS - 1),
+            ).alias("g"),
+            "p",
+            "y",
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("p").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sp"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    gap = F.abs(
+        F.col("sy").cast("double") / F.col("n")
+        - F.col("sp") / F.col("n")
+    )
+    return per.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(
+            F.sum((gap * F.col("n")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+# ------------- negative-binomial overdispersion fit (r11 extra)
+
+
+@query(
+    "stats_negative_binomial_fit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(count(*) AS BIGINT) AS y
+      FROM orders
+      GROUP BY CAST(epoch_ms(o_orderdate::DATE) / 86400000 AS BIGINT)
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS ss
+      FROM d
+    ), mv AS (
+      SELECT n, s / n AS mu,
+             (ss - s * s / n) / (n - 1) AS var
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(mu, 6) AS mean_daily,
+           round(var, 6) AS var_daily,
+           round(var / mu, 6) AS dispersion_index,
+           round(CASE WHEN var > mu THEN mu * mu / (var - mu)
+                      ELSE NULL END, 6) AS nb_r,
+           round(CASE WHEN var > mu THEN mu / var
+                      ELSE NULL END, 6) AS nb_p
+    FROM mv
+    """,
+    tags=("stats", "count-model", "time-series"),
+)
+def stats_negative_binomial_fit(spark, sf_dir):
+    """NEGATIVE-BINOMIAL METHOD-OF-MOMENTS FIT for the daily order
+    count (the standard overdispersed-count model, public): a Poisson
+    assumption demands var == mean; the dispersion index var/mu says
+    how wrong that is, and when var > mu the NB(r, p) moment match is
+    r = mu^2/(var - mu), p = mu/var — the parameters a demand model /
+    anomaly threshold is built from. NULL r/p when the data is UNDER-
+    dispersed (NB does not exist there; the NULL is the answer).
+
+    Exactness: counts are exact; the two moments sum in
+    DECIMAL(38,0); mean/variance/r/p are identical IEEE trees, 6dp.
+
+    Scale: one count-per-day hash agg, one moment agg, 1-row math."""
+    o = t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        (
+            (
+                F.unix_timestamp(F.col("o_orderdate").cast("date"))
+                / 86400
+            ).cast("long")
+        ).alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec0(F.col("y"))).cast("double").alias("s"),
+        F.sum(dec0(F.col("y")) * F.col("y")).cast("double").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mu, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mu, 6).alias("dispersion_index"),
+        F.round(
+            F.when(var > mu, mu * mu / (var - mu)), 6
+        ).alias("nb_r"),
+        F.round(F.when(var > mu, mu / var), 6).alias("nb_p"),
+    )
+
+
+# ---------------- Kendall's W judge concordance (r11 extra)
+
+
+@query(
+    "stats_kendalls_w",
+    oracle="""
+    WITH cell AS (
+      SELECT r.r_name AS judge, p.p_partkey % 10 AS item,
+             CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT)
+               AS cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT judge, item,
+             row_number() OVER (PARTITION BY judge
+                                ORDER BY cents DESC, item) AS rk
+      FROM cell
+    ), sums AS (
+      SELECT item, CAST(sum(rk) AS BIGINT) AS ri,
+             (SELECT count(DISTINCT judge) FROM ranked) AS k,
+             (SELECT count(DISTINCT item) FROM ranked) AS n
+      FROM ranked GROUP BY item
+    ), s AS (
+      SELECT max(k) AS k, max(n) AS n,
+             CAST(sum((2 * ri - k * (n + 1))
+                      * (2 * ri - k * (n + 1))) AS BIGINT) AS s4
+      FROM sums
+    )
+    SELECT CAST(k AS BIGINT) AS n_judges, CAST(n AS BIGINT) AS n_items,
+           round(3.0 * s4 / (k * k * (CAST(n AS DOUBLE) * n * n - n)),
+                 6) AS kendalls_w
+    FROM s
+    """,
+    tags=("stats", "agreement", "ranking"),
+)
+def stats_kendalls_w(spark, sf_dir):
+    """KENDALL'S COEFFICIENT OF CONCORDANCE W (Kendall & Babington
+    Smith 1939, public) — agreement among k independent RANKERS of
+    the same n items, the statistic an LLM-judge ensemble or a panel
+    of quality raters is audited with: each region 'judge' ranks the
+    10 part buckets by revenue; W = 12 S / (k^2 (n^3 - n)) with S the
+    variance of rank sums around k(n+1)/2. W = 1 means identical
+    rankings, W = 0 no agreement.
+
+    Exactness: ranks are exact integers (deterministic cents-desc,
+    item tiebreak); S is computed on 4S = sum (2 R_i - k(n+1))^2 —
+    ALL-INTEGER (doubling clears the k(n+1)/2 half-integer), so the
+    only FP op is the final division, identical both engines. 6dp.
+
+    Scale: facts collapse to the k x n grid in one agg; ranking
+    windows run over n-row judge groups (group dim); the rest is
+    constant-size."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n_ = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    from pyspark.sql import Window as W
+
+    cell = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("judge"),
+            (F.col("p_partkey") % 10).alias("item"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = cell.select(
+        "judge",
+        "item",
+        F.row_number()
+        .over(
+            W.partitionBy("judge").orderBy(
+                F.col("cents").desc(), F.col("item")
+            )
+        )
+        .alias("rk"),
+    )
+    kn = ranked.agg(
+        F.countDistinct("judge").alias("k"),
+        F.countDistinct("item").alias("n"),
+    )
+    sums = (
+        ranked.groupBy("item")
+        .agg(F.sum("rk").cast("long").alias("ri"))
+        .crossJoin(F.broadcast(kn))
+    )
+    dev = 2 * F.col("ri") - F.col("k") * (F.col("n") + 1)
+    agg = sums.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(dev * dev).cast("long").alias("s4"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_judges"),
+        F.col("n").cast("long").alias("n_items"),
+        F.round(
+            3.0
+            * F.col("s4")
+            / (
+                F.col("k")
+                * F.col("k")
+                * (
+                    F.col("n").cast("double") * F.col("n") * F.col("n")
+                    - F.col("n")
+                )
+            ),
+            6,
+        ).alias("kendalls_w"),
+    )
+
+
+# -------------- matched-pairs promo uplift (asof-on-value) (r11 extra)
+
+
+@query(
+    "analytics_uplift_matched_pairs",
+    oracle="""
+    WITH tr AS (  -- "treated": discounted line items
+      SELECT l_partkey % 40 AS bucket,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_orderkey * 10 + l_linenumber AS rid
+      FROM lineitem WHERE l_discount >= 0.05
+    ), co AS (   -- control pool: undiscounted, ONE row per
+                 -- (bucket, price) with min-qty tiebreak so the
+                 -- at-price match is deterministic in both engines
+      SELECT l_partkey % 40 AS bucket,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(min(l_quantity) AS BIGINT) AS qty
+      FROM lineitem WHERE l_discount = 0
+      GROUP BY 1, 2
+    ), m AS (    -- nearest control at-or-below the treated price
+      SELECT tr.bucket, tr.qty AS t_qty, co.qty AS c_qty,
+             tr.price - co.price AS gap
+      FROM tr ASOF LEFT JOIN co
+        ON tr.bucket = co.bucket AND co.price <= tr.price
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_treated,
+           CAST(count(*) FILTER (c_qty IS NOT NULL) AS BIGINT)
+             AS n_matched,
+           round(CAST(sum(CAST(t_qty - c_qty AS DECIMAL(38,0)))
+                      FILTER (c_qty IS NOT NULL) AS DOUBLE)
+                 / count(*) FILTER (c_qty IS NOT NULL), 6)
+             AS att_qty_uplift,
+           round(CAST(sum(CAST(gap AS DECIMAL(38,0)))
+                      FILTER (c_qty IS NOT NULL) AS DOUBLE)
+                 / count(*) FILTER (c_qty IS NOT NULL) / 100.0, 6)
+             AS avg_match_gap_dollars
+    FROM m
+    """,
+    tags=("analytics", "causal", "matching", "joins"),
+)
+def analytics_uplift_matched_pairs(spark, sf_dir):
+    """MATCHED-PAIRS UPLIFT (nearest-neighbor matching on a
+    continuous covariate — the observational-causal ATT estimator,
+    Rubin matching, public): every DISCOUNTED line item (treated) is
+    matched to the nearest UNDISCOUNTED item (control) in its part
+    bucket with price at-or-below its own, and the average treated-
+    minus-control quantity gap estimates the discount's uplift on
+    quantity, price-confounding removed by the match.
+
+    The matching is an AS-OF JOIN ON THE VALUE AXIS — the same
+    union-tag per-group ordered window as join_asof_tolerance, but
+    ordered by PRICE instead of time (one algorithm, two axes); ties
+    on price resolve to the control row (tag order), matching
+    DuckDB's native ASOF `<=` semantics. A treated item cheaper than
+    every control stays unmatched (counted, excluded from the ATT —
+    the standard common-support rule). Controls collapse to ONE row
+    per (bucket, price) with a min-quantity tiebreak BEFORE matching,
+    so equal-price control ties cannot make the match
+    engine-dependent.
+
+    Exactness: prices/quantities exact integers; per-match gaps sum
+    in DECIMAL(38,0); the two means divide exact integers. 6dp.
+
+    Scale: one hash shuffle on (bucket), one ordered window per
+    bucket carrying a single (price, qty) of state — never a range
+    join, never an explode; the oracle's native ASOF proves the
+    semantics."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") % 40).alias("bucket"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_discount").alias("disc"),
+    )
+    treated = base.filter(F.col("disc") >= 0.05).select(
+        "bucket",
+        "price",
+        "qty",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("c_qty_raw"),
+        F.lit(None).cast("long").alias("c_price_raw"),
+    )
+    # one control row per (bucket, price), min-qty tiebreak — makes
+    # the at-price match deterministic (several raw controls can
+    # share a price with different quantities)
+    controls = (
+        base.filter(F.col("disc") == 0)
+        .groupBy("bucket", "price")
+        .agg(F.min("qty").alias("qty"))
+        .select(
+            "bucket",
+            "price",
+            "qty",
+            F.lit(0).alias("tag"),  # controls sort BEFORE treated ties
+            F.col("qty").alias("c_qty_raw"),
+            F.col("price").alias("c_price_raw"),
+        )
+    )
+    tagged = treated.unionByName(controls)
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("price"), F.col("tag"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = (
+        tagged.select(
+            "bucket",
+            "price",
+            "qty",
+            "tag",
+            F.last("c_qty_raw", ignorenulls=True).over(w).alias("c_qty"),
+            F.last("c_price_raw", ignorenulls=True)
+            .over(w)
+            .alias("c_price"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    matched = F.col("c_qty").isNotNull()
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return m.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.sum(F.when(matched, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.round(
+            F.sum(F.when(matched, dec0(F.col("qty") - F.col("c_qty"))))
+            .cast("double")
+            / F.sum(F.when(matched, 1)),
+            6,
+        ).alias("att_qty_uplift"),
+        F.round(
+            F.sum(
+                F.when(matched, dec0(F.col("price") - F.col("c_price")))
+            ).cast("double")
+            / F.sum(F.when(matched, 1))
+            / 100.0,
+            6,
+        ).alias("avg_match_gap_dollars"),
+    )
