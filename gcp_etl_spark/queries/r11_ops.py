@@ -2766,3 +2766,260 @@ def analytics_uplift_matched_pairs(spark, sf_dir):
             6,
         ).alias("avg_match_gap_dollars"),
     )
+
+
+# ------------- fixed-effect meta-analysis of correlations (r11 extra)
+
+
+@query(
+    "stats_meta_fixed_effect",
+    oracle="""
+    WITH v AS (
+      SELECT l_suppkey % 25 AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM v GROUP BY g HAVING count(*) >= 4
+    ), rz AS (
+      SELECT g, n,
+             CAST(CAST(0.5 * ln((1 + r) / (1 - r)) AS DECIMAL(38,12))
+                  AS DOUBLE) AS z,
+             n - 3 AS w
+      FROM (
+        SELECT g, n,
+               (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx)
+                                  * sqrt(n*syy - sy*sy)) AS r
+        FROM m)
+    ), pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(w * z AS DECIMAL(38,12))) AS DOUBLE) AS swz,
+             CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(w * z * z AS DECIMAL(38,12))) AS DOUBLE)
+               AS swzz
+      FROM rz
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           round((exp(2 * swz / sw) - 1)
+                 / (exp(2 * swz / sw) + 1), 6) AS pooled_r,
+           round(swzz - swz * swz / sw, 6) AS cochran_q,
+           round(greatest(0.0, 1.0 - (k - 1)
+                                / (swzz - swz * swz / sw)), 6)
+             AS i_squared
+    FROM pool
+    """,
+    tags=("stats", "meta-analysis", "correlation"),
+)
+def stats_meta_fixed_effect(spark, sf_dir):
+    """FIXED-EFFECT META-ANALYSIS of per-segment correlations
+    (Fisher-z pooling + Cochran's Q heterogeneity + Higgins' I^2,
+    public): each supplier segment contributes r(quantity, price)
+    transformed to z = atanh(r) with weight n-3 (the inverse of
+    var(z)); the pooled z back-transforms to the combined r, Q =
+    sum w (z - z-bar)^2 tests whether segments share one effect, and
+    I^2 = 1 - (k-1)/Q is the share of variance from real
+    heterogeneity — the meta-analytic layer over any per-segment
+    statistic battery.
+
+    Exactness: per-group moments are DECIMAL(38,0)-exact; each
+    atanh(r) (as 0.5 ln((1+r)/(1-r)) — identical tree) is
+    DECIMAL(38,12)-cast to absorb libm ulps (the theil_index rule);
+    weighted sums are per-term DECIMAL-cast; the back-transform
+    tanh runs as the exp identity on identical doubles. 6dp.
+
+    Scale: one grouped moment agg over the facts (25 groups), then
+    group-dim arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_suppkey") % 25).alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        v.groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec0(F.col("x"))).cast("double").alias("sx"),
+            F.sum(dec0(F.col("y"))).cast("double").alias("sy"),
+            F.sum(dec0(F.col("x")) * F.col("y"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum(dec0(F.col("x")) * F.col("x"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(dec0(F.col("y")) * F.col("y"))
+            .cast("double")
+            .alias("syy"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rz = m.select(
+        "n",
+        (0.5 * F.log((1 + r) / (1 - r)))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("z"),
+        (n - 3).alias("w"),
+    )
+    dec12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    pool = rz.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(dec12(F.col("w") * F.col("z"))).cast("double").alias("swz"),
+        F.sum(dec0(F.col("w"))).cast("double").alias("sw"),
+        F.sum(dec12(F.col("w") * F.col("z") * F.col("z")))
+        .cast("double")
+        .alias("swzz"),
+    )
+    zbar2 = 2 * F.col("swz") / F.col("sw")
+    q = F.col("swzz") - F.col("swz") * F.col("swz") / F.col("sw")
+    return pool.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(
+            (F.exp(zbar2) - 1) / (F.exp(zbar2) + 1), 6
+        ).alias("pooled_r"),
+        F.round(q, 6).alias("cochran_q"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - (F.col("k") - 1) / q), 6
+        ).alias("i_squared"),
+    )
+
+
+# -------------- length-bucket batching waste curve (r11 extra)
+
+_LB_BATCH = 16          # sequences per batch
+_LB_BUCKETS = (1, 8, 64)  # bucketing policies swept
+
+
+@query(
+    "prep_length_bucket_batching",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents
+    ), pol AS (
+      SELECT unnest([{', '.join(str(b) for b in _LB_BUCKETS)}])
+        AS n_buckets
+    ), bucketed AS (
+      SELECT p.n_buckets, d.len,
+             ntile(p.n_buckets) OVER (PARTITION BY p.n_buckets
+                                      ORDER BY d.len, d.doc_id) AS bkt,
+             row_number() OVER (PARTITION BY p.n_buckets
+                                ORDER BY d.len, d.doc_id) AS rn
+      FROM docs d CROSS JOIN pol p
+    ), batched AS (
+      SELECT n_buckets, bkt,
+             (rn - 1) // {_LB_BATCH} AS batch, len
+      FROM bucketed
+    ), per_batch AS (
+      SELECT n_buckets, bkt, batch,
+             CAST(count(*) AS BIGINT) AS bsz,
+             CAST(max(len) AS BIGINT) AS mx,
+             CAST(sum(len) AS BIGINT) AS s
+      FROM batched GROUP BY 1, 2, 3
+    )
+    SELECT n_buckets,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(bsz * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(s) AS BIGINT) AS real_tokens,
+           round(1.0 - CAST(sum(s) AS DOUBLE) / sum(bsz * mx), 6)
+             AS padding_waste
+    FROM per_batch GROUP BY n_buckets ORDER BY n_buckets
+    """,
+    tags=("llm", "prep", "batching", "packing"),
+)
+def prep_length_bucket_batching(spark, sf_dir):
+    """LENGTH-BUCKET BATCHING WASTE CURVE — the policy sweep behind
+    every training dataloader's bucketing knob: sequences are grouped
+    into {_LB_BUCKETS} length buckets (ntile over the global length
+    order), batched {_LB_BATCH} at a time within each bucket, and
+    each batch pads to its own max length; padding waste =
+    1 - real/padded. One bucket = naive global batching (worst); more
+    buckets = tighter batches (the dynamic-batching limit). The curve
+    prices the knob next to the sequence-PACKING alternative
+    (pack_sequences_budget / pack_padding_waste — packing eliminates
+    padding by concatenation, bucketing merely reduces it; a team
+    picks by whether their attention kernel allows packing).
+
+    Exactness: ntile/row_number over deterministic (len, doc_id)
+    order; all token counts exact BIGINTs; one division.
+
+    Scale: the global rank is WIRED through
+    operators.global_row_number's two-pass range-partitioned shape
+    (no single-partition WindowExec anywhere — the conformal-family
+    lesson), materialized once and shared by all three policy grid
+    points; bucket ids come from the closed-form ntile of (rank, N).
+    Only the (len, rank) projection replicates per policy — lengths,
+    never text."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("len")
+    )
+    # GLOBAL rank via the two-pass range-partitioned primitive (never
+    # a single-partition WindowExec over the corpus — the conformal
+    # lesson), materialized once for all three policy grid points;
+    # ntile is then the CLOSED FORM of (rank, N): the first N%b
+    # buckets take ceil(N/b) rows, the rest floor(N/b) — identical to
+    # both engines' native ntile definition (oracle keeps native
+    # ntile as the independent check).
+    ranked = global_row_number(d, ["len", "doc_id"], rn_col="rn")
+    ranked = ranked.localCheckpoint(eager=False)
+    ncnt = ranked.agg(F.count("*").alias("N"))
+    out = None
+    for b in _LB_BUCKETS:
+        q = F.floor(F.col("N") / b).cast("long")
+        r = (F.col("N") % b).cast("long")
+        big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+        bucketed = ranked.crossJoin(F.broadcast(ncnt)).select(
+            "len",
+            "rn",
+            F.when(
+                F.col("rn") <= big,
+                F.ceil(F.col("rn") / (q + 1)),
+            )
+            .otherwise(r + F.ceil((F.col("rn") - big) / q))
+            .cast("int")
+            .alias("bkt"),
+        )
+        per_batch = (
+            bucketed.select(
+                "len",
+                "bkt",
+                ((F.col("rn") - 1) / _LB_BATCH)
+                .cast("long")
+                .alias("batch"),
+            )
+            .groupBy("bkt", "batch")
+            .agg(
+                F.count("*").cast("long").alias("bsz"),
+                F.max("len").alias("mx"),
+                F.sum("len").alias("s"),
+            )
+        )
+        rel = per_batch.agg(
+            F.lit(b).cast("int").alias("n_buckets"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum(F.col("bsz") * F.col("mx"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.sum("s").cast("long").alias("real_tokens"),
+            F.round(
+                1.0
+                - F.sum("s").cast("double")
+                / F.sum(F.col("bsz") * F.col("mx")),
+                6,
+            ).alias("padding_waste"),
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out.orderBy("n_buckets")
