@@ -562,8 +562,9 @@ def stats_partial_correlation(spark, sf_dir):
     "analytics_kaplan_meier",
     oracle="""
     WITH base AS (
-      SELECT date_diff('day', o.o_orderdate::DATE,
-                       min(l.l_shipdate)::DATE) // 7 AS t,
+      SELECT greatest(date_diff('day', o.o_orderdate::DATE,
+                                min(l.l_shipdate)::DATE), 0) // 7
+               AS t,
              CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
@@ -611,7 +612,10 @@ def analytics_kaplan_meier(spark, sf_dir):
     """KAPLAN-MEIER PRODUCT-LIMIT survival estimator (Kaplan & Meier
     1958, public) with RIGHT CENSORING — the nonparametric
     time-to-event curve behind every retention/churn analysis:
-    duration = WEEKS from order placement to first shipment,
+    duration = WEEKS from order placement to first shipment
+    (clamped at 0 — the synthetic fixture contains ship-before-order
+    rows, and clamping also removes the floor-vs-truncate integer-
+    division ambiguity that negative durations would expose),
     truncated at week 52 (the grid is <= 53 rows BY CONSTRUCTION —
     r11 lesson: day-granularity durations were 3593 distinct values
     at sf0.01, exploding the O(m^2) folds); an order with status 'F'
@@ -640,8 +644,8 @@ def analytics_kaplan_meier(spark, sf_dir):
         .select(
             F.least(
                 F.expr(
-                    "datediff(CAST(ship AS DATE),"
-                    " CAST(o_orderdate AS DATE)) div 7"
+                    "greatest(datediff(CAST(ship AS DATE),"
+                    " CAST(o_orderdate AS DATE)), 0) div 7"
                 ),
                 F.lit(52),
             )
