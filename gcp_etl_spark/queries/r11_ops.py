@@ -1673,9 +1673,11 @@ def analytics_rolling_origin_backtest(spark, sf_dir):
         "y",
         F.lag("y", 1).over(w).alias("naive"),
         F.lag("y", 7).over(w).alias("snaive"),
-        F.max("x").over(W.partitionBy(F.lit(0) == F.lit(0))).alias(
-            "mx"
-        ),
+        # max over the SAME bounded ordered window (full frame) — no
+        # separate aggregate branch needed
+        F.max("x")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("mx"),
     )
     ev = lagged.filter(
         (F.col("x") > F.col("mx") - _BT_HORIZON)
