@@ -124,10 +124,14 @@ def _quiet_benign_warnings(spark: SparkSession) -> None:
     Configurator through py4j; failure-tolerant in case a deployment
     swaps the logging backend.
 
-    Gated behind SPARK_GRAFT_QUIET_BENIGN=1 (set by bench.py only) so
-    LIBRARY users keep the warning — a future non-calendar-bounded
-    global window should be loud everywhere except the bench tail,
-    where the plan-hygiene tests police it instead (r4 ADVICE)."""
+    Gated behind SPARK_GRAFT_QUIET_BENIGN=1 (set by bench.py) and
+    called directly by tools/verify_local.py and the pytest session
+    fixture (r11 ask #4: one LOGGING-layer mechanism for the whole
+    bench/verify/test tooling — never plan-changing markers, whose
+    extra Exchanges are real cost for a cosmetic warning). LIBRARY
+    users keep the warning — a future non-calendar-bounded global
+    window should be loud everywhere except the tooling sessions,
+    where the plan-hygiene fingerprints police it instead."""
     try:
         jvm = spark.sparkContext._jvm
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
