@@ -155,6 +155,102 @@ def test_sustained_regression_lands_in_headline(tmp_path):
     assert headline.get("regressed_vs_prior") == [query]
 
 
+def test_fresh_session_gate_covers_two_to_three_x_window(tmp_path):
+    """r11 verdict ask #3: the fresh-session confirmation gate used to
+    fire only at >= 3x prior, so a quiet 2.0-3.0x regression was never
+    confirmed and could never reach ``regressed_vs_prior`` (whose own
+    threshold is 2.0x) — dedup_survivorship shipped a 2.07x drift
+    unflagged that way in r11. Pin the record INSIDE that old blind
+    window deterministically (4 s injected sleep dominates the cheap
+    query; prior 1.9 s => ratio ~2.2x) and require both the
+    fresh-session confirmation and the headline listing."""
+    query = "ref_select_limit"
+    prior = {"sf": 0.001, "queries": {query: 1.9}}
+    prior_file = tmp_path / "prior.json"
+    prior_file.write_text(json.dumps(prior))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_PRIOR_FILE=str(prior_file),
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="81",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="64",
+        SPARK_GRAFT_BENCH_SLEEP=f"{query}:4.0",
+        SPARK_GRAFT_CPUS="8",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r81.json").read_text())
+    rec = detail["detail"][query]
+    ratio = detail["queries"][query] / 1.9
+    # the injected sleep pins the record below the OLD 3.0x quiet gate
+    # (which would have ignored it) and at/above the new 2.0x one
+    assert 2.0 <= ratio < 3.0, ratio
+    assert "repass_fresh_session" in rec, rec
+    assert detail.get("regressed_vs_prior") == [query], detail.get(
+        "regressed_vs_prior"
+    )
+    headline = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert headline.get("regressed_vs_prior") == [query]
+    # ask #2 telemetry: per-pass GC/JIT deltas ride every record
+    assert "pass_gc_ms" in rec and len(rec["pass_gc_ms"]) == len(
+        rec["passes"]
+    )
+    assert "pass_jit_ms" in rec
+
+
+def test_retry_pass1_kept_when_pass2_fails(tmp_path):
+    """r11 ADVICE: in the retry queue, a pass-2 exception must not void
+    a valid pass-1 timing — the old 'failed' flag discarded a usable
+    quiet measurement and left the record contended. The measured pass
+    is stamped contended (10.0 > gate), retry pass 1 succeeds quiet
+    (0.5), and the PASS2-only failure hook throws on pass 2: the
+    record must end uncontended with the pass-1 timing in play and the
+    failure still documented in retry_error."""
+    query = "ref_select_limit"
+    sched = tmp_path / "loads.json"
+    sched.write_text(json.dumps([10.0, 0.5, 0.5]))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="82",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="4.0",
+        SPARK_GRAFT_BENCH_LOAD_SCHEDULE=str(sched),
+        SPARK_GRAFT_BENCH_RETRY_FAIL_PASS2=query,
+        SPARK_GRAFT_CPUS="8",
+    )
+    env.pop("SPARK_GRAFT_BENCH_PRIOR_FILE", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r82.json").read_text())
+    rec = detail["detail"][query]
+    assert rec["retry_error"].startswith("RuntimeError"), rec
+    assert len(rec["retry_passes"]) == 1  # pass-1 timing survived
+    assert rec["contended"] is False, rec
+    assert rec["timing"] == "retry_quiet" or rec.get("retry_confirmed")
+
+
 def test_retry_failure_recorded_in_detail(tmp_path):
     """r10 ADVICE: a retry that throws must land in the detail record
     (``retry_error``) with the contended flag LEFT STANDING (an
