@@ -1733,11 +1733,13 @@ def analytics_rolling_origin_backtest(spark, sf_dir):
     )
     SELECT w_start,
            CAST(max(N) AS BIGINT) AS n_window,
-           CAST(min(b) FILTER (cum >= ceil(0.50 * N)) AS BIGINT)
+           -- integer-exact crossing tests: cum*den >= num*N is
+           -- ceil(num*N/den) <= cum without any float product
+           CAST(min(b) FILTER (cum * 2 >= 1 * N) AS BIGINT)
              AS p50_bucket,
-           CAST(min(b) FILTER (cum >= ceil(0.90 * N)) AS BIGINT)
+           CAST(min(b) FILTER (cum * 10 >= 9 * N) AS BIGINT)
              AS p90_bucket,
-           CAST(min(b) FILTER (cum >= ceil(0.99 * N)) AS BIGINT)
+           CAST(min(b) FILTER (cum * 100 >= 99 * N) AS BIGINT)
              AS p99_bucket
     FROM cum GROUP BY w_start ORDER BY w_start
     """,
@@ -2924,8 +2926,13 @@ _LB_BUCKETS = (1, 8, 64)  # bucketing policies swept
                                 ORDER BY d.len, d.doc_id) AS rn
       FROM docs d CROSS JOIN pol p
     ), batched AS (
+      -- batch on the PER-BUCKET rank (native row_number inside the
+      -- bucket — independent of the Spark side's closed-form offset),
+      -- so no batch straddles a bucket boundary
       SELECT n_buckets, bkt,
-             (rn - 1) // {_LB_BATCH} AS batch, len
+             (row_number() OVER (PARTITION BY n_buckets, bkt
+                                 ORDER BY rn) - 1)
+               // {_LB_BATCH} AS batch, len
       FROM bucketed
     ), per_batch AS (
       SELECT n_buckets, bkt, batch,
@@ -2958,7 +2965,16 @@ def prep_length_bucket_batching(spark, sf_dir):
     picks by whether their attention kernel allows packing).
 
     Exactness: ntile/row_number over deterministic (len, doc_id)
-    order; all token counts exact BIGINTs; one division.
+    order; all token counts exact BIGINTs; one division. Batch ids
+    come from the PER-BUCKET rank (r11 ADVICE: the old global-rank
+    formula let a 16-row chunk straddle a bucket boundary, splitting
+    it into two partial batches and mispricing the curve) — Spark
+    derives it closed-form from the ntile algebra (rank minus the
+    bucket's start offset), the oracle from a native row_number inside
+    the bucket, so the two derivations stay independent. Assumes
+    N >= max(buckets) (documents is never that small; the closed form
+    still guards its divisor so an N < buckets corner nulls rather
+    than divides by zero).
 
     Scale: the global rank is WIRED through
     operators.global_row_number's two-pass range-partitioned shape
@@ -2990,19 +3006,32 @@ def prep_length_bucket_batching(spark, sf_dir):
         bucketed = ranked.crossJoin(F.broadcast(ncnt)).select(
             "len",
             "rn",
+            "N",  # start-offset below still needs N via q/r/big
             F.when(
                 F.col("rn") <= big,
                 F.ceil(F.col("rn") / (q + 1)),
             )
-            .otherwise(r + F.ceil((F.col("rn") - big) / q))
+            .otherwise(
+                # greatest() guards the N < b corner (q = 0): that
+                # branch is never TAKEN there (big = N covers all
+                # rows) but the divisor must still be nonzero
+                r + F.ceil((F.col("rn") - big) / F.greatest(q, F.lit(1)))
+            )
             .cast("int")
             .alias("bkt"),
         )
+        # per-bucket rank = rn - (bucket start offset), closed-form
+        # from the same ntile algebra: bucket i starts at (i-1)(q+1)
+        # for the first r buckets, r(q+1) + (i-1-r)q after
+        start = F.when(
+            F.col("bkt") <= r,
+            (F.col("bkt") - 1) * (q + 1),
+        ).otherwise(big + (F.col("bkt") - 1 - r) * q)
         per_batch = (
             bucketed.select(
                 "len",
                 "bkt",
-                ((F.col("rn") - 1) / _LB_BATCH)
+                ((F.col("rn") - start - 1) / _LB_BATCH)
                 .cast("long")
                 .alias("batch"),
             )

@@ -688,10 +688,17 @@ def window_bucket_quantiles(
     psi/w1_binned_counts state — counts merge across micro-batches,
     so the monitor is batching-invariant by the same argument):
     quantile(q) = the smallest bucket whose inclusive cumulative count
-    reaches ceil(q * N). Everything is INTEGER (bucket ids, counts,
-    the ceil threshold), so both engines agree exactly — the
+    reaches ceil(q * N). Everything is INTEGER — each probability is
+    taken as the exact rational its decimal literal denotes (0.99 =
+    99/100 via Fraction-of-str) and the crossing test is the
+    cross-multiplied ``cum * den >= num * N`` (equivalent to
+    ``cum >= ceil(num*N/den)`` for positive integers), so no
+    float product whose ulp could shift the reported bucket ever
+    appears (r11 ADVICE) and both engines agree exactly — the
     streaming quantile monitor stays hash-verifiable, unlike a
     sketch whose survivors depend on partitioning."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("w_start").orderBy("b")
@@ -705,11 +712,12 @@ def window_bucket_quantiles(
     )
     aggs = [F.max("N").cast("long").alias("n_window")]
     for name, p in sorted(probs.items(), key=lambda kv: kv[1]):
+        frac = Fraction(str(p))  # the DECIMAL the caller wrote, exact
         aggs.append(
             F.min(
                 F.when(
-                    F.col("cum")
-                    >= F.ceil(F.lit(p) * F.col("N")).cast("long"),
+                    F.col("cum").cast("long") * F.lit(frac.denominator)
+                    >= F.lit(frac.numerator) * F.col("N").cast("long"),
                     F.col("b"),
                 )
             )
