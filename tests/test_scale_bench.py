@@ -453,3 +453,32 @@ def test_unigram_docs_grid_claims():
     assert rec["time_exponent"] <= 0.6, rec
     # bounded output at every scale (top-30 pieces)
     assert all(s["out_rows"] == 30 for s in rec["scales"].values())
+
+
+def test_r11_r12_heavies_grid_exponents():
+    """Pin the 10x grid records for the round-11/12 heavies (r11
+    verdict ask #6 closed the last two gaps: the IVF refine-vs-recall
+    operating curve and the length-bucket batching curve). Each claims
+    a scan-/rank-dominated sublinear-to-linear shape; an exponent
+    above 1.1 would mean the claimed digest/prefit/rank structure
+    regressed into something data-quadratic."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json absent")
+    with open(path) as f:
+        grid = json.load(f)["queries"]
+    for q in (
+        "agg_kll_quantile_sketch",      # sketch: raw values never shuffle
+        "dedup_cdc_chunks",             # digests in the scan task
+        "dedup_lines_corpus",           # line-md5 collapse pre-shuffle
+        "events_match_recognize",       # per-user regex, linear scan
+        "analytics_kaplan_meier",       # bounded grid fold
+        "ann_ivf_refine_recall_curve",  # ONE fit per grid point (prefit)
+        "prep_length_bucket_batching",  # two-pass global rank
+    ):
+        rec = grid.get(q)
+        if rec is None:
+            pytest.skip(f"{q} not yet measured")
+        assert rec["exponent"] <= 1.1, (q, rec)

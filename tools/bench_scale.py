@@ -121,6 +121,13 @@ HEADLINE = [
     "dedup_lines_corpus",
     "events_match_recognize",
     "analytics_kaplan_meier",
+    # round-12 (r11 verdict ask #6): the two r11 heavies that lacked
+    # grid entries — the IVF operating curve (3 grid points, each ONE
+    # quantizer fit via prefit reuse; expect ~linear in corpus size)
+    # and the batching waste curve (two-pass global rank + 3 policy
+    # projections; expect ~linear, rank-shuffle-dominated)
+    "ann_ivf_refine_recall_curve",
+    "prep_length_bucket_batching",
 ]
 
 
