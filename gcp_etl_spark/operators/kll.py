@@ -63,28 +63,30 @@ def _compact(buf, parity: int):
     return arr[parity::2], leftover, 1 - parity
 
 
+def _feed(levels, parity, vals, k: int) -> None:
+    """Feed one float batch into an existing compactor stack in place
+    (``levels``: list per level, ``parity``: alternating-half state per
+    level) — the incremental core shared by the batch sketch and the
+    per-window streaming sketch (streaming/kll_stream.py)."""
+    levels[0].extend(float(x) for x in vals)
+    lvl = 0
+    while lvl < len(levels) and len(levels[lvl]) > k:
+        kept, leftover, parity[lvl] = _compact(levels[lvl], parity[lvl])
+        levels[lvl] = leftover
+        if lvl + 1 == len(levels):
+            levels.append([])
+            parity.append(0)
+        levels[lvl + 1].extend(kept.tolist())
+        lvl += 1
+
+
 def _sketch_batches(batches, k: int):
     """Feed float batches through a compactor stack; return the final
     levels list (index = level, each a list of floats)."""
-    import numpy as np
-
     levels: list[list[float]] = [[]]
     parity: list[int] = [0]
     for vals in batches:
-        levels[0].extend(float(x) for x in vals)
-        lvl = 0
-        while lvl < len(levels) and len(levels[lvl]) > k:
-            kept, leftover, parity[lvl] = _compact(
-                levels[lvl], parity[lvl]
-            )
-            levels[lvl] = leftover
-            if lvl + 1 == len(levels):
-                levels.append([])
-                parity.append(0)
-            levels[lvl + 1].extend(kept.tolist())
-            lvl += 1
-    # numpy import kept local so the module imports without a JVM
-    _ = np
+        _feed(levels, parity, vals, k)
     return levels
 
 
@@ -109,6 +111,92 @@ def partition_sketches(
     return df.select(F.col(value_col).alias(value_col)).mapInPandas(
         build, _SCHEMA
     )
+
+
+def windowed_partition_sketches(
+    df: DataFrame, key_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """One KLL compactor stack per (physical partition, key) — the
+    keyed sibling of ``partition_sketches`` for windowed monitors:
+    raw values still NEVER shuffle (each scan task folds its own rows
+    into per-key stacks and emits the survivors), and the union of
+    emissions across partitions/micro-batches IS the merged per-key
+    sketch. Emits (key, level, v); <= k*levels rows per (partition,
+    key). State per task is |keys-in-partition| stacks — bounded by
+    the window/watermark policy at streaming scale."""
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stacks: dict = {}
+        for pdf in it:
+            for key, grp in pdf.groupby(key_col, sort=False):
+                vals = grp[value_col].dropna().to_numpy()
+                if key not in stacks:
+                    stacks[key] = ([[]], [0])
+                levels, parity = stacks[key]
+                _feed(levels, parity, vals, k)
+        out_k: list = []
+        out_lv: list[int] = []
+        out_v: list[float] = []
+        for key, (levels, _p) in stacks.items():
+            for lv, buf in enumerate(levels):
+                out_k.extend([key] * len(buf))
+                out_lv.extend([lv] * len(buf))
+                out_v.extend(buf)
+        yield pd.DataFrame(
+            {key_col: out_k, "level": out_lv, "v": out_v}
+        )
+
+    key_field = df.schema[key_col]
+    return df.select(key_col, value_col).mapInPandas(
+        build,
+        f"`{key_col}` {key_field.dataType.simpleString()}, {_SCHEMA}",
+    )
+
+
+def windowed_quantiles_from_sketch(
+    sketch: DataFrame, key_col: str, probs: dict[str, float]
+) -> DataFrame:
+    """Per-key weighted-rank quantile estimates from a keyed (key,
+    level, v) sketch relation: one cumulative window PARTITIONED BY
+    the key (never single-partition), integer-exact crossing tests
+    (probability taken as the exact rational its decimal literal
+    denotes; cum*den >= num*W cross-multiplied in longs — the
+    window_bucket_quantiles convention), one output row per key with
+    a column per requested quantile plus the sketch's total weight."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window as W
+
+    w = sketch.select(
+        key_col,
+        "v",
+        F.pow(F.lit(2.0), F.col("level")).cast("long").alias("w"),
+    )
+    cdf = w.select(
+        key_col,
+        "v",
+        F.sum("w")
+        .over(
+            W.partitionBy(key_col)
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy(key_col)).alias("W"),
+    )
+    aggs = [F.max("W").cast("long").alias("weighted_n")]
+    for name, p in sorted(probs.items(), key=lambda kv: kv[1]):
+        frac = Fraction(str(p))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cw") * F.lit(frac.denominator)
+                    >= F.lit(frac.numerator) * F.col("W"),
+                    F.col("v"),
+                )
+            ).alias(name)
+        )
+    return cdf.groupBy(key_col).agg(*aggs)
 
 
 def quantiles_from_sketch(

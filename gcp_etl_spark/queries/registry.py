@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # priority tier, so the established early-registry names keep their
 # relative order after the fresh modules.
 _MODULE_PRIORITY = [
+    "gcp_etl_spark.queries.r12_ops",
     "gcp_etl_spark.queries.r11_ops",
     "gcp_etl_spark.queries.r10_ops",
     "gcp_etl_spark.queries.r9b_ops",
@@ -109,6 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
         r9b_ops,
         r10_ops,
         r11_ops,
+        r12_ops,
     )
 
     prio = {m: i for i, m in enumerate(_MODULE_PRIORITY)}

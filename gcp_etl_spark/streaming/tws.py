@@ -5,9 +5,10 @@ The successor API to ``applyInPandasWithState`` (which
 typed state handles (ValueState/ListState/MapState), timers, and
 initial-state support, running on the RocksDB state store.
 
-ENVIRONMENT GATE (re-probed round 11, 2026-08-16: ``importlib.util.
-find_spec('google')`` is still None — the wheel remains absent, skip
-stands; exact failure for the next container bump): the ``protobuf``
+ENVIRONMENT GATE (re-probed round 12, 2026-08-16: ``importlib.util.
+find_spec('google')`` is still None and ``import google.protobuf``
+raises ModuleNotFoundError — the wheel remains absent, skip stands;
+exact failure for the next container bump): the ``protobuf``
 distribution is ENTIRELY
 ABSENT from site-packages (pyenv 3.11.7; ``importlib.util.find_spec
 ('google')`` is None on the driver), and an end-to-end run crashes the

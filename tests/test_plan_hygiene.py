@@ -243,6 +243,10 @@ _FP_QUERIES = [
     "eval_ndcg_at_k", "eval_average_precision",
     "stream_quantile_monitor", "stats_partial_correlation",
     "stats_chow_test", "ml_conformal_mondrian",
+    # r12 additions: the per-bucket-rank batching curve (re-planned by
+    # the r11 ADVICE fix) and the windowed-KLL sketch tier (its
+    # per-window cumulative window must stay partitioned by w_start)
+    "prep_length_bucket_batching", "stream_kll_window_quantiles",
 ]
 
 _FP_MARKS = {
