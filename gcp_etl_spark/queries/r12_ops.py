@@ -71,3 +71,267 @@ def stream_kll_window_quantiles(spark, sf_dir):
         F.round("p90_est", 6).alias("p90_est"),
         F.round("p99_est", 6).alias("p99_est"),
     ).orderBy("w_start")
+
+
+# --------------- rendezvous (HRW) resharding movement (r12)
+
+_HRW_FROM = 8
+_HRW_TO = 9
+
+
+def _hrw_combined(key, s: int):
+    """Deterministic 32-bit md5 score for (key, shard), packed with
+    the shard id in the low 4 bits so argmax == plain max of one long
+    (ties — p ~ 2^-32 per pair — break toward the higher shard id,
+    identically in both engines)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{s}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 16
+        + s
+    )
+
+
+@query(
+    "scale_rendezvous_resharding",
+    oracle=f"""
+    WITH scored AS (
+      SELECT d.doc_id,
+             greatest({", ".join(
+                 "(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':"
+                 + str(s) + "'), 1, 8))::BIGINT * 16 + " + str(s) + ")"
+                 for s in range(_HRW_FROM)
+             )}) % 16 AS shard_from,
+             greatest({", ".join(
+                 "(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':"
+                 + str(s) + "'), 1, 8))::BIGINT * 16 + " + str(s) + ")"
+                 for s in range(_HRW_TO)
+             )}) % 16 AS shard_to
+      FROM documents d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (shard_from <> shard_to) AS BIGINT)
+             AS hrw_moved,
+           round(CAST(count(*) FILTER (shard_from <> shard_to)
+                 AS DOUBLE) / count(*), 6) AS hrw_moved_frac,
+           CAST(count(*) FILTER (doc_id % {_HRW_FROM}
+                 <> doc_id % {_HRW_TO}) AS BIGINT) AS mod_moved,
+           round(CAST(count(*) FILTER (doc_id % {_HRW_FROM}
+                 <> doc_id % {_HRW_TO}) AS DOUBLE) / count(*), 6)
+             AS mod_moved_frac
+    FROM scored
+    """,
+    tags=("scale", "sharding", "hashing", "documents"),
+)
+def scale_rendezvous_resharding(spark, sf_dir):
+    """RENDEZVOUS (highest-random-weight) SHARD ASSIGNMENT and the
+    data-movement cost of growing the shard count 8 -> 9, next to the
+    naive mod-N baseline. HRW (Thaler-Ravishankar 1996, public) moves
+    only the keys whose NEW shard wins the per-key score tournament —
+    expected 1/9 of the corpus — while mod-N remaps ~8/9 of all keys.
+    At 100 TB this is THE resharding decision: the output prices it
+    (hrw_moved_frac ~0.11 vs mod_moved_frac ~0.89).
+
+    Exactness: the per-(key, shard) score is the engine-standard md5
+    32-bit integer, packed with the shard id in the low 4 bits so the
+    argmax is a plain integer ``greatest`` — no floats anywhere.
+
+    Scale: one narrow projection per document (9 md5 calls JVM-side in
+    the scan task), one count aggregate; nothing shuffles but the
+    final partial counts."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    key = F.col("doc_id")
+    scored = d.select(
+        "doc_id",
+        (
+            F.greatest(*[_hrw_combined(key, s) for s in range(_HRW_FROM)])
+            % 16
+        ).alias("shard_from"),
+        (
+            F.greatest(*[_hrw_combined(key, s) for s in range(_HRW_TO)])
+            % 16
+        ).alias("shard_to"),
+    )
+    moved = F.col("shard_from") != F.col("shard_to")
+    mod_moved = (F.col("doc_id") % _HRW_FROM) != (
+        F.col("doc_id") % _HRW_TO
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(moved).cast("long").alias("hrw_moved"),
+        F.round(
+            F.count_if(moved).cast("double") / F.count("*"), 6
+        ).alias("hrw_moved_frac"),
+        F.count_if(mod_moved).cast("long").alias("mod_moved"),
+        F.round(
+            F.count_if(mod_moved).cast("double") / F.count("*"), 6
+        ).alias("mod_moved_frac"),
+    )
+
+
+# --------------- reciprocal rank fusion (r12)
+
+_RRF_K = 60
+_RRF_TERM_A = "data"
+_RRF_TERM_B = "model"
+
+
+def _rrf_tf(term: str):
+    """Exact integer term frequency via length arithmetic (JVM-side,
+    no regex): occurrences = (len - len(text with term removed)) /
+    len(term)."""
+    return (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(term)))
+        )
+        / len(term)
+    ).cast("long")
+
+
+@query(
+    "eval_rank_fusion_rrf",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST((length(text) - length(replace(text, '{_RRF_TERM_A}',
+               ''))) / {len(_RRF_TERM_A)} AS BIGINT) AS tf_a,
+             CAST((length(text) - length(replace(text, '{_RRF_TERM_B}',
+               ''))) / {len(_RRF_TERM_B)} AS BIGINT) AS tf_b
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY
+               CAST(tf_a AS DOUBLE) / (tf_a + 1.2 + 0.001 * n_chars)
+               DESC, doc_id) AS rank_a,
+             row_number() OVER (ORDER BY
+               CAST(tf_b AS DOUBLE) / (tf_b + 1.2 + 0.001 * n_chars)
+               DESC, doc_id) AS rank_b
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           round(1.0 / ({_RRF_K} + rank_a)
+                 + 1.0 / ({_RRF_K} + rank_b), 9) AS rrf_score
+    FROM ranked
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    tags=("eval", "ranking", "retrieval", "fusion", "documents"),
+)
+def eval_rank_fusion_rrf(spark, sf_dir):
+    """RECIPROCAL RANK FUSION (Cormack-Clarke-Buettcher 2009, public)
+    — the standard zero-training hybrid-retrieval combiner: fuse two
+    independent rankings of the corpus (here a BM25-lite lexical score
+    for two different terms; in production, lexical vs embedding ANN)
+    by summing 1/(k + rank) with k=60, and return the fused top-10.
+    RRF needs only RANKS, never comparable scores, which is exactly
+    why retrieval stacks use it to merge heterogeneous scorers.
+
+    Exactness: term frequencies are exact integers from length
+    arithmetic; the BM25-lite score is one identical IEEE expression
+    from integers in both engines; ranks are integers; the fused score
+    is a sum of two exact reciprocals, rounded 9dp and used as the
+    ORDER BY with doc_id tiebreak.
+
+    Scale: each ranking is the two-pass range-partitioned global rank
+    (operators.quantiles.global_row_number — never a single-partition
+    window over the corpus); the fusion is a co-keyed join on doc_id;
+    top-10 is TakeOrderedAndProject."""
+    from gcp_etl_spark.operators.quantiles import global_row_number
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        _rrf_tf(_RRF_TERM_A).alias("tf_a"),
+        _rrf_tf(_RRF_TERM_B).alias("tf_b"),
+    )
+
+    def _score(tf):
+        return tf.cast("double") / (
+            tf + F.lit(1.2) + F.lit(0.001) * F.col("n_chars")
+        )
+
+    base = d.select(
+        "doc_id",
+        (-_score(F.col("tf_a"))).alias("neg_a"),
+        (-_score(F.col("tf_b"))).alias("neg_b"),
+    ).localCheckpoint(eager=False)  # both rankings read the same scan
+    ra = global_row_number(
+        base.select("doc_id", "neg_a"), ["neg_a", "doc_id"], rn_col="rank_a"
+    ).select("doc_id", "rank_a")
+    rb = global_row_number(
+        base.select("doc_id", "neg_b"), ["neg_b", "doc_id"], rn_col="rank_b"
+    ).select("doc_id", "rank_b")
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        F.round(
+            1.0 / (_RRF_K + F.col("rank_a"))
+            + 1.0 / (_RRF_K + F.col("rank_b")),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+# --------------- sample-ratio-mismatch guardrail (r12)
+
+
+@query(
+    "analytics_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm FROM (
+        SELECT DISTINCT user_id FROM events
+      )
+    ), cnt AS (
+      SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                 / (n_a + n_b), 6) AS chi2,
+           (CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)
+            > 3.841458820694124) AS srm_flag
+    FROM cnt
+    """,
+    tags=("analytics", "experimentation", "quality", "events"),
+)
+def analytics_srm_check(spark, sf_dir):
+    """SAMPLE-RATIO-MISMATCH GUARDRAIL — the first check every
+    experimentation platform runs before reading a single metric: are
+    the arm sizes consistent with the declared 50/50 split? Chi-square
+    with expected (n_a+n_b)/2 per arm simplifies EXACTLY to
+    (n_a-n_b)^2/(n_a+n_b) — one integer-difference square over the
+    total, compared against the chi2(1) 5% critical value (the shared
+    repr-exact literal 3.841458820694124, the r10 convention). An SRM
+    flag means the assignment or logging pipeline is broken and every
+    downstream test on this experiment is void.
+
+    Exactness: integers until the single final division; both engines
+    evaluate the identical IEEE expression.
+
+    Scale: distinct-users is one hash aggregate; everything after is
+    a 1-row fold."""
+    e = t(spark, sf_dir, "events").select("user_id").distinct()
+    cnt = e.select((F.col("user_id") % 2).alias("arm")).agg(
+        F.count_if(F.col("arm") == 0).cast("long").alias("n_a"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    chi2 = diff * (F.col("n_a") - F.col("n_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return cnt.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841458820694124).alias("srm_flag"),
+    )
