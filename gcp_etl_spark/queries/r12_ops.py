@@ -335,3 +335,171 @@ def analytics_srm_check(spark, sf_dir):
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841458820694124).alias("srm_flag"),
     )
+
+
+# --------------- unbiased pass@k estimator (r12)
+
+_PK_K = 4
+_PK_THRESH = 100.0
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH per_task AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (value > {_PK_THRESH}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), est AS (
+      SELECT n, c,
+             CAST(round(CAST(c AS DOUBLE) / n, 12)
+                  AS DECIMAL(38,12)) AS p1,
+             CAST(round(CASE WHEN n - c >= {_PK_K} THEN
+               1.0 - ((((CAST(n - c AS DOUBLE) / n)
+                        * (CAST(n - c - 1 AS DOUBLE) / (n - 1)))
+                        * (CAST(n - c - 2 AS DOUBLE) / (n - 2)))
+                        * (CAST(n - c - 3 AS DOUBLE) / (n - 3)))
+               ELSE 1.0 END, 12) AS DECIMAL(38,12)) AS pk
+      FROM per_task WHERE n >= {_PK_K}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST({_PK_K} AS BIGINT) AS k,
+           round(CAST(sum(p1) AS DOUBLE) / count(*), 6) AS pass_at_1,
+           round(CAST(sum(pk) AS DOUBLE) / count(*), 6)
+             AS pass_at_{_PK_K}
+    FROM est
+    """,
+    tags=("eval", "llm", "estimator", "events"),
+)
+def eval_pass_at_k(spark, sf_dir):
+    """UNBIASED pass@k (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code", public) — THE coding-eval metric: a task
+    with n sampled attempts and c successes contributes
+    1 - C(n-c, k)/C(n, k), the unbiased probability that a random
+    k-subset of the attempts contains a success (naive "best of first
+    k" is biased when n > k). Tasks here are users, attempts their
+    events, success value > {_PK_THRESH}; k = {_PK_K}.
+
+    Exactness: the binomial ratio is the telescoped product
+    prod_i (n-c-i)/(n-i) with an explicit left-fold parenthesization
+    mirrored in both engines (integers in, identical IEEE ops);
+    per-task values round 12dp into DECIMAL(38,12) before the
+    cross-engine sum (the house exact-sum policy); n-c < k means
+    C(n-c,k) = 0, i.e. pass = 1, handled by the same guard both
+    sides; n < k tasks are excluded (the estimator is undefined).
+
+    Scale: one hash aggregate per task, then a 1-row fold — the
+    estimator is embarrassingly aggregative at any corpus size."""
+    e = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("value") > _PK_THRESH).cast("long").alias("c"),
+    ).filter(F.col("n") >= _PK_K)
+    n, c = F.col("n"), F.col("c")
+    prod = (n - c).cast("double") / n
+    for i in range(1, _PK_K):
+        prod = prod * ((n - c - i).cast("double") / (n - i))
+    pk = F.when(n - c >= _PK_K, 1.0 - prod).otherwise(F.lit(1.0))
+    est = e.select(
+        F.round(c.cast("double") / n, 12)
+        .cast("decimal(38,12)")
+        .alias("p1"),
+        F.round(pk, 12).cast("decimal(38,12)").alias("pk"),
+    )
+    return est.agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.lit(_PK_K).cast("long").alias("k"),
+        F.round(F.sum("p1").cast("double") / F.count("*"), 6).alias(
+            "pass_at_1"
+        ),
+        F.round(F.sum("pk").cast("double") / F.count("*"), 6).alias(
+            f"pass_at_{_PK_K}"
+        ),
+    )
+
+
+# --------------- frequent brand triples (r12)
+
+_FT_MINSUP = 50
+
+
+@query(
+    "basket_frequent_triples",
+    oracle=f"""
+    WITH ib AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), triples AS (
+      SELECT i1.b AS brand1, i2.b AS brand2, i3.b AS brand3,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ib i1
+      JOIN ib i2 ON i1.o = i2.o AND i1.b < i2.b
+      JOIN ib i3 ON i2.o = i3.o AND i2.b < i3.b
+      GROUP BY 1, 2, 3 HAVING count(*) >= {_FT_MINSUP}
+    ), nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets
+              FROM ib)
+    SELECT brand1, brand2, brand3, support,
+           round(CAST(support AS DOUBLE) / n_baskets, 6)
+             AS support_frac
+    FROM triples CROSS JOIN nb
+    ORDER BY support DESC, brand1, brand2, brand3 LIMIT 10
+    """,
+    tags=("analytics", "basket", "itemsets", "lineitem"),
+)
+def basket_frequent_triples(spark, sf_dir):
+    """FREQUENT 3-ITEMSETS at brand granularity — the level-3 Apriori
+    step behind market-basket mining (Agrawal-Srikant 1994, public),
+    the big sibling of basket_cooccurrence's pairs: distinct
+    (order, brand) pairs, two co-keyed self-joins with a strict
+    ordering (each basket emits each triple exactly once), support
+    count with a min-support gate, top-10 by support.
+
+    Exactness: all integers until one final support fraction.
+
+    Scale: the Apriori structure is what survives 100 TB — items per
+    basket are bounded (order lines), so per-basket combinations are
+    bounded; both self-joins are co-partitioned on the basket key
+    (one shuffle each, no broadcast of the corpus); the item
+    dimension (part -> brand) is a broadcast. The min-support gate is
+    applied in the aggregate, not driver-side."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ib = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    i1, i2, i3 = ib.alias("i1"), ib.alias("i2"), ib.alias("i3")
+    triples = (
+        i1.join(
+            i2,
+            (F.col("i1.o") == F.col("i2.o"))
+            & (F.col("i1.b") < F.col("i2.b")),
+        )
+        .join(
+            i3,
+            (F.col("i2.o") == F.col("i3.o"))
+            & (F.col("i2.b") < F.col("i3.b")),
+        )
+        .groupBy(
+            F.col("i1.b").alias("brand1"),
+            F.col("i2.b").alias("brand2"),
+            F.col("i3.b").alias("brand3"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _FT_MINSUP)
+    )
+    nb = ib.agg(F.count_distinct("o").cast("long").alias("n_baskets"))
+    return (
+        triples.crossJoin(F.broadcast(nb))
+        .select(
+            "brand1",
+            "brand2",
+            "brand3",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_baskets"), 6
+            ).alias("support_frac"),
+        )
+        .orderBy(F.col("support").desc(), "brand1", "brand2", "brand3")
+        .limit(10)
+    )
