@@ -503,3 +503,433 @@ def basket_frequent_triples(spark, sf_dir):
         .orderBy(F.col("support").desc(), "brand1", "brand2", "brand3")
         .limit(10)
     )
+
+
+# --------------- sequential probability ratio test (r12)
+
+# repr-exact shared literals (the house convention for irrational
+# constants): ln(p1/p0), ln((1-p1)/(1-p0)) for H0 p=0.7 vs H1 p=0.8,
+# and the Wald boundary ln((1-b)/a) = ln(19) at alpha = beta = 0.05
+_SPRT_LA_F = 0.13353139262452277
+_SPRT_LB_F = -0.4054651081081643
+_SPRT_BOUND_F = 2.9444389791664403
+# oracle-side spellings: DuckDB parses a bare decimal literal as
+# DECIMAL, so the SQL wraps each in an explicit DOUBLE cast
+_SPRT_LA = f"CAST({_SPRT_LA_F!r} AS DOUBLE)"
+_SPRT_LB = f"CAST({_SPRT_LB_F!r} AS DOUBLE)"
+_SPRT_BOUND = f"CAST({_SPRT_BOUND_F!r} AS DOUBLE)"
+_SPRT_THRESH = 100.0
+
+
+@query(
+    "stats_sprt_sequential",
+    oracle=f"""
+    WITH ord AS (
+      SELECT ts, event_id,
+             CASE WHEN value > {_SPRT_THRESH} THEN 1 ELSE 0 END AS x
+      FROM events
+    ), cum AS (
+      SELECT row_number() OVER (ORDER BY ts, event_id) AS tt,
+             sum(x) OVER (ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM ord
+    ), llr AS (
+      SELECT tt,
+             ({_SPRT_LA} * s) + ({_SPRT_LB} * (tt - s)) AS l
+      FROM cum
+    ), hit AS (
+      SELECT min(tt) AS n_dec FROM llr
+      WHERE l >= {_SPRT_BOUND} OR l <= -{_SPRT_BOUND}
+    ), fin AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM ord
+    )
+    SELECT fin.n_total,
+           COALESCE(CAST(hit.n_dec AS BIGINT), -1) AS n_at_decision,
+           CASE WHEN hit.n_dec IS NULL THEN 'continue'
+                WHEN (SELECT l FROM llr WHERE tt = hit.n_dec)
+                     >= {_SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           round(COALESCE(
+             (SELECT l FROM llr WHERE tt = hit.n_dec), 0.0), 6)
+             AS llr_at_decision,
+           round(({_SPRT_LA} * fin.sx)
+                 + ({_SPRT_LB} * (fin.n_total - fin.sx)), 6)
+             AS llr_final
+    FROM fin CROSS JOIN hit
+    """,
+    tags=("stats", "sequential", "experimentation", "events"),
+)
+def stats_sprt_sequential(spark, sf_dir):
+    """WALD'S SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945, public) —
+    the always-valid early-stopping test every experimentation
+    platform reinvents: walk the cumulative log-likelihood ratio of
+    H1 (p=0.8) vs H0 (p=0.7) over the event stream in (ts, event_id)
+    order, stop the first time it exits [-ln(19), ln(19)]
+    (alpha = beta = 0.05). Reports the decision, the sample size at
+    decision (the whole point of SPRT: expected n is far below the
+    fixed-horizon test's), and the end-of-stream LLR.
+
+    Exactness: the LLR at row t is a closed form of two INTEGERS
+    (successes s, index t) times shared repr-exact literals —
+    (la*s) + (lb*(t-s)) with identical parenthesization both engines;
+    no accumulation of doubles anywhere, so the crossing set is
+    bit-identical.
+
+    Scale: the cumulative integers come from range_prefix_sums (the
+    two-pass range-partitioned prefix primitive — never a
+    single-partition window over the stream); the crossing is a
+    filter + min_by fold. The stream version is the same algebra over
+    per-epoch additive (s, t) state."""
+    from gcp_etl_spark.operators.quantiles import range_prefix_sums
+
+    la, lb, bound = _SPRT_LA_F, _SPRT_LB_F, _SPRT_BOUND_F
+    e = t(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        (F.col("value") > _SPRT_THRESH).cast("long").alias("x"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    cum, _ = range_prefix_sums(e, ["ts", "event_id"], ["x", "one"])
+    llr = cum.select(
+        F.col("one_cum").alias("tt"),
+        (
+            (F.lit(la) * F.col("x_cum"))
+            + (F.lit(lb) * (F.col("one_cum") - F.col("x_cum")))
+        ).alias("l"),
+    )
+    hit = llr.filter(
+        (F.col("l") >= bound) | (F.col("l") <= -bound)
+    ).agg(
+        F.min("tt").alias("n_dec"),
+        F.min_by("l", "tt").alias("l_dec"),
+    )
+    fin = e.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    return fin.crossJoin(F.broadcast(hit)).select(
+        "n_total",
+        F.coalesce(F.col("n_dec"), F.lit(-1)).cast("long").alias(
+            "n_at_decision"
+        ),
+        F.when(F.col("n_dec").isNull(), "continue")
+        .when(F.col("l_dec") >= bound, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.round(F.coalesce(F.col("l_dec"), F.lit(0.0)), 6).alias(
+            "llr_at_decision"
+        ),
+        F.round(
+            (F.lit(la) * F.col("sx"))
+            + (F.lit(lb) * (F.col("n_total") - F.col("sx"))),
+            6,
+        ).alias("llr_final"),
+    )
+
+
+# --------------- iterative proportional fitting / raking (r12)
+
+_IPF_ITERS = 3
+
+
+def _ipf_oracle() -> str:
+    """Unrolled IPF oracle (the adstock unrolled-recurrence
+    precedent): each iteration scales rows to the region target, then
+    columns to the priority target; weights live in DECIMAL(38,12)
+    (exact margin sums), scale factors in DOUBLE from identical
+    operands, products rounded 12dp back into DECIMAL."""
+    prev = "cells"
+    steps = []
+    for it in range(_IPF_ITERS):
+        for dim, key in (("r", "region"), ("c", "pri")):
+            cur = f"it{it}{dim}"
+            steps.append(f"""
+    {cur} AS (
+      SELECT region, pri,
+             CAST(round(CAST(w AS DOUBLE)
+               * (tgt / CAST(sum(w) OVER (PARTITION BY {key})
+                        AS DOUBLE)), 12) AS DECIMAL(38,12)) AS w,
+             tgt
+      FROM {prev}
+    )""")
+            prev = cur
+    return f"""
+    WITH raw AS (
+      SELECT r.r_name AS region, o.o_orderpriority AS pri
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), cells0 AS (
+      SELECT region, pri,
+             CAST(CAST(count(*) AS BIGINT) AS DECIMAL(38,12)) AS w
+      FROM raw GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(w) AS DOUBLE) / 5.0 AS tgt FROM cells0
+    ), cells AS (
+      SELECT region, pri, w, tgt FROM cells0 CROSS JOIN tot
+    ),{",".join(steps)}
+    SELECT region, pri, round(CAST(w AS DOUBLE), 6) AS weight
+    FROM {prev} ORDER BY region, pri
+    """
+
+
+@query(
+    "analytics_ipf_raking",
+    oracle=_ipf_oracle(),
+    tags=("analytics", "survey", "weighting", "orders"),
+)
+def analytics_ipf_raking(spark, sf_dir):
+    """ITERATIVE PROPORTIONAL FITTING (Deming-Stephan 1940 raking,
+    public) — the survey-weighting / contingency-calibration
+    workhorse: scale the region x order-priority count matrix so BOTH
+    margins match uniform targets (total/5 per region and per
+    priority), alternating row and column scalings for
+    3 iterations. The output weights are what a 100 TB label
+    shop multiplies into its sampling to de-bias a skewed panel.
+
+    Exactness: weights live in DECIMAL(38,12) so every margin sum is
+    exact; each scale factor is one DOUBLE ratio of bit-identical
+    operands; products round 12dp back into DECIMAL — both engines
+    walk the identical state sequence (the Bradley-Terry/adstock
+    per-iteration-rounding convention).
+
+    Scale: the data touches one 3-broadcast-join scan + one count
+    aggregate; ALL iterations run on the bounded 25-cell grid (window
+    partitions are the 5-value margins — never single-partition,
+    never data-sized)."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    raw = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    cells = raw.groupBy("region", "pri").agg(
+        F.count("*").cast("long").cast("decimal(38,12)").alias("w")
+    )
+    tot = cells.agg(
+        (F.sum("w").cast("double") / 5.0).alias("tgt")
+    )
+    cur = cells.crossJoin(F.broadcast(tot)).localCheckpoint(
+        eager=False
+    )  # freeze the data-sized part; iterations run on 25 rows
+    for _ in range(_IPF_ITERS):
+        for key in ("region", "pri"):
+            cur = cur.select(
+                "region",
+                "pri",
+                F.round(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("tgt")
+                        / F.sum("w")
+                        .over(W.partitionBy(key))
+                        .cast("double")
+                    ),
+                    12,
+                )
+                .cast("decimal(38,12)")
+                .alias("w"),
+                "tgt",
+            )
+    return cur.select(
+        "region",
+        "pri",
+        F.round(F.col("w").cast("double"), 6).alias("weight"),
+    ).orderBy("region", "pri")
+
+
+# --------------- Bradley-Terry strength ratings (r12)
+
+_BT_ITERS = 3
+
+
+def _bt_oracle() -> str:
+    """Unrolled minorize-maximize iterations (Hunter 2004, public) on
+    the bounded event-type grid; per-term and per-state 12dp rounding
+    into DECIMAL(38,12) keeps both engines on the identical state
+    sequence (the IPF convention)."""
+    prev = "it0"
+    steps = []
+    for it in range(1, _BT_ITERS + 1):
+        cur = f"it{it}"
+        steps.append(f"""
+    {cur} AS (
+      SELECT w.et,
+             CAST(round(CAST(w.wins AS DOUBLE) / CAST(sum(
+               CAST(round(o.m / (CAST(pa.p AS DOUBLE)
+                                 + CAST(pb.p AS DOUBLE)), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS p
+      FROM wins w
+      JOIN opp o ON o.a = w.et
+      JOIN {prev} pa ON pa.et = o.a
+      JOIN {prev} pb ON pb.et = o.b
+      GROUP BY w.et, w.wins
+    )""")
+        prev = cur
+    return f"""
+    WITH seq AS (
+      SELECT event_type, value,
+             lag(event_type) OVER w AS pt,
+             lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), matches AS (
+      SELECT least(pt, event_type) AS i,
+             greatest(pt, event_type) AS j,
+             CASE WHEN value > pv THEN event_type
+                  WHEN value < pv THEN pt
+                  ELSE least(pt, event_type) END AS winner
+      FROM seq WHERE pt IS NOT NULL AND pt <> event_type
+    ), pairs AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS m
+      FROM matches GROUP BY 1, 2
+    ), opp AS (
+      SELECT i AS a, j AS b, m FROM pairs
+      UNION ALL
+      SELECT j AS a, i AS b, m FROM pairs
+    ), wins AS (
+      SELECT ty.et, CAST(coalesce(wc.wins, 0) AS BIGINT) AS wins
+      FROM (SELECT DISTINCT event_type AS et FROM events) ty
+      LEFT JOIN (SELECT winner AS et, count(*) AS wins
+                 FROM matches GROUP BY 1) wc USING (et)
+    ), it0 AS (
+      SELECT et, CAST(1.0 AS DECIMAL(38,12)) AS p FROM wins
+    ),{",".join(steps)}
+    , tot AS (SELECT CAST(sum(p) AS DOUBLE) AS s FROM {prev})
+    SELECT f.et AS event_type, w.wins,
+           (SELECT CAST(sum(m) AS BIGINT) FROM opp WHERE a = f.et)
+             AS n_matches,
+           round(CAST(f.p AS DOUBLE) / tot.s, 6) AS bt_strength
+    FROM {prev} f JOIN wins w ON w.et = f.et CROSS JOIN tot
+    ORDER BY bt_strength DESC, event_type
+    """
+
+
+@query(
+    "analytics_bradley_terry",
+    oracle=_bt_oracle(),
+    tags=("analytics", "ranking", "pairwise", "events"),
+)
+def analytics_bradley_terry(spark, sf_dir):
+    """BRADLEY-TERRY PAIRWISE STRENGTH RATINGS (Bradley-Terry 1952;
+    MM algorithm Hunter 2004, public) — the model behind every LLM
+    arena leaderboard: matches are consecutive same-user events of
+    different types (winner = the larger value, ties to the
+    lexicographically smaller type), and 3 minorize-maximize updates
+    p_i <- W_i / sum_j m_ij/(p_i+p_j) fit the strengths, normalized to
+    sum 1. Order-free by construction — unlike Elo, whose sequential
+    update depends on match ORDER and therefore cannot be computed
+    distributively; BT-MM is the batch dual a 100 TB preference
+    pipeline actually fits.
+
+    Exactness: match/win counts are integers; each MM term and each
+    new state rounds 12dp into DECIMAL(38,12) before the exact
+    denominator sum (the IPF/adstock state-sequence convention).
+
+    Scale: one lag window partitioned by user builds the matches; the
+    MM loop runs entirely on the bounded |types|^2 grid (25 rows) via
+    broadcast self-joins — iteration cost is independent of the
+    corpus."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("pt"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    matches = seq.filter(
+        F.col("pt").isNotNull() & (F.col("pt") != F.col("event_type"))
+    ).select(
+        F.least("pt", "event_type").alias("i"),
+        F.greatest("pt", "event_type").alias("j"),
+        F.when(F.col("value") > F.col("pv"), F.col("event_type"))
+        .when(F.col("value") < F.col("pv"), F.col("pt"))
+        .otherwise(F.least("pt", "event_type"))
+        .alias("winner"),
+    ).localCheckpoint(eager=False)  # one pass builds pairs AND wins
+    pairs = matches.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    opp = pairs.select(
+        F.col("i").alias("a"), F.col("j").alias("b"), "m"
+    ).unionByName(
+        pairs.select(F.col("j").alias("a"), F.col("i").alias("b"), "m")
+    )
+    types = e.select(F.col("event_type").alias("et")).distinct()
+    wc = matches.groupBy(F.col("winner").alias("et")).agg(
+        F.count("*").alias("wc")
+    )
+    wins = types.join(wc, "et", "left").select(
+        "et", F.coalesce("wc", F.lit(0)).cast("long").alias("wins")
+    )
+    p = wins.select(
+        "et", F.lit(1.0).cast("decimal(38,12)").alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        pa = p.select(F.col("et").alias("a"), F.col("p").alias("p_a"))
+        pb = p.select(F.col("et").alias("b"), F.col("p").alias("p_b"))
+        denom = (
+            opp.join(F.broadcast(pa), "a")
+            .join(F.broadcast(pb), "b")
+            .select(
+                F.col("a").alias("et"),
+                F.round(
+                    F.col("m")
+                    / (
+                        F.col("p_a").cast("double")
+                        + F.col("p_b").cast("double")
+                    ),
+                    12,
+                )
+                .cast("decimal(38,12)")
+                .alias("term"),
+            )
+            .groupBy("et")
+            .agg(F.sum("term").alias("den"))
+        )
+        p = wins.join(denom, "et").select(
+            "et",
+            F.round(
+                F.col("wins").cast("double")
+                / F.col("den").cast("double"),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("p"),
+        )
+    tot = p.agg(F.sum("p").cast("double").alias("s"))
+    n_match = opp.groupBy(F.col("a").alias("et")).agg(
+        F.sum("m").cast("long").alias("n_matches")
+    )
+    return (
+        p.join(wins, "et")
+        .join(n_match, "et")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("et").alias("event_type"),
+            "wins",
+            "n_matches",
+            F.round(F.col("p").cast("double") / F.col("s"), 6).alias(
+                "bt_strength"
+            ),
+        )
+        .orderBy(F.col("bt_strength").desc(), "event_type")
+    )
