@@ -419,7 +419,7 @@ def eval_pass_at_k(spark, sf_dir):
 
 # --------------- frequent brand triples (r12)
 
-_FT_MINSUP = 50
+_FT_MINSUP = 10  # non-vacuous at every test scale (154 rows sf0.001)
 
 
 @query(
@@ -933,3 +933,521 @@ def analytics_bradley_terry(spark, sf_dir):
         )
         .orderBy(F.col("bt_strength").desc(), "event_type")
     )
+
+
+# --------------- corpus BLEU-2 components (r12)
+
+
+@query(
+    "eval_bleu_lite",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+      WHERE c.doc_id % 2 = 1
+    ), ctok AS (
+      SELECT pair_id, unnest(string_split(cand, ' ')) AS tok,
+             generate_subscripts(string_split(cand, ' '), 1) AS ord
+      FROM pairs
+    ), rtok AS (
+      SELECT pair_id, unnest(string_split(ref, ' ')) AS tok,
+             generate_subscripts(string_split(ref, ' '), 1) AS ord
+      FROM pairs
+    ), cg AS (
+      SELECT pair_id, 1 AS n, tok AS gram, count(*) AS cnt
+      FROM ctok GROUP BY 1, 3
+      UNION ALL
+      SELECT pair_id, 2, gram, count(*) FROM (
+        SELECT pair_id,
+               tok || ' ' || lead(tok) OVER
+                 (PARTITION BY pair_id ORDER BY ord) AS gram
+        FROM ctok) WHERE gram IS NOT NULL GROUP BY 1, 3
+    ), rg AS (
+      SELECT pair_id, 1 AS n, tok AS gram, count(*) AS cnt
+      FROM rtok GROUP BY 1, 3
+      UNION ALL
+      SELECT pair_id, 2, gram, count(*) FROM (
+        SELECT pair_id,
+               tok || ' ' || lead(tok) OVER
+                 (PARTITION BY pair_id ORDER BY ord) AS gram
+        FROM rtok) WHERE gram IS NOT NULL GROUP BY 1, 3
+    ), clipped AS (
+      SELECT cg.n,
+             CAST(sum(least(cg.cnt, coalesce(rg.cnt, 0))) AS BIGINT)
+               AS clip,
+             CAST(sum(cg.cnt) AS BIGINT) AS tot
+      FROM cg LEFT JOIN rg
+        ON rg.pair_id = cg.pair_id AND rg.n = cg.n
+           AND rg.gram = cg.gram
+      GROUP BY cg.n
+    ), lens AS (
+      SELECT CAST(sum(len(string_split(cand, ' '))) AS BIGINT) AS c_len,
+             CAST(sum(len(string_split(ref, ' '))) AS BIGINT) AS r_len
+      FROM pairs
+    )
+    SELECT
+      (SELECT clip FROM clipped WHERE n = 1) AS clip1,
+      (SELECT tot FROM clipped WHERE n = 1) AS tot1,
+      (SELECT clip FROM clipped WHERE n = 2) AS clip2,
+      (SELECT tot FROM clipped WHERE n = 2) AS tot2,
+      lens.c_len, lens.r_len,
+      round(sqrt(
+        (CAST((SELECT clip FROM clipped WHERE n = 1) AS DOUBLE)
+         / (SELECT tot FROM clipped WHERE n = 1))
+        * (CAST((SELECT clip FROM clipped WHERE n = 2) AS DOUBLE)
+           / (SELECT tot FROM clipped WHERE n = 2))), 6)
+        AS bleu2_precision,
+      round(least(CAST(0 AS DOUBLE),
+        1.0 - CAST(lens.r_len AS DOUBLE) / lens.c_len), 6)
+        AS bp_exponent
+    FROM lens
+    """,
+    tags=("eval", "text", "mt", "documents"),
+)
+def eval_bleu_lite(spark, sf_dir):
+    """CORPUS BLEU-2 COMPONENTS (Papineni et al. 2002, public) — the
+    MT/generation eval staple, computed WITHOUT in-engine libm:
+    candidate/reference pairs are adjacent documents (doc 2k+1
+    evaluated against doc 2k), modified n-gram precision (n = 1, 2)
+    uses per-pair CLIPPED counts, and the output is the exactly-
+    computable decomposition — corpus clip/total counts, the geometric
+    mean sqrt(p1*p2) (IEEE sqrt is correctly rounded, so cross-engine
+    exact from identical operands, unlike exp/log), and the brevity-
+    penalty EXPONENT min(0, 1 - r/c); BLEU-2 itself is
+    exp(bp_exponent) * bleu2_precision, one libm call the CONSUMER
+    applies (the repr-literal convention: never data-dependent libm
+    inside the hash-verified surface).
+
+    Exactness: clipped counts are integers from a co-keyed LEFT join;
+    precisions are integer ratios; sqrt correctly rounded; one final
+    round(6).
+
+    Scale: tokens/grams shuffle as (pair, gram) digests — never whole
+    texts; the clip join is co-partitioned on (pair, n, gram); corpus
+    sums are one aggregate."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand")
+    )
+    ref = docs.select(
+        (F.col("doc_id") + 1).alias("pair_id"),
+        F.col("text").alias("ref"),
+    ).filter((F.col("pair_id")) % 2 == 1)
+    pairs = cand.join(ref, "pair_id")
+
+    def grams(col, side):
+        toks = pairs.select(
+            "pair_id", F.posexplode(F.split(F.col(col), " ")).alias(
+                "ord", "tok"
+            )
+        )
+        uni = toks.groupBy(
+            "pair_id", F.lit(1).alias("n"), F.col("tok").alias("gram")
+        ).agg(F.count("*").alias(f"cnt_{side}"))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("pair_id").orderBy("ord")
+        bi = (
+            toks.select(
+                "pair_id",
+                F.concat_ws(
+                    " ", "tok", F.lead("tok").over(w)
+                ).alias("gram"),
+                F.lead("tok").over(w).alias("nxt"),
+            )
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("pair_id", F.lit(2).alias("n"), "gram")
+            .agg(F.count("*").alias(f"cnt_{side}"))
+        )
+        return uni.unionByName(bi)
+
+    cg = grams("cand", "c")
+    rg = grams("ref", "r")
+    clipped = (
+        cg.join(rg, ["pair_id", "n", "gram"], "left")
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.least(F.col("cnt_c"), F.coalesce("cnt_r", F.lit(0)))
+            )
+            .cast("long")
+            .alias("clip"),
+            F.sum("cnt_c").cast("long").alias("tot"),
+        )
+    )
+    c1 = clipped.filter(F.col("n") == 1).select(
+        F.col("clip").alias("clip1"), F.col("tot").alias("tot1")
+    )
+    c2 = clipped.filter(F.col("n") == 2).select(
+        F.col("clip").alias("clip2"), F.col("tot").alias("tot2")
+    )
+    lens = pairs.agg(
+        F.sum(F.size(F.split("cand", " "))).cast("long").alias("c_len"),
+        F.sum(F.size(F.split("ref", " "))).cast("long").alias("r_len"),
+    )
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(lens))
+        .select(
+            "clip1",
+            "tot1",
+            "clip2",
+            "tot2",
+            "c_len",
+            "r_len",
+            F.round(
+                F.sqrt(
+                    (F.col("clip1").cast("double") / F.col("tot1"))
+                    * (F.col("clip2").cast("double") / F.col("tot2"))
+                ),
+                6,
+            ).alias("bleu2_precision"),
+            F.round(
+                F.least(
+                    F.lit(0.0),
+                    1.0 - F.col("r_len").cast("double") / F.col("c_len"),
+                ),
+                6,
+            ).alias("bp_exponent"),
+        )
+    )
+
+
+# --------------- token-budget apportionment (r12)
+
+_TB_BUDGET = 1_000_000
+
+
+@query(
+    "prep_token_budget_allocation",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz
+      FROM documents GROUP BY source
+    ), wts AS (
+      SELECT source, sz,
+             CAST(round(sqrt(CAST(sz AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS w
+      FROM sizes
+    ), quotas AS (
+      SELECT source, sz,
+             {_TB_BUDGET} * (CAST(w AS DOUBLE)
+               / CAST(sum(w) OVER () AS DOUBLE)) AS quota
+      FROM wts
+    ), based AS (
+      SELECT source, sz, quota,
+             CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM quotas
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             {_TB_BUDGET} - sum(base) OVER () AS leftover
+      FROM based
+    )
+    SELECT source, sz AS corpus_chars,
+           round(quota, 6) AS quota,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked ORDER BY source
+    """,
+    tags=("llm", "prep", "mixing", "apportionment", "documents"),
+)
+def prep_token_budget_allocation(spark, sf_dir):
+    """TOKEN-BUDGET APPORTIONMENT across corpus sources by the
+    largest-remainder (Hamilton) method — the exact-integer version of
+    the sqrt-proportional mixing rule training-data pipelines use
+    (sample each source ~ sqrt(size) to flatten the head): quotas =
+    budget * sqrt(size)/sum, floors, then the leftover tokens go to
+    the largest fractional remainders. Hamilton is the apportionment
+    that sums EXACTLY to the budget — the property a downstream
+    sampler needs, and what naive per-source rounding violates.
+
+    Exactness: sqrt is IEEE correctly-rounded (cross-engine exact from
+    identical integer operands); weights round 6dp into DECIMAL(38,6)
+    so the weight SUM is exact; quotas/floors/remainders are then
+    identical IEEE ops; the remainder ranking has a source tiebreak.
+
+    Scale: one grouped sum over documents; everything after runs on
+    the bounded source grid (the OVER () windows span |sources| rows,
+    never data)."""
+    from pyspark.sql import Window as W
+
+    sizes = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("sz"))
+    )
+    wts = sizes.select(
+        "source",
+        "sz",
+        F.round(F.sqrt(F.col("sz").cast("double")), 6)
+        .cast("decimal(38,6)")
+        .alias("w"),
+    )
+    # bounded |sources| relation: the unpartitioned windows below are
+    # data-independent (the documented bounded-window convention)
+    quotas = wts.select(
+        "source",
+        "sz",
+        (
+            F.lit(_TB_BUDGET)
+            * (
+                F.col("w").cast("double")
+                / F.sum("w").over(W.partitionBy()).cast("double")
+            )
+        ).alias("quota"),
+    )
+    based = quotas.select(
+        "source",
+        "sz",
+        "quota",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    )
+    ranked = based.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "source"))
+        .alias("rr"),
+        (F.lit(_TB_BUDGET) - F.sum("base").over(W.partitionBy())).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        F.col("sz").alias("corpus_chars"),
+        F.round("quota", 6).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
+
+
+# --------------- Krippendorff's alpha (r12)
+
+
+@query(
+    "prep_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+      SELECT item, user_id, event_type AS label FROM (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS item, user_id,
+               event_type,
+               row_number() OVER (PARTITION BY date_trunc('day', ts),
+                 user_id ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    ), per_item AS (
+      SELECT item, CAST(sum(cnt) AS BIGINT) AS m,
+             CAST(sum(cnt) * (sum(cnt) - 1) AS BIGINT) AS pairs_all,
+             CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS pairs_agree
+      FROM (SELECT item, label, count(*) AS cnt
+            FROM ratings GROUP BY 1, 2)
+      GROUP BY item HAVING sum(cnt) >= 2
+    ), do_sum AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(round(
+               CAST(pairs_all - pairs_agree AS DOUBLE) / (m - 1), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS do_raw
+      FROM per_item
+    ), label_tot AS (
+      SELECT CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (
+        SELECT r.label, count(*) AS cnt
+        FROM ratings r JOIN per_item p USING (item)
+        GROUP BY r.label
+      )
+    )
+    SELECT d.n_items, d.n_total,
+           round(d.do_raw / d.n_total, 6) AS d_observed,
+           round(CAST(l.n * l.n - l.sum_sq AS DOUBLE)
+                 / (l.n * (l.n - 1)), 6) AS d_expected,
+           round(1.0 - (d.do_raw / d.n_total)
+                 / (CAST(l.n * l.n - l.sum_sq AS DOUBLE)
+                    / (l.n * (l.n - 1))), 6) AS alpha
+    FROM do_sum d CROSS JOIN label_tot l
+    """,
+    tags=("prep", "labeling", "agreement", "events"),
+)
+def prep_krippendorff_alpha(spark, sf_dir):
+    """KRIPPENDORFF'S ALPHA (nominal data; Krippendorff 1970/2004,
+    public) — the inter-annotator agreement coefficient labeling
+    pipelines gate on (more general than Fleiss' kappa: arbitrary
+    incomplete rater-item designs): items are days, raters are users,
+    a user's label for a day is their FIRST event type that day.
+    alpha = 1 - D_o/D_e with the observed disagreement averaged over
+    the pairable values and the expected disagreement from the pooled
+    label marginals.
+
+    Exactness: per-item disagreeing-pair counts are pure integers
+    (m(m-1) - sum c(c-1)); the per-item /(m-1) ratio rounds 12dp into
+    DECIMAL(38,12) before the cross-engine sum (the house policy);
+    D_e is one ratio of integers; single-rater items drop per the
+    definition, identically both sides (HAVING >= 2).
+
+    Scale: two hash aggregates (ratings, per-item counts) + one
+    5-label marginal; no window over the corpus anywhere."""
+    r = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("item"),
+            "user_id",
+        )
+        .agg(
+            F.min_by(
+                "event_type", F.struct("ts", "event_id")
+            ).alias("label")
+        )
+    ).localCheckpoint(eager=False)  # feeds per-item AND marginals
+    per_label = r.groupBy("item", "label").agg(
+        F.count("*").alias("cnt")
+    )
+    per_item = (
+        per_label.groupBy("item")
+        .agg(
+            F.sum("cnt").cast("long").alias("m"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1))
+            .cast("long")
+            .alias("pairs_agree"),
+        )
+        .filter(F.col("m") >= 2)
+        .select(
+            "item",
+            "m",
+            (F.col("m") * (F.col("m") - 1)).alias("pairs_all"),
+            "pairs_agree",
+        )
+    ).localCheckpoint(eager=False)  # feeds do_sum AND the marginal join
+    do_sum = per_item.agg(
+        F.sum("m").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(
+            F.round(
+                (F.col("pairs_all") - F.col("pairs_agree")).cast(
+                    "double"
+                )
+                / (F.col("m") - 1),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("do_raw"),
+    )
+    label_tot = (
+        r.join(per_item.select("item"), "item")
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(
+                "sum_sq"
+            ),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+    )
+    d_obs = F.col("do_raw") / F.col("n_total")
+    d_exp = (F.col("n") * F.col("n") - F.col("sum_sq")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - 1))
+    return do_sum.crossJoin(F.broadcast(label_tot)).select(
+        "n_items",
+        "n_total",
+        F.round(d_obs, 6).alias("d_observed"),
+        F.round(d_exp, 6).alias("d_expected"),
+        F.round(1.0 - d_obs / d_exp, 6).alias("alpha"),
+    )
+
+
+# --------------- mean reciprocal rank (r12)
+
+
+@query(
+    "eval_mrr",
+    oracle="""
+    WITH item AS (
+      SELECT o_orderpriority AS grp, l_partkey % 50 AS item,
+             CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS cents,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), graded AS (
+      SELECT grp, item, cents,
+             least(3, (4 * qty) // max(qty) OVER (PARTITION BY grp))
+               AS rel
+      FROM item
+    ), ranked AS (
+      SELECT grp, rel,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY cents DESC, item) AS rnk
+      FROM graded
+    )
+    SELECT grp, CAST(min(rnk) FILTER (rel >= 2) AS BIGINT)
+             AS first_rel_rank,
+           round(1.0 / min(rnk) FILTER (rel >= 2), 6)
+             AS reciprocal_rank
+    FROM ranked GROUP BY grp ORDER BY grp
+    """,
+    tags=("eval", "ranking", "retrieval", "lineitem"),
+)
+def eval_mrr(spark, sf_dir):
+    """RECIPROCAL RANK per query group (the MRR family member beside
+    eval_ndcg_at_k / eval_average_precision, same bounded grid): per
+    order priority, rank the 50 part buckets by exact revenue cents
+    and report the rank of the first RELEVANT item (integer grade
+    >= 2, the NDCG grade scheme) and its reciprocal. Emitting the
+    per-group rows instead of the cross-group mean keeps the surface
+    all-integer-plus-one-division (no double accumulation) — the
+    consumer's MRR is the mean of the last column.
+
+    Scale: facts collapse to the bounded (priority x item) grid in one
+    hash agg; the ranking windows span <= 50-row groups."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    item = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("cents"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    wg = W.partitionBy("grp")
+    graded = item.select(
+        "grp",
+        "item",
+        "cents",
+        F.least(
+            F.lit(3).cast("long"),
+            F.expr("(4 * qty) div (max(qty) over (partition by grp))"),
+        ).alias("rel"),
+    )
+    ranked = graded.select(
+        "grp",
+        "rel",
+        F.row_number()
+        .over(wg.orderBy(F.col("cents").desc(), "item"))
+        .alias("rnk"),
+    )
+    first = (
+        ranked.filter(F.col("rel") >= 2)
+        .groupBy("grp")
+        .agg(F.min("rnk").cast("long").alias("first_rel_rank"))
+    )
+    return first.select(
+        "grp",
+        "first_rel_rank",
+        F.round(1.0 / F.col("first_rel_rank"), 6).alias(
+            "reciprocal_rank"
+        ),
+    ).orderBy("grp")

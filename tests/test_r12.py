@@ -205,3 +205,237 @@ def test_stream_kll_batch_query_matches_monitor_windows(spark):
     exact = _exact_window_values(spark)
     assert {r["w_start"] for r in rows} == set(exact)
     _assert_estimates_within_rank_error(rows, exact)
+
+
+# ---------- oracle-independent pins for the r12 numeric operators
+# (the r11 convention: every new numeric op gets a NumPy/pure-Python
+# reference beside the DuckDB oracle, so correctness never rests on
+# one comparison engine)
+
+
+def test_pass_at_k_matches_pure_python(spark):
+    """Unbiased pass@k replayed in pure Python combinatorics
+    (math.comb) over the same per-user (n, c) — the estimator identity
+    1 - C(n-c,k)/C(n,k), exact rationals via Fraction."""
+    import math
+    from fractions import Fraction
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet", columns=["user_id", "value"]
+    )
+    k = 4
+    vals = []
+    for _, g in ev.groupby("user_id"):
+        n = len(g)
+        c = int((g["value"] > 100.0).sum())
+        if n < k:
+            continue
+        if n - c >= k:
+            p = 1 - Fraction(math.comb(n - c, k), math.comb(n, k))
+        else:
+            p = Fraction(1)
+        vals.append((Fraction(c, n), p))
+    want_p1 = float(sum(v[0] for v in vals) / len(vals))
+    want_pk = float(sum(v[1] for v in vals) / len(vals))
+    row = _run(spark, "eval_pass_at_k").collect()[0]
+    assert row["n_tasks"] == len(vals)
+    assert abs(row["pass_at_1"] - want_p1) < 1e-6
+    assert abs(row["pass_at_4"] - want_pk) < 1e-6
+
+
+def test_bradley_terry_matches_pure_python_mm(spark):
+    """BT strengths replayed with a pure-Python MM loop over the same
+    match matrix (built with pandas), same 12dp state rounding."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import defaultdict
+
+    m = defaultdict(int)
+    wins = defaultdict(int)
+    types = sorted(ev["event_type"].unique())
+    for _, g in ev.groupby("user_id"):
+        rows = list(g.itertuples())
+        for prev, cur in zip(rows, rows[1:]):
+            a, b = prev.event_type, cur.event_type
+            if a == b:
+                continue
+            i, j = min(a, b), max(a, b)
+            m[(i, j)] += 1
+            if cur.value > prev.value:
+                wins[cur.event_type] += 1
+            elif cur.value < prev.value:
+                wins[prev.event_type] += 1
+            else:
+                wins[min(a, b)] += 1
+    p = {et: 1.0 for et in types}
+    for _ in range(3):
+        new = {}
+        for et in types:
+            den = 0.0
+            for (i, j), cnt in sorted(m.items()):
+                if et in (i, j):
+                    other = j if et == i else i
+                    den += round(cnt / (p[et] + p[other]), 12)
+            new[et] = round(wins[et] / den, 12)
+        p = new
+    tot = sum(p.values())
+    want = {et: round(p[et] / tot, 6) for et in types}
+    got = {
+        r["event_type"]: r["bt_strength"]
+        for r in _run(spark, "analytics_bradley_terry").collect()
+    }
+    for et in types:
+        assert abs(got[et] - want[et]) < 2e-6, (et, got[et], want[et])
+
+
+def test_ipf_margins_converge(spark):
+    """IPF's defining property: after the final ROW scaling the region
+    margins match the target; after 3 full iterations BOTH margins are
+    within a small relative tolerance of total/5 (raking converges
+    geometrically on a strictly positive table)."""
+    rows = _run(spark, "analytics_ipf_raking").collect()
+    total = sum(r["weight"] for r in rows)
+    tgt = total / 5.0
+    from collections import defaultdict
+
+    rm = defaultdict(float)
+    cm = defaultdict(float)
+    for r in rows:
+        rm[r["region"]] += r["weight"]
+        cm[r["pri"]] += r["weight"]
+    assert len(rm) == 5 and len(cm) == 5
+    for v in list(rm.values()) + list(cm.values()):
+        assert abs(v - tgt) / tgt < 0.01, (v, tgt)
+
+
+def test_sprt_matches_pure_python_walk(spark):
+    """SPRT replayed as a literal sequential walk in Python over the
+    same (ts, event_id)-ordered stream with the same repr literals."""
+    import pandas as pd
+
+    from gcp_etl_spark.queries.r12_ops import (
+        _SPRT_BOUND_F,
+        _SPRT_LA_F,
+        _SPRT_LB_F,
+        _SPRT_THRESH,
+    )
+
+    ev = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet",
+        columns=["ts", "event_id", "value"],
+    ).sort_values(["ts", "event_id"])
+    s = 0
+    n_dec, l_dec = None, None
+    for i, v in enumerate(ev["value"].to_numpy(), start=1):
+        s += 1 if v > _SPRT_THRESH else 0
+        llr = (_SPRT_LA_F * s) + (_SPRT_LB_F * (i - s))
+        if llr >= _SPRT_BOUND_F or llr <= -_SPRT_BOUND_F:
+            n_dec, l_dec = i, llr
+            break
+    row = _run(spark, "stats_sprt_sequential").collect()[0]
+    assert row["n_at_decision"] == n_dec
+    assert abs(row["llr_at_decision"] - round(l_dec, 6)) < 1e-9
+    assert row["decision"] == (
+        "accept_h1" if l_dec >= _SPRT_BOUND_F else "accept_h0"
+    )
+
+
+def test_krippendorff_matches_pure_python(spark):
+    """Krippendorff's alpha replayed with the textbook coincidence
+    formulation in pure Python over the same (day, user, first-label)
+    ratings."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    ev["item"] = ev["ts"].dt.floor("D")
+    first = ev.groupby(["item", "user_id"], sort=False).first()
+    from collections import Counter, defaultdict
+
+    items = defaultdict(list)
+    for (item, _u), row in first.iterrows():
+        items[item].append(row["event_type"])
+    do_raw = 0.0
+    n_total = 0
+    pooled = Counter()
+    for labels in items.values():
+        m = len(labels)
+        if m < 2:
+            continue
+        n_total += m
+        cnt = Counter(labels)
+        agree = sum(c * (c - 1) for c in cnt.values())
+        do_raw += round((m * (m - 1) - agree) / (m - 1), 12)
+        pooled.update(cnt)
+    n = sum(pooled.values())
+    sum_sq = sum(c * c for c in pooled.values())
+    d_obs = do_raw / n_total
+    d_exp = (n * n - sum_sq) / (n * (n - 1))
+    want = round(1.0 - d_obs / d_exp, 6)
+    row = _run(spark, "prep_krippendorff_alpha").collect()[0]
+    assert row["n_total"] == n_total
+    assert abs(row["alpha"] - want) < 2e-6, (row["alpha"], want)
+
+
+def test_token_budget_allocation_exact(spark):
+    """Hamilton apportionment's defining properties: allocations sum
+    EXACTLY to the budget, and each allocation is within 1 token of
+    its real-valued quota (quota monotonicity of largest-remainder)."""
+    rows = _run(spark, "prep_token_budget_allocation").collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 1_000_000
+    for r in rows:
+        assert abs(r["alloc_tokens"] - r["quota"]) < 1.0, r
+
+
+def test_rendezvous_minimal_movement(spark):
+    """HRW's defining property vs mod-N: growing 8 -> 9 shards moves
+    ~1/9 of keys under HRW (binomial tolerance) and ~8/9 under mod-N —
+    the measured fractions must sit near those theory values."""
+    row = _run(spark, "scale_rendezvous_resharding").collect()[0]
+    assert abs(row["hrw_moved_frac"] - 1 / 9) < 0.05, row
+    assert abs(row["mod_moved_frac"] - 8 / 9) < 0.05, row
+
+
+def test_bleu_lite_matches_pure_python(spark):
+    """Corpus BLEU-2 components replayed with pure-Python Counter
+    clipping over the same adjacent-doc pairs."""
+    import pandas as pd
+    from collections import Counter
+
+    docs = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")["text"]
+    clip = {1: 0, 2: 0}
+    tot = {1: 0, 2: 0}
+    c_len = r_len = 0
+    for did in sorted(docs.index):
+        if did % 2 != 1 or (did - 1) not in docs.index:
+            continue
+        cand, ref = docs[did].split(" "), docs[did - 1].split(" ")
+        c_len += len(cand)
+        r_len += len(ref)
+        for n in (1, 2):
+            cg = Counter(
+                tuple(cand[i:i + n]) for i in range(len(cand) - n + 1)
+            )
+            rg = Counter(
+                tuple(ref[i:i + n]) for i in range(len(ref) - n + 1)
+            )
+            clip[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            tot[n] += sum(cg.values())
+    row = _run(spark, "eval_bleu_lite").collect()[0]
+    assert (row["clip1"], row["tot1"]) == (clip[1], tot[1])
+    assert (row["clip2"], row["tot2"]) == (clip[2], tot[2])
+    assert (row["c_len"], row["r_len"]) == (c_len, r_len)
+    import math
+
+    want = round(
+        math.sqrt((clip[1] / tot[1]) * (clip[2] / tot[2])), 6
+    )
+    assert abs(row["bleu2_precision"] - want) < 1e-9
