@@ -247,6 +247,13 @@ _FP_QUERIES = [
     # the r11 ADVICE fix) and the windowed-KLL sketch tier (its
     # per-window cumulative window must stay partitioned by w_start)
     "prep_length_bucket_batching", "stream_kll_window_quantiles",
+    # r12 surface heavies (>= ~1 s warm at sf0.1): the two-rank fusion,
+    # the triple self-join, the two-pass prefix SPRT, the bounded-grid
+    # iterative pair (IPF/BT), and the gram-join BLEU
+    "eval_rank_fusion_rrf", "basket_frequent_triples",
+    "stats_sprt_sequential", "analytics_ipf_raking",
+    "analytics_bradley_terry", "eval_bleu_lite", "eval_mrr",
+    "prep_krippendorff_alpha",
 ]
 
 _FP_MARKS = {
