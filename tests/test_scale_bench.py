@@ -477,6 +477,12 @@ def test_r11_r12_heavies_grid_exponents():
         "analytics_kaplan_meier",       # bounded grid fold
         "ann_ivf_refine_recall_curve",  # ONE fit per grid point (prefit)
         "prep_length_bucket_batching",  # two-pass global rank
+        "eval_bleu_lite",               # grams shuffle, never texts
+        "basket_frequent_triples",      # bounded per-basket combinations
+        "stats_sprt_sequential",        # two-pass prefix, no global window
+        "eval_rank_fusion_rrf",         # two range-partitioned ranks
+        "stream_kll_window_quantiles",  # sketch survivors only shuffle
+        "analytics_bradley_terry",      # bounded-grid MM iterations
     ):
         rec = grid.get(q)
         if rec is None:

@@ -128,6 +128,16 @@ HEADLINE = [
     # projections; expect ~linear, rank-shuffle-dominated)
     "ann_ivf_refine_recall_curve",
     "prep_length_bucket_batching",
+    # round-12 surface heavies with a scale story worth an exponent:
+    # the gram-join BLEU (grams shuffle, never texts), the bounded
+    # triple self-join, the two-pass-prefix SPRT, the double global
+    # rank fusion, the windowed sketch tier, and the bounded-grid MM
+    "eval_bleu_lite",
+    "basket_frequent_triples",
+    "stats_sprt_sequential",
+    "eval_rank_fusion_rrf",
+    "stream_kll_window_quantiles",
+    "analytics_bradley_terry",
 ]
 
 
