@@ -1451,3 +1451,333 @@ def eval_mrr(spark, sf_dir):
             "reciprocal_rank"
         ),
     ).orderBy("grp")
+
+
+# --------------- off-policy evaluation: IPS / SNIPS (r12)
+
+_OPE_TARGET = "click"
+_OPE_RWD = 150.0
+
+
+@query(
+    "analytics_ips_offpolicy",
+    oracle=f"""
+    WITH logs AS (
+      SELECT user_id % 10 AS ctx, event_type AS act,
+             CASE WHEN value > {_OPE_RWD} THEN 1 ELSE 0 END AS r,
+             event_id % 2 AS fold
+      FROM events
+    ), prop AS (
+      -- cross-fit: propensities from fold 0, evaluation on fold 1
+      SELECT ctx, act, CAST(count(*) AS BIGINT) AS c_ax,
+             CAST(sum(count(*)) OVER (PARTITION BY ctx) AS BIGINT)
+               AS c_x
+      FROM logs WHERE fold = 0 GROUP BY ctx, act
+    ), weighted AS (
+      SELECT l.r,
+             CASE WHEN l.act = '{_OPE_TARGET}'
+                  THEN CAST(p.c_x AS DOUBLE) / p.c_ax
+                  ELSE 0.0 END AS w
+      FROM logs l JOIN prop p ON p.ctx = l.ctx AND p.act = l.act
+      WHERE l.fold = 1
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(r * w, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS srw,
+             CAST(sum(CAST(round(w, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sw
+      FROM weighted
+    )
+    SELECT n,
+           round(srw / n, 6) AS ips_value,
+           round(srw / sw, 6) AS snips_value,
+           round(sw / n, 6) AS mean_weight
+    FROM sums
+    """,
+    tags=("analytics", "bandit", "off-policy", "events"),
+)
+def analytics_ips_offpolicy(spark, sf_dir):
+    """OFF-POLICY EVALUATION via inverse-propensity scoring (Horvitz-
+    Thompson 1952; SNIPS per Swaminathan-Joachims 2015, public) — how
+    a preference/recommendation pipeline prices a NEW policy from
+    logged interactions WITHOUT deploying it: here the deterministic
+    target policy "always {_OPE_TARGET}", logged propensities are the
+    empirical per-context action rates, reward is value > {_OPE_RWD}.
+    IPS = mean(r·w) is unbiased but high-variance; SNIPS = Σrw/Σw
+    trades a vanishing bias for variance (the estimator every
+    production OPE stack reports next to IPS); mean_weight ~ 1 is the
+    standard diagnostic that the propensity model is calibrated.
+    Propensities are CROSS-FIT (estimated on the even-event fold,
+    applied to the odd fold) — self-fitted propensities make
+    sum(w) == n hold by construction, degenerating SNIPS to IPS and
+    blinding the mean_weight diagnostic. Actions unsupported in the
+    fit fold drop from the evaluation (inner join), identically in
+    both engines.
+
+    Exactness: propensity weights are ratios of exact integers
+    (c_x/c_ax — one IEEE division per row, identical both engines);
+    per-row r·w and w round 12dp into DECIMAL(38,12) before the
+    cross-engine sums.
+
+    Scale: one grouped count builds the propensity table (bounded
+    |ctx|x|actions| grid, broadcast back); the weighted pass is one
+    scan + one fold — no window over the corpus."""
+    from pyspark.sql import Window as W
+
+    logs = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("ctx"),
+        F.col("event_type").alias("act"),
+        (F.col("value") > _OPE_RWD).cast("int").alias("r"),
+        (F.col("event_id") % 2).alias("fold"),
+    )
+    # cross-fit: propensities from fold 0, evaluation on fold 1 (the
+    # self-fitted variant makes SNIPS degenerate to IPS — sum(w) == n
+    # by construction — and hides propensity miscalibration)
+    prop = logs.filter(F.col("fold") == 0).groupBy("ctx", "act").agg(
+        F.count("*").cast("long").alias("c_ax")
+    ).select(
+        "ctx",
+        "act",
+        "c_ax",
+        F.sum("c_ax").over(W.partitionBy("ctx")).cast("long").alias(
+            "c_x"
+        ),
+    )
+    weighted = (
+        logs.filter(F.col("fold") == 1)
+        .join(F.broadcast(prop), ["ctx", "act"])
+    ).select(
+        "r",
+        F.when(
+            F.col("act") == _OPE_TARGET,
+            F.col("c_x").cast("double") / F.col("c_ax"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("w"),
+    )
+    sums = weighted.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("r") * F.col("w"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("srw"),
+        F.sum(F.round(F.col("w"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sw"),
+    )
+    return sums.select(
+        "n",
+        F.round(F.col("srw") / F.col("n"), 6).alias("ips_value"),
+        F.round(F.col("srw") / F.col("sw"), 6).alias("snips_value"),
+        F.round(F.col("sw") / F.col("n"), 6).alias("mean_weight"),
+    )
+
+
+# --------------- delta-method CI for a ratio metric (r12)
+
+_DM_Z = 1.959963984540054  # z_{0.975}, shared repr-exact literal
+
+
+@query(
+    "stats_delta_method_ratio_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  AS BIGINT) AS BIGINT) AS y_cents
+      FROM events GROUP BY user_id
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y_cents) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y_cents * y_cents) AS HUGEINT) AS syy,
+             CAST(sum(x * y_cents) AS BIGINT) AS sxy
+      FROM per_user
+    )
+    SELECT n,
+           round((CAST(sy AS DOUBLE) / sx) / 100.0, 6) AS ratio,
+           round(sqrt(greatest(CAST(0 AS DOUBLE),
+             ((CAST(syy AS DOUBLE) / n
+                 - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+              - 2.0 * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))
+              + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sx AS DOUBLE) / n)))
+             / (n * (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n)))) / 100.0, 6) AS se,
+           round(((CAST(sy AS DOUBLE) / sx)
+             - CAST({_DM_Z!r} AS DOUBLE) * sqrt(greatest(
+                 CAST(0 AS DOUBLE),
+             ((CAST(syy AS DOUBLE) / n
+                 - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+              - 2.0 * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))
+              + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sx AS DOUBLE) / n)))
+             / (n * (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n))))) / 100.0, 6)
+             AS ci_lo,
+           round(((CAST(sy AS DOUBLE) / sx)
+             + CAST({_DM_Z!r} AS DOUBLE) * sqrt(greatest(
+                 CAST(0 AS DOUBLE),
+             ((CAST(syy AS DOUBLE) / n
+                 - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+              - 2.0 * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n))
+              + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                * (CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sx AS DOUBLE) / n)))
+             / (n * (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n))))) / 100.0, 6)
+             AS ci_hi
+    FROM mom
+    """,
+    tags=("stats", "experimentation", "ratio-metric", "events"),
+)
+def stats_delta_method_ratio_ci(spark, sf_dir):
+    """DELTA-METHOD CONFIDENCE INTERVAL for a RATIO METRIC (Fieller/
+    delta method, public; the Deng et al. 2017 "ratio metrics in A/B
+    tests" recipe) — revenue-per-event with users as the randomization
+    unit: R = Σy/Σx over per-user totals, Var(R) ≈ (σ_y² − 2Rσ_xy +
+    R²σ_x²)/(n·μ_x²). The per-user aggregation is what makes the CI
+    honest under within-user correlation — the naive per-event CI is
+    the classic A/B-testing mistake this operator exists to prevent.
+
+    Exactness: per-user (x, y) are exact integers (events, cents); all
+    five moments are exact integer sums; the variance expression is
+    ONE identical IEEE tree both engines (explicit parenthesization),
+    guarded nonnegative; sqrt correctly rounded; z is the shared
+    repr-exact literal.
+
+    Scale: one per-user hash agg, one 5-moment fold — nothing else."""
+    per_user = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y_cents"),
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(
+            F.col("y_cents").cast("decimal(38,0)")
+            * F.col("y_cents").cast("decimal(38,0)")
+        ).alias("syy"),
+        F.sum(F.col("x") * F.col("y_cents")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    ratio = sy / F.col("sx")
+    var_y = syy / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    var_x = sxx / n - (sx / n) * (sx / n)
+    se = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (var_y - 2.0 * ratio * cov + ratio * ratio * var_x)
+            / (n * (sx / n) * (sx / n)),
+        )
+    )
+    return mom.select(
+        "n",
+        F.round(ratio / 100.0, 6).alias("ratio"),
+        F.round(se / 100.0, 6).alias("se"),
+        F.round((ratio - _DM_Z * se) / 100.0, 6).alias("ci_lo"),
+        F.round((ratio + _DM_Z * se) / 100.0, 6).alias("ci_hi"),
+    )
+
+
+# --------------- rich-club coefficient (r12)
+
+_RC_K = 12
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT
+        least(l_orderkey % 300, l_partkey % 300) AS u,
+        greatest(l_orderkey % 300, l_partkey % 300) AS v
+      FROM lineitem
+      WHERE l_orderkey % 300 <> l_partkey % 300
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), rich AS (
+      SELECT node FROM deg WHERE d > {_RC_K}
+    ), nr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich
+    ), er AS (
+      SELECT CAST(count(*) AS BIGINT) AS e_rich
+      FROM e JOIN rich r1 ON r1.node = e.u
+             JOIN rich r2 ON r2.node = e.v
+    )
+    SELECT {_RC_K} AS k, nr.n_rich, er.e_rich,
+           round(CAST(2 * er.e_rich AS DOUBLE)
+                 / (nr.n_rich * (nr.n_rich - 1)), 6) AS phi
+    FROM nr CROSS JOIN er
+    """,
+    tags=("graph", "topology", "lineitem"),
+)
+def graph_rich_club(spark, sf_dir):
+    """RICH-CLUB COEFFICIENT phi(k) (Zhou-Mondragon 2004, public) —
+    the density of the subgraph induced by nodes of degree > k:
+    phi = 2·E_rich / (N_rich(N_rich−1)). A rising phi(k) means hubs
+    preferentially interconnect — the topology that decides whether
+    the high-degree end of a 100 TB graph can be broadcast (a small
+    dense rich club fits one executor) or must be salted.
+
+    Exactness: degrees, the k-filter, and both counts are exact
+    integers; one final density division.
+
+    Scale: degrees are one hash agg; the rich set (small by
+    definition) broadcasts into the induced-edge join; the edge
+    relation is bounded by the node-grid cap."""
+    from gcp_etl_spark.queries.graph_ops import _edges
+
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    rich = deg.filter(F.col("d") > _RC_K).select("node")
+    nr = rich.agg(F.count("*").cast("long").alias("n_rich"))
+    er = (
+        e.join(
+            F.broadcast(rich.select(F.col("node").alias("u"))), "u"
+        )
+        .join(F.broadcast(rich.select(F.col("node").alias("v"))), "v")
+        .agg(F.count("*").cast("long").alias("e_rich"))
+    )
+    return nr.crossJoin(F.broadcast(er)).select(
+        F.lit(_RC_K).cast("int").alias("k"),
+        "n_rich",
+        "e_rich",
+        F.round(
+            (2 * F.col("e_rich")).cast("double")
+            / (F.col("n_rich") * (F.col("n_rich") - 1)),
+            6,
+        ).alias("phi"),
+    )

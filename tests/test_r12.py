@@ -172,8 +172,13 @@ def test_stream_kll_batching_invariant_mass_and_error(spark, tmp_path):
 def test_stream_kll_replay_idempotent(spark, tmp_path):
     """The exactly-once contract (dedup_stream/kmv convention): a
     replayed epoch overwrites its own ``epoch=<id>`` directory, so
-    re-running epoch 0's sink on the same micro-batch leaves the
-    merged estimates unchanged."""
+    re-running an epoch's sink on the same micro-batch leaves the
+    merged estimates unchanged. Epochs are driven through the sink
+    directly with a PINNED file->epoch mapping — the real readStream
+    path (exercised by the equality test, whose union-of-all-epochs
+    comparison is mapping-independent) assigns files to epochs in
+    discovery order, which is not guaranteed to match sorted order
+    (the flake this test shipped with in its first version)."""
     import glob as _glob
 
     from gcp_etl_spark.streaming.kll_stream import (
@@ -182,14 +187,17 @@ def test_stream_kll_replay_idempotent(spark, tmp_path):
     )
 
     qdir, schema = _events_value_stream_dir(spark, tmp_path, n_files=3)
-    store = _run_stream(spark, tmp_path, qdir, schema, "kllr")
+    store = str(tmp_path / "kllr")
+    sink = kll_sink(store, "ts", "value", k=256)
+    files = sorted(_glob.glob(qdir + "/part-*.parquet"))
+    assert len(files) == 3
+    for epoch, f in enumerate(files):
+        sink(spark.read.schema(schema).parquet(f), epoch)
     before = sorted(
         map(tuple, read_merged_quantiles(spark, store, _PROBS).collect())
     )
-    first_file = sorted(_glob.glob(qdir + "/part-*.parquet"))[0]
-    kll_sink(store, "ts", "value", k=256)(
-        spark.read.schema(schema).parquet(first_file), 0
-    )
+    # replay epoch 0 on its own micro-batch: idempotent overwrite
+    sink(spark.read.schema(schema).parquet(files[0]), 0)
     after = sorted(
         map(tuple, read_merged_quantiles(spark, store, _PROBS).collect())
     )
@@ -439,3 +447,103 @@ def test_bleu_lite_matches_pure_python(spark):
         math.sqrt((clip[1] / tot[1]) * (clip[2] / tot[2])), 6
     )
     assert abs(row["bleu2_precision"] - want) < 1e-9
+
+
+def test_ips_offpolicy_matches_pure_python(spark):
+    """Cross-fit IPS/SNIPS replayed in pure Python over the same fold
+    split, propensity table, and target policy."""
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    ev["ctx"] = ev["user_id"] % 10
+    ev["r"] = (ev["value"] > 150.0).astype(int)
+    fit = ev[ev["event_id"] % 2 == 0]
+    ev1 = ev[ev["event_id"] % 2 == 1]
+    cax = fit.groupby(["ctx", "event_type"]).size()
+    cx = fit.groupby("ctx").size()
+    srw = sw = 0.0
+    n = 0
+    for row in ev1.itertuples():
+        key = (row.ctx, row.event_type)
+        if key not in cax.index:
+            continue
+        n += 1
+        w = (
+            cx[row.ctx] / cax[key]
+            if row.event_type == "click"
+            else 0.0
+        )
+        srw += round(row.r * w, 12)
+        sw += round(w, 12)
+    row = _run(spark, "analytics_ips_offpolicy").collect()[0]
+    assert row["n"] == n
+    assert abs(row["ips_value"] - round(srw / n, 6)) < 2e-6
+    assert abs(row["snips_value"] - round(srw / sw, 6)) < 2e-6
+    # the calibration diagnostic is alive (cross-fit: not 1 by identity)
+    assert row["mean_weight"] != 1.0
+
+
+def test_delta_method_ci_matches_numpy(spark):
+    """Delta-method ratio CI replayed with NumPy moments over the same
+    per-user integer totals."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet", columns=["user_id", "value"]
+    )
+    g = ev.groupby("user_id")["value"]
+    x = g.size().to_numpy().astype(float)
+    y = ev.assign(c=(ev["value"] * 100).round()).groupby("user_id")[
+        "c"
+    ].sum().to_numpy().astype(float)
+    n = len(x)
+    ratio = y.sum() / x.sum()
+    var_y = (y * y).sum() / n - (y.sum() / n) ** 2
+    var_x = (x * x).sum() / n - (x.sum() / n) ** 2
+    cov = (x * y).sum() / n - (x.sum() / n) * (y.sum() / n)
+    se = np.sqrt(
+        max(
+            0.0,
+            (var_y - 2 * ratio * cov + ratio * ratio * var_x)
+            / (n * (x.sum() / n) ** 2),
+        )
+    )
+    row = _run(spark, "stats_delta_method_ratio_ci").collect()[0]
+    assert row["n"] == n
+    assert abs(row["ratio"] - ratio / 100.0) < 1e-5
+    assert abs(row["se"] - se / 100.0) < 1e-5
+    assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
+
+
+def test_rich_club_matches_pure_python(spark):
+    """phi(k) recomputed in pure Python from the same canonical edge
+    list (density of the induced subgraph on degree > k nodes)."""
+    import pandas as pd
+    from collections import Counter
+
+    li = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    )
+    a = li["l_orderkey"] % 300
+    b = li["l_partkey"] % 300
+    edges = {
+        (min(x, y), max(x, y))
+        for x, y in zip(a, b)
+        if x != y
+    }
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    rich = {nd for nd, d in deg.items() if d > 12}
+    e_rich = sum(1 for u, v in edges if u in rich and v in rich)
+    nr = len(rich)
+    row = _run(spark, "graph_rich_club").collect()[0]
+    assert row["n_rich"] == nr
+    assert row["e_rich"] == e_rich
+    assert abs(row["phi"] - round(2 * e_rich / (nr * (nr - 1)), 6)) < 1e-9
