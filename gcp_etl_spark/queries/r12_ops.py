@@ -1781,3 +1781,378 @@ def graph_rich_club(spark, sf_dir):
             6,
         ).alias("phi"),
     )
+
+
+# ------------- Markov removal-effect attribution (r12 flagship)
+
+_MK_CH = ("click", "error", "signup", "view")  # removable channels
+_MK_DESTS = ("click", "error", "purchase", "signup", "view", "END")
+_MK_ORIGS = ("START", "click", "error", "signup", "view")
+_MK_K = 80  # value-iteration steps; absorbing mass ~0.2/step =>
+#             residual < 1e-7 at 80, far inside the 6dp output
+
+
+def _mk_oracle() -> str:
+    """Recursive-CTE value iteration over the bounded transition grid
+    (the adstock unrolled-recurrence precedent, with the per-iteration
+    12dp state rounding of the IPF/BT convention)."""
+    # 30 conditional-aggregate transition probabilities p_{oi}_{di}
+    pcols = []
+    for oi, o in enumerate(_MK_ORIGS):
+        for di, d in enumerate(_MK_DESTS):
+            pcols.append(
+                f"coalesce(CAST(sum(CASE WHEN orig = '{o}' AND dest = "
+                f"'{d}' THEN 1 ELSE 0 END) AS DOUBLE) / "
+                f"nullif(sum(CASE WHEN orig = '{o}' THEN 1 ELSE 0 END),"
+                f" 0), 0.0) AS p_{oi}_{di}"
+            )
+
+    def val(di: int, prefix: str = "it.") -> str:
+        d = _MK_DESTS[di]
+        if d == "purchase":
+            return "1.0"
+        if d == "END":
+            return "0.0"
+        vcol = f"{prefix}v_{d}"
+        return f"(CASE WHEN it.scen = '{d}' THEN 0.0 ELSE {vcol} END)"
+
+    def dot(oi: int) -> str:
+        return " + ".join(
+            f"pm.p_{oi}_{di} * {val(di)}"
+            for di in range(len(_MK_DESTS))
+        )
+
+    upd = []
+    for ch in _MK_CH:
+        oi = _MK_ORIGS.index(ch)
+        upd.append(
+            f"CASE WHEN it.scen = '{ch}' THEN 0.0 "
+            f"ELSE round({dot(oi)}, 12) END AS v_{ch}"
+        )
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER w AS prev,
+             (row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1) AS is_last
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trans AS (
+      SELECT 'START' AS orig, cur AS dest FROM seq WHERE prev IS NULL
+      UNION ALL
+      SELECT prev, cur FROM seq
+      WHERE prev IS NOT NULL AND prev <> 'purchase'
+      UNION ALL
+      SELECT cur, 'END' FROM seq WHERE is_last AND cur <> 'purchase'
+    ), pm AS (
+      SELECT {", ".join(pcols)} FROM trans
+    ), scen AS (
+      SELECT unnest(['(full)', {", ".join(f"'{c}'" for c in _MK_CH)}])
+        AS scen
+    ), it(k, scen, {", ".join(f"v_{c}" for c in _MK_CH)}) AS (
+      SELECT 0, scen,
+             {", ".join("CAST(0.0 AS DOUBLE)" for _ in _MK_CH)}
+      FROM scen
+      UNION ALL
+      SELECT it.k + 1, it.scen, {", ".join(upd)}
+      FROM it, pm WHERE it.k < {_MK_K}
+    ), conv AS (
+      SELECT it.scen,
+             round({dot(0)}, 12) AS p_conv
+      FROM it, pm WHERE it.k = {_MK_K}
+    ), full_p AS (
+      SELECT p_conv AS pf FROM conv WHERE scen = '(full)'
+    ), re AS (
+      SELECT c.scen AS channel,
+             round(c.p_conv, 6) AS p_removed,
+             round(f.pf, 6) AS p_full,
+             CAST(round(greatest(0.0, 1.0 - c.p_conv / f.pf), 12)
+                  AS DECIMAL(38,12)) AS re
+      FROM conv c CROSS JOIN full_p f WHERE c.scen <> '(full)'
+    )
+    SELECT channel, p_full, p_removed,
+           round(CAST(re AS DOUBLE), 6) AS removal_effect,
+           round(CAST(re AS DOUBLE)
+                 / CAST(sum(re) OVER () AS DOUBLE), 6)
+             AS attribution_share
+    FROM re ORDER BY channel
+    """
+
+
+@query(
+    "analytics_markov_removal_effect",
+    oracle=_mk_oracle(),
+    tags=("analytics", "attribution", "markov", "events"),
+)
+def analytics_markov_removal_effect(spark, sf_dir):
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014, public)
+    — the data-driven attribution model beside the positional
+    (analytics_multitouch_attribution) and game-theoretic
+    (analytics_shapley_attribution) members: user journeys become a
+    first-order Markov chain over touch states with purchase absorbing
+    at value 1 and journey-end absorbing at 0; a channel's credit is
+    its REMOVAL EFFECT 1 - P(conv | channel removed)/P(conv),
+    normalized into shares. Removal pins the channel's value to zero —
+    exactly redirecting its inbound mass to the loss state. Journeys
+    re-enter after a conversion from the next transition onward
+    (transitions OUT of purchase are dropped; no fresh START row) —
+    the documented simplification both engines share.
+
+    Exactness: transition probabilities are ratios of exact integers;
+    conversion probabilities come from {_MK_K} VALUE-ITERATION steps
+    over the bounded 5x6 grid with 12dp state rounding per step (the
+    IPF/BT identical-state-sequence convention) — Spark folds ONE
+    F.aggregate expression per scenario row, the oracle walks the
+    same recurrence as a recursive CTE; residual < 1e-7 at the output
+    precision.
+
+    Scale: ONE lag window partitioned by user builds transitions; the
+    grid collapses to a 30-entry map in a single aggregate; all 5
+    scenario folds run on 5 rows — iteration cost independent of the
+    corpus, the property that separates this from simulating journeys."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+        (F.row_number().over(wl) == 1).alias("is_last"),
+    ).localCheckpoint(eager=False)  # three union branches, one window
+    trans = (
+        seq.filter(F.col("prev").isNull())
+        .select(F.lit("START").alias("orig"), F.col("cur").alias("dest"))
+        .unionByName(
+            seq.filter(
+                F.col("prev").isNotNull() & (F.col("prev") != "purchase")
+            ).select(
+                F.col("prev").alias("orig"), F.col("cur").alias("dest")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("is_last") & (F.col("cur") != "purchase"))
+            .select(F.col("cur").alias("orig"), F.lit("END").alias("dest"))
+        )
+    )
+    oi = F.when(F.col("orig") == "START", 0)
+    for i, o in enumerate(_MK_ORIGS[1:], start=1):
+        oi = oi.when(F.col("orig") == o, i)
+    di = F.when(F.col("dest") == _MK_DESTS[0], 0)
+    for i, d in enumerate(_MK_DESTS[1:], start=1):
+        di = di.when(F.col("dest") == d, i)
+    cnt = trans.groupBy("orig", "dest").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    probs = cnt.select(
+        (oi * 6 + di).alias("slot"),
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(W.partitionBy("orig"))
+        ).alias("p"),
+    )
+    pm = probs.agg(
+        F.map_from_arrays(
+            F.collect_list("slot"), F.collect_list("p")
+        ).alias("P")
+    )
+    scen = spark.createDataFrame(
+        [("(full)",)] + [(c,) for c in _MK_CH], "scen string"
+    )
+    grid = scen.crossJoin(F.broadcast(pm))
+
+    # map keys are the raw slot ints (0-based); element_at on maps is
+    # BY KEY, so no 1-based shift
+    def pk(r, d):
+        return F.coalesce(
+            F.element_at(F.col("P"), F.lit(r * 6 + d)), F.lit(0.0)
+        )
+
+    acc_idx = {"click": 1, "error": 2, "signup": 3, "view": 4}
+
+    def val(d_i, acc):
+        d = _MK_DESTS[d_i]
+        if d == "purchase":
+            return F.lit(1.0)
+        if d == "END":
+            return F.lit(0.0)
+        return F.when(F.col("scen") == d, 0.0).otherwise(
+            F.element_at(acc, acc_idx[d])
+        )
+
+    def dot(orig_row, acc):
+        expr = None
+        for d_i in range(len(_MK_DESTS)):
+            term = pk(orig_row, d_i) * val(d_i, acc)
+            expr = term if expr is None else expr + term
+        return expr
+
+    def step(acc, _x):
+        parts = []
+        for ch in _MK_CH:
+            orig_row = _MK_ORIGS.index(ch)
+            parts.append(
+                F.when(F.col("scen") == ch, 0.0).otherwise(
+                    F.round(dot(orig_row, acc), 12)
+                )
+            )
+        return F.array(*parts)
+
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MK_K)),
+        F.array(*[F.lit(0.0) for _ in _MK_CH]),
+        step,
+    )
+    conv = grid.select(
+        "scen", F.round(dot(0, v), 12).alias("p_conv")
+    )
+    full_p = conv.filter(F.col("scen") == "(full)").select(
+        F.col("p_conv").alias("pf")
+    )
+    re = (
+        conv.filter(F.col("scen") != "(full)")
+        .crossJoin(F.broadcast(full_p))
+        .select(
+            F.col("scen").alias("channel"),
+            F.round("p_conv", 6).alias("p_removed"),
+            F.round("pf", 6).alias("p_full"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1.0 - F.col("p_conv") / F.col("pf")
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("re"),
+        )
+    )
+    return re.select(
+        "channel",
+        "p_full",
+        "p_removed",
+        F.round(F.col("re").cast("double"), 6).alias("removal_effect"),
+        F.round(
+            F.col("re").cast("double")
+            / F.sum("re").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("attribution_share"),
+    ).orderBy("channel")
+
+
+# --------------- newsvendor critical-fractile decision (r12)
+
+_NV_CU = 3  # underage cost per unit (lost margin)
+_NV_CO = 1  # overage cost per unit (holding/salvage loss)
+
+
+@query(
+    "analytics_newsvendor",
+    oracle=f"""
+    WITH demand AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS q
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS days FROM demand
+    ), pick AS (
+      -- critical fractile cu/(cu+co): smallest demand level whose
+      -- ECDF reaches it — integer-exact cross-multiplied crossing
+      -- (the window_bucket_quantiles convention)
+      SELECT min(q) AS q_star FROM (
+        SELECT q, count(*) OVER (ORDER BY q) AS cum,
+               (SELECT days FROM n) AS days
+        FROM demand
+      ) WHERE cum * {_NV_CU + _NV_CO} >= {_NV_CU} * days
+    )
+    SELECT n.days,
+           CAST(round(CAST({_NV_CU} AS DOUBLE)
+                / ({_NV_CU} + {_NV_CO}), 6) AS DOUBLE)
+             AS critical_fractile,
+           pick.q_star AS order_qty,
+           CAST(sum(greatest(d2.q - pick.q_star, 0)) AS BIGINT)
+             AS total_underage_units,
+           CAST(sum(greatest(pick.q_star - d2.q, 0)) AS BIGINT)
+             AS total_overage_units,
+           round(CAST({_NV_CU} * sum(greatest(d2.q - pick.q_star, 0))
+                 + {_NV_CO} * sum(greatest(pick.q_star - d2.q, 0))
+                 AS DOUBLE) / n.days, 6) AS mean_daily_cost
+    FROM demand d2 CROSS JOIN pick CROSS JOIN n
+    GROUP BY n.days, pick.q_star
+    """,
+    tags=("analytics", "inventory", "decision", "events"),
+)
+def analytics_newsvendor(spark, sf_dir):
+    """NEWSVENDOR CRITICAL-FRACTILE STOCKING DECISION (Arrow-Harris-
+    Marschak 1951, public) — the canonical inventory/capacity decision
+    under demand uncertainty, and the textbook consumer of an exact
+    quantile: with underage cost {_NV_CU} and overage cost {_NV_CO},
+    the optimal order quantity is the demand distribution's
+    cu/(cu+co) = 0.75 quantile. Demand is daily purchase counts; the
+    quantile is the smallest demand whose ECDF crosses the fractile,
+    tested with the integer cross-multiplied crossing (no float
+    threshold); the realized cost of the decision is priced back over
+    the same days in exact unit counts.
+
+    Exactness: demands, cumulative counts, and unit totals are exact
+    integers; the crossing test is cross-multiplied; two final
+    divisions.
+
+    Scale: the demand relation is calendar-bounded (~days); its
+    cumulative window is over that bounded grid. The only data-sized
+    stage is the per-day count aggregate."""
+    from pyspark.sql import Window as W
+
+    demand = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count("*").cast("long").alias("q"))
+    ).localCheckpoint(eager=False)  # bounded grid, three consumers
+    n = demand.agg(F.count("*").cast("long").alias("days"))
+    # cumulative over the calendar-bounded demand grid (bounded-window
+    # convention: benign warning filtered at the logging layer)
+    cum = demand.crossJoin(F.broadcast(n)).select(
+        "q",
+        "days",
+        F.count("*").over(W.orderBy("q")).alias("cum"),
+    )
+    pick = cum.filter(
+        F.col("cum") * (_NV_CU + _NV_CO) >= _NV_CU * F.col("days")
+    ).agg(F.min("q").alias("q_star"))
+    priced = demand.crossJoin(F.broadcast(pick)).crossJoin(
+        F.broadcast(n)
+    )
+    return priced.groupBy("days", "q_star").agg(
+        F.round(
+            F.lit(float(_NV_CU)) / (_NV_CU + _NV_CO), 6
+        ).alias("critical_fractile"),
+        F.sum(F.greatest(F.col("q") - F.col("q_star"), F.lit(0)))
+        .cast("long")
+        .alias("total_underage_units"),
+        F.sum(F.greatest(F.col("q_star") - F.col("q"), F.lit(0)))
+        .cast("long")
+        .alias("total_overage_units"),
+        F.round(
+            (
+                _NV_CU
+                * F.sum(
+                    F.greatest(F.col("q") - F.col("q_star"), F.lit(0))
+                )
+                + _NV_CO
+                * F.sum(
+                    F.greatest(F.col("q_star") - F.col("q"), F.lit(0))
+                )
+            ).cast("double")
+            / F.col("days"),
+            6,
+        ).alias("mean_daily_cost"),
+    ).select(
+        "days",
+        "critical_fractile",
+        F.col("q_star").alias("order_qty"),
+        "total_underage_units",
+        "total_overage_units",
+        "mean_daily_cost",
+    )

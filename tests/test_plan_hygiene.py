@@ -253,7 +253,9 @@ _FP_QUERIES = [
     "eval_rank_fusion_rrf", "basket_frequent_triples",
     "stats_sprt_sequential", "analytics_ipf_raking",
     "analytics_bradley_terry", "eval_bleu_lite", "eval_mrr",
-    "prep_krippendorff_alpha",
+    "prep_krippendorff_alpha", "analytics_markov_removal_effect",
+    "analytics_ips_offpolicy", "graph_rich_club",
+    "analytics_newsvendor",
 ]
 
 _FP_MARKS = {

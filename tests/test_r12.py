@@ -547,3 +547,69 @@ def test_rich_club_matches_pure_python(spark):
     assert row["n_rich"] == nr
     assert row["e_rich"] == e_rich
     assert abs(row["phi"] - round(2 * e_rich / (nr * (nr - 1)), 6)) < 1e-9
+
+
+def test_markov_removal_matches_pure_python(spark):
+    """Markov removal-effect replayed in pure Python: same transition
+    counts, same 80-step value iteration with 12dp state rounding,
+    same removal semantics (channel value pinned to zero)."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    from collections import defaultdict
+
+    cnts = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        types = list(
+            g.sort_values(["ts", "event_id"])["event_type"]
+        )
+        cnts[("START", types[0])] += 1
+        for a, b in zip(types, types[1:]):
+            if a != "purchase":
+                cnts[(a, b)] += 1
+        if types[-1] != "purchase":
+            cnts[(types[-1], "END")] += 1
+    ORIGS = ("START", "click", "error", "signup", "view")
+    DESTS = ("click", "error", "purchase", "signup", "view", "END")
+    CH = ("click", "error", "signup", "view")
+    P = {}
+    for o in ORIGS:
+        tot = sum(c for (oo, _d), c in cnts.items() if oo == o)
+        for d in DESTS:
+            P[(o, d)] = cnts.get((o, d), 0) / tot if tot else 0.0
+
+    def run(removed):
+        v = {c: 0.0 for c in CH}
+
+        def val(d):
+            if d == "purchase":
+                return 1.0
+            if d == "END":
+                return 0.0
+            return 0.0 if d == removed else v[d]
+
+        for _ in range(80):
+            v = {
+                c: 0.0
+                if c == removed
+                else round(sum(P[(c, d)] * val(d) for d in DESTS), 12)
+                for c in CH
+            }
+        return round(sum(P[("START", d)] * val(d) for d in DESTS), 12)
+
+    pf = run(None)
+    rows = {
+        r["channel"]: r
+        for r in _run(spark, "analytics_markov_removal_effect").collect()
+    }
+    assert set(rows) == set(CH)
+    for c in CH:
+        pr = run(c)
+        assert abs(rows[c]["p_full"] - round(pf, 6)) < 1e-9
+        assert abs(rows[c]["p_removed"] - round(pr, 6)) < 1e-9
+        assert (
+            abs(rows[c]["removal_effect"] - round(1 - pr / pf, 6))
+            < 2e-6
+        )
