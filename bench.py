@@ -399,6 +399,15 @@ def _dump_detail(
                         (set(old.get("failures", [])) | set(failures))
                         - set(timings)
                     )
+                    # top-level extra blocks written by the full-corpus
+                    # run (canary legs, regressed_vs_prior) must SURVIVE
+                    # a subset merge — the r12 top-up runs silently
+                    # dropped the suite's canary blocks from the
+                    # artifact because this branch rebuilt the payload
+                    # without them
+                    for k in ("canary", "regressed_vs_prior"):
+                        if k in old and (extra is None or k not in extra):
+                            extra = {**(extra or {}), k: old[k]}
             except Exception:  # noqa: BLE001 - corrupt old detail: overwrite
                 pass
     payload = {

@@ -318,3 +318,51 @@ def test_canary_block_schema(spark):
     assert block["ratio_vs_r8"] == round(
         block["total_sec"] / block["r8_pinned_sec"], 3
     )
+
+
+def test_subset_merge_preserves_extra_blocks(tmp_path):
+    """r12 post-round find: a SPARK_GRAFT_BENCH_ONLY top-up rebuilt
+    the detail payload without the full run's top-level extra blocks,
+    silently dropping the suite's canary legs from the round artifact.
+    Seed a detail file carrying canary + regressed_vs_prior, run a
+    one-query top-up, and require both blocks to survive the merge
+    (with the top-up's own queries folded in)."""
+    query = "ref_select_limit"
+    seeded = {
+        "metric": "declared_query_suite_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.001,
+        "timing": "pass2_warm_if_slow",
+        "queries": {"some_other_query": 1.0},
+        "detail": {"some_other_query": {"passes": [1.0]}},
+        "failures": [],
+        "canary": [{"label": "suite_start", "ratio_vs_r8": 1.23}],
+        "regressed_vs_prior": ["some_other_query"],
+    }
+    (tmp_path / "BENCH_DETAIL_r83.json").write_text(json.dumps(seeded))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=query,
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="83",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="64",
+        SPARK_GRAFT_CPUS="8",
+    )
+    env.pop("SPARK_GRAFT_BENCH_PRIOR_FILE", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r83.json").read_text())
+    assert detail["canary"] == seeded["canary"], detail.get("canary")
+    assert detail["regressed_vs_prior"] == ["some_other_query"]
+    assert query in detail["queries"]
+    assert "some_other_query" in detail["queries"]
