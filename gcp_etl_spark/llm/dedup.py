@@ -662,30 +662,95 @@ def banding_operating_curve(
     )
 
     spark = df.sparkSession
-    out = None
-    for bands in bands_list:
-        assert num_perm % bands == 0
-        r = num_perm // bands
-        cand = _band_candidates(sig, id_col, bands, r)
-        stats = (
-            cand.join(
-                truth.withColumn("is_true", F.lit(1)),
-                ["id_a", "id_b"],
-                "left",
-            )
-            .agg(
-                F.lit(bands).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                F.count("*").cast("long").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
-                .cast("long")
-                .alias("true_positives"),
-            )
-            .crossJoin(
-                truth.agg(F.count("*").cast("long").alias("n_true"))
-            )
+    # Candidate sets are NESTED (a colliding band implies both its
+    # halves collide), so ONE bucket self-join at the FINEST banding
+    # (max bands = shortest rows-per-band) covers every coarser
+    # banding's candidates; per-pair membership in each coarser set is
+    # then pure signature algebra — fold the 64-bit agreement vector by
+    # halving (lv1[j] = bands-32 band j collides, lv2 = bands-16, ...)
+    # and a banding collides iff its level has any true. This replaces
+    # the old per-banding loop's 4 bucket self-joins + 4 truth joins +
+    # 4 aggregates (guide §2.4 remove shuffles outright / §3 join
+    # count) with 1 join + 2 signature lookups + 1 truth join + 1 agg.
+    # Membership is decided by TRUE slice equality, which the bucket
+    # hash only approximates (equal slices always hash equal, so no
+    # candidate is lost; a 2^-64 xxhash collision can no longer inject
+    # a spurious pair).
+    bands_sorted = sorted(bands_list)
+    bmax = max(bands_sorted)
+    assert all(num_perm % b == 0 for b in bands_sorted)
+    cand = _band_candidates(sig, id_col, bmax, num_perm // bmax)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    agree = F.zip_with("sig_a", "sig_b", lambda x, y: x == y)
+    flagged = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", agree.alias("lv")
+    )
+
+    def _halve(arr, n_out):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_out - 1)),
+            lambda j: F.get(arr, j * 2) & F.get(arr, j * 2 + 1),
         )
-        out = stats if out is None else out.unionByName(stats)
+
+    levels: dict[int, Column] = {}
+    lv = F.col("lv")
+    width = num_perm
+    while width > 1:
+        lv = _halve(lv, width // 2)
+        width //= 2
+        levels[width] = lv  # `width` bands of num_perm/width rows
+    flags = flagged.select(
+        "id_a",
+        "id_b",
+        *[
+            F.exists(levels[b], lambda x: x).alias(f"c{b}")
+            for b in bands_sorted
+        ],
+    )
+    wide = (
+        flags.join(
+            truth.withColumn("is_true", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            *[
+                s
+                for b in bands_sorted
+                for s in (
+                    F.sum(F.col(f"c{b}").cast("long"))
+                    .cast("long")
+                    .alias(f"n_{b}"),
+                    F.sum(
+                        F.when(
+                            F.col(f"c{b}"),
+                            F.coalesce(F.col("is_true"), F.lit(0)),
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"tp_{b}"),
+                )
+            ]
+        )
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+    )
+    out = wide.select(
+        F.expr(
+            "stack({n}, {args})".format(
+                n=len(bands_sorted),
+                args=", ".join(
+                    f"int({b}), int({num_perm // b}), n_{b}, tp_{b}"
+                    for b in bands_sorted
+                ),
+            )
+        ).alias("bands", "rows_per_band", "n_candidates", "true_positives"),
+        "n_true",
+    )
     return (
         out.select(
             "bands",

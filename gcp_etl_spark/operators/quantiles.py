@@ -355,6 +355,7 @@ def exact_weighted_quantiles(
     n_parts: int = 32,
     include_total: bool = False,
     total_col: str = "total_weight",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact WEIGHTED lower quantiles — smallest value whose cumulative
     weight reaches p x (total weight) — via the same two-pass range-
@@ -400,6 +401,72 @@ def exact_weighted_quantiles(
     # collapse to distinct values first: ties merge, the ranked
     # relation shrinks to |distinct values| rows
     dv = vals.groupBy(*gk, "__v").agg(F.sum("__w").alias("__w"))
+
+    # adaptive small-input path (optimization r12 — the weighted twin
+    # of exact_quantiles' r7 gate): below the same Catalyst size
+    # estimate the two-pass shape's ~2 s of fixed job overhead (range-
+    # exchange SAMPLING pass + checkpoint materialization + offsets
+    # join) dwarfs the work, and a per-group cumulative window over
+    # the COLLAPSED distinct-value relation computes the identical
+    # decimal algebra in one shuffle. Decimal sums are order-free, the
+    # integer-exact threshold compare is unchanged, so the two paths
+    # are value-identical (pinned in tests/test_operators.py). At
+    # 100 TB every unbounded relation estimates past the gate and the
+    # two-pass rank remains the plan the fingerprints pin.
+    strat = FORCE_STRATEGY or strategy
+    if strat not in ("auto", "agg", "rank"):
+        raise ValueError(f"unknown strategy {strat!r}")
+    if strat == "auto":
+        strat = "agg" if prefer_agg(vals) else "rank"
+    if strat == "agg":
+        # unpartitioned (single-partition) window in the ungrouped
+        # case — NEVER a computed-constant partitionBy, which adds a
+        # real hash Exchange (the r11 KLL-marker lesson); the benign
+        # WindowExec warning is silenced at the logging layer. The
+        # relation is under the gate by construction.
+        w_cum = (
+            Window.partitionBy(*gk)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy(*gk)
+        spark = df.sparkSession
+        probs_df = spark.createDataFrame(
+            [(name, int(round(p * 10000))) for name, p in items],
+            "__qname string, __p10k long",
+        )
+        cum = dv.select(
+            *gk,
+            "__v",
+            F.sum("__w").over(w_cum).alias("__cw"),
+            F.sum("__w").over(w_tot).alias("__tot"),
+        )
+        hit = cum.crossJoin(F.broadcast(probs_df)).filter(
+            F.col("__cw") * 10000 >= F.col("__p10k") * F.col("__tot")
+        )
+        long = hit.groupBy(*gk, "__qname").agg(
+            F.min("__v").alias("__q"), F.min("__tot").alias("__tot")
+        )
+        extra = (
+            [F.min("__tot").alias(total_col)] if include_total else []
+        )
+        wide = long.groupBy(*gk).agg(
+            *[
+                F.min(F.when(F.col("__qname") == name, F.col("__q")))
+                .alias(name)
+                for name, _ in items
+            ],
+            *extra,
+        )
+        out_cols = [name for name, _ in items] + (
+            [total_col] if include_total else []
+        )
+        if gcols:
+            wide = wide.select(
+                *[F.col(f"__gk.{c}").alias(c) for c in gcols],
+                *out_cols,
+            )
+        return wide
 
     # shared two-pass cumulative-sum primitive (decimal weights stay
     # exact — the primitive types its zero literals from the sums)

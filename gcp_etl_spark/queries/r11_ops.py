@@ -73,7 +73,10 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
     probe plan. Inertia sums per-term DECIMAL(38,12) (the
     train_kmeans_lloyd convention) so the recorded curve is
     summation-order-deterministic."""
-    from gcp_etl_spark.llm.ivf import cosine_topk_ivf, ivf_assign
+    import numpy as np
+
+    from gcp_etl_spark.llm.ivf import _nearest_centroids, cosine_topk_ivf
+    from gcp_etl_spark.llm.kmeans import lloyd, lloyd_distributed
     from gcp_etl_spark.llm.similarity import cosine_topk
 
     # NOT checkpointed: the repeated embeddings scans are pruned
@@ -86,10 +89,45 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
         "q_id", F.col("n_id").alias("x_id")
     )
     n_pairs = float(_RF_K * _RF_NQ)
+    # PROGRESSIVE quantizer fit (optimization r12, guide §1.2 "don't
+    # compute things you throw away"): grid point r's centers are one
+    # distributed Lloyd pass on top of grid point r-1's — value-
+    # identical to three independent ivf_assign(refine_iters=r) fits
+    # because a pass is a pure deterministic function of the rounded
+    # centers (round_dp=8 inside the aggregate; re-rounding an already
+    # rounded matrix is the identity) and the seeded sample fit is
+    # deterministic. The sample is fit ONCE and the corpus is scanned
+    # for refinement twice instead of 3 sample fits + 3 passes.
+    pdf = (
+        emb.select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        )
+        .orderBy("__id")
+        .limit(4096)
+        .toPandas()
+    )
+    centers = lloyd(
+        np.vstack(pdf["__v"].to_numpy()), 8, seed=42, iters=10
+    )
     out = None
+    prev_r = 0
     for r in _RF_GRID:
-        assigned, centers = ivf_assign(
-            emb, "vec_id", "embedding", n_centroids=8, refine_iters=r
+        if r > prev_r:
+            centers, _ = lloyd_distributed(
+                emb.select("vec_id", "embedding"),
+                vec_col="embedding",
+                k=8,
+                iters=r - prev_r,
+                d=centers.shape[1],
+                init=centers,
+            )
+        prev_r = r
+        assigned = emb.withColumn(
+            "centroid_id",
+            _nearest_centroids(
+                F.col("embedding").cast("array<double>"), centers, 1
+            )[0],
         )
         cdf = spark.createDataFrame(
             [(int(j), [float(x) for x in centers[j]])

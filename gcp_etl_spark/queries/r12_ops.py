@@ -868,18 +868,23 @@ def analytics_bradley_terry(spark, sf_dir):
     pairs = matches.groupBy("i", "j").agg(
         F.count("*").cast("long").alias("m")
     )
+    # lazy checkpoint: opp is referenced by every MM iteration plus the
+    # n_matches agg — without the cut, each reference re-aggregates the
+    # match relation (4 full passes) and the plan re-expands the subtree
     opp = pairs.select(
         F.col("i").alias("a"), F.col("j").alias("b"), "m"
     ).unionByName(
         pairs.select(F.col("j").alias("a"), F.col("i").alias("b"), "m")
-    )
+    ).localCheckpoint(eager=False)
     types = e.select(F.col("event_type").alias("et")).distinct()
     wc = matches.groupBy(F.col("winner").alias("et")).agg(
         F.count("*").alias("wc")
     )
+    # same cut for wins (read by p0, every iteration's numerator, and
+    # the final join): |types| rows, materialized once
     wins = types.join(wc, "et", "left").select(
         "et", F.coalesce("wc", F.lit(0)).cast("long").alias("wins")
-    )
+    ).localCheckpoint(eager=False)
     p = wins.select(
         "et", F.lit(1.0).cast("decimal(38,12)").alias("p")
     )
@@ -905,6 +910,10 @@ def analytics_bradley_terry(spark, sf_dir):
             .groupBy("et")
             .agg(F.sum("term").alias("den"))
         )
+        # checkpoint the |types|-row state each iteration: p_{k} is
+        # referenced TWICE by p_{k+1} (pa and pb), so the un-cut plan
+        # doubled per iteration (explain: 306 Exchanges / 62 scans for
+        # 3 iterations; planning dominated the query's wall time)
         p = wins.join(denom, "et").select(
             "et",
             F.round(
@@ -914,7 +923,7 @@ def analytics_bradley_terry(spark, sf_dir):
             )
             .cast("decimal(38,12)")
             .alias("p"),
-        )
+        ).localCheckpoint(eager=False)
     tot = p.agg(F.sum("p").cast("double").alias("s"))
     n_match = opp.groupBy(F.col("a").alias("et")).agg(
         F.sum("m").cast("long").alias("n_matches")

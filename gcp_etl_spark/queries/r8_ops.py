@@ -798,20 +798,31 @@ def stats_permutation_test(spark, sf_dir):
             "value",
             (F.col("g") * 8).alias("b0"),
             thr.alias("thr"),
-            # regexp_extract_all slices the digest into its four 8-char
-            # windows with md5 written ONCE in the expression tree — an
-            # array of four substring(dig,...) copies would re-inline
-            # (and recompute) the digest per element after Catalyst's
-            # projection collapse (measured: the 4× digest cut vanished)
-            F.posexplode(
-                F.regexp_extract_all(dig, F.lit(".{4}"), 0)
-            ).alias("w", "win"),
+            # the digest is materialized as a column BELOW the window
+            # explode: Catalyst cannot collapse a Project across a
+            # Generate, so md5 stays computed ONCE per (row, group) —
+            # the invariant the old regexp_extract_all slicing
+            # protected — while the per-window slice becomes a plain
+            # substr instead of a regex scan of every digest
+            # (guide §1.2 per-task work: the regex engine was pure
+            # overhead on the hot 25x-exploded relation)
+            dig.alias("dig"),
+        )
+        .select(
+            "value",
+            "b0",
+            "thr",
+            "dig",
+            F.posexplode(F.sequence(F.lit(0), F.lit(7))).alias("w", "ww"),
         )
         .filter(F.col("b0") + F.col("w") < _PERM_B_COUNT)
         .select(
             (F.col("b0") + F.col("w")).alias("b"),
             "value",
-            (F.col("win") < F.col("thr")).cast("int").alias("side"),
+            (
+                F.col("dig").substr(F.col("w") * 4 + 1, F.lit(4))
+                < F.col("thr")
+            ).cast("int").alias("side"),
         )
     )
     diffs = perm.groupBy("b").agg(

@@ -377,3 +377,68 @@ def test_exact_quantiles_agg_path_equals_rank_path(spark):
         assert "percentile" not in forced
     finally:
         Q.FORCE_STRATEGY = None
+
+
+def test_exact_weighted_quantiles_agg_path_equals_rank_path(spark):
+    """optimization r12: the size-gated single-shuffle window path of
+    exact_weighted_quantiles must equal the two-pass rank path EXACTLY
+    (decimal algebra is order-free on both) on a fixture with value
+    ties that merge, a NULL group key, non-positive weights that drop,
+    a 1-row group, and include_total."""
+    import gcp_etl_spark.operators.quantiles as Q
+
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 1.0), ("a", 2.0, 3.0),
+        ("a", 9.0, 1.0),
+        ("b", 5.0, 4.0), ("b", 6.0, 0.0), ("b", 7.0, -1.0),
+        (None, 3.0, 1.5), (None, 7.0, 1.5),
+        ("c", 4.25, 0.25),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    probs = {"p25": 0.25, "med": 0.5, "p90": 0.9}
+
+    def rows_of(strategy):
+        out = Q.exact_weighted_quantiles(
+            df, "v", "w", probs, group_cols=["g"],
+            include_total=True, strategy=strategy,
+        ).collect()
+        return {
+            r["g"]: (r["p25"], r["med"], r["p90"], r["total_weight"])
+            for r in out
+        }
+
+    agg, rank = rows_of("agg"), rows_of("rank")
+    assert agg == rank, (agg, rank)
+    assert set(agg) == {"a", "b", "c", None}
+    # lower-quantile semantics sanity: group a total=7, med hits cum
+    # 2+4=6 >= 3.5 at v=2.0
+    assert agg["a"][1] == 2.0 and float(agg["a"][3]) == 7.0
+
+    # ungrouped, no total
+    ua = Q.exact_weighted_quantiles(
+        df, "v", "w", {"med": 0.5}, strategy="agg"
+    ).collect()[0]["med"]
+    ur = Q.exact_weighted_quantiles(
+        df, "v", "w", {"med": 0.5}, strategy="rank"
+    ).collect()[0]["med"]
+    assert ua == ur
+
+    # unknown-size (LogicalRDD) input must stay on the rank path — its
+    # signature in the visible plan is the __pid physical-partition
+    # column (the range exchange itself hides inside the lazy
+    # checkpoint's RDD lineage); an explicit agg override has no
+    # __pid; the FORCE_STRATEGY sweep hook wins over auto
+    def plan_of(**kw):
+        return (
+            Q.exact_weighted_quantiles(
+                df, "v", "w", probs, group_cols=["g"], **kw
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+
+    assert "__pid" in plan_of()
+    assert "__pid" not in plan_of(strategy="agg")
+    Q.FORCE_STRATEGY = "rank"
+    try:
+        assert "__pid" in plan_of(strategy="agg")
+    finally:
+        Q.FORCE_STRATEGY = None

@@ -336,6 +336,37 @@ def test_banding_curve_contract(spark):
         assert r["true_positives"] <= min(r["n_candidates"], r["n_true"])
 
 
+def test_banding_curve_counts_equal_brute_force(spark):
+    """optimization r12: the curve's single finest-banding join +
+    nested slice-equality flags must report EXACTLY the per-banding
+    candidate counts of the definition — #{pairs (a<b) with at least
+    one fully-equal r-row aligned band} — computed here by a NumPy
+    brute force over every pair of collected signatures."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.llm.dedup import minhash_signatures
+    from gcp_etl_spark.tables import t
+
+    d = t(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 1250)
+    sig = minhash_signatures(d, "doc_id", "text", 64, 3)
+    rows = sig.orderBy("doc_id").collect()
+    M = np.asarray([r["sig"] for r in rows], dtype=np.int64)  # n x 64
+    n = M.shape[0]
+    eq = M[:, None, :] == M[None, :, :]  # n x n x 64 agreement
+    iu = np.triu_indices(n, k=1)
+    expect = {}
+    for bands in (4, 8, 16, 32):
+        r = 64 // bands
+        band_eq = eq.reshape(n, n, bands, r).all(axis=3).any(axis=2)
+        expect[bands] = int(band_eq[iu].sum())
+    got = {
+        row["bands"]: row["n_candidates"]
+        for row in _run(spark, "dedup_minhash_banding_curve").collect()
+    }
+    assert got == expect, (got, expect)
+
+
 # ------------- managed-store concurrent writers (r9 ask #5) ----------
 
 
