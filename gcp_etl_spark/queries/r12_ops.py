@@ -1923,13 +1923,18 @@ def analytics_markov_removal_effect(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wl = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    # is_last via rn == count over the SAME ascending spec: the old
+    # descending row_number forced a second full sort of the events
+    # relation inside the window stage (guide §2.4: operations keyed
+    # the same way share one exchange — and here one SORT); (ts,
+    # event_id) is unique per user so "first by desc" == "rn == n"
     seq = e.select(
         F.col("event_type").alias("cur"),
         F.lag("event_type").over(w).alias("prev"),
-        (F.row_number().over(wl) == 1).alias("is_last"),
+        (
+            F.row_number().over(w)
+            == F.count("*").over(W.partitionBy("user_id"))
+        ).alias("is_last"),
     ).localCheckpoint(eager=False)  # three union branches, one window
     trans = (
         seq.filter(F.col("prev").isNull())

@@ -1123,12 +1123,18 @@ def graph_k_core(spark, sf_dir):
         .unionByName(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
         .localCheckpoint(eager=False)
     )
+    # lazy checkpoint: kk is crossJoined into EVERY one of the
+    # _KC_ROUNDS peel rounds — uncut, each round's broadcast re-ran the
+    # full-degree aggregation over sym (8 redundant passes, measured in
+    # the per-pass job count)
     kk = (
         sym.groupBy("n")
         .agg(F.count("*").alias("d"))
         .agg((F.min("d") + _KC_DELTA).cast("int").alias("k"))
+        .localCheckpoint(eager=False)
     )
     cur = sym
+    prev_n = None
     for _ in range(_KC_ROUNDS):
         deg = cur.groupBy("n").agg(F.count("*").alias("d"))
         cur = (
@@ -1147,6 +1153,19 @@ def graph_k_core(spark, sf_dir):
             .select("n", "nb")
             .localCheckpoint(eager=False)
         )
+        # FIXED-POINT EARLY EXIT (optimization r12): peeling only ever
+        # DELETES rows, so an unchanged row count means the relation is
+        # unchanged — and the remaining rounds are no-ops BY THE
+        # IDEMPOTENCE ARGUMENT the fixed-round contract already relies
+        # on ("idempotent after convergence"): the output is identical
+        # to running all _KC_ROUNDS, at any scale. The count() rides
+        # the checkpoint materialization the next round would have paid
+        # anyway (bounded driver state: one long per round — the
+        # iterative-trainer convention).
+        n_now = cur.count()
+        if n_now == prev_n:
+            break
+        prev_n = n_now
     return (
         cur.groupBy(F.col("n").alias("node"))
         .agg(F.count("*").cast("long").alias("core_degree"))

@@ -197,6 +197,11 @@ def analytics_theil_sen(spark, sf_dir):
     n_days = daily.count()
     n_pairs = n_days * (n_days - 1) // 2
     lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
+    # lazy checkpoint BELOW the range exchange: repartitionByRange's
+    # boundary-SAMPLING job executes its child once and the exchange
+    # executes it again — uncut, the 2.9M-row slope-pair nested-loop
+    # join ran twice per query (guide §1.2: remove redundant passes)
+    slopes = slopes.localCheckpoint(eager=False)
     parts = slopes.repartitionByRange(32, "m").withColumn(
         "pid", F.spark_partition_id()
     )
