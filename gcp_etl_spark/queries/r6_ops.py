@@ -2886,7 +2886,7 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
     nprobe = n_centroids anchor row); the exact baseline is computed
     ONCE. All rankings use 4-dp-rounded cosine + id tiebreaks, so the
     curve is deterministic run-to-run."""
-    from gcp_etl_spark.llm.ivf import cosine_topk_ivf
+    from gcp_etl_spark.llm.ivf import cosine_topk_ivf, ivf_assign
     from gcp_etl_spark.llm.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -2894,10 +2894,17 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
     exact = cosine_topk(emb, probes, k=_NPROBE_K).select(
         "q_id", F.col("n_id").alias("x_id")
     )
+    # ONE quantizer fit shared by every sweep point (optimization r12,
+    # guide §1.2: the sweep varies nprobe only — the old per-point
+    # cosine_topk_ivf call refit the identical seeded quantizer 4
+    # times, 4 corpus toPandas samples + 4 Lloyd fits for one curve);
+    # prefit reuse is the refine-curve convention (llm/ivf.py)
+    prefit = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
     out = None
     for np_ in _NPROBE_GRID:
         approx = cosine_topk_ivf(
-            emb, probes, k=_NPROBE_K, n_centroids=8, nprobe=np_
+            emb, probes, k=_NPROBE_K, n_centroids=8, nprobe=np_,
+            prefit=prefit,
         ).select("q_id", "n_id")
         hits = exact.join(
             approx,
