@@ -468,23 +468,33 @@ def graph_jaccard_neighbors(spark, sf_dir):
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
-    a1 = adj.select(F.col("n").alias("n1"), F.col("m").alias("w1"))
-    a2 = adj.select(F.col("n").alias("n2"), F.col("m").alias("w2"))
-    common = (
-        e.join(a1, F.col("u") == F.col("n1"))
-        .join(
-            a2,
-            (F.col("v") == F.col("n2")) & (F.col("w1") == F.col("w2")),
+    # optimization r12 (guide §2.3 shuffle fewer bytes): the old wedge
+    # join shuffled Σ_edges |N(u)| ≈ 13M rows at sf0.1 to count common
+    # neighbors; the residue graph is STRUCTURALLY capped at N_NODES
+    # (=300) nodes by construction (key % N_NODES), so per-node
+    # adjacency ARRAYS are degree≤N_NODES-bounded at ANY corpus scale —
+    # the calendar-bounded-window convention, not a power-law-hub risk.
+    # One groupBy builds them; the intersection is a native (codegen'd
+    # collection expression, not an interpreted lambda) array_intersect
+    # per EDGE (≤ C(300,2) rows). deg = size(set) equals the old count.
+    # Edges with zero common neighbors are filtered (the wedge join
+    # never emitted them; same as the oracle's inner-join `common`).
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
+    nu = nb.select(F.col("n").alias("nu"), F.col("nm").alias("au"))
+    nv = nb.select(F.col("n").alias("nv"), F.col("nm").alias("av"))
+    scored = (
+        e.join(nu, F.col("u") == F.col("nu"))
+        .join(nv, F.col("v") == F.col("nv"))
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("au", "av")).alias("c"),
+            F.size("au").alias("du"),
+            F.size("av").alias("dv"),
         )
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("c"))
     )
-    du = deg.select(F.col("n").alias("nu"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("nv"), F.col("d").alias("dv"))
     return (
-        common.join(du, F.col("u") == F.col("nu"))
-        .join(dv, F.col("v") == F.col("nv"))
+        scored.filter(F.col("c") > 0)
         .select(
             "u",
             "v",
@@ -547,18 +557,37 @@ def graph_clustering_coefficient(spark, sf_dir):
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
-    a1 = adj.select(F.col("n").alias("c"), F.col("m").alias("m1"))
-    a2 = adj.select(F.col("n").alias("c2"), F.col("m").alias("m2"))
+    # optimization r12 (guide §2.3; the graph_jaccard_neighbors
+    # rewrite's sibling): the old center-node wedge self-join
+    # enumerated Σ deg² ≈ 13M rows then probed the edge list. The
+    # residue graph is STRUCTURALLY ≤ N_NODES nodes, so per-node
+    # adjacency arrays are bounded at any corpus scale; per EDGE
+    # (≤ C(300,2) rows), c = |N(u)∩N(v)| is the number of triangles
+    # through that edge, and tri(n) = Σ_{incident edges} c / 2 (each
+    # triangle at n is seen by both incident edges) — same integer,
+    # native array_intersect, no wedge materialization.
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
+    ec = (
+        e.join(nb.select(F.col("n").alias("ju"), F.col("nm").alias("au")),
+               F.col("u") == F.col("ju"))
+        .join(nb.select(F.col("n").alias("jv"), F.col("nm").alias("av")),
+              F.col("v") == F.col("jv"))
+        .select(
+            "u", "v",
+            F.size(F.array_intersect("au", "av")).alias("c"),
+        )
+    )
     tri = (
-        a1.join(
-            a2,
-            (F.col("c") == F.col("c2")) & (F.col("m1") < F.col("m2")),
+        ec.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("n"), F.col("c")),
+                    F.struct(F.col("v").alias("n"), F.col("c")),
+                )
+            ).alias("x")
         )
-        .join(
-            e, (F.col("u") == F.col("m1")) & (F.col("v") == F.col("m2"))
-        )
-        .groupBy(F.col("c").alias("n"))
-        .agg(F.count("*").alias("tri"))
+        .groupBy(F.col("x.n").alias("n"))
+        .agg((F.sum("x.c") / 2).cast("long").alias("tri"))
     )
     return (
         deg.join(tri, "n", "left")
