@@ -268,27 +268,40 @@ def join_cross(spark, sf_dir):
     tags=("join", "theta"),
 )
 def join_theta_pairs(spark, sf_dir):
-    """Equi + theta self-join: same-size part pairs (the inequality
-    rides the equi join as a post-condition — no nested loop)."""
-    p = t(spark, sf_dir, "part")
-    a = p.alias("a")
-    b = p.alias("b")
+    """Equi + theta self-join aggregate, computed WITHOUT materializing
+    the pair relation (r12 optimization, guide §1.2 "the distributed
+    algorithm"): for values sorted within a group, the sorted-rank
+    identity Σ_{i<j}(x_(j) − x_(i)) = Σ_j (2j − n − 1)·x_(j) =
+    2·Σ j·x_(j) − (n+1)·Σ x_(j) gives the exact pairwise
+    |price-gap| sum from ONE window rank + ONE aggregate over the
+    20k-row part relation, where the former self-join expanded ~4M
+    (p_size, pair) rows before aggregating them straight back down.
+
+    Exactness vs the unchanged pair-join oracle: TPC-H retailprices
+    are 2-decimal rationals (double error ≪ 0.005), so casting each
+    price to DECIMAL(18,2) up front recovers the exact rational, the
+    identity is exact decimal algebra from there (tie order is
+    irrelevant — equal values contribute symmetric zero terms), and
+    n_pairs = C(n,2) because p_partkey is unique. Same final
+    decimal→double cast and double division as the oracle."""
+    p = t(spark, sf_dir, "part").select(
+        "p_size", "p_partkey", F.col("p_retailprice").cast("decimal(18,2)").alias("x")
+    )
+    w = Window.partitionBy("p_size").orderBy("x", "p_partkey")
+    ranked = p.withColumn("rn", F.row_number().over(w))
+    g = ranked.groupBy("p_size").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rn") * F.col("x")).alias("sjx"),
+    )
+    gap_sum = F.lit(2) * F.col("sjx") - (F.col("n") + F.lit(1)) * F.col("sx")
     return (
-        a.join(
-            b,
-            (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .groupBy(F.col("a.p_size").alias("p_size"))
-        .agg(
-            F.count("*").alias("n_pairs"),
+        g.filter(F.col("n") >= 2)
+        .select(
+            "p_size",
+            (F.expr("n * (n - 1) div 2")).alias("n_pairs"),
             (
-                F.sum(
-                    F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")).cast(
-                        "decimal(18,2)"
-                    )
-                ).cast("double")
-                / F.count("*")
+                gap_sum.cast("double") / F.expr("n * (n - 1) div 2")
             ).alias("avg_price_gap"),
         )
     )
