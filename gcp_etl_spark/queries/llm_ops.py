@@ -1197,6 +1197,13 @@ def dedup_prefix_filter(spark, sf_dir):
     # token-set Jaccard would be degenerate (millions of true pairs);
     # shingles make similarity mean "same phrasing", where prefix
     # filtering's rare-first pruning actually bites
+    # lazy localCheckpoint (r12, guide §1.2/§5): toks feeds BOTH the
+    # vocabulary df-count and the rank re-join, and sets feeds the
+    # prefix explode plus both verify sides — without the barriers the
+    # optimizer re-expands the scan+explode subtree into every branch
+    # (16 parquet scans of documents in one plan); with them the
+    # shingle pipeline runs once and the 5 consumers read the
+    # materialized blocks.
     toks = (
         d.repartition(par)
         .select(
@@ -1205,6 +1212,7 @@ def dedup_prefix_filter(spark, sf_dir):
                 "tok"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("df"))
     rank = vocab.select(
@@ -1215,7 +1223,7 @@ def dedup_prefix_filter(spark, sf_dir):
     sets = ranked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("rk")).alias("rks"),
         F.count("*").alias("sz"),
-    )
+    ).localCheckpoint(eager=False)
     plen = (F.col("sz") - F.ceil(PREFIX_JACCARD_T * F.col("sz")) + 1).cast(
         "int"
     )

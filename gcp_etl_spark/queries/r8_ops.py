@@ -209,7 +209,14 @@ def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
             )
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.g")
-    gh = grams.withColumn("h", F.xxhash64("g"))
+    # lazy localCheckpoint (r12, guide §1.2/§5): the posting relation
+    # feeds both self-join sides (and, capped, the df-count branch
+    # too) — without the barrier the optimizer re-expands the whole
+    # scan → posexplode → distinct-word BPE encode (MapInPandas!) →
+    # join → per-doc fold → gram explode subtree into every consumer
+    # (4 Python evaluations / 8 parquet scans per plan uncapped, 8/16
+    # capped); with it the tokenize+gram pipeline runs once.
+    gh = grams.withColumn("h", F.xxhash64("g")).localCheckpoint(eager=False)
     if df_cap is not None:
         keep = (
             gh.groupBy("h", "g")
@@ -217,7 +224,7 @@ def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
             .filter(F.col("df") <= df_cap)
             .select("h", "g")
         )
-        gh = gh.join(keep, ["h", "g"])
+        gh = gh.join(keep, ["h", "g"]).localCheckpoint(eager=False)
     a = gh.alias("a")
     b = gh.alias("b")
     m = a.join(
