@@ -856,8 +856,19 @@ def _ngram_jaccard_pairs(spark, sf_dir, df_cap=None):
                 " array())"
             )
         ).alias("g"),
-    ).distinct()
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ).distinct().localCheckpoint(eager=False)
+    # lazy localCheckpoint (r12, guide §1.2/§5): the distinct-shingle
+    # relation feeds the size aggregate plus both pair-join sides (or
+    # the postings build), and the size relation feeds both the id_a
+    # and id_b join sides — without the barriers the optimizer
+    # re-expanded the scan → split → explode → distinct subtree into
+    # every consumer (4 parquet scans / 4 distinct shuffles per plan);
+    # with them the shingle pipeline runs once.
+    sz = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     if df_cap is not None:
         posts = (
             sh.groupBy("g")
@@ -1406,8 +1417,15 @@ def dedup_containment(spark, sf_dir):
                 " array())"
             )
         ).alias("g"),
-    ).distinct()
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ).distinct().localCheckpoint(eager=False)
+    # lazy localCheckpoint (r12): same re-expansion fix as
+    # _ngram_jaccard_pairs — sh feeds sz + both join sides, sz feeds
+    # both size-join sides; the barriers run the shingle pipeline once
+    sz = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     shh = sh.withColumn("h", F.xxhash64("g"))
     a = shh.alias("a")
     b = shh.alias("b")
@@ -1515,7 +1533,10 @@ def dedup_substring_spans(spark, sf_dir):
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
-    shh = sh.withColumn("h", F.xxhash64("g"))
+    # lazy localCheckpoint (r12): the positional posting relation
+    # feeds both self-join sides — the barrier runs the scan →
+    # positional shingle explode once instead of once per side
+    shh = sh.withColumn("h", F.xxhash64("g")).localCheckpoint(eager=False)
     a = shh.alias("a")
     b = shh.alias("b")
     m = a.join(
@@ -1767,15 +1788,21 @@ def dedup_weighted_jaccard(spark, sf_dir):
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("tf"))
     )
+    # lazy localCheckpoint (r12): the capped posting lists feed the
+    # totals aggregate AND the pair explode, and the totals feed both
+    # the id_a and id_b join sides — the barriers run the scan →
+    # shingle tf → collect_list pipeline once instead of 3x
     posts = (
         sh.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "tf")).alias("ps"))
         .filter(F.size("ps") <= 64)
+        .localCheckpoint(eager=False)
     )
     tot = (
         posts.select(F.explode("ps").alias("p"))
         .groupBy(F.col("p.doc_id").alias("doc_id"))
         .agg(F.sum("p.tf").alias("total"))
+        .localCheckpoint(eager=False)
     )
     inter = (
         posts.select(

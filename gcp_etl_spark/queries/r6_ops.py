@@ -2104,7 +2104,17 @@ def diag_skew_report(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.key_col", "e.k")
-    c = u.groupBy("key_col", "k").agg(F.count("*").alias("cnt"))
+    # lazy localCheckpoint (r12, guide §1.2): the (key_col, key) count
+    # relation feeds BOTH the distribution stats and the quantile
+    # branch — without the barrier each branch re-ran the full
+    # scan → explode → count fan-out (the fact pipeline executed
+    # twice); with it the fan-out runs once and both branches read the
+    # materialized, distinct-keys-sized counts.
+    c = (
+        u.groupBy("key_col", "k")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     aggs = c.groupBy("key_col").agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("total_rows"),

@@ -978,22 +978,29 @@ def analytics_robust_means(spark, sf_dir):
     ``operators.exact_quantiles`` (two-pass range-partitioned rank —
     never the ``percentile`` aggregate's single-reducer value map over
     the unbounded order totals); the bounded per-group fence relation
-    broadcasts into pass 2's conditional aggregate."""
+    broadcasts into pass 2's conditional aggregate. Pass 2 reads the
+    operator's ``return_values`` checkpoint (the (seg, v) relation the
+    quantile pass already materialized) instead of re-running the
+    scan + broadcast join — o_totalprice is NOT NULL (TPC-H), so the
+    operator's null filter drops no rows and the counts are
+    unchanged."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
     )
-    q = exact_quantiles(
-        j, "v", {"p05": 0.05, "p95": 0.95}, group_cols=["seg"]
+    q, vals = exact_quantiles(
+        j, "v", {"p05": 0.05, "p95": 0.95}, group_cols=["seg"],
+        return_values=True,
     )
+    vals = vals.withColumnRenamed("__v", "v")
     clamped = (
         F.when(F.col("v") < F.col("p05"), F.col("p05"))
         .when(F.col("v") > F.col("p95"), F.col("p95"))
         .otherwise(F.col("v"))
     )
     return (
-        j.join(F.broadcast(q), "seg")
+        vals.join(F.broadcast(q), "seg")
         .groupBy("seg")
         .agg(
             F.count("*").cast("long").alias("n"),

@@ -412,15 +412,43 @@ def test_bitext_margin_broadcasts_target_side(spark):
 
 
 def test_skew_report_scans_fact_once_with_pruned_schema(spark):
-    """The skew report fans out via explode, not via three scans: the
-    plan must contain exactly ONE lineitem FileScan, reading only the
-    three key columns."""
+    """The skew report fans out via explode, not via three scans, and
+    (r12) materializes the (key_col, key) count relation once behind a
+    lazy localCheckpoint shared by the stats and quantile branches —
+    so the fact table must not appear in more than one scan subtree
+    (0 visible: both consumers read the checkpointed counts), and the
+    checkpointed subtree itself must read only the three key
+    columns."""
     from gcp_etl_spark.queries import load_all
 
     df = load_all()["diag_skew_report"].fn(spark, SF_SMALL)
     plan = _plan(df)
-    assert plan.count("lineitem.parquet") == 1, "fact table scanned twice"
-    read = plan.split("ReadSchema")[1][:300]
+    assert plan.count("lineitem.parquet") <= 1, "fact table scanned twice"
+    assert "ExistingRDD" in plan, "count relation no longer checkpointed"
+    # column pruning on the materialized subtree: rebuild the same
+    # fan-out WITHOUT the checkpoint and assert the scan schema
+    from pyspark.sql import functions as F
+
+    from gcp_etl_spark.queries.r6_ops import _SKEW_KEYS
+    from gcp_etl_spark.tables import t
+
+    li = t(spark, SF_SMALL, "lineitem")
+    u = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key_col"),
+                        F.col(c).cast("long").alias("k"),
+                    )
+                    for c in _SKEW_KEYS
+                ]
+            )
+        ).alias("e")
+    ).select("e.key_col", "e.k")
+    bare = _plan(u.groupBy("key_col", "k").agg(F.count("*").alias("cnt")))
+    assert bare.count("lineitem.parquet") == 1
+    read = bare.split("ReadSchema")[1][:300]
     assert "l_quantity" not in read and "l_comment" not in read
 
 
