@@ -628,13 +628,22 @@ def banding_operating_curve(
     # corpus, where the naive all-pairs cross join is quadratic in
     # docs and was 25 s at 500 docs): |A∩B| from the postings
     # self-join, |A∪B| = |A| + |B| − |A∩B| from the per-doc sizes
+    # lazy localCheckpoint (r12, guide §1.2): the posting relation
+    # feeds the size aggregate plus both truth-join sides — without
+    # the barrier the optimizer re-expanded the scan → shingle →
+    # explode subtree into all 3 consumers; with it the shingle
+    # pipeline runs once (same fix as _ngram_jaccard_pairs)
     post = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(_shingles(F.col(text_col), shingle_k))
         ).alias("g"),
+    ).localCheckpoint(eager=False)
+    sz = (
+        post.groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    sz = post.groupBy("id").agg(F.count("*").alias("n"))
     pa = post.select(F.col("id").alias("id_a"), "g")
     pb = post.select(F.col("id").alias("id_b"), "g")
     inter = (

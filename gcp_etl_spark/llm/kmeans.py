@@ -103,7 +103,12 @@ def lloyd_distributed(
         )
         init = np.asarray([r["__v"] for r in rows], dtype=np.float64)
     C = np.round(init.astype(np.float64), round_dp)
-    feats = df.select(v.alias("__v"))
+    # materialize the projected vector column once (lazy
+    # localCheckpoint, r12): every iteration re-ran the parquet scan +
+    # array<double> cast before its matmul; the docstring's "cache the
+    # vector column once" is now literal — iteration 1 materializes,
+    # iterations 2..n read the blocks
+    feats = df.select(v.alias("__v")).localCheckpoint(eager=False)
     for _ in range(iters):
         assigned = feats.withColumn(
             "cid", nearest_center_col(F.col("__v"), C)

@@ -107,6 +107,12 @@ def semantic_dedup_clusters(pairs: DataFrame) -> DataFrame:
     highest degree in the near-dup graph (min id tiebreak), ``max_cos``
     the strongest edge inside the cluster.
     """
+    # lazy localCheckpoint (r12, guide §1.2): the pair relation feeds
+    # the component loop, the degree aggregate AND the strongest-edge
+    # join — without the barrier the LSH-bucket + blocked-cosine
+    # pipeline (pandas matmuls) re-executed once per consumer; with it
+    # the near-dup-sized edge list materializes once.
+    pairs = pairs.localCheckpoint(eager=False)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     # degree per node in ONE pass over the edge list (explode both ends)
     deg = (

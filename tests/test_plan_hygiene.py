@@ -278,6 +278,18 @@ def test_expensive_plan_fingerprints_do_not_grow(spark):
     import json
     import os
 
+    # Plan text is coupled to the session's CacheManager: any relation
+    # .cache()'d by a query built EARLIER in this session substitutes
+    # as InMemoryTableScan into later plans whose subtree matches
+    # (e.g. graph_bfs_layers' cached undirected edge relation used to
+    # swallow one lineitem scan + two exchanges out of
+    # graph_link_prediction's fingerprint — making the counts depend
+    # on WHICH TESTS RAN FIRST in the pytest process, not on the
+    # query's code). Clear it so the fingerprints this gate records
+    # are a function of the code alone; intra-loop coupling that
+    # remains is deterministic because _FP_QUERIES order is fixed.
+    spark.catalog.clearCache()
+
     specs = load_all()
     got: dict[str, dict[str, int]] = {}
     for name in _FP_QUERIES:
