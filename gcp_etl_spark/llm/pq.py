@@ -17,11 +17,13 @@ with exact cosine (the standard two-stage retrieve -> rerank shape).
 100 TB design:
 - the codebook tensor is k_codes x d floats total — ships once in
   the udf closure (broadcast-shaped, like the IVF centroid probe);
-- the corpus-side scan streams (id, codes) only; per-PARTITION
-  top-``rerank`` pruning inside mapInPandas bounds the shuffle to
-  #partitions x #queries x rerank tiny rows (a correct superset of
-  the global top — pruning per partition can never drop a global
-  top-R candidate);
+- a prebuilt index streams (id, codes) only (``pq_encode`` is the
+  index-build operator); ``pq_topk`` over raw vectors fuses encode +
+  ADC into ONE partition pass so the corpus crosses the Python
+  boundary once. Either way per-PARTITION top-``rerank`` pruning
+  inside mapInPandas bounds the shuffle to #partitions x #queries x
+  rerank tiny rows (a correct superset of the global top — pruning
+  per partition can never drop a global top-R candidate);
 - only the <= #queries x rerank shortlist rows ever rejoin the float
   vectors for the exact rerank.
 
@@ -140,7 +142,6 @@ def pq_topk(
     deliberately if you really want a larger probe batch."""
     rerank = rerank if rerank is not None else 4 * k
     books = pq_train(corpus, id_col, vec_col, m, k_codes, seed=seed)
-    codes = pq_encode(corpus, id_col, vec_col, books)
 
     # limit(max_queries + 1) bounds the collect itself (one TakeOrdered,
     # no extra count job) while still detecting an oversized input
@@ -168,6 +169,16 @@ def pq_topk(
     )
     nq = len(q_ids)
     r = rerank
+    # encode + ADC fused in ONE partition pass (r12): the corpus used
+    # to cross the Python boundary twice — embeddings -> ArrowEval
+    # (pq_encode) -> codes back to the JVM -> MapInPandas (ADC). The
+    # codes were consumed by exactly one operator, so the fused pass
+    # encodes each Arrow batch and scores it in place; only the tiny
+    # per-partition top-r rows return to the JVM. Per-row math is
+    # identical (same codebook argmin, same LUT gathers, same subspace
+    # sum order), so the output is bit-for-bit the two-pass result.
+    B = books.astype(np.float64)  # m x k x ds
+    b2 = (B * B).sum(axis=2)  # m x k
 
     def partition_topr(batches):
         import pandas as pd
@@ -175,9 +186,16 @@ def pq_topk(
         ids: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for pdf in batches:
-            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # B x m
-            s = np.zeros((nq, C.shape[0]))
-            for sub in range(C.shape[1]):
+            X = _normalize(np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]))
+            nb = X.shape[0]
+            C = np.empty((nb, m), dtype=np.int64)  # B x m
+            for sub in range(m):
+                part = X[:, sub * ds:(sub + 1) * ds]
+                dist = -2.0 * (part @ B[sub].T) + b2[sub]
+                C[:, sub] = dist.argmin(axis=1)
+            s = np.zeros((nq, nb))
+            for sub in range(m):
                 s += lut[:, sub, C[:, sub]]
             ids.append(pdf["n_id"].to_numpy())
             scores.append(s)
@@ -193,7 +211,10 @@ def pq_topk(
             "adc": np.take_along_axis(sc, top, axis=1).ravel(),
         })
 
-    cand = codes.mapInPandas(
+    cand = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(
         partition_topr, "q_id long, n_id long, adc double"
     ).filter(F.col("q_id") != F.col("n_id"))
     wr = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id").asc())

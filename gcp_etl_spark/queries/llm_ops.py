@@ -1868,35 +1868,69 @@ def embedding_distance_histogram(spark, sf_dir):
     probes both degrade there). Every 32nd vector probes the corpus;
     bin = floor((cos+1)*10), clamped for the exact 1.0 edge.
 
-    Scale: broadcast probes x streamed corpus (the ann_range_search
-    shape); only 20 count rows aggregate out. Elements cast
-    float->double before arithmetic on both engines."""
-    from gcp_etl_spark.llm.similarity import cosine
+    Scale: probe batch x streamed corpus with the probe matrix riding
+    the task closure (the pq/ivf "centers in the closure" shape — the
+    same |probes| x d doubles the broadcast join shipped): per Arrow
+    batch ONE numpy matmul scores every (corpus row, probe) pair and
+    collapses straight to a 20-bin count vector, so only
+    #partitions x 20 partial rows ever reach the shuffle. The r12
+    rewrite replaced the per-pair interpreted aggregate/zip_with
+    cosine (13 us/pair — 65% of the query's wall time at sf0.1) with
+    the batched matmul; binning and the bin_lo projection are
+    unchanged. Elements cast float->double before arithmetic on both
+    engines."""
+    import numpy as np
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 32 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
+    qpdf = (
+        e.filter(F.col("vec_id") % 32 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .orderBy("q_id")
+        .toPandas()
     )
+    q_ids = qpdf["q_id"].to_numpy()
+    Q = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qpdf["qv"]]
+    )
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def bin_partials(batches):
+        import pandas as pd
+
+        cnt = np.zeros(20, dtype=np.int64)
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["nv"]]
+            )
+            nid = pdf["n_id"].to_numpy()
+            Xn = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ Q.T) / (Xn[:, None] * Qn[None, :])
+            b = np.clip(
+                np.floor((cos + 1.0) * 10).astype(np.int64), 0, 19
+            )
+            keep = nid[:, None] != q_ids[None, :]
+            cnt += np.bincount(b[keep], minlength=20)
+        if cnt.any():
+            yield pd.DataFrame(
+                {"bin": np.arange(20, dtype=np.int64), "n": cnt}
+            )
+
     c = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").cast("array<double>").alias("nv"),
     )
-    cos = cosine(F.col("qv"), F.col("nv"))
-    bin_ = F.least(
-        F.greatest(F.floor((cos + 1.0) * 10).cast("int"), F.lit(0)),
-        F.lit(19),
-    )
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select(bin_.alias("bin"))
+        c.mapInPandas(bin_partials, "bin long, n long")
         .groupBy("bin")
-        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .agg(F.sum("n").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
         .select(
             F.col("bin").cast("long").alias("bin"),
             F.round(-1.0 + F.col("bin") * 0.1, 1).alias("bin_lo"),
-            "n_pairs",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
         )
         .orderBy("bin")
     )
