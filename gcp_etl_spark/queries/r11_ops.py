@@ -85,9 +85,12 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
     # sf0.1, the operating-curve luxury class (banding curve's tier).
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _RF_NQ)
+    # the exact baseline is |probes| x k rows but feeds one left_semi
+    # join PER GRID POINT — without the barrier the broadcast-NLJ
+    # brute-force top-k re-ran 3x (r12, guide §1.2)
     exact = cosine_topk(emb, probes, k=_RF_K).select(
         "q_id", F.col("n_id").alias("x_id")
-    )
+    ).localCheckpoint(eager=False)
     n_pairs = float(_RF_K * _RF_NQ)
     # PROGRESSIVE quantizer fit (optimization r12, guide §1.2 "don't
     # compute things you throw away"): grid point r's centers are one
@@ -123,12 +126,16 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
                 init=centers,
             )
         prev_r = r
+        # one assignment pass per grid point: the relation feeds BOTH
+        # the inertia aggregate and the prefit probe — without the
+        # barrier each consumer re-ran the pandas-UDF nearest-centroid
+        # scan (2 Python crossings of the corpus per grid point)
         assigned = emb.withColumn(
             "centroid_id",
             _nearest_centroids(
                 F.col("embedding").cast("array<double>"), centers, 1
             )[0],
-        )
+        ).localCheckpoint(eager=False)
         cdf = spark.createDataFrame(
             [(int(j), [float(x) for x in centers[j]])
              for j in range(centers.shape[0])],
