@@ -196,19 +196,28 @@ def _host_load() -> dict:
     return out
 
 
-def _proc_stat() -> tuple[int, int] | None:
-    """(iowait, total) jiffies from /proc/stat — sampled around each
-    measured pass so an IO-stalled record is self-diagnosing. r8's
+def _proc_stat() -> tuple[int, int, int] | None:
+    """(iowait, total, steal) jiffies from /proc/stat — sampled around
+    each measured pass so an IO-stalled record is self-diagnosing. r8's
     agg_weighted_median anomaly (20.35 s in-suite at load1 1.8 vs
     3.36 s isolated; unreproducible with the identical 27-query prefix
     re-run next round, 2.87 s) was transient host interference that
     loadavg never showed — tasks in uninterruptible IO sleep inflate
-    wall time without inflating load1 on a 32-core box."""
+    wall time without inflating load1 on a 32-core box.
+
+    STEAL (r12): the round's 20–30 s warm-JVM outlier passes carried
+    NO in-guest signal (gc/jit/iowait/load1 all normal) because the
+    time was stolen by the HYPERVISOR — /proc/stat col 8 is the only
+    place co-tenant VM bursts are visible from inside the guest (the
+    r12 probe reproduced 20.5/21.9 s dedup_prefix_filter passes on a
+    quiet guest and the thread dumps showed an idle JVM both times).
+    A pass with high steal share is host weather by definition, never
+    an engine regression."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return vals[4], sum(vals)  # iowait, total
+        return vals[4], sum(vals), vals[7]  # iowait, total, steal
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return None
 
@@ -493,6 +502,7 @@ def main() -> None:
         pass_loads: list[float] = []
         pass_hot: list[bool] = []
         pass_iowait: list[float] = []
+        pass_steal: list[float] = []
         pass_gc_ms: list[int] = []
         pass_jit_ms: list[int] = []
         repassed_for_load = False
@@ -510,13 +520,16 @@ def main() -> None:
             io1 = _proc_stat()
             j1 = _jvm_counters(spark)
             # host-wide iowait share of the pass window: high values
-            # flag an IO stall that load1 cannot see (r8 anomaly)
+            # flag an IO stall that load1 cannot see (r8 anomaly);
+            # steal share flags hypervisor co-tenant bursts that NO
+            # in-guest counter sees (r12 outlier root cause)
             if io0 and io1 and io1[1] > io0[1]:
-                pass_iowait.append(
-                    round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
-                )
+                win = io1[1] - io0[1]
+                pass_iowait.append(round((io1[0] - io0[0]) / win, 4))
+                pass_steal.append(round((io1[2] - io0[2]) / win, 4))
             else:  # pragma: no cover
                 pass_iowait.append(-1.0)
+                pass_steal.append(-1.0)
             # per-pass driver-JVM GC / JIT time deltas (ms): an outlier
             # pass is decidable as GC vs JIT vs host from the artifact
             if j0 and j1:
@@ -616,6 +629,7 @@ def main() -> None:
             rec["passes"] = passes
             rec["pass_loads"] = pass_loads
             rec["pass_iowait"] = pass_iowait
+            rec["pass_steal"] = pass_steal
             if pass_gc_ms:
                 rec["pass_gc_ms"] = pass_gc_ms
                 rec["pass_jit_ms"] = pass_jit_ms
@@ -733,8 +747,12 @@ def main() -> None:
                 rec.setdefault("retry_passes", []).append(one)
                 rec.setdefault("retry_loads", []).append(load)
                 if io0 and io1 and io1[1] > io0[1]:
+                    win = io1[1] - io0[1]
                     rec.setdefault("retry_iowait", []).append(
-                        round((io1[0] - io0[0]) / (io1[1] - io0[1]), 4)
+                        round((io1[0] - io0[0]) / win, 4)
+                    )
+                    rec.setdefault("retry_steal", []).append(
+                        round((io1[2] - io0[2]) / win, 4)
                     )
                 if j0 and j1:
                     rec.setdefault("retry_gc_ms", []).append(j1[0] - j0[0])
