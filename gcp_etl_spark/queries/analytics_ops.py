@@ -684,10 +684,17 @@ def basket_cooccurrence(spark, sf_dir):
     driver-side count."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
+    # lazy localCheckpoint (r12, guide §1.2): lines feeds the order
+    # count, both self-join sides, and the per-type singles — without
+    # the barrier the optimizer re-expanded the join + distinct into
+    # all four consumers (16 parquet scans in one plan); downstream
+    # joins keep their explicit broadcast hints, so no strategy
+    # depends on the stats the barrier drops
     lines = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = lines.agg(
         F.countDistinct("l_orderkey").alias("n_orders")

@@ -309,9 +309,19 @@ def graph_adamic_adar(spark, sf_dir):
     top-50 is TakeOrderedAndProject, never a global sort.
     """
     li = t(spark, sf_dir, "lineitem")
+    # SQL persist, not a localCheckpoint (r12, guide §1.2): e feeds
+    # both wedge-join sides AND the degree aggregate — without a
+    # barrier the optimizer re-expanded the scan + distinct into all
+    # three consumers (6 parquet scans / 3 distinct shuffles of the
+    # 591k-row edge relation in one plan). persist is chosen over the
+    # family's usual lazy localCheckpoint because BOTH downstream join
+    # strategies here are Catalyst-stats-driven (the e x e wedge join
+    # and the degree lookup broadcast) and neither side is bounded by
+    # construction — a stats-free RDD barrier would flip them to
+    # SortMergeJoin at every scale (the dedup_cluster_twophase lesson).
     e = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ).distinct().persist()
     d = e.groupBy(F.col("p").alias("dp")).agg(F.count("*").alias("deg"))
     a = e.alias("a")
     b = e.alias("b")

@@ -1066,7 +1066,7 @@ def quality_ccnet_buckets(spark, sf_dir):
     on bounded keys; the tercile cut is ONE two-pass range-partitioned
     quantile over the per-doc ppl relation (never a single-reducer
     percentile); bucketing is a broadcast of two doubles."""
-    from gcp_etl_spark.operators.quantiles import exact_quantiles
+    from gcp_etl_spark.operators.quantiles import exact_quantiles, prefer_agg
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1080,6 +1080,11 @@ def quality_ccnet_buckets(spark, sf_dir):
         " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
     )
     train = d.filter(F.col("source") != _PPL_HELDOUT_SRC)
+    # NOTE (r12): train_uni also feeds the vocabulary count — a
+    # re-expansion — but a barrier here was MEASURED SLOWER (+2 s
+    # interleaved A/B): the broadcast side of the scoring join then
+    # waits on a serial materialization job, where the re-expanded
+    # explode+groupBy overlapped with the stream side on idle cores
     train_uni = train.select(F.explode("ws").alias("w1")).groupBy("w1").agg(
         F.count("*").alias("c1")
     )
@@ -1114,7 +1119,19 @@ def quality_ccnet_buckets(spark, sf_dir):
             ).alias("ppl")
         )
     )
-    cuts = exact_quantiles(ppl, "ppl", {"c1": 1.0 / 3, "c2": 2.0 / 3}).select(
+    # decide the tercile-cut strategy while Catalyst stats are still
+    # attached, THEN cut lineage (r12, guide §1.2): ppl — the whole
+    # scan -> bigram explode -> LM joins -> per-doc agg pipeline —
+    # feeds the quantile cut AND the final bucketing pass; without the
+    # barrier the optimizer re-expanded it into every consumer (16
+    # documents scans / 16 Generates in one plan). The gate fires
+    # before the barrier so the choice stays scale-adaptive (rank at
+    # 100 TB estimates).
+    strat = "agg" if prefer_agg(ppl.select(F.col("ppl").cast("double"))) else "rank"
+    ppl = ppl.localCheckpoint(eager=False)
+    cuts = exact_quantiles(
+        ppl, "ppl", {"c1": 1.0 / 3, "c2": 2.0 / 3}, strategy=strat
+    ).select(
         F.round("c1", 6).alias("c1"), F.round("c2", 6).alias("c2")
     )
     bucket = (

@@ -1064,28 +1064,39 @@ def graph_link_prediction(spark, sf_dir):
     neighbor (bounded by Σ deg(m)², never |V|²); non-edge filtering is
     a LEFT ANTI join; the degree lookups are unhinted equi-joins (AQE
     broadcasts when small); top-20 is TakeOrderedAndProject."""
-    e = _edges(spark, sf_dir)
+    # lazy localCheckpoint (r12, guide §1.2): e feeds both wedge-join
+    # sides (via adj), the non-edge anti-join, and deg — without the
+    # barriers the optimizer re-expanded the lineitem scan + distinct
+    # into every consumer (22 parquet scans in one plan). The barrier
+    # drops Catalyst size stats, so every join against a BOUNDED
+    # relation carries an explicit broadcast hint: e ≤ C(300,2) rows
+    # and deg ≤ 300 rows BY CONSTRUCTION (key residues mod N_NODES) at
+    # ANY corpus scale — the same boundedness argument the graph
+    # family's other hints use.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    deg = adj.groupBy("n").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=False
+    )
     a1 = adj.select(F.col("n").alias("cu"), F.col("m").alias("w1"))
     a2 = adj.select(F.col("n").alias("cv"), F.col("m").alias("w2"))
     cand = (
         a1.join(
-            a2,
+            F.broadcast(a2),
             (F.col("w1") == F.col("w2")) & (F.col("cu") < F.col("cv")),
         )
         .select("cu", "cv", F.col("w1").alias("m"))
         .join(
-            e,
+            F.broadcast(e),
             (F.col("cu") == F.col("u")) & (F.col("cv") == F.col("v")),
             "left_anti",
         )
     )
     dm = deg.select(F.col("n").alias("m"), F.col("d").alias("dm"))
     sc = (
-        cand.join(dm, "m")
+        cand.join(F.broadcast(dm), "m")
         .groupBy("cu", "cv")
         .agg(
             F.count("*").alias("cn"),
@@ -1097,8 +1108,8 @@ def graph_link_prediction(spark, sf_dir):
     du = deg.select(F.col("n").alias("cu"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("cv"), F.col("d").alias("dv"))
     return (
-        sc.join(du, "cu")
-        .join(dv, "cv")
+        sc.join(F.broadcast(du), "cu")
+        .join(F.broadcast(dv), "cv")
         .select(
             F.col("cu").alias("u"),
             F.col("cv").alias("v"),

@@ -1585,6 +1585,8 @@ def dq_value_drift_psi(spark, sf_dir):
     a single bucketing pass (count of thresholds below v == bin index
     — no CASE ladder to keep in sync); everything after is a 10-row
     rollup."""
+    from gcp_etl_spark.operators.quantiles import prefer_agg
+
     o = t(spark, sf_dir, "orders").withColumn(
         "us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     )
@@ -1595,10 +1597,21 @@ def dq_value_drift_psi(spark, sf_dir):
             "half"
         ),
     )
+    # decide the quantile strategy on the PLANNED relation (Catalyst
+    # stats are still attached here), THEN cut lineage: without the
+    # barrier the scan -> median -> label subtree re-expanded into
+    # every consumer (16 orders scans / 6 percentile aggs in one plan
+    # — r12, guide §1.2); a checkpointed RDD carries no size estimate,
+    # so the strategy gate must fire before the barrier to stay
+    # scale-adaptive (agg here, two-pass rank at 100 TB estimates)
+    ref = lab.filter(F.col("half") == "ref")
+    strat = "agg" if prefer_agg(ref.select(F.col("v").cast("double"))) else "rank"
+    lab = lab.localCheckpoint(eager=False)
     q = exact_quantiles(
         lab.filter(F.col("half") == "ref"),
         "v",
         {f"t{i}": i / 10 for i in range(1, 10)},
+        strategy=strat,
     )
     thr = F.array(*[F.col(f"t{i}") for i in range(1, 10)])
     binned = lab.crossJoin(F.broadcast(q)).select(
@@ -1610,7 +1623,7 @@ def dq_value_drift_psi(spark, sf_dir):
     cnt = binned.groupBy("bin").agg(
         F.count(F.when(F.col("half") == "ref", 1)).alias("nr"),
         F.count(F.when(F.col("half") == "tgt", 1)).alias("nt"),
-    )
+    ).localCheckpoint(eager=False)  # <=10 rows; feeds tot AND the final join
     tot = cnt.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
     j = cnt.crossJoin(F.broadcast(tot))
     p_ref = F.col("nr") * 1.0 / F.col("tr")
