@@ -474,7 +474,13 @@ def graph_jaccard_neighbors(spark, sf_dir):
     size fits, shuffles when a 10^9-node degree table would OOM the
     driver); top-20 is TakeOrderedAndProject. All relations bounded by
     the graph, not the input table."""
-    e = _edges(spark, sf_dir)
+    # lazy localCheckpoint (r12 resume, guide §1.2): e feeds adj (both
+    # union legs) and the scored join, and nb feeds both lookup sides —
+    # without the barriers the scan + distinct re-expanded 5× (10
+    # parquet scans in one plan). Both relations are structurally
+    # bounded (e ≤ C(300,2), nb ≤ 300 rows), so the broadcast hints
+    # below are scale-correct despite the stats the barrier drops.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -489,12 +495,14 @@ def graph_jaccard_neighbors(spark, sf_dir):
     # per EDGE (≤ C(300,2) rows). deg = size(set) equals the old count.
     # Edges with zero common neighbors are filtered (the wedge join
     # never emitted them; same as the oracle's inner-join `common`).
-    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm")).localCheckpoint(
+        eager=False
+    )
     nu = nb.select(F.col("n").alias("nu"), F.col("nm").alias("au"))
     nv = nb.select(F.col("n").alias("nv"), F.col("nm").alias("av"))
     scored = (
-        e.join(nu, F.col("u") == F.col("nu"))
-        .join(nv, F.col("v") == F.col("nv"))
+        e.join(F.broadcast(nu), F.col("u") == F.col("nu"))
+        .join(F.broadcast(nv), F.col("v") == F.col("nv"))
         .select(
             "u",
             "v",

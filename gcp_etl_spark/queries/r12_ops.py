@@ -463,10 +463,17 @@ def basket_frequent_triples(spark, sf_dir):
     applied in the aggregate, not driver-side."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # lazy localCheckpoint (r12 resume, guide §1.2): ib feeds all three
+    # self-join legs and the basket count — without the barrier the
+    # join + distinct re-expanded into all four consumers (16 parquet
+    # scans in one plan); the self-joins stay co-partitioned on o (the
+    # docstring's scale design), so no strategy depends on the stats
+    # the barrier drops
     ib = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     i1, i2, i3 = ib.alias("i1"), ib.alias("i2"), ib.alias("i3")
     triples = (
@@ -1042,14 +1049,20 @@ def eval_bleu_lite(spark, sf_dir):
         (F.col("doc_id") + 1).alias("pair_id"),
         F.col("text").alias("ref"),
     ).filter((F.col("pair_id")) % 2 == 1)
-    pairs = cand.join(ref, "pair_id")
+    # lazy localCheckpoint (r12 resume, guide §1.2): pairs feeds both
+    # gram sides and the length aggregate, and each side's token
+    # explode feeds its unigram AND bigram branches — without the
+    # barriers the doc self-join + posexplode re-expanded into every
+    # consumer (28 parquet scans in one plan); with them the pair join
+    # runs once and each side tokenizes once
+    pairs = cand.join(ref, "pair_id").localCheckpoint(eager=False)
 
     def grams(col, side):
         toks = pairs.select(
             "pair_id", F.posexplode(F.split(F.col(col), " ")).alias(
                 "ord", "tok"
             )
-        )
+        ).localCheckpoint(eager=False)
         uni = toks.groupBy(
             "pair_id", F.lit(1).alias("n"), F.col("tok").alias("gram")
         ).agg(F.count("*").alias(f"cnt_{side}"))

@@ -1841,11 +1841,16 @@ def mine_bitext_margin(spark, sf_dir):
         F.col("vec_id").alias("tid"),
         F.col("embedding").cast("array<double>").alias("w"),
     )
+    # lazy localCheckpoint (r12 resume, guide §1.2): p — the cross join
+    # evaluating the interpreted higher-order cosine per pair — feeds
+    # both k-NN mean branches AND the margin join; without the barrier
+    # the pair pipeline re-expanded into all three consumers (12
+    # parquet scans, 3 cosine evaluations of every pair in one plan)
     p = s.crossJoin(F.broadcast(tt)).select(
         "sid",
         "tid",
         F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos"),
-    )
+    ).localCheckpoint(eager=False)
     ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
     ks = (
@@ -2901,6 +2906,13 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _NPROBE_NQ)
+    # NOTE (r12 resume): the exact baseline feeds one left_semi join
+    # per sweep point (4× re-expansion in the plan) — a barrier here
+    # was MEASURED SLOWER (+0.5 s interleaved A/B, with or without a
+    # broadcast hint on the 50-row result): the barrier serializes the
+    # baseline's materialization in front of the first sweep point,
+    # where the re-expanded copies overlapped on idle cores (the
+    # train_uni lesson, quality_ccnet_buckets).
     exact = cosine_topk(emb, probes, k=_NPROBE_K).select(
         "q_id", F.col("n_id").alias("x_id")
     )
@@ -2908,8 +2920,13 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
     # guide §1.2: the sweep varies nprobe only — the old per-point
     # cosine_topk_ivf call refit the identical seeded quantizer 4
     # times, 4 corpus toPandas samples + 4 Lloyd fits for one curve);
-    # prefit reuse is the refine-curve convention (llm/ivf.py)
-    prefit = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    # prefit reuse is the refine-curve convention (llm/ivf.py).
+    # The shared ASSIGNMENT is also identical across points (same
+    # centers; only nprobe differs downstream), so the corpus-wide
+    # nearest-centroid pandas-UDF pass materializes once behind a
+    # barrier instead of re-running per point (guide §4).
+    assigned, centers = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    prefit = (assigned.localCheckpoint(eager=False), centers)
     out = None
     for np_ in _NPROBE_GRID:
         approx = cosine_topk_ivf(

@@ -874,10 +874,17 @@ def sketch_kmv_jaccard(spark, sf_dir):
     )
     hashed = words.select("source", F.md5("word").alias("h"))
     wsk = Window.partitionBy("source").orderBy("h")
+    # lazy localCheckpoint (r12 resume, guide §1.2): sk — the whole
+    # scan → explode → distinct → md5 → per-source top-k pipeline —
+    # feeds the source list and BOTH union legs; without the barrier
+    # it re-expanded into all three consumers (12 parquet scans / 44
+    # exchanges in one plan). The sketch is ≤ k rows per source BY
+    # CONSTRUCTION, so the materialization is sketch-sized.
     sk = (
         hashed.withColumn("rn", F.row_number().over(wsk))
         .filter(F.col("rn") <= k)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
     srcs = sk.select("source").distinct()
     a = srcs.select(F.col("source").alias("src_a"))

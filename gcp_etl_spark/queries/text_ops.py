@@ -656,10 +656,18 @@ def text_bigram_lm(spark, sf_dir):
     """
     par = spark.sparkContext.defaultParallelism
     docs = t(spark, sf_dir, "documents").repartition(par)
+    # lazy localCheckpoint (r12 resume, guide §1.2): idx feeds the
+    # bigram window AND the vocabulary count, and bgn feeds the two
+    # count tables AND the scoring join — without the barriers the
+    # scan + posexplode (+ lag window) re-expanded into every consumer
+    # (8 parquet scans / 28 exchanges in one plan). The count-table
+    # joins keep their runtime broadcast conversion through AQE's
+    # materialized shuffle stats, which do not depend on the source
+    # stats the barrier drops.
     idx = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bgn = (
         idx.select(
@@ -668,6 +676,7 @@ def text_bigram_lm(spark, sf_dir):
             F.col("word").alias("w2"),
         )
         .filter(F.col("w1").isNotNull())
+        .localCheckpoint(eager=False)
     )
     cb = bgn.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     cu = bgn.groupBy("w1").agg(F.count("*").alias("c1"))
