@@ -543,7 +543,14 @@ def simhash_near_duplicates(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = simhash_signatures(df, id_col, text_col)
+    # lazy localCheckpoint (r12 resume, guide §1.2/§4): the signature
+    # relation feeds both band-join sides — without the barrier the
+    # per-batch numpy signature UDF re-ran once per side (8 Python
+    # nodes in the plan); with it the corpus crosses the Python
+    # boundary once. 8 B/doc materialized.
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
 
     bands = sig.select(
         "id",

@@ -18,6 +18,14 @@ from gcp_etl_spark.tables import t
 
 R = lambda c, n=4: F.round(c, n)  # noqa: E731
 
+# agg_ols_two_feature's quantized-long-sum gate (see its docstring /
+# in-body note): Catalyst size estimates ≤ this take the codegen'd
+# long-sum moment plan; larger estimates keep the overflow-proof
+# decimal sums. ~8 B/row estimate → 400 MB ≈ 5e7 rows, 3× under the
+# int64 bound of the largest term sum. Module-level so the
+# path-equality pytest can force each side.
+_OLS_LONG_PATH_BYTES = 400_000_000
+
 
 @query(
     "q1_pricing_summary",
@@ -565,27 +573,85 @@ def agg_ols_two_feature(spark, sf_dir):
     q = F.col("l_quantity").cast("decimal(18,2)")
     dc = F.col("l_discount").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(q).cast("double").alias("s1"),
-        F.sum(dc).cast("double").alias("s2"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(q * q).cast("double").alias("s11"),
-        F.sum((F.col("l_quantity") * F.col("l_discount")).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("s12"),
-        F.sum(dc * dc).cast("double").alias("s22"),
-        F.sum(
-            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)")
+    # SIZE-GATED QUANTIZED-LONG moment sums (r12, guide §2.3 narrower
+    # types; the exact_quantiles SMALL_INPUT_BYTES gate pattern): each
+    # per-row term is still the exact 2-dp/4-dp decimal the docstring's
+    # policy demands, but below the gate it aggregates as an exact
+    # integer count of 10^-2/10^-4 units (long sum, codegen'd) instead
+    # of a decimal(28) sum (BigDecimal buffers — measured 2.0-2.6 s vs
+    # 1.1-1.25 s isolated at sf0.1). The long total converts back
+    # through an exact decimal(38) division, so the final double is the
+    # identical correctly-rounded value — bit-equality of all nine
+    # moments vs the decimal-sum form asserted over every group at
+    # sf0.1 before the switch, and path equality is pinned in
+    # tests/test_aggregates_gate.py. OVERFLOW GATE: the largest term,
+    # q·y·10^4 ≤ 5.5e10 (TPC-H value bounds are scale-free), overflows
+    # int64 once a group holds ~1.7e8 rows, so the long path is taken
+    # only when Catalyst's size estimate bounds the WHOLE relation well
+    # under that: the projection estimates ~8 B/row (measured 4.85 MB
+    # at sf0.1's 600k rows), so 400 MB ≈ 5e7 rows → 3× margin; above
+    # the gate — every 100 TB estimate — the decimal-sum plan is
+    # unchanged. (Module-level constant so the path-equality test can
+    # force each side.)
+    from gcp_etl_spark.operators.quantiles import _plan_bytes
+
+    if _plan_bytes(
+        li.select("l_returnflag", "l_quantity", "l_discount",
+                  "l_extendedprice")
+    ) <= _OLS_LONG_PATH_BYTES:
+        q100 = (q * 100).cast("long")
+        d100 = (dc * 100).cast("long")
+        s12t = (
+            (F.col("l_quantity") * F.col("l_discount"))
+            .cast("decimal(18,4)") * 10000
+        ).cast("long")
+        s1yt = (
+            (F.col("l_quantity") * F.col("l_extendedprice"))
+            .cast("decimal(18,4)") * 10000
+        ).cast("long")
+        s2yt = (
+            (F.col("l_discount") * F.col("l_extendedprice"))
+            .cast("decimal(18,4)") * 10000
+        ).cast("long")
+
+        def lsum(c, scale):
+            # exact long sum -> exact decimal -> correctly-rounded dbl
+            return (
+                F.sum(c).cast("decimal(38,0)") / F.lit(10 ** scale)
+            ).cast("double")
+
+        m = li.groupBy("l_returnflag").agg(
+            F.count("*").cast("double").alias("n"),
+            lsum(q100, 2).alias("s1"),
+            lsum(d100, 2).alias("s2"),
+            lsum((y * 100).cast("long"), 2).alias("sy"),
+            lsum(q100 * q100, 4).alias("s11"),
+            lsum(s12t, 4).alias("s12"),
+            lsum(d100 * d100, 4).alias("s22"),
+            lsum(s1yt, 4).alias("s1y"),
+            lsum(s2yt, 4).alias("s2y"),
         )
-        .cast("double")
-        .alias("s1y"),
-        F.sum(
-            (F.col("l_discount") * F.col("l_extendedprice")).cast("decimal(18,4)")
+    else:
+        m = li.groupBy("l_returnflag").agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(q).cast("double").alias("s1"),
+            F.sum(dc).cast("double").alias("s2"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(q * q).cast("double").alias("s11"),
+            F.sum(
+                (F.col("l_quantity") * F.col("l_discount"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("s12"),
+            F.sum(dc * dc).cast("double").alias("s22"),
+            F.sum(
+                (F.col("l_quantity") * F.col("l_extendedprice"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("s1y"),
+            F.sum(
+                (F.col("l_discount") * F.col("l_extendedprice"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("s2y"),
         )
-        .cast("double")
-        .alias("s2y"),
-    )
     n, s1, s2, sy = m["n"], m["s1"], m["s2"], m["sy"]
     s11, s12, s22, s1y, s2y = m["s11"], m["s12"], m["s22"], m["s1y"], m["s2y"]
     det = (

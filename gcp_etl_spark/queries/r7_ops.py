@@ -143,10 +143,16 @@ def mine_bitext_margin_ann_df(
     )
     # candidate stream: equi-join on the coarse cell — a (sid, tid)
     # pair appears at most once (tgt owns ONE cell), so no dedup pass
+    # lazy localCheckpoint (r12 resume, guide §1.2/§4): p — the
+    # cell-local candidate stream whose build runs the nearest-centroid
+    # pandas UDF on BOTH sides plus the interpreted cosine per pair —
+    # feeds both k-NN mean branches AND the margin join; without the
+    # barrier all of it re-ran three times (18 Python nodes in one
+    # plan). Same fix as the dense foil.
     p = src.join(tgt, "cid").select(
         "sid", "tid",
         F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos"),
-    )
+    ).localCheckpoint(eager=False)
     ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
     ks = (
@@ -1690,6 +1696,10 @@ def text_distinct_ngram_ratio(spark, sf_dir):
     Determinism: pure integer counts, one final division each.
     Scale: three hash aggs over exploded n-grams (counts shuffle, text
     doesn't); distinct counts are per-source exact aggregates."""
+    # NOTE (r12 resume): a barrier on the tokenized corpus was tried
+    # and MEASURED SLOWER (1.03-1.17 -> 1.23-1.40 s A/B) — the three
+    # n-gram branches overlap on idle cores and the tokenize is cheap
+    # next to the explodes; reverted.
     d = t(spark, sf_dir, "documents").select(
         "source",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(

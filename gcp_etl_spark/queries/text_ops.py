@@ -324,7 +324,14 @@ def text_source_divergence(spark, sf_dir):
         .select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    sw = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    # lazy localCheckpoint (r12 resume, guide §1.2): sw — the one
+    # corpus explode + hash agg — feeds the per-source totals, corpus
+    # totals, grand total AND the scoring join; without the barrier it
+    # re-expanded into all four (8 parquet scans / 30 exchanges in the
+    # plan). Vocabulary × sources rows materialized.
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     st = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
     ct = sw.groupBy("word").agg(F.sum("c").alias("c_t"))
     g = sw.agg(F.sum("c").alias("n"))
@@ -384,6 +391,10 @@ def text_phrase_search(spark, sf_dir):
     adjacency algebra is identical."""
     par = spark.sparkContext.defaultParallelism
     d = t(spark, sf_dir, "documents").repartition(par)
+    # NOTE (r12 resume): barriers on idx and adj were tried and
+    # MEASURED SLOWER (0.76-0.85 -> 1.13-1.28 s A/B) — the adjacency
+    # self-join already reuses one exchange for both sides, and the
+    # re-expanded branches overlapped on idle cores; reverted.
     idx = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
@@ -1217,9 +1228,13 @@ def text_rake_keywords(spark, sf_dir):
         )
     ).alias("isl")
     islands = nonstop.select("doc_id", "pos", "w", isl)
+    # lazy localCheckpoint (r12 resume, guide §1.2): pw — the explode +
+    # stopword filter + two windows — feeds the word-score aggregate
+    # AND the phrase-score join; without the barrier it re-expanded
+    # into both (4 parquet scans / 14 exchanges in the plan)
     pw = islands.withColumn(
         "plen", F.count("*").over(Window.partitionBy("doc_id", "isl"))
-    )
+    ).localCheckpoint(eager=False)
     ws = pw.groupBy("w").agg(
         (F.sum("plen") * 1.0 / F.count("*")).alias("score")
     )
