@@ -139,10 +139,70 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>) — MinHash signature per document."""
-    base = _hashed_shingles(df, id_col, text_col, shingle_k)
-    return base.select(
-        F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
+    """(id, sig array<long>) — MinHash signature per document.
+
+    FUSED Python pass (r12 resume, guide §4.1 cross the boundary
+    once): shingle-hash + permutation-min run in ONE pandas UDF, so a
+    document's text crosses the JVM↔Python boundary once and the
+    intermediate per-doc shingle-hash array never ships back to the
+    JVM (the old shape was two chained ArrowEval stages). Identical
+    values by construction: same shingle set, same blake2b base hash,
+    same a_i·x + b_i permutation family, same min — the standalone
+    ``_hashed_shingles`` / ``_min_perm_udf`` stay exported for the
+    operators that consume shingle hashes directly."""
+    import hashlib
+    from hashlib import blake2b
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def cst(tag: str, i: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{tag}:{i}".encode()).digest()[:8], "little"
+        )
+
+    a = np.array(
+        [cst("a", i) | 1 for i in range(num_perm)], dtype=np.uint64
+    )
+    b = np.array([cst("b", i) for i in range(num_perm)], dtype=np.uint64)
+    k = shingle_k
+
+    @pandas_udf("array<long>")
+    def sig_of_text(col):  # (pd.Series of str) -> pd.Series
+        out = []
+        for txt in col:
+            toks = (txt or "").lower().split()
+            if len(toks) >= k:
+                sh = {
+                    " ".join(toks[i : i + k])
+                    for i in range(len(toks) - k + 1)
+                }
+            else:
+                sh = {" ".join(toks)}
+            # EXACT replica of the two-step pipeline's value path:
+            # _hashed_shingles stores h0 - 2^63 as int64, and
+            # _min_perm_udf reinterprets via astype(uint64) — which is
+            # h0 XOR 2^63, not h0. Reproduce both steps bit-for-bit.
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(s.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    - (1 << 63)
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            ).astype(np.uint64)
+            m = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            out.append(m.astype(np.int64))
+        return pd.Series(out)
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
+        F.col(id_col).alias(id_col), sig_of_text(text_col).alias("sig")
     )
 
 
