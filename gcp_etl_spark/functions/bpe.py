@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
+from gcp_etl_spark.operators.barrier import barrier
 
 # (left, right) in rank order. English-ish subword merges; every
 # compound operand ('th', 'an', 'in', 're', 'er', 'on') is produced by
@@ -362,7 +363,7 @@ def train_merges(
         F.expr(f"filter(split({word_col}, ''), x -> x <> '')").alias(
             "syms"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     out: list[tuple[str, str, int]] = []
     while len(out) < n_merges:
         pairs = (
@@ -438,5 +439,5 @@ def train_merges(
             F.aggregate(
                 "syms", F.array().cast("array<string>"), step
             ),
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     return out

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gcp_etl_spark.operators.barrier import barrier
 
 
 SMALL_GRAPH_EDGES = 500_000
@@ -97,9 +98,9 @@ def _two_phase_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
-    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    nodes = sym.select(F.col("a").alias("node")).distinct().transform(barrier, eager=True)
 
     def signature(df: DataFrame):
         row = df.agg(
@@ -161,7 +162,7 @@ def _two_phase_components(
             .distinct()
             # LAZY: the next signature job materializes the blocks and
             # cuts lineage; plan depth is bounded by the 2-round stride
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
         e = ss
         # the signature action IS the round's only job: it materializes
@@ -279,7 +280,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .transform(barrier, eager=True)
     )
     sym0.unpersist()
     rounds = 0
@@ -300,7 +301,7 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("ncomp") < F.col("comp")).alias("__chg"),
             )
-        ).localCheckpoint()  # eager: truncates lineage, runs the round
+        ).transform(barrier, eager=True)  # eager: truncates lineage, runs the round
         n_changed = new.filter(F.col("__chg")).count()
         labels = new.drop("__chg")
         if n_changed == 0:

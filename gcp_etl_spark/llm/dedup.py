@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gcp_etl_spark.functions.text import normalize_text, tokens
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -313,7 +314,7 @@ def minhash_estimate_pairs(
     assert num_perm % bands == 0
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
     sig = sig.select(F.col(id_col).alias("id"), "sig")
-    sig = sig.persist() if materialize else sig.localCheckpoint(eager=False)
+    sig = sig.persist() if materialize else sig.transform(barrier)
     cand = _band_candidates(sig, "id", bands, num_perm // bands)
     pairs = (
         cand.join(
@@ -337,7 +338,7 @@ def minhash_estimate_pairs(
         # ADVICE leak: returning a lazy plan over a persisted sig meant
         # every call parked a signature relation in the session
         # CacheManager for the rest of the session
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.transform(barrier, eager=True)
         sig.unpersist()
     return pairs
 
@@ -384,9 +385,7 @@ def minhash_near_duplicates(
     # level, so nothing parks in the session CacheManager after the
     # plan is dropped (persist-without-unpersist here was the same
     # session-lifetime leak the r6 ADVICE flagged in estimate_pairs).
-    base = _hashed_shingles(df, id_col, text_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+    base = _hashed_shingles(df, id_col, text_col, shingle_k).transform(barrier)
     sig = base.select(
         F.col("id").alias(id_col), _min_perm_udf(num_perm)("hb").alias("sig")
     )
@@ -484,16 +483,16 @@ def minhash_incremental(
         # CacheManager entry — see minhash_near_duplicates.
         all_b = _hashed_shingles(
             full, id_col, text_col, shingle_k
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         bb = all_b.filter(batch_pred(F.col("id")))
         cb = all_b.filter(~batch_pred(F.col("id")))
     else:
         cb = _hashed_shingles(
             corpus, id_col, text_col, shingle_k
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         bb = _hashed_shingles(
             batch, id_col, text_col, shingle_k
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
 
     def sig_buckets(base, out_id):
         sig = base.select("id", _min_perm_udf(num_perm)("hb").alias("sig"))
@@ -608,9 +607,7 @@ def simhash_near_duplicates(
     # per-batch numpy signature UDF re-ran once per side (8 Python
     # nodes in the plan); with it the corpus crosses the Python
     # boundary once. 8 B/doc materialized.
-    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    sig = simhash_signatures(df, id_col, text_col).transform(barrier)
 
     bands = sig.select(
         "id",
@@ -705,11 +702,11 @@ def banding_operating_curve(
         F.explode(
             F.array_distinct(_shingles(F.col(text_col), shingle_k))
         ).alias("g"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     sz = (
         post.groupBy("id")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     pa = post.select(F.col("id").alias("id_a"), "g")
     pb = post.select(F.col("id").alias("id_b"), "g")

@@ -12,6 +12,7 @@ input is bounded by construction.
 from __future__ import annotations
 
 import numpy as np
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def lloyd(
@@ -135,7 +136,7 @@ def lloyd_distributed(
     # array<double> cast before its matmul; the docstring's "cache the
     # vector column once" is now literal — iteration 1 materializes,
     # iterations 2..n read the blocks
-    feats = df.select(v.alias("__v")).localCheckpoint(eager=False)
+    feats = df.select(v.alias("__v")).transform(barrier)
     for _ in range(iters):
         assigned = feats.withColumn(
             "cid", nearest_center_col(F.col("__v"), C)

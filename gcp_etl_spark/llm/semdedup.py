@@ -54,6 +54,7 @@ from gcp_etl_spark.llm.similarity import (
     blocked_cosine_pairs,
     random_projection_buckets,
 )
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def adaptive_planes(n_rows: int, target_bucket: int = 4096) -> int:
@@ -112,7 +113,7 @@ def semantic_dedup_clusters(pairs: DataFrame) -> DataFrame:
     # join — without the barrier the LSH-bucket + blocked-cosine
     # pipeline (pandas matmuls) re-executed once per consumer; with it
     # the near-dup-sized edge list materializes once.
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(barrier)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     # degree per node in ONE pass over the edge list (explode both ends)
     deg = (

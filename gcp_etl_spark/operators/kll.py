@@ -44,6 +44,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gcp_etl_spark.operators.barrier import barrier
 
 _SCHEMA = "level int, v double"
 
@@ -254,9 +255,7 @@ def kll_quantiles(
     """End-to-end: partition sketches -> union (= merged sketch) ->
     weighted-rank estimates. Returns (qname, est) plus the sketch size
     telemetry columns a capacity planner reads."""
-    sk = partition_sketches(df, value_col, k).localCheckpoint(
-        eager=False
-    )  # the size agg and the estimate both read the same sketch
+    sk = partition_sketches(df, value_col, k).transform(barrier)  # the size agg and the estimate both read the same sketch
     est = quantiles_from_sketch(sk, probs)
     size = sk.agg(
         F.count("*").cast("long").alias("sketch_rows"),

@@ -34,6 +34,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def range_prefix_sums(
@@ -70,7 +71,7 @@ def range_prefix_sums(
     parts = (
         df.repartitionByRange(n_parts, *pc, *oc)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     w_in = (
         Window.partitionBy(*pc, "__pid")
@@ -254,7 +255,7 @@ def exact_quantiles(
         # checkpoint BEFORE the struct wrap so callers get plain group
         # columns back; the value column keeps the internal __v name
         # (collision-proof against any caller column)
-        vals = vals.localCheckpoint(eager=False)
+        vals = vals.transform(barrier)
         values_out = vals
 
     strat = FORCE_STRATEGY or strategy

@@ -584,13 +584,20 @@ def agg_ols_two_feature(spark, sf_dir):
     # identical correctly-rounded value — bit-equality of all nine
     # moments vs the decimal-sum form asserted over every group at
     # sf0.1 before the switch, and path equality is pinned in
-    # tests/test_aggregates_gate.py. OVERFLOW GATE: the largest term,
-    # q·y·10^4 ≤ 5.5e10 (TPC-H value bounds are scale-free), overflows
-    # int64 once a group holds ~1.7e8 rows, so the long path is taken
-    # only when Catalyst's size estimate bounds the WHOLE relation well
-    # under that: the projection estimates ~8 B/row (measured 4.85 MB
-    # at sf0.1's 600k rows), so 400 MB ≈ 5e7 rows → 3× margin; above
-    # the gate — every 100 TB estimate — the decimal-sum plan is
+    # tests/test_aggregates_gate.py. OVERFLOW GATE (margin widened per
+    # r12 ADVICE): the two y-cross terms at 10^4 scale (q·y·10^4 ≤
+    # 5.5e10/row, d·y·10^4 ≤ 1.1e8/row — TPC-H value bounds are
+    # scale-free) would overflow int64 once a group holds ~1.7e8 rows,
+    # only ~3× past the 400 MB estimate gate (~5e7 rows at ~8 B/row),
+    # and a compressed-parquet-derived estimate can undershoot real
+    # row counts — a silent non-ANSI long-sum wrap would produce wrong
+    # coefficients with no error. Those two terms therefore stay
+    # decimal(18,4) sums even below the gate (bit-identical output —
+    # the r12 equality pin covered exactly this pair of forms); the
+    # remaining seven sums stay long, where the largest per-row term
+    # is q²·10^4 ≤ 2.5e7, i.e. overflow needs ~3.7e11 rows in ONE
+    # group: a ~7000× margin over the gate instead of 3×. Above the
+    # gate — every 100 TB estimate — the all-decimal plan is
     # unchanged. (Module-level constant so the path-equality test can
     # force each side.)
     from gcp_etl_spark.operators.quantiles import _plan_bytes
@@ -603,14 +610,6 @@ def agg_ols_two_feature(spark, sf_dir):
         d100 = (dc * 100).cast("long")
         s12t = (
             (F.col("l_quantity") * F.col("l_discount"))
-            .cast("decimal(18,4)") * 10000
-        ).cast("long")
-        s1yt = (
-            (F.col("l_quantity") * F.col("l_extendedprice"))
-            .cast("decimal(18,4)") * 10000
-        ).cast("long")
-        s2yt = (
-            (F.col("l_discount") * F.col("l_extendedprice"))
             .cast("decimal(18,4)") * 10000
         ).cast("long")
 
@@ -628,8 +627,16 @@ def agg_ols_two_feature(spark, sf_dir):
             lsum(q100 * q100, 4).alias("s11"),
             lsum(s12t, 4).alias("s12"),
             lsum(d100 * d100, 4).alias("s22"),
-            lsum(s1yt, 4).alias("s1y"),
-            lsum(s2yt, 4).alias("s2y"),
+            # the two overflow-exposed cross terms stay decimal sums
+            # (see the overflow-gate note above)
+            F.sum(
+                (F.col("l_quantity") * F.col("l_extendedprice"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("s1y"),
+            F.sum(
+                (F.col("l_discount") * F.col("l_extendedprice"))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("s2y"),
         )
     else:
         m = li.groupBy("l_returnflag").agg(

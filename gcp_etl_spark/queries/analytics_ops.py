@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 
 @query(
@@ -694,7 +695,7 @@ def basket_cooccurrence(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     n_orders = lines.agg(
         F.countDistinct("l_orderkey").alias("n_orders")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 N_NODES = 300
 DAMPING = 0.85
@@ -83,7 +84,7 @@ def graph_triangle_count(spark, sf_dir):
     # r8 leak audit — a persist with no unpersist here parked the edge
     # relation for the rest of the session; the driver runs the whole
     # corpus in ONE session)
-    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _edges(spark, sf_dir).transform(barrier)
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = e1.join(e2, "y")
@@ -164,11 +165,11 @@ def graph_pagerank(spark, sf_dir):
     # lazy localCheckpoints (not SQL persists — r8 leak audit): blocks
     # materialize at the first round's action, every later round reads
     # them, and the ContextCleaner frees them with the plan
-    edges = sym.join(deg, "u").coalesce(4).localCheckpoint(eager=False)
+    edges = sym.join(deg, "u").coalesce(4).transform(barrier)
     nodes = (
         deg.select(F.col("u").alias("node"))
         .coalesce(1)
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     n1 = nodes.agg(F.count("*").alias("n"))
 
@@ -190,7 +191,7 @@ def graph_pagerank(spark, sf_dir):
             ).alias("rank"),
         )
         if i % 3 == 2:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(barrier, eager=True)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
@@ -261,7 +262,7 @@ def graph_shortest_path(spark, sf_dir):
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(d))
-            .localCheckpoint()
+            .transform(barrier, eager=True)
         )
         if frontier.isEmpty():
             break
@@ -480,7 +481,7 @@ def graph_jaccard_neighbors(spark, sf_dir):
     # parquet scans in one plan). Both relations are structurally
     # bounded (e ≤ C(300,2), nb ≤ 300 rows), so the broadcast hints
     # below are scale-correct despite the stats the barrier drops.
-    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _edges(spark, sf_dir).transform(barrier)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -495,9 +496,7 @@ def graph_jaccard_neighbors(spark, sf_dir):
     # per EDGE (≤ C(300,2) rows). deg = size(set) equals the old count.
     # Edges with zero common neighbors are filtered (the wedge join
     # never emitted them; same as the oracle's inner-join `common`).
-    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm")).localCheckpoint(
-        eager=False
-    )
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm")).transform(barrier)
     nu = nb.select(F.col("n").alias("nu"), F.col("nm").alias("au"))
     nv = nb.select(F.col("n").alias("nv"), F.col("nm").alias("av"))
     scored = (

@@ -16,6 +16,7 @@ from gcp_etl_spark.llm.dedup import minhash_near_duplicates, simhash_near_duplic
 from gcp_etl_spark.llm.similarity import cosine_topk, cosine_topk_lsh
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 R = lambda c, n=4: F.round(c, n)  # noqa: E731
 
@@ -856,7 +857,7 @@ def _ngram_jaccard_pairs(spark, sf_dir, df_cap=None):
                 " array())"
             )
         ).alias("g"),
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(barrier)
     # lazy localCheckpoint (r12, guide §1.2/§5): the distinct-shingle
     # relation feeds the size aggregate plus both pair-join sides (or
     # the postings build), and the size relation feeds both the id_a
@@ -867,7 +868,7 @@ def _ngram_jaccard_pairs(spark, sf_dir, df_cap=None):
     sz = (
         sh.groupBy("doc_id")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     if df_cap is not None:
         posts = (
@@ -1223,7 +1224,7 @@ def dedup_prefix_filter(spark, sf_dir):
                 "tok"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("df"))
     rank = vocab.select(
@@ -1234,7 +1235,7 @@ def dedup_prefix_filter(spark, sf_dir):
     sets = ranked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("rk")).alias("rks"),
         F.count("*").alias("sz"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     plen = (F.col("sz") - F.ceil(PREFIX_JACCARD_T * F.col("sz")) + 1).cast(
         "int"
     )
@@ -1417,14 +1418,14 @@ def dedup_containment(spark, sf_dir):
                 " array())"
             )
         ).alias("g"),
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(barrier)
     # lazy localCheckpoint (r12): same re-expansion fix as
     # _ngram_jaccard_pairs — sh feeds sz + both join sides, sz feeds
     # both size-join sides; the barriers run the shingle pipeline once
     sz = (
         sh.groupBy("doc_id")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     shh = sh.withColumn("h", F.xxhash64("g"))
     a = shh.alias("a")
@@ -1536,7 +1537,7 @@ def dedup_substring_spans(spark, sf_dir):
     # lazy localCheckpoint (r12): the positional posting relation
     # feeds both self-join sides — the barrier runs the scan →
     # positional shingle explode once instead of once per side
-    shh = sh.withColumn("h", F.xxhash64("g")).localCheckpoint(eager=False)
+    shh = sh.withColumn("h", F.xxhash64("g")).transform(barrier)
     a = shh.alias("a")
     b = shh.alias("b")
     m = a.join(
@@ -1796,13 +1797,13 @@ def dedup_weighted_jaccard(spark, sf_dir):
         sh.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "tf")).alias("ps"))
         .filter(F.size("ps") <= 64)
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     tot = (
         posts.select(F.explode("ps").alias("p"))
         .groupBy(F.col("p.doc_id").alias("doc_id"))
         .agg(F.sum("p.tf").alias("total"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     inter = (
         posts.select(

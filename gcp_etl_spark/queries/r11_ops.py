@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # ------------------ IVF refine-vs-recall operating curve (r10 ask #8)
 
@@ -90,7 +91,7 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
     # brute-force top-k re-ran 3x (r12, guide §1.2)
     exact = cosine_topk(emb, probes, k=_RF_K).select(
         "q_id", F.col("n_id").alias("x_id")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     n_pairs = float(_RF_K * _RF_NQ)
     # PROGRESSIVE quantizer fit (optimization r12, guide §1.2 "don't
     # compute things you throw away"): grid point r's centers are one
@@ -135,7 +136,7 @@ def ann_ivf_refine_recall_curve(spark, sf_dir):
             _nearest_centroids(
                 F.col("embedding").cast("array<double>"), centers, 1
             )[0],
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         cdf = spark.createDataFrame(
             [(int(j), [float(x) for x in centers[j]])
              for j in range(centers.shape[0])],
@@ -3041,7 +3042,7 @@ def prep_length_bucket_batching(spark, sf_dir):
     # both engines' native ntile definition (oracle keeps native
     # ntile as the independent check).
     ranked = global_row_number(d, ["len", "doc_id"], rn_col="rn")
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = ranked.transform(barrier)
     ncnt = ranked.agg(F.count("*").alias("N"))
     out = None
     for b in _LB_BUCKETS:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # --------- streaming windowed KLL quantile monitor (r11 ask #7)
 
@@ -260,7 +261,7 @@ def eval_rank_fusion_rrf(spark, sf_dir):
         "doc_id",
         (-_score(F.col("tf_a"))).alias("neg_a"),
         (-_score(F.col("tf_b"))).alias("neg_b"),
-    ).localCheckpoint(eager=False)  # both rankings read the same scan
+    ).transform(barrier)  # both rankings read the same scan
     ra = global_row_number(
         base.select("doc_id", "neg_a"), ["neg_a", "doc_id"], rn_col="rank_a"
     ).select("doc_id", "rank_a")
@@ -473,7 +474,7 @@ def basket_frequent_triples(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     i1, i2, i3 = ib.alias("i1"), ib.alias("i2"), ib.alias("i3")
     triples = (
@@ -728,9 +729,7 @@ def analytics_ipf_raking(spark, sf_dir):
     tot = cells.agg(
         (F.sum("w").cast("double") / 5.0).alias("tgt")
     )
-    cur = cells.crossJoin(F.broadcast(tot)).localCheckpoint(
-        eager=False
-    )  # freeze the data-sized part; iterations run on 25 rows
+    cur = cells.crossJoin(F.broadcast(tot)).transform(barrier)  # freeze the data-sized part; iterations run on 25 rows
     for _ in range(_IPF_ITERS):
         for key in ("region", "pri"):
             cur = cur.select(
@@ -871,7 +870,7 @@ def analytics_bradley_terry(spark, sf_dir):
         .when(F.col("value") < F.col("pv"), F.col("pt"))
         .otherwise(F.least("pt", "event_type"))
         .alias("winner"),
-    ).localCheckpoint(eager=False)  # one pass builds pairs AND wins
+    ).transform(barrier)  # one pass builds pairs AND wins
     pairs = matches.groupBy("i", "j").agg(
         F.count("*").cast("long").alias("m")
     )
@@ -882,7 +881,7 @@ def analytics_bradley_terry(spark, sf_dir):
         F.col("i").alias("a"), F.col("j").alias("b"), "m"
     ).unionByName(
         pairs.select(F.col("j").alias("a"), F.col("i").alias("b"), "m")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     types = e.select(F.col("event_type").alias("et")).distinct()
     wc = matches.groupBy(F.col("winner").alias("et")).agg(
         F.count("*").alias("wc")
@@ -891,7 +890,7 @@ def analytics_bradley_terry(spark, sf_dir):
     # the final join): |types| rows, materialized once
     wins = types.join(wc, "et", "left").select(
         "et", F.coalesce("wc", F.lit(0)).cast("long").alias("wins")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     p = wins.select(
         "et", F.lit(1.0).cast("decimal(38,12)").alias("p")
     )
@@ -930,7 +929,7 @@ def analytics_bradley_terry(spark, sf_dir):
             )
             .cast("decimal(38,12)")
             .alias("p"),
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     tot = p.agg(F.sum("p").cast("double").alias("s"))
     n_match = opp.groupBy(F.col("a").alias("et")).agg(
         F.sum("m").cast("long").alias("n_matches")
@@ -1055,14 +1054,14 @@ def eval_bleu_lite(spark, sf_dir):
     # barriers the doc self-join + posexplode re-expanded into every
     # consumer (28 parquet scans in one plan); with them the pair join
     # runs once and each side tokenizes once
-    pairs = cand.join(ref, "pair_id").localCheckpoint(eager=False)
+    pairs = cand.join(ref, "pair_id").transform(barrier)
 
     def grams(col, side):
         toks = pairs.select(
             "pair_id", F.posexplode(F.split(F.col(col), " ")).alias(
                 "ord", "tok"
             )
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         uni = toks.groupBy(
             "pair_id", F.lit(1).alias("n"), F.col("tok").alias("gram")
         ).agg(F.count("*").alias(f"cnt_{side}"))
@@ -1325,7 +1324,7 @@ def prep_krippendorff_alpha(spark, sf_dir):
                 "event_type", F.struct("ts", "event_id")
             ).alias("label")
         )
-    ).localCheckpoint(eager=False)  # feeds per-item AND marginals
+    ).transform(barrier)  # feeds per-item AND marginals
     per_label = r.groupBy("item", "label").agg(
         F.count("*").alias("cnt")
     )
@@ -1344,7 +1343,7 @@ def prep_krippendorff_alpha(spark, sf_dir):
             (F.col("m") * (F.col("m") - 1)).alias("pairs_all"),
             "pairs_agree",
         )
-    ).localCheckpoint(eager=False)  # feeds do_sum AND the marginal join
+    ).transform(barrier)  # feeds do_sum AND the marginal join
     do_sum = per_item.agg(
         F.sum("m").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_items"),
@@ -1777,7 +1776,7 @@ def graph_rich_club(spark, sf_dir):
     relation is bounded by the node-grid cap."""
     from gcp_etl_spark.queries.graph_ops import _edges
 
-    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _edges(spark, sf_dir).transform(barrier)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -1948,7 +1947,7 @@ def analytics_markov_removal_effect(spark, sf_dir):
             F.row_number().over(w)
             == F.count("*").over(W.partitionBy("user_id"))
         ).alias("is_last"),
-    ).localCheckpoint(eager=False)  # three union branches, one window
+    ).transform(barrier)  # three union branches, one window
     trans = (
         seq.filter(F.col("prev").isNull())
         .select(F.lit("START").alias("orig"), F.col("cur").alias("dest"))
@@ -2136,7 +2135,7 @@ def analytics_newsvendor(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
         .agg(F.count("*").cast("long").alias("q"))
-    ).localCheckpoint(eager=False)  # bounded grid, three consumers
+    ).transform(barrier)  # bounded grid, three consumers
     n = demand.agg(F.count("*").cast("long").alias("days"))
     # cumulative over the calendar-bounded demand grid (bounded-window
     # convention: benign warning filtered at the logging layer)

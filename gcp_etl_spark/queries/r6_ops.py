@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from gcp_etl_spark.queries.r5_ops import _merges_sql
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # ---------------------------------------------------------------- DSIR
 
@@ -1766,6 +1767,32 @@ _BT_K = 4
 _BT_MARGIN = 1.0
 
 
+def _bitext_pair_stage(spark, sf_dir):
+    """The PRE-BARRIER bitext pair relation: broadcast(tgt) x streamed
+    src, 6-dp cosine per cross pair. Shared by ``mine_bitext_margin``
+    and the broadcast-shape assertion in
+    tests/test_scale_strategies.py (r12 ADVICE: the test's hand-built
+    copy of this subtree could silently drift from the query — if the
+    query ever dropped the F.broadcast hint, the test's own copy would
+    still pass)."""
+    from gcp_etl_spark.llm.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    tt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").cast("array<double>").alias("w"),
+    )
+    return s.crossJoin(F.broadcast(tt)).select(
+        "sid",
+        "tid",
+        F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos"),
+    )
+
+
 @query(
     "mine_bitext_margin",
     oracle=f"""
@@ -1830,27 +1857,12 @@ def mine_bitext_margin(spark, sf_dir):
     100 TB the same margin algebra rides the ANN candidate stream
     (IVF/LSH shortlists) instead of the dense cross join; the k-NN
     means are |src|- and |tgt|-bounded window aggregates."""
-    from gcp_etl_spark.llm.similarity import cosine
-
-    e = t(spark, sf_dir, "embeddings")
-    s = e.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("sid"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    tt = e.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("tid"),
-        F.col("embedding").cast("array<double>").alias("w"),
-    )
-    # lazy localCheckpoint (r12 resume, guide §1.2): p — the cross join
+    # lazy barrier (r12 resume, guide §1.2): p — the cross join
     # evaluating the interpreted higher-order cosine per pair — feeds
     # both k-NN mean branches AND the margin join; without the barrier
     # the pair pipeline re-expanded into all three consumers (12
     # parquet scans, 3 cosine evaluations of every pair in one plan)
-    p = s.crossJoin(F.broadcast(tt)).select(
-        "sid",
-        "tid",
-        F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos"),
-    ).localCheckpoint(eager=False)
+    p = _bitext_pair_stage(spark, sf_dir).transform(barrier)
     ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
     ks = (
@@ -2118,7 +2130,7 @@ def diag_skew_report(spark, sf_dir):
     c = (
         u.groupBy("key_col", "k")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     aggs = c.groupBy("key_col").agg(
         F.count("*").alias("n_keys"),
@@ -2926,7 +2938,7 @@ def ann_ivf_nprobe_sweep(spark, sf_dir):
     # nearest-centroid pandas-UDF pass materializes once behind a
     # barrier instead of re-running per point (guide §4).
     assigned, centers = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
-    prefit = (assigned.localCheckpoint(eager=False), centers)
+    prefit = (assigned.transform(barrier), centers)
     out = None
     for np_ in _NPROBE_GRID:
         approx = cosine_topk_ivf(

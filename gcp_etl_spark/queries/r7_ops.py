@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # ------------------------------------------------ two-phase components
 
@@ -152,7 +153,7 @@ def mine_bitext_margin_ann_df(
     p = src.join(tgt, "cid").select(
         "sid", "tid",
         F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     ws = Window.partitionBy("sid").orderBy(F.desc("cos"), "tid")
     wt = Window.partitionBy("tid").orderBy(F.desc("cos"), "sid")
     ks = (
@@ -1134,7 +1135,7 @@ def quality_ccnet_buckets(spark, sf_dir):
     # before the barrier so the choice stays scale-adaptive (rank at
     # 100 TB estimates).
     strat = "agg" if prefer_agg(ppl.select(F.col("ppl").cast("double"))) else "rank"
-    ppl = ppl.localCheckpoint(eager=False)
+    ppl = ppl.transform(barrier)
     cuts = exact_quantiles(
         ppl, "ppl", {"c1": 1.0 / 3, "c2": 2.0 / 3}, strategy=strat
     ).select(
@@ -1545,13 +1546,13 @@ def decontaminate_bloom_verified(spark, sf_dir):
         d.filter(F.size("ws") >= _BLOOM_N)
         .select("doc_id", "source", F.explode(grams).alias("g"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     ev = (
         g.filter(F.col("source") == _BLOOM_EVAL_SRC)
         .select("g")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     n_eval = ev.count()
     m, k = bloom_parameters(n_eval, fpp=0.01)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from gcp_etl_spark.queries.r5_ops import _merges_sql
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # ------------------------- token-level exact-substring dedup (Lee 2022)
 
@@ -216,7 +217,7 @@ def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
     # join → per-doc fold → gram explode subtree into every consumer
     # (4 Python evaluations / 8 parquet scans per plan uncapped, 8/16
     # capped); with it the tokenize+gram pipeline runs once.
-    gh = grams.withColumn("h", F.xxhash64("g")).localCheckpoint(eager=False)
+    gh = grams.withColumn("h", F.xxhash64("g")).transform(barrier)
     if df_cap is not None:
         keep = (
             gh.groupBy("h", "g")
@@ -224,7 +225,7 @@ def _substring_tokens_pairs(spark, sf_dir, df_cap=None):
             .filter(F.col("df") <= df_cap)
             .select("h", "g")
         )
-        gh = gh.join(keep, ["h", "g"]).localCheckpoint(eager=False)
+        gh = gh.join(keep, ["h", "g"]).transform(barrier)
     a = gh.alias("a")
     b = gh.alias("b")
     m = a.join(
@@ -1123,12 +1124,12 @@ def graph_k_core(spark, sf_dir):
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     sym = (
         e.select(F.col("u").alias("n"), F.col("v").alias("nb"))
         .unionByName(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     # lazy checkpoint: kk is crossJoined into EVERY one of the
     # _KC_ROUNDS peel rounds — uncut, each round's broadcast re-ran the
@@ -1138,7 +1139,7 @@ def graph_k_core(spark, sf_dir):
         sym.groupBy("n")
         .agg(F.count("*").alias("d"))
         .agg((F.min("d") + _KC_DELTA).cast("int").alias("k"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     cur = sym
     prev_n = None
@@ -1158,7 +1159,7 @@ def graph_k_core(spark, sf_dir):
             )
             .filter(F.col("d2") >= F.col("k"))
             .select("n", "nb")
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
         # FIXED-POINT EARLY EXIT (optimization r12): peeling only ever
         # DELETES rows, so an unchanged row count means the relation is
@@ -1483,7 +1484,7 @@ def curation_url_funnel(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .repartition(par)
         .select("doc_id", "text", "n_chars")
-        .localCheckpoint(eager=False)  # feeds 3 stages + the signal
+        .transform(barrier)  # feeds 3 stages + the signal
     )
     s2 = s1.filter(F.col("n_chars") >= _FUNNEL_MIN_CHARS)
     hid = F.floor(F.sqrt((F.col("doc_id") % 1600).cast("double"))).cast(

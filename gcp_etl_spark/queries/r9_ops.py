@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 # --------------------------------------------------- Friedman test
 
@@ -1157,13 +1158,13 @@ def graph_label_propagation(spark, sf_dir):
             e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .coalesce(4)
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     lab = (
         sym.select(F.col("u").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     for _ in range(_LP_ROUNDS):
         nb = sym.join(
@@ -1180,7 +1181,7 @@ def graph_label_propagation(spark, sf_dir):
                 ).alias("m")
             )
             .select("n", (-F.col("m.neg")).alias("lbl"))
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
     return lab.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("long").alias("n_nodes"),
@@ -1250,13 +1251,13 @@ def graph_hits(spark, sf_dir):
         )
         .distinct()
         .coalesce(4)
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     h = (
         e.select("s")
         .distinct()
         .select("s", F.lit(1.0).alias("h"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     for _ in range(_HITS_ROUNDS):
         a_vec = (
@@ -1268,7 +1269,7 @@ def graph_hits(spark, sf_dir):
             e.join(a_vec, "p")
             .groupBy("s")
             .agg(F.sum("av").alias("h"))
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
     a_fin = e.join(h, "s").groupBy("p").agg(F.sum("h").alias("av"))
     h_tot = h.agg(F.sum("h").alias("tot"))
@@ -1580,7 +1581,7 @@ def multimodal_phash_dedup(spark, sf_dir):
     )
 
     media = synthesize_neardup_images(spark, n_pairs=_PH_PAIRS)
-    h = average_hash(media).localCheckpoint(eager=False)
+    h = average_hash(media).transform(barrier)
     band = F.explode(
         F.array(
             *[

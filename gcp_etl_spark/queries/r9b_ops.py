@@ -1073,13 +1073,11 @@ def graph_link_prediction(spark, sf_dir):
     # and deg ≤ 300 rows BY CONSTRUCTION (key residues mod N_NODES) at
     # ANY corpus scale — the same boundedness argument the graph
     # family's other hints use.
-    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _edges(spark, sf_dir).transform(barrier)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    deg = adj.groupBy("n").agg(F.count("*").alias("d")).localCheckpoint(
-        eager=False
-    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d")).transform(barrier)
     a1 = adj.select(F.col("n").alias("cu"), F.col("m").alias("w1"))
     a2 = adj.select(F.col("n").alias("cv"), F.col("m").alias("w2"))
     cand = (
@@ -1962,6 +1960,7 @@ def text_mattr_diversity(spark, sf_dir):
 # ------------------------------------------- weekly spectral energy
 
 import math as _math  # noqa: E402
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def _trig_case(k: int, fn) -> str:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 
 @query(
@@ -102,7 +103,7 @@ def rollup_multires(spark, sf_dir):
     # feeds both coarser grains — lazy localCheckpoint, not SQL persist
     # (a persist with no unpersist parks the relation in the session
     # CacheManager forever; r8 leak audit)
-    minute = minute.localCheckpoint(eager=False)
+    minute = minute.transform(barrier)
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
     ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
@@ -884,7 +885,7 @@ def sketch_kmv_jaccard(spark, sf_dir):
         hashed.withColumn("rn", F.row_number().over(wsk))
         .filter(F.col("rn") <= k)
         .drop("rn")
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     srcs = sk.select("source").distinct()
     a = srcs.select(F.col("source").alias("src_a"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from gcp_etl_spark.operators.quantiles import exact_quantiles
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def _orders_daily(spark, sf_dir):
@@ -201,7 +202,7 @@ def analytics_theil_sen(spark, sf_dir):
     # boundary-SAMPLING job executes its child once and the exchange
     # executes it again — uncut, the 2.9M-row slope-pair nested-loop
     # join ran twice per query (guide §1.2: remove redundant passes)
-    slopes = slopes.localCheckpoint(eager=False)
+    slopes = slopes.transform(barrier)
     parts = slopes.repartitionByRange(32, "m").withColumn(
         "pid", F.spark_partition_id()
     )
@@ -1606,7 +1607,7 @@ def dq_value_drift_psi(spark, sf_dir):
     # scale-adaptive (agg here, two-pass rank at 100 TB estimates)
     ref = lab.filter(F.col("half") == "ref")
     strat = "agg" if prefer_agg(ref.select(F.col("v").cast("double"))) else "rank"
-    lab = lab.localCheckpoint(eager=False)
+    lab = lab.transform(barrier)
     q = exact_quantiles(
         lab.filter(F.col("half") == "ref"),
         "v",
@@ -1623,7 +1624,7 @@ def dq_value_drift_psi(spark, sf_dir):
     cnt = binned.groupBy("bin").agg(
         F.count(F.when(F.col("half") == "ref", 1)).alias("nr"),
         F.count(F.when(F.col("half") == "tgt", 1)).alias("nt"),
-    ).localCheckpoint(eager=False)  # <=10 rows; feeds tot AND the final join
+    ).transform(barrier)  # <=10 rows; feeds tot AND the final join
     tot = cnt.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
     j = cnt.crossJoin(F.broadcast(tot))
     p_ref = F.col("nr") * 1.0 / F.col("tr")

@@ -19,6 +19,7 @@ from gcp_etl_spark.functions.text import (
 )
 from gcp_etl_spark.queries.registry import query
 from gcp_etl_spark.tables import t
+from gcp_etl_spark.operators.barrier import barrier
 
 R = lambda c, n=4: F.round(c, n)  # noqa: E731
 
@@ -329,9 +330,7 @@ def text_source_divergence(spark, sf_dir):
     # totals, grand total AND the scoring join; without the barrier it
     # re-expanded into all four (8 parquet scans / 30 exchanges in the
     # plan). Vocabulary × sources rows materialized.
-    sw = w.groupBy("source", "word").agg(F.count("*").alias("c")).localCheckpoint(
-        eager=False
-    )
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c")).transform(barrier)
     st = sw.groupBy("source").agg(F.sum("c").alias("n_s"))
     ct = sw.groupBy("word").agg(F.sum("c").alias("c_t"))
     g = sw.agg(F.sum("c").alias("n"))
@@ -678,7 +677,7 @@ def text_bigram_lm(spark, sf_dir):
     idx = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bgn = (
         idx.select(
@@ -687,7 +686,7 @@ def text_bigram_lm(spark, sf_dir):
             F.col("word").alias("w2"),
         )
         .filter(F.col("w1").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     cb = bgn.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     cu = bgn.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -1234,7 +1233,7 @@ def text_rake_keywords(spark, sf_dir):
     # into both (4 parquet scans / 14 exchanges in the plan)
     pw = islands.withColumn(
         "plen", F.count("*").over(Window.partitionBy("doc_id", "isl"))
-    ).localCheckpoint(eager=False)
+    ).transform(barrier)
     ws = pw.groupBy("w").agg(
         (F.sum("plen") * 1.0 / F.count("*")).alias("score")
     )

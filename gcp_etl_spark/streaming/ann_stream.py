@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from gcp_etl_spark.llm.ivf import _nearest_centroids
 from gcp_etl_spark.llm.similarity import cosine
+from gcp_etl_spark.operators.barrier import barrier
 
 
 def build_partitioned_index(
@@ -122,7 +123,7 @@ def ann_probe_sink(
         # tiny; the checkpoint freezes the probe set for the epoch
         q = probe_relation(
             batch_df, centers, nprobe, id_col, vec_col
-        ).localCheckpoint()
+        ).transform(barrier, eager=True)
         if q.limit(1).count() == 0:
             return
         # prune_index: |centroids|-bounded collect -> literal IN-list

@@ -40,7 +40,7 @@ def _run_bench(tmp_path, prior_sec: float, query: str = "ref_select_limit"):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r77.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r77_c8.json").read_text())
     return detail["detail"][query]
 
 
@@ -102,7 +102,7 @@ def test_contended_record_enters_retry_queue(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r78.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r78_c8.json").read_text())
     rec = detail["detail"][query]
     assert rec["pass_loads"][0] == 10.0  # the injected loud pass
     # two retry passes (cold warms, min is the like-for-like record)
@@ -145,7 +145,7 @@ def test_sustained_regression_lands_in_headline(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r79.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r79_c8.json").read_text())
     assert detail.get("regressed_vs_prior") == [query], detail.get(
         "regressed_vs_prior"
     )
@@ -189,7 +189,7 @@ def test_fresh_session_gate_covers_two_to_three_x_window(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r81.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r81_c8.json").read_text())
     rec = detail["detail"][query]
     ratio = detail["queries"][query] / 1.9
     # the injected sleep pins the record below the OLD 3.0x quiet gate
@@ -243,7 +243,7 @@ def test_retry_pass1_kept_when_pass2_fails(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r82.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r82_c8.json").read_text())
     rec = detail["detail"][query]
     assert rec["retry_error"].startswith("RuntimeError"), rec
     assert len(rec["retry_passes"]) == 1  # pass-1 timing survived
@@ -282,7 +282,7 @@ def test_retry_failure_recorded_in_detail(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r80.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r80_c8.json").read_text())
     rec = detail["detail"][query]
     assert rec["retry_error"].startswith("RuntimeError"), rec
     assert rec["contended"] is True, rec
@@ -340,7 +340,7 @@ def test_subset_merge_preserves_extra_blocks(tmp_path):
         "canary": [{"label": "suite_start", "ratio_vs_r8": 1.23}],
         "regressed_vs_prior": ["some_other_query"],
     }
-    (tmp_path / "BENCH_DETAIL_r83.json").write_text(json.dumps(seeded))
+    (tmp_path / "BENCH_DETAIL_r83_c8.json").write_text(json.dumps(seeded))
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -361,8 +361,51 @@ def test_subset_merge_preserves_extra_blocks(tmp_path):
         cwd=HERE,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    detail = json.loads((tmp_path / "BENCH_DETAIL_r83.json").read_text())
+    detail = json.loads((tmp_path / "BENCH_DETAIL_r83_c8.json").read_text())
     assert detail["canary"] == seeded["canary"], detail.get("canary")
     assert detail["regressed_vs_prior"] == ["some_other_query"]
     assert query in detail["queries"]
     assert "some_other_query" in detail["queries"]
+
+
+def test_final_headline_full_map_and_cpu_suffixed_detail(tmp_path):
+    """r12 verdict asks #2/#7. (a) The FINAL JSON line must carry the
+    COMPLETE per-query map — the old top-5-only map made the driver's
+    round-over-round PERF comparison cover 3 of 607 common queries and
+    produced a verdict-flipping 0.711 geomean for a 1.055x round. (b)
+    A run at a non-default core count must stamp ``_c{cpus}`` into the
+    detail filename — the r12 8-core scaling run wrote its detail to
+    ``BENCH_DETAIL_r13.json``, a name a real r13 run would clobber."""
+    queries = ["ref_select_limit", "q13_customer_distribution"]
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+        SPARK_GRAFT_BENCH_OUT_DIR=str(tmp_path),
+        SPARK_GRAFT_ROUND="84",
+        SPARK_GRAFT_BENCH_MIN2="0",
+        SPARK_GRAFT_BENCH_LOAD_GATE="64",
+        SPARK_GRAFT_CPUS="8",
+    )
+    env.pop("SPARK_GRAFT_BENCH_PRIOR_FILE", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    headline = json.loads(out.stdout.strip().splitlines()[-1])
+    # (a) full-fidelity map: every timed query is IN the final line,
+    # slowest-first, and n_queries matches the map size exactly
+    assert set(headline["queries"]) == set(queries), headline["queries"]
+    assert headline["n_queries"] == len(headline["queries"])
+    vals = list(headline["queries"].values())
+    assert vals == sorted(vals, reverse=True)
+    # (b) the detail pointer and the file on disk both carry _c8; the
+    # default-CPU name is NOT written by a non-default-CPU run
+    assert headline["detail"] == "BENCH_DETAIL_r84_c8.json"
+    assert (tmp_path / "BENCH_DETAIL_r84_c8.json").exists()
+    assert not (tmp_path / "BENCH_DETAIL_r84.json").exists()

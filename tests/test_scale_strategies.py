@@ -403,35 +403,21 @@ def test_weighted_reservoir_is_take_ordered_on_pruned_scan(spark):
 def test_bitext_margin_broadcasts_target_side(spark):
     """Bitext mining's pair stage must be broadcast(tgt) x streamed
     src — a shuffled cross join would move the corpus. Since r12 the
-    pair relation sits behind a lazy localCheckpoint (it feeds three
+    pair relation sits behind a lazy lineage barrier (it feeds three
     consumers), so the final plan shows the barrier; the broadcast
-    shape is asserted on the BARE pair subtree, rebuilt without the
-    checkpoint (the diag_skew_report test's pattern)."""
-    from pyspark.sql import functions as F
-
-    from gcp_etl_spark.llm.similarity import cosine
+    shape is asserted on the QUERY'S OWN pre-barrier subtree via the
+    shared ``_bitext_pair_stage`` helper (r13, r12 ADVICE: the old
+    hand-rebuilt copy of the subtree would keep passing even if the
+    query itself dropped the F.broadcast hint)."""
     from gcp_etl_spark.queries import load_all
-    from gcp_etl_spark.tables import t
+    from gcp_etl_spark.queries.r6_ops import _bitext_pair_stage
 
     df = load_all()["mine_bitext_margin"].fn(spark, SF_SMALL)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan, "pair relation no longer checkpointed"
 
-    e = t(spark, SF_SMALL, "embeddings")
-    s = e.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("sid"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    tt = e.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("tid"),
-        F.col("embedding").cast("array<double>").alias("w"),
-    )
-    bare = _plan(
-        s.crossJoin(F.broadcast(tt)).select(
-            "sid", "tid", F.round(cosine(F.col("v"), F.col("w")), 6)
-        )
-    )
+    bare = _plan(_bitext_pair_stage(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in bare
     assert "CartesianProduct" not in bare
 
