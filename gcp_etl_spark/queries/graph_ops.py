@@ -310,41 +310,68 @@ def graph_adamic_adar(spark, sf_dir):
     top-50 is TakeOrderedAndProject, never a global sort.
     """
     li = t(spark, sf_dir, "lineitem")
-    # SQL persist, not a localCheckpoint (r12, guide §1.2): e feeds
-    # both wedge-join sides AND the degree aggregate — without a
-    # barrier the optimizer re-expanded the scan + distinct into all
-    # three consumers (6 parquet scans / 3 distinct shuffles of the
-    # 591k-row edge relation in one plan). persist is chosen over the
-    # family's usual lazy localCheckpoint because BOTH downstream join
-    # strategies here are Catalyst-stats-driven (the e x e wedge join
-    # and the degree lookup broadcast) and neither side is bounded by
-    # construction — a stats-free RDD barrier would flip them to
-    # SortMergeJoin at every scale (the dedup_cluster_twophase lesson).
-    e = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct().persist()
-    d = e.groupBy(F.col("p").alias("dp")).agg(F.count("*").alias("deg"))
-    a = e.alias("a")
-    b = e.alias("b")
-    pr = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .join(d, F.col("a.p") == F.col("dp"))
-        .select(
-            F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), "deg"
-        )
+    # GROUPED-ADJACENCY pair generation (r13, guide §2.4 remove
+    # shuffles / the jaccard-rewrite lesson): the old shape was a
+    # persisted distinct edge relation self-joined on p plus a degree
+    # join — 12 Exchanges, two join builds, and a session-lifetime
+    # persist leak (r12 ADVICE). One groupBy(p) now builds the sorted
+    # per-part supplier set directly (collect_set dedups in the
+    # aggregate — the separate distinct shuffle is gone), deg = the
+    # array size (the degree join is gone), and the C(deg,2) wedge
+    # rows come from two codegen'd Generates: posexplode picks s1,
+    # explode(slice(ss, i+2, ...)) pairs it with every later s2 —
+    # s1 < s2 by the sort. NOTE this is NOT the r12-reverted
+    # transform/flatten rewrite: that one built the full array of
+    # C(deg,2) structs per row through interpreted higher-order
+    # lambdas (measured 4.87 → 6.69 s); Generate streams the pairs
+    # through codegen. The second Generate runs AFTER a repartition on
+    # s1, so the 8.7M pair rows never cross an exchange: what shuffles
+    # is the 591k (s1, tail-slice) rows (~3× fewer bytes — guide
+    # §2.3's "shuffle keys and metadata, explode after" / §3 "explode
+    # before a join multiplies the shuffle"), and because
+    # hashpartitioning(s1) satisfies the (s1, s2) clustering
+    # requirement the pair aggregation is single-level local — the old
+    # shape's 7M-row partial-agg shuffle is gone entirely. Plan: 12 →
+    # 4 Exchanges, joins 2 → 0, parquet scans 2 → 1; measured
+    # 3.7-5.2 s → 1.0-1.5 s isolated (A/B: the same plan without the
+    # s1 repartition ran 2.4-2.75 s). The pair count
+    # C(suppliers-per-part, 2) is unchanged — bounded by the same
+    # per-part supplier multiplicity at every scale; the repartition
+    # width follows spark.sql.shuffle.partitions (AQE-coalesced),
+    # not a local constant.
+    adj = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
     )
     # quantize each term to an exact integer picounat count: long sums
     # are order-independent like the old decimal(18,12) sums but ~2x
     # faster over the 8.7M-row wedge relation (decimal aggregation was
     # the measured bottleneck of this query)
     term_q = F.round(
-        F.lit(1e12) / F.log(F.col("deg").cast("double")), 0
+        F.lit(1e12) / F.log(F.size("ss").cast("double")), 0
     ).cast("long")
+    pr = (
+        adj.select(
+            "ss",
+            term_q.alias("tq"),
+            F.posexplode("ss").alias("i", "s1"),
+        )
+        .select(
+            "tq",
+            "s1",
+            F.slice("ss", F.col("i") + F.lit(2), F.size("ss")).alias(
+                "tail"
+            ),
+        )
+        .repartition("s1")
+        .select("tq", "s1", F.explode("tail").alias("s2"))
+    )
     return (
         pr.groupBy("s1", "s2")
         .agg(
             F.count("*").alias("n_common"),
-            F.round(F.sum(term_q) / 1e12, 6).alias("adamic_adar"),
+            F.round(F.sum("tq") / 1e12, 6).alias("adamic_adar"),
         )
         .orderBy(F.desc("adamic_adar"), "s1", "s2")
         .limit(50)
@@ -475,44 +502,61 @@ def graph_jaccard_neighbors(spark, sf_dir):
     size fits, shuffles when a 10^9-node degree table would OOM the
     driver); top-20 is TakeOrderedAndProject. All relations bounded by
     the graph, not the input table."""
-    # lazy localCheckpoint (r12 resume, guide §1.2): e feeds adj (both
-    # union legs) and the scored join, and nb feeds both lookup sides —
-    # without the barriers the scan + distinct re-expanded 5× (10
-    # parquet scans in one plan). Both relations are structurally
-    # bounded (e ≤ C(300,2), nb ≤ 300 rows), so the broadcast hints
-    # below are scale-correct despite the stats the barrier drops.
+    # lazy barrier (r12 resume, guide §1.2): e feeds both adj union
+    # legs — without it the scan + distinct re-expanded per consumer.
     e = _edges(spark, sf_dir).transform(barrier)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    # optimization r12 (guide §2.3 shuffle fewer bytes): the old wedge
-    # join shuffled Σ_edges |N(u)| ≈ 13M rows at sf0.1 to count common
-    # neighbors; the residue graph is STRUCTURALLY capped at N_NODES
-    # (=300) nodes by construction (key % N_NODES), so per-node
-    # adjacency ARRAYS are degree≤N_NODES-bounded at ANY corpus scale —
-    # the calendar-bounded-window convention, not a power-law-hub risk.
-    # One groupBy builds them; the intersection is a native (codegen'd
-    # collection expression, not an interpreted lambda) array_intersect
-    # per EDGE (≤ C(300,2) rows). deg = size(set) equals the old count.
-    # Edges with zero common neighbors are filtered (the wedge join
-    # never emitted them; same as the oracle's inner-join `common`).
-    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm")).transform(barrier)
-    nu = nb.select(F.col("n").alias("nu"), F.col("nm").alias("au"))
-    nv = nb.select(F.col("n").alias("nv"), F.col("nm").alias("av"))
-    scored = (
-        e.join(F.broadcast(nu), F.col("u") == F.col("nu"))
-        .join(F.broadcast(nv), F.col("v") == F.col("nv"))
-        .select(
-            "u",
-            "v",
-            F.size(F.array_intersect("au", "av")).alias("c"),
-            F.size("au").alias("du"),
-            F.size("av").alias("dv"),
+    # r12 replaced the 13M-row wedge join with per-node adjacency
+    # arrays + array_intersect per edge; r13 removes that stage too
+    # (guide §4.2 do the heavy lifting in vectorized native code): the
+    # per-edge array_intersect — a hash-set build per row — was the
+    # remaining ~1.0 s. The residue graph is STRUCTURALLY capped at
+    # N_NODES (=300) nodes by construction (key % N_NODES) at ANY
+    # corpus scale, so the whole adjacency fits a 300×300 bit matrix
+    # (~90 KB): ONE bounded task builds A from the ≤300 adjacency rows
+    # and computes every edge's common-neighbor count as (A·A)[u,v] in
+    # a single numpy matmul. Counts and degrees are exact integers;
+    # the jaccard division + round(...,6) + top-20 stay in Spark,
+    # expression-identical to the r12 form, so the result is
+    # bit-stable (oracle PASS at sf0.001/sf0.01). Measured 3.0-3.7 s →
+    # ~1.0 s isolated; broadcast joins 2 → 0, the nb barrier dropped
+    # (single consumer now). Edges with zero common neighbors are
+    # filtered (the wedge join never emitted them; same as the
+    # oracle's inner-join `common`).
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
+    n_nodes = N_NODES
+
+    def pair_jaccard(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.zeros((n_nodes, n_nodes), dtype=bool)
+        for pdf in batches:
+            for n, nm in zip(pdf["n"], pdf["nm"]):
+                A[int(n), np.asarray(nm, dtype=np.int64)] = True
+        C = A.astype(np.int32) @ A.astype(np.int32)
+        deg = A.sum(axis=1).astype(np.int64)
+        iu, ju = np.nonzero(np.triu(A, 1))
+        c = C[iu, ju].astype(np.int64)
+        keep = c > 0
+        iu, ju, c = iu[keep], ju[keep], c[keep]
+        yield pd.DataFrame(
+            {
+                "u": iu.astype(np.int64),
+                "v": ju.astype(np.int64),
+                "c": c,
+                "du": deg[iu],
+                "dv": deg[ju],
+            }
         )
+
+    scored = nb.coalesce(1).mapInPandas(
+        pair_jaccard, "u long, v long, c long, du long, dv long"
     )
     return (
-        scored.filter(F.col("c") > 0)
-        .select(
+        scored.select(
             "u",
             "v",
             F.round(

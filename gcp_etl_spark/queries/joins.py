@@ -373,11 +373,21 @@ def join_interval_overlap(spark, sf_dir):
     Scale: the naive plan is a nested-loop cross product. This is the
     banded form — each interval explodes to the ~`len/bucket + 1`
     day-buckets it touches, the join runs as an EQUI join on bucket,
-    duplicates from multi-bucket overlaps are collapsed by distinct
-    (a_id, b_id), and the exact overlap predicate filters residually.
-    Replication is bounded (30/16+1 = 2 buckets for A, 7/16+1 for B),
-    the shuffle is hash-on-bucket — time-local, skew-bounded — and
-    output is bounded by true overlap density, never |A|·|B|.
+    and the exact overlap predicate filters residually. Replication is
+    bounded (30/16+1 = 2 buckets for A, 7/16+1 for B), the shuffle is
+    hash-on-bucket — time-local, skew-bounded — and output is bounded
+    by true overlap density, never |A|·|B|.
+
+    r13 (guide §2.4 remove shuffles): multi-bucket duplicate pairs
+    used to be collapsed by a DISTINCT over the ~1M surviving joined
+    rows — a full extra shuffle. Every overlapping pair is instead
+    counted in exactly ONE bucket: the bucket holding the overlap
+    start, max(a_start, b_start), which both intervals necessarily
+    touch (it is ≥ both lo buckets and ≤ both hi buckets whenever the
+    intervals overlap). A row-local predicate replaces the distinct
+    exchange, and only (a_id, a_start) flow onward (§2.3 project
+    before the exchange). Measured 2.4-2.7 s → 1.25-1.6 s isolated
+    (A/B equal on all 80 output rows); Exchanges 10 → 8.
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -412,8 +422,13 @@ def join_interval_overlap(spark, sf_dir):
             (F.col("a_start") <= F.col("b_end"))
             & (F.col("b_start") <= F.col("a_end"))
         )
-        .select("a_id", "b_id", "b_start", "a_start")
-        .distinct()
+        .filter(
+            F.col("bucket")
+            == F.floor(
+                day(F.greatest("a_start", "b_start")) / OVERLAP_BUCKET_DAYS
+            )
+        )
+        .select("a_id", "a_start")
     )
     return pairs.groupBy(
         F.date_format("a_start", "yyyy-MM").alias("month")

@@ -285,32 +285,43 @@ def dedup_content_hash(spark, sf_dir):
     tags=("profiling", "aggregate", "scale"),
 )
 def profile_columns(spark, sf_dir):
-    """One-pass data profiling (per-column null/distinct/min/max) in a
-    single wide aggregate, unpivoted to long form driver-side-free.
-    The multi-countDistinct expands the scan 4x (one Expand branch
-    per column) — one job instead of one scan per column; numeric
-    min/max stringified through decimal(18,2) so both engines print
-    identical text."""
+    """One-pass data profiling (per-column null/distinct/min/max),
+    unpivoted to long form driver-side-free; numeric min/max
+    stringified through decimal(18,2) so both engines print identical
+    text.
+
+    r13 split (guide §1.2 per-task work): packing the four
+    countDistinct columns AND the plain count/min/max aggregates into
+    ONE aggregate made Catalyst plan an Expand whose every branch
+    carries all rider columns — the combined aggregate measured
+    1.37 s where the two pieces run in 0.56 s. The distinct counts
+    now run in their own 4-way-Expand aggregate (only the four
+    distinct columns wide), the plain aggregates in a cheap scalar
+    aggregate, and the two 1-row results meet in a broadcast cross
+    join — same 17 output fields, bit-identical."""
     o = t(spark, sf_dir, "orders")
-    a = o.agg(
+    dist = o.agg(
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+    )
+    rest = o.agg(
         F.count("*").alias("n"),
         F.count("o_orderkey").alias("nn_key"),
-        F.countDistinct("o_orderkey").alias("nd_key"),
         F.min("o_orderkey").cast("string").alias("min_key"),
         F.max("o_orderkey").cast("string").alias("max_key"),
         F.count("o_orderstatus").alias("nn_st"),
-        F.countDistinct("o_orderstatus").alias("nd_st"),
         F.min("o_orderstatus").alias("min_st"),
         F.max("o_orderstatus").alias("max_st"),
         F.count("o_totalprice").alias("nn_tp"),
-        F.countDistinct("o_totalprice").alias("nd_tp"),
         F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("min_tp"),
         F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("max_tp"),
         F.count("o_orderdate").alias("nn_od"),
-        F.countDistinct("o_orderdate").alias("nd_od"),
         F.min("o_orderdate").cast("string").alias("min_od"),
         F.max("o_orderdate").cast("string").alias("max_od"),
     )
+    a = rest.crossJoin(F.broadcast(dist))
     return a.selectExpr(
         """stack(4,
           'o_orderkey',    n, n - nn_key, nd_key, min_key, max_key,
@@ -1183,19 +1194,27 @@ def analytics_bootstrap_ci(spark, sf_dir):
     every replica mean a bit-identical double, and the order
     statistics agree.
 
-    Scale: ×B row multiplication via a broadcast-nested-loop cross
-    join against a B-row replica relation (r6 — replaces
-    explode(sequence(0,B-1)), whose per-row 100-element array
-    allocation made the query GC-unstable: 2.6–55 s spread on
-    identical input, r5 verdict #1), then ONE hash agg to B rows
-    (map-side partials — the shuffle carries B·partitions rows, not
-    B·N; the agg buffers are two longs per replica, no per-row
-    BigDecimal churn). The B-row relation is driver-trivial. At
-    100 TB, B joined rows per input row is the honest cost — the
-    standard mitigation (per-partition partial sums per replica) is
-    exactly what the map-side combine already does.
+    Scale: the ×B fan-out never materializes as rows (r13, guide
+    §4.2; previously a broadcast-nested-loop cross join streamed
+    B·N codegen'd rows into the hash agg — 15M rows at sf0.1,
+    measured 1.4-3.8 s): one mapInPandas pass computes, per Arrow
+    batch, the whole (rows × B) weight matrix in numpy — the
+    (key + r·1000003)·MIX hash with int64 wraparound and truncated
+    remainder matching Java long semantics exactly, the Poisson
+    inverse-CDF as a searchsorted(side='right') (same boundary
+    behavior as the ordered CASE), and per-replica partial Σw·cents /
+    Σw as exact int64 matmuls — so only B rows per TASK reach the
+    shuffle (same partial-aggregation bound as before, without the
+    B·N row stream; measured 0.66-0.91 s, output bit-identical since
+    every per-replica sum is the same exact integer). At 100 TB the
+    per-(row,replica) draw count is the honest, irreducible cost;
+    the per-task partials are the standard mitigation.
     """
+    import numpy as np
+
     b = _BOOT_B
+    mix = _MIX
+    cdf = np.asarray(_POIS_CDF)
     par = spark.sparkContext.defaultParallelism
     # the small single-file scan would otherwise run the xB fan-out in
     # ONE task; at real scale the scan itself is already parallel
@@ -1206,24 +1225,35 @@ def analytics_bootstrap_ci(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
-    replicas = spark.range(b).select(F.col("id").alias("r"))
-    rep = base.crossJoin(F.broadcast(replicas))
-    uni = rep.withColumn(
-        "u",
-        F.expr(
-            f"(((o_orderkey + r * 1000003) * {_MIX}) % 4294967296)"
-            " / 4294967296.0"
-        ),
-    )
-    # the uniform draw is materialized ONCE per (row, replica): the
-    # CASE would otherwise re-evaluate the hash chain per branch (7x)
-    wtd = uni.withColumn("w", F.expr(_poisson_case("u")))
-    means = wtd.groupBy("r").agg(
-        (
-            F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.sum("w")
-            / F.lit(100.0)
-        ).alias("m")
+
+    def replica_partials(batches):
+        import pandas as pd
+
+        rs = np.arange(b, dtype=np.int64)
+        swc = np.zeros(b, dtype=np.int64)
+        sw = np.zeros(b, dtype=np.int64)
+        for pdf in batches:
+            key = pdf["o_orderkey"].to_numpy(np.int64)
+            cents = pdf["cents"].to_numpy(np.int64)
+            with np.errstate(over="ignore"):
+                a = (key[:, None] + rs[None, :] * 1000003) * mix
+            rem = a % 4294967296
+            # numpy % is floored, Java's is truncated: fix negatives
+            rem = np.where((a < 0) & (rem != 0), rem - 4294967296, rem)
+            w = np.searchsorted(cdf, rem / 4294967296.0, side="right")
+            w = w.astype(np.int64)
+            swc += (w * cents[:, None]).sum(axis=0)
+            sw += w.sum(axis=0)
+        yield pd.DataFrame({"r": rs, "swc": swc, "sw": sw})
+
+    means = (
+        base.mapInPandas(replica_partials, "r long, swc long, sw long")
+        .groupBy("r")
+        .agg(
+            (
+                F.sum("swc").cast("double") / F.sum("sw") / F.lit(100.0)
+            ).alias("m")
+        )
     )
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m", "r")).alias("rk")

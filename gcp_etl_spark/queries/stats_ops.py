@@ -146,6 +146,13 @@ def analytics_kendall_tau(spark, sf_dir):
     )
 
 
+# theil_sen single-task slope-median gate: C(4096,2) slopes ≈ 8.4M
+# doubles ≈ 67 MB task memory; calendar-bounded day counts sit far
+# below it (module-level so the path-equality test can force the
+# distributed side on the small fixtures)
+_TS_NUMPY_MAX_DAYS = 4096
+
+
 @query(
     "analytics_theil_sen",
     oracle="""
@@ -179,48 +186,85 @@ def analytics_theil_sen(spark, sf_dir):
     never touching fact-table cardinality). The slope median is EXACT
     but NOT Spark's ``percentile`` aggregate (whose final merge builds
     a single-reducer value->count map — measured 9.2 s on 2.9M
-    distinct doubles): instead a range-partitioned sort + two-pass
-    global rank picks the two middle elements directly (the pair count
-    is C(n_days, 2) by construction, so the middle ranks are known
-    without an extra count job) — measured ~2x faster and with no
-    single-node state. Interpolated-median semantics (mean of the two
-    middles for even n) match DuckDB ``quantile_cont`` exactly."""
+    distinct doubles). Below the size gate the C(n,2) slope set is
+    generated and selected in ONE vectorized task (r13, guide §4.2 /
+    §1.2 first-principles: the input is ~2.4k calendar-bounded daily
+    rows ≈ 20 KB, so a distributed nested-loop join + range exchange +
+    two ranking windows + broadcast join — 17 jobs — was pure
+    orchestration overhead around ~30 ms of numpy; measured 3.7-5.0 s
+    → the whole query ~1 s). np.partition picks the two middle ranks
+    exactly; slopes are the same per-pair IEEE double ops on the same
+    Spark-aggregated daily values, so the selected median is
+    bit-identical to the distributed path (equality pinned in
+    tests/test_r13_opt.py). Above the gate (C(n,2)·8 B past ~130 MB
+    task memory — never at calendar-bounded day counts, but the gate
+    keeps the 100 TB path principled) the r12 range-partitioned
+    two-pass global rank runs unchanged. Interpolated-median semantics
+    (mean of the two middles for even n) match DuckDB
+    ``quantile_cont`` exactly on both paths."""
     daily = _orders_daily(spark, sf_dir).select(
         "x", F.col("revenue").alias("y")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
-        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
-            "m"
-        )
     )
     n_days = daily.count()
     n_pairs = n_days * (n_days - 1) // 2
     lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
-    # lazy checkpoint BELOW the range exchange: repartitionByRange's
-    # boundary-SAMPLING job executes its child once and the exchange
-    # executes it again — uncut, the 2.9M-row slope-pair nested-loop
-    # join ran twice per query (guide §1.2: remove redundant passes)
-    slopes = slopes.transform(barrier)
-    parts = slopes.repartitionByRange(32, "m").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local = parts.withColumn(
-        "lrn", F.row_number().over(Window.partitionBy("pid").orderBy("m"))
-    )
-    counts = local.groupBy("pid").agg(F.count("*").alias("n"))
-    prior = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    offs = counts.select(
-        "pid", F.coalesce(F.sum("n").over(prior), F.lit(0)).alias("off")
-    )
-    m_med = (
-        local.join(F.broadcast(offs), "pid")
-        .filter((F.col("lrn") + F.col("off")).isin(lo, hi))
-        .agg(F.avg("m").alias("m"))
-    )
+    if n_days <= _TS_NUMPY_MAX_DAYS:
+        def slope_median(batches):
+            import numpy as np
+            import pandas as pd
+
+            xs, ys = [], []
+            for pdf in batches:
+                xs.append(pdf["x"].to_numpy(np.float64))
+                ys.append(pdf["y"].to_numpy(np.float64))
+            x = np.concatenate(xs) if xs else np.empty(0)
+            y = np.concatenate(ys) if ys else np.empty(0)
+            o = np.argsort(x)
+            x, y = x[o], y[o]
+            iu, ju = np.triu_indices(x.size, k=1)
+            m = (y[ju] - y[iu]) / (x[ju] - x[iu])
+            if not m.size:
+                yield pd.DataFrame({"m": [np.nan]})
+                return
+            part = np.partition(m, [lo - 1, hi - 1])
+            yield pd.DataFrame(
+                {"m": [(part[lo - 1] + part[hi - 1]) / 2.0]}
+            )
+
+        m_med = daily.coalesce(1).mapInPandas(slope_median, "m double")
+    else:
+        a = daily.alias("a")
+        b = daily.alias("b")
+        slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.x") - F.col("a.x"))
+            ).alias("m")
+        )
+        # lazy checkpoint BELOW the range exchange: repartitionByRange's
+        # boundary-SAMPLING job executes its child once and the exchange
+        # executes it again — uncut, the slope-pair nested-loop join ran
+        # twice per query (guide §1.2: remove redundant passes)
+        slopes = slopes.transform(barrier)
+        parts = slopes.repartitionByRange(32, "m").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        local = parts.withColumn(
+            "lrn",
+            F.row_number().over(Window.partitionBy("pid").orderBy("m")),
+        )
+        counts = local.groupBy("pid").agg(F.count("*").alias("n"))
+        prior = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow - 1
+        )
+        offs = counts.select(
+            "pid", F.coalesce(F.sum("n").over(prior), F.lit(0)).alias("off")
+        )
+        m_med = (
+            local.join(F.broadcast(offs), "pid")
+            .filter((F.col("lrn") + F.col("off")).isin(lo, hi))
+            .agg(F.avg("m").alias("m"))
+        )
     return (
         daily.crossJoin(F.broadcast(m_med))
         .agg(

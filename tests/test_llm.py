@@ -475,6 +475,33 @@ def test_query_corpus_leak_audit_graph_rollup(spark):
     spark.catalog.clearCache()  # see the dedup-family leak test note
     assert cm.isEmpty()
     specs = load_all()
-    for name in ("graph_triangle_count", "graph_pagerank", "rollup_multires"):
+    # graph_adamic_adar: r12 ADVICE found its persisted edge relation
+    # leaked for the session's lifetime; the r13 grouped-adjacency
+    # rewrite has no persist at all — keep it pinned here
+    for name in (
+        "graph_triangle_count",
+        "graph_pagerank",
+        "rollup_multires",
+        "graph_adamic_adar",
+    ):
         specs[name].fn(spark, SF_SMALL).count()
         assert cm.isEmpty(), f"{name} parked a relation in the CacheManager"
+
+
+def test_embedding_histogram_probe_chunking_is_exact(spark, monkeypatch):
+    """r12 verdict ask #3: the probe side of
+    embedding_distance_histogram must reach the driver in BOUNDED
+    chunks (the old single toPandas held N/32 vectors). Forcing a tiny
+    chunk (2 probes per collect -> 8 chunks over the 500-id fixture)
+    must give bit-identical bins to the single-chunk default: the pair
+    set is partitioned by probe id range, so integer bin counts add
+    associatively."""
+    import gcp_etl_spark.queries.llm_ops as llm_ops
+    from gcp_etl_spark.queries import load_all
+
+    fn = load_all()["embedding_distance_histogram"].fn
+    base = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    assert base, "histogram unexpectedly empty"
+    monkeypatch.setattr(llm_ops, "_EDH_PROBE_CHUNK", 2)
+    chunked = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    assert chunked == base
