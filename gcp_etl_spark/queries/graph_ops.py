@@ -617,52 +617,51 @@ def graph_clustering_coefficient(spark, sf_dir):
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
-    # optimization r12 (guide §2.3; the graph_jaccard_neighbors
-    # rewrite's sibling): the old center-node wedge self-join
-    # enumerated Σ deg² ≈ 13M rows then probed the edge list. The
-    # residue graph is STRUCTURALLY ≤ N_NODES nodes, so per-node
-    # adjacency arrays are bounded at any corpus scale; per EDGE
-    # (≤ C(300,2) rows), c = |N(u)∩N(v)| is the number of triangles
-    # through that edge, and tri(n) = Σ_{incident edges} c / 2 (each
-    # triangle at n is seen by both incident edges) — same integer,
-    # native array_intersect, no wedge materialization.
+    # r12 replaced the 13M-row center-node wedge self-join with
+    # per-edge array_intersect; r13 applies the graph_jaccard_neighbors
+    # bit-matrix form (guide §4.2): the residue graph is STRUCTURALLY
+    # ≤ N_NODES (=300) nodes at any corpus scale, so ONE bounded task
+    # builds the 300×300 bit matrix A from the ≤300 adjacency rows and
+    # computes per-node triangles as ((A·A)∧A) row sums / 2 — Σ_{m∈N(n)}
+    # |N(n)∩N(m)| counts each triangle at n exactly twice. Degrees are
+    # the A row sums (= the old adj count); triangles are the same
+    # exact integers; the clustering division + round + top-25 stay in
+    # Spark, expression-identical — bit-stable, oracle PASS both SFs.
     nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
-    ec = (
-        e.join(nb.select(F.col("n").alias("ju"), F.col("nm").alias("au")),
-               F.col("u") == F.col("ju"))
-        .join(nb.select(F.col("n").alias("jv"), F.col("nm").alias("av")),
-              F.col("v") == F.col("jv"))
-        .select(
-            "u", "v",
-            F.size(F.array_intersect("au", "av")).alias("c"),
+    n_nodes = N_NODES
+
+    def node_triangles(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.zeros((n_nodes, n_nodes), dtype=bool)
+        for pdf in batches:
+            for n, nm in zip(pdf["n"], pdf["nm"]):
+                A[int(n), np.asarray(nm, dtype=np.int64)] = True
+        deg = A.sum(axis=1).astype(np.int64)
+        C = A.astype(np.int32) @ A.astype(np.int32)
+        tri = (C * A).sum(axis=1).astype(np.int64) // 2
+        keep = deg > 0
+        idx = np.nonzero(keep)[0]
+        yield pd.DataFrame(
+            {
+                "n": idx.astype(np.int64),
+                "d": deg[idx],
+                "tri": tri[idx],
+            }
         )
-    )
-    tri = (
-        ec.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("n"), F.col("c")),
-                    F.struct(F.col("v").alias("n"), F.col("c")),
-                )
-            ).alias("x")
-        )
-        .groupBy(F.col("x.n").alias("n"))
-        .agg((F.sum("x.c") / 2).cast("long").alias("tri"))
+
+    stats = nb.coalesce(1).mapInPandas(
+        node_triangles, "n long, d long, tri long"
     )
     return (
-        deg.join(tri, "n", "left")
-        .filter(F.col("d") >= 2)
+        stats.filter(F.col("d") >= 2)
         .select(
             F.col("n").alias("node"),
             F.col("d").cast("long").alias("degree"),
-            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias(
-                "triangles"
-            ),
+            F.col("tri").cast("long").alias("triangles"),
             F.round(
-                F.coalesce(F.col("tri"), F.lit(0))
-                * 2.0
-                / (F.col("d") * (F.col("d") - 1)),
+                F.col("tri") * 2.0 / (F.col("d") * (F.col("d") - 1)),
                 6,
             ).alias("clustering"),
         )

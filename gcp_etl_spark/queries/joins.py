@@ -408,6 +408,16 @@ def join_interval_overlap(spark, sf_dir):
         # rows — dedup to DISTINCT shipment windows so pair counts are
         # well-defined on both engines
         .distinct()
+        # r13 sf1.0 scaling probe: this is the STREAMED side of the
+        # broadcast bucket join, and AQE coalesced the small
+        # post-distinct exchange (~180k rows, a few MB) down to 1-2
+        # partitions — the ~100M-pair join explosion then ran almost
+        # serially (t8/t32 = 1.12 at sf1.0). An explicit repartition
+        # (AQE never coalesces an explicit numPartitions) spreads the
+        # explosion across the cluster; defaultParallelism keeps it
+        # scale-adaptive, and the extra shuffle moves only the tiny
+        # pre-explosion rows (guide §2.5 input skew / §2.2).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def banded(df, start, end):

@@ -1246,9 +1246,17 @@ def dedup_prefix_filter(spark, sf_dir):
     # shrink by the hot-token postings without losing a single pair.
     # The size filter t·|A| ≤ |B| ≤ |A|/t (necessary for J ≥ t) prunes
     # length-mismatched collisions before the distinct.
+    # r13 sf1.0 scaling probe: the prefix-postings pair join is the
+    # query's explosion point, and AQE coalesced the small pre-join
+    # exchanges (a few MB of (doc_id, sz, rk) rows) to 1-2 partitions
+    # — the candidate enumeration then ran nearly serially (t8/t32 =
+    # 1.06 at sf1.0). Explicitly hash-partitioning the prefix relation
+    # on rk (AQE never coalesces an explicit repartition) spreads the
+    # per-token pair blow-up; both join sides inherit the partitioning
+    # so the join itself adds no exchange (guide §2.4/§2.5).
     prefix = sets.select(
         "doc_id", "sz", F.explode(F.slice("rks", 1, plen)).alias("rk")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "rk")
     pa = prefix.select(
         F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"), "rk"
     )
@@ -1265,6 +1273,10 @@ def dedup_prefix_filter(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+    # (r13 note: a further repartition of the candidate relation for
+    # the verify stage was tried and REVERTED — the extra full shuffle
+    # of the multi-million-row candidate set cost more than the
+    # parallelism it bought: 14 s → 20-33 s at sf1.0/c32.)
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("rks").alias("ra"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("rks").alias("rb"))
     inter = F.size(F.array_intersect("ra", "rb")).cast("double")

@@ -614,6 +614,26 @@ def ann_hard_negatives(spark, sf_dir):
                 keep = (nid[:, None] != q_ids[None, :]) & (
                     nlab[:, None] != q_lab[None, :]
                 )
+                # PARTIAL TOP-K (guide §2.3 aggregate before you
+                # shuffle; the sf1.0 probe found the full pair stream
+                # — 16M rows at 10x — dominating the query through
+                # Arrow + the ranking window): a row outside its
+                # batch's top-k for a probe, under the SAME
+                # (rounded-cos desc) order the final window uses, is
+                # dominated by >= k batch-mates and cannot reach the
+                # global top-k. Keep rows at or above the k-th
+                # largest rounded cosine per probe — a SUPERSET of
+                # the batch top-k (all threshold ties kept, so the
+                # window's n_id tie-break still sees every
+                # contender); the window then ranks survivors
+                # exactly as before.
+                r4 = np.floor(cos * 1e4 + 0.5) / 1e4
+                r4 = np.where(keep, r4, -np.inf)
+                if r4.shape[0] > _HN_K:
+                    th = -np.partition(-r4, _HN_K - 1, axis=0)[
+                        _HN_K - 1, :
+                    ]
+                    keep &= r4 >= th[None, :]
                 r, cix = np.nonzero(keep)
                 yield pd.DataFrame(
                     {

@@ -1527,12 +1527,21 @@ def decontaminate_bloom_verified(spark, sf_dir):
         might_contain_udf,
     )
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
-            "ws"
-        ),
+    # r13 sf1.0 scaling probe (t8/t32 = 1.10): the single-file corpus
+    # scan gives the tokenize + 5-gram explode 1-2 partitions, so gram
+    # construction ran nearly serially before the distinct's exchange;
+    # spread it first (guide §2.5 — repartition immediately after the
+    # read; defaultParallelism keeps it scale-adaptive)
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+                "ws"
+            ),
+        )
     )
     grams = F.expr(
         f"transform(sequence(0, size(ws) - {_BLOOM_N}),"

@@ -752,13 +752,17 @@ def stats_permutation_test(spark, sf_dir):
     shuffle); partial aggregation combines per (replicate, side)
     before the exchange, so only 2B rows shuffle however large the
     corpus — the same contract as the bootstrap."""
+    # r13 sf1.0 scaling probe (t8/t32 = 0.88 — no parallel speedup):
+    # the single-file events scan handed the B×N md5 explode 1-2
+    # partitions, serializing the query's dominant term; spread the
+    # pooled sample right after the read (guide §2.5, scale-adaptive)
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_PERM_A, _PERM_B)
     ).select(
         "event_id",
         "value",
         (F.col("event_type") == _PERM_A).cast("int").alias("a"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     nn = e.agg(
         F.sum("a").alias("na"), F.count("*").alias("nt")
     )

@@ -1064,51 +1064,81 @@ def graph_link_prediction(spark, sf_dir):
     neighbor (bounded by Σ deg(m)², never |V|²); non-edge filtering is
     a LEFT ANTI join; the degree lookups are unhinted equi-joins (AQE
     broadcasts when small); top-20 is TakeOrderedAndProject."""
-    # lazy localCheckpoint (r12, guide §1.2): e feeds both wedge-join
-    # sides (via adj), the non-edge anti-join, and deg — without the
-    # barriers the optimizer re-expanded the lineitem scan + distinct
-    # into every consumer (22 parquet scans in one plan). The barrier
-    # drops Catalyst size stats, so every join against a BOUNDED
-    # relation carries an explicit broadcast hint: e ≤ C(300,2) rows
-    # and deg ≤ 300 rows BY CONSTRUCTION (key residues mod N_NODES) at
-    # ANY corpus scale — the same boundedness argument the graph
-    # family's other hints use.
+    # r13: the graph_jaccard_neighbors bit-matrix form (guide §4.2)
+    # replaces the wedge self-join + anti-join + degree joins. The
+    # residue graph is ≤ N_NODES (=300) nodes BY CONSTRUCTION at any
+    # corpus scale, so ONE bounded task builds the 300×300 bit matrix
+    # and enumerates the non-adjacent wedge-connected pairs directly
+    # (C = A·A > 0 and not A). EXACTNESS of the resource-allocation
+    # sum: the r12 form summed per-term cast(1.0/deg(m) AS
+    # decimal(38,18)) — an order-free exact decimal sum — so the task
+    # does NOT sum floats; it emits per-(pair, common-neighbor-degree)
+    # COUNTS (grouping the common neighbors of each pair by their
+    # degree value), and Spark aggregates cnt · cast(1.0/dm AS
+    # decimal(38,18)) — the identical decimal terms in exact integer
+    # multiples. cn/pa are exact ints from the same matrices.
     e = _edges(spark, sf_dir).transform(barrier)
     adj = e.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    deg = adj.groupBy("n").agg(F.count("*").alias("d")).transform(barrier)
-    a1 = adj.select(F.col("n").alias("cu"), F.col("m").alias("w1"))
-    a2 = adj.select(F.col("n").alias("cv"), F.col("m").alias("w2"))
-    cand = (
-        a1.join(
-            F.broadcast(a2),
-            (F.col("w1") == F.col("w2")) & (F.col("cu") < F.col("cv")),
+    nb = adj.groupBy("n").agg(F.collect_set("m").alias("nm"))
+    n_nodes = N_NODES
+
+    def pair_deg_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.zeros((n_nodes, n_nodes), dtype=bool)
+        for pdf in batches:
+            for n, nm in zip(pdf["n"], pdf["nm"]):
+                A[int(n), np.asarray(nm, dtype=np.int64)] = True
+        deg = A.sum(axis=1).astype(np.int64)
+        C = A.astype(np.int32) @ A.astype(np.int32)
+        iu, ju = np.nonzero(np.triu(C > 0, 1) & ~A)
+        cols = {
+            "cu": [], "cv": [], "du": [], "dv": [], "dm": [], "cnt": []
+        }
+        for d in np.unique(deg[deg > 0]):
+            M = A[:, deg == d].astype(np.int32)
+            Cd = M @ M.T
+            cnt = Cd[iu, ju]
+            keep = cnt > 0
+            cols["cu"].append(iu[keep])
+            cols["cv"].append(ju[keep])
+            cols["du"].append(deg[iu[keep]])
+            cols["dv"].append(deg[ju[keep]])
+            cols["dm"].append(np.full(keep.sum(), d, dtype=np.int64))
+            cols["cnt"].append(cnt[keep].astype(np.int64))
+        out = {
+            k: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
+            for k, v in cols.items()
+        }
+        yield pd.DataFrame(
+            {k: out[k].astype(np.int64) for k in
+             ("cu", "cv", "du", "dv", "dm", "cnt")}
         )
-        .select("cu", "cv", F.col("w1").alias("m"))
-        .join(
-            F.broadcast(e),
-            (F.col("cu") == F.col("u")) & (F.col("cv") == F.col("v")),
-            "left_anti",
-        )
+
+    stats = nb.coalesce(1).mapInPandas(
+        pair_deg_counts,
+        "cu long, cv long, du long, dv long, dm long, cnt long",
     )
-    dm = deg.select(F.col("n").alias("m"), F.col("d").alias("dm"))
-    sc = (
-        cand.join(F.broadcast(dm), "m")
-        .groupBy("cu", "cv")
-        .agg(
-            F.count("*").alias("cn"),
-            F.sum((1.0 / F.col("dm")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("ra"),
+    # decimal widths chosen so cnt·term stays EXACT: term = 1/dm ≤ 1
+    # fits decimal(19,18) with the same 18-digit rounding the old
+    # decimal(38,18) cast produced, cnt ≤ N_NODES fits decimal(3,0),
+    # and (19,18)×(3,0) → decimal(23,18) — under the 38 cap, so Spark
+    # does NOT truncate the scale (a (38,18)×long product would be
+    # forced to decimal(38,6), silently rounding before the sum)
+    sc = stats.groupBy("cu", "cv", "du", "dv").agg(
+        F.sum("cnt").alias("cn"),
+        F.sum(
+            F.col("cnt").cast("decimal(3,0)")
+            * (1.0 / F.col("dm")).cast("decimal(19,18)")
         )
+        .cast("double")
+        .alias("ra"),
     )
-    du = deg.select(F.col("n").alias("cu"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("cv"), F.col("d").alias("dv"))
     return (
-        sc.join(F.broadcast(du), "cu")
-        .join(F.broadcast(dv), "cv")
-        .select(
+        sc.select(
             F.col("cu").alias("u"),
             F.col("cv").alias("v"),
             "cn",
